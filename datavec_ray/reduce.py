@@ -1,0 +1,390 @@
+"""Grouped reduce — the Reducer / ReduceOp monoid set. SURVEY.md §2.11.
+
+Parity targets:
+- ``transform/ReduceOp.java:42-51`` — Prod, Min, Max, Range, Append,
+  Prepend, Sum, Mean, Stdev (Bessel-corrected), UncorrectedStdDev,
+  Variance, PopulationVariance, Count, CountUnique, TakeFirst, TakeLast.
+- ``transform/reduce/Reducer.java:54-274`` — key columns kept, per-column
+  op map, conditional reductions (rows failing a Condition are excluded
+  from that column's accumulator), custom reductions.
+- ``transform/ops/AggregatorImpls.java:15-516`` — the accumulator
+  implementations, incl. HyperLogLogPlus CountUnique (:472-516).
+- Spark execution: ``mapToPair → aggregateByKey(seqOp, combOp)``
+  (``SparkTransformExecutor.java:252-290``) — partial (map-side) +
+  final aggregation.
+
+Ray-Data-first execution: every op is a commutative-monoid
+``AggregateFn`` (init / accumulate_block / merge / finalize) so Ray Data
+performs the same partial+final aggregation with vectorized
+pyarrow.compute kernels per block — one all-to-all of SMALL partial
+states, never of raw rows. Variance merges use the numerically-stable
+pairwise (Chan et al.) formula; CountUnique ships mergeable HLL
+registers (datavec_ray.hll).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datavec_ray.conditions import Condition, condition_from_dict
+from datavec_ray.hll import HyperLogLog, hash64
+from datavec_ray.registry import register
+from datavec_ray.schema import ColumnMeta, Schema
+from datavec_ray.steps.base import WideStep
+
+REDUCE_OPS = ("Sum", "Mean", "Min", "Max", "Range", "Prod", "Count",
+              "CountUnique", "CountUniqueExact", "Stdev", "UncorrectedStdDev",
+              "Variance", "PopulationVariance", "TakeFirst", "TakeLast",
+              "Append", "Prepend")
+
+_NUMERIC_OUT = {"Sum", "Mean", "Min", "Max", "Range", "Prod", "Stdev",
+                "UncorrectedStdDev", "Variance", "PopulationVariance"}
+
+
+# ---------------------------------------------------------------------------
+# Accumulator states (monoid contract: zero / accumulate(block) / merge)
+# ---------------------------------------------------------------------------
+
+class _Acc:
+    """One column-op accumulator. State must be picklable and small."""
+
+    op: str
+
+    def __init__(self, op: str):
+        self.op = op
+
+    def zero(self) -> Any:
+        o = self.op
+        if o in ("Sum", "Count"):
+            return 0
+        if o == "CountUniqueExact":
+            return b""  # sorted unique uint64 hashes, little-endian
+        if o == "Prod":
+            return 1.0
+        if o == "Min":
+            return None
+        if o == "Max":
+            return None
+        if o == "Range":
+            return (None, None)
+        if o == "Mean":
+            return (0.0, 0)          # (sum, n)
+        if o in ("Stdev", "UncorrectedStdDev", "Variance", "PopulationVariance"):
+            return (0, 0.0, 0.0)     # (n, mean, M2)
+        if o == "CountUnique":
+            return HyperLogLog().to_bytes()
+        if o in ("TakeFirst", "TakeLast"):
+            import pickle
+            return pickle.dumps((False, None))  # bytes: Arrow-safe shuffle state
+        if o in ("Append", "Prepend"):
+            return []
+        raise ValueError(o)
+
+    def accumulate(self, state: Any, col: pa.ChunkedArray | pa.Array) -> Any:
+        o = self.op
+        if o == "Count":
+            return state + len(col)
+        if o == "Sum":
+            s = pc.sum(col)
+            return state + (s.as_py() or 0)
+        if o == "Prod":
+            arr = _valid_numpy(col)
+            return state * float(np.prod(arr)) if len(arr) else state
+        if o == "Min":
+            v = pc.min(col).as_py()
+            if v is None:
+                return state
+            return v if state is None else min(state, v)
+        if o == "Max":
+            v = pc.max(col).as_py()
+            if v is None:
+                return state
+            return v if state is None else max(state, v)
+        if o == "Range":
+            mn, mx = state
+            bmn, bmx = pc.min(col).as_py(), pc.max(col).as_py()
+            if bmn is not None:
+                mn = bmn if mn is None else min(mn, bmn)
+            if bmx is not None:
+                mx = bmx if mx is None else max(mx, bmx)
+            return (mn, mx)
+        if o == "Mean":
+            s, n = state
+            bs = pc.sum(col).as_py() or 0
+            bn = len(col) - pc.count(col, mode="only_null").as_py()
+            return (s + bs, n + bn)
+        if o in ("Stdev", "UncorrectedStdDev", "Variance", "PopulationVariance"):
+            arr = _valid_numpy(col)
+            if len(arr) == 0:
+                return state
+            bn = len(arr)
+            bmean = float(arr.mean())
+            bM2 = float(((arr - bmean) ** 2).sum())
+            return _merge_var(state, (bn, bmean, bM2))
+        if o == "CountUnique":
+            hll = HyperLogLog.from_bytes(state)
+            arr = _valid_numpy(col, allow_object=True)
+            hll.add_hashes(hash64(arr))
+            return hll.to_bytes()
+        if o == "CountUniqueExact":
+            # exact distinct via mergeable sorted-hash-set bytes (Arrow-safe
+            # state for shipping between partial and final aggregation)
+            arr = _valid_numpy(col, allow_object=True)
+            prev = np.frombuffer(state, dtype=np.uint64)
+            return np.union1d(prev, hash64(arr)).tobytes()
+        if o == "TakeFirst":
+            import pickle
+            seen, v = pickle.loads(state)
+            if seen or len(col) == 0:
+                return state
+            return pickle.dumps((True, col[0].as_py()))
+        if o == "TakeLast":
+            import pickle
+            if len(col) == 0:
+                return state
+            return pickle.dumps((True, col[len(col) - 1].as_py()))
+        if o in ("Append", "Prepend"):
+            vals = [v for v in col.to_pylist() if v is not None]
+            return state + vals
+        raise ValueError(o)
+
+    def merge(self, a: Any, b: Any) -> Any:
+        o = self.op
+        if o in ("Sum", "Count"):
+            return a + b
+        if o == "Prod":
+            return a * b
+        if o == "Min":
+            return b if a is None else (a if b is None else min(a, b))
+        if o == "Max":
+            return b if a is None else (a if b is None else max(a, b))
+        if o == "Range":
+            mn = self._m(min, a[0], b[0])
+            mx = self._m(max, a[1], b[1])
+            return (mn, mx)
+        if o == "Mean":
+            return (a[0] + b[0], a[1] + b[1])
+        if o in ("Stdev", "UncorrectedStdDev", "Variance", "PopulationVariance"):
+            return _merge_var(a, b)
+        if o == "CountUnique":
+            return HyperLogLog.from_bytes(a).merge(HyperLogLog.from_bytes(b)).to_bytes()
+        if o == "CountUniqueExact":
+            return np.union1d(np.frombuffer(a, dtype=np.uint64),
+                              np.frombuffer(b, dtype=np.uint64)).tobytes()
+        if o == "TakeFirst":
+            import pickle
+            return a if pickle.loads(a)[0] else b
+        if o == "TakeLast":
+            import pickle
+            return b if pickle.loads(b)[0] else a
+        if o == "Append":
+            return a + b
+        if o == "Prepend":
+            return a + b  # ordering finalized below
+        raise ValueError(o)
+
+    @staticmethod
+    def _m(fn, x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return fn(x, y)
+
+    def finalize(self, state: Any, delimiter: str = ",") -> Any:
+        o = self.op
+        if o in ("Sum", "Count", "Prod", "Min", "Max"):
+            return state
+        if o == "Range":
+            mn, mx = state
+            return None if mn is None else mx - mn
+        if o == "Mean":
+            s, n = state
+            return s / n if n else None
+        if o in ("Stdev", "Variance", "UncorrectedStdDev", "PopulationVariance"):
+            n, mean, M2 = state
+            if n == 0:
+                return None
+            if o == "Stdev":
+                return float(np.sqrt(M2 / (n - 1))) if n > 1 else 0.0
+            if o == "Variance":
+                return M2 / (n - 1) if n > 1 else 0.0
+            if o == "UncorrectedStdDev":
+                return float(np.sqrt(M2 / n))
+            return M2 / n
+        if o == "CountUnique":
+            return float(HyperLogLog.from_bytes(state).cardinality())
+        if o == "CountUniqueExact":
+            return len(state) // 8
+        if o in ("TakeFirst", "TakeLast"):
+            import pickle
+            return pickle.loads(state)[1]
+        if o == "Append":
+            return delimiter.join(str(v) for v in state)
+        if o == "Prepend":
+            return delimiter.join(str(v) for v in reversed(state))
+        raise ValueError(o)
+
+
+def _valid_numpy(col, allow_object: bool = False) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _merge_var(a, b):
+    """Chan et al. parallel variance merge of (n, mean, M2) states."""
+    na, ma, M2a = a
+    nb, mb, M2b = b
+    if na == 0:
+        return b
+    if nb == 0:
+        return a
+    n = na + nb
+    delta = mb - ma
+    mean = ma + delta * nb / n
+    M2 = M2a + M2b + delta * delta * na * nb / n
+    return (n, mean, M2)
+
+
+def _out_type(op: str, in_type: pa.DataType) -> pa.DataType:
+    if op in ("Count", "CountUniqueExact"):
+        return pa.int64()
+    if op == "CountUnique":
+        return pa.float64()
+    if op in ("Mean", "Stdev", "UncorrectedStdDev", "Variance",
+              "PopulationVariance", "Prod"):
+        return pa.float64()
+    if op in ("Append", "Prepend"):
+        return pa.string()
+    if op == "Sum":
+        if pa.types.is_integer(in_type):
+            return pa.int64()
+        return pa.float64()
+    if op == "Range":
+        if pa.types.is_timestamp(in_type):
+            return pa.int64()
+        return in_type
+    return in_type  # Min/Max/TakeFirst/TakeLast keep type
+
+
+# ---------------------------------------------------------------------------
+# Reducer (wide step)
+# ---------------------------------------------------------------------------
+
+@register("step")
+class Reducer(WideStep):
+    """groupby(keys) + per-column reductions.
+
+    ``specs``: list of [column, op, output_name] (output_name optional →
+    defaults to ``op.lower()(column)`` like the reference's naming).
+    ``condition``: optional Condition — rows failing it are excluded from
+    ALL value accumulators (the reference's conditional reduction,
+    ``Reducer.java:54-274``); key rows always count toward grouping.
+    """
+
+    def __init__(self, keys: Sequence[str], specs: Sequence[Sequence[Any]],
+                 condition: Optional[Condition | dict] = None,
+                 append_delimiter: str = ",", num_partitions: Optional[int] = None):
+        self.keys = list(keys)
+        self.specs = []
+        for s in specs:
+            col, op = s[0], s[1]
+            if op not in REDUCE_OPS:
+                raise ValueError(f"unknown ReduceOp {op!r}")
+            out = s[2] if len(s) > 2 and s[2] else f"{op.lower()}({col})"
+            self.specs.append([col, op, out])
+        self.condition = condition_from_dict(condition) if isinstance(condition, dict) \
+            else condition
+        self.append_delimiter = append_delimiter
+        self.num_partitions = num_partitions
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(*self.keys)
+        fields = [(k, schema.type_of(k)) for k in self.keys]
+        meta = {k: schema.meta_of(k) for k in self.keys}
+        for col, op, out in self.specs:
+            if op != "Count" or col:
+                schema.require(col)
+            t = _out_type(op, schema.type_of(col))
+            fields.append((out, t))
+        if self.condition is not None:
+            self.condition.validate(schema)
+        return Schema(fields, meta)
+
+    # -- distributed ---------------------------------------------------------
+    def apply_dataset(self, ds):
+        from ray.data.aggregate import AggregateFn
+
+        cond = self.condition
+        delim = self.append_delimiter
+        aggs = []
+        for col, op, out in self.specs:
+            acc = _Acc(op)
+
+            def make(acc=acc, col=col):
+                def accumulate_block(state, block: pa.Table):
+                    c = block[col]
+                    if cond is not None:
+                        c = c.filter(cond.mask(block))
+                    return acc.accumulate(state, c)
+                return accumulate_block
+
+            aggs.append(AggregateFn(
+                init=lambda k, acc=acc: acc.zero(),
+                merge=lambda a, b, acc=acc: acc.merge(a, b),
+                accumulate_block=make(),
+                finalize=lambda s, acc=acc: acc.finalize(s, delim),
+                name=out,
+            ))
+        return ds.groupby(self.keys).aggregate(*aggs)
+
+    # -- local oracle --------------------------------------------------------
+    def apply_local(self, table: pa.Table) -> pa.Table:
+        out_schema = self.output_schema(Schema(table.schema))
+        # group indices via arrow dictionary encode on a combined key
+        import pandas as pd
+        df_keys = table.select(self.keys).to_pandas()
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(df_keys) if len(self.keys) > 1
+            else df_keys[self.keys[0]], use_na_sentinel=False)
+        n_groups = len(uniques)
+        rows: dict[str, list] = {k: [] for k in self.keys}
+        if len(self.keys) > 1:
+            for u in uniques:
+                for k, v in zip(self.keys, u):
+                    rows[k].append(v)
+        else:
+            rows[self.keys[0]] = list(uniques)
+        for col, op, out in self.specs:
+            acc = _Acc(op)
+            vals = []
+            for g in range(n_groups):
+                idx = np.nonzero(codes == g)[0]
+                sub = table.take(pa.array(idx))
+                c = sub[col]
+                if self.condition is not None:
+                    c = c.filter(self.condition.mask(sub))
+                state = acc.accumulate(acc.zero(), c)
+                vals.append(acc.finalize(state, self.append_delimiter))
+            rows[out] = vals
+        arrays = []
+        for name, typ in zip(out_schema.names, [out_schema.type_of(n) for n in out_schema.names]):
+            arrays.append(pa.array(rows[name], type=typ))
+        return pa.table(arrays, schema=out_schema.arrow())
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "Reducer", "keys": self.keys, "specs": self.specs,
+                "condition": self.condition.to_dict() if self.condition else None,
+                "append_delimiter": self.append_delimiter,
+                "num_partitions": self.num_partitions}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(d["keys"], d["specs"], d.get("condition"),
+                   d.get("append_delimiter", ","), d.get("num_partitions"))

@@ -1,0 +1,136 @@
+"""Column / projection steps (schema reshaping). SURVEY.md §2.2.
+
+Parity targets (datavec-api/.../transform/transform/column/):
+RemoveColumnsTransform.java:38, RemoveAllColumnsExceptForTransform.java:39,
+RenameColumnsTransform.java:37, ReorderColumnsTransform.java:39,
+DuplicateColumnsTransform.java:40, AddConstantColumnTransform.java:36.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import pyarrow as pa
+
+from datavec_ray.registry import register
+from datavec_ray.schema import ColumnMeta, Schema, arrow_type_for, column_type_for
+from datavec_ray.steps.base import Step
+
+
+@register("step")
+class RemoveColumns(Step):
+    def __init__(self, columns: Sequence[str]):
+        self.columns = list(columns)
+
+    def output_schema(self, schema: Schema) -> Schema:
+        return schema.without_columns(self.columns)
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        return table.drop_columns(self.columns)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "RemoveColumns", "columns": self.columns}
+
+
+@register("step")
+class KeepColumns(Step):
+    """Keep-only projection (RemoveAllColumnsExceptForTransform); keeps the
+    listed order, like the reference which reorders to the given list."""
+
+    def __init__(self, columns: Sequence[str]):
+        self.columns = list(columns)
+
+    def output_schema(self, schema: Schema) -> Schema:
+        return schema.select(self.columns)
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        return table.select(self.columns)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "KeepColumns", "columns": self.columns}
+
+
+@register("step")
+class RenameColumns(Step):
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = dict(mapping)
+
+    def output_schema(self, schema: Schema) -> Schema:
+        return schema.renamed(self.mapping)
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        return table.rename_columns([self.mapping.get(n, n) for n in table.column_names])
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "RenameColumns", "mapping": self.mapping}
+
+
+@register("step")
+class ReorderColumns(Step):
+    """Named columns first in the given order; unnamed keep their relative
+    order after them (ReorderColumnsTransform.java:39 semantics)."""
+
+    def __init__(self, columns: Sequence[str]):
+        self.columns = list(columns)
+
+    def _order(self, names: Sequence[str]) -> list[str]:
+        missing = [c for c in self.columns if c not in names]
+        if missing:
+            raise KeyError(f"reorder names columns not in schema: {missing}")
+        rest = [n for n in names if n not in self.columns]
+        return self.columns + rest
+
+    def output_schema(self, schema: Schema) -> Schema:
+        return schema.select(self._order(schema.names))
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        return table.select(self._order(table.column_names))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "ReorderColumns", "columns": self.columns}
+
+
+@register("step")
+class DuplicateColumns(Step):
+    """Copy columns under new names, appended at the end."""
+
+    def __init__(self, columns: Sequence[str], new_names: Sequence[str]):
+        if len(columns) != len(new_names):
+            raise ValueError("columns and new_names must have equal length")
+        self.columns, self.new_names = list(columns), list(new_names)
+
+    def output_schema(self, schema: Schema) -> Schema:
+        out = schema
+        for src, dst in zip(self.columns, self.new_names):
+            out = out.with_column(dst, schema.type_of(src), schema.meta_of(src))
+        return out
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        for src, dst in zip(self.columns, self.new_names):
+            table = table.append_column(pa.field(dst, table[src].type), table[src])
+        return table
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "DuplicateColumns", "columns": self.columns,
+                "new_names": self.new_names}
+
+
+@register("step")
+class AddConstantColumn(Step):
+    """Append a typed literal column (AddConstantColumnTransform.java:36)."""
+
+    def __init__(self, name: str, column_type: str, value: Any):
+        self.name, self.column_type, self.value = name, column_type, value
+
+    def output_schema(self, schema: Schema) -> Schema:
+        typ = arrow_type_for(self.column_type)
+        return schema.with_column(self.name, typ, ColumnMeta(self.column_type))
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        typ = arrow_type_for(self.column_type)
+        arr = pa.array([self.value] * table.num_rows, type=typ)
+        return table.append_column(pa.field(self.name, typ), arr)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "AddConstantColumn", "name": self.name,
+                "column_type": self.column_type, "value": self.value}

@@ -1,0 +1,30 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def dataset_to_table(ds) -> pa.Table:
+    """Materialize a (small) ray.data.Dataset to one pyarrow Table.
+
+    Driver-side materialization — only for small results (aggregates,
+    dimension tables, test outputs), never the main input.
+    """
+    import ray
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+    if not tables:
+        empty = ray.get(list(refs))
+        return empty[0] if empty else pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def table_from_result(obj) -> pa.Table:
+    """Normalize Dataset / pandas / pyarrow to a pyarrow Table."""
+    import pandas as pd
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    return dataset_to_table(obj)
