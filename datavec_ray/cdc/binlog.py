@@ -1,0 +1,189 @@
+"""Deterministic synthetic binlog of transcript change events.
+
+The input-table shape is fixed by the task brief (BASELINE.json
+``input_hint``): conversation transcripts with columns
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[ms]) wrapped in a CDC envelope (lsn:int64 monotonic unique,
+op ∈ {"I","U","D"}). Everything here is a pure function of (seed, sizes)
+— no wall clock, no external data (FIXTURES.md §1-2).
+
+Generator properties exercised by the tests:
+- conversation lengths Zipf-like → a few hot conversations (salting);
+- updates/deletes reference existing (conv_id, turn_idx) keys;
+- out-of-ts-order updates and same-ts conflicts (LSN tiebreak);
+- ~70/25/5 I/U/D mix; delete events carry null payload;
+- optional schema-evolution variant: events before `evolve_at_lsn`
+  LACK the `tool` column (additive evolution) and carry int32 turn_idx
+  (widening int32→int64 downstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TRANSCRIPT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("ms")),
+])
+
+BINLOG_SCHEMA = pa.schema([("lsn", pa.int64()), ("op", pa.string())]
+                          + list(TRANSCRIPT_SCHEMA))
+
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+_TOOLS = np.array(["", "", "", "", "search", "calculator", "browser", "python"])
+_WORDS = np.array([
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "naïve", "café", "日本語", "emoji🙂", "", "  padded  ",
+])
+
+BASE_EPOCH_MS = 1_700_000_000_000  # fixed, deterministic
+
+
+def _conv_lengths(num_convs: int, mean_turns: int, rng: np.random.Generator) -> np.ndarray:
+    """Zipf-ish lengths: most conversations short, a few very hot."""
+    raw = rng.zipf(1.7, size=num_convs)
+    lengths = np.clip(raw * max(1, mean_turns // 2), 1, mean_turns * 60)
+    return lengths.astype(np.int64)
+
+
+def synth_binlog(num_events: int, num_convs: int = 0, seed: int = 42,
+                 mean_turns: int = 8, update_frac: float = 0.25,
+                 delete_frac: float = 0.05) -> pa.Table:
+    """Generate a change-event table, ordered by strictly-monotonic lsn."""
+    rng = np.random.default_rng(seed)
+    target_base = max(1, int(num_events * (1.0 - update_frac - delete_frac)))
+    if num_convs <= 0:
+        num_convs = max(1, target_base // mean_turns)
+    lengths = _conv_lengths(num_convs, mean_turns, rng)
+    # trim conversations so base inserts ≈ target_base (the rest of the
+    # event budget becomes updates/deletes referencing existing keys)
+    csum = np.cumsum(lengths)
+    cut = int(np.searchsorted(csum, target_base)) + 1
+    lengths = lengths[:cut]
+    if csum[cut - 1] > target_base:
+        lengths = lengths.copy()
+        lengths[-1] -= csum[cut - 1] - target_base
+    num_convs = len(lengths)
+
+    # Base inserts: every (conv, turn) key appears as an insert exactly once.
+    conv_idx = np.repeat(np.arange(num_convs), lengths)
+    turn_idx = np.concatenate([np.arange(l) for l in lengths]) if num_convs else np.array([], np.int64)
+    n_base = len(conv_idx)
+
+    n_extra = max(0, num_events - n_base)
+    if n_extra:
+        # updates/deletes reference existing keys (biased to hot convs by
+        # sampling positions uniformly from the key population)
+        pick = rng.integers(0, n_base, size=n_extra)
+        e_conv = conv_idx[pick]
+        e_turn = turn_idx[pick]
+        p_del = delete_frac / (update_frac + delete_frac) if (update_frac + delete_frac) else 0
+        is_del = rng.random(n_extra) < p_del
+        conv_idx = np.concatenate([conv_idx, e_conv])
+        turn_idx = np.concatenate([turn_idx, e_turn])
+        op = np.concatenate([np.full(n_base, "I"), np.where(is_del, "D", "U")])
+    else:
+        conv_idx = conv_idx[:num_events]
+        turn_idx = turn_idx[:num_events]
+        op = np.full(len(conv_idx), "I")
+
+    n = len(conv_idx)
+    # interleave events: inserts roughly in conv order, updates after, then
+    # shuffle a bounded window so updates can arrive out of ts order
+    order = rng.permutation(n)
+    conv_idx, turn_idx, op = conv_idx[order], turn_idx[order], op[order]
+
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    # ts: base + per-conv offset + per-turn increment + jitter; some exact
+    # duplicates on the same key to force the LSN tiebreak
+    ts = (BASE_EPOCH_MS + conv_idx.astype(np.int64) * 60_000
+          + turn_idx.astype(np.int64) * 1_000
+          + rng.integers(0, 3, size=n) * 500)
+    is_update = op != "I"
+    # half of the updates get an OLDER ts than base (out-of-order arrival →
+    # LWW must ignore them); the rest newer
+    older = is_update & (rng.random(n) < 0.5)
+    ts = np.where(older, ts - 750, ts + is_update.astype(np.int64) * 250)
+
+    role = _ROLES[turn_idx % 2 + (rng.random(n) < 0.05) * 2]
+    w1 = _WORDS[rng.integers(0, len(_WORDS), n)]
+    w2 = _WORDS[rng.integers(0, len(_WORDS), n)]
+    ver = np.core.defchararray.add("v", lsn.astype(str))
+    text = np.array([f"{a} {b} c{c} t{t} {v}" for a, b, c, t, v in
+                     zip(w1, w2, conv_idx, turn_idx, ver)], dtype=object)
+    tool = _TOOLS[rng.integers(0, len(_TOOLS), n)]
+
+    conv = np.array([f"conv-{c:08d}" for c in conv_idx], dtype=object)
+    is_d = op == "D"
+    text = np.where(is_d, None, text)
+    role_o = np.where(is_d, None, role.astype(object))
+    tool_o = np.where(is_d, None, tool.astype(object))
+
+    return pa.table({
+        "lsn": pa.array(lsn),
+        "op": pa.array(op.astype(object), type=pa.string()),
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn_idx.astype(np.int32)),
+        "role": pa.array(role_o, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool_o, type=pa.string()),
+        "ts": pa.array(ts).cast(pa.timestamp("ms")),
+    }, schema=BINLOG_SCHEMA)
+
+
+def split_segments(binlog: pa.Table, num_segments: int) -> list[pa.Table]:
+    """Split a binlog into contiguous LSN segments (crash/resume tests)."""
+    n = binlog.num_rows
+    bounds = np.linspace(0, n, num_segments + 1).astype(int)
+    return [binlog.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def strip_tool_column(binlog: pa.Table) -> pa.Table:
+    """Schema-evolution variant: the early segment lacks `tool` entirely."""
+    return binlog.drop_columns(["tool"])
+
+
+def binlog_from_events(events: pa.Table) -> pa.Table:
+    """Deterministically derive a transcript binlog from the driver's
+    ``events`` test table (event_id, ts, user_id, event_type, value, props)
+    — a pure vectorized map, so the CDC pipeline over it is expressible in
+    oracle SQL on the same parquet (driver correctness gate).
+
+    Mapping: lsn=event_id; op from event_type ('click'→'U', 'purchase'→'D',
+    else 'I'); conv_id = 'conv-' || user_id; turn_idx = event_id % 16;
+    role by turn parity; text = props; tool = event_type; ts passes through.
+    """
+    import pyarrow.compute as pc
+    lsn = events["event_id"]
+    et = events["event_type"]
+    op = pc.if_else(pc.equal(et, "click"), "U",
+                    pc.if_else(pc.equal(et, "purchase"), "D", "I"))
+    conv = pc.binary_join_element_wise(
+        "conv-", pc.cast(events["user_id"], pa.string()), "")
+    turn = pc.cast(pc.subtract(lsn, pc.multiply(pc.divide(lsn, 16), 16)),
+                   pa.int32())
+    role = pc.if_else(pc.equal(pc.subtract(turn, pc.multiply(pc.divide(turn, 2), 2)),
+                               pa.scalar(0, pa.int32())), "user", "assistant")
+    is_d = pc.equal(op, "D")
+    text = pc.if_else(is_d, pa.scalar(None, pa.string()),
+                      pc.cast(events["props"], pa.string()))
+    tool = pc.if_else(is_d, pa.scalar(None, pa.string()),
+                      pc.cast(et, pa.string()))
+    role = pc.if_else(is_d, pa.scalar(None, pa.string()), role)
+    return pa.table({
+        "lsn": pc.cast(lsn, pa.int64()),
+        "op": op,
+        "conv_id": conv,
+        "turn_idx": turn,
+        "role": role,
+        "text": text,
+        "tool": tool,
+        # truncate us→ms (oracle SQL side uses date_trunc('milliseconds', ts))
+        "ts": pc.cast(events["ts"], pa.timestamp("ms"), safe=False),
+    }, schema=BINLOG_SCHEMA)

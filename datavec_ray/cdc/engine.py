@@ -1,0 +1,519 @@
+"""Hash-partitioned LWW upsert engine with exactly-once Parquet lake sink.
+
+The north-star design (BASELINE.json north_star, SURVEY.md §7):
+
+    binlog segments (LSN ranges)
+      → stateless transform steps (fused map_batches, zero-copy Arrow)
+      → schema normalization against a SchemaRegistry actor
+        (pa.unify_schemas: additive columns e.g. `tool`, int widening)
+      → Router map_batches tasks hash events on (conv_id [, salted
+        turn_idx]) and fan sub-batches out to P UpsertShard actors
+      → each shard holds last-writer-wins state keyed (conv_id,
+        turn_idx), value (ts, lsn): an event wins iff its (ts, lsn) is
+        strictly greater; "D" stores a tombstone (must survive to
+        commit so late stale updates stay dead)
+      → checkpoint: per-shard state snapshot parquet + manifest entry
+        with the segment's LSN watermark; resume = load snapshots +
+        replay only lsn > watermark
+      → commit: per-partition lake files written to temp + atomic
+        rename, then a manifest commit entry per partition with lineage
+        {partition, lsn_lo, lsn_hi, rows_applied, stale_dropped
+        (dedup), deletes, rows}
+
+Correctness under retries: the LWW merge is idempotent and commutative
+((ts, lsn)-argmax per key), so Ray task retries / duplicate delivery
+cannot change the final state — exactly-once at the SINK is provided by
+idempotent file names + the atomic manifest, not by fragile
+exactly-once delivery. This is the standard lake-upsert recipe; the
+reference has no streaming/CDC machinery at all (SURVEY.md §2.18), its
+transform semantics apply in the stateless step stage.
+
+Scale notes: per-shard state is a Python dict of small tuples —
+per-partition point updates after a VECTORIZED per-batch pre-compaction
+(sort + run-boundary argmax) that collapses each batch to one winner
+per key, so dict traffic is per-key, not per-event. At 10^10 events the
+same layout shards across nodes by raising num_partitions (state is
+per-actor and never crosses the driver); hot conversations are salted
+across sub-partitions via `salt_turns` (partition key includes
+turn_idx % salt for hot conv_ids, deterministic per row key).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from datavec_ray.cdc.binlog import BINLOG_SCHEMA, TRANSCRIPT_SCHEMA
+from datavec_ray.hll import hash64
+
+PAYLOAD_COLS = ["role", "text", "tool"]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized LWW compaction of one table (the hot kernel)
+# ---------------------------------------------------------------------------
+
+def lww_compact_table(tbl: pa.Table, drop_tombstones: bool) -> pa.Table:
+    """Keep only the (ts, lsn)-argmax event per (conv_id, turn_idx).
+
+    Pure Arrow kernels: sort by (conv_id, turn_idx, ts, lsn) then keep
+    run-boundary rows (last of each key run). O(n log n), no Python loop.
+    """
+    if tbl.num_rows == 0:
+        return tbl
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                       ("ts", "ascending"), ("lsn", "ascending")])
+    conv = tbl["conv_id"].combine_chunks()
+    turn = tbl["turn_idx"].combine_chunks()
+    n = tbl.num_rows
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        same_conv = pc.equal(conv.slice(0, n - 1), conv.slice(1)).to_numpy(zero_copy_only=False)
+        same_turn = pc.equal(turn.slice(0, n - 1), turn.slice(1)).to_numpy(zero_copy_only=False)
+        last[:-1] = ~(same_conv & same_turn)
+    out = tbl.filter(pa.array(last))
+    if drop_tombstones:
+        out = out.filter(pc.not_equal(out["op"], "D"))
+    return out
+
+
+def normalize_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Schema evolution at the batch level: add missing columns as nulls,
+    cast widened columns, order columns canonically (pa.unify_schemas
+    decides the canonical schema in the SchemaRegistry)."""
+    arrays = []
+    for field in schema:
+        if field.name in tbl.column_names:
+            col = tbl[field.name]
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(tbl.num_rows, type=field.type))
+    return pa.table(arrays, schema=schema)
+
+
+def assign_partitions(conv_id: pa.ChunkedArray | pa.Array,
+                      turn_idx: pa.ChunkedArray | pa.Array,
+                      num_partitions: int, salt_turns: int = 1,
+                      hot_convs: Optional[frozenset] = None) -> np.ndarray:
+    """Deterministic partition per row key. Hot conversations are salted:
+    their partition also depends on turn_idx % salt_turns, spreading one
+    hot conv over `salt_turns` partitions while keeping each (conv_id,
+    turn_idx) key on exactly one partition (required for LWW ownership)."""
+    conv_np = (conv_id.combine_chunks() if isinstance(conv_id, pa.ChunkedArray)
+               else conv_id).to_numpy(zero_copy_only=False)
+    h = hash64(conv_np)
+    if salt_turns > 1 and hot_convs:
+        turn_np = (turn_idx.combine_chunks() if isinstance(turn_idx, pa.ChunkedArray)
+                   else turn_idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(conv_np, list(hot_convs))
+        h = np.where(is_hot, h + (turn_np % salt_turns).astype(np.uint64) *
+                     np.uint64(0x9E3779B97F4A7C15), h)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Actors
+# ---------------------------------------------------------------------------
+
+def _shard_cls():
+    import ray
+
+    @ray.remote
+    class UpsertShard:
+        """One logical partition of LWW state.
+
+        state: (conv_id, turn_idx) → (ts_i64, lsn, role, text, tool)
+        with text=None ∧ role=None marking a tombstone row (kept until
+        commit so stale late updates cannot resurrect a deleted key).
+        """
+
+        def __init__(self, pid: int):
+            self.pid = pid
+            self.state: dict[tuple, tuple] = {}
+            self.applied = 0       # events routed here
+            self.stale = 0         # events dropped by LWW (dedup count)
+            self.deletes = 0
+            self.lsn_lo: Optional[int] = None
+            self.lsn_hi: Optional[int] = None
+
+        def apply(self, tbl: pa.Table) -> int:
+            n_in = tbl.num_rows
+            if n_in == 0:
+                return 0
+            self.applied += n_in
+            lo = pc.min(tbl["lsn"]).as_py()
+            hi = pc.max(tbl["lsn"]).as_py()
+            self.lsn_lo = lo if self.lsn_lo is None else min(self.lsn_lo, lo)
+            self.lsn_hi = hi if self.lsn_hi is None else max(self.lsn_hi, hi)
+            tbl = lww_compact_table(tbl, drop_tombstones=False)
+            self.stale += n_in - tbl.num_rows
+            cols = tbl.to_pydict()
+            ts_i = tbl["ts"].cast(pa.int64()).to_pylist()
+            # schema evolution: payload columns may not exist yet in early
+            # segments (e.g. `tool` added mid-stream) — treat as null
+            n_rows = tbl.num_rows
+            for payload in ("role", "text", "tool"):
+                if payload not in cols:
+                    cols[payload] = [None] * n_rows
+            st = self.state
+            for i in range(tbl.num_rows):
+                key = (cols["conv_id"][i], cols["turn_idx"][i])
+                val = (ts_i[i], cols["lsn"][i])
+                prev = st.get(key)
+                if prev is not None and val <= (prev[0], prev[1]):
+                    self.stale += 1
+                    continue
+                if cols["op"][i] == "D":
+                    st[key] = (val[0], val[1], None, None, None)
+                    self.deletes += 1
+                else:
+                    st[key] = (val[0], val[1], cols["role"][i],
+                               cols["text"][i], cols["tool"][i])
+            return n_in
+
+        # -- state serde ------------------------------------------------
+        def _state_table(self) -> pa.Table:
+            keys = list(self.state.keys())
+            vals = list(self.state.values())
+            return pa.table({
+                "conv_id": pa.array([k[0] for k in keys], pa.string()),
+                "turn_idx": pa.array([k[1] for k in keys], pa.int64()),
+                "ts": pa.array([v[0] for v in vals], pa.int64()),
+                "lsn": pa.array([v[1] for v in vals], pa.int64()),
+                "role": pa.array([v[2] for v in vals], pa.string()),
+                "text": pa.array([v[3] for v in vals], pa.string()),
+                "tool": pa.array([v[4] for v in vals], pa.string()),
+                "is_tombstone": pa.array([v[2] is None and v[3] is None
+                                          for v in vals], pa.bool_()),
+            })
+
+        def snapshot(self, path: str) -> dict:
+            tmp = path + ".tmp"
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(self._state_table(), tmp)
+            os.replace(tmp, path)
+            return {"partition": self.pid, "keys": len(self.state),
+                    "lsn_hi": self.lsn_hi}
+
+        def load_snapshot(self, path: str) -> int:
+            tbl = pq.read_table(path)
+            cols = tbl.to_pydict()
+            for i in range(tbl.num_rows):
+                tomb = cols["is_tombstone"][i]
+                self.state[(cols["conv_id"][i], cols["turn_idx"][i])] = (
+                    cols["ts"][i], cols["lsn"][i],
+                    None if tomb else cols["role"][i],
+                    None if tomb else cols["text"][i],
+                    None if tomb else cols["tool"][i])
+            return tbl.num_rows
+
+        def flush(self, path: str, turn_idx_type: str = "int32") -> dict:
+            """Write this partition's live rows (idempotent: temp + atomic
+            rename), sorted by (conv_id, turn_idx). Returns lineage."""
+            items = sorted((k, v) for k, v in self.state.items()
+                           if not (v[2] is None and v[3] is None))
+            t_turn = pa.int64() if turn_idx_type == "int64" else pa.int32()
+            tbl = pa.table({
+                "conv_id": pa.array([k[0] for k, _ in items], pa.string()),
+                "turn_idx": pa.array([k[1] for k, _ in items]).cast(t_turn),
+                "role": pa.array([v[2] for _, v in items], pa.string()),
+                "text": pa.array([v[3] for _, v in items], pa.string()),
+                "tool": pa.array([v[4] for _, v in items], pa.string()),
+                "ts": pa.array([v[0] for _, v in items], pa.int64()).cast(pa.timestamp("ms")),
+            })
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+            return {"partition": self.pid, "file": os.path.basename(path),
+                    "rows": tbl.num_rows, "events_applied": self.applied,
+                    "stale_dropped": self.stale, "deletes": self.deletes,
+                    "lsn_lo": self.lsn_lo, "lsn_hi": self.lsn_hi}
+
+        def stats(self) -> dict:
+            return {"partition": self.pid, "keys": len(self.state),
+                    "applied": self.applied, "stale": self.stale}
+
+    return UpsertShard
+
+
+def _registry_cls():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class SchemaRegistry:
+        """Arrow-schema-unification actor: holds the canonical schema,
+        evolves it additively / by widening via pa.unify_schemas."""
+
+        def __init__(self, initial: Optional[bytes] = None):
+            self.schema: Optional[pa.Schema] = (
+                pa.ipc.read_schema(pa.BufferReader(initial)) if initial else None)
+
+        def evolve(self, schema_bytes: bytes) -> bytes:
+            incoming = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+            if self.schema is None:
+                self.schema = incoming
+            else:
+                self.schema = pa.unify_schemas([self.schema, incoming],
+                                               promote_options="permissive")
+            return self.schema.serialize().to_pybytes()
+
+        def current(self) -> Optional[bytes]:
+            return self.schema.serialize().to_pybytes() if self.schema else None
+
+    return SchemaRegistry
+
+
+# ---------------------------------------------------------------------------
+# Manifest (commit log)
+# ---------------------------------------------------------------------------
+
+class Manifest:
+    """Append-only JSON-lines commit log, atomically rewritten
+    (tmp + rename) on every append — the single-committer invariant is
+    held by the driver, which is the only writer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.entries: list[dict] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                self.entries = [json.loads(line) for line in f if line.strip()]
+
+    def append(self, entry: dict) -> None:
+        self.entries.append(entry)
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(tmp, "w") as f:
+            for e in self.entries:
+                f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    def watermark(self) -> int:
+        """Highest LSN through which state is durably checkpointed."""
+        wm = 0
+        for e in self.entries:
+            if e.get("type") in ("checkpoint", "commit"):
+                wm = max(wm, e.get("lsn_hi") or 0)
+        return wm
+
+    def committed_partitions(self) -> set[int]:
+        return {e["partition"] for e in self.entries if e.get("type") == "commit"}
+
+    def last_checkpoint(self) -> Optional[dict]:
+        cps = [e for e in self.entries if e.get("type") == "checkpoint"]
+        return cps[-1] if cps else None
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class _Router:
+    """map_batches body: normalize schema, pre-compact, hash-partition and
+    fan out to the shard actors. Returns a tiny ack table (counts)."""
+
+    def __init__(self, handles, num_partitions: int, schema: pa.Schema,
+                 salt_turns: int, hot_convs: Optional[frozenset],
+                 min_lsn_exclusive: int):
+        self.handles = handles
+        self.num_partitions = num_partitions
+        self.schema = schema
+        self.salt_turns = salt_turns
+        self.hot_convs = hot_convs
+        self.min_lsn = min_lsn_exclusive
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        if self.min_lsn:
+            batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
+        batch = normalize_to_schema(batch, self.schema)
+        batch = lww_compact_table(batch, drop_tombstones=False)
+        if batch.num_rows == 0:
+            return pa.table({"routed": pa.array([0], pa.int64())})
+        parts = assign_partitions(batch["conv_id"], batch["turn_idx"],
+                                  self.num_partitions, self.salt_turns,
+                                  self.hot_convs)
+        refs = []
+        for pid in np.unique(parts):
+            sub = batch.filter(pa.array(parts == pid))
+            refs.append(self.handles[int(pid)].apply.remote(sub))
+        routed = sum(ray.get(refs))
+        return pa.table({"routed": pa.array([routed], pa.int64())})
+
+
+class CdcIngestEngine:
+    """Driver-side orchestrator of the shard actor pool + manifest."""
+
+    def __init__(self, lake_dir: str, num_partitions: int = 16,
+                 salt_turns: int = 1, hot_convs: Optional[Sequence[str]] = None,
+                 router_concurrency: Optional[int] = None,
+                 shard_num_cpus: float = 0.5):
+        self.lake_dir = lake_dir
+        self.num_partitions = num_partitions
+        self.salt_turns = salt_turns
+        self.hot_convs = frozenset(hot_convs) if hot_convs else None
+        self.router_concurrency = router_concurrency
+        self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
+        self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
+        # Shards reserve fractional CPUs: they are I/O-ish point-update
+        # workers fed by router tasks; reserving a full CPU each would
+        # starve the map stage on small nodes (deadlock in local mode).
+        Shard = _shard_cls()
+        self.shards = [Shard.options(num_cpus=shard_num_cpus).remote(i)
+                       for i in range(num_partitions)]
+        Registry = _registry_cls()
+        self.registry = Registry.remote()
+        self._canonical: Optional[pa.Schema] = None
+        self.events_seen = 0
+
+    # -- resume ---------------------------------------------------------
+    def resume_from_checkpoint(self) -> int:
+        """Load the latest snapshot set; returns the LSN watermark (events
+        with lsn <= watermark are already reflected in state)."""
+        import ray
+        cp = self.manifest.last_checkpoint()
+        if not cp:
+            return 0
+        loads = []
+        for pid in range(self.num_partitions):
+            path = os.path.join(self.ckpt_dir, cp["name"], f"part-{pid:04d}.parquet")
+            if os.path.exists(path):
+                loads.append(self.shards[pid].load_snapshot.remote(path))
+        ray.get(loads)
+        if cp.get("schema"):
+            self._canonical = pa.ipc.read_schema(
+                pa.BufferReader(bytes.fromhex(cp["schema"])))
+            ray.get(self.registry.evolve.remote(self._canonical.serialize().to_pybytes()))
+        return cp.get("lsn_hi") or 0
+
+    # -- ingest ----------------------------------------------------------
+    def ingest(self, ds, min_lsn_exclusive: int = 0) -> int:
+        """Stream a binlog segment (ray Dataset or pa.Table) through the
+        router into the shards. Returns events routed."""
+        import ray
+        import ray.data as rd
+        if isinstance(ds, pa.Table):
+            ds = rd.from_arrow(ds)
+        seg_schema = ds.schema().base_schema
+        evolved = ray.get(self.registry.evolve.remote(
+            seg_schema.serialize().to_pybytes()))
+        self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
+        router = _Router(self.shards, self.num_partitions, self._canonical,
+                         self.salt_turns, self.hot_convs, min_lsn_exclusive)
+        kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+        if self.router_concurrency:
+            kwargs["concurrency"] = self.router_concurrency
+        acks = ds.map_batches(router, **kwargs)
+        routed = int(sum(b["routed"][0].as_py()
+                         for b in acks.iter_batches(batch_format="pyarrow")))
+        self.events_seen += routed
+        return routed
+
+    # -- checkpoint -------------------------------------------------------
+    def checkpoint(self, name: str, lsn_hi: int) -> dict:
+        import ray
+        d = os.path.join(self.ckpt_dir, name)
+        infos = ray.get([s.snapshot.remote(os.path.join(d, f"part-{p:04d}.parquet"))
+                         for p, s in enumerate(self.shards)])
+        entry = {"type": "checkpoint", "name": name, "lsn_hi": lsn_hi,
+                 "partitions": len(infos),
+                 "keys": sum(i["keys"] for i in infos),
+                 "schema": (self._canonical.serialize().to_pybytes().hex()
+                            if self._canonical else None)}
+        self.manifest.append(entry)
+        return entry
+
+    # -- commit -----------------------------------------------------------
+    def commit(self) -> list[dict]:
+        """Write the lake (idempotent per-partition files + manifest
+        lineage entries). Partitions already committed with the same
+        watermark are skipped (resume-safe)."""
+        import ray
+        turn_t = "int64" if (self._canonical is not None and
+                             pa.types.is_int64(self._canonical.field("turn_idx").type)) \
+            else "int32"
+        done = self.manifest.committed_partitions()
+        lineages = []
+        refs = {}
+        for pid, s in enumerate(self.shards):
+            if pid in done:
+                continue
+            path = os.path.join(self.lake_dir, f"part-{pid:04d}.parquet")
+            refs[pid] = s.flush.remote(path, turn_t)
+        for pid, ref in refs.items():
+            lineage = ray.get(ref)
+            lineage["type"] = "commit"
+            self.manifest.append(lineage)
+            lineages.append(lineage)
+        return lineages
+
+    # -- read back --------------------------------------------------------
+    def read_lake(self) -> pa.Table:
+        files = sorted(f for f in os.listdir(self.lake_dir)
+                       if f.endswith(".parquet"))
+        tables = [pq.read_table(os.path.join(self.lake_dir, f)) for f in files]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        out = pa.concat_tables(tables, promote_options="permissive")
+        return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Pure-Dataset LWW compaction (no actor state) — the replay-query path
+# ---------------------------------------------------------------------------
+
+class _PartialCompact:
+    """Per-batch pre-compaction + partition assignment (combiner)."""
+
+    def __init__(self, num_partitions: int):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = lww_compact_table(batch, drop_tombstones=False)
+        parts = assign_partitions(batch["conv_id"], batch["turn_idx"],
+                                  self.num_partitions)
+        return batch.append_column(pa.field("__part", pa.int64()),
+                                   pa.array(parts))
+
+
+class _FinalCompact:
+    def __init__(self, out_schema: pa.Schema):
+        self.out_schema = out_schema
+        self.__name__ = "lww_final_compact"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        out = lww_compact_table(group, drop_tombstones=True)
+        out = out.drop_columns([c for c in ("__part", "op", "lsn")
+                                if c in out.column_names])
+        return normalize_to_schema(out, self.out_schema)
+
+
+def lww_compact_dataset(ds, num_partitions: int = 32,
+                        out_schema: pa.Schema = TRANSCRIPT_SCHEMA):
+    """binlog Dataset → final transcript state, as a pure Dataset pipeline:
+
+        map_batches(per-batch LWW pre-compaction + hash partition column)
+          → groupby(__part)               # ONE shuffle, P partitions
+          → map_groups(vectorized final LWW compaction, drop tombstones)
+
+    The per-batch combiner collapses every batch to one winner per key
+    first, so the shuffle moves at most |distinct keys per batch| rows —
+    the aggregateByKey partial/final split from the reference
+    (``SparkTransformExecutor.java:252-290``) applied to upsert.
+    """
+    return (ds.map_batches(_PartialCompact(num_partitions), batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(_FinalCompact(out_schema), batch_format="pyarrow"))

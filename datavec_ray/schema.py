@@ -98,7 +98,8 @@ class ColumnMeta:
 
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
-        return {k: v for k, v in d.items() if v not in (None, False) or k == "column_type"}
+        return {k: v for k, v in d.items()
+                if (v is not None and v is not False) or k == "column_type"}
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ColumnMeta":

@@ -328,7 +328,7 @@ class ReplaceEmptyWithValue(Step):
         col = table[self.column]
         target = arrow_type_for(self.column_type)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            empty = pc.or_(pc.is_null(col), pc.equal(col, ""))
+            empty = pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
             filled = pc.if_else(empty, pa.scalar(str(self.value)), col)
             out = pc.cast(filled, target)
         else:

@@ -139,7 +139,7 @@ class ReplaceEmptyString(Step):
 
     def apply(self, table: pa.Table) -> pa.Table:
         col = table[self.column]
-        empty = pc.or_(pc.is_null(col), pc.equal(col, ""))
+        empty = pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
         out = pc.if_else(pc.fill_null(empty, True), pa.scalar(self.value), col)
         return set_column(table, self.column, combine(out))
 

@@ -1,0 +1,152 @@
+"""CDC engine tests: replay equality vs the single-process oracle, under
+clean replay / crash+resume / schema evolution / salting / two
+parallelism levels (FIXTURES.md §5 conventions)."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from datavec_ray.cdc import (CdcIngestEngine, lww_compact_dataset, replay_oracle,
+                             synth_binlog)
+from datavec_ray.cdc.binlog import binlog_from_events, split_segments, strip_tool_column
+from datavec_ray.cdc.engine import assign_partitions, lww_compact_table
+from datavec_ray.util import dataset_to_table
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return synth_binlog(8000, seed=7)
+
+
+@pytest.fixture(scope="module")
+def oracle(binlog):
+    return replay_oracle(binlog)
+
+
+def test_binlog_properties(binlog):
+    ops, counts = np.unique(binlog["op"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+    mix = dict(zip(ops, counts))
+    assert mix["I"] > mix["U"] > mix["D"] > 0
+    lsn = binlog["lsn"].to_numpy(zero_copy_only=False)
+    assert (np.diff(lsn) > 0).all()  # strictly monotonic unique
+    # updates/deletes reference existing keys
+    keys = set(zip(binlog["conv_id"].to_pylist(), binlog["turn_idx"].to_pylist()))
+    ins = binlog.filter(pc.equal(binlog["op"], "I"))
+    ikeys = set(zip(ins["conv_id"].to_pylist(), ins["turn_idx"].to_pylist()))
+    assert keys == ikeys
+
+
+def test_lww_compact_table_is_orderless(binlog):
+    fwd = lww_compact_table(binlog, drop_tombstones=True)
+    perm = binlog.take(pa.array(np.random.default_rng(0).permutation(binlog.num_rows)))
+    bwd = lww_compact_table(perm, drop_tombstones=True)
+    assert fwd.equals(bwd)
+
+
+def test_dataset_compaction_matches_oracle(ray_session, binlog, oracle):
+    import ray.data as rd
+    out = dataset_to_table(
+        lww_compact_dataset(rd.from_arrow(binlog).repartition(6), 8))
+    out = out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert out.equals(oracle)
+
+
+def test_engine_clean_replay(ray_session, binlog, oracle, tmp_path):
+    eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.ingest(binlog)
+    lineages = eng.commit()
+    assert sum(l["rows"] for l in lineages) == oracle.num_rows
+    assert all("lsn_hi" in l and "stale_dropped" in l for l in lineages)
+    assert eng.read_lake().equals(oracle)
+
+
+def test_engine_crash_resume(ray_session, binlog, oracle, tmp_path):
+    lake = str(tmp_path / "lake2")
+    segs = split_segments(binlog, 4)
+    eng = CdcIngestEngine(lake, num_partitions=4)
+    for i, seg in enumerate(segs[:2]):
+        eng.ingest(seg)
+        eng.checkpoint(f"seg{i}", pc.max(seg["lsn"]).as_py())
+    # crash: drop the engine (actor state lost), start a fresh one
+    del eng
+    eng2 = CdcIngestEngine(lake, num_partitions=4)
+    wm = eng2.resume_from_checkpoint()
+    assert wm == pc.max(segs[1]["lsn"]).as_py()
+    for seg in segs:  # at-least-once replay of everything; watermark filters
+        eng2.ingest(seg, min_lsn_exclusive=wm)
+    eng2.commit()
+    assert eng2.read_lake().equals(oracle)
+
+
+def test_engine_idempotent_double_apply(ray_session, binlog, oracle, tmp_path):
+    """Duplicate delivery (retry semantics) must not change the result."""
+    eng = CdcIngestEngine(str(tmp_path / "lake3"), num_partitions=4)
+    eng.ingest(binlog)
+    eng.ingest(binlog)  # apply everything twice
+    eng.commit()
+    assert eng.read_lake().equals(oracle)
+
+
+def test_engine_schema_evolution(ray_session, binlog, tmp_path):
+    seg1, seg2 = split_segments(binlog, 2)
+    seg1s = strip_tool_column(seg1)
+    i = seg2.schema.get_field_index("turn_idx")
+    seg2w = seg2.set_column(i, pa.field("turn_idx", pa.int64()),
+                            seg2["turn_idx"].cast(pa.int64()))
+    eng = CdcIngestEngine(str(tmp_path / "lake4"), num_partitions=4)
+    eng.ingest(seg1s)
+    eng.ingest(seg2w)
+    eng.commit()
+    out = eng.read_lake()
+    assert pa.types.is_int64(out.schema.field("turn_idx").type)  # widened
+    # oracle: seg1 events have null tool
+    j = seg1.schema.get_field_index("tool")
+    seg1n = seg1.set_column(j, pa.field("tool", pa.string()),
+                            pa.nulls(seg1.num_rows, pa.string()))
+    exp = replay_oracle(pa.concat_tables([seg1n, seg2]))
+    out32 = out.set_column(out.schema.get_field_index("turn_idx"),
+                           pa.field("turn_idx", pa.int32()),
+                           out["turn_idx"].cast(pa.int32()))
+    assert out32.equals(exp)
+
+
+def test_salting_preserves_key_ownership(ray_session, binlog, oracle, tmp_path):
+    hot = [f"conv-{i:08d}" for i in range(4)]
+    eng = CdcIngestEngine(str(tmp_path / "lake5"), num_partitions=4,
+                          salt_turns=3, hot_convs=hot)
+    eng.ingest(binlog)
+    eng.commit()
+    assert eng.read_lake().equals(oracle)
+    # same (conv, turn) key always maps to the same partition
+    conv = pa.array(["conv-00000001"] * 2)
+    turn = pa.array([5, 5], pa.int32())
+    p = assign_partitions(conv, turn, 4, 3, frozenset(hot))
+    assert p[0] == p[1]
+    # different turns of a hot conversation may land on different partitions
+    turns = pa.array(list(range(30)), pa.int32())
+    convs = pa.array(["conv-00000001"] * 30)
+    ps = assign_partitions(convs, turns, 4, 3, frozenset(hot))
+    assert len(set(ps.tolist())) > 1
+
+
+def test_two_parallelism_levels_identical(ray_session, binlog, oracle):
+    """Determinism check: identical output regardless of partitioning."""
+    import ray.data as rd
+    a = dataset_to_table(lww_compact_dataset(rd.from_arrow(binlog).repartition(2), 4))
+    b = dataset_to_table(lww_compact_dataset(rd.from_arrow(binlog).repartition(13), 32))
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
+
+
+def test_binlog_from_events_deterministic():
+    import pyarrow.parquet as pq
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    a = binlog_from_events(ev)
+    b = binlog_from_events(ev)
+    assert a.equals(b)
+    assert a.column_names == ["lsn", "op", "conv_id", "turn_idx", "role",
+                              "text", "tool", "ts"]

@@ -1,0 +1,197 @@
+"""Executor-parity tests: distributed (Ray Data) vs single-process oracle —
+the reference's ExecutionTest pattern
+(``datavec-spark/src/test/.../ExecutionTest.java:41-117``)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datavec_ray.conditions import ColumnCondition
+from datavec_ray.join import JoinStep
+from datavec_ray.rank import CalculateSortedRank
+from datavec_ray.reduce import Reducer
+from datavec_ray.sequence import (GroupedSequence, MovingWindowReduce,
+                                  OverlappingTimeWindowReduce, ReduceSequence,
+                                  SequenceDifference, SequenceLengthFilter,
+                                  SequenceOffset, SequenceTrim, SplitMaxLength,
+                                  SplitTimeSeparation, TumblingTimeWindowReduce)
+from datavec_ray.util import dataset_to_table
+
+from tests.conftest import tables_equal
+
+
+def groups_table():
+    return pa.table({
+        "key": ["a"] * 4 + ["b"] * 3 + ["c"],
+        "key2": ["x", "x", "y", "y", "x", "x", "y", "x"],
+        "val_i": pa.array([1, 2, 3, 4, 10, 20, 30, 100], pa.int64()),
+        "val_d": pa.array([1.0, 2.0, 2.0, 4.0, 1.5, 2.5, 3.5, -1.0]),
+        "val_s": ["p", "q", "r", "s", "t", "u", "v", "w"],
+        "seq_ts": pa.array([0, 1000, 2000, 9000, 0, 5000, 6000, 0],
+                           pa.timestamp("ms")),
+    })
+
+
+def _ray_table(ray_session, step, tbl, nparts=3, sort_cols=None):
+    import ray.data as rd
+    out = dataset_to_table(step.apply_dataset(rd.from_arrow(tbl).repartition(nparts)))
+    if sort_cols:
+        out = out.sort_by([(c, "ascending") for c in sort_cols])
+    return out
+
+
+# -- Reducer golden values (hand-computed, TestMultiOpReduce style) ----------
+
+def test_reducer_golden_local():
+    r = Reducer(["key"], [["val_i", "Sum", "s"], ["val_i", "Mean", "m"],
+                          ["val_i", "Stdev", "sd"], ["val_i", "Range", "rg"],
+                          ["val_d", "CountUniqueExact", "cu"],
+                          ["val_s", "TakeFirst", "f"], ["val_s", "Append", "app"]])
+    out = r.apply_local(groups_table()).sort_by("key")
+    assert out["s"].to_pylist() == [10, 60, 100]
+    assert out["m"].to_pylist() == [2.5, 20.0, 100.0]
+    assert abs(out["sd"][0].as_py() - np.std([1, 2, 3, 4], ddof=1)) < 1e-12
+    assert out["rg"].to_pylist() == [3, 20, 0]
+    assert out["cu"].to_pylist() == [3, 3, 1]  # a: {1,2,4}, b: {1.5,2.5,3.5}
+    assert out["app"].to_pylist() == ["p,q,r,s", "t,u,v", "w"]
+
+
+def test_reducer_parity(ray_session):
+    r = Reducer(["key", "key2"],
+                [["val_i", "Sum", "s"], ["val_d", "Variance", "v"],
+                 ["val_i", "Count", "n"], ["val_i", "Prod", "p"],
+                 ["val_d", "Min", "mn"], ["val_d", "Max", "mx"]])
+    loc = r.apply_local(groups_table()).sort_by([("key", "ascending"),
+                                                 ("key2", "ascending")])
+    dist = _ray_table(ray_session, r, groups_table(), sort_cols=["key", "key2"])
+    assert tables_equal(loc, dist, 1e-12)
+
+
+def test_reducer_conditional(ray_session):
+    cond = ColumnCondition("val_i", "GreaterThan", 1)
+    r = Reducer(["key"], [["val_i", "Sum", "s"]], condition=cond)
+    loc = r.apply_local(groups_table()).sort_by("key")
+    assert loc["s"].to_pylist() == [9, 60, 100]
+    dist = _ray_table(ray_session, r, groups_table(), sort_cols=["key"])
+    assert tables_equal(loc, dist)
+
+
+def test_hll_tolerance():
+    from datavec_ray.hll import HyperLogLog, hash64
+    h = HyperLogLog()
+    n = 50_000
+    h.add_hashes(hash64(np.arange(n)))
+    est = h.cardinality()
+    assert abs(est - n) / n < 0.06  # rel err ~1.04/sqrt(512) = 4.6%
+
+
+# -- sequence ops ------------------------------------------------------------
+
+def seq_table():
+    return pa.table({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "i": pa.array([4, 2, 0, 1, 3, 1, 0], pa.int64()),
+        "v": pa.array([40.0, 20.0, 0.0, 10.0, 30.0, 100.0, 0.0]),
+        "ts": pa.array([40000, 20000, 0, 1000, 21000, 5000, 0],
+                       pa.timestamp("ms")),
+    })
+
+
+def test_sequence_offset_golden():
+    gs = GroupedSequence(["k"], ["i"], [SequenceOffset(["v"], 1, "NewColumn",
+                                                       "SpecifiedValue", -1.0)])
+    out = gs.apply_local(seq_table())
+    a = out.filter(pa.compute.equal(out["k"], "a"))
+    assert a["v_offset1"].to_pylist() == [-1.0, 0.0, 10.0, 20.0, 30.0]
+    gs2 = GroupedSequence(["k"], ["i"], [SequenceOffset(["v"], 1, "InPlace",
+                                                        "TrimSequence")])
+    out2 = gs2.apply_local(seq_table())
+    a2 = out2.filter(pa.compute.equal(out2["k"], "a"))
+    assert a2["v"].to_pylist() == [0.0, 10.0, 20.0, 30.0]
+    assert a2["i"].to_pylist() == [1, 2, 3, 4]
+
+
+def test_sequence_ops_parity(ray_session):
+    ops = [SequenceDifference("v", 1, new_column="dv"),
+           MovingWindowReduce("v", 3, "Max", "mw"),
+           SplitTimeSeparation("ts", 10_000, "sub")]
+    gs = GroupedSequence(["k"], ["i"], ops)
+    loc = gs.apply_local(seq_table()).sort_by([("k", "ascending"), ("i", "ascending")])
+    dist = _ray_table(ray_session, gs, seq_table(), sort_cols=["k", "i"])
+    assert tables_equal(loc, dist)
+
+
+def test_sequence_trim_filter_split():
+    gs = GroupedSequence(["k"], ["i"], [SequenceTrim(1, True)])
+    out = gs.apply_local(seq_table())
+    assert out.num_rows == 5  # a:4, b:1
+    gs = GroupedSequence(["k"], ["i"], [SequenceLengthFilter(min_length=3)])
+    assert gs.apply_local(seq_table()).num_rows == 5  # only a survives
+    gs = GroupedSequence(["k"], ["i"], [SplitMaxLength(2, "sub")])
+    out = gs.apply_local(seq_table())
+    a = out.filter(pa.compute.equal(out["k"], "a"))
+    assert a["sub"].to_pylist() == [0, 0, 1, 1, 2]
+
+
+def test_reduce_sequence():
+    gs = GroupedSequence(["k"], ["ts"], [ReduceSequence(["k"],
+                                                        [["v", "Sum", "sv"],
+                                                         ["v", "TakeLast", "lv"]])])
+    out = gs.apply_local(seq_table()).sort_by("k")
+    assert out["sv"].to_pylist() == [100.0, 100.0]
+    assert out["lv"].to_pylist() == [40.0, 100.0]  # last by ts order
+
+
+def test_windows_golden():
+    gs = GroupedSequence(["k"], ["ts"],
+                         [TumblingTimeWindowReduce(["k"], "ts", 10_000,
+                                                   [["v", "Sum", "sv"],
+                                                    ["v", "Count", "n"]])])
+    out = gs.apply_local(seq_table()).sort_by([("k", "ascending"),
+                                               ("window_start", "ascending")])
+    a = out.filter(pa.compute.equal(out["k"], "a"))
+    # a: ts 0,1000 → window 0 (v 0+10); ts 20000,21000 → window 20000
+    # (v 20+30); ts 40000 → window 40000 (v 40)
+    assert a["sv"].to_pylist() == [10.0, 50.0, 40.0]
+    assert a["n"].to_pylist() == [2, 2, 1]
+    gs2 = GroupedSequence(["k"], ["ts"],
+                          [OverlappingTimeWindowReduce(["k"], "ts", 10_000, 5_000,
+                                                       [["v", "Count", "n"]])])
+    out2 = gs2.apply_local(seq_table())
+    b = out2.filter(pa.compute.equal(out2["k"], "b"))
+    # b: steps at 0 and 5000; windows(start): -5000(0), 0(0,5000), 5000(5000)
+    assert b["n"].to_pylist() == [1, 2, 1]
+
+
+# -- rank / join -------------------------------------------------------------
+
+def test_rank_parity(ray_session):
+    r = CalculateSortedRank(["val_i"], "rank", descending=True)
+    loc = r.apply_local(groups_table())
+    dist = _ray_table(ray_session, r, groups_table(), sort_cols=["rank"])
+    assert tables_equal(loc, dist)
+    assert loc["val_i"].to_pylist()[0] == 100 and loc["rank"].to_pylist()[0] == 0
+
+
+def test_join_types(ray_session):
+    left = pa.table({"k": ["a", "b", "d"], "lv": [1, 2, 3]})
+    right = pa.table({"k": ["a", "b", "c"], "rv": [10, 20, 30]})
+    for jt, expected in [("Inner", 2), ("LeftOuter", 3), ("RightOuter", 3),
+                         ("FullOuter", 4)]:
+        j = JoinStep(right, ["k"], join_type=jt, num_partitions=2)
+        loc = j.apply_local(left)
+        assert loc.num_rows == expected, jt
+        dist = _ray_table(ray_session, j, left, nparts=2, sort_cols=["k"])
+        assert dist.num_rows == expected, jt
+        sel = sorted(set(loc.column_names))
+        assert tables_equal(loc.sort_by([("k", "ascending")]).select(sel),
+                            dist.select(sel))
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+    left = pa.table({"k": ["a", "b", "d"], "lv": [1, 2, 3]})
+    right = pa.table({"k": ["a", "b", "c"], "rv": [10, 20, 30]})
+    j = JoinStep(right, ["k"], join_type="LeftOuter", broadcast=True)
+    out = dataset_to_table(j.apply_dataset(rd.from_arrow(left))).sort_by("k")
+    assert out["rv"].to_pylist() == [10, 20, None]
