@@ -1,44 +1,628 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry():    flagship CDC replay (binlog derived from events.parquet →
+            hash-partitioned LWW upsert engine → Parquet lake) at sf0.001.
+queries():  one callable per implemented operator/pipeline (SURVEY.md §2);
+            each takes sf_dir and returns Dataset / DataFrame / Table.
+oracle_sql(): DuckDB-equivalent SQL per query (same column names!).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _schema_of(sf_dir: str, table: str):
+    import pyarrow.parquet as pq
+    from datavec_ray.schema import Schema
+    return Schema(pq.read_schema(os.path.join(sf_dir, f"{table}.parquet")))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship CDC pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """events.parquet → deterministic transcript binlog → stateless
+    transform steps → LWW upsert engine (actor shards, checkpoint,
+    manifest) → lake; returns the final lake table."""
+    import ray.data as rd
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = _read(sf_dir, "events")
+    binlog_ds = events.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = os.path.join(tempfile.gettempdir(), "datavec_ray_entry_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CdcIngestEngine(lake, num_partitions=4)
+    eng.ingest(binlog_ds)
+    eng.checkpoint("entry", 10**9)
+    eng.commit()
+    final = eng.read_lake()
+    return rd.from_arrow(final)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_groupby_agg(sf_dir: str):
+    """TPC-H Q1 shape: filter + derived column + grouped reduce."""
+    import datetime
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import ConditionFilter, DoubleColumnsMathOp
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(ConditionFilter(ColumnCondition(
+        "l_shipdate", "GreaterThan", datetime.datetime(1998, 9, 2))))
+    p.add(DoubleColumnsMathOp("gross", "Multiply", ["l_extendedprice", "l_quantity"]))
+    p.add(Reducer(["l_returnflag", "l_linestatus"],
+                  [["l_quantity", "Sum", "sum_qty"],
+                   ["l_extendedprice", "Sum", "sum_price"],
+                   ["gross", "Mean", "avg_gross"],
+                   ["l_quantity", "Count", "n"]]))
+    return p.execute(ds)
+
+
+def _q_filter_math(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import BooleanCondition, ColumnCondition
+    from datavec_ray.steps import (ConditionFilter, DoubleMathOp,
+                                   DoubleMathFunction, KeepColumns)
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(ConditionFilter(BooleanCondition("OR", [
+        ColumnCondition("l_discount", "LessThan", 0.02),
+        ColumnCondition("l_quantity", "GreaterOrEqual", 45.0)])))
+    p.add(DoubleMathOp("l_quantity", "Multiply", 2.0))
+    p.add(DoubleMathOp("l_quantity", "Add", 1.0))
+    p.add(DoubleMathFunction("l_discount", "SQRT"))
+    p.add(KeepColumns(["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]))
+    return p.execute(ds)
+
+
+def _q_join_broadcast(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.steps import ConditionFilter, KeepColumns
+    from datavec_ray.util import dataset_to_table
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = dataset_to_table(_read(sf_dir, "customer",
+                                  ["c_custkey", "c_name", "c_mktsegment"]))
+    p = TransformPipeline(_schema_of(sf_dir, "orders").select(
+        ["o_orderkey", "o_custkey", "o_totalprice"]))
+    p.add(JoinStep(cust, ["o_custkey"], ["c_custkey"], "Inner", broadcast=True))
+    p.add(ConditionFilter(ColumnCondition("c_mktsegment", "NotEqual", "BUILDING")))
+    p.add(KeepColumns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]))
+    return p.execute(orders)
+
+
+def _q_join_shuffle(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_orderkey", "l_extendedprice", "l_discount"]))
+    p.add(JoinStep(lambda: orders, ["l_orderkey"], ["o_orderkey"], "Inner",
+                   num_partitions=16))
+    p.add(Reducer(["o_orderpriority"],
+                  [["l_extendedprice", "Sum", "sum_price"],
+                   ["l_extendedprice", "Count", "n"]]))
+    return p.execute(li)
+
+
+def _q_rank(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.rank import CalculateSortedRank
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    p = TransformPipeline(_schema_of(sf_dir, "orders").select(
+        ["o_orderkey", "o_totalprice"]))
+    p.add(CalculateSortedRank(["o_totalprice", "o_orderkey"], "rank",
+                              descending=True))
+    p.add(KeepColumns(["o_orderkey", "o_totalprice", "rank"]))
+    return p.execute(ds)
+
+
+def _q_pivot(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import Pivot, StringToCategorical
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    p = TransformPipeline(_schema_of(sf_dir, "orders").select(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]))
+    p.add(StringToCategorical("o_orderstatus", ["F", "O", "P"]))
+    p.add(Pivot("o_orderstatus", "o_totalprice", default_value=0.0))
+    return p.execute(ds)
+
+
+def _q_string_ops(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import (AppendString, ChangeCase,
+                                   ConcatenateStringColumns, KeepColumns,
+                                   RegexReplace)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    p = TransformPipeline(_schema_of(sf_dir, "customer").select(
+        ["c_custkey", "c_name", "c_mktsegment"]))
+    p.add(ChangeCase("c_mktsegment", "LOWER"))
+    p.add(ConcatenateStringColumns("label", "-", ["c_name", "c_mktsegment"]))
+    p.add(RegexReplace("label", [["[0-9]+", "#"]]))
+    p.add(AppendString("label", "!"))
+    p.add(KeepColumns(["c_custkey", "label"]))
+    return p.execute(ds)
+
+
+def _q_categorical_onehot(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import CategoricalToOneHot, KeepColumns, StringToCategorical
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_orderkey", "l_linenumber", "l_returnflag"]))
+    p.add(StringToCategorical("l_returnflag", ["A", "N", "R"]))
+    p.add(CategoricalToOneHot("l_returnflag"))
+    p.add(KeepColumns(["l_orderkey", "l_linenumber", "l_returnflag[A]",
+                       "l_returnflag[N]", "l_returnflag[R]"]))
+    return p.execute(ds)
+
+
+def _q_time_derive(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import DeriveColumnsFromTime
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    p = TransformPipeline(_schema_of(sf_dir, "orders").select(
+        ["o_orderdate", "o_totalprice"]))
+    p.add(DeriveColumnsFromTime("o_orderdate", [["year", "yr"], ["month", "mo"]]))
+    p.add(Reducer(["yr", "mo"], [["o_totalprice", "Sum", "sum_price"],
+                                 ["o_totalprice", "Count", "n"]]))
+    return p.execute(ds)
+
+
+def _q_conditional_replace(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import ConditionalReplaceValue
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount"])
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_returnflag", "l_discount"]))
+    p.add(ConditionalReplaceValue("l_discount", 0.0,
+                                  ColumnCondition("l_discount", "LessThan", 0.05)))
+    p.add(Reducer(["l_returnflag"], [["l_discount", "Sum", "sum_disc"],
+                                     ["l_discount", "Count", "n"]]))
+    return p.execute(ds)
+
+
+def _q_reduce_ops(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.reduce import Reducer
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_partkey"])
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_returnflag", "l_quantity", "l_partkey"]))
+    p.add(Reducer(["l_returnflag"],
+                  [["l_quantity", "Min", "min_q"], ["l_quantity", "Max", "max_q"],
+                   ["l_quantity", "Range", "range_q"],
+                   ["l_quantity", "Stdev", "sd_q"],
+                   ["l_quantity", "Variance", "var_q"],
+                   ["l_partkey", "CountUniqueExact", "uniq_parts"]]))
+    return p.execute(ds)
+
+
+def _q_normalize(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps.normalize import fit_normalizer
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    norm = fit_normalizer(ds, "MinMax", "value")
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_type", "value"]))
+    p.add(norm)
+    p.add(Reducer(["event_type"], [["value", "Mean", "avg_norm"],
+                                   ["value", "Count", "n"]]))
+    return p.execute(ds)
+
+
+def _q_sequence_diff(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, SequenceDifference
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "ts", "value"]))
+    p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
+                          [SequenceDifference("value", 1, new_column="dv")]))
+    p.add(KeepColumns(["event_id", "user_id", "dv"]))
+    return p.execute(ds)
+
+
+def _q_moving_window(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, MovingWindowReduce
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "ts", "value"]))
+    p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
+                          [MovingWindowReduce("value", 3, "Mean", "mv")]))
+    p.add(KeepColumns(["event_id", "user_id", "mv"]))
+    return p.execute(ds)
+
+
+def _q_session_split(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, SplitTimeSeparation
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "ts"]))
+    p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
+                          [SplitTimeSeparation("ts", 3_600_000, "session")]))
+    p.add(KeepColumns(["event_id", "user_id", "session"]))
+    return p.execute(ds)
+
+
+def _q_tumbling_window(sf_dir: str):
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, TumblingTimeWindowReduce
+    from datavec_ray.steps import LambdaStep
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["user_id", "ts", "value"]))
+    p.add(GroupedSequence(["user_id"], ["ts"],
+                          [TumblingTimeWindowReduce(
+                              ["user_id"], "ts", 86_400_000,
+                              [["value", "Sum", "sum_value"],
+                               ["value", "Count", "n"]],
+                              emit_window_bounds=False)]))
+
+    def to_ms(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        ms = pc.divide(t["window_start"].cast(pa.int64()), 1000)
+        return t.set_column(i, pa.field("window_start", pa.int64()), ms)
+
+    p.add(LambdaStep(to_ms, name="window_start_to_ms"))
+    return p.execute(ds)
+
+
+def _q_cdc_upsert(sf_dir: str):
+    """The flagship as an oracle-checkable query: derived binlog → pure
+    Dataset LWW compaction → final transcript state (ts as epoch ms)."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import lww_compact_dataset
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    final = lww_compact_dataset(binlog, num_partitions=16)
+
+    def ts_to_ms(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                            t["ts"].cast(pa.int64())).rename_columns(
+            [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+    return final.map_batches(ts_to_ms, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from datavec_ray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id", num_partitions=16)
+
+
+def _q_token_count(sf_dir: str):
+    from datavec_ray.ops.textstats import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(pa.field("n_tokens", pa.int64()),
+                                   token_count(batch["text"]))
+
+    return ds.map_batches(add, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from datavec_ray.ops.textstats import fingerprint_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda b: fingerprint_md5(b, "text", "fp"),
+                          batch_format="pyarrow").select_columns(["doc_id", "fp"])
+
+
+def _q_similarity_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from datavec_ray.ops.similarity import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"].to_pylist()[:5]])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10)
+    return out.select_columns(["query_id", "match_id"])
+
+
+def _q_text_stats(sf_dir: str):
+    """Language ID + quality scoring (actor-pool stage). Rows-only check."""
+    from datavec_ray.ops.textstats import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextStats, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "n_tokens", "quality_score", "lang_id"])
+
+
+def _q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs. Rows-only check."""
+    import pyarrow.parquet as pq
+    from datavec_ray.ops.dedup import minhash_lsh_pairs
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, lookup, jaccard_threshold=0.5)
+
+
+def _q_simhash_neardup(sf_dir: str):
+    from datavec_ray.ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from datavec_ray.ops.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, cos_threshold=0.9)
+
+
+def _q_hll_distinct(sf_dir: str):
+    """HLL approximate distinct (tolerance-checked in tests, rows-only
+    for the driver — approximation cannot hash-match exact SQL)."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.reduce import Reducer
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_returnflag", "l_partkey"]))
+    p.add(Reducer(["l_returnflag"], [["l_partkey", "CountUnique", "approx_parts"]]))
+    return p.execute(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "groupby_agg": _q_groupby_agg,
+        "filter_math": _q_filter_math,
+        "join_broadcast": _q_join_broadcast,
+        "join_shuffle": _q_join_shuffle,
+        "rank": _q_rank,
+        "pivot": _q_pivot,
+        "string_ops": _q_string_ops,
+        "categorical_onehot": _q_categorical_onehot,
+        "time_derive": _q_time_derive,
+        "conditional_replace": _q_conditional_replace,
+        "reduce_ops": _q_reduce_ops,
+        "normalize": _q_normalize,
+        "sequence_diff": _q_sequence_diff,
+        "moving_window": _q_moving_window,
+        "session_split": _q_session_split,
+        "tumbling_window": _q_tumbling_window,
+        "cdc_upsert": _q_cdc_upsert,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "similarity_topk": _q_similarity_topk,
+        "text_stats": _q_text_stats,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "hll_distinct": _q_hll_distinct,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, same column names as the Ray results)
+# ---------------------------------------------------------------------------
+
+_BINLOG_CTE = """
+with b as (
+  select event_id as lsn,
+         case when event_type = 'click' then 'U'
+              when event_type = 'purchase' then 'D' else 'I' end as op,
+         'conv-' || cast(user_id as varchar) as conv_id,
+         cast(event_id - (event_id // 16) * 16 as int) as turn_idx,
+         ts
+       , event_type, props
+  from events
+), e as (
+  select lsn, op, conv_id, turn_idx,
+         case when op = 'D' then null
+              when turn_idx - (turn_idx // 2) * 2 = 0 then 'user'
+              else 'assistant' end as role,
+         case when op = 'D' then null else props end as text,
+         case when op = 'D' then null else event_type end as tool,
+         epoch_ms(date_trunc('milliseconds', ts)) as ts_ms
+  from b
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "groupby_agg": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   sum(l_extendedprice) as sum_price,
+                   avg(l_extendedprice * l_quantity) as avg_gross,
+                   count(*) as n
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by 1, 2""",
+        "filter_math": """
+            select l_orderkey, l_linenumber,
+                   l_quantity * 2 + 1 as l_quantity,
+                   sqrt(l_discount) as l_discount
+            from lineitem
+            where not (l_discount < 0.02 or l_quantity >= 45)""",
+        "join_broadcast": """
+            select o_orderkey, o_totalprice, c_name, c_mktsegment
+            from orders join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'""",
+        "join_shuffle": """
+            select o_orderpriority,
+                   sum(l_extendedprice) as sum_price,
+                   count(*) as n
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by 1""",
+        "rank": """
+            select o_orderkey, o_totalprice,
+                   row_number() over (order by o_totalprice desc, o_orderkey desc) - 1
+                     as rank
+            from orders""",
+        "pivot": """
+            select o_orderkey,
+                   case when o_orderstatus = 'F' then o_totalprice else 0.0 end
+                     as "o_orderstatus[F]",
+                   case when o_orderstatus = 'O' then o_totalprice else 0.0 end
+                     as "o_orderstatus[O]",
+                   case when o_orderstatus = 'P' then o_totalprice else 0.0 end
+                     as "o_orderstatus[P]"
+            from orders""",
+        "string_ops": """
+            select c_custkey,
+                   regexp_replace(c_name || '-' || lower(c_mktsegment),
+                                  '[0-9]+', '#', 'g') || '!' as label
+            from customer""",
+        "categorical_onehot": """
+            select l_orderkey, l_linenumber,
+                   cast(l_returnflag = 'A' as int) as "l_returnflag[A]",
+                   cast(l_returnflag = 'N' as int) as "l_returnflag[N]",
+                   cast(l_returnflag = 'R' as int) as "l_returnflag[R]"
+            from lineitem""",
+        "time_derive": """
+            select cast(date_part('year', o_orderdate) as int) as yr,
+                   cast(date_part('month', o_orderdate) as int) as mo,
+                   sum(o_totalprice) as sum_price, count(*) as n
+            from orders group by 1, 2""",
+        "conditional_replace": """
+            select l_returnflag,
+                   sum(case when l_discount < 0.05 then 0.0 else l_discount end)
+                     as sum_disc,
+                   count(*) as n
+            from lineitem group by 1""",
+        "reduce_ops": """
+            select l_returnflag,
+                   min(l_quantity) as min_q, max(l_quantity) as max_q,
+                   max(l_quantity) - min(l_quantity) as range_q,
+                   stddev_samp(l_quantity) as sd_q,
+                   var_samp(l_quantity) as var_q,
+                   count(distinct l_partkey) as uniq_parts
+            from lineitem group by 1""",
+        "normalize": """
+            with s as (select min(value) mn, max(value) mx from events)
+            select event_type,
+                   avg((value - mn) / (mx - mn)) as avg_norm,
+                   count(*) as n
+            from events, s group by event_type, mn, mx""",
+        "sequence_diff": """
+            select event_id, user_id,
+                   coalesce(value - lag(value) over
+                     (partition by user_id order by ts, event_id), 0.0) as dv
+            from events""",
+        "moving_window": """
+            select event_id, user_id,
+                   avg(value) over (partition by user_id order by ts, event_id
+                                    rows between 2 preceding and current row) as mv
+            from events""",
+        "session_split": """
+            select event_id, user_id,
+                   cast(sum(case when gap_ms > 3600000 then 1 else 0 end) over
+                     (partition by user_id order by ts, event_id
+                      rows unbounded preceding) as bigint) as session
+            from (select event_id, user_id, ts,
+                         epoch_ms(ts) - epoch_ms(lag(ts, 1, ts) over
+                           (partition by user_id order by ts, event_id)) as gap_ms
+                  from events)""",
+        "tumbling_window": """
+            select user_id,
+                   (epoch_ms(ts) // 86400000) * 86400000 as window_start,
+                   sum(value) as sum_value, count(*) as n
+            from events group by 1, 2""",
+        "cdc_upsert": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "exact_dedup": """
+            select doc_id, text from documents
+            where doc_id in (select min(doc_id) from documents group by text)""",
+        "token_count": """
+            select doc_id,
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '')) as n_tokens
+            from documents""",
+        "fingerprint": """
+            select doc_id,
+                   md5(regexp_replace(lower(coalesce(text, '')),
+                                      '\\s', '', 'g')) as fp
+            from documents""",
+        "similarity_topk": """
+            with q as (select vec_id as qid, embedding as qe
+                       from embeddings where vec_id < 5)
+            select qid as query_id, vec_id as match_id
+            from q cross join embeddings
+            qualify row_number() over
+              (partition by qid
+               order by list_cosine_similarity(
+                 cast(qe as double[]), cast(embedding as double[])) desc,
+               vec_id asc) <= 10""",
+        # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
+        # hll_distinct: non-SQL-expressible (model scoring, sketches,
+        # approximations) — rows-only driver check by design.
+    }

@@ -129,21 +129,73 @@ def _shard_cls():
 
     @ray.remote
     class UpsertShard:
-        """One logical partition of LWW state.
+        """One logical partition of LWW state — COLUMNAR.
 
-        state: (conv_id, turn_idx) → (ts_i64, lsn, role, text, tool)
-        with text=None ∧ role=None marking a tombstone row (kept until
-        commit so stale late updates cannot resurrect a deleted key).
+        State is a list of Arrow segments (lsn, op, conv_id,
+        turn_idx:int64, role, text, tool, ts:int64-ms); apply() only
+        appends, and a vectorized LWW compaction (sort + run-boundary
+        argmax, lww_compact_table) runs whenever the uncompacted tail
+        outgrows the compacted base — an LSM-style merge with zero
+        Python-per-row work. Tombstones ("D" rows) survive compaction
+        until commit so stale late updates cannot resurrect deleted keys.
         """
+
+        _COLS = ["lsn", "op", "conv_id", "turn_idx", "role", "text",
+                 "tool", "ts"]
 
         def __init__(self, pid: int):
             self.pid = pid
-            self.state: dict[tuple, tuple] = {}
-            self.applied = 0       # events routed here
-            self.stale = 0         # events dropped by LWW (dedup count)
-            self.deletes = 0
+            self.segments: list[pa.Table] = []
+            self.pending = 0          # rows appended since last compaction
+            self.base = 0             # rows in the compacted base
+            self.applied = 0          # events routed here (incl. replays)
+            self.stale = 0            # events superseded by LWW (dedup count)
             self.lsn_lo: Optional[int] = None
             self.lsn_hi: Optional[int] = None
+
+        def _norm(self, tbl: pa.Table) -> pa.Table:
+            """Canonical internal layout: turn_idx int64, ts int64 (ms).
+            Missing payload columns (pre-evolution segments) become null."""
+            n = tbl.num_rows
+            arrays, fields = [], []
+            for c in self._COLS:
+                if c in tbl.column_names:
+                    col = tbl[c]
+                    if c == "turn_idx":
+                        col = col.cast(pa.int64())
+                    elif c == "ts":
+                        unit = col.type.unit if pa.types.is_timestamp(col.type) else "ms"
+                        col = col.cast(pa.int64())
+                        scale = {"s": 1000, "ms": 1, "us": 1, "ns": 1}[unit]
+                        if unit == "us":
+                            col = pc.divide(col, 1000)
+                        elif unit == "ns":
+                            col = pc.divide(col, 1_000_000)
+                        elif unit == "s":
+                            col = pc.multiply(col, 1000)
+                else:
+                    col = pa.nulls(n, pa.string())
+                arrays.append(col)
+                fields.append(pa.field(c, arrays[-1].type if not isinstance(
+                    arrays[-1], pa.ChunkedArray) else arrays[-1].type))
+            return pa.table(arrays, names=self._COLS)
+
+        def _compact(self) -> pa.Table:
+            if len(self.segments) == 1 and self.pending == 0:
+                return self.segments[0]
+            merged = pa.concat_tables(self.segments, promote_options="permissive") \
+                if len(self.segments) > 1 else (self.segments[0] if self.segments
+                                                else None)
+            if merged is None:
+                empty = pa.table({c: pa.array([], pa.string()) for c in self._COLS})
+                return empty
+            before = merged.num_rows
+            out = lww_compact_table(merged, drop_tombstones=False)
+            self.stale += before - out.num_rows
+            self.segments = [out]
+            self.pending = 0
+            self.base = out.num_rows
+            return out
 
         def apply(self, tbl: pa.Table) -> int:
             n_in = tbl.num_rows
@@ -154,81 +206,46 @@ def _shard_cls():
             hi = pc.max(tbl["lsn"]).as_py()
             self.lsn_lo = lo if self.lsn_lo is None else min(self.lsn_lo, lo)
             self.lsn_hi = hi if self.lsn_hi is None else max(self.lsn_hi, hi)
-            tbl = lww_compact_table(tbl, drop_tombstones=False)
-            self.stale += n_in - tbl.num_rows
-            cols = tbl.to_pydict()
-            ts_i = tbl["ts"].cast(pa.int64()).to_pylist()
-            # schema evolution: payload columns may not exist yet in early
-            # segments (e.g. `tool` added mid-stream) — treat as null
-            n_rows = tbl.num_rows
-            for payload in ("role", "text", "tool"):
-                if payload not in cols:
-                    cols[payload] = [None] * n_rows
-            st = self.state
-            for i in range(tbl.num_rows):
-                key = (cols["conv_id"][i], cols["turn_idx"][i])
-                val = (ts_i[i], cols["lsn"][i])
-                prev = st.get(key)
-                if prev is not None and val <= (prev[0], prev[1]):
-                    self.stale += 1
-                    continue
-                if cols["op"][i] == "D":
-                    st[key] = (val[0], val[1], None, None, None)
-                    self.deletes += 1
-                else:
-                    st[key] = (val[0], val[1], cols["role"][i],
-                               cols["text"][i], cols["tool"][i])
+            self.segments.append(self._norm(tbl))
+            self.pending += n_in
+            # LSM-ish trigger: compact when the tail rivals the base
+            if self.pending > max(131_072, self.base):
+                self._compact()
             return n_in
 
         # -- state serde ------------------------------------------------
-        def _state_table(self) -> pa.Table:
-            keys = list(self.state.keys())
-            vals = list(self.state.values())
-            return pa.table({
-                "conv_id": pa.array([k[0] for k in keys], pa.string()),
-                "turn_idx": pa.array([k[1] for k in keys], pa.int64()),
-                "ts": pa.array([v[0] for v in vals], pa.int64()),
-                "lsn": pa.array([v[1] for v in vals], pa.int64()),
-                "role": pa.array([v[2] for v in vals], pa.string()),
-                "text": pa.array([v[3] for v in vals], pa.string()),
-                "tool": pa.array([v[4] for v in vals], pa.string()),
-                "is_tombstone": pa.array([v[2] is None and v[3] is None
-                                          for v in vals], pa.bool_()),
-            })
-
         def snapshot(self, path: str) -> dict:
-            tmp = path + ".tmp"
+            state = self._compact()
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(self._state_table(), tmp)
+            tmp = path + ".tmp"
+            pq.write_table(state, tmp)
             os.replace(tmp, path)
-            return {"partition": self.pid, "keys": len(self.state),
+            return {"partition": self.pid, "keys": state.num_rows,
                     "lsn_hi": self.lsn_hi}
 
         def load_snapshot(self, path: str) -> int:
             tbl = pq.read_table(path)
-            cols = tbl.to_pydict()
-            for i in range(tbl.num_rows):
-                tomb = cols["is_tombstone"][i]
-                self.state[(cols["conv_id"][i], cols["turn_idx"][i])] = (
-                    cols["ts"][i], cols["lsn"][i],
-                    None if tomb else cols["role"][i],
-                    None if tomb else cols["text"][i],
-                    None if tomb else cols["tool"][i])
+            self.segments.append(self._norm(tbl))
+            self.pending += tbl.num_rows
             return tbl.num_rows
 
         def flush(self, path: str, turn_idx_type: str = "int32") -> dict:
             """Write this partition's live rows (idempotent: temp + atomic
             rename), sorted by (conv_id, turn_idx). Returns lineage."""
-            items = sorted((k, v) for k, v in self.state.items()
-                           if not (v[2] is None and v[3] is None))
+            state = self._compact()
+            deletes = int(pc.sum(pc.cast(pc.equal(state["op"], "D"),
+                                         pa.int64())).as_py() or 0)
+            live = state.filter(pc.not_equal(state["op"], "D"))
+            live = live.sort_by([("conv_id", "ascending"),
+                                 ("turn_idx", "ascending")])
             t_turn = pa.int64() if turn_idx_type == "int64" else pa.int32()
             tbl = pa.table({
-                "conv_id": pa.array([k[0] for k, _ in items], pa.string()),
-                "turn_idx": pa.array([k[1] for k, _ in items]).cast(t_turn),
-                "role": pa.array([v[2] for _, v in items], pa.string()),
-                "text": pa.array([v[3] for _, v in items], pa.string()),
-                "tool": pa.array([v[4] for _, v in items], pa.string()),
-                "ts": pa.array([v[0] for _, v in items], pa.int64()).cast(pa.timestamp("ms")),
+                "conv_id": live["conv_id"],
+                "turn_idx": live["turn_idx"].cast(t_turn),
+                "role": live["role"],
+                "text": live["text"],
+                "tool": live["tool"],
+                "ts": live["ts"].cast(pa.timestamp("ms")),
             })
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
@@ -236,11 +253,11 @@ def _shard_cls():
             os.replace(tmp, path)
             return {"partition": self.pid, "file": os.path.basename(path),
                     "rows": tbl.num_rows, "events_applied": self.applied,
-                    "stale_dropped": self.stale, "deletes": self.deletes,
+                    "stale_dropped": self.stale, "deletes": deletes,
                     "lsn_lo": self.lsn_lo, "lsn_hi": self.lsn_hi}
 
         def stats(self) -> dict:
-            return {"partition": self.pid, "keys": len(self.state),
+            return {"partition": self.pid, "keys": self.base,
                     "applied": self.applied, "stale": self.stale}
 
     return UpsertShard
@@ -359,12 +376,14 @@ class CdcIngestEngine:
     def __init__(self, lake_dir: str, num_partitions: int = 16,
                  salt_turns: int = 1, hot_convs: Optional[Sequence[str]] = None,
                  router_concurrency: Optional[int] = None,
-                 shard_num_cpus: float = 0.5):
+                 shard_num_cpus: float = 0.5,
+                 router_batch_size: int = 65536):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.salt_turns = salt_turns
         self.hot_convs = frozenset(hot_convs) if hot_convs else None
         self.router_concurrency = router_concurrency
+        self.router_batch_size = router_batch_size
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
         # Shards reserve fractional CPUs: they are I/O-ish point-update
@@ -412,7 +431,10 @@ class CdcIngestEngine:
         self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
         router = _Router(self.shards, self.num_partitions, self._canonical,
                          self.salt_turns, self.hot_convs, min_lsn_exclusive)
-        kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+        # large batches: the router pre-compacts vectorized and fans out,
+        # so per-call overhead (actor RPC per partition) must be amortized
+        kwargs: dict[str, Any] = {"batch_format": "pyarrow",
+                                  "batch_size": self.router_batch_size}
         if self.router_concurrency:
             kwargs["concurrency"] = self.router_concurrency
         acks = ds.map_batches(router, **kwargs)

@@ -1,0 +1,91 @@
+"""Two-pass normalizers. SURVEY.md §2.3 / §2.16.
+
+Parity targets: ``doubletransform/MinMaxNormalizer.java:34`` (to [0,1] or
+[newMin,newMax]), ``StandardizeNormalizer.java:29`` ((x-μ)/σ),
+``SubtractMeanNormalizer.java:26``, ``Log2Normalizer.java:32``
+(log2((x-min)/(mean-min) + 1) · scale), dispatched by the Normalize enum
+(``transform/TransformProcess.java:1039-1083``); Spark-side stats come
+from one aggregate pass (``datavec-spark/.../Normalization.java:23-401``).
+
+Usage: ``step = fit_normalizer(ds_or_table, "MinMax", column)`` — the
+stats pass is ONE ``ds.aggregate`` (min/max/mean/std computed together);
+the returned step is stateless and fuses with its neighbors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datavec_ray.registry import register
+from datavec_ray.schema import Schema
+from datavec_ray.steps.base import Step, combine, set_column
+
+NORMALIZE_MODES = ("MinMax", "MinMax2", "Standardize", "SubtractMean", "Log2Mean")
+
+
+@register("step")
+class Normalize(Step):
+    """Stateless normalizer with fitted stats baked in (serializable)."""
+
+    def __init__(self, column: str, mode: str, stats: dict[str, float],
+                 new_min: float = 0.0, new_max: float = 1.0):
+        if mode not in NORMALIZE_MODES:
+            raise ValueError(f"unknown normalize mode {mode!r}")
+        self.column, self.mode, self.stats = column, mode, dict(stats)
+        self.new_min, self.new_max = new_min, new_max
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(self.column)
+        return schema.with_type(self.column, pa.float64())
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        col = pc.cast(table[self.column], pa.float64())
+        s = self.stats
+        if self.mode in ("MinMax", "MinMax2"):
+            lo, hi = s["min"], s["max"]
+            rng = (hi - lo) or 1.0
+            scaled = pc.divide(pc.subtract(col, lo), rng)
+            if self.mode == "MinMax2" or (self.new_min, self.new_max) != (0.0, 1.0):
+                scaled = pc.add(pc.multiply(scaled, self.new_max - self.new_min),
+                                self.new_min)
+            out = scaled
+        elif self.mode == "Standardize":
+            std = s["std"] or 1.0
+            out = pc.divide(pc.subtract(col, s["mean"]), std)
+        elif self.mode == "SubtractMean":
+            out = pc.subtract(col, s["mean"])
+        else:  # Log2Mean: log2((x - min)/(mean - min) + 1) * scale
+            denom = (s["mean"] - s["min"]) or 1.0
+            ratio = pc.add(pc.divide(pc.subtract(col, s["min"]), denom), 1.0)
+            out = pc.divide(pc.ln(ratio), 0.6931471805599453)
+        return set_column(table, self.column, combine(out))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "Normalize", "column": self.column, "mode": self.mode,
+                "stats": self.stats, "new_min": self.new_min,
+                "new_max": self.new_max}
+
+
+def column_stats(ds_or_table, column: str) -> dict[str, float]:
+    """One pass: min/max/mean/std (sample) of a column."""
+    if isinstance(ds_or_table, pa.Table):
+        col = ds_or_table[column]
+        n = len(col) - col.null_count
+        mean = pc.mean(col).as_py()
+        std = pc.stddev(col, ddof=1).as_py() if n > 1 else 0.0
+        return {"min": pc.min(col).as_py(), "max": pc.max(col).as_py(),
+                "mean": mean, "std": std or 0.0}
+    from ray.data.aggregate import Max, Mean, Min, Std
+    row = ds_or_table.aggregate(Min(column), Max(column), Mean(column),
+                                Std(column, ddof=1))
+    return {"min": row[f"min({column})"], "max": row[f"max({column})"],
+            "mean": row[f"mean({column})"], "std": row[f"std({column})"] or 0.0}
+
+
+def fit_normalizer(ds_or_table, mode: str, column: str,
+                   new_min: float = 0.0, new_max: float = 1.0) -> Normalize:
+    return Normalize(column, mode, column_stats(ds_or_table, column),
+                     new_min, new_max)

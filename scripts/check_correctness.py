@@ -1,0 +1,119 @@
+"""Mimic the driver's correctness gate: run every queries() entry at
+sf0.01 and compare to oracle_sql() via DuckDB — row count, schema
+(column names), and order-insensitive value comparison (floats rounded).
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
+    res = {"query": name, "ray_rows": len(ray_df), "sql_rows": len(sql_df)}
+    res["rows_match"] = len(ray_df) == len(sql_df)
+    res["cols_match"] = sorted(ray_df.columns) == sorted(sql_df.columns)
+    if not (res["rows_match"] and res["cols_match"]):
+        res["values_match"] = False
+        return res
+    a, b = normalize(ray_df), normalize(sql_df)
+    try:
+        ok = True
+        for c in a.columns:
+            if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+                ok &= np.allclose(a[c].astype(float), b[c].astype(float),
+                                  rtol=1e-6, atol=1e-6, equal_nan=True)
+            else:
+                av = a[c].fillna("\0null").astype(str).values
+                bv = b[c].fillna("\0null").astype(str).values
+                ok &= (av == bv).all()
+        res["values_match"] = bool(ok)
+    except Exception as e:  # noqa: BLE001
+        res["values_match"] = False
+        res["error"] = str(e)
+    return res
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+    from datavec_ray.util import table_from_result
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"create view {t} as select * from "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_res = table_from_result(fn(sf_dir)).to_pandas()
+        except Exception as e:  # noqa: BLE001
+            results.append({"query": name, "error": f"ray: {e}"})
+            print(f"{name}: RAY ERROR {e}")
+            continue
+        if name not in oracles:
+            results.append({"query": name, "ray_rows": len(ray_res),
+                            "rows_only": True})
+            print(f"{name}: rows-only ({len(ray_res)} rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            sql_res = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            results.append({"query": name, "error": f"sql: {e}"})
+            print(f"{name}: SQL ERROR {e}")
+            continue
+        r = compare(name, ray_res, sql_res)
+        r["sec"] = round(time.time() - t0, 2)
+        results.append(r)
+        status = "OK" if r.get("values_match") else "MISMATCH"
+        print(f"{name}: {status} rows={r['ray_rows']}/{r['sql_rows']} "
+              f"cols={r['cols_match']} [{r['sec']}s]")
+    bad = [r for r in results if not r.get("values_match", True) or "error" in r]
+    print(f"\n{len(results) - len(bad)}/{len(results)} pass")
+    with open("/tmp/correctness_check.json", "w") as f:
+        json.dump(results, f, indent=2)
+    ray.shutdown()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
