@@ -134,7 +134,7 @@ def _q_join_shuffle(sf_dir: str):
     p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
         ["l_orderkey", "l_extendedprice", "l_discount"]))
     p.add(JoinStep(lambda: orders, ["l_orderkey"], ["o_orderkey"], "Inner",
-                   num_partitions=16))
+                   num_partitions=8))
     p.add(Reducer(["o_orderpriority"],
                   [["l_extendedprice", "Sum", "sum_price"],
                    ["l_extendedprice", "Count", "n"]]))

@@ -63,22 +63,34 @@ PAYLOAD_COLS = ["role", "text", "tool"]
 def lww_compact_table(tbl: pa.Table, drop_tombstones: bool) -> pa.Table:
     """Keep only the (ts, lsn)-argmax event per (conv_id, turn_idx).
 
-    Pure Arrow kernels: sort by (conv_id, turn_idx, ts, lsn) then keep
-    run-boundary rows (last of each key run). O(n log n), no Python loop.
+    Vectorized argmax WITHOUT a string sort: dictionary-encode conv_id to
+    integer codes (grouping does not need lexicographic order), then one
+    ``np.lexsort`` over four int64 key arrays and a run-boundary mask.
+    Int sorts are ~5× faster than Arrow string sorts on wide tables —
+    this is the hot kernel of the whole upsert path. Output rows are
+    compacted but NOT conv_id-sorted (callers that need order — flush,
+    final comparisons — sort once at the end).
     """
-    if tbl.num_rows == 0:
-        return tbl
-    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
-                       ("ts", "ascending"), ("lsn", "ascending")])
-    conv = tbl["conv_id"].combine_chunks()
-    turn = tbl["turn_idx"].combine_chunks()
     n = tbl.num_rows
+    if n == 0:
+        return tbl
+    conv = tbl["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    turn = tbl["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    ts_col = tbl["ts"].combine_chunks()
+    if pa.types.is_timestamp(ts_col.type):
+        ts_col = ts_col.cast(pa.int64())
+    ts = pc.fill_null(ts_col, 0).to_numpy(zero_copy_only=False)
+    lsn = pc.fill_null(tbl["lsn"].combine_chunks(), 0).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((lsn, ts, turn, codes))
+    k1, k2 = codes[order], turn[order]
     last = np.ones(n, dtype=bool)
     if n > 1:
-        same_conv = pc.equal(conv.slice(0, n - 1), conv.slice(1)).to_numpy(zero_copy_only=False)
-        same_turn = pc.equal(turn.slice(0, n - 1), turn.slice(1)).to_numpy(zero_copy_only=False)
-        last[:-1] = ~(same_conv & same_turn)
-    out = tbl.filter(pa.array(last))
+        last[:-1] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+    out = tbl.take(pa.array(order[last], type=pa.int64()))
     if drop_tombstones:
         out = out.filter(pc.not_equal(out["op"], "D"))
     return out
@@ -108,10 +120,11 @@ def assign_partitions(conv_id: pa.ChunkedArray | pa.Array,
     their partition also depends on turn_idx % salt_turns, spreading one
     hot conv over `salt_turns` partitions while keeping each (conv_id,
     turn_idx) key on exactly one partition (required for LWW ownership)."""
-    conv_np = (conv_id.combine_chunks() if isinstance(conv_id, pa.ChunkedArray)
-               else conv_id).to_numpy(zero_copy_only=False)
-    h = hash64(conv_np)
+    conv_arr = (conv_id.combine_chunks() if isinstance(conv_id, pa.ChunkedArray)
+                else conv_id)
+    h = hash64(conv_arr)  # vectorized string hash (polars fast path)
     if salt_turns > 1 and hot_convs:
+        conv_np = conv_arr.to_numpy(zero_copy_only=False)
         turn_np = (turn_idx.combine_chunks() if isinstance(turn_idx, pa.ChunkedArray)
                    else turn_idx).to_numpy(zero_copy_only=False).astype(np.int64)
         is_hot = np.isin(conv_np, list(hot_convs))
@@ -208,8 +221,10 @@ def _shard_cls():
             self.lsn_hi = hi if self.lsn_hi is None else max(self.lsn_hi, hi)
             self.segments.append(self._norm(tbl))
             self.pending += n_in
-            # LSM-ish trigger: compact when the tail rivals the base
-            if self.pending > max(131_072, self.base):
+            # LSM-ish trigger: compact when the tail clearly outgrows the
+            # base (large floor — mid-ingest compactions stall every router
+            # waiting on this shard; checkpoint/flush compact anyway)
+            if self.pending > max(2_000_000, 2 * self.base):
                 self._compact()
             return n_in
 
@@ -370,6 +385,49 @@ class _Router:
         return pa.table({"routed": pa.array([routed], pa.int64())})
 
 
+class _PrepareShuffle:
+    """map_batches body for shuffle-mode ingest: filter watermark,
+    normalize schema, per-batch LWW pre-compaction, assign partition."""
+
+    def __init__(self, num_partitions: int, schema: pa.Schema, salt_turns: int,
+                 hot_convs: Optional[frozenset], min_lsn_exclusive: int):
+        self.num_partitions = num_partitions
+        self.schema = schema
+        self.salt_turns = salt_turns
+        self.hot_convs = hot_convs
+        self.min_lsn = min_lsn_exclusive
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.min_lsn:
+            batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
+        batch = normalize_to_schema(batch, self.schema)
+        batch = lww_compact_table(batch, drop_tombstones=False)
+        parts = assign_partitions(batch["conv_id"], batch["turn_idx"],
+                                  self.num_partitions, self.salt_turns,
+                                  self.hot_convs)
+        return batch.append_column(pa.field("__part", pa.int64()),
+                                   pa.array(parts))
+
+
+class _Deliver:
+    """map_groups body: one pre-merged delta per partition → its shard."""
+
+    def __init__(self, handles):
+        self.handles = handles
+        self.__name__ = "deliver_partition_delta"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import ray
+        if group.num_rows == 0:
+            return pa.table({"routed": pa.array([0], pa.int64())})
+        pid = int(group["__part"][0].as_py())
+        delta = lww_compact_table(group.drop_columns(["__part"]),
+                                  drop_tombstones=False)
+        # events counted = pre-compaction rows of this partition
+        routed = ray.get(self.handles[pid].apply.remote(delta))
+        return pa.table({"routed": pa.array([group.num_rows], pa.int64())})
+
+
 class CdcIngestEngine:
     """Driver-side orchestrator of the shard actor pool + manifest."""
 
@@ -377,13 +435,17 @@ class CdcIngestEngine:
                  salt_turns: int = 1, hot_convs: Optional[Sequence[str]] = None,
                  router_concurrency: Optional[int] = None,
                  shard_num_cpus: float = 0.5,
-                 router_batch_size: int = 65536):
+                 router_batch_size: int = 65536,
+                 ingest_mode: str = "router"):
+        if ingest_mode not in ("shuffle", "router"):
+            raise ValueError("ingest_mode must be 'shuffle' or 'router'")
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.salt_turns = salt_turns
         self.hot_convs = frozenset(hot_convs) if hot_convs else None
         self.router_concurrency = router_concurrency
         self.router_batch_size = router_batch_size
+        self.ingest_mode = ingest_mode
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
         # Shards reserve fractional CPUs: they are I/O-ish point-update
@@ -429,15 +491,32 @@ class CdcIngestEngine:
         evolved = ray.get(self.registry.evolve.remote(
             seg_schema.serialize().to_pybytes()))
         self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
-        router = _Router(self.shards, self.num_partitions, self._canonical,
-                         self.salt_turns, self.hot_convs, min_lsn_exclusive)
-        # large batches: the router pre-compacts vectorized and fans out,
-        # so per-call overhead (actor RPC per partition) must be amortized
-        kwargs: dict[str, Any] = {"batch_format": "pyarrow",
-                                  "batch_size": self.router_batch_size}
-        if self.router_concurrency:
-            kwargs["concurrency"] = self.router_concurrency
-        acks = ds.map_batches(router, **kwargs)
+        if self.ingest_mode == "router":
+            router = _Router(self.shards, self.num_partitions, self._canonical,
+                             self.salt_turns, self.hot_convs, min_lsn_exclusive)
+            # large batches: the router pre-compacts vectorized and fans
+            # out, so per-call overhead (actor RPC per partition) must be
+            # amortized
+            kwargs: dict[str, Any] = {"batch_format": "pyarrow",
+                                      "batch_size": self.router_batch_size}
+            if self.router_concurrency:
+                kwargs["concurrency"] = self.router_concurrency
+            acks = ds.map_batches(router, **kwargs)
+        else:
+            # shuffle mode: Ray-native hash shuffle (map-side LWW
+            # pre-compaction → groupby(__part)) then EXACTLY ONE apply per
+            # partition per segment carrying the fully pre-merged delta —
+            # actor RPCs are O(P), and the all-to-all is Ray Data's own
+            # (pipelined, spillable), mirroring aggregateByKey partial/final
+            # (SparkTransformExecutor.java:252-290).
+            prep = _PrepareShuffle(self.num_partitions, self._canonical,
+                                   self.salt_turns, self.hot_convs,
+                                   min_lsn_exclusive)
+            deliver = _Deliver(self.shards)
+            acks = (ds.map_batches(prep, batch_format="pyarrow",
+                                   batch_size=self.router_batch_size)
+                    .groupby("__part")
+                    .map_groups(deliver, batch_format="pyarrow"))
         routed = int(sum(b["routed"][0].as_py()
                          for b in acks.iter_batches(batch_format="pyarrow")))
         self.events_seen += routed
@@ -480,6 +559,16 @@ class CdcIngestEngine:
             self.manifest.append(lineage)
             lineages.append(lineage)
         return lineages
+
+    def shutdown(self) -> None:
+        """Kill shard/registry actors (bench + batch jobs that create
+        several engines per process; otherwise dead handles linger until
+        GC and their worker processes pile up)."""
+        import ray
+        for s in self.shards:
+            ray.kill(s)
+        ray.kill(self.registry)
+        self.shards = []
 
     # -- read back --------------------------------------------------------
     def read_lake(self) -> pa.Table:

@@ -30,7 +30,27 @@ def _alpha(m: int) -> float:
 
 def hash64(values) -> np.ndarray:
     """Deterministic 64-bit hashes of an array of values (vectorized for
-    common dtypes; stable across processes — no PYTHONHASHSEED dependence)."""
+    common dtypes; stable across processes — no PYTHONHASHSEED dependence).
+
+    Fast paths: numeric numpy → splitmix64; Arrow string arrays → polars'
+    vectorized 64-bit hash (seeded, deterministic across processes for a
+    given polars build — every node runs the same image); anything else →
+    per-value blake2b (slow path, small inputs only).
+    """
+    import pyarrow as pa
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        typ = values.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+                or pa.types.is_binary(typ):
+            try:
+                import polars as pl
+                return pl.from_arrow(
+                    values.combine_chunks() if isinstance(values, pa.ChunkedArray)
+                    else values).hash(seed=0).to_numpy().astype(np.uint64)
+            except ImportError:
+                pass
+        values = (values.combine_chunks() if isinstance(values, pa.ChunkedArray)
+                  else values).to_numpy(zero_copy_only=False)
     arr = np.asarray(values)
     if arr.dtype.kind in "iufb":
         data = arr.astype(np.float64, copy=False).tobytes() if arr.dtype.kind == "f" \

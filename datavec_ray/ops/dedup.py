@@ -40,8 +40,7 @@ class _HashPartition:
         self.text_col, self.P = text_col, num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        txt = combine(batch[self.text_col]).to_numpy(zero_copy_only=False)
-        h = hash64(txt)
+        h = hash64(combine(batch[self.text_col]))
         batch = batch.append_column(pa.field("__h", pa.uint64()), pa.array(h))
         return batch.append_column(
             pa.field("__part", pa.int64()),

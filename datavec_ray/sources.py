@@ -1,0 +1,291 @@
+"""Sources (readers) and sinks (writers). SURVEY.md §2.14-2.15.
+
+The reference's RecordReader/InputSplit machinery maps onto Ray Data's
+``read_*`` functions plus vectorized parse stages:
+
+| reference reader | here |
+|---|---|
+| CSVRecordReader (csv/CSVRecordReader.java:42) | read_csv_records |
+| CSVSequenceRecordReader (one sequence/file, :40) | read_csv_sequences |
+| CSVNLinesSequenceRecordReader (:45) | read_csv_records + add_line_group |
+| LineRecordReader (impl/LineRecordReader.java:46) | read_lines |
+| FileRecordReader (whole file = record, :42) | read_whole_files |
+| RegexLineRecordReader (regex/RegexLineRecordReader.java:48) | read_regex_lines |
+| JacksonRecordReader (jackson/JacksonRecordReader.java:60) | read_json_records |
+| SVMLightRecordReader (misc/SVMLightRecordReader.java:53) | read_svmlight |
+| CSVRecordWriter (writer/impl/csv/CSVRecordWriter.java:35) | write_csv |
+| SVMLightRecordWriter (misc/SVMLightRecordWriter.java:63) | write_svmlight |
+| MapFile / SparkStorageUtils save/restore (storage/SparkStorageUtils.java:45-290) | write_records / read_records (partitioned parquet lake) |
+
+All parse stages are vectorized map_batches bodies; schema application
+(typed columns from string cells) uses the Schema's arrow types.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datavec_ray.schema import Schema
+from datavec_ray.steps.base import combine
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+def read_csv_records(paths, schema: Optional[Schema] = None, **kwargs):
+    """CSV → typed Dataset. With a Schema, column names/types are enforced
+    (the reference parses by schema; InferredSchema covers the no-schema
+    case — Arrow's CSV reader infers likewise)."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+    if schema is not None:
+        kwargs.setdefault("read_options", pacsv.ReadOptions(
+            column_names=schema.names))
+        kwargs.setdefault("convert_options", pacsv.ConvertOptions(
+            column_types={n: schema.type_of(n) for n in schema.names}))
+    return rd.read_csv(paths, **kwargs)
+
+
+def read_lines(paths):
+    """One record per line, single `text` column (LineRecordReader)."""
+    import ray.data as rd
+    return rd.read_text(paths)
+
+
+def read_whole_files(paths):
+    """Whole file = one record: (path, bytes) (FileRecordReader)."""
+    import ray.data as rd
+    return rd.read_binary_files(paths, include_paths=True)
+
+
+def read_regex_lines(paths, pattern: str, columns: Sequence[str],
+                     schema: Optional[Schema] = None):
+    """Regex groups → typed fields per line (RegexLineRecordReader).
+    Lines not matching are dropped (reference throws; filtering is the
+    distributed-friendly behavior, logged via count difference)."""
+    import re
+
+    import ray.data as rd
+
+    cols = list(columns)
+    creg = re.compile(pattern)
+
+    def parse_py(batch: pa.Table) -> pa.Table:
+        txt = combine(batch["text"]).to_pylist()
+        data: dict[str, list] = {c: [] for c in cols}
+        for line in txt:
+            m = creg.match(line or "")
+            if not m:
+                continue
+            for i, c in enumerate(cols):
+                data[c].append(m.group(i + 1))
+        arrays = {}
+        for c in cols:
+            arr = pa.array(data[c], pa.string())
+            if schema is not None and schema.has(c):
+                arr = arr.cast(schema.type_of(c))
+            arrays[c] = arr
+        return pa.table(arrays)
+
+    return rd.read_text(paths).map_batches(parse_py, batch_format="pyarrow")
+
+
+def read_csv_sequences(paths, schema: Optional[Schema] = None,
+                       seq_col: str = "__seq_id", **kwargs):
+    """One sequence per file (CSVSequenceRecordReader.java:40): the file
+    path becomes the sequence key column, ready for GroupedSequence."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+    if schema is not None:
+        kwargs.setdefault("read_options", pacsv.ReadOptions(
+            column_names=schema.names))
+        kwargs.setdefault("convert_options", pacsv.ConvertOptions(
+            column_types={n: schema.type_of(n) for n in schema.names}))
+    ds = rd.read_csv(paths, include_paths=True, **kwargs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("path")
+        return batch.set_column(i, pa.field(seq_col, pa.string()),
+                                batch["path"]).rename_columns(
+            [seq_col if c == "path" else c for c in batch.column_names])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def add_line_group(ds, n: int, seq_col: str = "__seq_id"):
+    """Every N consecutive rows = one sequence
+    (CSVNLinesSequenceRecordReader.java:45). Adds a global row index
+    (sort-free: per-block offsets via the rank machinery) then // n."""
+    from datavec_ray.rank import CalculateSortedRank  # noqa: F401  (doc ref)
+    import ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _count(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def _with_group(block: pa.Table, offset: int) -> pa.Table:
+        idx = np.arange(offset, offset + block.num_rows)
+        return block.append_column(pa.field(seq_col, pa.int64()),
+                                   pa.array(idx // n))
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    import ray.data as rd
+    return rd.from_arrow_refs([_with_group.remote(r, int(o))
+                               for r, o in zip(refs, offsets)])
+
+
+def read_json_records(paths, field_selection: Optional[dict] = None):
+    """JSON lines → records; ``field_selection`` maps output column →
+    (dotted path, default) like the reference's FieldSelection
+    (jackson/FieldSelection.java:36)."""
+    import ray.data as rd
+    ds = rd.read_json(paths)
+    if not field_selection:
+        return ds
+
+    def select(batch: pa.Table) -> pa.Table:
+        import json as _json
+        out: dict[str, list] = {k: [] for k in field_selection}
+        pylist = batch.to_pylist()
+        for row in pylist:
+            for col, (path, default) in field_selection.items():
+                cur = row
+                for part in path.split("."):
+                    if isinstance(cur, dict) and part in cur:
+                        cur = cur[part]
+                    else:
+                        cur = None
+                        break
+                out[col].append(default if cur is None else cur)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(select, batch_format="pyarrow")
+
+
+def _parse_svmlight_batch(batch: pa.Table, num_features: int,
+                          zero_based: bool) -> pa.Table:
+    txt = combine(batch["text"]).to_pylist()
+    off = 0 if zero_based else 1
+    labels = np.zeros(len(txt), dtype=np.float64)
+    mat = np.zeros((len(txt), num_features), dtype=np.float32)
+    for i, line in enumerate(txt):
+        if not line:
+            continue
+        parts = line.split("#")[0].split()
+        if not parts:
+            continue
+        labels[i] = float(parts[0])
+        for tok in parts[1:]:
+            if ":" not in tok:
+                continue
+            k, v = tok.split(":", 1)
+            idx = int(k) - off
+            if 0 <= idx < num_features:
+                mat[i, idx] = float(v)
+    feats = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()),
+                                              num_features) \
+        .cast(pa.list_(pa.float32()))
+    return pa.table({"label": pa.array(labels),
+                     "features": feats})
+
+
+def read_svmlight(paths, num_features: int, zero_based: bool = False):
+    """Sparse `label idx:val ...` lines → (label, features) with a dense
+    list<float32> feature column (SVMLightRecordReader.java:53)."""
+    import ray.data as rd
+    return rd.read_text(paths).map_batches(
+        lambda b: _parse_svmlight_batch(b, num_features, zero_based),
+        batch_format="pyarrow")
+
+
+def from_records(rows: Sequence[dict] | pa.Table):
+    """In-memory records (CollectionRecordReader / InMemoryRecordReader)."""
+    import ray.data as rd
+    if isinstance(rows, pa.Table):
+        return rd.from_arrow(rows)
+    return rd.from_items(list(rows))
+
+
+def zip_readers(left, right):
+    """Zip two datasets' rows into combined records
+    (ComposableRecordReader.java:43)."""
+    return left.zip(right)
+
+
+def read_records(lake_dir: str, **kwargs):
+    """Read a partitioned parquet lake written by write_records
+    (the MapFile/SparkStorageUtils replacement)."""
+    import ray.data as rd
+    return rd.read_parquet(lake_dir, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_records(ds, out_dir: str, partition_cols: Optional[Sequence[str]] = None,
+                  min_rows_per_file: Optional[int] = None):
+    """Partitioned parquet lake sink (SparkStorageUtils.saveMapFile
+    replacement): resumable, shard-per-block, optional hive partitioning."""
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = list(partition_cols)
+    if min_rows_per_file:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    ds.write_parquet(out_dir, **kwargs)
+    return out_dir
+
+
+def write_csv(ds, out_dir: str, **kwargs):
+    ds.write_csv(out_dir, **kwargs)
+    return out_dir
+
+
+def write_json(ds, out_dir: str, **kwargs):
+    ds.write_json(out_dir, **kwargs)
+    return out_dir
+
+
+def write_svmlight(ds, out_dir: str, label_col: str = "label",
+                   features_col: str = "features", zero_based: bool = False):
+    """(label, features:list<float>) → SVMLight text shards
+    (SVMLightRecordWriter.java:63). Zeros are omitted (sparse format)."""
+    off = 0 if zero_based else 1
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        labels = combine(batch[label_col]).to_pylist()
+        feats = combine(batch[features_col])
+        width = len(feats[0]) if len(feats) else 0
+        mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+        lines = []
+        for i, lab in enumerate(labels):
+            nz = np.nonzero(mat[i])[0]
+            toks = [f"{int(lab) if float(lab).is_integer() else lab}"]
+            toks += [f"{j + off}:{mat[i, j]:g}" for j in nz]
+            lines.append(" ".join(toks))
+        return pa.table({"text": pa.array(lines, pa.string())})
+
+    out = ds.map_batches(fmt, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.svm")
+        with open(name + ".tmp", "w") as f:
+            f.write("\n".join(batch["text"].to_pylist()) + "\n")
+        os.replace(name + ".tmp", name)
+        return pa.table({"file": pa.array([name]), "rows": pa.array([batch.num_rows])})
+
+    return [b for b in out.map_batches(write_block, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]

@@ -41,9 +41,10 @@ def test_binlog_properties(binlog):
 
 
 def test_lww_compact_table_is_orderless(binlog):
-    fwd = lww_compact_table(binlog, drop_tombstones=True)
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    fwd = lww_compact_table(binlog, drop_tombstones=True).sort_by(key)
     perm = binlog.take(pa.array(np.random.default_rng(0).permutation(binlog.num_rows)))
-    bwd = lww_compact_table(perm, drop_tombstones=True)
+    bwd = lww_compact_table(perm, drop_tombstones=True).sort_by(key)
     assert fwd.equals(bwd)
 
 

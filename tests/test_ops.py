@@ -1,0 +1,168 @@
+"""Tests for dedup / similarity / textstats / multimodal ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datavec_ray.util import dataset_to_table
+
+
+def docs_table():
+    return pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",     # exact dup of 0
+            "the quick brown fox jumped over the lazy dog",    # near dup
+            "completely different content about ray data engines",
+            "Ray Data engines process arrow batches at scale",
+            "the quick brown fox jumps over the lazy dog",     # exact dup of 0
+            "",                                                 # empty
+            "unrelated short text",
+        ],
+    })
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.dedup import exact_dedup
+    out = dataset_to_table(exact_dedup(rd.from_arrow(docs_table()),
+                                       num_partitions=4)).sort_by("doc_id")
+    assert out["doc_id"].to_pylist() == [0, 2, 3, 4, 6, 7]
+
+
+def test_minhash_lsh(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.dedup import minhash_lsh_pairs
+    t = docs_table()
+    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    out = dataset_to_table(minhash_lsh_pairs(
+        rd.from_arrow(t), lookup, jaccard_threshold=0.3))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # exact dups must be found; the near-dup (0,2) has true jaccard 0.4
+    # (one word of nine changed → 4 of 10 distinct 3-gram shingles shared)
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs
+    assert all(j >= 0.3 for j in out["jaccard"].to_pylist())
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.dedup import simhash_pairs
+    out = dataset_to_table(simhash_pairs(rd.from_arrow(docs_table()),
+                                         max_hamming=3))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 1) in pairs and (0, 5) in pairs  # identical → hamming 0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.dedup import embedding_neardup_pairs
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((5, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + 0.001 * rng.standard_normal(16).astype(np.float32)])
+    t = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    out = dataset_to_table(embedding_neardup_pairs(
+        rd.from_arrow(t), num_planes=8, cos_threshold=0.99))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 5) in pairs
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.similarity import brute_force_topk
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = vecs[:3].astype(np.float64)
+    out = dataset_to_table(brute_force_topk(
+        rd.from_arrow(t).repartition(4), q, k=5))
+    df = out.to_pandas()
+    # each query's best match is itself (cosine 1.0)
+    for qi in range(3):
+        sub = df[df.query_id == qi].sort_values("cosine", ascending=False)
+        assert len(sub) == 5
+        assert sub.iloc[0]["match_id"] == qi
+        assert abs(sub.iloc[0]["cosine"] - 1.0) < 1e-9
+    # verify against numpy exact
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = n @ qn.T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = set(df[df.query_id == qi]["match_id"].tolist())
+        assert got == expect
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.similarity import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = vecs[:2].astype(np.float64)
+    exact = dataset_to_table(brute_force_topk(rd.from_arrow(t), q, k=10)).to_pandas()
+    approx = dataset_to_table(ivf_topk(rd.from_arrow(t), q, k=10,
+                                       num_centroids=8, nprobe=4,
+                                       sample_frac=0.5)).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact.query_id == qi]["match_id"])
+        a = set(approx[approx.query_id == qi]["match_id"])
+        assert len(e & a) / len(e) >= 0.5  # recall with half the centroids probed
+
+
+def test_text_stats_and_fingerprint():
+    from datavec_ray.ops.textstats import (TextStats, add_text_stats,
+                                           fingerprint_md5, rolling_fingerprint,
+                                           token_count)
+    t = docs_table()
+    assert token_count(t["text"]).to_pylist()[0] == 9
+    assert token_count(t["text"]).to_pylist()[6] == 0
+    out = add_text_stats(t)
+    assert out["n_tokens"].to_pylist()[7] == 3
+    assert 0 <= out["quality_score"].to_pylist()[0] <= 1
+    fp = fingerprint_md5(t)
+    assert fp["fp"][0].as_py() == fp["fp"][1].as_py()      # dups same fp
+    assert fp["fp"][0].as_py() != fp["fp"][3].as_py()
+    rfp = rolling_fingerprint(t)
+    assert rfp["rfp"][0].as_py() == rfp["rfp"][1].as_py()
+    ts = TextStats()
+    scored = ts(t)
+    assert scored["lang_id"].to_pylist()[0] == "en"
+
+
+def test_langid_scripts():
+    from datavec_ray.ops.textstats import TextStats
+    t = pa.table({"text": [
+        "the cat and the dog walked to the house",
+        "le chat et le chien est une belle chose de la vie",
+        "der Hund und die Katze ist nicht das Problem",
+        "こんにちは世界、これは日本語のテキストです、漢字もあります",
+    ]})
+    langs = TextStats()(t)["lang_id"].to_pylist()
+    assert langs == ["en", "fr", "de", "cjk"]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.multimodal import (AudioFeatures, ImageDecodeResize,
+                                            VideoFrameSample, synth_media_table)
+    t = synth_media_table(20)
+    ds = rd.from_arrow(t)
+    img = dataset_to_table(ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                                          batch_size=8, concurrency=2))
+    assert img.num_rows == 20 and len(img["image_feat"][0]) == 64
+    aud = dataset_to_table(ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                                          batch_size=8, concurrency=2))
+    assert len(aud["audio_feat"][0]) == 16
+    vid = dataset_to_table(ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                                          batch_size=8, concurrency=2))
+    assert vid.num_rows == 80  # 20 × 4 frames
+    # determinism: same payload → same features
+    img2 = dataset_to_table(ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                                           batch_size=4, concurrency=1))
+    assert img.sort_by("media_id")["image_feat"].equals(
+        img2.sort_by("media_id")["image_feat"])
