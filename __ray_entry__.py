@@ -433,6 +433,134 @@ def _q_hll_distinct(sf_dir: str):
     return p.execute(ds)
 
 
+def _q_sequence_offset(sf_dir: str):
+    """Lag (SequenceOffset NewColumn/SpecifiedValue) per user over events."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, SequenceOffset
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "ts", "value"]))
+    p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
+                          [SequenceOffset(["value"], 1, "NewColumn",
+                                          "SpecifiedValue", -1.0)]))
+    p.add(KeepColumns(["event_id", "user_id", "value_offset1"]))
+    return p.execute(ds)
+
+
+def _q_analysis_profile(sf_dir: str):
+    """One-pass dataset profiling (AnalyzeSpark.analyze). Rows-only."""
+    from datavec_ray.analysis import analyze
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice",
+                                    "l_discount", "l_returnflag"])
+    stats = analyze(ds)
+    rows = []
+    for col, st in stats.items():
+        rows.append({"column": col,
+                     **{k: float(v) if v is not None else None
+                        for k, v in st.items() if isinstance(v, (int, float))
+                        or v is None}})
+    import pandas as pd
+    return pd.DataFrame(rows)
+
+
+def _q_quality_profile(sf_dir: str):
+    """Schema-validity quality counts (AnalyzeSpark.analyzeQuality).
+    Rows-only."""
+    import pandas as pd
+    from datavec_ray.analysis import analyze_quality
+    from datavec_ray.schema import Schema
+
+    sch = (Schema.builder()
+           .add_double("l_quantity", min_value=0, max_value=50)
+           .add_double("l_discount", min_value=0, max_value=0.05)
+           .add_string("l_returnflag", regex="[ANR]")
+           .build())
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_returnflag"])
+    q = analyze_quality(ds, sch)
+    return pd.DataFrame([{"column": c, **v} for c, v in q.items()])
+
+
+def _q_tfidf(sf_dir: str):
+    """Two-pass TF-IDF over documents (stateful vocab build + broadcast
+    vectorize). Rows-only."""
+    from datavec_ray.steps.nlp import TfidfVectorize, fit_tfidf_vocab
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = fit_tfidf_vocab(ds, max_vocab=256)
+    ref = ray.put(model)
+    out = ds.map_batches(lambda b, r=ref: TfidfVectorize(r)(b),
+                         batch_format="pyarrow")
+
+    def norms(batch: pa.Table) -> pa.Table:
+        arr = batch["tfidf"]
+        flat = arr.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        w = len(arr[0]) if len(arr) else 1
+        n = np.linalg.norm(flat.reshape(-1, w), axis=1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "tfidf_norm": pa.array(n, pa.float64())})
+
+    return out.map_batches(norms, batch_format="pyarrow")
+
+
+def _q_ivf_topk(sf_dir: str):
+    """IVF approximate nearest neighbors (scale path). Rows-only (recall
+    vs the exact brute-force path is asserted in tests)."""
+    import pyarrow.parquet as pq
+    from datavec_ray.ops.similarity import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"].to_pylist()[:5]])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, q, k=10, num_centroids=8, nprobe=4)
+
+
+def _q_geo_distance(sf_dir: str):
+    """Geo ops over coordinates derived deterministically from events
+    (no geo columns in the testdata). Rows-only."""
+    from datavec_ray.ops.geo import CoordinatesDistance
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import KeepColumns, LambdaStep
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def synth_coords(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        lat = pc.subtract(pc.cast(pc.multiply(
+            pc.subtract(v, pc.floor(v)), 180), pa.float64()), 90.0)
+        lon = pc.subtract(pc.cast(pc.multiply(pc.divide(
+            pc.cast(t["user_id"], pa.float64()), 1e4), 360), pa.float64()), 180.0)
+        a = pc.binary_join_element_wise(pc.cast(lat, pa.string()),
+                                        pc.cast(lon, pa.string()), ",")
+        b = pc.binary_join_element_wise(pc.cast(lon, pa.string()),
+                                        pc.cast(lat, pa.string()), ",")
+        t = t.append_column(pa.field("pos_a", pa.string()), a)
+        return t.append_column(pa.field("pos_b", pa.string()), b)
+
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "value"]))
+    p.add(LambdaStep(synth_coords, lambda s: s.with_column("pos_a", pa.string())
+                     .with_column("pos_b", pa.string()), "synth_coords"))
+    p.add(CoordinatesDistance("dist_m", "pos_a", "pos_b"))
+    p.add(KeepColumns(["event_id", "dist_m"]))
+    return p.execute(ds)
+
+
+def _q_media_pipeline(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool decode /
+    resize / frame-sample stages (codecs stubbed). Rows-only."""
+    import ray.data as rd
+    from datavec_ray.ops.multimodal import ImageDecodeResize, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200, seed=3))
+    return ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)         .select_columns(["media_id", "media_type", "width", "height"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -461,6 +589,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "hll_distinct": _q_hll_distinct,
+        "sequence_offset": _q_sequence_offset,
+        "analysis_profile": _q_analysis_profile,
+        "quality_profile": _q_quality_profile,
+        "tfidf": _q_tfidf,
+        "ivf_topk": _q_ivf_topk,
+        "geo_distance": _q_geo_distance,
+        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -612,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(coalesce(text, '')),
                                       '\\s', '', 'g')) as fp
             from documents""",
+        "sequence_offset": """
+            select event_id, user_id,
+                   lag(value, 1, -1.0) over
+                     (partition by user_id order by ts, event_id)
+                     as value_offset1
+            from events""",
         "similarity_topk": """
             with q as (select vec_id as qid, embedding as qe
                        from embeddings where vec_id < 5)

@@ -1,0 +1,90 @@
+"""Sampling, set ops, splits, sequence merge. SURVEY.md §2.13 / §2.8.
+
+Parity targets:
+- ``AnalyzeSpark.sampleFromColumn / sample`` (AnalyzeSpark.java:270-348)
+  → sample / sample_column.
+- ``AnalyzeSpark.getUnique`` (:311-325) → unique_values.
+- ``RandomSplit`` / ``SparkUtils.splitData`` (transform/split/RandomSplit.java:31)
+  → random_split (hash-deterministic, not row-order-dependent — each row's
+  assignment is a pure function of a row hash + seed, so splits are
+  reproducible under any partitioning).
+- ``SequenceMerge`` (sequence/merge/SequenceMerge.java:34) — merge several
+  datasets' sequences sharing a key, re-sorted by the comparator: here a
+  union + one GroupedSequence stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from datavec_ray.hll import hash64
+from datavec_ray.sequence import GroupedSequence, SequenceOp
+
+
+def sample(ds, fraction: float, seed: int = 42):
+    """Uniform random sample of rows."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+def sample_column(ds, column: str, n: int, seed: int = 42) -> list:
+    """~n sampled values of one column (sampleFromColumn)."""
+    est = ds.count()
+    frac = min(1.0, (n * 1.5) / max(1, est))
+    vals = (ds.select_columns([column]).random_sample(frac, seed=seed)
+            .take(n))
+    return [v[column] for v in vals]
+
+
+def unique_values(ds, column: str):
+    """Distinct values of a column (getUnique) — a shuffle."""
+    return ds.unique(column)
+
+
+def random_split(ds, fractions: Sequence[float], seed: int = 42,
+                 salt_column: Optional[str] = None) -> list:
+    """Split into len(fractions) datasets by deterministic per-row hash.
+
+    Unlike Dataset.split_proportionately (positional), assignment here is
+    content-deterministic: rows keep their split across reruns and
+    repartitioning — required for reproducible train/test splits at scale.
+    ``salt_column``: column whose hash drives assignment (default: a
+    whole-row fingerprint of the first column).
+    """
+    fr = list(fractions)
+    if abs(sum(fr) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    bounds = np.cumsum(fr)
+
+    schema = ds.schema().base_schema
+    col = salt_column or schema.names[0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash64(batch[col].combine_chunks())
+        u = ((h ^ np.uint64(seed * 0x9E3779B97F4A7C15)) %
+             np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
+        part = np.searchsorted(bounds, u, side="right").clip(0, len(fr) - 1)
+        return batch.append_column(pa.field("__split", pa.int64()),
+                                   pa.array(part.astype(np.int64)))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    outs = []
+    for i in range(len(fr)):
+        outs.append(tagged.filter(expr=f"__split == {i}")
+                    .drop_columns(["__split"]))
+    return outs
+
+
+def sequence_merge(datasets: Sequence, keys: Sequence[str],
+                   order_by: Sequence[str],
+                   ops: Sequence[SequenceOp] = ()):
+    """Merge sequences sharing a key across several datasets into one
+    re-sorted sequence (SequenceMerge.java:34): union → one grouped
+    shuffle, optional per-sequence op chain applied after the sort."""
+    it = iter(datasets)
+    ds = next(it)
+    for other in it:
+        ds = ds.union(other)
+    return GroupedSequence(keys, order_by, ops).apply_dataset(ds)

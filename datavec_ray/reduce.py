@@ -41,6 +41,22 @@ REDUCE_OPS = ("Sum", "Mean", "Min", "Max", "Range", "Prod", "Count",
               "Variance", "PopulationVariance", "TakeFirst", "TakeLast",
               "Append", "Prepend")
 
+# user-defined reductions (parity: AggregableColumnReduction /
+# ColumnReduction, reduce/AggregableColumnReduction.java:33 — the UDAF
+# plugin surface). Each entry: dict(zero=fn(), accumulate=fn(state, pa
+# column)->state, merge=fn(a,b)->state, finalize=fn(state)->value,
+# out_type=pa.DataType).
+_CUSTOM_OPS: dict[str, dict] = {}
+
+
+def register_reduce_op(name: str, *, zero, accumulate, merge, finalize,
+                       out_type) -> None:
+    if name in REDUCE_OPS:
+        raise ValueError(f"{name!r} is a builtin ReduceOp")
+    _CUSTOM_OPS[name] = {"zero": zero, "accumulate": accumulate,
+                         "merge": merge, "finalize": finalize,
+                         "out_type": out_type}
+
 _NUMERIC_OUT = {"Sum", "Mean", "Min", "Max", "Range", "Prod", "Stdev",
                 "UncorrectedStdDev", "Variance", "PopulationVariance"}
 
@@ -56,9 +72,14 @@ class _Acc:
 
     def __init__(self, op: str):
         self.op = op
+        # capture the custom-op spec NOW: the registry lives in the driver
+        # process; the spec must ship inside this (cloudpickled) instance
+        self._custom = _CUSTOM_OPS.get(op)
 
     def zero(self) -> Any:
         o = self.op
+        if self._custom is not None:
+            return self._custom["zero"]()
         if o in ("Sum", "Count"):
             return 0
         if o == "CountUniqueExact":
@@ -86,6 +107,8 @@ class _Acc:
 
     def accumulate(self, state: Any, col: pa.ChunkedArray | pa.Array) -> Any:
         o = self.op
+        if self._custom is not None:
+            return self._custom["accumulate"](state, col)
         if o == "Count":
             return state + len(col)
         if o == "Sum":
@@ -154,6 +177,8 @@ class _Acc:
 
     def merge(self, a: Any, b: Any) -> Any:
         o = self.op
+        if self._custom is not None:
+            return self._custom["merge"](a, b)
         if o in ("Sum", "Count"):
             return a + b
         if o == "Prod":
@@ -197,6 +222,8 @@ class _Acc:
 
     def finalize(self, state: Any, delimiter: str = ",") -> Any:
         o = self.op
+        if self._custom is not None:
+            return self._custom["finalize"](state)
         if o in ("Sum", "Count", "Prod", "Min", "Max"):
             return state
         if o == "Range":
@@ -253,6 +280,8 @@ def _merge_var(a, b):
 
 
 def _out_type(op: str, in_type: pa.DataType) -> pa.DataType:
+    if op in _CUSTOM_OPS:
+        return _CUSTOM_OPS[op]["out_type"]
     if op in ("Count", "CountUniqueExact"):
         return pa.int64()
     if op == "CountUnique":
@@ -295,7 +324,7 @@ class Reducer(WideStep):
         self.specs = []
         for s in specs:
             col, op = s[0], s[1]
-            if op not in REDUCE_OPS:
+            if op not in REDUCE_OPS and op not in _CUSTOM_OPS:
                 raise ValueError(f"unknown ReduceOp {op!r}")
             out = s[2] if len(s) > 2 and s[2] else f"{op.lower()}({col})"
             self.specs.append([col, op, out])

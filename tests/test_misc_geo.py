@@ -1,0 +1,100 @@
+"""Tests: geo ops, sampling/splits, sequence merge, custom reductions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datavec_ray.util import dataset_to_table
+
+
+def test_coordinates_distance():
+    from datavec_ray.ops.geo import CoordinatesDistance
+    t = pa.table({"a": ["0,0", "52.52,13.405"],
+                  "b": ["0,1", "48.8566,2.3522"]})
+    out = CoordinatesDistance("d", "a", "b").apply(t)
+    # 1 degree longitude at the equator ≈ 111.19 km
+    assert abs(out["d"][0].as_py() - 111_195) < 200
+    # Berlin → Paris ≈ 878 km
+    assert abs(out["d"][1].as_py() - 878_000) < 5_000
+    out2 = CoordinatesDistance("d", "a", "b", mode="euclidean").apply(t)
+    assert abs(out2["d"][0].as_py() - 1.0) < 1e-9
+
+
+def test_geographic_midpoint():
+    from datavec_ray.ops.geo import geographic_midpoint
+    mid = geographic_midpoint(["0,0", "0,90"])
+    lat, lon = map(float, mid.split(","))
+    assert abs(lat) < 1e-6 and abs(lon - 45.0) < 1e-6
+
+
+def test_geographic_midpoint_as_custom_reduce(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.geo import geographic_midpoint
+    from datavec_ray.reduce import Reducer, register_reduce_op
+    register_reduce_op(
+        "GeoMidpoint",
+        zero=lambda: [],
+        accumulate=lambda st, col: st + [v for v in col.to_pylist() if v],
+        merge=lambda a, b: a + b,
+        finalize=lambda st: geographic_midpoint(st),
+        out_type=pa.string())
+    t = pa.table({"k": ["x", "x", "y"], "pos": ["0,0", "0,90", "10,10"]})
+    r = Reducer(["k"], [["pos", "GeoMidpoint", "mid"]])
+    loc = r.apply_local(t).sort_by("k")
+    assert loc["mid"][1].as_py() == "10.000000,10.000000"
+    lat, lon = map(float, loc["mid"][0].as_py().split(","))
+    assert abs(lon - 45.0) < 1e-6
+    dist = dataset_to_table(r.apply_dataset(
+        rd.from_arrow(t).repartition(2))).sort_by("k")
+    assert dist.equals(loc)
+
+
+def test_geoip_stub(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.geo import GeoIPLookup
+    t = pa.table({"ip": ["1.2.3.4", "8.8.8.8", "1.2.3.4"]})
+    out = dataset_to_table(rd.from_arrow(t).map_batches(
+        GeoIPLookup, batch_format="pyarrow", concurrency=2))
+    coords = out["coords"].to_pylist()
+    assert len(coords) == 3 and all("," in c for c in coords)
+    # deterministic: same IP → same coords
+    by_ip = dict(zip(out["ip"].to_pylist(), coords))
+    assert by_ip["1.2.3.4"] == coords[0] or by_ip["1.2.3.4"] == coords[2]
+
+
+def test_random_split_deterministic(ray_session):
+    import ray.data as rd
+    from datavec_ray.misc import random_split
+    t = pa.table({"id": pa.array(range(2000), pa.int64())})
+    a, b = random_split(rd.from_arrow(t), [0.8, 0.2], seed=1, salt_column="id")
+    ta, tb = dataset_to_table(a), dataset_to_table(b)
+    assert ta.num_rows + tb.num_rows == 2000
+    assert 0.75 < ta.num_rows / 2000 < 0.85
+    # repartitioned rerun gives identical membership
+    a2, _ = random_split(rd.from_arrow(t).repartition(7), [0.8, 0.2], seed=1,
+                         salt_column="id")
+    assert sorted(dataset_to_table(a2)["id"].to_pylist()) == \
+        sorted(ta["id"].to_pylist())
+
+
+def test_unique_and_sample(ray_session):
+    import ray.data as rd
+    from datavec_ray.misc import sample, unique_values
+    t = pa.table({"k": ["a", "b", "a", "c"] * 50})
+    u = unique_values(rd.from_arrow(t), "k")
+    assert sorted(u) == ["a", "b", "c"]
+    s = sample(rd.from_arrow(t), 0.5, seed=3)
+    assert 40 < s.count() < 160
+
+
+def test_sequence_merge(ray_session):
+    import ray.data as rd
+    from datavec_ray.misc import sequence_merge
+    a = pa.table({"k": ["x", "x"], "i": pa.array([0, 2], pa.int64()),
+                  "v": [1.0, 3.0]})
+    b = pa.table({"k": ["x", "y"], "i": pa.array([1, 0], pa.int64()),
+                  "v": [2.0, 9.0]})
+    out = dataset_to_table(sequence_merge(
+        [rd.from_arrow(a), rd.from_arrow(b)], ["k"], ["i"]))
+    out = out.sort_by([("k", "ascending"), ("i", "ascending")])
+    assert out["v"].to_pylist() == [1.0, 2.0, 3.0, 9.0]
