@@ -109,15 +109,18 @@ class TransformPipeline:
         return plan
 
     def execute(self, ds, batch_size: Optional[int] = None):
-        """Run over a ray.data.Dataset; returns a Dataset (lazy)."""
+        """Run over a ray.data.Dataset; returns a Dataset (lazy).
+
+        batch_size=None (default) feeds WHOLE BLOCKS to the fused kernel —
+        the right granularity for vectorized Arrow work (Ray's 1024-row
+        default exists for Python-heavy UDFs and costs ~2x here).
+        """
         for kind, payload in self._plan():
             if kind == "narrow":
                 steps, out_schema = payload
                 fn = _FusedSteps(steps, out_schema.arrow())
-                kwargs = {"batch_format": "pyarrow"}
-                if batch_size is not None:
-                    kwargs["batch_size"] = batch_size
-                ds = ds.map_batches(fn, **kwargs)
+                ds = ds.map_batches(fn, batch_format="pyarrow",
+                                    batch_size=batch_size)
             else:
                 ds = payload.apply_dataset(ds)
         return ds
