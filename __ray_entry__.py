@@ -57,6 +57,7 @@ def entry() -> Any:
     eng.checkpoint("entry", 10**9)
     eng.commit()
     final = eng.read_lake()
+    eng.shutdown()
     return rd.from_arrow(final)
 
 

@@ -385,6 +385,31 @@ class _Router:
         return pa.table({"routed": pa.array([routed], pa.int64())})
 
 
+def detect_hot_convs(ds, sample_frac: float = 0.02,
+                     hot_multiple: float = 20.0, max_hot: int = 64,
+                     seed: int = 7) -> list[str]:
+    """Sample-based hot-conversation detection for salting (the skew
+    handling the north rule requires explicitly): sample the binlog,
+    count events per conv_id, return convs whose sampled share exceeds
+    ``hot_multiple``x the mean — candidates for `salt_turns` spreading.
+    One cheap pass over a sample; no full shuffle."""
+    import pyarrow as pa
+
+    from datavec_ray.util import dataset_to_table
+
+    sampled = dataset_to_table(
+        ds.select_columns(["conv_id"]).random_sample(sample_frac, seed=seed))
+    if sampled.num_rows == 0:
+        return []
+    counts = sampled.group_by("conv_id").aggregate([("conv_id", "count")])
+    n = counts.num_rows
+    mean = sampled.num_rows / max(1, n)
+    mask = pc.greater(counts["conv_id_count"], mean * hot_multiple)
+    hot = counts.filter(mask)
+    hot = hot.sort_by([("conv_id_count", "descending")]).slice(0, max_hot)
+    return hot["conv_id"].to_pylist()
+
+
 class _PrepareShuffle:
     """map_batches body for shuffle-mode ingest: filter watermark,
     normalize schema, per-batch LWW pre-compaction, assign partition."""

@@ -151,3 +151,19 @@ def test_binlog_from_events_deterministic():
     assert a.equals(b)
     assert a.column_names == ["lsn", "op", "conv_id", "turn_idx", "role",
                               "text", "tool", "ts"]
+
+
+def test_detect_hot_convs(ray_session, binlog):
+    import ray.data as rd
+    from datavec_ray.cdc.engine import detect_hot_convs
+    hot = detect_hot_convs(rd.from_arrow(binlog), sample_frac=0.3,
+                           hot_multiple=5)
+    # zipf-ish conversation sizes guarantee some hot conversations
+    assert len(hot) >= 1
+    # detected convs really are heavy: each has more events than average
+    counts = binlog.group_by("conv_id").aggregate([("conv_id", "count")])
+    import pyarrow.compute as pc
+    mean = binlog.num_rows / counts.num_rows
+    lookup = dict(zip(counts["conv_id"].to_pylist(),
+                      counts["conv_id_count"].to_pylist()))
+    assert all(lookup[c] > mean for c in hot)

@@ -193,3 +193,27 @@ def test_text_expansions():
     out2 = p2.execute_table(t)
     assert out2["term_idx"].to_pylist() == [0, 1, 2]
     assert out2["seq_pos"].to_pylist() == [0, 0, 1]
+
+
+def test_incremental_transformer():
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.pipeline import TransformPipeline
+    from datavec_ray.serve import IncrementalTransformer
+    from datavec_ray.steps import ConditionFilter, IntegerMathOp
+    import pyarrow as pa
+    from datavec_ray.schema import Schema
+    sch = Schema.builder().add_integer("x").add_string("s").build()
+    p = TransformPipeline(sch)
+    p.add(IntegerMathOp("x", "Add", 10))
+    p.add(ConditionFilter(ColumnCondition("x", "GreaterThan", 100)))
+    t = IncrementalTransformer(p.to_json())  # hot-swap path: from JSON
+    assert t.transform_record({"x": 1, "s": "a"}) == {"x": 11, "s": "a"}
+    assert t.transform_record({"x": 200, "s": "b"}) is None
+    out = t.transform_batch([{"x": 1, "s": "a"}, {"x": 200, "s": "b"}])
+    assert out == [{"x": 11, "s": "a"}]
+    # wide steps rejected like the reference's per-record execute
+    from datavec_ray.reduce import Reducer
+    import pytest as _pytest
+    p2 = TransformPipeline(sch).add(Reducer(["s"], [["x", "Sum", "sx"]]))
+    with _pytest.raises(ValueError):
+        IncrementalTransformer(p2)
