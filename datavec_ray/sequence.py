@@ -48,6 +48,11 @@ class SequenceOp:
     def apply_group(self, table: pa.Table) -> pa.Table:
         raise NotImplementedError
 
+    # Optional fast path: vectorized across ALL groups of one hash
+    # partition at once (pandas groupby kernels), df already sorted by
+    # (keys..., order_by...). Ops without it force the per-group path.
+    apply_partition = None
+
     def to_dict(self) -> dict[str, Any]:
         raise NotImplementedError
 
@@ -117,6 +122,25 @@ class SequenceOffset(SequenceOp):
                 table = table.slice(0, max(0, n + k))
         return table
 
+    def apply_partition(self, df, keys):
+        import pandas as pd
+        g = df.groupby(keys, sort=False, group_keys=False)
+        k = self.offset
+        for c, new in zip(self.columns, self._new_names()):
+            target = c if self.mode == "InPlace" else new
+            shifted = g[c].shift(k)
+            if self.edge == "SpecifiedValue":
+                shifted = shifted.fillna(self.value)
+            df[target] = shifted
+        if self.edge == "TrimSequence":
+            pos = g.cumcount()
+            n = g[keys[0]].transform("size")
+            if k >= 0:
+                df = df[pos >= k]
+            else:
+                df = df[pos < n + k]
+        return df
+
     def to_dict(self):
         return {"cls": "SequenceOffset", "columns": self.columns,
                 "offset": self.offset, "mode": self.mode, "edge": self.edge,
@@ -164,6 +188,22 @@ class SequenceDifference(SequenceOp):
             return table.set_column(i, pa.field(target, out.type), out)
         return table.append_column(pa.field(target, out.type), out)
 
+    def apply_partition(self, df, keys):
+        g = df.groupby(keys, sort=False, group_keys=False)
+        col = df[self.column]
+        is_ts = str(col.dtype).startswith("datetime")
+        work = col.astype("int64") if is_ts else col
+        shifted = work.groupby([df[k] for k in keys], sort=False).shift(self.lookback)
+        diff = work - shifted
+        fv = self.value if self.first_mode == "SpecifiedValue" else 0
+        diff = diff.fillna(fv)
+        target = self.new_column or self.column
+        if is_ts or str(diff.dtype) in ("int64", "Int64"):
+            df[target] = diff.astype("int64")
+        else:
+            df[target] = diff
+        return df
+
     def to_dict(self):
         return {"cls": "SequenceDifference", "column": self.column,
                 "lookback": self.lookback, "first_mode": self.first_mode,
@@ -196,6 +236,18 @@ class MovingWindowReduce(SequenceOp):
         arr = pa.array(vals.to_numpy(), type=out_t)
         return table.append_column(pa.field(self.new_column, out_t), arr)
 
+    def apply_partition(self, df, keys):
+        g = df.groupby(keys, sort=False, group_keys=False)[self.column]
+        r = g.rolling(self.window, min_periods=1)
+        fn = {"Sum": r.sum, "Mean": r.mean, "Min": r.min, "Max": r.max,
+              "Stdev": r.std, "Count": r.count}[self.op]
+        vals = fn().reset_index(drop=True)
+        vals.index = df.index
+        df[self.new_column] = vals
+        if self.op == "Count":
+            df[self.new_column] = df[self.new_column].astype("int64")
+        return df
+
     def to_dict(self):
         return {"cls": "MovingWindowReduce", "column": self.column,
                 "window": self.window, "op": self.op, "new_column": self.new_column}
@@ -215,6 +267,14 @@ class SequenceTrim(SequenceOp):
         if self.from_start:
             return table.slice(self.num_steps)
         return table.slice(0, max(0, table.num_rows - self.num_steps))
+
+    def apply_partition(self, df, keys):
+        g = df.groupby(keys, sort=False, group_keys=False)
+        pos = g.cumcount()
+        if self.from_start:
+            return df[pos >= self.num_steps]
+        n = g[keys[0]].transform("size")
+        return df[pos < n - self.num_steps]
 
     def to_dict(self):
         return {"cls": "SequenceTrim", "num_steps": self.num_steps,
@@ -248,6 +308,20 @@ class SplitTimeSeparation(SequenceOp):
         return table.append_column(pa.field(self.new_column, pa.int64()),
                                    pa.array(sub))
 
+    def apply_partition(self, df, keys):
+        col = df[self.time_column]
+        dt = str(col.dtype)
+        t = col.astype("int64")
+        unit_scale = {"datetime64[s]": 0.001, "datetime64[ms]": 1,
+                      "datetime64[us]": 1000,
+                      "datetime64[ns]": 1_000_000}.get(dt, 1)
+        thresh = self.threshold_ms * unit_scale
+        gaps = t.groupby([df[k] for k in keys], sort=False).diff().fillna(0)
+        over = (gaps > thresh).astype("int64")
+        df[self.new_column] = over.groupby(
+            [df[k] for k in keys], sort=False).cumsum()
+        return df
+
     def to_dict(self):
         return {"cls": "SplitTimeSeparation", "time_column": self.time_column,
                 "threshold_ms": self.threshold_ms, "new_column": self.new_column}
@@ -268,6 +342,11 @@ class SplitMaxLength(SequenceOp):
         sub = (np.arange(table.num_rows) // self.max_length).astype(np.int64)
         return table.append_column(pa.field(self.new_column, pa.int64()),
                                    pa.array(sub))
+
+    def apply_partition(self, df, keys):
+        pos = df.groupby(keys, sort=False, group_keys=False).cumcount()
+        df[self.new_column] = (pos // self.max_length).astype("int64")
+        return df
 
     def to_dict(self):
         return {"cls": "SplitMaxLength", "max_length": self.max_length,
@@ -474,6 +553,14 @@ class SequenceLengthFilter(SequenceOp):
             return table.schema.empty_table()
         return table
 
+    def apply_partition(self, df, keys):
+        n = df.groupby(keys, sort=False, group_keys=False)[keys[0]] \
+            .transform("size")
+        mask = n >= self.min_length
+        if self.max_length is not None:
+            mask &= n <= self.max_length
+        return df[mask]
+
     def to_dict(self):
         return {"cls": "SequenceLengthFilter", "min_length": self.min_length,
                 "max_length": self.max_length}
@@ -482,6 +569,30 @@ class SequenceLengthFilter(SequenceOp):
 # ---------------------------------------------------------------------------
 # The wide step: groupby(keys) → sort in group → apply op chain
 # ---------------------------------------------------------------------------
+
+class _PartitionFn:
+    """Pandas map_groups body for the vectorized fast path: processes one
+    HASH PARTITION (many groups) at once — per-group work happens inside
+    pandas groupby kernels, so per-sequence Python overhead is O(P), not
+    O(#groups). Semantics identical to _GroupFn (parity-tested)."""
+
+    def __init__(self, keys: list[str], order_by: list[str], descending: bool,
+                 ops: list[SequenceOp]):
+        self.keys, self.order_by, self.descending = keys, order_by, descending
+        self.ops = ops
+        self.__name__ = "sequence_partition"
+
+    def __call__(self, df):
+        if len(df) == 0:
+            return df
+        df = df.sort_values(self.keys + self.order_by,
+                            ascending=[True] * len(self.keys)
+                            + [not self.descending] * len(self.order_by),
+                            kind="stable").reset_index(drop=True)
+        for op in self.ops:
+            df = op.apply_partition(df, self.keys)
+        return df.drop(columns=["__gpart"], errors="ignore")
+
 
 class _GroupFn:
     """Picklable map_groups body: sort the group, run the op chain."""
@@ -537,10 +648,49 @@ class GroupedSequence(WideStep):
             out = op.output_schema(out)
         return out
 
-    def apply_dataset(self, ds):
+    def apply_dataset(self, ds, num_partitions: int = 32):
         out = self.output_schema(Schema(ds.schema().base_schema))
-        fn = _GroupFn(self.order_by, self.descending, self.ops, out.arrow())
-        return ds.groupby(self.keys).map_groups(fn, batch_format="pyarrow")
+        vectorizable = bool(self.ops) and all(
+            getattr(op, "apply_partition", None) is not None for op in self.ops)
+        if not vectorizable:
+            # per-group path: exact per-sequence semantics for ops that
+            # cannot vectorize across groups (window reduces etc.)
+            fn = _GroupFn(self.order_by, self.descending, self.ops, out.arrow())
+            return ds.groupby(self.keys).map_groups(fn, batch_format="pyarrow")
+        # fast path: hash-partition on the sequence key, ONE map_groups
+        # call per partition, pandas groupby kernels vectorized across all
+        # sequences in the partition (per-group Python cost would dominate
+        # with millions of small conversations)
+        from datavec_ray.hll import hash64
+        keys = self.keys
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            h = hash64(batch[keys[0]].combine_chunks() if
+                       isinstance(batch[keys[0]], pa.ChunkedArray)
+                       else batch[keys[0]])
+            for k in keys[1:]:
+                h = h ^ (hash64(batch[k].combine_chunks()
+                                if isinstance(batch[k], pa.ChunkedArray)
+                                else batch[k]) * np.uint64(0x9E3779B97F4A7C15))
+            part = (h % np.uint64(num_partitions)).astype(np.int64)
+            return batch.append_column(pa.field("__gpart", pa.int64()),
+                                       pa.array(part))
+
+        pfn = _PartitionFn(self.keys, self.order_by, self.descending, self.ops)
+        grouped = (ds.map_batches(add_part, batch_format="pyarrow",
+                                  batch_size=None)
+                   .groupby("__gpart")
+                   .map_groups(pfn, batch_format="pandas"))
+        target = out.arrow()
+
+        def cast_schema(batch: pa.Table) -> pa.Table:
+            from datavec_ray.cdc.engine import normalize_to_schema
+            if batch.num_rows == 0:
+                return target.empty_table()
+            return normalize_to_schema(batch, target)
+
+        return grouped.map_batches(cast_schema, batch_format="pyarrow",
+                                   batch_size=None)
 
     def apply_local(self, table: pa.Table) -> pa.Table:
         import pandas as pd

@@ -11,12 +11,15 @@ def dataset_to_table(ds) -> pa.Table:
     Driver-side materialization — only for small results (aggregates,
     dimension tables, test outputs), never the main input.
     """
+    import pandas as pd
     import ray
     refs = ds.to_arrow_refs()
-    tables = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+    blocks = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b
+              for b in ray.get(list(refs))]
+    tables = [t for t in blocks if t.num_rows > 0]
     if not tables:
-        empty = ray.get(list(refs))
-        return empty[0] if empty else pa.table({})
+        return blocks[0] if blocks else pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")
 
 

@@ -195,3 +195,27 @@ def test_broadcast_join(ray_session):
     j = JoinStep(right, ["k"], join_type="LeftOuter", broadcast=True)
     out = dataset_to_table(j.apply_dataset(rd.from_arrow(left))).sort_by("k")
     assert out["rv"].to_pylist() == [10, 20, None]
+
+
+def test_vectorized_partition_path_parity(ray_session):
+    """Every vectorizable op: fast (pandas-partition) path vs the
+    per-group oracle, including edge trims and filters."""
+    import ray.data as rd
+    chains = [
+        [SequenceOffset(["v"], 1, "NewColumn", "SpecifiedValue", -1.0)],
+        [SequenceOffset(["v"], 1, "InPlace", "TrimSequence")],
+        [SequenceOffset(["v"], -1, "NewColumn", "TrimSequence")],
+        [SequenceTrim(1, True)],
+        [SequenceTrim(2, False)],
+        [SequenceLengthFilter(min_length=3)],
+        [SplitMaxLength(2, "sub")],
+        [SequenceDifference("v", 2, "SpecifiedValue", -9.0, "dv"),
+         MovingWindowReduce("v", 2, "Sum", "mw"), SequenceTrim(1, True)],
+    ]
+    for ops in chains:
+        gs = GroupedSequence(["k"], ["i"], ops)
+        loc = gs.apply_local(seq_table())
+        dist = dataset_to_table(gs.apply_dataset(
+            rd.from_arrow(seq_table()).repartition(3)))
+        key = [("k", "ascending"), ("i", "ascending")]
+        assert tables_equal(loc.sort_by(key), dist.sort_by(key)), ops
