@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the load-bearing invariants:
+LWW compaction is order-independent and idempotent; the replay oracle
+agrees with vectorized compaction on arbitrary event streams; condition
+masks partition rows exactly; HLL merge is commutative."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from datavec_ray.cdc.engine import lww_compact_table
+from datavec_ray.cdc.oracle import replay_oracle
+
+
+@st.composite
+def binlog_tables(draw):
+    n = draw(st.integers(1, 60))
+    n_convs = draw(st.integers(1, 5))
+    n_turns = draw(st.integers(1, 4))
+    convs = [f"c{draw(st.integers(0, n_convs - 1))}" for _ in range(n)]
+    turns = [draw(st.integers(0, n_turns - 1)) for _ in range(n)]
+    ops = [draw(st.sampled_from(["I", "U", "D"])) for _ in range(n)]
+    ts = [draw(st.integers(0, 5)) * 1000 for _ in range(n)]  # force ts ties
+    texts = [f"t{draw(st.integers(0, 9))}" for _ in range(n)]
+    return pa.table({
+        "lsn": pa.array(range(1, n + 1), pa.int64()),
+        "op": pa.array(ops, pa.string()),
+        "conv_id": pa.array(convs, pa.string()),
+        "turn_idx": pa.array(turns, pa.int32()),
+        "role": pa.array(["user"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("ms")),
+    })
+
+
+KEY = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+
+
+@settings(max_examples=60, deadline=None)
+@given(binlog_tables(), st.integers(0, 2**31 - 1))
+def test_lww_compact_order_independent(tbl, seed):
+    perm = tbl.take(pa.array(
+        np.random.default_rng(seed).permutation(tbl.num_rows)))
+    a = lww_compact_table(tbl, drop_tombstones=True).sort_by(KEY)
+    b = lww_compact_table(perm, drop_tombstones=True).sort_by(KEY)
+    assert a.equals(b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(binlog_tables())
+def test_lww_compact_idempotent(tbl):
+    once = lww_compact_table(tbl, drop_tombstones=False)
+    twice = lww_compact_table(once, drop_tombstones=False)
+    assert once.sort_by(KEY + [("lsn", "ascending")]).equals(
+        twice.sort_by(KEY + [("lsn", "ascending")]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(binlog_tables())
+def test_compaction_matches_oracle(tbl):
+    """Vectorized argmax compaction ≡ sequential LSN-order dict replay."""
+    oracle = replay_oracle(tbl)
+    compact = lww_compact_table(tbl, drop_tombstones=True)
+    compact = compact.sort_by(KEY).select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    assert compact.num_rows == oracle.num_rows
+    assert compact.cast(oracle.schema).equals(oracle)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=0, max_size=50),
+       st.integers(-5, 5))
+def test_condition_partitions_rows(values, threshold):
+    """filter(cond) + filter(NOT cond) = all rows, none duplicated."""
+    from datavec_ray.conditions import BooleanCondition, ColumnCondition
+    t = pa.table({"x": pa.array(values, pa.int64())})
+    cond = ColumnCondition("x", "GreaterThan", threshold)
+    kept = t.filter(cond.mask(t))
+    dropped = t.filter(BooleanCondition("NOT", [cond]).mask(t))
+    assert kept.num_rows + dropped.num_rows == t.num_rows
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=500),
+       st.lists(st.integers(0, 10**6), min_size=1, max_size=500))
+def test_hll_merge_commutative(a, b):
+    from datavec_ray.hll import HyperLogLog, hash64
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add_hashes(hash64(np.array(a, dtype=np.int64)))
+    h2.add_hashes(hash64(np.array(b, dtype=np.int64)))
+    m1 = HyperLogLog.from_bytes(h1.to_bytes()).merge(h2)
+    h1b, h2b = HyperLogLog(), HyperLogLog()
+    h1b.add_hashes(hash64(np.array(a, dtype=np.int64)))
+    h2b.add_hashes(hash64(np.array(b, dtype=np.int64)))
+    m2 = h2b.merge(h1b)
+    assert (m1.registers == m2.registers).all()
+    # sanity: estimate within tolerance of true distinct count
+    true = len(set(a) | set(b))
+    assert abs(m1.cardinality() - true) <= max(3.0, 0.15 * true)
