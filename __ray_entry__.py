@@ -85,6 +85,8 @@ def _q_groupby_agg(sf_dir: str):
                    ["l_extendedprice", "Sum", "sum_price"],
                    ["gross", "Mean", "avg_gross"],
                    ["l_quantity", "Count", "n"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sum_qty", "sum_price", "avg_gross"], 4))
     return p.execute(ds)
 
 
@@ -103,6 +105,8 @@ def _q_filter_math(sf_dir: str):
     p.add(DoubleMathOp("l_quantity", "Multiply", 2.0))
     p.add(DoubleMathOp("l_quantity", "Add", 1.0))
     p.add(DoubleMathFunction("l_discount", "SQRT"))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["l_discount"], 6))
     p.add(KeepColumns(["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]))
     return p.execute(ds)
 
@@ -139,6 +143,8 @@ def _q_join_shuffle(sf_dir: str):
     p.add(Reducer(["o_orderpriority"],
                   [["l_extendedprice", "Sum", "sum_price"],
                    ["l_extendedprice", "Count", "n"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sum_price"], 4))
     return p.execute(li)
 
 
@@ -210,6 +216,8 @@ def _q_time_derive(sf_dir: str):
     p.add(DeriveColumnsFromTime("o_orderdate", [["year", "yr"], ["month", "mo"]]))
     p.add(Reducer(["yr", "mo"], [["o_totalprice", "Sum", "sum_price"],
                                  ["o_totalprice", "Count", "n"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sum_price"], 4))
     return p.execute(ds)
 
 
@@ -226,6 +234,8 @@ def _q_conditional_replace(sf_dir: str):
                                   ColumnCondition("l_discount", "LessThan", 0.05)))
     p.add(Reducer(["l_returnflag"], [["l_discount", "Sum", "sum_disc"],
                                      ["l_discount", "Count", "n"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sum_disc"], 6))
     return p.execute(ds)
 
 
@@ -242,6 +252,8 @@ def _q_reduce_ops(sf_dir: str):
                    ["l_quantity", "Stdev", "sd_q"],
                    ["l_quantity", "Variance", "var_q"],
                    ["l_partkey", "CountUniqueExact", "uniq_parts"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sd_q", "var_q"], 6))
     return p.execute(ds)
 
 
@@ -257,6 +269,8 @@ def _q_normalize(sf_dir: str):
     p.add(norm)
     p.add(Reducer(["event_type"], [["value", "Mean", "avg_norm"],
                                    ["value", "Count", "n"]]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["avg_norm"], 8))
     return p.execute(ds)
 
 
@@ -284,6 +298,8 @@ def _q_moving_window(sf_dir: str):
         ["event_id", "user_id", "ts", "value"]))
     p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
                           [MovingWindowReduce("value", 3, "Mean", "mv")]))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["mv"], 8))
     p.add(KeepColumns(["event_id", "user_id", "mv"]))
     return p.execute(ds)
 
@@ -323,6 +339,8 @@ def _q_tumbling_window(sf_dir: str):
         return t.set_column(i, pa.field("window_start", pa.int64()), ms)
 
     p.add(LambdaStep(to_ms, name="window_start_to_ms"))
+    from datavec_ray.steps import RoundColumns
+    p.add(RoundColumns(["sum_value"], 6))
     return p.execute(ds)
 
 
@@ -631,9 +649,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "groupby_agg": """
             select l_returnflag, l_linestatus,
-                   sum(l_quantity) as sum_qty,
-                   sum(l_extendedprice) as sum_price,
-                   avg(l_extendedprice * l_quantity) as avg_gross,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 4) as sum_price,
+                   round(avg(l_extendedprice * l_quantity), 4) as avg_gross,
                    count(*) as n
             from lineitem
             where l_shipdate <= timestamp '1998-09-02'
@@ -641,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_math": """
             select l_orderkey, l_linenumber,
                    l_quantity * 2 + 1 as l_quantity,
-                   sqrt(l_discount) as l_discount
+                   round(sqrt(l_discount), 6) as l_discount
             from lineitem
             where not (l_discount < 0.02 or l_quantity >= 45)""",
         "join_broadcast": """
@@ -650,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
             where c_mktsegment = 'BUILDING'""",
         "join_shuffle": """
             select o_orderpriority,
-                   sum(l_extendedprice) as sum_price,
+                   round(sum(l_extendedprice), 4) as sum_price,
                    count(*) as n
             from lineitem join orders on l_orderkey = o_orderkey
             group by 1""",
@@ -682,26 +700,26 @@ def oracle_sql() -> dict[str, str]:
         "time_derive": """
             select cast(date_part('year', o_orderdate) as int) as yr,
                    cast(date_part('month', o_orderdate) as int) as mo,
-                   sum(o_totalprice) as sum_price, count(*) as n
+                   round(sum(o_totalprice), 4) as sum_price, count(*) as n
             from orders group by 1, 2""",
         "conditional_replace": """
             select l_returnflag,
-                   sum(case when l_discount < 0.05 then 0.0 else l_discount end)
-                     as sum_disc,
+                   round(sum(case when l_discount < 0.05 then 0.0
+                             else l_discount end), 6) as sum_disc,
                    count(*) as n
             from lineitem group by 1""",
         "reduce_ops": """
             select l_returnflag,
                    min(l_quantity) as min_q, max(l_quantity) as max_q,
                    max(l_quantity) - min(l_quantity) as range_q,
-                   stddev_samp(l_quantity) as sd_q,
-                   var_samp(l_quantity) as var_q,
+                   round(stddev_samp(l_quantity), 6) as sd_q,
+                   round(var_samp(l_quantity), 6) as var_q,
                    count(distinct l_partkey) as uniq_parts
             from lineitem group by 1""",
         "normalize": """
             with s as (select min(value) mn, max(value) mx from events)
             select event_type,
-                   avg((value - mn) / (mx - mn)) as avg_norm,
+                   round(avg((value - mn) / (mx - mn)), 8) as avg_norm,
                    count(*) as n
             from events, s group by event_type, mn, mx""",
         "sequence_diff": """
@@ -711,8 +729,9 @@ def oracle_sql() -> dict[str, str]:
             from events""",
         "moving_window": """
             select event_id, user_id,
-                   avg(value) over (partition by user_id order by ts, event_id
-                                    rows between 2 preceding and current row) as mv
+                   round(avg(value) over
+                     (partition by user_id order by ts, event_id
+                      rows between 2 preceding and current row), 8) as mv
             from events""",
         "session_split": """
             select event_id, user_id,
@@ -726,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": """
             select user_id,
                    (epoch_ms(ts) // 86400000) * 86400000 as window_start,
-                   sum(value) as sum_value, count(*) as n
+                   round(sum(value), 6) as sum_value, count(*) as n
             from events group by 1, 2""",
         "cdc_upsert": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms

@@ -3,7 +3,7 @@
 from datavec_ray.steps.base import Step, WideStep
 from datavec_ray.steps.column import (
     AddConstantColumn, DuplicateColumns, KeepColumns, RemoveColumns,
-    RenameColumns, ReorderColumns,
+    RenameColumns, ReorderColumns, RoundColumns,
 )
 from datavec_ray.steps.math import (
     ConvertToDouble, ConvertToFloat, ConvertToInteger, ConvertToLong,

@@ -134,3 +134,31 @@ class AddConstantColumn(Step):
     def to_dict(self) -> dict[str, Any]:
         return {"cls": "AddConstantColumn", "name": self.name,
                 "column_type": self.column_type, "value": self.value}
+
+
+@register("step")
+class RoundColumns(Step):
+    """Round float columns to `digits` decimals (pc.round, half-to-even).
+
+    Used to pin float outputs for cross-engine comparison (parallel
+    summation order differs between engines at ~1e-12 relative)."""
+
+    def __init__(self, columns: Sequence[str], digits: int = 4):
+        self.columns, self.digits = list(columns), digits
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(*self.columns)
+        return schema
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for c in self.columns:
+            i = table.schema.get_field_index(c)
+            table = table.set_column(
+                i, pa.field(c, pa.float64()),
+                pc.round(pc.cast(table[c], pa.float64()), ndigits=self.digits))
+        return table
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "RoundColumns", "columns": self.columns,
+                "digits": self.digits}
