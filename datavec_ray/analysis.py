@@ -262,3 +262,52 @@ def sequence_length_analysis(ds_or_table, key: str) -> dict:
             "max": float(a.max()) if len(a) else None,
             "mean": float(a.mean()) if len(a) else None,
             "stdev": float(a.std(ddof=1)) if len(a) > 1 else 0.0}
+
+
+def analysis_to_html(stats: dict[str, dict], title: str = "Dataset analysis",
+                     histograms: Optional[dict] = None) -> str:
+    """Render analyze() output (+optional histograms) to a standalone HTML
+    report — the reference's HtmlAnalysis (transform/ui/HtmlAnalysis.java:48)
+    without the freemarker/plotting deps: plain tables + inline SVG bars."""
+    rows = []
+    for col, st in stats.items():
+        cells = "".join(
+            f"<tr><td>{k}</td><td>{v if not isinstance(v, float) else round(v, 6)}"
+            f"</td></tr>" for k, v in st.items())
+        svg = ""
+        if histograms and col in histograms:
+            edges, counts = histograms[col]
+            mx = max(int(c) for c in counts) or 1
+            bars = "".join(
+                f'<rect x="{i * 12}" y="{60 - 60 * int(c) / mx}" width="10" '
+                f'height="{60 * int(c) / mx}" fill="#4878a8"/>'
+                for i, c in enumerate(counts))
+            svg = (f'<svg width="{12 * len(counts)}" height="62">{bars}</svg>'
+                   f'<div class="hint">range [{edges[0]:g}, {edges[-1]:g}], '
+                   f'{len(counts)} buckets</div>')
+        rows.append(f"<section><h2>{col}</h2>{svg}"
+                    f"<table>{cells}</table></section>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{title}</title>"
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse}td{border:1px solid #ccc;"
+        "padding:2px 8px}h2{margin-bottom:4px}.hint{color:#666;"
+        "font-size:12px}</style></head><body>"
+        f"<h1>{title}</h1>" + "".join(rows) + "</body></html>")
+
+
+def write_analysis_html(ds_or_table, path: str,
+                        columns: Optional[Sequence[str]] = None,
+                        histogram_columns: Optional[Sequence[str]] = None,
+                        bins: int = 30, title: str = "Dataset analysis") -> str:
+    stats = analyze(ds_or_table, columns)
+    hists = {}
+    for c in (histogram_columns or []):
+        hists[c] = histogram(ds_or_table, c, bins=bins)
+    html = analysis_to_html(stats, title, hists)
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(html)
+    return path

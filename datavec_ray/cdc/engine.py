@@ -585,6 +585,56 @@ class CdcIngestEngine:
             lineages.append(lineage)
         return lineages
 
+    def tail(self, wal_dir: str, poll_interval: float = 0.5,
+             idle_rounds: int = 3, checkpoint_every: int = 1) -> dict:
+        """Tail a WAL directory: ingest new segment parquet files as they
+        appear (lexicographic order = LSN order by convention), resuming
+        from the manifest's watermark. Stops after `idle_rounds` polls
+        with no new files (a real deployment would run forever). Returns
+        {segments, events, watermark}.
+
+        Exactly-once across restarts: a segment seen again after a crash
+        is re-ingested but the LSN watermark filter + idempotent LWW
+        merge make the replay harmless; the manifest records per-segment
+        checkpoints."""
+        import ray.data as rd
+
+        wm = self.resume_from_checkpoint()
+        done = {e.get("segment") for e in self.manifest.entries
+                if e.get("type") == "checkpoint" and e.get("segment")}
+        idle = 0
+        n_segments = 0
+        n_events = 0
+        since_ckpt = 0
+        while idle < idle_rounds:
+            files = sorted(f for f in os.listdir(wal_dir)
+                           if f.endswith(".parquet"))
+            new = [f for f in files if f not in done]
+            if not new:
+                idle += 1
+                time.sleep(poll_interval)
+                continue
+            idle = 0
+            for f in new:
+                path = os.path.join(wal_dir, f)
+                n = self.ingest(rd.read_parquet(path), min_lsn_exclusive=wm)
+                hi = int(pq.read_metadata(path).num_rows and
+                         pc.max(pq.read_table(path, columns=["lsn"])["lsn"]).as_py() or wm)
+                wm = max(wm, hi)
+                done.add(f)
+                n_segments += 1
+                n_events += n
+                since_ckpt += 1
+                if since_ckpt >= checkpoint_every:
+                    entry = self.checkpoint(f"tail-{f}", wm)
+                    entry["segment"] = f
+                    # rewrite the last manifest entry with the segment tag
+                    self.manifest.entries[-1]["segment"] = f
+                    self.manifest.append({"type": "tail-progress",
+                                          "segment": f, "lsn_hi": wm})
+                    since_ckpt = 0
+        return {"segments": n_segments, "events": n_events, "watermark": wm}
+
     def shutdown(self) -> None:
         """Kill shard/registry actors (bench + batch jobs that create
         several engines per process; otherwise dead handles linger until

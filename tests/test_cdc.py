@@ -167,3 +167,36 @@ def test_detect_hot_convs(ray_session, binlog):
     lookup = dict(zip(counts["conv_id"].to_pylist(),
                       counts["conv_id_count"].to_pylist()))
     assert all(lookup[c] > mean for c in hot)
+
+
+def test_wal_tail(ray_session, tmp_path):
+    """Tail mode: segments appearing over time are ingested incrementally;
+    a restarted tail skips completed segments via the manifest."""
+    import threading
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    bl = synth_binlog(6000, seed=3)
+    segs = split_segments(bl, 3)
+    wal = tmp_path / "wal"
+    wal.mkdir()
+
+    def writer():
+        for i, seg in enumerate(segs):
+            pq.write_table(seg, str(wal / f"seg-{i:04d}.parquet"))
+            _time.sleep(0.4)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
+    stats = eng.tail(str(wal), poll_interval=0.2, idle_rounds=8)
+    t.join()
+    assert stats["segments"] == 3
+    eng.commit()
+    assert eng.read_lake().equals(replay_oracle(bl))
+    # restart: nothing new to do, watermark preserved
+    eng2 = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
+    stats2 = eng2.tail(str(wal), poll_interval=0.1, idle_rounds=2)
+    assert stats2["segments"] == 0
+    assert stats2["watermark"] == stats["watermark"]

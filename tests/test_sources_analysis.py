@@ -217,3 +217,13 @@ def test_incremental_transformer():
     p2 = TransformPipeline(sch).add(Reducer(["s"], [["x", "Sum", "sx"]]))
     with _pytest.raises(ValueError):
         IncrementalTransformer(p2)
+
+
+def test_analysis_html_report(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.analysis import write_analysis_html
+    t = pa.table({"x": [1.0, 2.0, 3.0, 10.0], "s": ["a", "bb", "", None]})
+    p = write_analysis_html(rd.from_arrow(t), str(tmp_path / "report.html"),
+                            histogram_columns=["x"])
+    html = open(p).read()
+    assert "<svg" in html and "count_missing" in html and "mean_length" in html
