@@ -14,7 +14,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
+
+# make the sibling package importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from collections.abc import Callable
 from typing import Any
 

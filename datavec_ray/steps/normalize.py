@@ -89,3 +89,25 @@ def fit_normalizer(ds_or_table, mode: str, column: str,
                    new_min: float = 0.0, new_max: float = 1.0) -> Normalize:
     return Normalize(column, mode, column_stats(ds_or_table, column),
                      new_min, new_max)
+
+
+def fit_normalizers(ds_or_table, mode: str, columns,
+                    new_min: float = 0.0, new_max: float = 1.0) -> list:
+    """Fit one normalizer per column with a SINGLE stats pass over the
+    dataset (the reference's Normalization computes all column stats in
+    one df.agg; N separate passes would read the data N times)."""
+    columns = list(columns)
+    if isinstance(ds_or_table, pa.Table):
+        return [fit_normalizer(ds_or_table, mode, c, new_min, new_max)
+                for c in columns]
+    from ray.data.aggregate import Max, Mean, Min, Std
+    aggs = []
+    for c in columns:
+        aggs += [Min(c), Max(c), Mean(c), Std(c, ddof=1)]
+    row = ds_or_table.aggregate(*aggs)
+    out = []
+    for c in columns:
+        stats = {"min": row[f"min({c})"], "max": row[f"max({c})"],
+                 "mean": row[f"mean({c})"], "std": row[f"std({c})"] or 0.0}
+        out.append(Normalize(c, mode, stats, new_min, new_max))
+    return out
