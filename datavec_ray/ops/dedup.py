@@ -202,15 +202,22 @@ def minhash_lsh_pairs(ds, text_lookup: Optional[dict] = None,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(texts: list) -> np.ndarray:
-    """64-bit SimHash per text (Charikar 2002): sign of summed ±1 token
-    hash bits. Vectorized via bit unpacking."""
+def simhash64(texts: list, shingle_k: int = 2) -> np.ndarray:
+    """64-bit SimHash per text (Charikar 2002): sign of summed ±1 feature
+    hash bits. Features are word k-gram shingles (k=2 default) — single
+    tokens make short documents with a shared vocabulary collapse to
+    near-identical hashes (degenerate banding)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = (t or "").lower().split()
         if not toks:
             continue
-        h = hash64(np.array(toks, dtype=object))
+        if len(toks) >= shingle_k:
+            feats = [" ".join(toks[j:j + shingle_k])
+                     for j in range(len(toks) - shingle_k + 1)]
+        else:
+            feats = [" ".join(toks)]
+        h = hash64(np.array(feats, dtype=object))
         bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
         votes = bits.sum(axis=0) * 2 - len(h)   # (+1/-1 summed)
         sim_bits = (votes > 0).astype(np.uint8)

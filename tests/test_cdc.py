@@ -190,7 +190,7 @@ def test_wal_tail(ray_session, tmp_path):
     t = threading.Thread(target=writer)
     t.start()
     eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
-    stats = eng.tail(str(wal), poll_interval=0.2, idle_rounds=8)
+    stats = eng.tail(str(wal), poll_interval=0.2, idle_rounds=15)
     t.join()
     assert stats["segments"] == 3
     eng.commit()
