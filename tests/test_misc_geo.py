@@ -98,3 +98,22 @@ def test_sequence_merge(ray_session):
         [rd.from_arrow(a), rd.from_arrow(b)], ["k"], ["i"]))
     out = out.sort_by([("k", "ascending"), ("i", "ascending")])
     assert out["v"].to_pylist() == [1.0, 2.0, 3.0, 9.0]
+
+
+def test_pack_unpack_roundtrip(ray_session):
+    import ray.data as rd
+    from datavec_ray.packed import pack_sequences, pack_table, unpack_sequences
+    t = pa.table({"conv": ["b", "a", "a", "b", "a"],
+                  "turn": pa.array([0, 1, 0, 1, 2], pa.int32()),
+                  "text": ["b0", "a1", "a0", "b1", "a2"]})
+    packed = pack_table(t, ["conv"], ["turn"])
+    assert packed.num_rows == 2
+    a_steps = packed["steps"][0].as_py()
+    assert [s["text"] for s in a_steps] == ["a0", "a1", "a2"]
+    # distributed round trip
+    pds = pack_sequences(rd.from_arrow(t).repartition(3), ["conv"], ["turn"],
+                         num_partitions=4)
+    flat = dataset_to_table(unpack_sequences(pds))
+    key = [("conv", "ascending"), ("turn", "ascending")]
+    assert flat.select(["conv", "turn", "text"]).sort_by(key).equals(
+        t.sort_by(key))
