@@ -296,9 +296,6 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
                             id_col: str = "vec_id", num_planes: int = 16,
                             cos_threshold: float = 0.95, seed: int = 5):
     """Random-hyperplane LSH buckets, verify cosine within bucket."""
-    def _dim(s):
-        return None
-
     class _Bucket:
         def __init__(self):
             self.planes = None

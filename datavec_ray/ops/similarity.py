@@ -109,11 +109,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
     from datavec_ray.util import dataset_to_table
     sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
     cents = _kmeans(sample, num_centroids)
-    cref = ray.put(cents)
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    qd = ((q[:, None, :] - cents[None, :, :] /
-           np.linalg.norm(cents, axis=1, keepdims=True).T.reshape(1, -1, 1)) ** 2)
-    # centroid probe set per query (on raw centroids, cosine via normalized)
+    # centroid probe set per query (cosine against normalized centroids)
     ncents = _normalize(cents)
     probe = np.argsort(-(q @ ncents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
     probe_sets = [set(row.tolist()) for row in probe]
