@@ -13,6 +13,9 @@ The reference's RecordReader/InputSplit machinery maps onto Ray Data's
 | RegexLineRecordReader (regex/RegexLineRecordReader.java:48) | read_regex_lines |
 | JacksonRecordReader (jackson/JacksonRecordReader.java:60) | read_json_records |
 | SVMLightRecordReader (misc/SVMLightRecordReader.java:53) | read_svmlight |
+| CSVRegexRecordReader (csv/CSVRegexRecordReader.java:32) | read_csv_regex |
+| CSVVariableSlidingWindowRecordReader (csv/...:43) | add_sliding_window |
+| MatlabRecordReader/Writer (misc/MatlabRecordReader.java:37) | read_matlab / write_matlab |
 | CSVRecordWriter (writer/impl/csv/CSVRecordWriter.java:35) | write_csv |
 | SVMLightRecordWriter (misc/SVMLightRecordWriter.java:63) | write_svmlight |
 | MapFile / SparkStorageUtils save/restore (storage/SparkStorageUtils.java:45-290) | write_records / read_records (partitioned parquet lake) |
@@ -143,6 +146,109 @@ def add_line_group(ds, n: int, seq_col: str = "__seq_id"):
     import ray.data as rd
     return rd.from_arrow_refs([_with_group.remote(r, int(o))
                                for r, o in zip(refs, offsets)])
+
+
+def read_csv_regex(paths, cell_pattern: str, columns: Sequence[str],
+                   csv_column: str = "text", delimiter: str = ","):
+    """CSV whose cells are further split by a regex
+    (csv/CSVRegexRecordReader.java:32): each input line is split on the
+    CSV delimiter, then every cell is matched against `cell_pattern`;
+    group 1 of each cell becomes the value. `columns` names the outputs
+    (one per CSV cell)."""
+    import re
+
+    import ray.data as rd
+
+    creg = re.compile(cell_pattern)
+    cols = list(columns)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        data: dict[str, list] = {c: [] for c in cols}
+        for line in combine(batch[csv_column]).to_pylist():
+            cells = (line or "").split(delimiter)
+            if len(cells) != len(cols):
+                continue
+            for c, cell in zip(cols, cells):
+                m = creg.match(cell.strip())
+                data[c].append(m.group(1) if m else cell.strip())
+        return pa.table({c: pa.array(v, pa.string()) for c, v in data.items()})
+
+    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def add_sliding_window(ds, max_window: int, seq_col: str = "__win_id",
+                       pos_col: str = "__win_pos"):
+    """Sliding line windows (csv/CSVVariableSlidingWindowRecordReader.java:43):
+    window w contains rows max(0, w-max_window+1)..w — each row is
+    replicated into up to `max_window` windows (so windows ramp 1→maxN
+    at the start, like the reference). Needs a global row order: uses the
+    same per-block-offset index pass as add_line_group."""
+    import ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _count(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def _explode(block: pa.Table, offset: int, total: int) -> pa.Table:
+        idx = np.arange(offset, offset + block.num_rows)
+        # row i -> windows i .. min(i+max_window-1, total-1)
+        counts = np.minimum(max_window, total - idx)
+        row_of = np.repeat(np.arange(block.num_rows), counts)
+        win = np.concatenate([np.arange(i, i + c)
+                              for i, c in zip(idx, counts)]) if len(idx) else             np.array([], np.int64)
+        pos = win - np.repeat(idx, counts)
+        out = block.take(pa.array(row_of, pa.int64()))
+        out = out.append_column(pa.field(seq_col, pa.int64()),
+                                pa.array(win.astype(np.int64)))
+        return out.append_column(pa.field(pos_col, pa.int64()),
+                                 pa.array(pos.astype(np.int64)))
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    total = int(sum(counts))
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    import ray.data as rd
+    return rd.from_arrow_refs([_explode.remote(r, int(o), total)
+                               for r, o in zip(refs, offsets)])
+
+
+def read_matlab(paths):
+    """MATLAB-style whitespace-separated numeric text rows
+    (misc/MatlabRecordReader.java:37) → columns f0..fn."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = [list(map(float, (l or "").split()))
+                for l in combine(batch["text"]).to_pylist() if (l or "").strip()]
+        if not rows:
+            return pa.table({})
+        width = len(rows[0])
+        mat = np.array([r for r in rows if len(r) == width])
+        return pa.table({f"f{i}": pa.array(mat[:, i]) for i in range(width)})
+
+    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def write_matlab(ds, out_dir: str):
+    """Numeric columns → whitespace-separated text rows (MatlabRecordWriter)."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        cols = [combine(batch[c]).to_numpy(zero_copy_only=False)
+                for c in batch.column_names]
+        mat = np.column_stack(cols)
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.txt")
+        np.savetxt(name + ".tmp", mat, fmt="%g")
+        os.replace(name + ".tmp", name)
+        return pa.table({"file": pa.array([name])})
+
+    return [b for b in ds.map_batches(write_block, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
 
 
 def read_json_records(paths, field_selection: Optional[dict] = None):

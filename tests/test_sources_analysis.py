@@ -227,3 +227,32 @@ def test_analysis_html_report(ray_session, tmp_path):
                             histogram_columns=["x"])
     html = open(p).read()
     assert "<svg" in html and "count_missing" in html and "mean_length" in html
+
+
+def test_csv_regex_and_sliding_window(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.sources import add_sliding_window, read_csv_regex
+    p = tmp_path / "cells.csv"
+    p.write_text("[1],[a]\n[2],[b]\n")
+    out = dataset_to_table(read_csv_regex(
+        str(p), r"\[(.*)\]", ["num", "letter"])).sort_by("num")
+    assert out["num"].to_pylist() == ["1", "2"]
+    assert out["letter"].to_pylist() == ["a", "b"]
+    ds = rd.from_items([{"x": i} for i in range(4)])
+    win = dataset_to_table(add_sliding_window(ds, 2)).sort_by(
+        [("__win_id", "ascending"), ("__win_pos", "ascending")])
+    # windows: 0:[0], 1:[0,1], 2:[1,2], 3:[2,3] -> 7 rows
+    assert win.num_rows == 7
+    w1 = win.filter(pa.compute.equal(win["__win_id"], 1))
+    assert sorted(w1["x"].to_pylist()) == [0, 1]
+
+
+def test_matlab_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.sources import read_matlab, write_matlab
+    t = pa.table({"a": [1.0, 2.5], "b": [3.0, -4.0]})
+    outdir = str(tmp_path / "mat")
+    write_matlab(rd.from_arrow(t), outdir)
+    back = dataset_to_table(read_matlab(outdir))
+    assert sorted(back["f0"].to_pylist()) == [1.0, 2.5]
+    assert sorted(back["f1"].to_pylist()) == [-4.0, 3.0]
