@@ -596,7 +596,8 @@ class CdcIngestEngine:
         Exactly-once across restarts: a segment seen again after a crash
         is re-ingested but the LSN watermark filter + idempotent LWW
         merge make the replay harmless; the manifest records per-segment
-        checkpoints."""
+        checkpoints. Producers must place segment files ATOMICALLY
+        (write temp + rename) — the tail reads any .parquet it lists."""
         import ray.data as rd
 
         wm = self.resume_from_checkpoint()

@@ -2,6 +2,7 @@
 clean replay / crash+resume / schema evolution / salting / two
 parallelism levels (FIXTURES.md §5 conventions)."""
 
+import os
 import shutil
 
 import numpy as np
@@ -184,7 +185,10 @@ def test_wal_tail(ray_session, tmp_path):
 
     def writer():
         for i, seg in enumerate(segs):
-            pq.write_table(seg, str(wal / f"seg-{i:04d}.parquet"))
+            # segments must appear atomically (tail's contract)
+            tmp = str(wal / f"seg-{i:04d}.tmp")
+            pq.write_table(seg, tmp)
+            os.replace(tmp, str(wal / f"seg-{i:04d}.parquet"))
             _time.sleep(0.4)
 
     t = threading.Thread(target=writer)
