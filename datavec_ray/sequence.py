@@ -53,6 +53,9 @@ class SequenceOp:
     # (keys..., order_by...). Ops without it force the per-group path.
     apply_partition = None
 
+    def supports_partition(self) -> bool:
+        return getattr(self, "apply_partition", None) is not None
+
     def to_dict(self) -> dict[str, Any]:
         raise NotImplementedError
 
@@ -385,6 +388,12 @@ class ReduceSequence(SequenceOp):
         return pa.table({n: pa.array(data[n], type=out_schema.type_of(n))
                          for n in out_schema.names}, schema=out_schema.arrow())
 
+    def supports_partition(self) -> bool:
+        return all(op in _PD_AGG for _, op, _ in self.specs)
+
+    def apply_partition(self, df, keys):
+        return _pandas_group_agg(df, list(self.keys), self.specs)
+
     def to_dict(self):
         return {"cls": "ReduceSequence", "keys": self.keys, "specs": self.specs,
                 "append_delimiter": self.append_delimiter}
@@ -462,6 +471,31 @@ class TumblingTimeWindowReduce(SequenceOp):
                 arrays[n] = pa.array(data[n], type=typ)
         return pa.table(arrays, schema=out_schema.arrow())
 
+    def supports_partition(self) -> bool:
+        return all(op in _PD_AGG for _, op, _ in self.specs)
+
+    def apply_partition(self, df, keys):
+        import pandas as pd
+        col = df[self.time_column]
+        dt = str(col.dtype)
+        unit = {"datetime64[s]": "s", "datetime64[ms]": "ms",
+                "datetime64[us]": "us", "datetime64[ns]": "ns"}.get(dt)
+        scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}.get(unit, 1)
+        t = col.astype("int64")
+        w = int(self.window_ms * scale)
+        off = int(self.offset_ms * scale)
+        start = ((t + off) // w) * w - off
+        work = df.assign(window_start=start)
+        out = _pandas_group_agg(work, list(self.keys) + ["window_start"],
+                                self.specs)
+        if unit is not None:
+            out["window_start"] = pd.to_datetime(out["window_start"], unit=unit)
+        if self.emit_window_bounds:
+            we = out["window_start"] + (pd.Timedelta(w, unit=unit) if unit
+                                        else w)
+            out.insert(out.columns.get_loc("window_start") + 1, "window_end", we)
+        return out
+
     def to_dict(self):
         return {"cls": "TumblingTimeWindowReduce", "keys": self.keys,
                 "time_column": self.time_column, "window_ms": self.window_ms,
@@ -475,6 +509,9 @@ class OverlappingTimeWindowReduce(TumblingTimeWindowReduce):
     """Sliding windows (window_ms size, separation_ms stride) — a step may
     fall in several windows (window/OverlappingTimeWindowFunction.java:56).
     Reduced per window like the tumbling variant."""
+
+    def supports_partition(self) -> bool:
+        return False  # inherited tumbling fast path would be wrong here
 
     def __init__(self, keys, time_column, window_ms, separation_ms, specs,
                  offset_ms: int = 0, emit_window_bounds: bool = True,
@@ -566,6 +603,22 @@ class SequenceLengthFilter(SequenceOp):
                 "max_length": self.max_length}
 
 
+_PD_AGG = {"Sum": "sum", "Mean": "mean", "Min": "min", "Max": "max",
+           "Count": "size", "Stdev": "std"}
+
+
+def _pandas_group_agg(df, group_cols, specs):
+    named = {out: (col, _PD_AGG[op]) for col, op, out in specs}
+    g = df.groupby(group_cols, sort=False)
+    out = g.agg(**named).reset_index()
+    for col, op, name in specs:
+        if op == "Stdev":
+            out[name] = out[name].fillna(0.0)  # single-element groups
+        elif op == "Count":
+            out[name] = out[name].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # The wide step: groupby(keys) → sort in group → apply op chain
 # ---------------------------------------------------------------------------
@@ -651,7 +704,7 @@ class GroupedSequence(WideStep):
     def apply_dataset(self, ds, num_partitions: int = 32):
         out = self.output_schema(Schema(ds.schema().base_schema))
         vectorizable = bool(self.ops) and all(
-            getattr(op, "apply_partition", None) is not None for op in self.ops)
+            op.supports_partition() for op in self.ops)
         if not vectorizable:
             # per-group path: exact per-sequence semantics for ops that
             # cannot vectorize across groups (window reduces etc.)

@@ -219,3 +219,27 @@ def test_vectorized_partition_path_parity(ray_session):
             rd.from_arrow(seq_table()).repartition(3)))
         key = [("k", "ascending"), ("i", "ascending")]
         assert tables_equal(loc.sort_by(key), dist.sort_by(key)), ops
+
+
+def test_vectorized_reduce_and_window_parity(ray_session):
+    """ReduceSequence / TumblingTimeWindowReduce vectorized partition path
+    vs the per-group oracle."""
+    import ray.data as rd
+    for ops in [
+        [ReduceSequence(["k"], [["v", "Sum", "sv"], ["v", "Mean", "mv"],
+                                ["v", "Count", "n"], ["v", "Stdev", "sd"]])],
+        [TumblingTimeWindowReduce(["k"], "ts", 10_000,
+                                  [["v", "Sum", "sv"], ["v", "Count", "n"]])],
+        [TumblingTimeWindowReduce(["k"], "ts", 7_000,
+                                  [["v", "Max", "mx"]], offset_ms=1000,
+                                  emit_window_bounds=False)],
+    ]:
+        gs = GroupedSequence(["k"], ["ts"], ops)
+        loc = gs.apply_local(seq_table())
+        dist = dataset_to_table(gs.apply_dataset(
+            rd.from_arrow(seq_table()).repartition(3)))
+        sort_cols = [c for c in loc.column_names
+                     if c in ("k", "window_start")]
+        key = [(c, "ascending") for c in sort_cols]
+        assert tables_equal(loc.sort_by(key), dist.select(
+            loc.column_names).sort_by(key)), ops
