@@ -143,7 +143,7 @@ def _q_join_shuffle(sf_dir: str):
     p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
         ["l_orderkey", "l_extendedprice", "l_discount"]))
     p.add(JoinStep(lambda: orders, ["l_orderkey"], ["o_orderkey"], "Inner",
-                   num_partitions=8))
+                   broadcast=False, num_partitions=8))  # exercise shuffle join
     p.add(Reducer(["o_orderpriority"],
                   [["l_extendedprice", "Sum", "sum_price"],
                    ["l_extendedprice", "Count", "n"]]))

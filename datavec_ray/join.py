@@ -46,9 +46,15 @@ class JoinStep(WideStep):
     hash join (right side must fit in worker memory).
     """
 
+    # below this many right-side rows, a broadcast hash join beats the
+    # shuffle join's fixed per-partition cost (measured: Dataset.join has
+    # a 2-5 s floor at any size on this Ray version)
+    AUTO_BROADCAST_ROWS = 2_000_000
+
     def __init__(self, right, keys: Sequence[str],
                  right_keys: Optional[Sequence[str]] = None,
-                 join_type: str = "Inner", broadcast: bool = False,
+                 join_type: str = "Inner",
+                 broadcast: Optional[bool] = None,
                  num_partitions: int = 32):
         if join_type not in JOIN_TYPES:
             raise ValueError(f"join_type must be one of {sorted(JOIN_TYPES)}")
@@ -89,8 +95,20 @@ class JoinStep(WideStep):
         return out
 
     # -- execution -----------------------------------------------------------
+    def _should_broadcast(self) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        if self.join_type not in ("Inner", "LeftOuter"):
+            return False  # right/full outer need the shuffle join
+        r = self.right() if callable(self.right) else self.right
+        try:
+            n = r.num_rows if isinstance(r, pa.Table) else r.count()
+        except Exception:  # noqa: BLE001
+            return False
+        return n <= self.AUTO_BROADCAST_ROWS
+
     def apply_dataset(self, ds):
-        if self.broadcast:
+        if self._should_broadcast():
             return self._broadcast_join(ds)
         right_ds = self._right_dataset()
         return ds.join(right_ds, join_type=JOIN_TYPES[self.join_type],
