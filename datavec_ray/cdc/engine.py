@@ -242,6 +242,14 @@ def _shard_cls():
             tbl = pq.read_table(path)
             self.segments.append(self._norm(tbl))
             self.pending += tbl.num_rows
+            if tbl.num_rows:
+                # restore LSN watermarks so a post-resume commit() can
+                # tell whether this partition has new data vs its last
+                # committed lsn_hi
+                lo = pc.min(tbl["lsn"]).as_py()
+                hi = pc.max(tbl["lsn"]).as_py()
+                self.lsn_lo = lo if self.lsn_lo is None else min(self.lsn_lo, lo)
+                self.lsn_hi = hi if self.lsn_hi is None else max(self.lsn_hi, hi)
             return tbl.num_rows
 
         def flush(self, path: str, turn_idx_type: str = "int32") -> dict:
@@ -273,7 +281,11 @@ def _shard_cls():
 
         def stats(self) -> dict:
             return {"partition": self.pid, "keys": self.base,
-                    "applied": self.applied, "stale": self.stale}
+                    "applied": self.applied, "stale": self.stale,
+                    "lsn_hi": self.lsn_hi}
+
+        def watermark(self) -> Optional[int]:
+            return self.lsn_hi
 
     return UpsertShard
 
@@ -342,6 +354,14 @@ class Manifest:
 
     def committed_partitions(self) -> set[int]:
         return {e["partition"] for e in self.entries if e.get("type") == "commit"}
+
+    def committed_watermarks(self) -> dict[int, Optional[int]]:
+        """partition → lsn_hi of its LAST commit entry (later entries win)."""
+        out: dict[int, Optional[int]] = {}
+        for e in self.entries:
+            if e.get("type") == "commit":
+                out[e["partition"]] = e.get("lsn_hi")
+        return out
 
     def last_checkpoint(self) -> Optional[dict]:
         cps = [e for e in self.entries if e.get("type") == "checkpoint"]
@@ -451,6 +471,30 @@ class _Deliver:
         # events counted = pre-compaction rows of this partition
         routed = ray.get(self.handles[pid].apply.remote(delta))
         return pa.table({"routed": pa.array([group.num_rows], pa.int64())})
+
+
+def _segment_max_lsn(path: str, default: int = 0) -> int:
+    """Max LSN of a binlog segment from parquet ROW-GROUP STATISTICS —
+    no data pages are read. Falls back to a single-column read only when
+    a writer omitted statistics."""
+    md = pq.read_metadata(path)
+    if md.num_rows == 0:
+        return default
+    names = md.schema.names
+    try:
+        col_idx = names.index("lsn")
+    except ValueError:
+        return default
+    maxes = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            maxes = None
+            break
+        maxes.append(st.max)
+    if maxes:
+        return int(max(maxes))
+    return int(pc.max(pq.read_table(path, columns=["lsn"])["lsn"]).as_py())
 
 
 class CdcIngestEngine:
@@ -564,17 +608,20 @@ class CdcIngestEngine:
     # -- commit -----------------------------------------------------------
     def commit(self) -> list[dict]:
         """Write the lake (idempotent per-partition files + manifest
-        lineage entries). Partitions already committed with the same
-        watermark are skipped (resume-safe)."""
+        lineage entries). A partition is skipped ONLY when its last
+        commit entry's lsn_hi equals the shard's current lsn_hi —
+        an ingest→commit→ingest→commit sequence re-flushes (resume-safe
+        AND freshness-safe)."""
         import ray
         turn_t = "int64" if (self._canonical is not None and
                              pa.types.is_int64(self._canonical.field("turn_idx").type)) \
             else "int32"
-        done = self.manifest.committed_partitions()
+        committed = self.manifest.committed_watermarks()
+        current = ray.get([s.watermark.remote() for s in self.shards])
         lineages = []
         refs = {}
         for pid, s in enumerate(self.shards):
-            if pid in done:
+            if pid in committed and committed[pid] == current[pid]:
                 continue
             path = os.path.join(self.lake_dir, f"part-{pid:04d}.parquet")
             refs[pid] = s.flush.remote(path, turn_t)
@@ -619,9 +666,7 @@ class CdcIngestEngine:
             for f in new:
                 path = os.path.join(wal_dir, f)
                 n = self.ingest(rd.read_parquet(path), min_lsn_exclusive=wm)
-                hi = int(pq.read_metadata(path).num_rows and
-                         pc.max(pq.read_table(path, columns=["lsn"])["lsn"]).as_py() or wm)
-                wm = max(wm, hi)
+                wm = max(wm, _segment_max_lsn(path, default=wm))
                 done.add(f)
                 n_segments += 1
                 n_events += n
@@ -647,7 +692,23 @@ class CdcIngestEngine:
         self.shards = []
 
     # -- read back --------------------------------------------------------
+    def read_lake_dataset(self):
+        """The production way to read the lake: a streaming
+        ``ray.data.read_parquet`` Dataset over the committed partition
+        files — no driver materialization, no global sort. Partitions
+        are internally sorted by (conv_id, turn_idx) at flush time."""
+        import ray.data as rd
+        files = sorted(os.path.join(self.lake_dir, f)
+                       for f in os.listdir(self.lake_dir)
+                       if f.endswith(".parquet"))
+        if not files:
+            return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return rd.read_parquet(files)
+
     def read_lake(self) -> pa.Table:
+        """TEST/ORACLE convenience ONLY — materializes + globally sorts the
+        whole lake on the driver. Production readers use
+        ``read_lake_dataset()``."""
         files = sorted(f for f in os.listdir(self.lake_dir)
                        if f.endswith(".parquet"))
         tables = [pq.read_table(os.path.join(self.lake_dir, f)) for f in files]

@@ -66,8 +66,23 @@ class JoinStep(WideStep):
         self.num_partitions = num_partitions
 
     # -- helpers -------------------------------------------------------------
+    def _resolved_right(self):
+        """Resolve the right side exactly once per JoinStep instance.
+
+        A callable right side is invoked once; a Ray Dataset is
+        materialized once (spill-safe: blocks pin in the object store)
+        so that count / table conversion / join never re-execute it.
+        """
+        r = getattr(self, "_right_cache", None)
+        if r is None:
+            r = self.right() if callable(self.right) else self.right
+            if not isinstance(r, pa.Table):
+                r = r.materialize()
+            self._right_cache = r
+        return r
+
     def _right_table(self) -> pa.Table:
-        r = self.right() if callable(self.right) else self.right
+        r = self._resolved_right()
         if isinstance(r, pa.Table):
             return r
         from datavec_ray.util import dataset_to_table
@@ -75,7 +90,7 @@ class JoinStep(WideStep):
 
     def _right_dataset(self):
         import ray.data as rd
-        r = self.right() if callable(self.right) else self.right
+        r = self._resolved_right()
         if isinstance(r, pa.Table):
             return rd.from_arrow(r)
         return r
@@ -100,7 +115,7 @@ class JoinStep(WideStep):
             return self.broadcast
         if self.join_type not in ("Inner", "LeftOuter"):
             return False  # right/full outer need the shuffle join
-        r = self.right() if callable(self.right) else self.right
+        r = self._resolved_right()
         try:
             n = r.num_rows if isinstance(r, pa.Table) else r.count()
         except Exception:  # noqa: BLE001
@@ -116,13 +131,28 @@ class JoinStep(WideStep):
                        on=tuple(self.keys), right_on=tuple(self.right_keys),
                        right_suffix="_r")
 
+    def _suffixed_right(self, left_names) -> pa.Table:
+        """Right table with colliding non-key columns renamed to ``{n}_r``,
+        matching output_schema's contract and the shuffle path's
+        ``right_suffix='_r'``."""
+        right = self._right_table()
+        renames = {}
+        for n in right.column_names:
+            if n not in self.right_keys and n in left_names:
+                renames[n] = f"{n}_r"
+        if renames:
+            right = right.rename_columns(
+                [renames.get(n, n) for n in right.column_names])
+        return right
+
     def _broadcast_join(self, ds):
         """ray.put the right table once; pyarrow hash-join per batch in map
         tasks. Only Inner / LeftOuter make sense broadcast-side-right."""
         import ray
         if self.join_type not in ("Inner", "LeftOuter"):
             raise ValueError("broadcast join supports Inner/LeftOuter only")
-        right_ref = ray.put(self._right_table())
+        left_names = [f.name for f in ds.schema().base_schema]
+        right_ref = ray.put(self._suffixed_right(left_names))
         keys, right_keys, how = self.keys, self.right_keys, self.join_type
 
         class _BcastJoin:
@@ -136,15 +166,7 @@ class JoinStep(WideStep):
                               concurrency=(1, 8))
 
     def apply_local(self, table: pa.Table) -> pa.Table:
-        right = self._right_table()
-        # suffix collision handling to match output_schema
-        renames = {}
-        for n in right.column_names:
-            if n not in self.right_keys and n in table.column_names:
-                renames[n] = f"{n}_r"
-        if renames:
-            right = right.rename_columns(
-                [renames.get(n, n) for n in right.column_names])
+        right = self._suffixed_right(table.column_names)
         return _join_local(table, right, self.keys, self.right_keys, self.join_type)
 
     def to_dict(self) -> dict[str, Any]:

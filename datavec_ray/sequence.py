@@ -129,15 +129,25 @@ class SequenceOffset(SequenceOp):
         import pandas as pd
         g = df.groupby(keys, sort=False, group_keys=False)
         k = self.offset
+        # Edge positions = steps that have no source step to shift from.
+        # Only THESE get the specified fill — genuine nulls shifted in
+        # from the data stay null, matching apply_group's pc.if_else on
+        # the out-of-range mask (parity contract with _GroupFn).
+        pos = g.cumcount()
+        n = g[keys[0]].transform("size")
+        edge = (pos < k) if k >= 0 else (pos >= n + k)
         for c, new in zip(self.columns, self._new_names()):
             target = c if self.mode == "InPlace" else new
             shifted = g[c].shift(k)
+            if (pd.api.types.is_integer_dtype(df[c].dtype)
+                    and not pd.api.types.is_extension_array_dtype(shifted.dtype)):
+                # keep integer columns integral (nullable) instead of the
+                # float64 that pandas shift() produces
+                shifted = shifted.astype("Int64")
             if self.edge == "SpecifiedValue":
-                shifted = shifted.fillna(self.value)
+                shifted = shifted.mask(edge, self.value)
             df[target] = shifted
         if self.edge == "TrimSequence":
-            pos = g.cumcount()
-            n = g[keys[0]].transform("size")
             if k >= 0:
                 df = df[pos >= k]
             else:
@@ -192,6 +202,7 @@ class SequenceDifference(SequenceOp):
         return table.append_column(pa.field(target, out.type), out)
 
     def apply_partition(self, df, keys):
+        import pandas as pd
         g = df.groupby(keys, sort=False, group_keys=False)
         col = df[self.column]
         is_ts = str(col.dtype).startswith("datetime")
@@ -199,10 +210,17 @@ class SequenceDifference(SequenceOp):
         shifted = work.groupby([df[k] for k in keys], sort=False).shift(self.lookback)
         diff = work - shifted
         fv = self.value if self.first_mode == "SpecifiedValue" else 0
-        diff = diff.fillna(fv)
+        # fill ONLY the first `lookback` edge steps of each sequence —
+        # null data values keep producing null diffs, matching
+        # apply_group's out-of-range mask (parity contract with _GroupFn)
+        edge = g.cumcount() < self.lookback
+        diff = diff.mask(edge, fv)
         target = self.new_column or self.column
-        if is_ts or str(diff.dtype) in ("int64", "Int64"):
-            df[target] = diff.astype("int64")
+        if is_ts or pd.api.types.is_integer_dtype(col.dtype):
+            if diff.isna().any():
+                df[target] = diff.astype("Int64")
+            else:
+                df[target] = diff.astype("int64")
         else:
             df[target] = diff
         return df
@@ -399,6 +417,45 @@ class ReduceSequence(SequenceOp):
                 "append_delimiter": self.append_delimiter}
 
 
+def _validate_window_ms(unit: str, window_ms: int, offset_ms: int,
+                        separation_ms: Optional[int] = None):
+    """Window params are in ms; validate against the time column's unit."""
+    vals = [int(window_ms), int(offset_ms)] + (
+        [int(separation_ms)] if separation_ms is not None else [])
+    if vals[0] < 1 or (separation_ms is not None and vals[2] < 1):
+        raise ValueError(f"window_ms/separation_ms must be >= 1 (got "
+                         f"window_ms={window_ms}, separation_ms={separation_ms})")
+    if unit == "s" and any(v % 1000 for v in vals):
+        raise ValueError(
+            "time column has second resolution; window_ms/offset_ms/"
+            f"separation_ms must be whole seconds (got {vals})")
+    return tuple(vals) if separation_ms is not None else (vals[0], vals[1])
+
+
+def _raw_to_ms(t, unit: str):
+    if unit == "s":
+        return t * 1000
+    if unit == "us":
+        return t // 1000
+    if unit == "ns":
+        return t // 1_000_000
+    return t
+
+
+def _ms_to_raw(v, unit: str):
+    if unit == "s":
+        return v // 1000
+    if unit == "us":
+        return v * 1000
+    if unit == "ns":
+        return v * 1_000_000
+    return v
+
+
+def _ms_to_raw_scalar(v: int, unit: str) -> int:
+    return int(_ms_to_raw(np.int64(v), unit))
+
+
 @register("seqop")
 class TumblingTimeWindowReduce(SequenceOp):
     """Non-overlapping time windows, reduced per window
@@ -437,12 +494,15 @@ class TumblingTimeWindowReduce(SequenceOp):
         col = combine(table[self.time_column])
         is_ts = pa.types.is_timestamp(col.type)
         unit = col.type.unit if is_ts else "ms"
-        scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
-        t = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = int(self.window_ms * scale)
-        off = int(self.offset_ms * scale)
-        start = ((t + off) // w) * w - off
-        return t, start, (col.type, w)
+        t_raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # All window math happens in MILLISECONDS (the reference stores
+        # time as long millis, TimeWindowFunction.java:32); converting the
+        # column to ms — not the window into the column's unit — avoids
+        # w=0 / silent truncation for sub-unit windows.
+        w, off = _validate_window_ms(unit, self.window_ms, self.offset_ms)
+        t_ms = _raw_to_ms(t_raw, unit)
+        start_ms = ((t_ms + off) // w) * w - off
+        return t_raw, _ms_to_raw(start_ms, unit), (col.type, _ms_to_raw_scalar(w, unit))
 
     def apply_group(self, table: pa.Table) -> pa.Table:
         out_schema = self.output_schema(Schema(table.schema))
@@ -480,11 +540,10 @@ class TumblingTimeWindowReduce(SequenceOp):
         dt = str(col.dtype)
         unit = {"datetime64[s]": "s", "datetime64[ms]": "ms",
                 "datetime64[us]": "us", "datetime64[ns]": "ns"}.get(dt)
-        scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}.get(unit, 1)
-        t = col.astype("int64")
-        w = int(self.window_ms * scale)
-        off = int(self.offset_ms * scale)
-        start = ((t + off) // w) * w - off
+        w, off = _validate_window_ms(unit or "ms", self.window_ms, self.offset_ms)
+        t_ms = _raw_to_ms(col.astype("int64"), unit or "ms")
+        start = _ms_to_raw(((t_ms + off) // w) * w - off, unit or "ms")
+        w = _ms_to_raw_scalar(w, unit or "ms")
         work = df.assign(window_start=start)
         out = _pandas_group_agg(work, list(self.keys) + ["window_start"],
                                 self.specs)
@@ -524,11 +583,9 @@ class OverlappingTimeWindowReduce(TumblingTimeWindowReduce):
         out_schema = self.output_schema(Schema(table.schema))
         col = combine(table[self.time_column])
         unit = col.type.unit if pa.types.is_timestamp(col.type) else "ms"
-        scale = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
-        t = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = int(self.window_ms * scale)
-        sep = int(self.separation_ms * scale)
-        off = int(self.offset_ms * scale)
+        w, off, sep = _validate_window_ms(unit, self.window_ms, self.offset_ms,
+                                          self.separation_ms)
+        t = _raw_to_ms(col.cast(pa.int64()).to_numpy(zero_copy_only=False), unit)
         if len(t) == 0:
             return out_schema.arrow().empty_table()
         # windows are [k*sep - off, k*sep - off + w); step t is in windows
@@ -541,12 +598,14 @@ class OverlappingTimeWindowReduce(TumblingTimeWindowReduce):
                              for lo, hi in zip(k_lo, k_hi)]) if counts.sum() else np.array([], dtype=np.int64)
         starts = ks * sep - off
         uniq, codes = np.unique(starts, return_inverse=True)
+        uniq_raw = _ms_to_raw(uniq, unit)
+        w_raw = _ms_to_raw_scalar(w, unit)
         data: dict[str, list] = {}
         for key in self.keys:
             data[key] = [table[key][0].as_py()] * len(uniq)
-        data["window_start"] = list(uniq)
+        data["window_start"] = list(uniq_raw)
         if self.emit_window_bounds:
-            data["window_end"] = list(uniq + w)
+            data["window_end"] = list(uniq_raw + w_raw)
         for col_name, op, out in self.specs:
             acc = _Acc(op)
             vals = []
