@@ -86,25 +86,30 @@ def run_headline(sf: float) -> dict:
             while f.read(1 << 24):
                 pass
     # partition count is a DATA-layout choice (fixed across cluster sizes
-    # so both scaling runs do identical work); shards reserve fractional
-    # CPUs so they never starve the router map stage
-    num_parts = int(os.environ.get("GRAFT_NUM_PARTS", "16"))
+    # so both scaling runs do identical work)
+    num_parts = int(os.environ.get("GRAFT_NUM_PARTS", "32"))
     # warm the Ray worker pool (cluster workers are long-lived; a cold
     # pool spawn is one-time noise, not steady-state throughput)
     rd.range(10_000).map_batches(lambda b: b).count()
     t0 = time.time()
-    eng = CdcIngestEngine(lake, num_partitions=num_parts,
-                          shard_num_cpus=0.25)
+    eng = CdcIngestEngine(lake, num_partitions=num_parts)
     ds = rd.read_parquet(path)
-    eng.ingest(ds)
-    eng.checkpoint("bench", 10 ** 12)
-    lineage = eng.commit()
+    # batch replay fast path: pre-compact → ONE shuffle → per-partition
+    # compaction + checkpoint + exactly-once commit, all as Dataset tasks
+    # (no fixed actor-pool parallelism ceiling)
+    lineage = eng.replay(ds, checkpoint_name="bench")
     sec = time.time() - t0
     rows = sum(l["rows"] for l in lineage)
+    routed = sum(l["events_applied"] for l in lineage)
     eng.shutdown()
     shutil.rmtree(lake, ignore_errors=True)
     return {"sec": round(sec, 3), "events": n_events,
-            "events_per_sec": round(n_events / sec, 1), "lake_rows": rows}
+            "events_per_sec": round(n_events / sec, 1), "lake_rows": rows,
+            # rows that actually crossed the shuffle (post per-batch LWW
+            # combine) — the scale argument's "bounded by the pre-compacted
+            # delta" evidence
+            "routed_rows": routed,
+            "combine_ratio": round(routed / n_events, 4)}
 
 
 def run_sketch(sf: float) -> dict:
@@ -176,6 +181,8 @@ def main_once() -> dict:
         "events": headline["events"],
         "events_per_sec": headline["events_per_sec"],
         "lake_rows": headline["lake_rows"],
+        "routed_rows": headline.get("routed_rows"),
+        "combine_ratio": headline.get("combine_ratio"),
     }
     ray.shutdown()
     return result
@@ -200,9 +207,15 @@ def main_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    lo_runs = [run(lo, "headline") for _ in range(2)]
+    # INTERLEAVED best-of-3 per level: the sandbox box has ±30% wall-time
+    # noise between back-to-back runs; interleaving keeps slow phases from
+    # biasing one level
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        hi_runs.append(run(hi, "headline"))
+        lo_runs.append(run(lo, "headline"))
     h_lo = min(x["value"] for x in lo_runs)
-    h_hi = min(run(hi, "headline")["value"] for _ in range(2))
+    h_hi = min(x["value"] for x in hi_runs)
     s_lo = run(lo, "sketch")["value"]
     s_hi = run(hi, "sketch")["value"]
     r = lo_runs[0]
@@ -210,12 +223,16 @@ def main_scaling():
     print(json.dumps({
         "metric": "cdc_replay_scaling",
         "sec_8": h_lo, "sec_32": h_hi,
+        "sec_8_runs": [x["value"] for x in lo_runs],
+        "sec_32_runs": [x["value"] for x in hi_runs],
         "events_per_sec_8": round(events / h_lo, 1),
         "events_per_sec_32": round(events / h_hi, 1),
         "scaling_efficiency": round((h_lo / h_hi) / (hi / lo), 3),
         "sketch_sec_8": s_lo, "sketch_sec_32": s_hi,
         "sketch_scaling_efficiency": round((s_lo / s_hi) / (hi / lo), 3),
         "events": events, "sf": r["sf"],
+        "routed_rows": r.get("routed_rows"),
+        "combine_ratio": r.get("combine_ratio"),
     }))
 
 

@@ -60,7 +60,8 @@ PAYLOAD_COLS = ["role", "text", "tool"]
 # Vectorized LWW compaction of one table (the hot kernel)
 # ---------------------------------------------------------------------------
 
-def lww_compact_table(tbl: pa.Table, drop_tombstones: bool) -> pa.Table:
+def lww_compact_table(tbl: pa.Table, drop_tombstones: bool,
+                      carry_watermark: bool = False) -> pa.Table:
     """Keep only the (ts, lsn)-argmax event per (conv_id, turn_idx).
 
     Vectorized argmax WITHOUT a string sort: dictionary-encode conv_id to
@@ -70,6 +71,12 @@ def lww_compact_table(tbl: pa.Table, drop_tombstones: bool) -> pa.Table:
     this is the hot kernel of the whole upsert path. Output rows are
     compacted but NOT conv_id-sorted (callers that need order — flush,
     final comparisons — sort once at the end).
+
+    ``carry_watermark=True`` appends/propagates a ``__wm`` int64 column:
+    the max LSN EVER SEEN per key, which can exceed the surviving row's
+    lsn (an event with the highest lsn may lose LWW to a later-ts event).
+    The replay path uses it so checkpoint watermarks reflect every
+    delivered event, not just the winners.
     """
     n = tbl.num_rows
     if n == 0:
@@ -91,6 +98,21 @@ def lww_compact_table(tbl: pa.Table, drop_tombstones: bool) -> pa.Table:
     if n > 1:
         last[:-1] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
     out = tbl.take(pa.array(order[last], type=pa.int64()))
+    if carry_watermark:
+        seen = lsn
+        if "__wm" in tbl.column_names:  # re-compaction of pre-compacted data
+            wm_in = pc.fill_null(tbl["__wm"].combine_chunks(), 0).to_numpy(
+                zero_copy_only=False)
+            seen = np.maximum(seen, wm_in)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        run_max = np.maximum.reduceat(seen[order], np.flatnonzero(first)) \
+            if n else np.array([], dtype=np.int64)
+        if "__wm" in out.column_names:
+            out = out.drop_columns(["__wm"])
+        out = out.append_column(pa.field("__wm", pa.int64()),
+                                pa.array(run_max, type=pa.int64()))
     if drop_tombstones:
         out = out.filter(pc.not_equal(out["op"], "D"))
     return out
@@ -435,18 +457,21 @@ class _PrepareShuffle:
     normalize schema, per-batch LWW pre-compaction, assign partition."""
 
     def __init__(self, num_partitions: int, schema: pa.Schema, salt_turns: int,
-                 hot_convs: Optional[frozenset], min_lsn_exclusive: int):
+                 hot_convs: Optional[frozenset], min_lsn_exclusive: int,
+                 carry_watermark: bool = False):
         self.num_partitions = num_partitions
         self.schema = schema
         self.salt_turns = salt_turns
         self.hot_convs = hot_convs
         self.min_lsn = min_lsn_exclusive
+        self.carry_watermark = carry_watermark
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.min_lsn:
             batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
         batch = normalize_to_schema(batch, self.schema)
-        batch = lww_compact_table(batch, drop_tombstones=False)
+        batch = lww_compact_table(batch, drop_tombstones=False,
+                                  carry_watermark=self.carry_watermark)
         parts = assign_partitions(batch["conv_id"], batch["turn_idx"],
                                   self.num_partitions, self.salt_turns,
                                   self.hot_convs)
@@ -471,6 +496,94 @@ class _Deliver:
         # events counted = pre-compaction rows of this partition
         routed = ray.get(self.handles[pid].apply.remote(delta))
         return pa.table({"routed": pa.array([group.num_rows], pa.int64())})
+
+
+class _ReplayCompactCommit:
+    """map_groups body for the batch-replay fast path: final LWW
+    compaction of ONE hash partition (merged with the partition's prior
+    checkpoint state, if any), then idempotent (temp + atomic rename)
+    writes of the new checkpoint snapshot and the lake file. Returns one
+    lineage row per partition.
+
+    This stage runs as ordinary Ray tasks scheduled across ALL cluster
+    CPUs — unlike the shard-actor path, its parallelism is not pinned to
+    a fixed actor pool, so replay throughput scales with cluster size
+    while the partition LAYOUT (num_partitions) stays fixed."""
+
+    def __init__(self, lake_dir: str, ckpt_dir: str,
+                 prior_ckpt_dir: Optional[str], turn_idx_type: str):
+        self.lake_dir = lake_dir
+        self.ckpt_dir = ckpt_dir
+        self.prior_ckpt_dir = prior_ckpt_dir
+        self.turn_idx_type = turn_idx_type
+        self.__name__ = "replay_compact_commit"
+
+    @staticmethod
+    def _write_atomic(tbl: pa.Table, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        lineage_schema = pa.schema([
+            ("partition", pa.int64()), ("file", pa.string()),
+            ("rows", pa.int64()), ("events_applied", pa.int64()),
+            ("stale_dropped", pa.int64()), ("deletes", pa.int64()),
+            ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64())])
+        if group.num_rows == 0:
+            return lineage_schema.empty_table()
+        pid = int(group["__part"][0].as_py())
+        tbl = group.drop_columns(["__part"])
+        events = tbl.num_rows
+        lsn_lo = int(pc.min(tbl["lsn"]).as_py())
+        lsn_hi = int(pc.max(tbl["lsn"]).as_py())
+        if "__wm" in tbl.column_names:
+            # watermark = max lsn ever DELIVERED (pre-compaction), which
+            # can exceed the max surviving lsn
+            lsn_hi = max(lsn_hi, int(pc.max(tbl["__wm"]).as_py()))
+            tbl = tbl.drop_columns(["__wm"])
+        if self.prior_ckpt_dir:
+            prior_path = os.path.join(self.prior_ckpt_dir,
+                                      f"part-{pid:04d}.parquet")
+            if os.path.exists(prior_path):
+                prior = normalize_to_schema(pq.read_table(prior_path),
+                                            tbl.schema)
+                if prior.num_rows:
+                    lsn_lo = min(lsn_lo, int(pc.min(prior["lsn"]).as_py()))
+                    lsn_hi = max(lsn_hi, int(pc.max(prior["lsn"]).as_py()))
+                tbl = pa.concat_tables([prior, tbl])
+        before = tbl.num_rows
+        state = lww_compact_table(tbl, drop_tombstones=False)
+        stale = before - state.num_rows
+        self._write_atomic(state, os.path.join(self.ckpt_dir,
+                                               f"part-{pid:04d}.parquet"))
+        deletes = int(pc.sum(pc.cast(pc.equal(state["op"], "D"),
+                                     pa.int64())).as_py() or 0)
+        live = state.filter(pc.not_equal(state["op"], "D"))
+        live = live.sort_by([("conv_id", "ascending"),
+                             ("turn_idx", "ascending")])
+        t_turn = pa.int64() if self.turn_idx_type == "int64" else pa.int32()
+        out = pa.table({
+            "conv_id": live["conv_id"],
+            "turn_idx": live["turn_idx"].cast(t_turn),
+            "role": live["role"],
+            "text": live["text"],
+            "tool": live["tool"],
+            "ts": live["ts"].cast(pa.timestamp("ms")),
+        })
+        fname = f"part-{pid:04d}.parquet"
+        self._write_atomic(out, os.path.join(self.lake_dir, fname))
+        return pa.table({
+            "partition": pa.array([pid], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "events_applied": pa.array([events], pa.int64()),
+            "stale_dropped": pa.array([stale], pa.int64()),
+            "deletes": pa.array([deletes], pa.int64()),
+            "lsn_lo": pa.array([lsn_lo], pa.int64()),
+            "lsn_hi": pa.array([lsn_hi], pa.int64()),
+        }, schema=lineage_schema)
 
 
 def _segment_max_lsn(path: str, default: int = 0) -> int:
@@ -517,16 +630,103 @@ class CdcIngestEngine:
         self.ingest_mode = ingest_mode
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
-        # Shards reserve fractional CPUs: they are I/O-ish point-update
-        # workers fed by router tasks; reserving a full CPU each would
-        # starve the map stage on small nodes (deadlock in local mode).
-        Shard = _shard_cls()
-        self.shards = [Shard.options(num_cpus=shard_num_cpus).remote(i)
-                       for i in range(num_partitions)]
+        self.shard_num_cpus = shard_num_cpus
+        # Shard actors are created lazily: the batch replay() path never
+        # needs them (its state lives in checkpoint files, its tasks
+        # schedule on the whole cluster).
+        self._shards: Optional[list] = None
         Registry = _registry_cls()
         self.registry = Registry.remote()
         self._canonical: Optional[pa.Schema] = None
         self.events_seen = 0
+
+    @property
+    def shards(self) -> list:
+        if self._shards is None:
+            # Shards reserve fractional CPUs: they are I/O-ish point-update
+            # workers fed by router tasks; reserving a full CPU each would
+            # starve the map stage on small nodes (deadlock in local mode).
+            Shard = _shard_cls()
+            self._shards = [Shard.options(num_cpus=self.shard_num_cpus).remote(i)
+                            for i in range(self.num_partitions)]
+        return self._shards
+
+    @shards.setter
+    def shards(self, value) -> None:
+        self._shards = value
+
+    # -- batch replay (Dataset-native fast path) --------------------------
+    # replay map batches are 4× the router's: no actor-RPC amortization
+    # concern here, and larger batches mean fewer shuffle map tasks +
+    # better per-batch combine (measured: 262144 beats 65536 by ~25% at
+    # 32 CPUs and still leaves ~1.5 map tasks per core at sf0.1)
+    REPLAY_BATCH_SIZE = 262_144
+
+    def replay(self, ds, checkpoint_name: str = "replay",
+               min_lsn_exclusive: Optional[int] = None) -> list[dict]:
+        """Replay a binlog Dataset straight to a committed lake in ONE
+        Dataset pipeline — the bulk/backfill fast path (``ingest()`` +
+        shard actors remain the low-latency incremental path):
+
+            map_batches(watermark filter + schema normalize + per-batch
+                        LWW pre-compaction + hash partition)   # combiner
+              → groupby(__part)         # ONE Ray-native shuffle
+              → map_groups(_ReplayCompactCommit)
+                  merge prior checkpoint state → final LWW compaction →
+                  write checkpoint snapshot + lake file (idempotent)
+
+        vs the shard-actor path this removes the per-sub-batch actor RPCs
+        (~P per router batch) and the fixed P-actor parallelism ceiling:
+        every stage runs as tasks across all cluster CPUs, so throughput
+        scales with nodes while the partition layout stays fixed.
+
+        Exactly-once: same mechanism as ingest+commit — idempotent
+        per-partition files, atomic manifest append; a crashed replay()
+        rerun rewrites the same files and re-merges from the LAST
+        completed checkpoint (LWW merge is idempotent). Returns the
+        lineage entries.
+        """
+        import ray
+        import ray.data as rd
+        if isinstance(ds, pa.Table):
+            ds = rd.from_arrow(ds)
+        seg_schema = ds.schema().base_schema
+        evolved = ray.get(self.registry.evolve.remote(
+            seg_schema.serialize().to_pybytes()))
+        self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
+        cp = self.manifest.last_checkpoint()
+        if min_lsn_exclusive is None:
+            min_lsn_exclusive = (cp.get("lsn_hi") or 0) if cp else 0
+        prior_dir = os.path.join(self.ckpt_dir, cp["name"]) if cp else None
+        prep = _PrepareShuffle(self.num_partitions, self._canonical,
+                               self.salt_turns, self.hot_convs,
+                               min_lsn_exclusive, carry_watermark=True)
+        turn_t = ("int64" if pa.types.is_int64(
+            self._canonical.field("turn_idx").type) else "int32")
+        commit_fn = _ReplayCompactCommit(
+            self.lake_dir, os.path.join(self.ckpt_dir, checkpoint_name),
+            prior_dir, turn_t)
+        res = (ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=self.REPLAY_BATCH_SIZE)
+               .groupby("__part")
+               .map_groups(commit_fn, batch_format="pyarrow"))
+        batches = list(res.iter_batches(batch_format="pyarrow"))
+        lineages = (pa.concat_tables(batches, promote_options="permissive")
+                    .to_pylist() if batches else [])
+        lsn_hi = max((l["lsn_hi"] for l in lineages), default=0)
+        self.manifest.append({
+            "type": "checkpoint", "name": checkpoint_name, "lsn_hi": lsn_hi,
+            "partitions": len(lineages),
+            "keys": sum(l["rows"] + l["deletes"] for l in lineages),
+            "schema": self._canonical.serialize().to_pybytes().hex()})
+        committed = self.manifest.committed_watermarks()
+        for l in lineages:
+            l["type"] = "commit"
+            if committed.get(l["partition"]) == l["lsn_hi"]:
+                continue  # crash-rerun of an already-committed partition
+            self.manifest.append(l)
+        self.events_seen += sum(l["events_applied"] for l in lineages)
+        return lineages
 
     # -- resume ---------------------------------------------------------
     def resume_from_checkpoint(self) -> int:
@@ -686,10 +886,10 @@ class CdcIngestEngine:
         several engines per process; otherwise dead handles linger until
         GC and their worker processes pile up)."""
         import ray
-        for s in self.shards:
+        for s in (self._shards or []):
             ray.kill(s)
         ray.kill(self.registry)
-        self.shards = []
+        self._shards = None
 
     # -- read back --------------------------------------------------------
     def read_lake_dataset(self):

@@ -204,3 +204,57 @@ def test_wal_tail(ray_session, tmp_path):
     stats2 = eng2.tail(str(wal), poll_interval=0.1, idle_rounds=2)
     assert stats2["segments"] == 0
     assert stats2["watermark"] == stats["watermark"]
+
+
+# -- batch replay fast path (round 2) -----------------------------------------
+
+def test_replay_clean_matches_oracle(ray_session, binlog, oracle, tmp_path):
+    eng = CdcIngestEngine(str(tmp_path / "rlake"), num_partitions=4)
+    lineages = eng.replay(binlog)
+    assert sum(l["rows"] for l in lineages) == oracle.num_rows
+    assert eng.read_lake().equals(oracle)
+    # shard actors were never created (replay is actor-free)
+    assert eng._shards is None
+    eng.shutdown()
+
+
+def test_replay_incremental_merges_prior_state(ray_session, binlog, oracle,
+                                               tmp_path):
+    segs = split_segments(binlog, 3)
+    eng = CdcIngestEngine(str(tmp_path / "rlake2"), num_partitions=4)
+    for i, seg in enumerate(segs):
+        eng.replay(seg, checkpoint_name=f"seg{i}")
+    assert eng.read_lake().equals(oracle)
+    eng.shutdown()
+
+
+def test_replay_crash_rerun_idempotent(ray_session, binlog, oracle, tmp_path):
+    """Re-running replay over already-applied segments (at-least-once
+    delivery after a crash) must not change the lake or duplicate
+    manifest commits."""
+    segs = split_segments(binlog, 2)
+    eng = CdcIngestEngine(str(tmp_path / "rlake3"), num_partitions=4)
+    eng.replay(segs[0], checkpoint_name="a")
+    n_commits = len([e for e in eng.manifest.entries if e["type"] == "commit"])
+    # crash: new engine over the same lake; replay EVERYTHING again
+    del eng
+    eng2 = CdcIngestEngine(str(tmp_path / "rlake3"), num_partitions=4)
+    eng2.replay(pa.concat_tables(segs), checkpoint_name="b")
+    assert eng2.read_lake().equals(oracle)
+    # seg0-only partitions whose lsn_hi did not advance are not re-committed
+    commits = [e for e in eng2.manifest.entries if e["type"] == "commit"]
+    assert len(commits) >= n_commits
+    eng2.shutdown()
+
+
+def test_replay_then_ingest_resume(ray_session, binlog, oracle, tmp_path):
+    """replay() checkpoints are loadable by the incremental shard path."""
+    segs = split_segments(binlog, 2)
+    eng = CdcIngestEngine(str(tmp_path / "rlake4"), num_partitions=4)
+    eng.replay(segs[0], checkpoint_name="bulk")
+    wm = eng.resume_from_checkpoint()
+    assert wm == pc.max(segs[0]["lsn"]).as_py()
+    eng.ingest(segs[1], min_lsn_exclusive=wm)
+    eng.commit()
+    assert eng.read_lake().equals(oracle)
+    eng.shutdown()
