@@ -10,16 +10,31 @@ resolution — so shuffle volume is bounded by signatures, not documents.
 - minhash_lsh_pairs: word-shingle MinHash (Broder 1997) + LSH banding
   (Leskovec/Rajaraman/Ullman ch.3): shingle→minhash per batch (vectorized
   universal hashing), explode to (band, band_hash, doc_id) rows, bucket
-  groupby, emit verified candidate pairs with exact n-gram Jaccard.
+  groupby, emit verified candidate pairs with exact shingle-set Jaccard.
+  Verification never materializes the corpus: a column-pruned second
+  pass emits sketches for CANDIDATE docs only (output-sized memory).
 - simhash64: Charikar 2002 sign-random-projection over token hashes;
   near-dup = Hamming distance ≤ k (banded lookup on 16-bit chunks).
 - embedding_nearduplicate_pairs: random-hyperplane LSH buckets over an
   embedding column, verify cosine within buckets.
+
+Sketching is ONE set of numpy/Arrow kernels per batch (no per-document
+Python loops): tokenize the whole batch with Arrow string kernels,
+hash every token once, form k-gram shingle hashes by a rolling combine
+over the flat token-hash array, and reduce per document with
+``np.minimum.reduceat`` / ``np.add.reduceat`` on the list offsets.
+
+Oversized LSH buckets (where the duplicates usually ARE) are never
+silently dropped: they are sub-split by a secondary hash of the full
+signature — identical documents have identical signatures, so true
+duplicate clusters stay together — and a still-oversized sub-bucket
+(a mass-duplicate cluster) emits star pairs to its min-id
+representative: O(n) pairs, same connected components.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +44,10 @@ from datavec_ray.hll import hash64
 from datavec_ray.steps.base import combine
 
 _MERSENNE = (1 << 61) - 1
+_FNV = np.uint64(1099511628211)   # k-gram combiner (wraps mod 2^64)
+_POLY = np.uint64(1000003)        # band/signature combiner
+
+log = logging.getLogger("datavec_ray.dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -76,28 +95,115 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# flat (whole-batch) tokenize + shingle kernels
+# ---------------------------------------------------------------------------
+
+def _segment_arange(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized per-segment arange)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lengths) - lengths, lengths))
+
+
+def _tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens for a WHOLE batch via Arrow kernels.
+
+    Returns (token_hashes uint64 flat, doc offsets int64 of length D+1)
+    — tokens of doc d are flat[offsets[d]:offsets[d+1]]. Every token in
+    the batch is hashed in one vectorized hash64 call.
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    texts = combine(texts) if isinstance(texts, pa.ChunkedArray) else texts
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    parts = pc.utf8_split_whitespace(low)
+    flat = pc.list_flatten(parts)
+    offsets = np.asarray(parts.offsets, dtype=np.int64).copy()
+    # split_whitespace emits "" fragments at string edges; drop them and
+    # fix the offsets (vectorized per-doc nonempty counts)
+    nonempty = pc.not_equal(flat, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    if not ne.all():
+        counts = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(counts)), counts)
+        kept = np.zeros(len(counts), dtype=np.int64)
+        np.add.at(kept, row_of, ne.astype(np.int64))
+        flat = flat.filter(nonempty)
+        offsets = np.concatenate(([0], np.cumsum(kept)))
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    return hash64(flat).astype(np.uint64), offsets
+
+
+def _shingle_hashes_flat(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-gram shingle hashes per doc, flat + offsets layout.
+
+    A k-gram hash is the rolling FNV-style combine of its k token hashes
+    — computed for ALL docs at once by k shifted multiply-adds over the
+    flat token-hash array, masking windows that cross doc boundaries.
+    Docs with 0 < tokens < k yield ONE shingle over all their tokens
+    (matching the reference semantics of the string-join variant).
+    Shingles are a MULTISET (duplicates kept): min-hash over a multiset
+    equals min-hash over the set, and the verify path uniquifies.
+    """
+    th, offs = _tokenize_flat(texts)
+    D = len(offs) - 1
+    counts = np.diff(offs)
+    n = len(th)
+    if n == 0 or k <= 1:
+        return th, offs
+    m = n - k + 1
+    if m > 0:
+        acc = th[:m].copy()
+        for j in range(1, k):
+            acc = acc * _FNV + th[j:j + m]
+        doc_of = np.repeat(np.arange(D), counts)
+        valid = doc_of[:m] == doc_of[k - 1:k - 1 + m]
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+        valid = np.empty(0, dtype=bool)
+    full = np.where(counts >= k, counts - (k - 1), 0)
+    short = (counts > 0) & (counts < k)
+    out_counts = np.where(short, 1, full)
+    out_offs = np.concatenate(([0], np.cumsum(out_counts)))
+    sh = np.empty(int(out_offs[-1]), dtype=np.uint64)
+    # full-window shingles: acc[valid] is doc-ascending, scatter into the
+    # output segments of docs with counts >= k
+    full_mask = counts >= k
+    if full_mask.any():
+        w = full[full_mask]
+        starts = out_offs[:-1][full_mask]
+        pos = np.repeat(starts, w) + _segment_arange(w)
+        sh[pos] = acc[valid]
+    # short docs (rare): one rolling hash over all tokens each
+    for d in np.flatnonzero(short):
+        seg = th[offs[d]:offs[d + 1]]
+        h = seg[0]
+        for x in seg[1:]:
+            h = h * _FNV + x
+        sh[out_offs[d]] = h
+    return sh, out_offs
+
+
+def _shingle_hashes(texts: list, k: int) -> list[np.ndarray]:
+    """Per-doc UNIQUE shingle-hash sets (the verify-path representation)."""
+    sh, offs = _shingle_hashes_flat(texts, k)
+    return [np.unique(sh[offs[d]:offs[d + 1]]) for d in range(len(offs) - 1)]
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(texts: list, k: int) -> list[np.ndarray]:
-    """Word k-gram shingle hash sets per document (vectorized hashing of
-    the shingle strings via blake2-backed hash64)."""
-    out = []
-    for t in texts:
-        toks = (t or "").lower().split()
-        if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        if not shingles:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        out.append(np.unique(hash64(np.array(shingles, dtype=object))))
-    return out
-
-
 class _MinHashBands:
-    """map_batches: doc → (band, band_hash, doc_id) rows (exploded)."""
+    """map_batches: doc → (band, band_hash, doc_id, sig_hash) rows.
+
+    Whole-batch vectorization: signatures via H universal hashes over the
+    flat shingle array + per-doc ``np.minimum.reduceat``; band hashes via
+    r multiply-adds over signature columns. No per-document Python loop.
+    """
 
     def __init__(self, text_col: str, id_col: str, num_hashes: int,
                  num_bands: int, shingle_k: int, seed: int = 1234):
@@ -107,95 +213,190 @@ class _MinHashBands:
         self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
 
-    def signature(self, sh: np.ndarray) -> np.ndarray:
-        if len(sh) == 0:
-            return np.full(self.num_hashes, np.uint64(0xFFFFFFFFFFFFFFFF))
-        # universal hashing h_i(x) = (a_i*x + b_i) mod p, vectorized (H, S)
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return v.min(axis=1)
+    def signatures(self, sh: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """(D, H) min-hash signature matrix; empty docs get all-ones."""
+        D = len(offs) - 1
+        sig = np.full((D, self.num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF))
+        counts = np.diff(offs)
+        nonempty = counts > 0
+        starts = offs[:-1][nonempty]
+        if starts.size:
+            p = np.uint64(_MERSENNE)
+            for i in range(self.num_hashes):
+                v = (self.a[i] * sh + self.b[i]) % p
+                sig[nonempty, i] = np.minimum.reduceat(v, starts)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = combine(batch[self.text_col]).to_pylist()
-        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False)
-        shingles = _shingle_hashes(texts, self.k)
-        rows_band, rows_hash, rows_id = [], [], []
-        r = self.num_hashes // self.num_bands
-        for i, sh in enumerate(shingles):
-            sig = self.signature(sh)
-            for band in range(self.num_bands):
-                chunk = sig[band * r:(band + 1) * r]
-                bh = np.uint64(0)
-                for x in chunk:  # tiny loop (r elements)
-                    bh = bh * np.uint64(1000003) + x
-                rows_band.append(band)
-                rows_hash.append(int(bh))
-                rows_id.append(int(ids[i]))
+        texts = combine(batch[self.text_col])
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, offs = _shingle_hashes_flat(texts, self.k)
+        sig = self.signatures(sh, offs)
+        D, B = len(ids), self.num_bands
+        r = self.num_hashes // B
+        band_hash = np.zeros((D, B), dtype=np.uint64)
+        for band in range(B):
+            acc = np.zeros(D, dtype=np.uint64)
+            for j in range(r):
+                acc = acc * _POLY + sig[:, band * r + j]
+            band_hash[:, band] = acc
+        sig_hash = np.zeros(D, dtype=np.uint64)
+        for i in range(self.num_hashes):
+            sig_hash = sig_hash * _POLY + sig[:, i]
         return pa.table({
-            "band": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(rows_hash, pa.uint64()),
-            "doc_id": pa.array(rows_id, pa.int64()),
+            "band": pa.array(np.tile(np.arange(B, dtype=np.int32), D)),
+            "band_hash": pa.array(band_hash.reshape(-1)),   # doc-major
+            "doc_id": pa.array(np.repeat(ids, B)),
+            "sig_hash": pa.array(np.repeat(sig_hash, B)),
         })
 
 
-class _BucketPairs:
-    """map_groups over (band, band_hash) buckets → candidate pairs."""
+def _pair_indices(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a, b = np.triu_indices(len(ids), k=1)
+    return ids[a], ids[b]
 
-    def __init__(self, max_bucket: int = 200):
+
+_EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+
+
+class _BucketPairs:
+    """map_groups over (band, band_hash) buckets → candidate pairs.
+
+    Buckets over ``max_bucket`` docs are SUB-SPLIT by a secondary hash of
+    the full minhash signature (identical docs share identical signatures
+    → true dup clusters stay together); a sub-bucket still over the cap
+    is a mass-duplicate cluster and emits star pairs to its min-id
+    representative (O(n) pairs, same connected components). Counts are
+    logged, never silently dropped.
+    """
+
+    def __init__(self, max_bucket: int = 256):
         self.max_bucket = max_bucket
         self.__name__ = "bucket_pairs"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > self.max_bucket:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])})
+        ids_np = group["doc_id"].to_numpy(zero_copy_only=False)
+        uq, idx = np.unique(ids_np, return_index=True)
+        if len(uq) < 2:
+            return _EMPTY_PAIRS
+        if len(uq) <= self.max_bucket:
+            ia, ib = _pair_indices(uq)
+            return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
+        sig = group["sig_hash"].to_numpy(zero_copy_only=False)[idx]
+        nsub = int(np.ceil(len(uq) / self.max_bucket))
+        sub = (sig % np.uint64(nsub)).astype(np.int64)
+        log.warning("oversized LSH bucket: %d docs sub-split into %d "
+                    "sub-buckets by signature hash", len(uq), nsub)
+        outs_a, outs_b = [], []
+        for s in range(nsub):
+            sids = uq[sub == s]
+            if len(sids) < 2:
+                continue
+            if len(sids) > self.max_bucket:
+                log.warning("mass-duplicate cluster of %d docs: star-linked "
+                            "to representative %d", len(sids), int(sids[0]))
+                outs_a.append(np.full(len(sids) - 1, sids[0], dtype=np.int64))
+                outs_b.append(sids[1:])
+            else:
+                ia, ib = _pair_indices(sids)
+                outs_a.append(ia)
+                outs_b.append(ib)
+        if not outs_a:
+            return _EMPTY_PAIRS
+        return pa.table({"id_a": pa.array(np.concatenate(outs_a)),
+                         "id_b": pa.array(np.concatenate(outs_b))})
 
 
-def minhash_lsh_pairs(ds, text_lookup: Optional[dict] = None,
+def _dedupe_pairs(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side pair dedupe — memory is bounded by the candidate-pair
+    count (the OUTPUT size), never the corpus."""
+    a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) == 0:
+        return a, b
+    key = np.stack([a, b], axis=1)
+    uniq = np.unique(key, axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+class _CandidateSketches:
+    """Column-pruned corpus pass emitting UNIQUE shingle-hash sets for
+    candidate docs only (broadcast id set via ray.put)."""
+
+    def __init__(self, needed_ref, text_col: str, id_col: str, k: int):
+        import ray
+        self.needed = ray.get(needed_ref)
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, self.needed)
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.uint64()))})
+        sub = batch.filter(pa.array(mask))
+        sub_ids = ids[mask]
+        sh, offs = _shingle_hashes_flat(combine(sub[self.text_col]), self.k)
+        sets = [np.unique(sh[offs[d]:offs[d + 1]])
+                for d in range(len(offs) - 1)]
+        return pa.table({
+            "doc_id": pa.array(sub_ids),
+            "shingles": pa.array([s.tolist() for s in sets],
+                                 pa.list_(pa.uint64())),
+        })
+
+
+def minhash_lsh_pairs(ds, verify: bool = True,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 128, num_bands: int = 32,
-                      shingle_k: int = 3, jaccard_threshold: float = 0.7):
-    """Return verified near-duplicate pairs (id_a < id_b, jaccard ≥ thr).
+                      shingle_k: int = 3, jaccard_threshold: float = 0.7,
+                      max_bucket: int = 256) -> pa.Table:
+    """Near-duplicate pairs (id_a < id_b), verified with exact
+    shingle-set Jaccard ≥ threshold when ``verify`` (else raw candidates).
 
-    text_lookup: {doc_id: text} for the verification stage; broadcast via
-    ray.put once. If None, pairs are returned unverified (candidates).
+    Scale shape: sketch+band (map) → bucket groupby (ONE shuffle of
+    signature rows, not documents) → candidate pairs (output-sized) →
+    one column-pruned corpus pass computing sketches for candidate docs
+    only → driver-side Jaccard over those sketches. The corpus text is
+    never materialized on the driver.
     """
     import ray
 
+    from datavec_ray.util import dataset_to_table
+
     bands = ds.map_batches(_MinHashBands(text_col, id_col, num_hashes,
                                          num_bands, shingle_k),
-                           batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _BucketPairs(), batch_format="pyarrow")
-    # candidate set is small after banding; dedupe pairs
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-    if text_lookup is None:
-        return pairs
-    ref = ray.put(text_lookup)
-    k = shingle_k
-    thr = jaccard_threshold
-
-    class _Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ia = batch["id_a"].to_pylist()
-            ib = batch["id_b"].to_pylist()
-            jac = []
-            for x, y in zip(ia, ib):
-                sa = set(map(int, _shingle_hashes([self.texts.get(x, "")], k)[0]))
-                sb = set(map(int, _shingle_hashes([self.texts.get(y, "")], k)[0]))
-                u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 0.0)
-            out = batch.append_column(pa.field("jaccard", pa.float64()),
-                                      pa.array(jac))
-            return out.filter(pc.greater_equal(out["jaccard"], thr))
-
-    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4))
+                           batch_format="pyarrow", batch_size=4096)
+    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
+        _BucketPairs(max_bucket), batch_format="pyarrow")
+    ia, ib = _dedupe_pairs(dataset_to_table(pairs_ds))
+    if not verify:
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
+    if len(ia) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    needed = np.unique(np.concatenate([ia, ib]))
+    ref = ray.put(needed)
+    sk = dataset_to_table(
+        ds.map_batches(_CandidateSketches, batch_format="pyarrow",
+                       fn_constructor_args=(ref, text_col, id_col, shingle_k),
+                       concurrency=(1, 8)))
+    lookup = {int(i): np.asarray(s, dtype=np.uint64)
+              for i, s in zip(sk["doc_id"].to_pylist(),
+                              sk["shingles"].to_pylist())}
+    empty = np.empty(0, dtype=np.uint64)
+    jac = np.empty(len(ia), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ia, ib)):
+        sa = lookup.get(int(x), empty)
+        sb = lookup.get(int(y), empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 0.0
+    keep = jac >= jaccard_threshold
+    return pa.table({"id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep]),
+                     "jaccard": pa.array(jac[keep])})
 
 
 # ---------------------------------------------------------------------------
@@ -206,22 +407,23 @@ def simhash64(texts: list, shingle_k: int = 2) -> np.ndarray:
     """64-bit SimHash per text (Charikar 2002): sign of summed ±1 feature
     hash bits. Features are word k-gram shingles (k=2 default) — single
     tokens make short documents with a shared vocabulary collapse to
-    near-identical hashes (degenerate banding)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        if len(toks) >= shingle_k:
-            feats = [" ".join(toks[j:j + shingle_k])
-                     for j in range(len(toks) - shingle_k + 1)]
-        else:
-            feats = [" ".join(toks)]
-        h = hash64(np.array(feats, dtype=object))
-        bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
-        votes = bits.sum(axis=0) * 2 - len(h)   # (+1/-1 summed)
-        sim_bits = (votes > 0).astype(np.uint8)
-        out[i] = np.packbits(sim_bits).view(np.uint64)[0]
+    near-identical hashes (degenerate banding).
+
+    Whole-batch vectorized: one unpackbits over ALL feature hashes, one
+    ``np.add.reduceat`` per-doc bit vote, one packbits.
+    """
+    sh, offs = _shingle_hashes_flat(texts, shingle_k)
+    D = len(offs) - 1
+    out = np.zeros(D, dtype=np.uint64)
+    counts = np.diff(offs)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    bits = np.unpackbits(sh.view(np.uint8)).reshape(len(sh), 64)
+    starts = offs[:-1][nonempty]
+    votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+    sim_bits = (votes * 2 > counts[nonempty, None]).astype(np.uint8)
+    out[nonempty] = np.packbits(sim_bits, axis=1).view(np.uint64)[:, 0]
     return out
 
 
@@ -230,57 +432,95 @@ class AddSimHash:
         self.text_col, self.out_col = text_col, out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = simhash64(combine(batch[self.text_col]).to_pylist())
+        sh = simhash64(combine(batch[self.text_col]))
         return batch.append_column(pa.field(self.out_col, pa.uint64()),
                                    pa.array(sh))
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_bucket: int = 512):
     """Near-dup pairs by SimHash banding: 4 bands of 16 bits — any pair
     within Hamming distance ≤ 3 of 64 bits shares at least one exact
-    16-bit band (pigeonhole)."""
+    16-bit band (pigeonhole). Oversized buckets sub-split by a secondary
+    hash of the FULL simhash (exact dups always stay together); a
+    still-oversized sub-bucket compares its members against the min-id
+    representative (O(n), keeps exact-dup components connected)."""
     with_h = ds.map_batches(AddSimHash(text_col), batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False)
-        ids = combine(batch[id_col]).to_numpy(zero_copy_only=False)
-        bands, keys, out_ids, hashes = [], [], [], []
-        for band in range(4):
-            chunk = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            bands.extend([band] * len(h))
-            keys.extend(chunk.tolist())
-            out_ids.extend(ids.tolist())
-            hashes.extend(h.tolist())
-        return pa.table({"band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int64()),
-                         "doc_id": pa.array(out_ids, pa.int64()),
-                         "simhash": pa.array(hashes, pa.uint64())})
+        ids = combine(batch[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(h)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        keys = ((h[None, :] >> shifts[:, None]) &
+                np.uint64(0xFFFF)).astype(np.int64).reshape(-1)
+        return pa.table({"band": pa.array(bands),
+                         "key": pa.array(keys),
+                         "doc_id": pa.array(np.tile(ids, 4)),
+                         "simhash": pa.array(np.tile(h, 4))})
 
     exploded = with_h.map_batches(explode, batch_format="pyarrow")
     hmax = max_hamming
+    cap = max_bucket
+
+    def _ham(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                             axis=1).sum(axis=1)
 
     class _Pairs:
         def __init__(self):
             self.__name__ = "simhash_bucket_pairs"
+
+        @staticmethod
+        def _emit(ids, hs):
+            a, b = np.triu_indices(len(ids), k=1)
+            ham = _ham(hs[a] ^ hs[b])
+            keep = ham <= hmax
+            return ids[a][keep], ids[b][keep], ham[keep]
 
         def __call__(self, group: pa.Table) -> pa.Table:
             ids = group["doc_id"].to_numpy(zero_copy_only=False)
             hs = group["simhash"].to_numpy(zero_copy_only=False)
             uniq, idx = np.unique(ids, return_index=True)
             ids, hs = uniq, hs[idx]
-            if len(ids) < 2 or len(ids) > 500:
-                return pa.table({"id_a": pa.array([], pa.int64()),
-                                 "id_b": pa.array([], pa.int64()),
-                                 "hamming": pa.array([], pa.int64())})
-            a, b = np.triu_indices(len(ids), k=1)
-            x = hs[a] ^ hs[b]
-            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                                axis=1).sum(axis=1)
-            keep = ham <= hmax
-            return pa.table({"id_a": pa.array(ids[a][keep], pa.int64()),
-                             "id_b": pa.array(ids[b][keep], pa.int64()),
-                             "hamming": pa.array(ham[keep].astype(np.int64))})
+            empty = pa.table({"id_a": pa.array([], pa.int64()),
+                              "id_b": pa.array([], pa.int64()),
+                              "hamming": pa.array([], pa.int64())})
+            if len(ids) < 2:
+                return empty
+            if len(ids) <= cap:
+                ia, ib, hm = self._emit(ids, hs)
+            else:
+                nsub = int(np.ceil(len(ids) / cap))
+                sub = ((hs * _POLY) % np.uint64(nsub)).astype(np.int64)
+                log.warning("oversized SimHash bucket: %d docs sub-split "
+                            "into %d sub-buckets", len(ids), nsub)
+                outs = []
+                for s in range(nsub):
+                    m = sub == s
+                    sids, shs = ids[m], hs[m]
+                    if len(sids) < 2:
+                        continue
+                    if len(sids) > cap:
+                        log.warning("mass-dup simhash cluster of %d docs: "
+                                    "comparing against representative %d",
+                                    len(sids), int(sids[0]))
+                        hm = _ham(shs[1:] ^ shs[0])
+                        keep = hm <= hmax
+                        outs.append((np.full(keep.sum(), sids[0],
+                                             dtype=np.int64),
+                                     sids[1:][keep], hm[keep]))
+                    else:
+                        outs.append(self._emit(sids, shs))
+                if not outs:
+                    return empty
+                ia = np.concatenate([o[0] for o in outs])
+                ib = np.concatenate([o[1] for o in outs])
+                hm = np.concatenate([o[2] for o in outs])
+            return pa.table({"id_a": pa.array(ia.astype(np.int64)),
+                             "id_b": pa.array(ib.astype(np.int64)),
+                             "hamming": pa.array(hm.astype(np.int64))})
 
     pairs = exploded.groupby(["band", "key"]).map_groups(
         _Pairs(), batch_format="pyarrow")
@@ -294,8 +534,12 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_neardup_pairs(ds, vec_col: str = "embedding",
                             id_col: str = "vec_id", num_planes: int = 16,
-                            cos_threshold: float = 0.95, seed: int = 5):
-    """Random-hyperplane LSH buckets, verify cosine within bucket."""
+                            cos_threshold: float = 0.95, seed: int = 5,
+                            max_bucket: int = 1024):
+    """Random-hyperplane LSH buckets, verify cosine within bucket.
+    Oversized buckets sub-split by EXTRA hyperplane sign bits
+    (near-identical vectors agree on them w.h.p.); a still-oversized
+    sub-bucket verifies members against its min-id representative."""
     class _Bucket:
         def __init__(self):
             self.planes = None
@@ -318,30 +562,73 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
             })
 
     thr = cos_threshold
+    cap = max_bucket
 
     class _Pairs:
         def __init__(self):
             self.__name__ = "embedding_bucket_pairs"
+            self.extra = None
+
+        def _extra_key(self, m: np.ndarray) -> np.ndarray:
+            if self.extra is None:
+                rng = np.random.default_rng(seed + 1)
+                self.extra = rng.standard_normal((m.shape[1], 16))
+            signs = (m @ self.extra) > 0
+            return signs.astype(np.int64) @ (1 << np.arange(16, dtype=np.int64))
+
+        @staticmethod
+        def _emit(ids, m):
+            sims = m @ m.T
+            a, b = np.triu_indices(len(ids), k=1)
+            cs = sims[a, b]
+            keep = cs >= thr
+            return ids[a][keep], ids[b][keep], cs[keep]
 
         def __call__(self, group: pa.Table) -> pa.Table:
             ids = group["vec_id"].to_numpy(zero_copy_only=False)
             arr = group["vec"].combine_chunks()
             width = len(arr[0]) if len(arr) else 0
-            if len(ids) < 2 or len(ids) > 1000:
-                return pa.table({"id_a": pa.array([], pa.int64()),
-                                 "id_b": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            m = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
-            m = m.astype(np.float64)
+            empty = pa.table({"id_a": pa.array([], pa.int64()),
+                              "id_b": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            if len(ids) < 2:
+                return empty
+            m = arr.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(-1, width).astype(np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             m = m / np.where(norms == 0, 1, norms)
-            sims = m @ m.T
-            a, b = np.triu_indices(len(ids), k=1)
-            cs = sims[a, b]
-            keep = cs >= thr
-            return pa.table({"id_a": pa.array(ids[a][keep].astype(np.int64)),
-                             "id_b": pa.array(ids[b][keep].astype(np.int64)),
-                             "cosine": pa.array(cs[keep])})
+            if len(ids) <= cap:
+                ia, ib, cs = self._emit(ids, m)
+            else:
+                nsub = int(np.ceil(len(ids) / cap))
+                sub = (self._extra_key(m) % nsub).astype(np.int64)
+                log.warning("oversized embedding bucket: %d vectors "
+                            "sub-split into %d sub-buckets", len(ids), nsub)
+                outs = []
+                for s in range(nsub):
+                    msk = sub == s
+                    sids, sm = ids[msk], m[msk]
+                    if len(sids) < 2:
+                        continue
+                    if len(sids) > cap:
+                        log.warning("mass-dup embedding cluster of %d: "
+                                    "verifying against representative %d",
+                                    len(sids), int(sids[0]))
+                        cs = sm[1:] @ sm[0]
+                        keep = cs >= thr
+                        outs.append((np.full(keep.sum(), sids[0],
+                                             dtype=np.int64),
+                                     sids[1:][keep], cs[keep]))
+                    else:
+                        outs.append(self._emit(sids, sm))
+                if not outs:
+                    return empty
+                ia = np.concatenate([o[0] for o in outs])
+                ib = np.concatenate([o[1] for o in outs])
+                cs = np.concatenate([o[2] for o in outs])
+            return pa.table({"id_a": pa.array(ia.astype(np.int64)),
+                             "id_b": pa.array(ib.astype(np.int64)),
+                             "cosine": pa.array(cs)})
 
     buckets = ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=(1, 4))
     pairs = buckets.groupby("bucket").map_groups(_Pairs(), batch_format="pyarrow")

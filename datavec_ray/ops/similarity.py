@@ -88,8 +88,7 @@ def _kmeans(sample: np.ndarray, c: int, iters: int = 8, seed: int = 11) -> np.nd
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _assign_centroids(sample, cent)  # matmul, no (N,C,dim) blowup
         for j in range(len(cent)):
             pts = sample[assign == j]
             if len(pts):
@@ -97,55 +96,151 @@ def _kmeans(sample: np.ndarray, c: int, iters: int = 8, seed: int = 11) -> np.nd
     return cent
 
 
+def _assign_centroids(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via the |x-c|² = |x|² - 2x·c + |c|²
+    expansion (one matmul, no (N, C, dim) broadcast blowup)."""
+    cross = m @ cents.T                             # (N, C)
+    c2 = (cents ** 2).sum(axis=1)[None, :]
+    return (c2 - 2 * cross).argmin(axis=1)
+
+
+def _fit_centroids(ds, num_centroids: int, sample_frac: float,
+                   vec_col: str, seed: int) -> np.ndarray:
+    from datavec_ray.util import dataset_to_table
+    sample_tbl = ds.select_columns([vec_col]) \
+        .random_sample(sample_frac, seed=seed).materialize()
+    sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
+    return _kmeans(sample, num_centroids)
+
+
+class _ProbeTopK:
+    """Per-batch IVF scoring: rows grouped by their assigned centroid,
+    ONE small matmul per (centroid, probing-queries) pair — only the
+    probed (row, query) dot products are ever computed, never the full
+    batch × query matrix. Work per batch = Σ_c n_c · |queries probing c|
+    ≤ nprobe/C of brute force on average."""
+
+    def __init__(self, cents_ref, q_ref, probe_ref, vec_col: str,
+                 id_col: str, k: int):
+        import ray
+        self.cents = ray.get(cents_ref)
+        self.q = ray.get(q_ref)                     # normalized (Q, dim)
+        probe = ray.get(probe_ref)                  # (Q, nprobe)
+        C = len(self.cents)
+        self.queries_of = [np.flatnonzero((probe == c).any(axis=1))
+                           for c in range(C)]      # centroid → query ids
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col])
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False)
+        assign = _assign_centroids(m, self.cents)
+        mn = _normalize(m)
+        qi, rows, scores = [], [], []
+        for c in np.unique(assign):
+            qs = self.queries_of[int(c)]
+            if qs.size == 0:
+                continue
+            rmask = assign == c
+            sub = mn[rmask] @ self.q[qs].T          # (n_c, |qs|) ONLY
+            sub_ids = ids[rmask]
+            kk = min(self.k, len(sub_ids))
+            top = np.argpartition(-sub, kk - 1, axis=0)[:kk] \
+                if kk < len(sub_ids) else np.arange(len(sub_ids))[:, None] \
+                .repeat(len(qs), axis=1)
+            for j, qx in enumerate(qs):
+                sel = top[:, j]
+                qi.extend([int(qx)] * len(sel))
+                rows.extend(sub_ids[sel].tolist())
+                scores.extend(sub[sel, j].tolist())
+        return pa.table({"query_id": pa.array(qi, pa.int64()),
+                         "match_id": pa.array(rows, pa.int64()),
+                         "cosine": pa.array(scores, pa.float64())})
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
              nprobe: int = 4, sample_frac: float = 0.1,
              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 11):
-    """Approximate top-k: sampled k-means → centroid assignment
-    (map_batches) → probe only the nprobe closest centroid partitions."""
+    """Approximate top-k: sampled k-means → per-batch centroid assignment
+    → score ONLY rows whose centroid is probed by a query (the pruning
+    that makes IVF cheaper than brute force). One-shot over an in-memory
+    Dataset; for a reusable corpus build a physical index with
+    ``ivf_build`` + ``ivf_query`` so non-probed partitions are never
+    read at all."""
     import ray
 
-    sample_tbl = ds.random_sample(sample_frac, seed=seed) \
-        .materialize()
-    from datavec_ray.util import dataset_to_table
-    sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
-    cents = _kmeans(sample, num_centroids)
+    cents = _fit_centroids(ds, num_centroids, sample_frac, vec_col, seed)
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    # centroid probe set per query (cosine against normalized centroids)
     ncents = _normalize(cents)
     probe = np.argsort(-(q @ ncents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
-    probe_sets = [set(row.tolist()) for row in probe]
-    pref = ray.put((cents, probe_sets))
-    qref = ray.put(q)
+    refs = (ray.put(cents), ray.put(q), ray.put(probe))
+    per_batch = ds.map_batches(
+        _ProbeTopK, batch_format="pyarrow",
+        fn_constructor_args=(*refs, vec_col, id_col, k),
+        concurrency=(1, 8))
+    return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
+                                                    batch_format="pyarrow")
 
-    class _ProbeTopK:
-        def __init__(self):
-            self.cents, self.probe_sets = ray.get(pref)
-            self.q = ray.get(qref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _matrix(batch[vec_col])
-            ids = combine(batch[id_col]).to_numpy(zero_copy_only=False)
-            d = ((m[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            mn = _normalize(m)
-            sims = mn @ self.q.T
-            qi, rows, scores = [], [], []
-            for qx, pset in enumerate(self.probe_sets):
-                mask = np.isin(assign, list(pset))
-                if not mask.any():
-                    continue
-                s = sims[mask, qx]
-                sub_ids = ids[mask]
-                kk = min(k, len(sub_ids))
-                sel = np.argpartition(-s, kk - 1)[:kk]
-                qi.extend([qx] * kk)
-                rows.extend(sub_ids[sel].tolist())
-                scores.extend(s[sel].tolist())
-            return pa.table({"query_id": pa.array(qi, pa.int64()),
-                             "match_id": pa.array(rows, pa.int64()),
-                             "cosine": pa.array(scores, pa.float64())})
+# ---------------------------------------------------------------------------
+# physical IVF index: partition the corpus by centroid so non-probed
+# partitions are never READ (the 100 TB scale path)
+# ---------------------------------------------------------------------------
 
-    per_batch = ds.map_batches(_ProbeTopK, batch_format="pyarrow",
-                               concurrency=(1, 8))
+def ivf_build(ds, index_dir: str, num_centroids: int = 16,
+              sample_frac: float = 0.1, vec_col: str = "embedding",
+              id_col: str = "vec_id", seed: int = 11) -> np.ndarray:
+    """Build a centroid-partitioned parquet index: one directory per
+    centroid (``cent=<c>/``) written by a streaming pass, plus
+    ``centroids.npy``. Queries then read ONLY the probed directories."""
+    import os
+
+    cents = _fit_centroids(ds, num_centroids, sample_frac, vec_col, seed)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[vec_col])
+        assign = _assign_centroids(m, cents)
+        return batch.append_column(pa.field("cent", pa.int64()),
+                                   pa.array(assign.astype(np.int64)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.map_batches(_assign, batch_format="pyarrow")
+       .write_parquet(index_dir, partition_cols=["cent"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
+              nprobe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Query a physical IVF index: reads only the ``nprobe`` closest
+    centroid partitions per query (union over queries), brute-force
+    cosine within them."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ncents = _normalize(cents)
+    probe = np.argsort(-(q @ ncents.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for c in probe.reshape(-1)})
+    paths = []
+    for c in needed:  # expand each probed partition dir to its files
+        d = os.path.join(index_dir, f"cent={c}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                       "match_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    refs = (ray.put(cents), ray.put(q), ray.put(probe))
+    per_batch = ds.map_batches(
+        _ProbeTopK, batch_format="pyarrow",
+        fn_constructor_args=(*refs, vec_col, id_col, k),
+        concurrency=(1, 8))
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")

@@ -35,15 +35,64 @@ def test_minhash_lsh(ray_session):
     import ray.data as rd
     from datavec_ray.ops.dedup import minhash_lsh_pairs
     t = docs_table()
-    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    out = dataset_to_table(minhash_lsh_pairs(
-        rd.from_arrow(t), lookup, jaccard_threshold=0.3))
+    out = minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.3)
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     # exact dups must be found; the near-dup (0,2) has true jaccard 0.4
     # (one word of nine changed → 4 of 10 distinct 3-gram shingles shared)
     assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
     assert (0, 2) in pairs
     assert all(j >= 0.3 for j in out["jaccard"].to_pylist())
+
+
+def test_minhash_shingles_match_reference_semantics():
+    """Flat vectorized shingling == per-doc reference implementation."""
+    from datavec_ray.ops.dedup import _shingle_hashes, _shingle_hashes_flat
+    texts = ["the quick brown fox", "a b", "", "one", "x y z w v"]
+    sh, offs = _shingle_hashes_flat(texts, 3)
+    # doc 0: 4 tokens → 2 shingles; doc 1: short → 1; doc 2: empty → 0;
+    # doc 3: short → 1; doc 4: 5 tokens → 3
+    assert np.diff(offs).tolist() == [2, 1, 0, 1, 3]
+    sets = _shingle_hashes(texts, 3)
+    assert [len(s) for s in sets] == [2, 1, 0, 1, 3]
+    # identical texts → identical shingle sets
+    a = _shingle_hashes(["same text here ok"], 3)[0]
+    b = _shingle_hashes(["same text here ok"], 3)[0]
+    assert np.array_equal(a, b)
+
+
+def test_simhash_identical_and_empty():
+    from datavec_ray.ops.dedup import simhash64
+    h = simhash64(["the quick brown fox", "the quick brown fox", "", "other"])
+    assert h[0] == h[1]
+    assert h[2] == 0
+    assert h[0] != h[3]
+
+
+def test_oversized_bucket_still_finds_duplicates(ray_session):
+    """A pathological all-identical corpus overflows every LSH bucket —
+    the sub-split + star-link path must still connect every duplicate to
+    the representative instead of silently dropping the bucket."""
+    import ray.data as rd
+    from datavec_ray.ops.dedup import minhash_lsh_pairs
+    n = 60
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": ["identical duplicate document text here"] * n})
+    out = minhash_lsh_pairs(rd.from_arrow(t), jaccard_threshold=0.9,
+                            max_bucket=10)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # connected components: every doc reachable from doc 0
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen, stack = {0}, [0]
+    while stack:
+        for nb in adj[stack.pop()]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    assert seen == set(range(n))
 
 
 def test_simhash_pairs(ray_session):
@@ -112,6 +161,29 @@ def test_ivf_topk_recall(ray_session):
         e = set(exact[exact.query_id == qi]["match_id"])
         a = set(approx[approx.query_id == qi]["match_id"])
         assert len(e & a) / len(e) >= 0.5  # recall with half the centroids probed
+
+
+def test_ivf_build_query_physical_index(ray_session, tmp_path):
+    """Physical IVF index: only probed centroid partitions are read."""
+    import os
+
+    import ray.data as rd
+    from datavec_ray.ops.similarity import brute_force_topk, ivf_build, ivf_query
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(rd.from_arrow(t), idx, num_centroids=8, sample_frac=0.5)
+    assert cents.shape == (8, 8)
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    q = vecs[:2].astype(np.float64)
+    exact = dataset_to_table(brute_force_topk(rd.from_arrow(t), q, k=10)).to_pandas()
+    approx = dataset_to_table(ivf_query(idx, q, k=10, nprobe=4)).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact.query_id == qi]["match_id"])
+        a = set(approx[approx.query_id == qi]["match_id"])
+        assert len(e & a) / len(e) >= 0.5
 
 
 def test_text_stats_and_fingerprint():
