@@ -581,14 +581,54 @@ def _q_geo_distance(sf_dir: str):
 
 
 def _q_media_pipeline(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → actor-pool decode /
-    resize / frame-sample stages (codecs stubbed). Rows-only."""
+    """Multimodal pipeline: synthetic media table (real PNG/BMP/WAV
+    payloads) → actor-pool decode / resize stages with real pixel
+    decode (pure-stdlib codecs). Rows-only."""
     import ray.data as rd
     from datavec_ray.ops.multimodal import ImageDecodeResize, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(200, seed=3))
     return ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
                           batch_size=32, concurrency=2)         .select_columns(["media_id", "media_type", "width", "height"])
+
+
+def _q_jdbc_source(sf_dir: str):
+    """JDBC source (JDBCRecordReader parity → ray.data.read_sql over a
+    DB-API connection): the nation table loaded into sqlite once per
+    sf_dir, then read back with a SQL filter as a Ray Dataset."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+    from datavec_ray.sources import read_jdbc, sqlite_connection
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    mtime = int(os.path.getmtime(src))
+    db = os.path.join("/tmp", "datavec_ray_jdbc_"
+                      + os.path.basename(sf_dir.rstrip("/")) + f"_{mtime}.db")
+    if not os.path.exists(db):
+        tbl = pq.read_table(src)
+        tmp = db + ".tmp"
+        with sqlite3.connect(tmp) as conn:
+            conn.execute("CREATE TABLE nation "
+                         "(n_nationkey INTEGER, n_name TEXT, n_regionkey INTEGER)")
+            conn.executemany(
+                "INSERT INTO nation VALUES (?, ?, ?)",
+                zip(tbl["n_nationkey"].to_pylist(), tbl["n_name"].to_pylist(),
+                    tbl["n_regionkey"].to_pylist()))
+            conn.commit()
+        os.replace(tmp, db)
+    ds = read_jdbc("SELECT n_nationkey, n_name, n_regionkey FROM nation "
+                   "WHERE n_regionkey < 3 ORDER BY n_nationkey",
+                   sqlite_connection(db))
+
+    def cast(batch):
+        return pa.table({
+            "n_nationkey": batch["n_nationkey"].cast(pa.int32()),
+            "n_name": batch["n_name"],
+            "n_regionkey": batch["n_regionkey"].cast(pa.int32()),
+        })
+
+    return ds.map_batches(cast, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -626,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
+        "jdbc_source": _q_jdbc_source,
     }
 
 
@@ -658,6 +699,12 @@ with b as (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "jdbc_source": """
+            select n_nationkey, n_name, n_regionkey
+            from nation
+            where n_regionkey < 3
+            order by n_nationkey
+        """,
         "groupby_agg": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) as sum_qty,

@@ -311,3 +311,71 @@ def write_analysis_html(ds_or_table, path: str,
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+def sequence_plot_html(table: pa.Table, key_col: str, order_col: str,
+                       value_cols: Sequence[str],
+                       title: str = "Sequence plot",
+                       max_sequences: int = 10) -> str:
+    """Render per-sequence line charts of numeric columns to standalone
+    HTML — the reference's HtmlSequencePlotting
+    (``transform/ui/HtmlSequencePlotting.java:51``) without the
+    freemarker/plotting deps: one inline-SVG polyline chart per
+    (sequence, column). ``table`` is a flat table; sequences are rows
+    sharing ``key_col``, ordered by ``order_col``. At most
+    ``max_sequences`` sequences are plotted (reports are for eyeballs,
+    not bulk data)."""
+    import html as _html
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    table = table.sort_by([(key_col, "ascending"), (order_col, "ascending")])
+    keys = table[key_col].to_pylist()
+    uniq_keys = list(dict.fromkeys(keys))[:max_sequences]
+    charts = []
+    W, H, PAD = 420, 120, 8
+    for k in uniq_keys:
+        sub = table.filter(pc.equal(table[key_col], k))
+        for col in value_cols:
+            y = np.asarray(sub[col].to_pylist(), dtype=np.float64)
+            y = y[~np.isnan(y)] if np.isnan(y).any() else y
+            if len(y) == 0:
+                continue
+            lo, hi = float(y.min()), float(y.max())
+            span = (hi - lo) or 1.0
+            xs = np.linspace(PAD, W - PAD, len(y))
+            ys = H - PAD - (y - lo) / span * (H - 2 * PAD)
+            pts = " ".join(f"{x:.1f},{v:.1f}" for x, v in zip(xs, ys))
+            charts.append(
+                f"<div class='chart'><h3>{_html.escape(str(k))} · "
+                f"{_html.escape(col)}</h3>"
+                f"<svg width='{W}' height='{H}' viewBox='0 0 {W} {H}'>"
+                f"<rect width='{W}' height='{H}' fill='#fafafa' "
+                f"stroke='#ddd'/>"
+                f"<polyline fill='none' stroke='#3366cc' stroke-width='1.5' "
+                f"points='{pts}'/>"
+                f"<text x='{PAD}' y='{PAD + 4}' font-size='9'>"
+                f"max {round(hi, 4)}</text>"
+                f"<text x='{PAD}' y='{H - 2}' font-size='9'>"
+                f"min {round(lo, 4)}</text></svg></div>")
+    return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            f"<title>{_html.escape(title)}</title>"
+            f"<style>body{{font-family:sans-serif}}"
+            f".chart{{display:inline-block;margin:6px}}"
+            f"h3{{font-size:12px;margin:2px}}</style></head>"
+            f"<body><h1>{_html.escape(title)}</h1>"
+            f"{''.join(charts)}</body></html>")
+
+
+def write_sequence_plot_html(table: pa.Table, path: str, key_col: str,
+                             order_col: str, value_cols: Sequence[str],
+                             title: str = "Sequence plot",
+                             max_sequences: int = 10) -> str:
+    html = sequence_plot_html(table, key_col, order_col, value_cols,
+                              title, max_sequences)
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(html)
+    return path

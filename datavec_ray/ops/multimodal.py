@@ -8,13 +8,17 @@ Parity targets: the reference's media readers/transform chains —
 
 Representation: media is an opaque ``binary`` column plus typed
 metadata columns; every decode/feature stage is an ACTOR-POOL
-``map_batches`` class (native decoder init once per actor — the
-reference's per-executor OpenCV/ffmpeg loading). The actual codecs are
-NOT in this container, so the decode kernel is stubbed: with
-``deterministic_fake=True`` it produces a seeded, shape-correct fake
-decode (so the Ray plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested); otherwise it raises
-NotImplementedError at the decode call site.
+``map_batches`` class (decoder state init once per actor — the
+reference's per-executor OpenCV/ffmpeg loading).
+
+Codecs: PNG, BMP and WAV payloads are decoded FOR REAL via the
+pure-stdlib codecs in ``datavec_ray.ops.codecs`` (zlib PNG inflate +
+filter reconstruction, 24-bit BMP, PCM WAV) — pipelines and tests
+exercise true pixel/sample values. Formats needing a native library
+(JPEG, video containers) raise NotImplementedError unless
+``deterministic_fake=True``, which substitutes a content-seeded fake
+so the Ray plumbing (schema, batch sizing, actor signature, output
+layout) stays real and tested.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from datavec_ray.ops import codecs
 from datavec_ray.steps.base import combine
 
 MEDIA_SCHEMA = pa.schema([
@@ -38,48 +43,87 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests."""
+    """Deterministic media rows with REAL payloads: PNG/BMP images and
+    PCM WAV audio (encoded by the stdlib codecs); "video" rows carry an
+    opaque payload (no container codec in this environment)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads, widths, heights, rates, durs = [], [], [], [], []
+    for i in range(n):
+        t = types[i]
+        if t == "image":
+            h = int(rng.integers(8, 32))
+            w = int(rng.integers(8, 32))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            enc = codecs.encode_png if i % 2 == 0 else codecs.encode_bmp
+            payloads.append(enc(img))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+            durs.append(0)
+        elif t == "audio":
+            rate = 16000
+            dur_ms = int(rng.integers(50, 400))
+            tgrid = np.arange(rate * dur_ms // 1000) / rate
+            freq = float(rng.uniform(100, 2000))
+            samples = 0.5 * np.sin(2 * np.pi * freq * tgrid)
+            payloads.append(codecs.encode_wav(samples, rate))
+            widths.append(0)
+            heights.append(0)
+            rates.append(rate)
+            durs.append(dur_ms)
+        else:
+            payloads.append(rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                                         dtype=np.uint8).tobytes())
+            widths.append(0)
+            heights.append(0)
+            rates.append(0)
+            durs.append(int(rng.integers(100, 5000)))
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
         "media_type": pa.array(types.tolist(), pa.string()),
-        "width": pa.array(rng.integers(16, 256, n).astype(np.int32)),
-        "height": pa.array(rng.integers(16, 256, n).astype(np.int32)),
-        "sample_rate": pa.array(np.full(n, 16000, np.int32)),
-        "duration_ms": pa.array(rng.integers(100, 5000, n).astype(np.int32)),
+        "width": pa.array(np.array(widths, np.int32)),
+        "height": pa.array(np.array(heights, np.int32)),
+        "sample_rate": pa.array(np.array(rates, np.int32)),
+        "duration_ms": pa.array(np.array(durs, np.int32)),
     }, schema=MEDIA_SCHEMA)
 
 
-class ImageDecodeResize:
-    """Actor-pool stage: decode image bytes → resize → float feature
-    vector column (list<float32> of size target_h*target_w, grayscale).
+def _content_seeded(payload: bytes, shape) -> np.ndarray:
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(),
+                          "little")
+    return np.random.default_rng(seed).random(shape, dtype=np.float32)
 
-    Small batch sizes are mandatory for large binary payloads — pass
-    batch_size explicitly when wiring (e.g. 64); the output vector layout
-    is row-major (h, w) flattened.
+
+class ImageDecodeResize:
+    """Actor-pool stage: decode image bytes → grayscale [0,1] → resize →
+    float feature vector column (list<float32> of size target_h*target_w).
+
+    PNG/BMP payloads decode for real; other formats fall back to a
+    content-seeded fake when ``deterministic_fake`` else raise. Small
+    batch sizes are mandatory for large binary payloads — pass
+    batch_size explicitly when wiring (e.g. 64); the output vector
+    layout is row-major (h, w) flattened.
     """
 
     def __init__(self, target_h: int = 8, target_w: int = 8,
                  deterministic_fake: bool = True):
         self.h, self.w = target_h, target_w
         self.fake = deterministic_fake
-        # real path would initialize the native decoder ONCE here:
-        # self.decoder = cv2/PIL handle (not available in this container)
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "install pillow/opencv and replace _decode")
-        # deterministic fake: seeded by content digest, shape (height, width)
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(),
-                              "little")
-        rng = np.random.default_rng(seed)
-        return rng.random((height, width), dtype=np.float32)
+        try:
+            img = codecs.decode_image(payload)
+        except Exception as e:  # noqa: BLE001
+            if not self.fake:
+                raise NotImplementedError(
+                    f"cannot decode payload ({e}); install a native codec "
+                    "or pass deterministic_fake=True") from e
+            return _content_seeded(payload, (max(height, 1), max(width, 1)))
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        return img.astype(np.float32) / 255.0
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         ys = np.linspace(0, img.shape[0] - 1, self.h).astype(int)
@@ -100,28 +144,34 @@ class ImageDecodeResize:
 
 
 class AudioFeatures:
-    """Actor-pool stage: audio bytes → frame-energy feature vector
-    (n_frames float32). Decode stubbed like ImageDecodeResize."""
+    """Actor-pool stage: audio bytes → frame-RMS-energy feature vector
+    (n_frames float32). WAV payloads decode for real (stdlib PCM);
+    other formats fall back to a content-seeded fake when
+    ``deterministic_fake`` else raise."""
 
     def __init__(self, n_frames: int = 16, deterministic_fake: bool = True):
         self.n_frames = n_frames
         self.fake = deterministic_fake
 
     def _decode(self, payload: bytes, sample_rate: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError("audio codec not available; stub")
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(),
-                              "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(sample_rate // 10).astype(np.float32)
+        try:
+            x, _rate = codecs.decode_wav(payload)
+        except Exception as e:  # noqa: BLE001
+            if not self.fake:
+                raise NotImplementedError(
+                    f"cannot decode audio payload ({e})") from e
+            return _content_seeded(payload, max(sample_rate // 10, 16))
+        if x.ndim > 1:
+            x = x.mean(axis=1)
+        return x.astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = combine(batch["payload"]).to_pylist()
         srs = combine(batch["sample_rate"]).to_pylist()
         feats = np.empty((len(payloads), self.n_frames), dtype=np.float32)
         for i, (p, sr) in enumerate(zip(payloads, srs)):
-            wave = self._decode(p, sr)
-            frames = np.array_split(wave, self.n_frames)
+            wave_ = self._decode(p, sr)
+            frames = np.array_split(wave_, self.n_frames)
             feats[i] = [float(np.sqrt((f ** 2).mean())) if len(f) else 0.0
                         for f in frames]
         arr = pa.FixedSizeListArray.from_arrays(
@@ -132,8 +182,10 @@ class AudioFeatures:
 
 class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
-    frame (explode), each with a frame feature vector. Frame decode
-    stubbed; the explode layout (media_id, frame_idx, frame_feat) is real."""
+    frame (explode), each with a frame feature vector. Video container
+    decode needs a native codec (none in this environment): stubbed with
+    a content-seeded fake; the explode layout (media_id, frame_idx,
+    frame_feat) is real."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
                  deterministic_fake: bool = True):
@@ -146,13 +198,11 @@ class VideoFrameSample:
         for mid, p in zip(ids, payloads):
             if not self.fake:
                 raise NotImplementedError("video codec not available; stub")
-            seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(),
-                                  "little")
-            rng = np.random.default_rng(seed)
+            frames = _content_seeded(p, (self.n_frames, self.feat))
             for f in range(self.n_frames):
                 out_ids.append(mid)
                 out_fidx.append(f)
-                feats.append(rng.random(self.feat, dtype=np.float32))
+                feats.append(frames[f])
         flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
         arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), self.feat) \
             .cast(pa.list_(pa.float32()))

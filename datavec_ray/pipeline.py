@@ -151,6 +151,17 @@ class TransformPipeline:
     def from_json(cls, s: str) -> "TransformPipeline":
         return cls.from_dict(json.loads(s))
 
+    def to_yaml(self) -> str:
+        """YAML serde — the reference serializes pipelines to JSON AND
+        YAML (``TransformProcess.java:404-481``, ``serde/BaseSerializer``)."""
+        import yaml
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    @classmethod
+    def from_yaml(cls, s: str) -> "TransformPipeline":
+        import yaml
+        return cls.from_dict(yaml.safe_load(s))
+
     def __repr__(self) -> str:
         inner = ",\n  ".join(repr(s) for s in self.steps)
         return f"TransformPipeline(\n  {inner}\n)"

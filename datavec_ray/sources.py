@@ -336,6 +336,78 @@ def read_records(lake_dir: str, **kwargs):
     return rd.read_parquet(lake_dir, **kwargs)
 
 
+def read_lines_with_provenance(paths):
+    """One record per line plus (``__source_file``, ``__row_idx``)
+    provenance columns (RecordMetaData parity:
+    ``records/metadata/RecordMetaData.java:50`` /
+    ``RecordMetaDataLine``). Whole-file read tasks → vectorized line
+    split, so line numbers are exact per file; use
+    ``load_lines_from_metadata`` for the reference's loadFromMetaData
+    random re-read (``records/reader/RecordReader.java:138-147``)."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [b.decode("utf-8", "replace") for b in batch["bytes"].to_pylist()]
+        srcs = batch["path"].to_pylist()
+        all_lines, files, idxs = [], [], []
+        for src, txt in zip(srcs, texts):
+            lines = txt.splitlines()
+            all_lines.extend(lines)
+            files.extend([src] * len(lines))
+            idxs.append(np.arange(len(lines), dtype=np.int64))
+        return pa.table({
+            "line": pa.array(all_lines, pa.string()),
+            "__source_file": pa.array(files, pa.string()),
+            "__row_idx": pa.array(np.concatenate(idxs) if idxs
+                                  else np.empty(0, np.int64)),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def load_lines_from_metadata(metadata: Sequence[tuple[str, int]]) -> pa.Table:
+    """Random re-read by provenance (loadFromMetaData parity): group the
+    (source_file, row_idx) pairs by file, read each file ONCE, take the
+    requested lines. Returns rows in the metadata's order."""
+    import collections
+    by_file: dict[str, list[int]] = collections.defaultdict(list)
+    for src, idx in metadata:
+        by_file[src].append(idx)
+    lines_of: dict[str, list[str]] = {}
+    for src in by_file:
+        with open(src, encoding="utf-8", errors="replace") as f:
+            lines_of[src] = f.read().splitlines()
+    return pa.table({
+        "line": pa.array([lines_of[s][i] for s, i in metadata], pa.string()),
+        "__source_file": pa.array([s for s, _ in metadata], pa.string()),
+        "__row_idx": pa.array([i for _, i in metadata], pa.int64()),
+    })
+
+
+def read_jdbc(sql: str, connection_factory, **kwargs):
+    """SQL result set → records (JDBCRecordReader parity,
+    ``datavec-jdbc/.../JDBCRecordReader.java:37``).
+
+    Maps straight onto ``ray.data.read_sql``: ``connection_factory`` is
+    a zero-arg callable returning a DB-API connection, invoked INSIDE
+    each read task — the per-worker connection shape of the reference's
+    DataSource (never ship a live connection through the object store).
+    Works with sqlite3, DuckDB, or any DB-API driver.
+    """
+    import ray.data as rd
+    return rd.read_sql(sql, connection_factory, **kwargs)
+
+
+def sqlite_connection(path: str):
+    """Picklable connection factory for a sqlite database file."""
+    import functools
+    import sqlite3
+    return functools.partial(sqlite3.connect, path)
+
+
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------

@@ -20,19 +20,78 @@ from datavec_ray.registry import register
 from datavec_ray.schema import ColumnMeta, Schema
 from datavec_ray.steps.base import Step, combine, set_column
 
-# Joda/Java pattern → strptime pattern (common subset)
-_JODA_MAP = [
-    ("YYYY", "%Y"), ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
-]
+# Joda/Java token run → strptime directive. Keyed by (letter, run length
+# bucket); None length = any run length of that letter.
+_JODA_TOKENS = {
+    ("y", 2): "%y", ("y", None): "%Y",
+    ("Y", 2): "%y", ("Y", None): "%Y",   # year-of-era ≈ year for CE dates
+    ("M", 3): "%b", ("M", 4): "%B", ("M", None): "%m",
+    ("d", None): "%d",
+    ("E", 4): "%A", ("E", None): "%a",
+    ("H", None): "%H",
+    ("h", None): "%I",
+    ("m", None): "%M",
+    ("s", None): "%S",
+    ("S", None): "%f",                    # fraction-of-second (parse-ok)
+    ("a", None): "%p",
+    ("D", None): "%j",
+    ("Z", None): "%z",
+    ("z", None): "%Z",
+}
+
+
+def joda_to_strptime(fmt: str) -> str:
+    """Strict Joda/Java date pattern → strptime conversion
+    (``time/StringToTimeTransform.java:41`` supports full Joda patterns).
+
+    Tokenizes the pattern (letter runs, ``'...'`` quoted literals) and
+    raises ``ValueError`` at BUILD time on any Joda token without a
+    strptime equivalent (era ``G``, week-year ``x``/``w``, numeric
+    day-of-week ``e``, clockhour variants ``K``/``k``) — never silently
+    mis-parses.
+    """
+    out = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":                      # Joda literal quoting
+            j = i + 1
+            while j < n:
+                if fmt[j] == "'":
+                    if j + 1 < n and fmt[j + 1] == "'":  # escaped ''
+                        out.append("'")
+                        j += 2
+                        continue
+                    break
+                out.append(fmt[j].replace("%", "%%"))
+                j += 1
+            else:
+                raise ValueError(f"unterminated quote in pattern {fmt!r}")
+            i = j + 1
+            continue
+        if ch.isalpha():
+            j = i
+            while j < n and fmt[j] == ch:
+                j += 1
+            run = j - i
+            tok = _JODA_TOKENS.get((ch, run)) or _JODA_TOKENS.get((ch, None))
+            if tok is None:
+                raise ValueError(
+                    f"unsupported Joda token {ch * run!r} in pattern {fmt!r}; "
+                    f"supported letters: "
+                    f"{sorted({k[0] for k in _JODA_TOKENS})}")
+            out.append(tok)
+            i = j
+        else:
+            out.append("%%" if ch == "%" else ch)
+            i += 1
+    return "".join(out)
 
 
 def _to_strptime(fmt: str) -> str:
     if "%" in fmt:
         return fmt  # already strptime
-    for j, s in _JODA_MAP:
-        fmt = fmt.replace(j, s)
-    return fmt
+    return joda_to_strptime(fmt)
 
 
 @register("step")
@@ -46,6 +105,7 @@ class StringToTime(Step):
     def __init__(self, column: str, fmt: str = "YYYY-MM-dd HH:mm:ss",
                  timezone: Optional[str] = None):
         self.column, self.fmt, self.timezone = column, fmt, timezone
+        _to_strptime(fmt)  # fail fast at BUILD time on unsupported patterns
 
     def output_schema(self, schema: Schema) -> Schema:
         schema.require(self.column)

@@ -238,3 +238,130 @@ def test_multimodal_plumbing(ray_session):
                                            batch_size=4, concurrency=1))
     assert img.sort_by("media_id")["image_feat"].equals(
         img2.sort_by("media_id")["image_feat"])
+
+
+# -- real media codecs (round 2) ----------------------------------------------
+
+def test_png_roundtrip_all_color_types():
+    from datavec_ray.ops.codecs import decode_png, encode_png
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 7, 4), (4, 4, 2)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        expect = img if img.ndim > 2 else img
+        assert out.shape == expect.shape
+        assert np.array_equal(out, expect)
+
+
+def test_png_decode_filtered_rows():
+    """Decode must reconstruct Sub/Up/Average/Paeth-filtered rows."""
+    import struct
+    import zlib
+
+    from datavec_ray.ops.codecs import PNG_MAGIC, decode_png, encode_png
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+
+    # re-encode with one row per filter type (0,1,2,3,4)
+    raw = bytearray()
+    prev = np.zeros(18, dtype=np.int64)
+    for y in range(5):
+        f = y % 5
+        line = img[y].reshape(-1).astype(np.int64)
+        enc = np.zeros(18, dtype=np.int64)
+        for x in range(18):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                enc[x] = line[x]
+            elif f == 1:
+                enc[x] = line[x] - a
+            elif f == 2:
+                enc[x] = line[x] - b
+            elif f == 3:
+                enc[x] = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                enc[x] = line[x] - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    data = (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(data), img)
+    # sanity: our own encoder round-trips the same image
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_bmp_roundtrip():
+    from datavec_ray.ops.codecs import decode_bmp, encode_bmp
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width → padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_wav_roundtrip():
+    from datavec_ray.ops.codecs import decode_wav, encode_wav
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    out, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000
+    assert len(out) == 1600
+    assert np.abs(out - sig).max() < 1e-3  # 16-bit quantization
+
+
+def test_image_decode_resize_real_pixels(ray_session):
+    """Known gradient image → decoded grayscale features match pixels."""
+    import ray.data as rd
+    from datavec_ray.ops.codecs import encode_bmp, encode_png
+    from datavec_ray.ops.multimodal import MEDIA_SCHEMA, ImageDecodeResize
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    img = np.stack([grad] * 3, axis=2)  # gray gradient as RGB
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_png(img), encode_bmp(img)], pa.binary()),
+        "media_type": pa.array(["image", "image"]),
+        "width": pa.array([16, 16], pa.int32()),
+        "height": pa.array([16, 16], pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+        "duration_ms": pa.array([0, 0], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = dataset_to_table(rd.from_arrow(t).map_batches(
+        ImageDecodeResize(4, 4, deterministic_fake=False),
+        batch_format="pyarrow")).sort_by("media_id")
+    for row in range(2):
+        feat = np.array(out["image_feat"][row].as_py()).reshape(4, 4)
+        # sampled columns 0,5,10,15 of the gradient → 0, 80, 160, 240 (/255)
+        expect = np.array([0, 80, 160, 240], dtype=np.float32) / 255.0
+        assert np.allclose(feat, np.tile(expect, (4, 1)), atol=1e-6)
+
+
+def test_audio_features_real_wav(ray_session):
+    """Constant-amplitude sine → every frame RMS ≈ 0.5/sqrt(2)."""
+    import ray.data as rd
+    from datavec_ray.ops.codecs import encode_wav
+    from datavec_ray.ops.multimodal import MEDIA_SCHEMA, AudioFeatures
+    t_ = np.arange(16000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t_)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_wav(sig, 16000)], pa.binary()),
+        "media_type": pa.array(["audio"]),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([0], pa.int32()),
+        "sample_rate": pa.array([16000], pa.int32()),
+        "duration_ms": pa.array([1000], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = dataset_to_table(rd.from_arrow(t).map_batches(
+        AudioFeatures(8, deterministic_fake=False), batch_format="pyarrow"))
+    feat = np.array(out["audio_feat"][0].as_py())
+    assert np.allclose(feat, 0.5 / np.sqrt(2), atol=0.01)

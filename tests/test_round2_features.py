@@ -1,0 +1,155 @@
+"""Round-2 feature tests: REST transport, YAML serde, JDBC source,
+strict StringToTime, provenance metadata, sequence-plot HTML."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datavec_ray.pipeline import TransformPipeline
+from datavec_ray.schema import Schema
+from datavec_ray.steps.math import IntegerMathOp
+from datavec_ray.steps.string import ChangeCase
+from datavec_ray.steps.time import StringToTime, joda_to_strptime
+from datavec_ray.util import dataset_to_table
+
+
+def _schema():
+    return Schema([("name", pa.string()), ("x", pa.int32())])
+
+
+def _pipeline_json(add: int = 5) -> str:
+    return (TransformPipeline(_schema())
+            .add(IntegerMathOp("x", "Add", add))
+            .add(ChangeCase("name", "UPPER")).to_json())
+
+
+# -- REST inference server ----------------------------------------------------
+
+def test_rest_server_roundtrip_and_hotswap():
+    from datavec_ray.serve_http import TransformClient, TransformServer
+    srv = TransformServer(_pipeline_json(add=5)).start()
+    try:
+        cli = TransformClient(f"http://127.0.0.1:{srv.port}")
+        assert cli.health()["has_pipeline"]
+        out = cli.transform([{"name": "ann", "x": 1}, {"name": "bo", "x": 2}])
+        assert out == [{"name": "ANN", "x": 6}, {"name": "BO", "x": 7}]
+        one = cli.transform_incremental({"name": "cy", "x": 10})
+        assert one == {"name": "CY", "x": 15}
+        # hot swap (POST /transformprocess) changes behavior in place
+        cli.set_pipeline(_pipeline_json(add=100))
+        assert cli.transform_incremental({"name": "cy", "x": 10}) == \
+            {"name": "CY", "x": 110}
+        # GET returns the swapped pipeline
+        p = TransformPipeline.from_json(cli.get_pipeline())
+        assert p.steps[0].scalar == 100
+    finally:
+        srv.stop()
+
+
+def test_rest_server_rejects_bad_input():
+    import urllib.error
+
+    from datavec_ray.serve_http import TransformClient, TransformServer
+    srv = TransformServer().start()
+    try:
+        cli = TransformClient(f"http://127.0.0.1:{srv.port}")
+        assert not cli.health()["has_pipeline"]
+        with pytest.raises(urllib.error.HTTPError):
+            cli.transform([{"name": "a", "x": 1}])  # 409: no pipeline
+    finally:
+        srv.stop()
+
+
+# -- YAML serde ----------------------------------------------------------------
+
+def test_pipeline_yaml_json_serde_matrix():
+    p = TransformPipeline(_schema()).add(IntegerMathOp("x", "Multiply", 3))
+    via_json = TransformPipeline.from_json(p.to_json())
+    via_yaml = TransformPipeline.from_yaml(p.to_yaml())
+    via_both = TransformPipeline.from_yaml(
+        TransformPipeline.from_json(p.to_json()).to_yaml())
+    t = pa.table({"name": ["a"], "x": pa.array([7], pa.int32())})
+    expect = p.execute_table(t)
+    for q in (via_json, via_yaml, via_both):
+        assert q.to_dict() == p.to_dict()
+        assert q.execute_table(t).equals(expect)
+
+
+# -- JDBC source ----------------------------------------------------------------
+
+def test_read_jdbc_sqlite(ray_session, tmp_path):
+    from datavec_ray.sources import read_jdbc, sqlite_connection
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE items (id INTEGER, name TEXT, price REAL)")
+        conn.executemany("INSERT INTO items VALUES (?, ?, ?)",
+                         [(i, f"item{i}", i * 1.5) for i in range(20)])
+        conn.commit()
+    ds = read_jdbc("SELECT id, name, price FROM items WHERE id < 10",
+                   sqlite_connection(db))
+    out = dataset_to_table(ds).sort_by("id")
+    assert out.num_rows == 10
+    assert out["name"][3].as_py() == "item3"
+    assert out["price"][4].as_py() == 6.0
+
+
+# -- strict StringToTime ----------------------------------------------------------
+
+def test_joda_pattern_coverage():
+    assert joda_to_strptime("YYYY-MM-dd HH:mm:ss") == "%Y-%m-%d %H:%M:%S"
+    assert joda_to_strptime("dd MMM yyyy") == "%d %b %Y"
+    assert joda_to_strptime("EEEE, MMMM d h:mm a") == "%A, %B %d %I:%M %p"
+    assert joda_to_strptime("yy/MM/dd") == "%y/%m/%d"
+    assert joda_to_strptime("'at' HH:mm") == "at %H:%M"
+    with pytest.raises(ValueError, match="unsupported Joda token"):
+        joda_to_strptime("GGGG yyyy")      # era
+    with pytest.raises(ValueError, match="unsupported Joda token"):
+        joda_to_strptime("xxxx-'W'ww-e")   # weekyear
+
+
+def test_string_to_time_strict_build():
+    with pytest.raises(ValueError):
+        StringToTime("ts", fmt="yyyy 'W'ww")  # fails at BUILD, not runtime
+    step = StringToTime("ts", fmt="dd MMM yyyy HH:mm")
+    t = pa.table({"ts": ["03 Feb 2021 07:30", "15 Aug 1999 23:05"]})
+    out = step.apply(t)
+    assert out["ts"].to_pylist()[0].isoformat() == "2021-02-03T07:30:00"
+    assert out["ts"].to_pylist()[1].isoformat() == "1999-08-15T23:05:00"
+
+
+# -- provenance metadata -------------------------------------------------------
+
+def test_lines_provenance_and_load_from_metadata(ray_session, tmp_path):
+    from datavec_ray.sources import (load_lines_from_metadata,
+                                     read_lines_with_provenance)
+    f1, f2 = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    with open(f1, "w") as f:
+        f.write("alpha\nbeta\ngamma\n")
+    with open(f2, "w") as f:
+        f.write("uno\ndos\n")
+    out = dataset_to_table(read_lines_with_provenance([f1, f2])) \
+        .sort_by([("__source_file", "ascending"), ("__row_idx", "ascending")])
+    assert out["line"].to_pylist() == ["alpha", "beta", "gamma", "uno", "dos"]
+    assert out["__row_idx"].to_pylist() == [0, 1, 2, 0, 1]
+    # random re-read by metadata, preserving request order
+    back = load_lines_from_metadata([(f2, 1), (f1, 0)])
+    assert back["line"].to_pylist() == ["dos", "alpha"]
+
+
+# -- sequence plot HTML ---------------------------------------------------------
+
+def test_sequence_plot_html(tmp_path):
+    from datavec_ray.analysis import write_sequence_plot_html
+    t = pa.table({
+        "conv": ["a"] * 5 + ["b"] * 3,
+        "step": list(range(5)) + list(range(3)),
+        "val": [1.0, 2.0, 1.5, 3.0, 2.5, 10.0, 9.0, 11.0],
+    })
+    path = write_sequence_plot_html(t, str(tmp_path / "seq.html"),
+                                    "conv", "step", ["val"])
+    html = open(path).read()
+    assert "<svg" in html and "polyline" in html
+    assert html.count("<div class='chart'>") == 2  # one per sequence
