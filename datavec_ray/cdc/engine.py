@@ -613,14 +613,24 @@ def _segment_max_lsn(path: str, default: int = 0) -> int:
 class CdcIngestEngine:
     """Driver-side orchestrator of the shard actor pool + manifest."""
 
+    # router mode: each map task synchronously awaits its shard acks, so
+    # one hot shard can stall every router slot. Below this partition
+    # count the fan-out is narrow and latency low (fine); at or above it
+    # 'auto' switches to shuffle mode, whose all-to-all is Ray Data's own
+    # pipelined exchange with exactly ONE delivery per partition.
+    AUTO_SHUFFLE_PARTITIONS = 32
+
     def __init__(self, lake_dir: str, num_partitions: int = 16,
                  salt_turns: int = 1, hot_convs: Optional[Sequence[str]] = None,
                  router_concurrency: Optional[int] = None,
                  shard_num_cpus: float = 0.5,
                  router_batch_size: int = 65536,
-                 ingest_mode: str = "router"):
-        if ingest_mode not in ("shuffle", "router"):
-            raise ValueError("ingest_mode must be 'shuffle' or 'router'")
+                 ingest_mode: str = "auto"):
+        if ingest_mode not in ("shuffle", "router", "auto"):
+            raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
+        if ingest_mode == "auto":
+            ingest_mode = ("shuffle" if num_partitions >= self.AUTO_SHUFFLE_PARTITIONS
+                           else "router")
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.salt_turns = salt_turns

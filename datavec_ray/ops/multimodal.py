@@ -180,6 +180,59 @@ class AudioFeatures:
                                    arr)
 
 
+BOX_TYPE = pa.list_(pa.struct([
+    ("xmin", pa.float32()), ("ymin", pa.float32()),
+    ("xmax", pa.float32()), ("ymax", pa.float32()),
+    ("label", pa.string()),
+]))
+
+
+class AttachBoxes:
+    """Actor-pool stage: attach per-image bounding-box labels
+    (ObjectDetectionRecordReader parity,
+    ``datavec-data-image/.../objdetect/ObjectDetectionRecordReader.java:57``
+    — image + label-provider boxes).
+
+    The (small) label table is broadcast once with ``ray.put`` and
+    grouped into a per-actor dict in ``__init__`` — the standard
+    broadcast small-side join, never a shuffle. Output adds a
+    ``boxes`` list<struct{xmin,ymin,xmax,ymax,label}> column.
+    """
+
+    def __init__(self, boxes_ref, id_col: str = "media_id"):
+        import ray
+        tbl: pa.Table = ray.get(boxes_ref)
+        self.id_col = id_col
+        self.by_id: dict[int, list[dict]] = {}
+        for row in tbl.to_pylist():
+            self.by_id.setdefault(int(row[id_col]), []).append(
+                {k: row[k] for k in ("xmin", "ymin", "xmax", "ymax", "label")})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = combine(batch[self.id_col]).to_pylist()
+        boxes = [self.by_id.get(int(i), []) for i in ids]
+        return batch.append_column(pa.field("boxes", BOX_TYPE),
+                                   pa.array(boxes, BOX_TYPE))
+
+
+def object_detection_records(media_ds, boxes: pa.Table,
+                             id_col: str = "media_id",
+                             target_h: int = 8, target_w: int = 8,
+                             deterministic_fake: bool = True):
+    """Image payloads + bounding-box labels → (media_id, image_feat,
+    boxes) records: broadcast-label join + actor-pool decode/resize.
+    ``boxes`` columns: media_id, xmin, ymin, xmax, ymax, label."""
+    import ray
+    ref = ray.put(boxes)
+    with_boxes = media_ds.map_batches(
+        AttachBoxes, batch_format="pyarrow",
+        fn_constructor_args=(ref, id_col), concurrency=(1, 4))
+    decoded = with_boxes.map_batches(
+        ImageDecodeResize(target_h, target_w, deterministic_fake),
+        batch_format="pyarrow", batch_size=64)
+    return decoded.select_columns([id_col, "image_feat", "boxes"])
+
+
 class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
     frame (explode), each with a frame feature vector. Video container

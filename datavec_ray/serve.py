@@ -59,3 +59,24 @@ class IncrementalTransformer:
                         for k in cols})
         out = self.pipeline.execute_table(tbl)
         return out.to_pylist()
+
+    def transform_array(self, records: Sequence[dict[str, Any]]):
+        """Batch → 2-D float32 ndarray of the numeric output columns (the
+        /transformarray path: CSVSparkTransformServer.java → base64
+        NDArray; our transport base64-encodes the raw float32 bytes)."""
+        import numpy as np
+        cols = self.pipeline.initial_schema.names
+        tbl = pa.table({k: pa.array([r.get(k) for r in records],
+                                    type=self.pipeline.initial_schema.type_of(k))
+                        for k in cols})
+        out = self.pipeline.execute_table(tbl)
+        numeric = [c for c in out.column_names
+                   if pa.types.is_integer(out[c].type)
+                   or pa.types.is_floating(out[c].type)
+                   or pa.types.is_boolean(out[c].type)]
+        if not numeric:
+            raise ValueError("no numeric output columns to convert")
+        mat = np.column_stack([
+            out[c].cast(pa.float32()).to_numpy(zero_copy_only=False)
+            for c in numeric]).astype(np.float32)
+        return mat, numeric

@@ -87,6 +87,13 @@ class TransformServer:
                     if self.path == "/transform":
                         out = eng.transform_batch(payload["records"])
                         self._send(200, {"records": out})
+                    elif self.path == "/transformarray":
+                        import base64
+                        mat, cols = eng.transform_array(payload["records"])
+                        self._send(200, {
+                            "base64": base64.b64encode(mat.tobytes()).decode(),
+                            "dtype": "float32", "shape": list(mat.shape),
+                            "columns": cols})
                     elif self.path == "/transformincremental":
                         out = eng.transform_record(payload["record"])
                         self._send(200, {"record": out})
@@ -142,6 +149,16 @@ class TransformClient:
     def transform(self, records: list[dict[str, Any]]) -> list[dict]:
         return self._call("POST", "/transform",
                           {"records": records})["records"]
+
+    def transform_array(self, records: list[dict[str, Any]]):
+        """→ (float32 ndarray, numeric column names)."""
+        import base64
+
+        import numpy as np
+        r = self._call("POST", "/transformarray", {"records": records})
+        mat = np.frombuffer(base64.b64decode(r["base64"]),
+                            dtype=r["dtype"]).reshape(r["shape"])
+        return mat, r["columns"]
 
     def transform_incremental(self, record: dict[str, Any]) -> Optional[dict]:
         return self._call("POST", "/transformincremental",

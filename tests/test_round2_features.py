@@ -153,3 +153,80 @@ def test_sequence_plot_html(tmp_path):
     html = open(path).read()
     assert "<svg" in html and "polyline" in html
     assert html.count("<div class='chart'>") == 2  # one per sequence
+
+
+# -- GeoIP range-db resolver ----------------------------------------------------
+
+def test_geoip_csv_range_db(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.ops.geo import GeoIPLookup, ipv4_to_uint32
+    # vectorized IPv4 parse
+    ips = pa.array(["1.2.3.4", "255.255.255.255", "0.0.0.1", "bad", None])
+    vals = ipv4_to_uint32(ips)
+    assert vals.tolist() == [(1 << 24) + (2 << 16) + (3 << 8) + 4,
+                             (1 << 32) - 1, 1, 0, 0]
+    db = str(tmp_path / "ranges.csv")
+    with open(db, "w") as f:
+        f.write("ip_lo,ip_hi,lat,lon\n")
+        f.write("10.0.0.0,10.0.0.255,48.85,2.35\n")        # paris block
+        f.write("192.168.1.0,192.168.1.255,40.71,-74.0\n")  # nyc block
+    t = pa.table({"ip": ["10.0.0.7", "192.168.1.200", "8.8.8.8"]})
+    out = dataset_to_table(rd.from_arrow(t).map_batches(
+        GeoIPLookup("ip", "coords", db_path=db), batch_format="pyarrow",
+        concurrency=2))
+    coords = dict(zip(out["ip"].to_pylist(), out["coords"].to_pylist()))
+    assert coords["10.0.0.7"].startswith("48.85")
+    assert coords["192.168.1.200"].startswith("40.71")
+    assert coords["8.8.8.8"] is None  # outside every range
+
+
+# -- object detection records ----------------------------------------------------
+
+def test_object_detection_records(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.codecs import encode_png
+    from datavec_ray.ops.multimodal import (MEDIA_SCHEMA,
+                                            object_detection_records)
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_png(img)] * 2, pa.binary()),
+        "media_type": pa.array(["image", "image"]),
+        "width": pa.array([8, 8], pa.int32()),
+        "height": pa.array([8, 8], pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+        "duration_ms": pa.array([0, 0], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    boxes = pa.table({
+        "media_id": pa.array([0, 0, 1], pa.int64()),
+        "xmin": pa.array([0.0, 2.0, 1.0], pa.float32()),
+        "ymin": pa.array([0.0, 2.0, 1.0], pa.float32()),
+        "xmax": pa.array([4.0, 6.0, 7.0], pa.float32()),
+        "ymax": pa.array([4.0, 6.0, 7.0], pa.float32()),
+        "label": pa.array(["cat", "dog", "cat"]),
+    })
+    out = dataset_to_table(object_detection_records(
+        rd.from_arrow(t), boxes, target_h=4, target_w=4)).sort_by("media_id")
+    assert out.column_names == ["media_id", "image_feat", "boxes"]
+    b0 = out["boxes"][0].as_py()
+    assert len(b0) == 2 and {x["label"] for x in b0} == {"cat", "dog"}
+    assert len(out["boxes"][1].as_py()) == 1
+    # decoded uniform gray image → every feature = 128/255
+    feat = np.array(out["image_feat"][0].as_py())
+    assert np.allclose(feat, 128 / 255.0, atol=1e-6)
+
+
+# -- /transformarray -------------------------------------------------------------
+
+def test_rest_transform_array():
+    from datavec_ray.serve_http import TransformClient, TransformServer
+    srv = TransformServer(_pipeline_json(add=5)).start()
+    try:
+        cli = TransformClient(f"http://127.0.0.1:{srv.port}")
+        mat, cols = cli.transform_array([{"name": "a", "x": 1},
+                                         {"name": "b", "x": 2}])
+        assert cols == ["x"]
+        assert mat.shape == (2, 1)
+        assert mat.ravel().tolist() == [6.0, 7.0]
+    finally:
+        srv.stop()
