@@ -471,25 +471,61 @@ def _q_sequence_offset(sf_dir: str):
 
 
 def _q_analysis_profile(sf_dir: str):
-    """One-pass dataset profiling (AnalyzeSpark.analyze). Rows-only."""
+    """One-pass dataset profiling (AnalyzeSpark.analyze) over the numeric
+    lineitem columns — oracle-checked against SQL aggregates (counts,
+    min/max/mean/sample-stdev rounded to 4 decimals)."""
     from datavec_ray.analysis import analyze
 
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice",
-                                    "l_discount", "l_returnflag"])
-    stats = analyze(ds)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = analyze(_read(sf_dir, "lineitem", cols))
     rows = []
-    for col, st in stats.items():
-        rows.append({"column": col,
-                     **{k: float(v) if v is not None else None
-                        for k, v in st.items() if isinstance(v, (int, float))
-                        or v is None}})
+    for col in cols:
+        st = stats[col]
+        rows.append({
+            "column": col,
+            "n": int(st["count"]),
+            "n_missing": int(st["count_missing"]),
+            "n_zero": int(st["count_zero"]),
+            "n_positive": int(st["count_positive"]),
+            "n_negative": int(st["count_negative"]),
+            "vmin": round(float(st["min"]), 4),
+            "vmax": round(float(st["max"]), 4),
+            "vmean": round(float(st["mean"]), 4),
+            "vstdev": round(float(st["sample_stdev"]), 4),
+        })
+    import pandas as pd
+    return pd.DataFrame(rows)
+
+
+def _q_string_profile(sf_dir: str):
+    """String-column profiling (AnalyzeSpark string stats: empty /
+    alphabetic / numeric-string counts + length stats) — oracle-checked."""
+    from datavec_ray.analysis import analyze
+
+    cols = ["l_returnflag", "l_linestatus"]
+    stats = analyze(_read(sf_dir, "lineitem", cols))
+    rows = []
+    for col in cols:
+        st = stats[col]
+        rows.append({
+            "column": col,
+            "n": int(st["count"]),
+            "n_missing": int(st["count_missing"]),
+            "n_empty": int(st["count_empty"]),
+            "n_alpha": int(st["count_alphabetic"]),
+            "n_numeric": int(st["count_numeric_string"]),
+            "len_min": int(st["min_length"]),
+            "len_max": int(st["max_length"]),
+            "len_mean": round(float(st["mean_length"]), 4),
+        })
     import pandas as pd
     return pd.DataFrame(rows)
 
 
 def _q_quality_profile(sf_dir: str):
-    """Schema-validity quality counts (AnalyzeSpark.analyzeQuality).
-    Rows-only."""
+    """Schema-validity quality counts (AnalyzeSpark.analyzeQuality) —
+    oracle-checked: valid/invalid/missing per column vs the declared
+    constraints (range for doubles, anchored regex for strings)."""
     import pandas as pd
     from datavec_ray.analysis import analyze_quality
     from datavec_ray.schema import Schema
@@ -577,6 +613,13 @@ def _q_geo_distance(sf_dir: str):
                      .with_column("pos_b", pa.string()), "synth_coords"))
     p.add(CoordinatesDistance("dist_m", "pos_a", "pos_b"))
     p.add(KeepColumns(["event_id", "dist_m"]))
+
+    def round4(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("dist_m"),
+                            pa.field("dist_m", pa.float64()),
+                            pc.round(t["dist_m"], 4))
+
+    p.add(LambdaStep(round4, lambda s: s, "round_dist"))
     return p.execute(ds)
 
 
@@ -661,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "sequence_offset": _q_sequence_offset,
         "analysis_profile": _q_analysis_profile,
+        "string_profile": _q_string_profile,
         "quality_profile": _q_quality_profile,
         "tfidf": _q_tfidf,
         "ivf_topk": _q_ivf_topk,
@@ -704,6 +748,92 @@ def oracle_sql() -> dict[str, str]:
             from nation
             where n_regionkey < 3
             order by n_nationkey
+        """,
+        "analysis_profile": """
+            with cols as (
+                select 'l_quantity' as "column", l_quantity as v from lineitem
+                union all
+                select 'l_extendedprice', l_extendedprice from lineitem
+                union all
+                select 'l_discount', l_discount from lineitem
+            )
+            select "column",
+                   count(v) as n,
+                   count(*) - count(v) as n_missing,
+                   sum(case when v = 0 then 1 else 0 end) as n_zero,
+                   sum(case when v > 0 then 1 else 0 end) as n_positive,
+                   sum(case when v < 0 then 1 else 0 end) as n_negative,
+                   round(min(v), 4) as vmin,
+                   round(max(v), 4) as vmax,
+                   round(avg(v), 4) as vmean,
+                   round(stddev_samp(v), 4) as vstdev
+            from cols group by "column"
+        """,
+        "string_profile": """
+            with cols as (
+                select 'l_returnflag' as "column", l_returnflag as v from lineitem
+                union all
+                select 'l_linestatus', l_linestatus from lineitem
+            )
+            select "column",
+                   count(v) as n,
+                   count(*) - count(v) as n_missing,
+                   sum(case when v = '' then 1 else 0 end) as n_empty,
+                   sum(case when regexp_full_match(v, '[A-Za-z]+')
+                       then 1 else 0 end) as n_alpha,
+                   sum(case when regexp_full_match(v, '[0-9]+')
+                       then 1 else 0 end) as n_numeric,
+                   min(length(v)) as len_min,
+                   max(length(v)) as len_max,
+                   round(avg(length(v)), 4) as len_mean
+            from cols group by "column"
+        """,
+        "quality_profile": """
+            select 'l_quantity' as "column", count(*) as count_total,
+                   sum(case when l_quantity is null then 1 else 0 end)
+                       as count_missing,
+                   sum(case when l_quantity is not null and
+                       (isnan(l_quantity) or l_quantity < 0 or l_quantity > 50)
+                       then 1 else 0 end) as count_invalid,
+                   sum(case when l_quantity is not null and
+                       not isnan(l_quantity) and l_quantity >= 0
+                       and l_quantity <= 50 then 1 else 0 end) as count_valid
+            from lineitem
+            union all
+            select 'l_discount', count(*),
+                   sum(case when l_discount is null then 1 else 0 end),
+                   sum(case when l_discount is not null and
+                       (isnan(l_discount) or l_discount < 0 or l_discount > 0.05)
+                       then 1 else 0 end),
+                   sum(case when l_discount is not null and
+                       not isnan(l_discount) and l_discount >= 0
+                       and l_discount <= 0.05 then 1 else 0 end)
+            from lineitem
+            union all
+            select 'l_returnflag', count(*),
+                   sum(case when l_returnflag is null then 1 else 0 end),
+                   sum(case when l_returnflag is not null and
+                       not regexp_full_match(l_returnflag, '[ANR]')
+                       then 1 else 0 end),
+                   sum(case when l_returnflag is not null and
+                       regexp_full_match(l_returnflag, '[ANR]')
+                       then 1 else 0 end)
+            from lineitem
+        """,
+        "geo_distance": """
+            with c as (
+                select event_id,
+                       (value - floor(value)) * 180 - 90 as lat,
+                       (user_id / 10000.0) * 360 - 180 as lon
+                from events
+            )
+            select event_id,
+                   round(2 * 6371000 * asin(sqrt(
+                       pow(sin(radians(lon - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(lon))
+                         * pow(sin(radians(lat - lon) / 2), 2)
+                   )), 4) as dist_m
+            from c
         """,
         "groupby_agg": """
             select l_returnflag, l_linestatus,
