@@ -541,26 +541,32 @@ def _q_quality_profile(sf_dir: str):
 
 
 def _q_tfidf(sf_dir: str):
-    """Two-pass TF-IDF over documents (stateful vocab build + broadcast
-    vectorize). Rows-only."""
-    from datavec_ray.steps.nlp import TfidfVectorize, fit_tfidf_vocab
+    """Two-pass TF-IDF over documents (stateful vocab build via a
+    distributed DF aggregate + broadcast vectorize), exploded to
+    (doc_id, term, tfidf) rows — oracle-checked against a DuckDB CTE
+    implementing the same tokenizer / vocab cap / idf formula."""
     import ray
+    from datavec_ray.steps.nlp import TfidfVectorize, fit_tfidf_vocab
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     model = fit_tfidf_vocab(ds, max_vocab=256)
     ref = ray.put(model)
-    out = ds.map_batches(lambda b, r=ref: TfidfVectorize(r)(b),
-                         batch_format="pyarrow")
+    inv_vocab = {i: t for t, i in model["vocab"].items()}
 
-    def norms(batch: pa.Table) -> pa.Table:
-        arr = batch["tfidf"]
-        flat = arr.combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        w = len(arr[0]) if len(arr) else 1
-        n = np.linalg.norm(flat.reshape(-1, w), axis=1)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "tfidf_norm": pa.array(n, pa.float64())})
+    def explode(batch: pa.Table) -> pa.Table:
+        with_vec = TfidfVectorize(ref, dtype=np.float64)(batch)
+        arr = with_vec["tfidf"].combine_chunks()
+        w = len(arr[0]) if len(arr) else 0
+        mat = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, w)
+        ids = with_vec["doc_id"].to_numpy(zero_copy_only=False)
+        r, c = np.nonzero(mat)
+        return pa.table({
+            "doc_id": pa.array(ids[r], pa.int64()),
+            "term": pa.array([inv_vocab[j] for j in c], pa.string()),
+            "tfidf": pa.array(np.round(mat[r, c].astype(np.float64), 4)),
+        })
 
-    return out.map_batches(norms, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -819,6 +825,34 @@ def oracle_sql() -> dict[str, str]:
                        regexp_full_match(l_returnflag, '[ANR]')
                        then 1 else 0 end)
             from lineitem
+        """,
+        "tfidf": """
+            with tok as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_'']+'))
+                           as term
+                from documents
+            ),
+            df as (
+                select term, count(distinct doc_id) as df
+                from tok group by term
+            ),
+            n as (select count(*) as n_docs from documents),
+            vocab as (
+                select term, df from df
+                order by df desc, term asc
+                limit 256
+            ),
+            tf as (
+                select doc_id, term, count(*) as tf
+                from tok group by doc_id, term
+            )
+            select t.doc_id, t.term,
+                   round(t.tf * (ln((n.n_docs + 1.0) / (v.df + 1.0)) + 1.0), 4)
+                       as tfidf
+            from tf t
+            join vocab v using (term)
+            cross join n
         """,
         "geo_distance": """
             with c as (

@@ -179,6 +179,68 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video — pure-text header + raw planes, no container codec
+# ---------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 bytes → (uint8 luma frames (n, h, w), fps numerator).
+
+    Supports C420 (default) and C444 chroma; only the Y (luma) plane is
+    returned — the common input to grayscale feature extraction.
+    """
+    if not data.startswith(Y4M_MAGIC):
+        raise ValueError("not a Y4M stream (bad magic)")
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", "replace").split(" ")
+    w = h = 0
+    fps = 30
+    chroma = "420"
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("Y4M missing W/H")
+    if chroma.startswith("420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        frame_bytes = 3 * w * h
+    else:
+        raise NotImplementedError(f"Y4M chroma C{chroma}")
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("Y4M frame marker missing")
+        pos = fnl + 1
+        y = np.frombuffer(data, np.uint8, w * h, pos).reshape(h, w)
+        frames.append(y)
+        pos += frame_bytes
+    return (np.stack(frames) if frames
+            else np.empty((0, h, w), np.uint8)), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 30) -> bytes:
+    """uint8 luma frames (n, h, w) → Y4M bytes (C420, gray chroma)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    gray = np.full(((w // 2) * (h // 2)), 128, np.uint8).tobytes()
+    body = b"".join(b"FRAME\n" + frames[i].tobytes() + gray + gray
+                    for i in range(n))
+    return hdr + body
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 

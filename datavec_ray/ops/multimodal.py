@@ -11,14 +11,14 @@ metadata columns; every decode/feature stage is an ACTOR-POOL
 ``map_batches`` class (decoder state init once per actor — the
 reference's per-executor OpenCV/ffmpeg loading).
 
-Codecs: PNG, BMP and WAV payloads are decoded FOR REAL via the
-pure-stdlib codecs in ``datavec_ray.ops.codecs`` (zlib PNG inflate +
-filter reconstruction, 24-bit BMP, PCM WAV) — pipelines and tests
-exercise true pixel/sample values. Formats needing a native library
-(JPEG, video containers) raise NotImplementedError unless
-``deterministic_fake=True``, which substitutes a content-seeded fake
-so the Ray plumbing (schema, batch sizing, actor signature, output
-layout) stays real and tested.
+Codecs: PNG, BMP, WAV and Y4M video payloads are decoded FOR REAL via
+the pure-stdlib codecs in ``datavec_ray.ops.codecs`` (zlib PNG inflate
++ filter reconstruction, 24-bit BMP, PCM WAV, YUV4MPEG2 luma planes) —
+pipelines and tests exercise true pixel/sample/frame values. Formats
+needing a native library (JPEG, mp4/webm containers) raise
+NotImplementedError unless ``deterministic_fake=True``, which
+substitutes a content-seeded fake so the Ray plumbing (schema, batch
+sizing, actor signature, output layout) stays real and tested.
 """
 
 from __future__ import annotations
@@ -43,9 +43,8 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
-    """Deterministic media rows with REAL payloads: PNG/BMP images and
-    PCM WAV audio (encoded by the stdlib codecs); "video" rows carry an
-    opaque payload (no container codec in this environment)."""
+    """Deterministic media rows with REAL payloads: PNG/BMP images,
+    PCM WAV audio and Y4M video (all encoded by the stdlib codecs)."""
     rng = np.random.default_rng(seed)
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, rates, durs = [], [], [], [], []
@@ -73,12 +72,15 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             rates.append(rate)
             durs.append(dur_ms)
         else:
-            payloads.append(rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                                         dtype=np.uint8).tobytes())
-            widths.append(0)
-            heights.append(0)
+            h = int(rng.integers(8, 24))
+            w = int(rng.integers(8, 24))
+            nfr = int(rng.integers(3, 10))
+            frames = rng.integers(0, 256, (nfr, h, w), dtype=np.uint8)
+            payloads.append(codecs.encode_y4m(frames, fps=10))
+            widths.append(w)
+            heights.append(h)
             rates.append(0)
-            durs.append(int(rng.integers(100, 5000)))
+            durs.append(nfr * 100)
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
@@ -235,23 +237,45 @@ def object_detection_records(media_ds, boxes: pa.Table,
 
 class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
-    frame (explode), each with a frame feature vector. Video container
-    decode needs a native codec (none in this environment): stubbed with
-    a content-seeded fake; the explode layout (media_id, frame_idx,
-    frame_feat) is real."""
+    frame (explode), each with a frame luma-feature vector.
+
+    Y4M (YUV4MPEG2) payloads decode FOR REAL — evenly-sampled frames,
+    grayscale luma plane resized to a ``feat``-long vector (sqrt(feat)
+    grid). Container formats needing a native codec (mp4/webm) fall back
+    to a content-seeded fake when ``deterministic_fake`` else raise."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
                  deterministic_fake: bool = True):
         self.n_frames, self.feat, self.fake = n_frames, feat, deterministic_fake
+        self.side = int(np.sqrt(feat))
+        if self.side * self.side != feat:
+            raise ValueError("feat must be a perfect square (grid resize)")
+
+    def _frames(self, payload: bytes) -> np.ndarray:
+        """(n_frames, feat) float32 in [0, 1]."""
+        try:
+            frames, _fps = codecs.decode_y4m(payload)
+        except Exception as e:  # noqa: BLE001
+            if not self.fake:
+                raise NotImplementedError(
+                    f"cannot decode video payload ({e}); only Y4M decodes "
+                    "without a native codec") from e
+            return _content_seeded(payload, (self.n_frames, self.feat))
+        if len(frames) == 0:
+            return np.zeros((self.n_frames, self.feat), np.float32)
+        pick = np.linspace(0, len(frames) - 1, self.n_frames).astype(int)
+        h, w = frames.shape[1:]
+        ys = np.linspace(0, h - 1, self.side).astype(int)
+        xs = np.linspace(0, w - 1, self.side).astype(int)
+        out = frames[pick][:, ys][:, :, xs].astype(np.float32) / 255.0
+        return out.reshape(self.n_frames, self.feat)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = combine(batch["payload"]).to_pylist()
         ids = combine(batch["media_id"]).to_pylist()
         out_ids, out_fidx, feats = [], [], []
         for mid, p in zip(ids, payloads):
-            if not self.fake:
-                raise NotImplementedError("video codec not available; stub")
-            frames = _content_seeded(p, (self.n_frames, self.feat))
+            frames = self._frames(p)
             for f in range(self.n_frames):
                 out_ids.append(mid)
                 out_fidx.append(f)

@@ -176,27 +176,29 @@ class TfidfVectorize:
     (TfidfVectorizer.java:38 semantics: tf·idf, no normalization)."""
 
     def __init__(self, model_ref, text_col: str = "text",
-                 out_col: str = "tfidf"):
+                 out_col: str = "tfidf", dtype=np.float32):
         import ray
         model = ray.get(model_ref) if not isinstance(model_ref, dict) else model_ref
         self.vocab, self.idf = model["vocab"], model["idf"]
         self.text_col, self.out_col = text_col, out_col
+        self.dtype = np.dtype(dtype)
         self.width = len(self.vocab)
-        self.idf_arr = np.zeros(self.width, dtype=np.float32)
+        self.idf_arr = np.zeros(self.width, dtype=self.dtype)
         for t, i in self.vocab.items():
             self.idf_arr[i] = self.idf[t]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks_per_doc = _tokenize_batch(batch[self.text_col])
-        mat = np.zeros((len(toks_per_doc), self.width), dtype=np.float32)
+        mat = np.zeros((len(toks_per_doc), self.width), dtype=self.dtype)
         for i, toks in enumerate(toks_per_doc):
             for t in toks:
                 j = self.vocab.get(t)
                 if j is not None:
                     mat[i, j] += 1.0
         mat *= self.idf_arr
+        out_t = pa.float64() if self.dtype == np.float64 else pa.float32()
         arr = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()),
                                                 self.width) \
-            .cast(pa.list_(pa.float32()))
-        return batch.append_column(pa.field(self.out_col, pa.list_(pa.float32())),
+            .cast(pa.list_(out_t))
+        return batch.append_column(pa.field(self.out_col, pa.list_(out_t)),
                                    arr)

@@ -230,3 +230,35 @@ def test_rest_transform_array():
         assert mat.ravel().tolist() == [6.0, 7.0]
     finally:
         srv.stop()
+
+
+# -- Y4M video decode ------------------------------------------------------------
+
+def test_y4m_roundtrip_and_frame_sample(ray_session):
+    import ray.data as rd
+    from datavec_ray.ops.codecs import decode_y4m, encode_y4m
+    from datavec_ray.ops.multimodal import MEDIA_SCHEMA, VideoFrameSample
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (6, 10, 12), dtype=np.uint8)
+    data = encode_y4m(frames, fps=10)
+    back, fps = decode_y4m(data)
+    assert fps == 10
+    assert np.array_equal(back, frames)
+    # real frame sampling: constant-luma frames → exact feature values
+    const = np.stack([np.full((8, 8), v, np.uint8) for v in (0, 85, 170, 255)])
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([encode_y4m(const)], pa.binary()),
+        "media_type": pa.array(["video"]),
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([8], pa.int32()),
+        "sample_rate": pa.array([0], pa.int32()),
+        "duration_ms": pa.array([400], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = dataset_to_table(rd.from_arrow(t).map_batches(
+        VideoFrameSample(n_frames=4, feat=16, deterministic_fake=False),
+        batch_format="pyarrow")).sort_by("frame_idx")
+    assert out.num_rows == 4
+    for i, v in enumerate((0, 85, 170, 255)):
+        feat = np.array(out["frame_feat"][i].as_py())
+        assert np.allclose(feat, v / 255.0, atol=1e-6)
