@@ -97,3 +97,99 @@ def test_hll_merge_commutative(a, b):
     # sanity: estimate within tolerance of true distinct count
     true = len(set(a) | set(b))
     assert abs(m1.cardinality() - true) <= max(3.0, 0.15 * true)
+
+
+# -- round-2 vectorized kernels vs naive references -----------------------------
+
+_texts = st.lists(
+    st.text(alphabet="ab c\tx1_'", min_size=0, max_size=40),
+    min_size=0, max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts, st.integers(1, 4))
+def test_shingle_flat_matches_naive(texts, k):
+    """Whole-batch flat shingling == per-doc naive implementation."""
+    from datavec_ray.hll import hash64
+    from datavec_ray.ops.dedup import _FNV, _shingle_hashes_flat
+
+    sh, offs = _shingle_hashes_flat(texts, k)
+    assert len(offs) == len(texts) + 1
+    for d, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if toks:
+            th = hash64(pa.array(toks, pa.string())).astype(np.uint64)
+            kk = min(k, len(toks))
+            expect = []
+            for i in range(len(toks) - kk + 1):
+                h = th[i]
+                for j in range(1, kk):
+                    h = h * _FNV + th[i + j]
+                expect.append(int(h))
+            if kk < k:  # short doc: single shingle over all tokens
+                expect = expect[:1]
+        else:
+            expect = []
+        got = [int(x) for x in sh[offs[d]:offs[d + 1]]]
+        assert got == expect, (t, k)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_simhash_flat_matches_naive(texts):
+    """Whole-batch simhash == per-doc bit-vote reference."""
+    from datavec_ray.ops.dedup import _shingle_hashes_flat, simhash64
+
+    got = simhash64(texts)
+    sh, offs = _shingle_hashes_flat(texts, 2)
+    for d in range(len(texts)):
+        h = sh[offs[d]:offs[d + 1]]
+        if len(h) == 0:
+            assert got[d] == 0
+            continue
+        bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
+        # int64 votes: a uint8 sum here silently underflows for 0-bits
+        # (the round-1 simhash bug this kernel replaced)
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+        expect = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+        assert got[d] == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                          st.integers(0, 100), st.integers(1, 10**6)),
+                min_size=1, max_size=200))
+def test_lww_watermark_is_per_key_max_lsn(rows):
+    """carry_watermark: __wm on each surviving row == max lsn EVER seen
+    for that key, independent of which event wins LWW."""
+    from datavec_ray.cdc.engine import lww_compact_table
+    tbl = pa.table({
+        "lsn": pa.array([r[3] for r in rows], pa.int64()),
+        "op": pa.array(["U"] * len(rows)),
+        "conv_id": pa.array([f"c{r[0]}" for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array(["user"] * len(rows)),
+        "text": pa.array(["t"] * len(rows)),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = lww_compact_table(tbl, drop_tombstones=False, carry_watermark=True)
+    expect: dict = {}
+    for r in rows:
+        key = (f"c{r[0]}", r[1])
+        expect[key] = max(expect.get(key, 0), r[3])
+    assert out.num_rows == len(expect)
+    for i in range(out.num_rows):
+        key = (out["conv_id"][i].as_py(), out["turn_idx"][i].as_py())
+        assert out["__wm"][i].as_py() == expect[key]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+       st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, c, seed):
+    from datavec_ray.ops.codecs import decode_png, encode_png
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert np.array_equal(out, img if c > 1 else img.reshape(h, w))
