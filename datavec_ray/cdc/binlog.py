@@ -64,7 +64,8 @@ def synth_binlog(num_events: int, num_convs: int = 0, seed: int = 42,
     # trim conversations so base inserts ≈ target_base (the rest of the
     # event budget becomes updates/deletes referencing existing keys)
     csum = np.cumsum(lengths)
-    cut = int(np.searchsorted(csum, target_base)) + 1
+    # an explicit num_convs may not cover target_base — keep all convs then
+    cut = min(int(np.searchsorted(csum, target_base)) + 1, len(lengths))
     lengths = lengths[:cut]
     if csum[cut - 1] > target_base:
         lengths = lengths.copy()

@@ -118,6 +118,27 @@ def lww_compact_table(tbl: pa.Table, drop_tombstones: bool,
     return out
 
 
+def sort_conv_turn(tbl: pa.Table) -> pa.Table:
+    """Sort by (conv_id asc, turn_idx asc) without a row-level string
+    sort: dictionary-encode conv_id (distinct convs are ~100-1000x fewer
+    than rows), lexicographically rank the SMALL dictionary, then one
+    int64 np.lexsort over (rank, turn) and a single take. Same output
+    order as Table.sort_by, ~3-5x faster on string-heavy tables."""
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    d = pc.dictionary_encode(tbl["conv_id"].combine_chunks())
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_vals = d.dictionary.to_numpy(zero_copy_only=False)
+    rank_of_code = np.empty(len(dict_vals), dtype=np.int64)
+    rank_of_code[np.argsort(dict_vals, kind="stable")] = \
+        np.arange(len(dict_vals))
+    turn = tbl["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((turn, rank_of_code[codes]))
+    return tbl.take(pa.array(order, type=pa.int64()))
+
+
 def normalize_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
     """Schema evolution at the batch level: add missing columns as nulls,
     cast widened columns, order columns canonically (pa.unify_schemas
@@ -261,7 +282,12 @@ def _shard_cls():
                     "lsn_hi": self.lsn_hi}
 
         def load_snapshot(self, path: str) -> int:
-            tbl = pq.read_table(path)
+            # handles both legacy full snapshots and sidecar checkpoints
+            d, base = os.path.split(path)
+            pid = int(base.split("-")[1].split(".")[0])
+            tbl = read_checkpoint_partition(d, pid)
+            if tbl is None:
+                return 0
             self.segments.append(self._norm(tbl))
             self.pending += tbl.num_rows
             if tbl.num_rows:
@@ -281,8 +307,7 @@ def _shard_cls():
             deletes = int(pc.sum(pc.cast(pc.equal(state["op"], "D"),
                                          pa.int64())).as_py() or 0)
             live = state.filter(pc.not_equal(state["op"], "D"))
-            live = live.sort_by([("conv_id", "ascending"),
-                                 ("turn_idx", "ascending")])
+            live = sort_conv_turn(live)
             t_turn = pa.int64() if turn_idx_type == "int64" else pa.int32()
             tbl = pa.table({
                 "conv_id": live["conv_id"],
@@ -498,11 +523,50 @@ class _Deliver:
         return pa.table({"routed": pa.array([group.num_rows], pa.int64())})
 
 
+def read_checkpoint_partition(ckpt_dir: str, pid: int) -> Optional[pa.Table]:
+    """Load one partition's checkpointed LWW state.
+
+    Two on-disk formats:
+    - legacy full snapshot: one parquet with every state column;
+    - sidecar (current): ``part-XXXX.parquet`` holds only the narrow
+      key/meta columns (lsn, op, conv_id, turn_idx, ts) ordered
+      [live rows in lake order, then tombstones], and
+      ``part-XXXX.payload.parquet`` is a HARDLINK to the lake file
+      written by the same commit (immutable inode: a later commit
+      os.replace()s the lake name but this link keeps the old payload).
+      Reconstruction zips the live prefix with the payload rows and
+      gives tombstones null payload (deletes carry none by contract).
+    """
+    path = os.path.join(ckpt_dir, f"part-{pid:04d}.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    if "text" in t.column_names:  # legacy full snapshot
+        return t
+    pay_path = os.path.join(ckpt_dir, f"part-{pid:04d}.payload.parquet")
+    pay = (pq.read_table(pay_path, columns=PAYLOAD_COLS)
+           if os.path.exists(pay_path)
+           else pa.table({c: pa.array([], pa.string()) for c in PAYLOAD_COLS}))
+    n, n_live = t.num_rows, pay.num_rows
+    if n_live > n:
+        raise ValueError(f"checkpoint {path}: payload has {n_live} rows "
+                         f"but sidecar only {n}")
+    cols = {name: t[name] for name in t.column_names}
+    for c in PAYLOAD_COLS:
+        col = pay[c].combine_chunks() if n_live else pa.array([], pa.string())
+        if n > n_live:
+            col = pa.concat_arrays(
+                (col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+                + [pa.nulls(n - n_live, pa.string())])
+        cols[c] = col
+    return pa.table(cols)
+
+
 class _ReplayCompactCommit:
-    """map_groups body for the batch-replay fast path: final LWW
+    """Reduce-side body for the batch-replay fast path: final LWW
     compaction of ONE hash partition (merged with the partition's prior
     checkpoint state, if any), then idempotent (temp + atomic rename)
-    writes of the new checkpoint snapshot and the lake file. Returns one
+    writes of the new checkpoint and the lake file. Returns one
     lineage row per partition.
 
     This stage runs as ordinary Ray tasks scheduled across ALL cluster
@@ -525,16 +589,63 @@ class _ReplayCompactCommit:
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
 
+    LINEAGE_SCHEMA = pa.schema([
+        ("partition", pa.int64()), ("file", pa.string()),
+        ("rows", pa.int64()), ("events_applied", pa.int64()),
+        ("stale_dropped", pa.int64()), ("deletes", pa.int64()),
+        ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64())])
+
+    def carry_forward(self, pid: int) -> Optional[dict]:
+        """No new events for this partition: the prior checkpoint state
+        (if any) must still appear in the NEW checkpoint dir, else a later
+        replay that merges from this checkpoint would silently lose the
+        partition. Hardlink (fallback copy) the immutable prior snapshot
+        into the new checkpoint; the lake file is untouched."""
+        if not self.prior_ckpt_dir:
+            return None
+        prior_path = os.path.join(self.prior_ckpt_dir,
+                                  f"part-{pid:04d}.parquet")
+        if not os.path.exists(prior_path):
+            return None
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        for suffix in (".parquet", ".payload.parquet"):
+            src = os.path.join(self.prior_ckpt_dir, f"part-{pid:04d}{suffix}")
+            dst = os.path.join(self.ckpt_dir, f"part-{pid:04d}{suffix}")
+            if not os.path.exists(src) or os.path.exists(dst):
+                continue
+            try:
+                os.link(src, dst)
+            except OSError:
+                tmp = f"{dst}.tmp.{os.getpid()}"
+                import shutil
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
+        md = pq.read_metadata(prior_path)
+        return {"partition": pid, "file": f"part-{pid:04d}.parquet",
+                "rows": -1, "events_applied": 0, "stale_dropped": 0,
+                "deletes": 0, "lsn_lo": 0, "lsn_hi": 0,
+                "carried_forward": True, "state_rows": md.num_rows}
+
     def __call__(self, group: pa.Table) -> pa.Table:
-        lineage_schema = pa.schema([
-            ("partition", pa.int64()), ("file", pa.string()),
-            ("rows", pa.int64()), ("events_applied", pa.int64()),
-            ("stale_dropped", pa.int64()), ("deletes", pa.int64()),
-            ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64())])
         if group.num_rows == 0:
-            return lineage_schema.empty_table()
+            return self.LINEAGE_SCHEMA.empty_table()
         pid = int(group["__part"][0].as_py())
-        tbl = group.drop_columns(["__part"])
+        row = self.commit_partition(pid, group.drop_columns(["__part"]))
+        return pa.Table.from_pylist([row], schema=self.LINEAGE_SCHEMA)
+
+    def commit_partition(self, pid: int, tbl: pa.Table) -> dict:
+        """Final LWW compaction of one partition's delta (merged with the
+        prior checkpoint), then idempotent checkpoint + lake writes.
+        Returns the lineage row as a plain dict.
+
+        Fused gather: the LWW argmax AND the (conv, turn) lake sort are
+        computed on narrow int key arrays first (one np.lexsort each),
+        then the wide payload is gathered ONCE with the composed final
+        index — vs compact-take → filter → sort-take this removes two
+        full-width copies, the dominant memory traffic of the commit
+        stage. The checkpoint is a narrow sidecar + a hardlink to the
+        lake file (see read_checkpoint_partition) instead of a second
+        full payload write."""
         events = tbl.num_rows
         lsn_lo = int(pc.min(tbl["lsn"]).as_py())
         lsn_hi = int(pc.max(tbl["lsn"]).as_py())
@@ -544,46 +655,210 @@ class _ReplayCompactCommit:
             lsn_hi = max(lsn_hi, int(pc.max(tbl["__wm"]).as_py()))
             tbl = tbl.drop_columns(["__wm"])
         if self.prior_ckpt_dir:
-            prior_path = os.path.join(self.prior_ckpt_dir,
-                                      f"part-{pid:04d}.parquet")
-            if os.path.exists(prior_path):
-                prior = normalize_to_schema(pq.read_table(prior_path),
-                                            tbl.schema)
+            prior = read_checkpoint_partition(self.prior_ckpt_dir, pid)
+            if prior is not None:
+                prior = normalize_to_schema(prior, tbl.schema)
                 if prior.num_rows:
                     lsn_lo = min(lsn_lo, int(pc.min(prior["lsn"]).as_py()))
                     lsn_hi = max(lsn_hi, int(pc.max(prior["lsn"]).as_py()))
                 tbl = pa.concat_tables([prior, tbl])
-        before = tbl.num_rows
-        state = lww_compact_table(tbl, drop_tombstones=False)
-        stale = before - state.num_rows
-        self._write_atomic(state, os.path.join(self.ckpt_dir,
-                                               f"part-{pid:04d}.parquet"))
-        deletes = int(pc.sum(pc.cast(pc.equal(state["op"], "D"),
-                                     pa.int64())).as_py() or 0)
-        live = state.filter(pc.not_equal(state["op"], "D"))
-        live = live.sort_by([("conv_id", "ascending"),
-                             ("turn_idx", "ascending")])
+        n = tbl.num_rows
+        # -- LWW argmax on key arrays (same order as lww_compact_table) --
+        conv = tbl["conv_id"].combine_chunks()
+        d = pc.dictionary_encode(conv)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = tbl["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts_col = tbl["ts"].combine_chunks()
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = ts_col.cast(pa.int64())
+        ts = pc.fill_null(ts_col, 0).to_numpy(zero_copy_only=False)
+        lsn = pc.fill_null(tbl["lsn"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((lsn, ts, turn, codes))
+        k1, k2 = codes[order], turn[order]
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            last[:-1] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        surv = order[last]            # winners, sorted by (code, turn)
+        stale = n - len(surv)
+        # -- lake order: lexicographic conv rank, then turn --------------
+        dict_vals = d.dictionary.to_numpy(zero_copy_only=False)
+        rank_of_code = np.empty(len(dict_vals), dtype=np.int64)
+        rank_of_code[np.argsort(dict_vals, kind="stable")] = \
+            np.arange(len(dict_vals))
+        final = surv[np.lexsort((turn[surv], rank_of_code[codes[surv]]))]
+        op_final = pc.take(tbl["op"].combine_chunks(),
+                           pa.array(final, type=pa.int64()))
+        live_mask = pc.fill_null(pc.not_equal(op_final, "D"), True) \
+            .to_numpy(zero_copy_only=False)
+        final_live = final[live_mask]
+        deletes = len(final) - len(final_live)
+        # -- sidecar checkpoint: narrow columns, [live..., tombstones...] -
+        sidecar_idx = np.concatenate([final_live, final[~live_mask]])
+        sidecar = tbl.select(["lsn", "op", "conv_id", "turn_idx", "ts"]) \
+            .take(pa.array(sidecar_idx, type=pa.int64()))
+        for c in ("op", "conv_id"):  # dict -> plain string on disk
+            if pa.types.is_dictionary(sidecar.schema.field(c).type):
+                sidecar = sidecar.set_column(
+                    sidecar.schema.get_field_index(c), c,
+                    sidecar[c].cast(pa.string()))
+        # -- ONE wide gather for the lake ---------------------------------
+        live = tbl.select(["conv_id", "turn_idx"] + PAYLOAD_COLS + ["ts"]) \
+            .take(pa.array(final_live, type=pa.int64()))
+
+        def _plain(col):  # dict -> plain string for the lake contract
+            return (col.cast(pa.string())
+                    if pa.types.is_dictionary(col.type) else col)
+
         t_turn = pa.int64() if self.turn_idx_type == "int64" else pa.int32()
         out = pa.table({
-            "conv_id": live["conv_id"],
+            "conv_id": _plain(live["conv_id"]),
             "turn_idx": live["turn_idx"].cast(t_turn),
-            "role": live["role"],
+            "role": _plain(live["role"]),
             "text": live["text"],
-            "tool": live["tool"],
+            "tool": _plain(live["tool"]),
             "ts": live["ts"].cast(pa.timestamp("ms")),
         })
         fname = f"part-{pid:04d}.parquet"
-        self._write_atomic(out, os.path.join(self.lake_dir, fname))
-        return pa.table({
-            "partition": pa.array([pid], pa.int64()),
-            "file": pa.array([fname], pa.string()),
-            "rows": pa.array([out.num_rows], pa.int64()),
-            "events_applied": pa.array([events], pa.int64()),
-            "stale_dropped": pa.array([stale], pa.int64()),
-            "deletes": pa.array([deletes], pa.int64()),
-            "lsn_lo": pa.array([lsn_lo], pa.int64()),
-            "lsn_hi": pa.array([lsn_hi], pa.int64()),
-        }, schema=lineage_schema)
+        lake_path = os.path.join(self.lake_dir, fname)
+        self._write_atomic(out, lake_path)
+        self._write_atomic(sidecar, os.path.join(self.ckpt_dir, fname))
+        # checkpoint payload = hardlink to the lake file's inode (survives
+        # a later commit's os.replace of the lake NAME)
+        pay_link = os.path.join(self.ckpt_dir,
+                                f"part-{pid:04d}.payload.parquet")
+        if os.path.exists(pay_link):
+            os.remove(pay_link)
+        try:
+            os.link(lake_path, pay_link)
+        except OSError:
+            import shutil
+            tmp = f"{pay_link}.tmp.{os.getpid()}"
+            shutil.copyfile(lake_path, tmp)
+            os.replace(tmp, pay_link)
+        return {"partition": pid, "file": fname, "rows": out.num_rows,
+                "events_applied": events, "stale_dropped": stale,
+                "deletes": deletes, "lsn_lo": lsn_lo, "lsn_hi": lsn_hi}
+
+
+# ---------------------------------------------------------------------------
+# Raw two-stage hash exchange for replay()
+#
+# Why not Dataset.groupby(__part).map_groups(...): Ray Data's groupby is a
+# SORT-based shuffle — at 48M events its SortReduce suboperator burned
+# 634 CPU-seconds merging runs into an order the upsert never needs (we
+# want hash CO-LOCATION, not sorted groups), going super-linear with input
+# size. A classic two-stage map/reduce exchange over plain Ray tasks does
+# the same data movement with zero sorting: M split tasks each return P
+# per-partition shards (num_returns=P, so a reduce fetches only its own
+# shards), P commit tasks gather M shards each. Both stages are ordinary
+# tasks scheduled across every cluster CPU; the object store provides the
+# spill-to-disk path for out-of-core inputs, exactly like any external
+# shuffle. Measured at 48M events / 32 CPUs: 40s (sort shuffle) → ~10s.
+# ---------------------------------------------------------------------------
+
+def _cap_arrow_threads(n: int = 2) -> None:
+    """Cap Arrow's internal pools inside task workers. Ray exports
+    OMP_NUM_THREADS=1 but Arrow sizes its CPU/IO pools from the machine:
+    32 concurrent tasks x 32 Arrow threads = ~1000 runnable threads whose
+    futex handoffs put every core ~99% in SYSTEM time (measured via
+    vmstat + /proc/<pid>/stack on sort_by/write_table). Two threads keeps
+    a little intra-kernel parallelism without the stampede."""
+    if pa.cpu_count() > n:
+        pa.set_cpu_count(n)
+    if pa.io_thread_count() > n:
+        pa.set_io_thread_count(n)
+
+
+_WORKER_WARMED = False
+
+
+def warm_worker(heap_bytes: Optional[int] = None) -> int:
+    """One-time per-worker-process warmup; returns the worker PID.
+
+    Always: cap Arrow thread pools (see _cap_arrow_threads). When
+    ``heap_bytes`` (or $DATAVEC_WORKER_WARM_BYTES) is positive, also
+    pre-fault that much allocator arena: disable jemalloc's dirty-page
+    decay so freed pages are RETAINED, then allocate + touch one big
+    Arrow buffer and release it. Subsequent Arrow allocations reuse the
+    already-faulted pages instead of minor-faulting fresh ones — on
+    virtualized hosts (this sandbox: Firecracker) concurrent first-touch
+    faults from 32 workers serialize in the host kernel and can slow
+    memory-heavy stages ~10x. Long-lived production workers reach this
+    warm state naturally after their first few tasks; benchmarks call
+    this from a fleet of setup tasks so measured runs reflect the warm
+    steady state. Idempotent per process."""
+    global _WORKER_WARMED
+    if _WORKER_WARMED:
+        return os.getpid()
+    _cap_arrow_threads()
+    if heap_bytes is None:
+        heap_bytes = int(os.environ.get("DATAVEC_WORKER_WARM_BYTES", "0"))
+    if heap_bytes > 0:
+        try:
+            pa.jemalloc_set_decay_ms(-1)
+        except Exception:
+            pass
+        buf = pa.allocate_buffer(heap_bytes)
+        np.frombuffer(memoryview(buf), dtype=np.int64)[::512] = 1
+        del buf  # pages stay in the (no-decay) jemalloc arena
+        # numpy/glibc heap: keep big blocks off mmap so they are reused
+        # (M_MMAP_THRESHOLD can't move post-start; a touched-and-freed
+        # glibc arena still avoids refaults for <threshold allocations)
+        a = np.ones(heap_bytes // 32, dtype=np.int64)
+        a[::512] = 2
+        del a
+    _WORKER_WARMED = True
+    return os.getpid()
+
+
+def _replay_split(prep: "_PrepareShuffle", num_parts: int, *blocks):
+    """Map side: normalize + watermark-filter + per-batch LWW pre-compact
+    (the combiner), then hash-split into one shard table per partition.
+    Returns P tables (+ one trailing row-count), so Ray stores each shard
+    as its own object and each reduce fetches only its partition."""
+    from ray.data.block import BlockAccessor
+    warm_worker()
+    tables = []
+    for b in blocks:
+        t = b if isinstance(b, pa.Table) else BlockAccessor.for_block(b).to_arrow()
+        tables.append(normalize_to_schema(t, prep.schema))
+    tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    tbl = prep(tbl)  # filter + compact + __part (normalize is a no-op now)
+    # Dictionary-encode the low-cardinality strings BEFORE the exchange:
+    # conv_id (~17B -> 4B+dict), role/tool/op (~5-10B -> 1-4B) cut the
+    # shuffled payload ~30%; commit gathers work on int indices and the
+    # lake write casts back to plain strings.
+    for c in ("conv_id", "role", "tool", "op"):
+        if c in tbl.column_names and not pa.types.is_dictionary(
+                tbl.schema.field(c).type):
+            idx = tbl.schema.get_field_index(c)
+            tbl = tbl.set_column(
+                idx, c, pc.dictionary_encode(tbl[c].combine_chunks()))
+    parts = tbl["__part"].to_numpy(zero_copy_only=False)
+    tbl = tbl.drop_columns(["__part"])
+    order = np.argsort(parts, kind="stable")
+    gathered = tbl.take(pa.array(order, type=pa.int64()))
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    shards = tuple(gathered.slice(bounds[i], bounds[i + 1] - bounds[i])
+                   for i in range(num_parts))
+    return shards + (tbl.num_rows,)
+
+
+def _replay_commit(commit_fn: "_ReplayCompactCommit", pid: int, *shards):
+    """Reduce side: gather this partition's shards from every split task,
+    compact against the prior checkpoint and commit. combine_chunks()
+    first: it copies the scattered plasma-backed chunks into private
+    memory SEQUENTIALLY, so the subsequent sort/take gather does not
+    random-access hundreds of mmap'd shard objects."""
+    warm_worker()
+    shards = [s for s in shards if s.num_rows]
+    if not shards:
+        return commit_fn.carry_forward(pid)
+    tbl = pa.concat_tables(shards, promote_options="permissive")
+    tbl = tbl.combine_chunks()
+    return commit_fn.commit_partition(pid, tbl)
 
 
 def _segment_max_lsn(path: str, default: int = 0) -> int:
@@ -665,30 +940,33 @@ class CdcIngestEngine:
     def shards(self, value) -> None:
         self._shards = value
 
-    # -- batch replay (Dataset-native fast path) --------------------------
-    # replay map batches are 4× the router's: no actor-RPC amortization
-    # concern here, and larger batches mean fewer shuffle map tasks +
-    # better per-batch combine (measured: 262144 beats 65536 by ~25% at
-    # 32 CPUs and still leaves ~1.5 map tasks per core at sf0.1)
-    REPLAY_BATCH_SIZE = 262_144
+    # -- batch replay (two-stage task-exchange fast path) -----------------
+    # Target rows per split task: big enough to amortize task overhead
+    # and give the per-batch combiner real runs, small enough for ~4+
+    # map waves per CPU at bench scale.
+    REPLAY_SPLIT_ROWS = 500_000
 
     def replay(self, ds, checkpoint_name: str = "replay",
                min_lsn_exclusive: Optional[int] = None) -> list[dict]:
-        """Replay a binlog Dataset straight to a committed lake in ONE
-        Dataset pipeline — the bulk/backfill fast path (``ingest()`` +
-        shard actors remain the low-latency incremental path):
+        """Replay a binlog Dataset straight to a committed lake — the
+        bulk/backfill fast path (``ingest()`` + shard actors remain the
+        low-latency incremental path):
 
-            map_batches(watermark filter + schema normalize + per-batch
-                        LWW pre-compaction + hash partition)   # combiner
-              → groupby(__part)         # ONE Ray-native shuffle
-              → map_groups(_ReplayCompactCommit)
-                  merge prior checkpoint state → final LWW compaction →
-                  write checkpoint snapshot + lake file (idempotent)
+            split tasks: watermark filter + schema normalize + per-batch
+                LWW pre-compaction (combiner) + hash-split → P shards
+            commit tasks (one per partition): gather its shards from every
+                split, merge prior checkpoint state, final LWW compaction,
+                write checkpoint snapshot + lake file (idempotent)
 
-        vs the shard-actor path this removes the per-sub-batch actor RPCs
-        (~P per router batch) and the fixed P-actor parallelism ceiling:
-        every stage runs as tasks across all cluster CPUs, so throughput
-        scales with nodes while the partition layout stays fixed.
+        The exchange is a raw two-stage task shuffle (see _replay_split):
+        hash co-location without Ray Data's sort-based groupby, whose
+        SortReduce goes super-linear at tens of millions of rows. Every
+        stage runs as tasks across all cluster CPUs, so throughput scales
+        with nodes while the partition LAYOUT (num_partitions) stays
+        fixed. Partitions with no new events carry their prior checkpoint
+        state forward (hardlink), so every checkpoint is a COMPLETE state
+        set — merging from the latest checkpoint can never drop a
+        partition that happened to be quiet in one segment.
 
         Exactly-once: same mechanism as ingest+commit — idempotent
         per-partition files, atomic manifest append; a crashed replay()
@@ -716,18 +994,59 @@ class CdcIngestEngine:
         commit_fn = _ReplayCompactCommit(
             self.lake_dir, os.path.join(self.ckpt_dir, checkpoint_name),
             prior_dir, turn_t)
-        res = (ds.map_batches(prep, batch_format="pyarrow",
-                              batch_size=self.REPLAY_BATCH_SIZE)
-               .groupby("__part")
-               .map_groups(commit_fn, batch_format="pyarrow"))
-        batches = list(res.iter_batches(batch_format="pyarrow"))
-        lineages = (pa.concat_tables(batches, promote_options="permissive")
-                    .to_pylist() if batches else [])
-        lsn_hi = max((l["lsn_hi"] for l in lineages), default=0)
+        P = self.num_partitions
+        split_task = ray.remote(_replay_split).options(num_returns=P + 1)
+        commit_task = ray.remote(_replay_commit)
+        # Stream the upstream dataset's blocks out and launch split tasks
+        # as bundles arrive; group small blocks so each split task sees
+        # ~REPLAY_SPLIT_ROWS rows.
+        split_refs: list = []
+        pending: list = []
+        pending_rows = 0
+
+        def _flush_pending():
+            nonlocal pending, pending_rows
+            if pending:
+                split_refs.append(split_task.remote(prep, P, *pending))
+                pending, pending_rows = [], 0
+
+        timing = os.environ.get("DATAVEC_REPLAY_TIMING") == "1"
+        t0 = time.time() if timing else 0.0
+        for bundle in ds.iter_internal_ref_bundles():
+            for bref, meta in bundle.blocks:
+                pending.append(bref)
+                pending_rows += meta.num_rows or 0
+                if pending_rows >= self.REPLAY_SPLIT_ROWS:
+                    _flush_pending()
+        _flush_pending()
+        if timing:
+            import sys
+            print(f"[replay] stream+launch {time.time()-t0:.2f}s "
+                  f"({len(split_refs)} splits)", file=sys.stderr)
+            ray.wait([sr[P] for sr in split_refs],
+                     num_returns=len(split_refs))
+            print(f"[replay] splits done {time.time()-t0:.2f}s",
+                  file=sys.stderr)
+        lineage_refs = [
+            commit_task.remote(commit_fn, pid,
+                               *[sr[pid] for sr in split_refs])
+            for pid in range(P)]
+        del split_refs
+        results = [l for l in ray.get(lineage_refs) if l is not None]
+        if timing:
+            import sys
+            print(f"[replay] commits done {time.time()-t0:.2f}s",
+                  file=sys.stderr)
+        carried = [l for l in results if l.pop("carried_forward", False)]
+        lineages = [l for l in results if "state_rows" not in l]
+        # watermark can never move backwards even if a segment was empty
+        lsn_hi = max((l["lsn_hi"] for l in lineages),
+                     default=min_lsn_exclusive)
         self.manifest.append({
             "type": "checkpoint", "name": checkpoint_name, "lsn_hi": lsn_hi,
-            "partitions": len(lineages),
-            "keys": sum(l["rows"] + l["deletes"] for l in lineages),
+            "partitions": len(lineages) + len(carried),
+            "keys": (sum(l["rows"] + l["deletes"] for l in lineages)
+                     + sum(l["state_rows"] for l in carried)),
             "schema": self._canonical.serialize().to_pybytes().hex()})
         committed = self.manifest.committed_watermarks()
         for l in lineages:

@@ -247,6 +247,36 @@ def test_replay_crash_rerun_idempotent(ray_session, binlog, oracle, tmp_path):
     eng2.shutdown()
 
 
+def test_replay_quiet_partition_carries_state_forward(ray_session, tmp_path):
+    """A segment with NO events for some partition must not drop that
+    partition's state from the new checkpoint: seg1 populates all
+    partitions, seg2 touches only one conversation, seg3 merges from
+    seg2's checkpoint — earlier state must survive."""
+    from datavec_ray.cdc import replay_oracle
+    from datavec_ray.cdc.binlog import synth_binlog
+
+    bl = synth_binlog(4000, num_convs=60, seed=11)
+    # seg2/seg3: single-conversation updates (leave other partitions quiet)
+    one = bl.slice(0, 1)
+    mx = int(pc.max(bl["lsn"]).as_py())
+    seg2 = one.set_column(one.schema.get_field_index("lsn"), "lsn",
+                          pa.array([mx + 1], pa.int64()))
+    seg3 = one.set_column(one.schema.get_field_index("lsn"), "lsn",
+                          pa.array([mx + 2], pa.int64()))
+    eng = CdcIngestEngine(str(tmp_path / "qlake"), num_partitions=8)
+    eng.replay(bl, checkpoint_name="s1")
+    eng.replay(seg2, checkpoint_name="s2")
+    eng.replay(seg3, checkpoint_name="s3")
+    expect = replay_oracle(pa.concat_tables([bl, seg2, seg3]))
+    assert eng.read_lake().equals(expect)
+    # every checkpoint is a complete state set
+    ck = tmp_path / "qlake" / "_checkpoints" / "s3"
+    sidecars = [p for p in ck.glob("part-*.parquet")
+                if not p.name.endswith(".payload.parquet")]
+    assert len(sidecars) == 8
+    eng.shutdown()
+
+
 def test_replay_then_ingest_resume(ray_session, binlog, oracle, tmp_path):
     """replay() checkpoints are loadable by the incremental shard path."""
     segs = split_segments(binlog, 2)
