@@ -199,7 +199,8 @@ def _shard_cls():
         _COLS = ["lsn", "op", "conv_id", "turn_idx", "role", "text",
                  "tool", "ts"]
 
-        def __init__(self, pid: int):
+        def __init__(self, pid: int, spill_dir: Optional[str] = None,
+                     spill_threshold_rows: int = 5_000_000):
             self.pid = pid
             self.segments: list[pa.Table] = []
             self.pending = 0          # rows appended since last compaction
@@ -208,6 +209,17 @@ def _shard_cls():
             self.stale = 0            # events superseded by LWW (dedup count)
             self.lsn_lo: Optional[int] = None
             self.lsn_hi: Optional[int] = None
+            # L1 spill level: when the compacted in-memory base outgrows
+            # spill_threshold_rows, it is written to an immutable parquet
+            # run and dropped from the heap — actor memory stays bounded
+            # by the hot tail at 10^10-event scale; runs re-merge
+            # (leveled) when too many accumulate, and every read path
+            # (flush/snapshot) compacts disk runs + memory together.
+            self.spill_dir = spill_dir
+            self.spill_threshold_rows = spill_threshold_rows
+            self.spill_runs: list[str] = []
+            self.spilled_rows = 0
+            self._spill_seq = 0
 
         def _norm(self, tbl: pa.Table) -> pa.Table:
             """Canonical internal layout: turn_idx int64, ts int64 (ms).
@@ -269,11 +281,62 @@ def _shard_cls():
             # waiting on this shard; checkpoint/flush compact anyway)
             if self.pending > max(2_000_000, 2 * self.base):
                 self._compact()
+                self._maybe_spill()
             return n_in
+
+        # -- L1 spill level ---------------------------------------------
+        def _maybe_spill(self) -> None:
+            if not self.spill_dir or self.base <= self.spill_threshold_rows:
+                return
+            os.makedirs(self.spill_dir, exist_ok=True)
+            path = os.path.join(
+                self.spill_dir, f"run-{self.pid:04d}-{self._spill_seq:06d}.parquet")
+            self._spill_seq += 1
+            tmp = path + ".tmp"
+            pq.write_table(self.segments[0], tmp)
+            os.replace(tmp, path)
+            self.spill_runs.append(path)
+            self.spilled_rows += self.base
+            self.segments, self.pending, self.base = [], 0, 0
+            if len(self.spill_runs) > 8:   # leveled re-merge
+                merged = lww_compact_table(
+                    pa.concat_tables([pq.read_table(p)
+                                      for p in self.spill_runs],
+                                     promote_options="permissive"),
+                    drop_tombstones=False)
+                path = os.path.join(
+                    self.spill_dir,
+                    f"run-{self.pid:04d}-{self._spill_seq:06d}.parquet")
+                self._spill_seq += 1
+                tmp = path + ".tmp"
+                pq.write_table(merged, tmp)
+                os.replace(tmp, path)
+                for p in self.spill_runs:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                self.spill_runs = [path]
+                self.spilled_rows = merged.num_rows
+
+        def _full_state(self) -> pa.Table:
+            """Disk runs + memory, LWW-compacted (tombstones kept)."""
+            mem = self._compact()
+            if not self.spill_runs:
+                return mem
+            parts = [self._norm(pq.read_table(p)) for p in self.spill_runs]
+            if mem.num_rows:
+                parts.append(mem)
+            before = sum(p.num_rows for p in parts)
+            out = lww_compact_table(
+                pa.concat_tables(parts, promote_options="permissive"),
+                drop_tombstones=False)
+            self.stale += before - out.num_rows
+            return out
 
         # -- state serde ------------------------------------------------
         def snapshot(self, path: str) -> dict:
-            state = self._compact()
+            state = self._full_state()
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
             pq.write_table(state, tmp)
@@ -303,7 +366,7 @@ def _shard_cls():
         def flush(self, path: str, turn_idx_type: str = "int32") -> dict:
             """Write this partition's live rows (idempotent: temp + atomic
             rename), sorted by (conv_id, turn_idx). Returns lineage."""
-            state = self._compact()
+            state = self._full_state()
             deletes = int(pc.sum(pc.cast(pc.equal(state["op"], "D"),
                                          pa.int64())).as_py() or 0)
             live = state.filter(pc.not_equal(state["op"], "D"))
@@ -329,7 +392,9 @@ def _shard_cls():
         def stats(self) -> dict:
             return {"partition": self.pid, "keys": self.base,
                     "applied": self.applied, "stale": self.stale,
-                    "lsn_hi": self.lsn_hi}
+                    "lsn_hi": self.lsn_hi,
+                    "spill_runs": len(self.spill_runs),
+                    "spilled_rows": self.spilled_rows}
 
         def watermark(self) -> Optional[int]:
             return self.lsn_hi
@@ -900,7 +965,9 @@ class CdcIngestEngine:
                  router_concurrency: Optional[int] = None,
                  shard_num_cpus: float = 0.5,
                  router_batch_size: int = 65536,
-                 ingest_mode: str = "auto"):
+                 ingest_mode: str = "auto",
+                 shard_spill: bool = True,
+                 shard_spill_threshold_rows: int = 5_000_000):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if ingest_mode == "auto":
@@ -915,6 +982,9 @@ class CdcIngestEngine:
         self.ingest_mode = ingest_mode
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
+        self.shard_spill_dir = (os.path.join(lake_dir, "_spill")
+                                if shard_spill else None)
+        self.shard_spill_threshold_rows = shard_spill_threshold_rows
         self.shard_num_cpus = shard_num_cpus
         # Shard actors are created lazily: the batch replay() path never
         # needs them (its state lives in checkpoint files, its tasks
@@ -932,8 +1002,10 @@ class CdcIngestEngine:
             # workers fed by router tasks; reserving a full CPU each would
             # starve the map stage on small nodes (deadlock in local mode).
             Shard = _shard_cls()
-            self._shards = [Shard.options(num_cpus=self.shard_num_cpus).remote(i)
-                            for i in range(self.num_partitions)]
+            self._shards = [
+                Shard.options(num_cpus=self.shard_num_cpus).remote(
+                    i, self.shard_spill_dir, self.shard_spill_threshold_rows)
+                for i in range(self.num_partitions)]
         return self._shards
 
     @shards.setter

@@ -570,7 +570,9 @@ class OverlappingTimeWindowReduce(TumblingTimeWindowReduce):
     Reduced per window like the tumbling variant."""
 
     def supports_partition(self) -> bool:
-        return False  # inherited tumbling fast path would be wrong here
+        # overlapping-aware pandas fast path below (NOT the inherited
+        # tumbling one): available for the pandas-aggregable ops
+        return all(op in _PD_AGG for _, op, _ in self.specs)
 
     def __init__(self, keys, time_column, window_ms, separation_ms, specs,
                  offset_ms: int = 0, emit_window_bounds: bool = True,
@@ -624,6 +626,48 @@ class OverlappingTimeWindowReduce(TumblingTimeWindowReduce):
             else:
                 arrays[n] = pa.array(data[n], type=typ)
         return pa.table(arrays, schema=out_schema.arrow())
+
+    def apply_partition(self, df, keys):
+        """Vectorized across ALL sequences in the partition: expand each
+        row into the windows containing it (np.repeat + one arange, no
+        per-sequence Python), then ONE pandas groupby over
+        (keys, window_start). Expansion factor is ~window/separation —
+        callers with extreme overlap ratios pay proportional memory,
+        same as the reference's per-window iteration."""
+        import pandas as pd
+        col = df[self.time_column]
+        dt = str(col.dtype)
+        unit = {"datetime64[s]": "s", "datetime64[ms]": "ms",
+                "datetime64[us]": "us", "datetime64[ns]": "ns"}.get(dt)
+        w, off, sep = _validate_window_ms(unit or "ms", self.window_ms,
+                                          self.offset_ms, self.separation_ms)
+        t_ms = _raw_to_ms(col.astype("int64").to_numpy(), unit or "ms")
+        k_lo = np.ceil((t_ms + off - w + 1) / sep).astype(np.int64)
+        k_hi = np.floor((t_ms + off) / sep).astype(np.int64)
+        counts = (k_hi - k_lo + 1).clip(min=0)
+        total = int(counts.sum())
+        row_of = np.repeat(np.arange(len(t_ms)), counts)
+        if total:
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            ks = (np.arange(total) - np.repeat(offs, counts)
+                  + np.repeat(k_lo, counts))
+        else:
+            ks = np.array([], dtype=np.int64)
+        start = _ms_to_raw(ks * sep - off, unit or "ms")
+        work = df.iloc[row_of].reset_index(drop=True)
+        work = work.assign(window_start=start)
+        out = _pandas_group_agg(work, list(self.keys) + ["window_start"],
+                                self.specs)
+        if unit is not None:
+            out["window_start"] = pd.to_datetime(out["window_start"],
+                                                 unit=unit)
+        w_raw = _ms_to_raw_scalar(w, unit or "ms")
+        if self.emit_window_bounds:
+            we = out["window_start"] + (pd.Timedelta(w_raw, unit=unit)
+                                        if unit else w_raw)
+            out.insert(out.columns.get_loc("window_start") + 1,
+                       "window_end", we)
+        return out
 
     def to_dict(self):
         d = super().to_dict()

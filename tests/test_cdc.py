@@ -277,6 +277,29 @@ def test_replay_quiet_partition_carries_state_forward(ray_session, tmp_path):
     eng.shutdown()
 
 
+def test_shard_spill_level(ray_session, binlog, oracle, tmp_path):
+    """With a tiny spill threshold the shard actors push their compacted
+    base to parquet runs; flush/snapshot must merge disk + memory and the
+    committed lake must still match the oracle."""
+    import ray
+    eng = CdcIngestEngine(str(tmp_path / "slake"), num_partitions=4,
+                          ingest_mode="router",
+                          shard_spill_threshold_rows=500)
+    segs = split_segments(binlog, 4)
+    for s in segs:
+        eng.ingest(s)
+        # force compaction + spill check between segments
+        import ray as _r
+        _r.get([sh._compact.remote() for sh in eng.shards])
+        _r.get([sh._maybe_spill.remote() for sh in eng.shards])
+    stats = ray.get([s.stats.remote() for s in eng.shards])
+    assert sum(st["spilled_rows"] for st in stats) > 0, stats
+    assert any(st["spill_runs"] > 0 for st in stats)
+    eng.commit()
+    assert eng.read_lake().equals(oracle)
+    eng.shutdown()
+
+
 def test_replay_then_ingest_resume(ray_session, binlog, oracle, tmp_path):
     """replay() checkpoints are loadable by the incremental shard path."""
     segs = split_segments(binlog, 2)

@@ -233,6 +233,12 @@ def test_vectorized_reduce_and_window_parity(ray_session):
         [TumblingTimeWindowReduce(["k"], "ts", 7_000,
                                   [["v", "Max", "mx"]], offset_ms=1000,
                                   emit_window_bounds=False)],
+        [OverlappingTimeWindowReduce(["k"], "ts", 10_000, 5_000,
+                                     [["v", "Sum", "sv"], ["v", "Count", "n"]])],
+        [OverlappingTimeWindowReduce(["k"], "ts", 9_000, 4_000,
+                                     [["v", "Min", "mn"], ["v", "Mean", "mv"]],
+                                     offset_ms=2000,
+                                     emit_window_bounds=False)],
     ]:
         gs = GroupedSequence(["k"], ["ts"], ops)
         loc = gs.apply_local(seq_table())
