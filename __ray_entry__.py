@@ -427,6 +427,16 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT word-trigram Jaccard similarity join (inverted index, two
+    shuffles + broadcast size join) — the oracle-checkable near-dup op;
+    MinHash/SimHash approximate what this computes exactly."""
+    from datavec_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from datavec_ray.ops.dedup import simhash_pairs
 
@@ -705,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _q_similarity_topk,
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "hll_distinct": _q_hll_distinct,
@@ -1005,6 +1016,36 @@ def oracle_sql() -> dict[str, str]:
                order by list_cosine_similarity(
                  cast(qe as double[]), cast(embedding as double[])) desc,
                vec_id asc) <= 10""",
+        "ngram_jaccard": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), grams as (
+              select distinct doc_id, g from (
+                select doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] as g
+                from toks, unnest(range(1, len(w) - 1)) as t(i)
+                where len(w) >= 3
+                union all
+                select doc_id, array_to_string(w, ' ') as g
+                from toks where len(w) > 0 and len(w) < 3
+              )
+            ), sizes as (
+              select doc_id, count(*) as sz from grams group by doc_id
+            ), inter as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as icnt
+              from grams a join grams b
+                on a.g = b.g and a.doc_id < b.doc_id
+              group by 1, 2
+            )
+            select id_a, id_b,
+                   round(icnt * 1.0 / (sa.sz + sb.sz - icnt), 6) as jaccard
+            from inter
+            join sizes sa on id_a = sa.doc_id
+            join sizes sb on id_b = sb.doc_id
+            where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
+            order by id_a, id_b""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

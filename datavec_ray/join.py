@@ -151,7 +151,12 @@ class JoinStep(WideStep):
         import ray
         if self.join_type not in ("Inner", "LeftOuter"):
             raise ValueError("broadcast join supports Inner/LeftOuter only")
-        left_names = [f.name for f in ds.schema().base_schema]
+        left_schema = ds.schema()
+        if left_schema is None:
+            # fully-empty upstream (e.g. every group filtered out): an
+            # Inner/LeftOuter join of nothing is nothing — pass through
+            return ds
+        left_names = [f.name for f in left_schema.base_schema]
         right_ref = ray.put(self._suffixed_right(left_names))
         keys, right_keys, how = self.keys, self.right_keys, self.join_type
 

@@ -634,3 +634,105 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
     pairs = buckets.groupby("bucket").map_groups(_Pairs(), batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (inverted index — no sketching)
+# ---------------------------------------------------------------------------
+
+class _DistinctGrams:
+    """map_batches body: one (did, g) row per DISTINCT word n-gram per
+    document (g = rolling FNV hash of the n token hashes; docs with
+    0 < tokens < n contribute one gram over all their tokens, matching
+    _shingle_hashes_flat)."""
+
+    def __init__(self, text_col: str, id_col: str, n: int):
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        hashes, offs = _shingle_hashes_flat(b[self.text_col], self.n)
+        ids = np.repeat(
+            combine(b[self.id_col]).cast(pa.int64()).to_numpy(
+                zero_copy_only=False), np.diff(offs))
+        h = hashes.view(np.int64)
+        order = np.lexsort((h, ids))
+        di, hi = ids[order], h[order]
+        keep = np.ones(len(di), dtype=bool)
+        if len(di) > 1:
+            keep[1:] = (di[1:] != di[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"did": pa.array(di[keep]), "g": pa.array(hi[keep])})
+
+
+class _GramPairs:
+    """map_groups body on g: emit every doc pair sharing this gram.
+    Grams shared by more than ``max_df`` documents are stop-shingles
+    ("the quick brown" of the corpus): they generate O(df^2) pairs while
+    contributing one unit of intersection, so at scale they are dropped
+    and LOGGED — pairs whose similarity rests only on ubiquitous grams
+    fall below any useful threshold anyway."""
+
+    def __init__(self, max_df: int | None):
+        self.max_df = max_df
+        self.__name__ = "gram_pairs"
+
+    def __call__(self, grp: pa.Table) -> pa.Table:
+        ids = np.unique(grp["did"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        if self.max_df and len(ids) > self.max_df:
+            log.warning("dropping stop-shingle shared by %d docs "
+                        "(max_df=%d)", len(ids), self.max_df)
+            return _EMPTY_PAIRS
+        a, b = _pair_indices(ids)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.4,
+                        max_df: int | None = None):
+    """EXACT word-n-gram Jaccard similarity join — the oracle-checkable
+    near-dup op (MinHash/SimHash approximate it; this computes it).
+
+    Inverted-index shape (no O(corpus^2) scan):
+        distinct (doc, gram) rows                      # map, vectorized
+          -> groupby(gram): emit co-occurring pairs    # shuffle 1
+          -> groupby(pair): count = |A n B|            # shuffle 2
+          -> join |A|, |B| (per-doc gram counts, broadcast when small)
+          -> jaccard = inter / (|A| + |B| - inter) >= threshold
+
+    All-to-all traffic is bounded by sum of df^2 over grams; ``max_df``
+    caps the quadratic head at scale (default None = exact, for oracle
+    parity at test scale). Returns (id_a, id_b, jaccard) sorted by pair,
+    jaccard rounded to 6 decimals.
+    """
+    from datavec_ray.join import JoinStep
+
+    grams = ds.map_batches(_DistinctGrams(text_col, id_col, n),
+                           batch_format="pyarrow").materialize()
+    sizes = grams.groupby("did").count()
+
+    def _sz(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({name: t["did"],
+                             f"sz_{name[-1]}": t["count()"]})
+        return f
+
+    pairs = (grams.groupby("g")
+             .map_groups(_GramPairs(max_df), batch_format="pyarrow")
+             .groupby(["id_a", "id_b"]).count())
+    j = JoinStep(sizes.map_batches(_sz("id_a"), batch_format="pyarrow"),
+                 keys=["id_a"]).apply_dataset(pairs)
+    j = JoinStep(sizes.map_batches(_sz("id_b"), batch_format="pyarrow"),
+                 keys=["id_b"]).apply_dataset(j)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        inter = t["count()"].cast(pa.float64())
+        denom = pc.subtract(pc.add(t["sz_a"].cast(pa.float64()),
+                                   t["sz_b"].cast(pa.float64())), inter)
+        jac = pc.divide(inter, denom)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "jaccard": pc.round(jac, 6)})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return (j.map_batches(_finish, batch_format="pyarrow")
+            .sort(["id_a", "id_b"]))

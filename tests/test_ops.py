@@ -44,6 +44,35 @@ def test_minhash_lsh(ray_session):
     assert all(j >= 0.3 for j in out["jaccard"].to_pylist())
 
 
+def test_ngram_jaccard_exact(ray_session):
+    """Exact inverted-index Jaccard join vs hand-computed values."""
+    import ray.data as rd
+    from datavec_ray.ops.dedup import ngram_jaccard_pairs
+    out = dataset_to_table(
+        ngram_jaccard_pairs(rd.from_arrow(docs_table()), n=3, threshold=0.2))
+    got = {(a, b): j for a, b, j in zip(out["id_a"].to_pylist(),
+                                        out["id_b"].to_pylist(),
+                                        out["jaccard"].to_pylist())}
+    # exact duplicates → jaccard 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 5)] == 1.0 and got[(1, 5)] == 1.0
+    # near-dup (one word of nine changed): 4 shared of 10 distinct
+    # trigram shingles → 0.4
+    assert abs(got[(0, 2)] - 0.4) < 1e-9
+    # unrelated docs produce no pair
+    assert not any(7 in p for p in got)
+
+
+def test_ngram_jaccard_max_df_cap(ray_session):
+    """Stop-shingle cap drops ubiquitous grams instead of exploding."""
+    import ray.data as rd
+    from datavec_ray.ops.dedup import ngram_jaccard_pairs
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array(["common prefix words here"] * 20)})
+    out = dataset_to_table(
+        ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.5, max_df=5))
+    assert out.num_rows == 0  # all grams shared by 20 > max_df docs
+
+
 def test_minhash_shingles_match_reference_semantics():
     """Flat vectorized shingling == per-doc reference implementation."""
     from datavec_ray.ops.dedup import _shingle_hashes, _shingle_hashes_flat
