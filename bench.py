@@ -10,10 +10,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
 
---scaling: runs the headline twice in fresh processes (num_cpus=8 and
-32) on the SAME input and reports both throughputs + scaling
-efficiency (T_8/T_32)/4 — the sandbox substitute for the N vs 4N node
-criterion (BASELINE.md protocol).
+--scaling: runs the headline at two parallelism levels (default 4 and
+16 CPUs — N vs 4N; see the cpu_calibration note in main_scaling) in
+fresh processes on the SAME input and reports both throughputs, the
+raw scaling efficiency (T_lo/T_hi)/4, the box's same-day pure-CPU
+ceiling, and the ceiling-normalized efficiency — the sandbox
+substitute for the N vs 4N node criterion (BASELINE.md protocol).
 """
 
 from __future__ import annotations
@@ -175,6 +177,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def main_once() -> dict:
     import logging
+
+    # glibc tunables for worker processes (inherited via the raylet):
+    # keep big numpy/glibc allocations on the retained heap instead of
+    # mmap/munmap per allocation — freshly mapped pages first-touch-fault
+    # through the virtualized host (see warm_cluster docstring), so
+    # munmap-on-free forces every commit task to refault its working set.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
     import ray
     if not ray.is_initialized():
