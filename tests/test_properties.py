@@ -193,3 +193,66 @@ def test_png_roundtrip_property(h, w, c, seed):
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     out = decode_png(encode_png(img))
     assert np.array_equal(out, img if c > 1 else img.reshape(h, w))
+
+
+@settings(max_examples=25, deadline=None)
+@given(binlog_tables(), st.integers(1, 4), st.integers(0, 2**31 - 1))
+def test_segmented_sidecar_commits_match_oracle(tbl, n_segs, seed):
+    """The full commit chain (per-batch pre-compaction with watermark
+    carry → per-partition commit_partition with prior-checkpoint merge →
+    sidecar + payload-hardlink checkpoints → quiet-partition
+    carry-forward), driven WITHOUT Ray over arbitrary event streams cut
+    into arbitrary, possibly OVERLAPPING segments (at-least-once
+    delivery), must reproduce the sequential replay oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datavec_ray.cdc.engine import (_ReplayCompactCommit,
+                                        assign_partitions,
+                                        lww_compact_table)
+
+    rng = np.random.default_rng(seed)
+    n = tbl.num_rows
+    # contiguous cut points + random duplicated tail = overlap
+    cuts = sorted(rng.integers(0, n + 1, size=n_segs - 1).tolist())
+    bounds = [0] + cuts + [n]
+    segments = [tbl.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
+    if n_segs > 1 and rng.random() < 0.5:
+        segments.insert(1, segments[0])  # duplicate delivery of segment 0
+    P = 3
+    root = tempfile.mkdtemp(prefix="prop_sidecar_")
+    try:
+        lake = os.path.join(root, "lake")
+        prior = None
+        for i, seg in enumerate(segments):
+            ckpt = os.path.join(root, f"ck{i:02d}")
+            cf = _ReplayCompactCommit(lake, ckpt, prior, "int32")
+            pre = (lww_compact_table(seg, drop_tombstones=False,
+                                     carry_watermark=True)
+                   if seg.num_rows else seg)
+            parts = (assign_partitions(pre["conv_id"], pre["turn_idx"], P)
+                     if pre.num_rows else np.array([], dtype=np.int64))
+            for pid in range(P):
+                sub = pre.filter(pa.array(parts == pid)) if pre.num_rows \
+                    else pre
+                if sub.num_rows:
+                    cf.commit_partition(pid, sub)
+                else:
+                    cf.carry_forward(pid)
+            prior = ckpt
+        files = sorted(os.listdir(lake)) if os.path.isdir(lake) else []
+        tables = [pq.read_table(os.path.join(lake, f)) for f in files]
+        tables = [t for t in tables if t.num_rows]
+        oracle = replay_oracle(tbl)
+        if not tables:
+            assert oracle.num_rows == 0
+            return
+        got = pa.concat_tables(tables).sort_by(KEY)
+        assert got.num_rows == oracle.num_rows
+        assert got.cast(oracle.schema).equals(oracle)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
