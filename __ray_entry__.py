@@ -437,6 +437,16 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
 
 
+def _q_cosine_pairs(sf_dir: str):
+    """EXACT cosine similarity self-join over the embedding column —
+    the oracle-checkable op that embedding_neardup's LSH bucketing
+    approximates. Broadcast normalized corpus, one matmul per batch."""
+    from datavec_ray.ops.similarity import cosine_pairs_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_exact(ds, threshold=0.35)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from datavec_ray.ops.dedup import simhash_pairs
 
@@ -716,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "hll_distinct": _q_hll_distinct,
@@ -1045,6 +1056,15 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on id_a = sa.doc_id
             join sizes sb on id_b = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
+            order by id_a, id_b""",
+        "cosine_pairs": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(
+                     cast(a.embedding as double[]),
+                     cast(b.embedding as double[])), 6) as cosine
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(cast(a.embedding as double[]),
+                                         cast(b.embedding as double[])) >= 0.35
             order by id_a, id_b""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,

@@ -1282,15 +1282,24 @@ class CdcIngestEngine:
                     since_ckpt = 0
         return {"segments": n_segments, "events": n_events, "watermark": wm}
 
-    def shutdown(self) -> None:
+    def shutdown(self, gc_spill: bool = True) -> None:
         """Kill shard/registry actors (bench + batch jobs that create
         several engines per process; otherwise dead handles linger until
-        GC and their worker processes pile up)."""
+        GC and their worker processes pile up).
+
+        Also sweeps the shard L1 spill directory: spill runs are an
+        actor-local cache that every checkpoint/flush folds back into the
+        durable state (``_full_state``), so once the actors are dead the
+        runs — including orphans left by a crashed actor — are garbage.
+        """
         import ray
         for s in (self._shards or []):
             ray.kill(s)
         ray.kill(self.registry)
         self._shards = None
+        if gc_spill and self.shard_spill_dir and os.path.isdir(self.shard_spill_dir):
+            import shutil
+            shutil.rmtree(self.shard_spill_dir, ignore_errors=True)
 
     # -- read back --------------------------------------------------------
     def read_lake_dataset(self):

@@ -81,6 +81,61 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# exact cosine similarity self-join (all pairs >= threshold)
+# ---------------------------------------------------------------------------
+
+class _CosinePairs:
+    """Per-batch exact pair scan: one (batch x corpus) matmul against the
+    broadcast normalized corpus, masked to id_a < id_b (each unordered
+    pair emitted exactly once, by the task holding its lower id)."""
+
+    def __init__(self, corpus_ref, threshold: float, vec_col: str, id_col: str):
+        import ray
+        ids, mat = ray.get(corpus_ref)
+        self.cids, self.cmat = ids, mat           # (N,), (N, dim) normalized
+        self.threshold, self.vec_col, self.id_col = threshold, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch[self.vec_col]))
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False)
+        sims = m @ self.cmat.T                    # (batch, N)
+        mask = (sims >= self.threshold) & (ids[:, None] < self.cids[None, :])
+        r, c = np.nonzero(mask)
+        return pa.table({"id_a": pa.array(ids[r], pa.int64()),
+                         "id_b": pa.array(self.cids[c], pa.int64()),
+                         "cosine": pa.array(np.round(sims[r, c], 6),
+                                            pa.float64())})
+
+
+def cosine_pairs_exact(ds, threshold: float = 0.35,
+                       vec_col: str = "embedding", id_col: str = "vec_id"):
+    """EXACT cosine similarity self-join: every unordered pair of rows
+    with cosine >= threshold. This is the op the LSH-bucketed
+    ``embedding_cosine_pairs`` near-dup approximates — and its oracle.
+
+    Scale contract: O(N^2) similarity work split across batches; the
+    normalized corpus (ids + matrix, ~N*dim*8 bytes) is broadcast ONCE
+    with ray.put and read zero-copy by every task — fine to ~10^6x1k
+    dims per worker heap. Beyond that use ``embedding_cosine_pairs``
+    (bucketed, approximate) or a physical ``ivf_build`` partitioning;
+    exact all-pairs at 100 TB is inherently quadratic and not a
+    streaming op."""
+    import ray
+
+    from datavec_ray.util import dataset_to_table
+
+    corpus = dataset_to_table(
+        ds.select_columns([id_col, vec_col]).materialize())
+    ids = combine(corpus[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_matrix(corpus[vec_col]))
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _CosinePairs, batch_format="pyarrow",
+        fn_constructor_args=(ref, threshold, vec_col, id_col),
+        concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) variant
 # ---------------------------------------------------------------------------
 

@@ -147,6 +147,28 @@ def test_embedding_neardup(ray_session):
     assert (0, 5) in pairs
 
 
+def test_cosine_pairs_exact(ray_session):
+    """Exact all-pairs cosine join vs a local numpy upper-triangle scan."""
+    import ray.data as rd
+    from datavec_ray.ops.similarity import cosine_pairs_exact
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    out = dataset_to_table(cosine_pairs_exact(
+        rd.from_arrow(t).repartition(4), threshold=0.5)).to_pandas()
+    n = vecs.astype(np.float64)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    sims = n @ n.T
+    iu = np.triu_indices(80, 1)
+    mask = sims[iu] >= 0.5
+    expect = {(int(a), int(b), round(float(sims[a, b]), 6))
+              for a, b in zip(iu[0][mask], iu[1][mask])}
+    got = {(int(r.id_a), int(r.id_b), round(float(r.cosine), 6))
+           for r in out.itertuples()}
+    assert got == expect and len(expect) > 0
+
+
 def test_brute_force_topk(ray_session):
     import ray.data as rd
     from datavec_ray.ops.similarity import brute_force_topk
