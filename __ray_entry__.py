@@ -437,6 +437,19 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
 
 
+def _q_doc_quality(sf_dir: str):
+    """Gopher-style per-document quality signals + keep rule (repetition,
+    word-length, stopword bands) — one vectorized split + segmented
+    numpy aggregation per batch; SQL-expressible, hash-checked."""
+    from datavec_ray.ops.textstats import quality_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_signals, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "mean_word_len",
+                               "top_word_frac", "distinct_frac",
+                               "stopword_frac", "keep"])
+
+
 def _q_cosine_pairs(sf_dir: str):
     """EXACT cosine similarity self-join over the embedding column —
     the oracle-checkable op that embedding_neardup's LSH bucketing
@@ -726,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "doc_quality": _q_doc_quality,
         "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
@@ -1057,6 +1071,39 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on id_b = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
             order by id_a, id_b""",
+        "doc_quality": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') as w
+              from documents
+            ), flat as (
+              select doc_id, unnest(w) as word from toks
+            ), freq as (
+              select doc_id, word, count(*) as c from flat group by 1, 2
+            ), sig as (
+              select doc_id,
+                     cast(sum(c) as bigint) as n_words,
+                     sum(len(word) * c) * 1.0 / sum(c) as mean_word_len,
+                     max(c) * 1.0 / sum(c) as top_word_frac,
+                     count(*) * 1.0 / sum(c) as distinct_frac,
+                     sum(case when word in
+                       ('the','a','and','of','to','in','is')
+                       then c else 0 end) * 1.0 / sum(c) as stopword_frac
+              from freq group by doc_id
+            )
+            select d.doc_id,
+                   coalesce(s.n_words, 0) as n_words,
+                   round(coalesce(s.mean_word_len, 0.0), 6) as mean_word_len,
+                   round(coalesce(s.top_word_frac, 0.0), 6) as top_word_frac,
+                   round(coalesce(s.distinct_frac, 0.0), 6) as distinct_frac,
+                   round(coalesce(s.stopword_frac, 0.0), 6) as stopword_frac,
+                   cast(case when s.n_words between 20 and 5000
+                         and s.top_word_frac <= 0.12
+                         and s.distinct_frac >= 0.5
+                         and s.stopword_frac between 0.02 and 0.3
+                        then 1 else 0 end as int) as keep
+            from documents d left join sig s using (doc_id)
+            order by d.doc_id""",
         "cosine_pairs": """
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_cosine_similarity(

@@ -125,6 +125,72 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column(pa.field(out_col, pa.uint64()), pa.array(out))
 
 
+_QS_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def quality_signals(batch: pa.Table, text_col: str = "text",
+                    min_words: int = 20, max_words: int = 5000,
+                    max_top_word_frac: float = 0.12,
+                    min_distinct_frac: float = 0.5,
+                    stopword_band: tuple = (0.02, 0.3)) -> pa.Table:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021, "Scaling Language Models", §A1.1 — public), adapted to
+    single-line docs: word count, mean word length, top-word fraction
+    (repetition), distinct-word fraction, stopword fraction, and a
+    boolean `keep` applying the banded thresholds.
+
+    Fully vectorized: ONE split per batch, dictionary-encoded words,
+    per-doc aggregation via segmented bincount / np.maximum.at — no
+    per-document Python loop. Every signal is exactly SQL-expressible
+    (unnest + group by) so the driver's DuckDB oracle hash-checks it.
+    """
+    col = combine(batch[text_col])
+    parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(parts)
+    offsets = np.asarray(parts.offsets)
+    row_of = np.repeat(np.arange(len(parts)), np.diff(offsets))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_of = row_of[nonempty]
+    words = flat.filter(pa.array(nonempty))
+
+    ndocs = len(parts)
+    n_words = np.bincount(row_of, minlength=ndocs).astype(np.int64)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+
+    wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+    mean_word_len = np.bincount(row_of, weights=wlen, minlength=ndocs) / denom
+
+    dic = pc.dictionary_encode(words)
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    vocab = max(len(dic.dictionary), 1)
+    uniq, counts = np.unique(row_of.astype(np.int64) * vocab + codes,
+                             return_counts=True)
+    urow = (uniq // vocab).astype(np.int64)
+    distinct_frac = np.bincount(urow, minlength=ndocs) / denom
+    topc = np.zeros(ndocs, dtype=np.int64)
+    np.maximum.at(topc, urow, counts)
+    top_word_frac = topc / denom
+
+    stop = pc.is_in(words, value_set=pa.array(list(_QS_STOPWORDS))) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    stopword_frac = np.bincount(row_of, weights=stop, minlength=ndocs) / denom
+
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (top_word_frac <= max_top_word_frac)
+            & (distinct_frac >= min_distinct_frac)
+            & (stopword_frac >= stopword_band[0])
+            & (stopword_frac <= stopword_band[1])).astype(np.int32)
+
+    for name, arr in [("n_words", pa.array(n_words)),
+                      ("mean_word_len", pa.array(np.round(mean_word_len, 6))),
+                      ("top_word_frac", pa.array(np.round(top_word_frac, 6))),
+                      ("distinct_frac", pa.array(np.round(distinct_frac, 6))),
+                      ("stopword_frac", pa.array(np.round(stopword_frac, 6))),
+                      ("keep", pa.array(keep))]:
+        batch = batch.append_column(pa.field(name, arr.type), arr)
+    return batch
+
+
 class TextStats:
     """Actor-pool stage: regexes/profiles compiled once per actor
     (__init__), batches scored in __call__ — language ID + stats."""

@@ -257,6 +257,29 @@ def test_text_stats_and_fingerprint():
     assert scored["lang_id"].to_pylist()[0] == "en"
 
 
+def test_quality_signals():
+    from datavec_ray.ops.textstats import quality_signals
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["the cat sat on a mat with the dog",   # 9 words
+                           "spam spam spam spam",                  # repetitive
+                           ""]})                                   # empty
+    out = quality_signals(t)
+    assert out["n_words"].to_pylist() == [9, 4, 0]
+    # doc 0: 'the' appears twice -> top_word_frac 2/9, distinct 8/9
+    assert abs(out["top_word_frac"][0].as_py() - 2 / 9) < 1e-6
+    assert abs(out["distinct_frac"][0].as_py() - 8 / 9) < 1e-6
+    assert abs(out["stopword_frac"][0].as_py() - 3 / 9) < 1e-6  # the,a,the
+    # doc 1: one word repeated 4x
+    assert out["top_word_frac"][1].as_py() == 1.0
+    assert out["distinct_frac"][1].as_py() == 0.25
+    # empty doc: zeros, not nulls
+    assert out["mean_word_len"][2].as_py() == 0.0
+    # keep rule: all three fail (too short / repetitive / empty)
+    assert out["keep"].to_pylist() == [0, 0, 0]
+    # mean word length doc 0: (3+3+3+2+1+3+4+3+3)/9
+    assert abs(out["mean_word_len"][0].as_py() - 25 / 9) < 1e-6
+
+
 def test_langid_scripts():
     from datavec_ray.ops.textstats import TextStats
     t = pa.table({"text": [
