@@ -437,6 +437,26 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
 
 
+def _q_asof_join(sf_dir: str):
+    """Point-in-time join: each click joined to the user's latest
+    at-or-before purchase. Hash-bucket co-partition (one shuffle) +
+    one vectorized merge_asof per bucket; oracle = DuckDB ASOF JOIN."""
+    import ray.data as rd
+    from datavec_ray.join import asof_join
+
+    def _side(event_type, drop):
+        return rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value", "event_type"],
+            filter=pc.field("event_type") == event_type).drop_columns(drop)
+
+    clicks = _side("click", ["event_type"])
+    purch = _side("purchase", ["event_type", "event_id"])
+    out = asof_join(clicks, purch, on="ts", by="user_id", num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "value",
+                               "value_r", "ts_r"])
+
+
 def _q_doc_quality(sf_dir: str):
     """Gopher-style per-document quality signals + keep rule (repetition,
     word-length, stopword bands) — one vectorized split + segmented
@@ -739,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "asof_join": _q_asof_join,
         "doc_quality": _q_doc_quality,
         "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
@@ -1071,6 +1092,19 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on id_b = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
             order by id_a, id_b""",
+        "asof_join": """
+            with clicks as (
+              select event_id, user_id, ts, value from events
+              where event_type = 'click'
+            ), purch as (
+              select user_id, ts, value from events
+              where event_type = 'purchase'
+            )
+            select c.event_id, c.user_id, c.value,
+                   p.value as value_r, p.ts as ts_r
+            from clicks c asof left join purch p
+              on c.user_id = p.user_id and c.ts >= p.ts
+            order by c.event_id""",
         "doc_quality": """
             with toks as (
               select doc_id,

@@ -178,3 +178,128 @@ class JoinStep(WideStep):
         return {"cls": "JoinStep", "keys": self.keys, "right_keys": self.right_keys,
                 "join_type": self.join_type, "broadcast": self.broadcast,
                 "num_partitions": self.num_partitions}
+
+
+# ---------------------------------------------------------------------------
+# as-of join (time-travel / point-in-time join)
+# ---------------------------------------------------------------------------
+
+class _AsofMerge:
+    """Per-bucket vectorized as-of merge: ONE pandas merge_asof(by=...)
+    call handles every key in the bucket (C kernel, no per-key loop)."""
+
+    def __init__(self, on, by, direction, left_cols, right_cols, restore):
+        self.on, self.by, self.direction = on, by, direction
+        self.left_cols, self.right_cols = left_cols, right_cols
+        self.restore = restore          # {col: pandas nullable dtype} for
+        self.__name__ = "asof_merge"    # ints null-padded through the union
+
+    def __call__(self, df):
+        import pandas as pd
+        l = df[df["__side"] == 0][self.left_cols] \
+            .sort_values(self.on, kind="mergesort")
+        r = df[df["__side"] == 1][self.by + [self.on] + self.right_cols] \
+            .sort_values(self.on, kind="mergesort")
+        if not len(l):
+            out = l.copy()
+            for c in self.right_cols:
+                out[c] = r[c][:0]
+        elif not len(r):
+            out = l.copy()
+            for c in self.right_cols:
+                out[c] = df[c][:0].reindex(out.index)
+        else:
+            out = pd.merge_asof(l, r, on=self.on, by=self.by,
+                                direction=self.direction)
+        return out.astype({c: t for c, t in self.restore.items()
+                           if c in out.columns})
+
+
+def asof_join(left, right, on: str, by, right_cols=None,
+              direction: str = "backward", suffix: str = "_r",
+              num_buckets: int = 64):
+    """Left as-of join: for each left row, attach the right row with the
+    same `by` key whose `on` value is the closest at-or-before it
+    (direction='backward'; 'forward'/'nearest' as in pandas).
+
+    Ray Data has no inequality join, so this is the documented
+    composition: both sides are tagged and hash-bucketed on `by`
+    (ONE shuffle over left+right, co-partitioning the key), then each
+    bucket is merged with a single vectorized ``pd.merge_asof(by=...)``
+    call — no per-key Python loop. `num_buckets` bounds per-task memory:
+    size it so the largest bucket (all rows of ~K/num_buckets keys)
+    fits a worker heap; hot single keys can be salted upstream.
+
+    Right value columns are emitted as ``{col}{suffix}`` plus
+    ``{on}{suffix}`` (the matched right timestamp). Pandas limitation:
+    nullable int right columns come back float64.
+    """
+    import numpy as np
+
+    def _pa_schema(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    by_list = [by] if isinstance(by, str) else list(by)
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    if right_cols is None:
+        right_cols = [n for n in rsch.names if n not in by_list and n != on]
+    out_rcols = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    left_cols = list(lsch.names)
+
+    union_fields = ([lsch.field(n) for n in left_cols]
+                    + [pa.field(f"{c}{suffix}", rsch.field(c).type)
+                       for c in right_cols]
+                    + [pa.field(f"{on}{suffix}", rsch.field(on).type),
+                       pa.field("__side", pa.int8())])
+    union_schema = pa.schema(union_fields)
+
+    def _pad(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for f in union_schema:
+            if f.name == "__side":
+                cols[f.name] = pa.nulls(n, f.type).fill_null(side)
+            elif f.name in batch.column_names:
+                cols[f.name] = batch[f.name]
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        t = pa.table(cols, schema=union_schema)
+        key = batch[by_list[0]]
+        from datavec_ray.hll import hash64
+        from datavec_ray.steps.base import combine
+        h = hash64(combine(key))
+        for k in by_list[1:]:
+            h = h * np.uint64(1000003) + hash64(combine(batch[k]))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column(pa.field("__bucket", pa.int32()),
+                               pa.array(bucket))
+
+    def _pad_left(b):
+        return _pad(b, 0)
+
+    def _pad_right(b):
+        b = b.select(by_list + [on] + list(right_cols))
+        for c in list(right_cols):
+            b = b.rename_columns(
+                [f"{n}{suffix}" if n == c else n for n in b.column_names])
+        b = b.append_column(pa.field(f"{on}{suffix}", b[on].type), b[on])
+        return _pad(b, 1)
+
+    _INT_PD = {pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
+               pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+               pa.uint32(): "UInt32", pa.uint64(): "UInt64",
+               pa.bool_(): "boolean"}
+    restore = {f.name: _INT_PD[f.type] for f in union_fields
+               if f.type in _INT_PD and f.name != "__side"}
+
+    lt = left.map_batches(_pad_left, batch_format="pyarrow")
+    rt = right.map_batches(_pad_right, batch_format="pyarrow")
+    # right side arrives under the union schema with its on/by under the
+    # original names and values under suffixed names
+    union = lt.union(rt)
+    merged = union.groupby("__bucket").map_groups(
+        _AsofMerge(on, by_list, direction,
+                   left_cols, out_rcols, restore),
+        batch_format="pandas")
+    return merged

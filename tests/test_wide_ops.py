@@ -249,3 +249,38 @@ def test_vectorized_reduce_and_window_parity(ray_session):
         key = [(c, "ascending") for c in sort_cols]
         assert tables_equal(loc.sort_by(key), dist.select(
             loc.column_names).sort_by(key)), ops
+
+
+def test_asof_join(ray_session):
+    """asof_join vs a hand-computed point-in-time merge: backward
+    direction, int dtype preservation, and a key with no right rows."""
+    import ray.data as rd
+    from datavec_ray.join import asof_join
+
+    left = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "k": pa.array(["a", "a", "b", "b", "c"]),
+        "t": pa.array([10, 20, 15, 5, 30], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "t": pa.array([8, 18, 10], pa.int64()),
+        "px": pa.array([100, 200, 300], pa.int64()),
+    })
+    out = dataset_to_table(
+        asof_join(rd.from_arrow(left).repartition(3),
+                  rd.from_arrow(right), on="t", by="k", num_buckets=4)
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # id1 t=10 -> right a@8 (100); id2 t=20 -> a@18 (200);
+    # id3 t=15 -> b@10 (300); id4 t=5 -> none; id5 k=c -> none
+    assert out["px_r"].tolist() == [100, 200, 300] + [None, None] \
+        or (out["px_r"][:3].tolist() == [100, 200, 300]
+            and out["px_r"][3:].isna().all())
+    assert out["t_r"][:3].tolist() == [8, 18, 10]
+    assert str(out["id"].dtype) in ("int64", "Int64")  # ints survive
+    # forward direction: id4 t=5 -> b@10
+    fwd = dataset_to_table(
+        asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="t", by="k", direction="forward", num_buckets=4)
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert fwd.loc[3, "px_r"] == 300
