@@ -457,6 +457,26 @@ def _q_asof_join(sf_dir: str):
                                "value_r", "ts_r"])
 
 
+def _q_range_join(sf_dir: str):
+    """Banded range join: every (click, purchase) pair of the same user
+    with the purchase in the 24h before the click. One co-partitioning
+    shuffle + two searchsorted passes per bucket; oracle = SQL interval
+    inner join."""
+    import ray.data as rd
+    from datavec_ray.join import range_join
+
+    def _side(event_type, cols):
+        return rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=cols,
+            filter=pc.field("event_type") == event_type)
+
+    clicks = _side("click", ["event_id", "user_id", "ts"])
+    purch = _side("purchase", ["user_id", "ts", "value"])
+    out = range_join(clicks, purch, on="ts", by="user_id",
+                     lower=-86_400_000_000, upper=0, num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "value_r", "ts_r"])
+
+
 def _q_doc_quality(sf_dir: str):
     """Gopher-style per-document quality signals + keep rule (repetition,
     word-length, stopword bands) — one vectorized split + segmented
@@ -760,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "doc_quality": _q_doc_quality,
         "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
@@ -1105,6 +1126,19 @@ def oracle_sql() -> dict[str, str]:
             from clicks c asof left join purch p
               on c.user_id = p.user_id and c.ts >= p.ts
             order by c.event_id""",
+        "range_join": """
+            with clicks as (
+              select event_id, user_id, ts from events
+              where event_type = 'click'
+            ), purch as (
+              select user_id, ts, value from events
+              where event_type = 'purchase'
+            )
+            select c.event_id, c.user_id,
+                   p.value as value_r, p.ts as ts_r
+            from clicks c join purch p on c.user_id = p.user_id
+              and p.ts between c.ts - interval 24 hours and c.ts
+            order by c.event_id, ts_r""",
         "doc_quality": """
             with toks as (
               select doc_id,

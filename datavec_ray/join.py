@@ -181,8 +181,86 @@ class JoinStep(WideStep):
 
 
 # ---------------------------------------------------------------------------
-# as-of join (time-travel / point-in-time join)
+# inequality joins: as-of (point-in-time) and banded range join.
+# Ray Data has no inequality join, so both are the documented
+# composition: tag the two sides, hash-bucket on the key (ONE shuffle
+# co-partitioning left+right), merge each bucket with a vectorized
+# kernel. `num_buckets` bounds per-task memory: size it so the largest
+# bucket (~K/num_buckets keys' rows) fits a worker heap; salt hot keys
+# upstream if one key dominates.
 # ---------------------------------------------------------------------------
+
+_INT_PD = {pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
+           pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+           pa.uint32(): "UInt32", pa.uint64(): "UInt64",
+           pa.bool_(): "boolean"}
+
+
+def _tagged_union(left, right, on, by_list, right_cols, suffix, num_buckets):
+    """Tag left (side 0) and right (side 1) into one dataset under a
+    unioned schema (missing columns typed-null-padded), with a __bucket
+    column hashed from the `by` key — the single shuffle key. Right
+    value columns are pre-renamed `{col}{suffix}`; right's `on` rides
+    under both `on` (for the merge) and `{on}{suffix}` (for output).
+    Returns (union_ds, left_cols, out_rcols, restore) where `restore`
+    maps int/bool columns to pandas nullable dtypes (null padding turns
+    them float64 in pandas otherwise)."""
+    import numpy as np
+
+    def _pa_schema(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    if right_cols is None:
+        right_cols = [n for n in rsch.names if n not in by_list and n != on]
+    out_rcols = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    left_cols = list(lsch.names)
+
+    union_fields = ([lsch.field(n) for n in left_cols]
+                    + [pa.field(f"{c}{suffix}", rsch.field(c).type)
+                       for c in right_cols]
+                    + [pa.field(f"{on}{suffix}", rsch.field(on).type),
+                       pa.field("__side", pa.int8())])
+    union_schema = pa.schema(union_fields)
+
+    def _pad(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for f in union_schema:
+            if f.name == "__side":
+                cols[f.name] = pa.nulls(n, f.type).fill_null(side)
+            elif f.name in batch.column_names:
+                cols[f.name] = batch[f.name]
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        t = pa.table(cols, schema=union_schema)
+        from datavec_ray.hll import hash64
+        from datavec_ray.steps.base import combine
+        h = hash64(combine(batch[by_list[0]]))
+        for k in by_list[1:]:
+            h = h * np.uint64(1000003) + hash64(combine(batch[k]))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column(pa.field("__bucket", pa.int32()),
+                               pa.array(bucket))
+
+    def _pad_left(b):
+        return _pad(b, 0)
+
+    def _pad_right(b):
+        b = b.select(by_list + [on] + list(right_cols))
+        for c in list(right_cols):
+            b = b.rename_columns(
+                [f"{n}{suffix}" if n == c else n for n in b.column_names])
+        b = b.append_column(pa.field(f"{on}{suffix}", b[on].type), b[on])
+        return _pad(b, 1)
+
+    restore = {f.name: _INT_PD[f.type] for f in union_fields
+               if f.type in _INT_PD and f.name != "__side"}
+    union = left.map_batches(_pad_left, batch_format="pyarrow").union(
+        right.map_batches(_pad_right, batch_format="pyarrow"))
+    return union, left_cols, out_rcols, restore
+
 
 class _AsofMerge:
     """Per-bucket vectorized as-of merge: ONE pandas merge_asof(by=...)
@@ -191,8 +269,8 @@ class _AsofMerge:
     def __init__(self, on, by, direction, left_cols, right_cols, restore):
         self.on, self.by, self.direction = on, by, direction
         self.left_cols, self.right_cols = left_cols, right_cols
-        self.restore = restore          # {col: pandas nullable dtype} for
-        self.__name__ = "asof_merge"    # ints null-padded through the union
+        self.restore = restore
+        self.__name__ = "asof_merge"
 
     def __call__(self, df):
         import pandas as pd
@@ -222,84 +300,128 @@ def asof_join(left, right, on: str, by, right_cols=None,
     same `by` key whose `on` value is the closest at-or-before it
     (direction='backward'; 'forward'/'nearest' as in pandas).
 
-    Ray Data has no inequality join, so this is the documented
-    composition: both sides are tagged and hash-bucketed on `by`
-    (ONE shuffle over left+right, co-partitioning the key), then each
-    bucket is merged with a single vectorized ``pd.merge_asof(by=...)``
-    call — no per-key Python loop. `num_buckets` bounds per-task memory:
-    size it so the largest bucket (all rows of ~K/num_buckets keys)
-    fits a worker heap; hot single keys can be salted upstream.
-
-    Right value columns are emitted as ``{col}{suffix}`` plus
-    ``{on}{suffix}`` (the matched right timestamp). Pandas limitation:
-    nullable int right columns come back float64.
+    One shuffle (hash-bucket co-partition of both sides on `by`), then
+    one vectorized ``pd.merge_asof(by=...)`` per bucket. Right value
+    columns are emitted as ``{col}{suffix}`` plus ``{on}{suffix}`` (the
+    matched right timestamp). Pandas limitation: nullable float stays
+    float64; int/bool columns are restored to pandas nullable ints.
     """
-    import numpy as np
-
-    def _pa_schema(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
-
     by_list = [by] if isinstance(by, str) else list(by)
-    lsch, rsch = _pa_schema(left), _pa_schema(right)
-    if right_cols is None:
-        right_cols = [n for n in rsch.names if n not in by_list and n != on]
-    out_rcols = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
-    left_cols = list(lsch.names)
-
-    union_fields = ([lsch.field(n) for n in left_cols]
-                    + [pa.field(f"{c}{suffix}", rsch.field(c).type)
-                       for c in right_cols]
-                    + [pa.field(f"{on}{suffix}", rsch.field(on).type),
-                       pa.field("__side", pa.int8())])
-    union_schema = pa.schema(union_fields)
-
-    def _pad(batch: pa.Table, side: int) -> pa.Table:
-        n = batch.num_rows
-        cols = {}
-        for f in union_schema:
-            if f.name == "__side":
-                cols[f.name] = pa.nulls(n, f.type).fill_null(side)
-            elif f.name in batch.column_names:
-                cols[f.name] = batch[f.name]
-            else:
-                cols[f.name] = pa.nulls(n, f.type)
-        t = pa.table(cols, schema=union_schema)
-        key = batch[by_list[0]]
-        from datavec_ray.hll import hash64
-        from datavec_ray.steps.base import combine
-        h = hash64(combine(key))
-        for k in by_list[1:]:
-            h = h * np.uint64(1000003) + hash64(combine(batch[k]))
-        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column(pa.field("__bucket", pa.int32()),
-                               pa.array(bucket))
-
-    def _pad_left(b):
-        return _pad(b, 0)
-
-    def _pad_right(b):
-        b = b.select(by_list + [on] + list(right_cols))
-        for c in list(right_cols):
-            b = b.rename_columns(
-                [f"{n}{suffix}" if n == c else n for n in b.column_names])
-        b = b.append_column(pa.field(f"{on}{suffix}", b[on].type), b[on])
-        return _pad(b, 1)
-
-    _INT_PD = {pa.int8(): "Int8", pa.int16(): "Int16", pa.int32(): "Int32",
-               pa.int64(): "Int64", pa.uint8(): "UInt8", pa.uint16(): "UInt16",
-               pa.uint32(): "UInt32", pa.uint64(): "UInt64",
-               pa.bool_(): "boolean"}
-    restore = {f.name: _INT_PD[f.type] for f in union_fields
-               if f.type in _INT_PD and f.name != "__side"}
-
-    lt = left.map_batches(_pad_left, batch_format="pyarrow")
-    rt = right.map_batches(_pad_right, batch_format="pyarrow")
-    # right side arrives under the union schema with its on/by under the
-    # original names and values under suffixed names
-    union = lt.union(rt)
-    merged = union.groupby("__bucket").map_groups(
-        _AsofMerge(on, by_list, direction,
-                   left_cols, out_rcols, restore),
+    union, left_cols, out_rcols, restore = _tagged_union(
+        left, right, on, by_list, right_cols, suffix, num_buckets)
+    return union.groupby("__bucket").map_groups(
+        _AsofMerge(on, by_list, direction, left_cols, out_rcols, restore),
         batch_format="pandas")
-    return merged
+
+
+class _RangeMerge:
+    """Per-bucket vectorized banded range join.
+
+    Rows of both sides are lexsorted by (key codes, on); per-left-row
+    right match ranges are found with TWO np.searchsorted calls over a
+    composite (key, on) int64 ordinate, and pairs are emitted with one
+    np.repeat + arange-difference expansion — no per-row loop. If the
+    composite would overflow int64 (astronomical key count x on-span),
+    falls back to a per-key segment loop (vectorized within key).
+    """
+
+    def __init__(self, on, by, lower, upper, left_cols, right_cols, restore):
+        self.on, self.by = on, by
+        self.lower, self.upper = lower, upper
+        self.left_cols, self.right_cols = left_cols, right_cols
+        self.restore = restore
+        self.__name__ = "range_merge"
+
+    def __call__(self, df):
+        import numpy as np
+        import pandas as pd
+
+        lmask = df["__side"].to_numpy() == 0
+        l = df[lmask]
+        r = df[~lmask]
+        if not len(l) or not len(r):
+            out = l[self.left_cols][:0].copy()
+            for c in self.right_cols:
+                out[c] = df[c][:0]
+            return out.astype({c: t for c, t in self.restore.items()
+                               if c in out.columns})
+
+        # shared key codes across both sides (vectorized multi-key combine)
+        codes = None
+        for k in self.by:
+            c, u = pd.factorize(df[k], sort=False)
+            codes = c.astype(np.int64) if codes is None \
+                else codes * len(u) + c
+        lc, rc = codes[lmask], codes[~lmask]
+        lt = self._ordinal(l[self.on])
+        rt = self._ordinal(r[self.on])
+
+        rs = np.lexsort((rt, rc))
+        rc_s, rt_s = rc[rs], rt[rs]
+
+        base = int(rt_s.min())
+        span = int(rt_s.max()) - base + 2  # queries are clamped into range
+        nkeys = int(codes.max()) + 1
+        if span > 0 and nkeys < (2**62) // span:    # composite fits int64
+            comp_r = rc_s.astype(np.int64) * span + (rt_s - base)
+            lo = np.searchsorted(
+                comp_r, lc.astype(np.int64) * span
+                + np.maximum(lt + self.lower - base, 0), side="left")
+            hi = np.searchsorted(
+                comp_r, lc.astype(np.int64) * span
+                + np.minimum(np.maximum(lt + self.upper - base + 1, 0),
+                             span - 1), side="left")
+        else:                                        # rare: per-key segments
+            ks = np.searchsorted(rc_s, lc, side="left")
+            ke = np.searchsorted(rc_s, lc, side="right")
+            lo = np.empty(len(lt), dtype=np.int64)
+            hi = np.empty(len(lt), dtype=np.int64)
+            for i in range(len(lt)):
+                seg = rt_s[ks[i]:ke[i]]
+                lo[i] = ks[i] + np.searchsorted(seg, lt[i] + self.lower, "left")
+                hi[i] = ks[i] + np.searchsorted(seg, lt[i] + self.upper, "right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        lidx = np.repeat(np.arange(len(lt)), counts)
+        starts = np.zeros(len(lt), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        ridx = lo.repeat(counts) + (np.arange(total) - starts.repeat(counts))
+
+        out = l[self.left_cols].iloc[lidx].reset_index(drop=True)
+        rsel = r.iloc[rs[ridx]].reset_index(drop=True)
+        for c in self.right_cols:
+            out[c] = rsel[c]
+        return out.astype({c: t for c, t in self.restore.items()
+                           if c in out.columns})
+
+    @staticmethod
+    def _ordinal(s):
+        import numpy as np
+        v = s.to_numpy()
+        if v.dtype.kind == "M":
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+
+def range_join(left, right, on: str, by, lower, upper, right_cols=None,
+               suffix: str = "_r", num_buckets: int = 64):
+    """Banded inner range join: emit (left row, right row) for every
+    right row of the same `by` key with ``on`` in
+    ``[left.on + lower, left.on + upper]`` (bounds inclusive; for
+    timestamps pass `lower`/`upper` as integer microseconds or
+    np.timedelta64 converted by the caller).
+
+    Same shuffle discipline as ``asof_join``; the per-bucket kernel is
+    two searchsorted passes + one repeat/arange expansion. Output size
+    is data-dependent (a band that matches everything is a cross
+    product — pick bands that bound fan-out)."""
+    by_list = [by] if isinstance(by, str) else list(by)
+    lower = int(lower.astype("timedelta64[us]").astype("int64")) \
+        if hasattr(lower, "astype") else int(lower)
+    upper = int(upper.astype("timedelta64[us]").astype("int64")) \
+        if hasattr(upper, "astype") else int(upper)
+    union, left_cols, out_rcols, restore = _tagged_union(
+        left, right, on, by_list, right_cols, suffix, num_buckets)
+    return union.groupby("__bucket").map_groups(
+        _RangeMerge(on, by_list, lower, upper, left_cols, out_rcols, restore),
+        batch_format="pandas")

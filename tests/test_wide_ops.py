@@ -284,3 +284,49 @@ def test_asof_join(ray_session):
                   on="t", by="k", direction="forward", num_buckets=4)
     ).to_pandas().sort_values("id").reset_index(drop=True)
     assert fwd.loc[3, "px_r"] == 300
+
+
+def test_range_join(ray_session):
+    """Banded range join: inclusive bounds, fan-out, no-match keys."""
+    import ray.data as rd
+    from datavec_ray.join import range_join
+
+    left = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array(["a", "a", "b"]),
+        "t": pa.array([100, 200, 100], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(["a", "a", "a", "b"]),
+        "t": pa.array([90, 100, 150, 300], pa.int64()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = dataset_to_table(
+        range_join(rd.from_arrow(left).repartition(2), rd.from_arrow(right),
+                   on="t", by="k", lower=-10, upper=0, num_buckets=4)
+    ).to_pandas().sort_values(["id", "t_r"]).reset_index(drop=True)
+    # id1 t=100 band [90,100] -> v1@90, v2@100 (both bounds inclusive)
+    # id2 t=200 band [190,200] -> none; id3 k=b band [90,100] -> none
+    assert out["id"].tolist() == [1, 1]
+    assert out["v_r"].tolist() == [1, 2]
+    assert out["t_r"].tolist() == [90, 100]
+
+
+def test_range_join_overflow_fallback(ray_session):
+    """on-values spanning ~2^61 force the per-key-segment fallback."""
+    import ray.data as rd
+    from datavec_ray.join import range_join
+
+    big = 2 ** 61
+    left = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "k": pa.array(["a", "b"]),
+                     "t": pa.array([0, big], pa.int64())})
+    right = pa.table({"k": pa.array(["a", "b", "b"]),
+                      "t": pa.array([5, big - 3, big + 1], pa.int64()),
+                      "v": pa.array([10, 20, 30], pa.int64())})
+    out = dataset_to_table(
+        range_join(rd.from_arrow(left), rd.from_arrow(right),
+                   on="t", by="k", lower=-5, upper=5, num_buckets=2)
+    ).to_pandas().sort_values(["id", "t_r"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2, 2]
+    assert out["v_r"].tolist() == [10, 20, 30]
