@@ -437,6 +437,21 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """GPT-2-style pre-tokenizer token count — one vectorized RE2 kernel
+    per batch; the DuckDB oracle runs the SAME regex on the same engine."""
+    from datavec_ray.ops.textstats import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(pa.field("n_bpe_tokens", pa.int64()),
+                                   bpe_token_count(batch["text"]))
+
+    return ds.map_batches(add, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bpe_tokens"])
+
+
 def _q_asof_join(sf_dir: str):
     """Point-in-time join: each click joined to the user's latest
     at-or-before purchase. Hash-bucket co-partition (one shuffle) +
@@ -779,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "bpe_tokens": _q_bpe_tokens,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "doc_quality": _q_doc_quality,
@@ -1061,6 +1077,12 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    len(list_filter(string_split(coalesce(text, ''), ' '),
                                    x -> x <> '')) as n_tokens
+            from documents""",
+        "bpe_tokens": """
+            select doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                     '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+                     as n_bpe_tokens
             from documents""",
         "fingerprint": """
             select doc_id,

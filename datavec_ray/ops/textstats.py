@@ -53,6 +53,22 @@ def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out)
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so it runs
+# identically on RE2 (pyarrow / DuckDB) and Python re: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: pa.ChunkedArray | pa.Array,
+                    pattern: str = BPE_PATTERN) -> pa.Array:
+    """BPE-ish token count: non-overlapping matches of a GPT-2-style
+    pre-tokenizer regex, in ONE vectorized RE2 kernel
+    (pc.count_substring_regex). SQL equivalent (same RE2 engine):
+    len(regexp_extract_all(text, pattern))."""
+    return pc.count_substring_regex(
+        pc.fill_null(combine(col), ""), pattern).cast(pa.int64())
+
+
 def add_text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append n_chars_c, n_tokens, alpha_ratio, upper_ratio, space_ratio,
     quality_score — all pyarrow kernels."""

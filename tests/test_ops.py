@@ -439,3 +439,11 @@ def test_audio_features_real_wav(ray_session):
         AudioFeatures(8, deterministic_fake=False), batch_format="pyarrow"))
     feat = np.array(out["audio_feat"][0].as_py())
     assert np.allclose(feat, 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_bpe_token_count():
+    from datavec_ray.ops.textstats import bpe_token_count
+    t = pa.table({"text": ["it's a well-known fact", "hello   world 123",
+                           None, ""]})
+    # it|'s| a| well|-|known| fact = 7;  hello|sp|world(sp-prefixed)| 123 = 4
+    assert bpe_token_count(t["text"]).to_pylist() == [7, 4, 0, 0]
