@@ -437,6 +437,17 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.4)
 
 
+def _q_grouped_topk(sf_dir: str):
+    """Top-3 documents per (lang, source) by length: per-batch combiner
+    prune (≤k rows per key per batch) then one small groupby — the
+    'best N docs per domain' curation primitive."""
+    from datavec_ray.rank import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return grouped_topk(ds, keys=["lang", "source"], order_col="n_chars",
+                        k=3, descending=True, tiebreak="doc_id")
+
+
 def _q_bpe_tokens(sf_dir: str):
     """GPT-2-style pre-tokenizer token count — one vectorized RE2 kernel
     per batch; the DuckDB oracle runs the SAME regex on the same engine."""
@@ -794,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "grouped_topk": _q_grouped_topk,
         "bpe_tokens": _q_bpe_tokens,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1078,6 +1090,13 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(coalesce(text, ''), ' '),
                                    x -> x <> '')) as n_tokens
             from documents""",
+        "grouped_topk": """
+            select doc_id, lang, source, n_chars from (
+              select doc_id, lang, source, n_chars,
+                     row_number() over (partition by lang, source
+                       order by n_chars desc, doc_id) as rn
+              from documents)
+            where rn <= 3 order by lang, source, rn""",
         "bpe_tokens": """
             select doc_id,
                    len(regexp_extract_all(coalesce(text, ''),

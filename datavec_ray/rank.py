@@ -74,3 +74,56 @@ class CalculateSortedRank(WideStep):
     def to_dict(self) -> dict[str, Any]:
         return {"cls": "CalculateSortedRank", "sort_columns": self.sort_columns,
                 "rank_column": self.rank_column, "descending": self.descending}
+
+
+def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
+                 tiebreak=None):
+    """Keep the top-k rows per key group, ordered by `order_col`
+    (descending=True keeps the largest) — the curation primitive behind
+    "best N documents per domain/source".
+
+    Shuffle discipline: a per-batch COMBINER first prunes every batch to
+    at most k rows per key present in that batch (one vectorized sort +
+    segmented cumcount, no Python loop), so the groupby that follows
+    moves at most k rows per (key, upstream batch) instead of the whole
+    table; the per-group finalizer re-applies the same top-k. With B
+    batches the shuffle carries <= k*B rows per key regardless of skew.
+
+    `tiebreak` columns (default: none) make the order total — pass a
+    unique id for deterministic output.
+    """
+    import numpy as np
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    order = "descending" if descending else "ascending"
+    sort_spec = ([(c, "ascending") for c in key_list]
+                 + [(order_col, order)] + [(c, "ascending") for c in tb])
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        s = batch.sort_by(sort_spec)
+        # segmented cumcount over the (already grouped) key run-lengths
+        import pyarrow.compute as pc
+        change = np.zeros(s.num_rows, dtype=bool)
+        for c in key_list:
+            arr = s[c].combine_chunks()
+            ne = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+            change[1:] |= pc.fill_null(ne, True).to_numpy(zero_copy_only=False)
+        idx = np.arange(s.num_rows)
+        seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+        seg_start[0] = 0
+        keep = (idx - seg_start) < k
+        return s.filter(pa.array(keep))
+
+    class _Final:
+        def __init__(self):
+            self.__name__ = "grouped_topk_final"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            return group.sort_by(sort_spec).slice(0, k)
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    return pruned.groupby(key_list[0] if len(key_list) == 1 else key_list) \
+                 .map_groups(_Final(), batch_format="pyarrow")

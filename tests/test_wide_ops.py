@@ -330,3 +330,25 @@ def test_range_join_overflow_fallback(ray_session):
     ).to_pandas().sort_values(["id", "t_r"]).reset_index(drop=True)
     assert out["id"].tolist() == [1, 2, 2]
     assert out["v_r"].tolist() == [10, 20, 30]
+
+
+def test_grouped_topk(ray_session):
+    """Per-key top-k with combiner prune: ties broken by id, groups
+    smaller than k kept whole, prune across batch boundaries correct."""
+    import ray.data as rd
+    from datavec_ray.rank import grouped_topk
+
+    t = pa.table({
+        "id": pa.array(range(10), pa.int64()),
+        "g": pa.array(["a"] * 6 + ["b"] * 3 + ["c"]),
+        "v": pa.array([5, 9, 9, 1, 7, 3, 2, 8, 8, 4], pa.int64()),
+    })
+    out = dataset_to_table(
+        grouped_topk(rd.from_arrow(t).repartition(5), keys="g",
+                     order_col="v", k=2, descending=True, tiebreak="id")
+    ).to_pandas().sort_values(["g", "v", "id"],
+                              ascending=[True, False, True])
+    # a: v9@id1, v9@id2; b: v8@id7, v8@id8; c: lone v4@id9
+    assert out[out.g == "a"]["id"].tolist() == [1, 2]
+    assert out[out.g == "b"]["id"].tolist() == [7, 8]
+    assert out[out.g == "c"]["id"].tolist() == [9]
