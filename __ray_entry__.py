@@ -779,6 +779,102 @@ def _q_jdbc_source(sf_dir: str):
     return ds.map_batches(cast, batch_format="pyarrow")
 
 
+def _q_anti_join(sf_dir: str):
+    """Customers with NO order above 400k (SQL NOT EXISTS) — pinned to
+    the SHUFFLE semi/anti path with the Bloom prefilter ON, so the
+    driver gate exercises the 100 TB shape: one aggregate pass builds
+    the bloom over right keys, definite non-matches bypass the shuffle,
+    possible matches are confirmed by a per-bucket exact anti join
+    (broadcast path is covered by `semi_join` + tests)."""
+    from datavec_ray.join import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 400000")
+    return anti_join(cust, orders, keys=["c_custkey"],
+                     right_keys=["o_custkey"], broadcast=False,
+                     bloom=True, num_buckets=16)
+
+
+def _q_semi_join(sf_dir: str):
+    """Customers with at least one high-value order (SQL EXISTS) —
+    broadcast path: distinct right keys ray.put once, one vectorized
+    pyarrow left-semi join per batch, zero shuffle."""
+    from datavec_ray.join import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 150000")
+    return semi_join(cust, big, keys=["c_custkey"], right_keys=["o_custkey"])
+
+
+def _q_grouped_quantile(sf_dir: str):
+    """Exact per-event-type value percentiles (discrete quantile =
+    element selection, bit-exact vs DuckDB quantile_disc)."""
+    from datavec_ray.misc import grouped_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile(ev, ["event_type"], "value", [0.5, 0.9, 0.95])
+
+
+def _q_cumulative_sum(sf_dir: str):
+    """Per-user running total of event values ordered by (ts, event_id)
+    — SUM() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING) as one
+    grouped-shuffle sequence stage with a partition-vectorized pandas
+    fast path."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.sequence import GroupedSequence, SequenceCumulativeSum
+    from datavec_ray.steps import KeepColumns
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "user_id", "ts", "value"]))
+    p.add(GroupedSequence(["user_id"], ["ts", "event_id"],
+                          [SequenceCumulativeSum(["value"])]))
+    p.add(KeepColumns(["event_id", "user_id", "value_cumsum"]))
+    return p.execute(ds)
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% content-hash sample of documents by doc_id —
+    reproducible across reruns/repartitioning/engines; the oracle
+    reproduces splitmix64 exactly in SQL (hugeint mod-2^64 arithmetic)."""
+    from datavec_ray.misc import hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, "doc_id", 0.1, seed=7)
+
+
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-wide exact line dedup over documents re-chunked
+    into 10-word lines (the corpus stores single-line texts, so the
+    vectorized word-chunker gives line structure first — both steps
+    reproduced exactly in the SQL oracle). Keep = globally first
+    occurrence of each distinct line in (doc_id, line_idx) order."""
+    import pyarrow as pa
+
+    from datavec_ray.ops.dedup import chunk_words_to_lines, line_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        lines = chunk_words_to_lines(batch["text"], words_per_line=10)
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, pa.field("text", pa.string()), lines)
+
+    return line_dedup(docs.map_batches(chunk, batch_format="pyarrow"),
+                      num_buckets=16)
+
+
+def _q_top_ngrams(sf_dir: str):
+    """Corpus-wide 50 most frequent word bigrams (count desc, gram asc
+    — total order, deterministic under ties)."""
+    from datavec_ray.ops.textstats import top_ngrams
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return top_ngrams(docs, "text", n=2, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -823,6 +919,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
         "jdbc_source": _q_jdbc_source,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "grouped_quantile": _q_grouped_quantile,
+        "cumulative_sum": _q_cumulative_sum,
+        "hash_sample": _q_hash_sample,
+        "line_dedup": _q_line_dedup,
+        "top_ngrams": _q_top_ngrams,
     }
 
 
@@ -851,6 +954,17 @@ with b as (
   from b
 )
 """
+
+
+def _splitmix_mul_sql(x: str, c: int) -> str:
+    """SQL for ``(x * c) mod 2^64`` with x < 2^64: the 64x64 multiply is
+    decomposed into 32-bit halves so no intermediate exceeds int128
+    (DuckDB hugeint overflows on a direct 64x64 product)."""
+    c0, c1 = c % (1 << 32), c >> 32
+    return (f"((({x}) % 4294967296) * {c0}"
+            f" + (((({x}) // 4294967296) * {c0}"
+            f" + (({x}) % 4294967296) * {c1}) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1222,6 +1336,91 @@ def oracle_sql() -> dict[str, str]:
             where list_cosine_similarity(cast(a.embedding as double[]),
                                          cast(b.embedding as double[])) >= 0.35
             order by id_a, id_b""",
+        "anti_join": """
+            select c_custkey, c_name, c_acctbal
+            from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey
+                                and o.o_totalprice > 400000)
+        """,
+        "semi_join": """
+            select c_custkey, c_name, c_mktsegment
+            from customer c
+            where exists (select 1 from orders o
+                          where o.o_custkey = c.c_custkey
+                            and o.o_totalprice > 150000)
+        """,
+        "grouped_quantile": """
+            select event_type,
+                   quantile_disc(value, 0.5) as p50,
+                   quantile_disc(value, 0.9) as p90,
+                   quantile_disc(value, 0.95) as p95
+            from events group by event_type
+        """,
+        "cumulative_sum": """
+            select event_id, user_id,
+                   sum(value) over (partition by user_id
+                                    order by ts, event_id
+                                    rows between unbounded preceding
+                                    and current row) as value_cumsum
+            from events
+        """,
+        # splitmix64 finalizer reproduced exactly in SQL: 64x64-bit
+        # multiplies decomposed into 32-bit halves (hugeint mod 2^64),
+        # matching datavec_ray.hll.hash64's integer fast path; the xor
+        # constant is seed(7) * golden-ratio-odd mod 2^64.
+        "hash_sample": f"""
+            with h0 as (
+              select doc_id, lang, n_chars,
+                     cast(doc_id as hugeint) % 18446744073709551616 as x
+              from documents),
+            h1 as (select doc_id, lang, n_chars,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select doc_id, lang, n_chars,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select doc_id, lang, n_chars,
+                     xor(xor(x, x >> 31), 6018027440424182931) as x
+                   from h2)
+            select doc_id, lang, n_chars from h3
+            where x % 10000 < 1000
+        """,
+        "line_dedup": """
+            with words as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as w,
+                     generate_subscripts(string_split(text, ' '), 1) as wi
+              from documents),
+            lines as (
+              select doc_id, cast((wi - 1) // 10 as bigint) as line_idx,
+                     string_agg(w, ' ' order by wi) as line
+              from words group by doc_id, (wi - 1) // 10),
+            winners as (
+              select doc_id, line_idx, line,
+                     row_number() over (partition by line
+                                        order by doc_id, line_idx) as rn
+              from lines)
+            select doc_id, string_agg(line, chr(10) order by line_idx) as text
+            from winners where rn = 1
+            group by doc_id
+        """,
+        "top_ngrams": """
+            with words as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as w,
+                     generate_subscripts(string_split(text, ' '), 1) as wi
+              from documents),
+            big as (
+              select w || ' ' ||
+                     lead(w) over (partition by doc_id order by wi) as g
+              from words)
+            select g as gram, count(*) as n
+            from big where g is not null
+            group by g
+            order by n desc, gram
+            limit 50
+        """,
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 
 from datavec_ray.registry import register
@@ -178,6 +179,223 @@ class JoinStep(WideStep):
         return {"cls": "JoinStep", "keys": self.keys, "right_keys": self.right_keys,
                 "join_type": self.join_type, "broadcast": self.broadcast,
                 "num_partitions": self.num_partitions}
+
+
+@register("step")
+class SemiJoinStep(WideStep):
+    """Semi / anti equi-join: keep left rows WITH (semi) or WITHOUT
+    (anti) at least one key match on the right — SQL EXISTS /
+    NOT EXISTS. Output schema = left columns unchanged (never
+    duplicates left rows, regardless of right-side multiplicity).
+
+    The reference has no dedicated semi/anti join (its Join.java offers
+    Inner/Left/Right/Full only), but blocklist filtering ("drop every
+    document whose id appears in this table") is a core curation step,
+    so it is provided as a first-class operator.
+
+    Execution paths:
+    - small right side → broadcast: DISTINCT right keys ``ray.put``
+      once, one vectorized pyarrow ``left semi``/``left anti`` join per
+      batch — no shuffle at all;
+    - large right side → ONE hash-bucket co-partitioning shuffle of
+      (left rows ∪ per-batch-distinct right keys) + a per-bucket
+      pyarrow semi/anti join (right duplicates are combined away
+      map-side, so the shuffle moves at most |distinct keys per batch|
+      right rows);
+    - ``bloom=True`` (shuffle path) additionally builds a Bloom filter
+      over the right keys in one aggregate pass and consults it per
+      left batch BEFORE the shuffle: semi drops definite non-matches
+      early; anti emits definite non-matches directly and shuffles only
+      the possible matches. Results stay exact — the filter only
+      prunes; survivors are confirmed by the real join.
+    """
+
+    AUTO_BROADCAST_ROWS = JoinStep.AUTO_BROADCAST_ROWS
+
+    def __init__(self, right, keys: Sequence[str],
+                 right_keys: Optional[Sequence[str]] = None,
+                 anti: bool = False, broadcast: Optional[bool] = None,
+                 num_buckets: int = 64, bloom: bool = False,
+                 bloom_fp: float = 0.01):
+        self.right = right
+        self.keys = list(keys)
+        self.right_keys = list(right_keys) if right_keys else list(keys)
+        self.anti = anti
+        self.broadcast = broadcast
+        self.num_buckets = num_buckets
+        self.bloom = bloom
+        self.bloom_fp = bloom_fp
+
+    _resolved_right = JoinStep._resolved_right
+    _right_table = JoinStep._right_table
+    _right_dataset = JoinStep._right_dataset
+
+    def _right_dataset_lazy(self):
+        """Right side as a STREAMING Dataset, no materialization — for
+        paths that consume it exactly once (shuffle semi without
+        bloom). Falls back to any already-cached materialization."""
+        import ray.data as rd
+        r = getattr(self, "_right_cache", None)
+        if r is None:
+            r = self.right() if callable(self.right) else self.right
+        return rd.from_arrow(r) if isinstance(r, pa.Table) else r
+
+    @property
+    def _how_pa(self) -> str:
+        return "left anti" if self.anti else "left semi"
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(*self.keys)
+        r = self.right() if callable(self.right) else self.right
+        r_schema = Schema(r.schema if isinstance(r, pa.Table)
+                          else r.schema().base_schema)
+        r_schema.require(*self.right_keys)
+        return schema  # left columns pass through unchanged
+
+    def _distinct_right_keys(self) -> pa.Table:
+        return (self._right_table().select(self.right_keys)
+                .group_by(self.right_keys).aggregate([]))
+
+    def _should_broadcast(self) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        r = self._resolved_right()
+        try:
+            n = r.num_rows if isinstance(r, pa.Table) else r.count()
+        except Exception:  # noqa: BLE001
+            return False
+        return n <= self.AUTO_BROADCAST_ROWS
+
+    def apply_dataset(self, ds):
+        import ray
+        if self._should_broadcast():
+            rk_ref = ray.put(self._distinct_right_keys())
+            keys, right_keys, how = self.keys, self.right_keys, self._how_pa
+
+            class _BcastSemi:
+                def __init__(self):
+                    self.rk = ray.get(rk_ref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    return batch.join(self.rk, keys=keys,
+                                      right_keys=right_keys, join_type=how)
+
+            return ds.map_batches(_BcastSemi, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+        return self._shuffle_semi(ds)
+
+    def _shuffle_semi(self, ds):
+        import ray
+
+        from datavec_ray.ops.bloom import bloom_from_dataset, key_hash64
+
+        keys, right_keys = self.keys, self.right_keys
+        anti, nb = self.anti, self.num_buckets
+        schema = ds.schema()
+        if schema is None:
+            return ds
+        left_fields = list(schema.base_schema)
+        union_schema = pa.schema(left_fields + [pa.field("__side", pa.int8())])
+
+        prefiltered = ds
+        passthrough = None
+        if self.bloom:
+            bf = bloom_from_dataset(self._right_dataset(), right_keys,
+                                    fp=self.bloom_fp)
+            bf_ref = ray.put(bf)
+
+            class _BloomSplit:
+                """Keep rows whose keys the filter admits (possible
+                matches); ``want`` selects which half survives."""
+
+                def __init__(self, want_hit: bool):
+                    self.want = want_hit
+                    self.bf = None
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    if self.bf is None:
+                        self.bf = ray.get(bf_ref)
+                    m = self.bf.contains_table(batch, keys)
+                    return batch.filter(pa.array(m if self.want else ~m))
+
+            prefiltered = ds.map_batches(_BloomSplit(True),
+                                         batch_format="pyarrow")
+            if anti:
+                # definite non-matches bypass the shuffle entirely
+                passthrough = ds.map_batches(_BloomSplit(False),
+                                             batch_format="pyarrow")
+
+        def _tag_left(batch: pa.Table) -> pa.Table:
+            cols = {f.name: batch[f.name] for f in left_fields}
+            cols["__side"] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
+            t = pa.table(cols, schema=union_schema)
+            bucket = key_hash64(batch, keys) % np.uint64(nb) \
+                if batch.num_rows else np.zeros(0, dtype=np.uint64)
+            return t.append_column(pa.field("__bucket", pa.int32()),
+                                   pa.array(bucket.astype(np.int32)))
+
+        def _tag_right(batch: pa.Table) -> pa.Table:
+            # map-side combine: distinct keys per batch, renamed to the
+            # left key names, other left columns typed-null-padded
+            rk = (batch.select(right_keys).group_by(right_keys)
+                  .aggregate([]).rename_columns(keys))
+            n = rk.num_rows
+            cols = {}
+            for f in left_fields:
+                cols[f.name] = (rk[f.name].cast(f.type)
+                                if f.name in keys else pa.nulls(n, f.type))
+            cols["__side"] = pa.nulls(n, pa.int8()).fill_null(1)
+            t = pa.table(cols, schema=union_schema)
+            bucket = key_hash64(rk, keys) % np.uint64(nb) \
+                if n else np.zeros(0, dtype=np.uint64)
+            return t.append_column(pa.field("__bucket", pa.int32()),
+                                   pa.array(bucket.astype(np.int32)))
+
+        how = self._how_pa
+        left_names = [f.name for f in left_fields]
+
+        def _bucket_join(group: pa.Table) -> pa.Table:
+            side = group["__side"].to_numpy(zero_copy_only=False)
+            l = group.filter(pa.array(side == 0)).select(left_names)
+            rk = (group.filter(pa.array(side == 1)).select(keys)
+                  .group_by(keys).aggregate([]))
+            return l.join(rk, keys=keys, join_type=how)
+
+        _bucket_join.__name__ = "semi_anti_bucket_join"
+        # bloom already consumed (and thus cached) the right side once;
+        # without bloom the right streams straight into the union
+        right_ds = (self._right_dataset() if self.bloom
+                    else self._right_dataset_lazy())
+        union = prefiltered.map_batches(_tag_left, batch_format="pyarrow") \
+            .union(right_ds.map_batches(_tag_right, batch_format="pyarrow"))
+        out = union.groupby("__bucket").map_groups(
+            _bucket_join, batch_format="pyarrow")
+        return out.union(passthrough) if passthrough is not None else out
+
+    def apply_local(self, table: pa.Table) -> pa.Table:
+        return table.join(self._distinct_right_keys(), keys=self.keys,
+                          right_keys=self.right_keys, join_type=self._how_pa)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "SemiJoinStep", "keys": self.keys,
+                "right_keys": self.right_keys, "anti": self.anti,
+                "broadcast": self.broadcast,
+                "num_buckets": self.num_buckets, "bloom": self.bloom,
+                "bloom_fp": self.bloom_fp}
+
+
+def semi_join(left, right, keys, right_keys=None, **kw):
+    """left rows with at least one right key match (SQL EXISTS)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return SemiJoinStep(right, keys, right_keys=right_keys,
+                        anti=False, **kw).apply_dataset(left)
+
+
+def anti_join(left, right, keys, right_keys=None, **kw):
+    """left rows with NO right key match (SQL NOT EXISTS)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return SemiJoinStep(right, keys, right_keys=right_keys,
+                        anti=True, **kw).apply_dataset(left)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from datavec_ray.hll import hash64
 from datavec_ray.sequence import GroupedSequence, SequenceOp
+from datavec_ray.steps.base import combine
 
 
 def sample(ds, fraction: float, seed: int = 42):
@@ -75,6 +76,51 @@ def random_split(ds, fractions: Sequence[float], seed: int = 42,
         outs.append(tagged.filter(expr=f"__split == {i}")
                     .drop_columns(["__split"]))
     return outs
+
+
+def hash_sample(ds, column: str, rate: float, seed: int = 0):
+    """Deterministic content-hash sampling: keep a row iff
+    ``splitmix64(column) XOR seed_mix`` lands under ``rate`` (per-mille
+    resolution 1/10000). Unlike ``sample()`` the kept set is a pure
+    function of the data — reproducible across reruns, repartitioning
+    and engines (the driver oracle reproduces splitmix64 in SQL), which
+    is what a resumable 100 TB curation pipeline needs.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thresh = np.uint64(int(round(rate * 10000)))
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = hash64(batch[column].combine_chunks()) ^ seed_mix
+        return batch.filter(pa.array((h % np.uint64(10000)) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_quantile(ds, keys: Sequence[str], column: str,
+                     qs: Sequence[float], names: Optional[Sequence[str]] = None):
+    """Exact per-group quantiles (discrete / inverted-CDF element
+    selection — DuckDB ``quantile_disc`` semantics; no interpolation, so
+    results are bit-exact vs SQL). One ``groupby().map_groups`` shuffle;
+    each group's values are sorted in the worker (per-group data must
+    fit a worker heap — for global quantiles over huge groups use
+    ``analysis.histogram``). Output: one row per key with float64
+    quantile columns named ``names`` (default ``p{q*100}``)."""
+    qs = list(qs)
+    names = list(names) if names else [f"p{int(round(q * 100))}" for q in qs]
+
+    def gq(group: pa.Table) -> pa.Table:
+        v = combine(group[column]).drop_null().to_numpy(zero_copy_only=False)
+        cols: dict = {k: group[k][:1] for k in keys}
+        for q, nm in zip(qs, names):
+            val = (float(np.quantile(v, q, method="inverted_cdf"))
+                   if len(v) else None)
+            cols[nm] = pa.array([val], type=pa.float64())
+        return pa.table(cols)
+
+    gq.__name__ = "grouped_quantile"
+    return ds.groupby(list(keys)).map_groups(gq, batch_format="pyarrow")
 
 
 def sequence_merge(datasets: Sequence, keys: Sequence[str],

@@ -736,3 +736,162 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return (j.map_batches(_finish, batch_format="pyarrow")
             .sort(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style: Raffel et al. 2020 kept one occurrence
+# of every three-sentence span; here the unit is a delimiter-separated
+# line, exact string equality, first occurrence in (doc_id, line_idx)
+# order wins)
+# ---------------------------------------------------------------------------
+
+def chunk_words_to_lines(texts, words_per_line: int = 10,
+                         word_sep: str = " ", line_sep: str = "\n"):
+    """Re-chunk each text into fixed-size word lines (vectorized: one
+    split + two offset-arithmetic ListArray rebuilds + two binary_join
+    kernels per batch, no per-row loop). Gives line structure to corpora
+    stored as single-line strings so line-level ops have a unit to work
+    on."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    texts = combine(texts)
+    words = pc.split_pattern(pc.fill_null(texts, ""), word_sep)
+    flat = combine(pc.list_flatten(words))
+    offs = np.asarray(words.offsets, dtype=np.int64)
+    counts = np.diff(offs)
+    # per-doc line counts and the flat word index of every line start
+    nlines = (counts + words_per_line - 1) // words_per_line
+    line_of_doc = _segment_arange(nlines)                 # 0..nlines_d per doc
+    line_starts = (np.repeat(offs[:-1], nlines)
+                   + line_of_doc * words_per_line)
+    line_ends = np.minimum(line_starts + words_per_line,
+                           np.repeat(offs[1:], nlines))
+    line_offsets = np.concatenate(([0], np.cumsum(line_ends - line_starts)))
+    # ListArray of words per LINE → join with word_sep
+    order = pa.array(
+        (np.repeat(line_starts, line_ends - line_starts)
+         + _segment_arange(line_ends - line_starts)), type=pa.int64())
+    line_words = pa.ListArray.from_arrays(
+        pa.array(line_offsets, type=pa.int32()), pc.take(flat, order))
+    lines = combine(pc.binary_join(line_words, word_sep))
+    # ListArray of lines per DOC → join with line_sep
+    doc_offsets = np.concatenate(([0], np.cumsum(nlines)))
+    doc_lines = pa.ListArray.from_arrays(
+        pa.array(doc_offsets, type=pa.int32()), lines)
+    return pc.binary_join(doc_lines, line_sep)
+
+
+class _ExplodeLines:
+    """doc rows → one row per line: (id, line_idx, line). Per-batch
+    combiner: only the first in-batch occurrence of each line survives
+    (global first is resolved after the shuffle), so shuffle volume is
+    bounded by distinct lines per batch."""
+
+    def __init__(self, id_col: str, text_col: str, delimiter: str,
+                 num_buckets: int, min_chars: int = 0):
+        self.id_col, self.text_col = id_col, text_col
+        self.delimiter, self.nb = delimiter, num_buckets
+        self.min_chars = min_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(
+            pc.fill_null(combine(batch[self.text_col]), ""), self.delimiter)
+        counts = np.diff(np.asarray(lst.offsets, dtype=np.int64))
+        ids = np.repeat(combine(batch[self.id_col]).to_numpy(
+            zero_copy_only=False), counts)
+        out = pa.table({
+            self.id_col: pa.array(ids, type=batch[self.id_col].type),
+            "line_idx": pa.array(_segment_arange(counts)),
+            "line": combine(pc.list_flatten(lst)),
+        })
+        # in-batch combine: rows are already in (id, line_idx) order, so
+        # the first occurrence per line is the right survivor; exempt
+        # (short) lines are NEVER combined — every occurrence is kept
+        import pandas as pd
+        first = ~pd.Index(out["line"].to_pandas()).duplicated(keep="first")
+        if self.min_chars > 0:
+            short = pc.less(pc.utf8_length(out["line"]),
+                            self.min_chars).to_numpy(zero_copy_only=False)
+            first |= short
+        out = out.filter(pa.array(first))
+        b = (hash64(combine(out["line"])) % np.uint64(self.nb)).astype(np.int32)
+        return out.append_column(pa.field("__b", pa.int32()), pa.array(b))
+
+
+def _first_per_line(df):
+    """Within one hash bucket (ALL occurrences of a line share its
+    bucket): global first occurrence per distinct line string."""
+    df = df.sort_values([df.columns[0], "line_idx"], kind="mergesort")
+    return df.drop_duplicates("line", keep="first").drop(columns="__b")
+
+
+class _RebuildDocs:
+    """kept (id, line_idx, line) rows of one doc-hash partition → one
+    row per doc with the surviving lines re-joined in order."""
+
+    def __init__(self, id_col: str, text_col: str, delimiter: str):
+        self.id_col, self.text_col, self.delimiter = id_col, text_col, delimiter
+        self.__name__ = "rebuild_docs"
+
+    def __call__(self, part: pa.Table) -> pa.Table:
+        part = part.sort_by([(self.id_col, "ascending"),
+                             ("line_idx", "ascending")])
+        ids = part[self.id_col].to_numpy(zero_copy_only=False)
+        # group boundaries on the sorted partition (vectorized)
+        change = np.nonzero(np.concatenate(([True], ids[1:] != ids[:-1])))[0]
+        offsets = np.concatenate((change, [len(ids)])).astype(np.int32)
+        doc_lines = pa.ListArray.from_arrays(
+            pa.array(offsets), combine(part["line"]))
+        return pa.table({
+            self.id_col: pa.array(ids[change],
+                                  type=part[self.id_col].type),
+            self.text_col: pc.binary_join(doc_lines, self.delimiter),
+        })
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               delimiter: str = "\n", min_chars: int = 0,
+               num_buckets: int = 64):
+    """Corpus-wide exact line dedup (C4-style): split every document
+    into delimiter-separated lines, keep only the globally FIRST
+    occurrence of each distinct line (order = (doc_id, line_idx)),
+    reassemble documents from their surviving lines; documents whose
+    every line was a duplicate disappear. Lines shorter than
+    ``min_chars`` are exempt (always kept) — the C4 heuristic of only
+    deduplicating substantial spans.
+
+    Plan: explode+in-batch combine (narrow) → ONE line-hash bucket
+    shuffle picking global firsts (bounded by distinct lines) → ONE
+    doc-hash shuffle to reassemble. All kernels vectorized; per-bucket
+    resolution is a pandas sort + drop_duplicates (hash collisions are
+    safe: winners are chosen per exact line string within the bucket).
+    """
+    lines = ds.map_batches(_ExplodeLines(id_col, text_col, delimiter,
+                                         num_buckets, min_chars),
+                           batch_format="pyarrow")
+    if min_chars > 0:
+        def _short(batch: pa.Table) -> pa.Table:
+            m = pc.less(pc.utf8_length(batch["line"]), min_chars)
+            return batch.filter(m).drop_columns(["__b"])
+
+        def _long(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(pc.utf8_length(batch["line"]), min_chars))
+
+        exempt = lines.map_batches(_short, batch_format="pyarrow")
+        dedupable = lines.map_batches(_long, batch_format="pyarrow")
+    else:
+        exempt, dedupable = None, lines
+    winners = dedupable.groupby("__b").map_groups(
+        _first_per_line, batch_format="pandas")
+    kept = winners.union(exempt) if exempt is not None else winners
+
+    def _doc_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(combine(batch[id_col])) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        return batch.append_column(pa.field("__db", pa.int32()), pa.array(b))
+
+    return (kept.map_batches(_doc_bucket, batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(_RebuildDocs(id_col, text_col, delimiter),
+                        batch_format="pyarrow"))

@@ -240,3 +240,51 @@ class TextStats:
         langs = [self._lang(t or "") for t in texts]
         return batch.append_column(pa.field("lang_id", pa.string()),
                                    pa.array(langs, pa.string()))
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 50,
+               sep: str = " "):
+    """Corpus-wide top-k most frequent word n-grams — the vocabulary /
+    boilerplate report a curation pipeline runs before choosing dedup
+    and filter thresholds.
+
+    Plan: per-batch vectorized gram counting (one split + one
+    element-wise join + one Acero hash count per batch = the map-side
+    combiner, so the shuffle moves (gram, partial_count) rows bounded
+    by per-batch vocabulary, never raw grams) → ``groupby(gram).sum``
+    → total-order sort (count desc, gram asc — deterministic under
+    ties) → ``limit(k)``. Tokenization is exact ``sep``-split (no
+    lowercasing) so SQL oracles reproduce it verbatim.
+    """
+    import numpy as np
+
+    from datavec_ray.steps.base import combine as _combine
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(pc.fill_null(_combine(batch[text_col]), ""),
+                               sep)
+        flat = _combine(pc.list_flatten(lst))
+        m = len(flat) - n + 1
+        if m <= 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.diff(np.asarray(lst.offsets, dtype=np.int64))
+        row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = row_of[:m] == row_of[n - 1:]
+        grams = pc.binary_join_element_wise(
+            *(flat.slice(i, m) for i in range(n)), sep)
+        grams = grams.filter(pa.array(valid))
+        agg = pa.table({"gram": grams}).group_by("gram") \
+            .aggregate([("gram", "count")])
+        return pa.table({"gram": agg["gram"],
+                         "n": agg["gram_count"].cast(pa.int64())})
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"gram": batch["gram"],
+                         "n": batch["sum(n)"].cast(pa.int64())})
+
+    return (ds.map_batches(_counts, batch_format="pyarrow")
+            .groupby("gram").sum("n")
+            .map_batches(_rename, batch_format="pyarrow")
+            .sort(["n", "gram"], descending=[True, False])
+            .limit(k))

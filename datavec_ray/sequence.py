@@ -161,6 +161,87 @@ class SequenceOffset(SequenceOp):
 
 
 @register("seqop")
+class SequenceCumulativeSum(SequenceOp):
+    """Running (prefix) sum of chosen columns within each sequence — the
+    windowed-aggregate ``SUM() OVER (PARTITION BY key ORDER BY comparator
+    ROWS UNBOUNDED PRECEDING)``. No direct reference counterpart (the
+    reference reaches for SequenceMovingWindowReduce with an unbounded
+    window); provided first-class because running totals over event
+    streams are a standard training-data feature.
+
+    Null semantics match SQL: a null value leaves the running sum
+    unchanged (row still emitted with the current total); rows before
+    the first non-null value emit null.
+    """
+
+    def __init__(self, columns: Sequence[str], mode: str = "NewColumn"):
+        if mode not in ("InPlace", "NewColumn"):
+            raise ValueError("mode must be InPlace or NewColumn")
+        self.columns, self.mode = list(columns), mode
+
+    def _new_names(self) -> list[str]:
+        return [f"{c}_cumsum" for c in self.columns]
+
+    def _out_type(self, typ: pa.DataType) -> pa.DataType:
+        return pa.int64() if pa.types.is_integer(typ) else pa.float64()
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(*self.columns)
+        out = schema
+        for c, n in zip(self.columns, self._new_names()):
+            t = self._out_type(schema.type_of(c))
+            out = (out.with_type(c, t) if self.mode == "InPlace"
+                   else out.with_column(n, t))
+        return out
+
+    def apply_group(self, table: pa.Table) -> pa.Table:
+        for c, new in zip(self.columns, self._new_names()):
+            col = combine(table[c])
+            out_t = self._out_type(col.type)
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                # exact int64 prefix sum (no float round-trip)
+                s = np.cumsum(col.to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+                out = pa.array(s, type=out_t)
+            else:
+                a = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                nulls = np.isnan(a)
+                s = np.cumsum(np.where(nulls, 0.0, a))
+                seen = np.cumsum(~nulls) > 0
+                vals = s.astype(np.int64) if pa.types.is_int64(out_t) else s
+                out = pa.array(vals, type=out_t, mask=~seen)
+            target = c if self.mode == "InPlace" else new
+            if target in table.column_names:
+                i = table.schema.get_field_index(target)
+                table = table.set_column(i, pa.field(target, out_t), out)
+            else:
+                table = table.append_column(pa.field(target, out_t), out)
+        return table
+
+    def apply_partition(self, df, keys):
+        import pandas as pd
+        key_cols = [df[k] for k in keys]
+        for c, new in zip(self.columns, self._new_names()):
+            col = df[c]
+            filled = col.fillna(0)
+            cs = filled.groupby(key_cols, sort=False).cumsum()
+            seen = col.notna().astype("int64").groupby(
+                key_cols, sort=False).cumsum() > 0
+            cs = cs.where(seen)
+            target = c if self.mode == "InPlace" else new
+            if pd.api.types.is_integer_dtype(col.dtype):
+                df[target] = (cs.astype("Int64") if cs.isna().any()
+                              else cs.astype("int64"))
+            else:
+                df[target] = cs.astype("float64")
+        return df
+
+    def to_dict(self):
+        return {"cls": "SequenceCumulativeSum", "columns": self.columns,
+                "mode": self.mode}
+
+
+@register("seqop")
 class SequenceDifference(SequenceOp):
     """x(t) − x(t−lookback) in place (SequenceDifferenceTransform.java:50).
     first_mode "Default" → first `lookback` steps get 0; "SpecifiedValue" →

@@ -1,0 +1,222 @@
+"""Round-3 additions: semi/anti join (broadcast + shuffle + bloom
+paths), Bloom filter, grouped quantiles, cumulative sums, hash
+sampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import tables_equal
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([(c, "ascending") for c in t.column_names])
+
+
+@pytest.fixture()
+def join_data():
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "k": rng.integers(0, 400, 3000),
+        "k2": rng.integers(0, 3, 3000),
+        "v": rng.normal(size=3000),
+    })
+    right = pa.table({
+        "rk": rng.integers(200, 600, 800),
+        "rk2": rng.integers(0, 3, 800),
+        "x": rng.integers(0, 10, 800),
+    })
+    return left, right
+
+
+def _local_semi(left, right, anti):
+    how = "left anti" if anti else "left semi"
+    rk = right.select(["rk", "rk2"]).group_by(["rk", "rk2"]).aggregate([])
+    return left.join(rk, keys=["k", "k2"], right_keys=["rk", "rk2"],
+                     join_type=how)
+
+
+@pytest.mark.parametrize("anti", [False, True])
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle", "bloom"])
+def test_semi_anti_join_paths(ray_session, join_data, anti, mode):
+    import ray.data as rd
+
+    from datavec_ray.join import SemiJoinStep
+    from datavec_ray.util import dataset_to_table
+
+    left, right = join_data
+    expected = _sorted(_local_semi(left, right, anti))
+    kw = {"broadcast": mode == "broadcast", "bloom": mode == "bloom",
+          "num_buckets": 8}
+    step = SemiJoinStep(rd.from_arrow(right).repartition(4),
+                        keys=["k", "k2"], right_keys=["rk", "rk2"],
+                        anti=anti, **kw)
+    got = _sorted(dataset_to_table(
+        step.apply_dataset(rd.from_arrow(left).repartition(5))))
+    got = got.select(expected.column_names).cast(expected.schema)
+    assert tables_equal(got, expected)
+
+
+def test_semi_join_null_keys(ray_session):
+    """SQL EXISTS semantics: null keys never match; anti keeps them."""
+    import ray.data as rd
+
+    from datavec_ray.join import anti_join, semi_join
+    from datavec_ray.util import dataset_to_table
+
+    left = pa.table({"k": [1, 2, None, 4], "v": ["a", "b", "c", "d"]})
+    right = pa.table({"k": [2, None]})
+    semi = dataset_to_table(
+        semi_join(rd.from_arrow(left), right, "k", broadcast=False))
+    assert semi["k"].to_pylist() == [2]
+    anti = dataset_to_table(
+        anti_join(rd.from_arrow(left), right, "k", broadcast=True))
+    ks = sorted(anti["k"].to_pylist(), key=lambda x: (x is None, x))
+    assert ks == [1, 4, None]
+
+
+def test_bloom_filter_no_false_negatives():
+    from datavec_ray.ops.bloom import BloomFilter
+
+    bf = BloomFilter(*BloomFilter.size_for(5000, fp=0.01))
+    t = pa.table({"a": [f"k{i}" for i in range(5000)],
+                  "b": np.arange(5000) % 17})
+    bf.add_table(t, ["a", "b"])
+    assert bf.contains_table(t, ["a", "b"]).all()
+    other = pa.table({"a": [f"m{i}" for i in range(20000)],
+                      "b": np.arange(20000) % 17})
+    fp = bf.contains_table(other, ["a", "b"]).mean()
+    assert fp < 0.03
+
+
+def test_bloom_from_dataset_merges(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.bloom import BloomFilter, bloom_from_dataset
+
+    t = pa.table({"a": np.arange(20000, dtype=np.int64)})
+    bf = bloom_from_dataset(rd.from_arrow(t).repartition(8), "a", fp=0.005)
+    assert bf.contains_table(t, ["a"]).all()
+    local = BloomFilter(bf.num_bits, bf.num_hashes)
+    local.add_table(t, ["a"])
+    assert np.array_equal(local.words, bf.words)
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import grouped_quantile
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"g": rng.integers(0, 5, 4000),
+                  "v": rng.normal(size=4000)})
+    out = dataset_to_table(grouped_quantile(
+        rd.from_arrow(t).repartition(6), ["g"], "v", [0.5, 0.9])).sort_by("g")
+    for i, g in enumerate(out["g"].to_pylist()):
+        v = t.filter(pa.compute.equal(t["g"], g))["v"].to_numpy()
+        assert out["p50"][i].as_py() == pytest.approx(
+            float(np.quantile(v, 0.5, method="inverted_cdf")))
+        assert out["p90"][i].as_py() == pytest.approx(
+            float(np.quantile(v, 0.9, method="inverted_cdf")))
+
+
+def test_cumulative_sum_group_vs_partition_and_nulls():
+    """Both execution paths agree, including SQL null semantics: null
+    leaves the running sum unchanged; leading nulls emit null."""
+    import pandas as pd
+
+    from datavec_ray.sequence import SequenceCumulativeSum
+
+    t = pa.table({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "o": [1, 2, 3, 4, 1, 2, 3],
+        "v": [None, 2.0, None, 3.0, None, None, 1.0],
+        "i": [1, 2, 3, 4, 5, 6, 7],
+    })
+    op = SequenceCumulativeSum(["v", "i"])
+    # per-group path
+    parts = []
+    for g in ("a", "b"):
+        parts.append(op.apply_group(t.filter(pa.compute.equal(t["g"], g))))
+    grp = pa.concat_tables(parts)
+    assert grp["v_cumsum"].to_pylist() == [None, 2.0, 2.0, 5.0,
+                                           None, None, 1.0]
+    assert grp["i_cumsum"].to_pylist() == [1, 3, 6, 10, 5, 11, 18]
+    # partition-vectorized path
+    df = t.to_pandas()
+    out = op.apply_partition(df, ["g"])
+    assert list(out["i_cumsum"]) == [1, 3, 6, 10, 5, 11, 18]
+    vc = out["v_cumsum"]
+    assert pd.isna(vc.iloc[0]) and pd.isna(vc.iloc[4]) and pd.isna(vc.iloc[5])
+    assert list(vc.iloc[[1, 2, 3, 6]]) == [2.0, 2.0, 5.0, 1.0]
+
+
+def test_hash_sample_deterministic_under_repartition(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import hash_sample
+
+    t = pa.table({"id": np.arange(30000, dtype=np.int64)})
+    a = hash_sample(rd.from_arrow(t).repartition(3), "id", 0.2, seed=5)
+    b = hash_sample(rd.from_arrow(t).repartition(17), "id", 0.2, seed=5)
+    ids_a = sorted(x for r in a.to_arrow_refs()
+                   for x in ray_session.get(r)["id"].to_pylist())
+    ids_b = sorted(x for r in b.to_arrow_refs()
+                   for x in ray_session.get(r)["id"].to_pylist())
+    assert ids_a == ids_b
+    assert 0.17 < len(ids_a) / 30000 < 0.23
+    # different seed → different sample
+    c = hash_sample(rd.from_arrow(t), "id", 0.2, seed=6)
+    ids_c = sorted(x for r in c.to_arrow_refs()
+                   for x in ray_session.get(r)["id"].to_pylist())
+    assert ids_c != ids_a
+
+
+def test_chunk_words_to_lines():
+    from datavec_ray.ops.dedup import chunk_words_to_lines
+
+    out = chunk_words_to_lines(
+        ["a b c d e f g", "x", ""], words_per_line=3).to_pylist()
+    assert out == ["a b c\nd e f\ng", "x", ""]
+
+
+def test_line_dedup_end_to_end(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.dedup import line_dedup
+    from datavec_ray.util import dataset_to_table
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["intro\nshared line\nunique one",
+                 "shared line\nunique two",
+                 "shared line",              # vanishes entirely
+                 "unique three\nintro"],
+    })
+    out = dataset_to_table(
+        line_dedup(rd.from_arrow(docs).repartition(4), num_buckets=4)
+    ).sort_by("doc_id")
+    assert out["doc_id"].to_pylist() == [1, 2, 4]
+    assert out["text"].to_pylist() == [
+        "intro\nshared line\nunique one", "unique two", "unique three"]
+
+
+def test_line_dedup_min_chars_exempt(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.dedup import line_dedup
+    from datavec_ray.util import dataset_to_table
+
+    docs = pa.table({
+        "doc_id": [1, 2],
+        "text": ["ok\nthis is a long duplicated line",
+                 "ok\nthis is a long duplicated line"],
+    })
+    out = dataset_to_table(
+        line_dedup(rd.from_arrow(docs), min_chars=5, num_buckets=2)
+    ).sort_by("doc_id")
+    # short line "ok" exempt in both docs; long line deduped to doc 1
+    assert out["doc_id"].to_pylist() == [1, 2]
+    assert out["text"].to_pylist() == [
+        "ok\nthis is a long duplicated line", "ok"]
