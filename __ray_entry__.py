@@ -875,6 +875,70 @@ def _q_top_ngrams(sf_dir: str):
     return top_ngrams(docs, "text", n=2, k=50)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER resolution: exact cosine pairs (>= 0.35)
+    as edges -> distributed connected components (one mergeable
+    spanning-forest aggregate pass) -> every embedding labeled with its
+    duplicate-cluster id (min vec_id of the component; singletons label
+    themselves). The final stage of every near-dedup pipeline; oracle =
+    recursive-CTE transitive closure in DuckDB."""
+    from datavec_ray.ops.graph import assign_components, connected_components
+    from datavec_ray.ops.similarity import cosine_pairs_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = cosine_pairs_exact(ds, threshold=0.35)
+    labels = connected_components(edges, "id_a", "id_b")
+    return assign_components(
+        _read(sf_dir, "embeddings", ["vec_id", "label"]), labels, "vec_id")
+
+
+def _q_grouped_topn(sf_dir: str):
+    """Top-3 orders per customer by price (deterministic tiebreak) —
+    per-batch top-n combiner, then ONE groupby shuffle of winners only."""
+    from datavec_ray.misc import grouped_topn
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topn(orders, ["o_custkey"], "o_totalprice", 3,
+                        descending=True, tiebreak=["o_orderkey"])
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrub over documents: deterministic synthetic PII (derived
+    from doc_id, reproduced verbatim in the SQL oracle) is appended to
+    each text, then redacted with the shared RE2 patterns — so the
+    oracle genuinely checks that every email/IP/phone/SSN was caught."""
+    from datavec_ray.ops.textstats import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_and_redact(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].combine_chunks().cast(pa.string())
+        seeded = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(), " contact user", d,
+            "@example.com ip 10.0.", d, ".7 tel +1 555 010 ", d,
+            " ssn 123-45-6789", "")
+        red = redact_pii(seeded)
+        return pa.table({"doc_id": batch["doc_id"], "text": red})
+
+    return docs.map_batches(add_and_redact, batch_format="pyarrow")
+
+
+def _q_melt(sf_dir: str):
+    """Wide->long unpivot of lineitem's numeric measures (SQL UNPIVOT)."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import Melt
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(Melt(["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount"],
+               var_name="metric", value_name="val"))
+    return p.execute(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -926,6 +990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "line_dedup": _q_line_dedup,
         "top_ngrams": _q_top_ngrams,
+        "dup_clusters": _q_dup_clusters,
+        "grouped_topn": _q_grouped_topn,
+        "pii_redact": _q_pii_redact,
+        "melt": _q_melt,
     }
 
 
@@ -954,6 +1022,16 @@ with b as (
   from b
 )
 """
+
+
+# the exact RE2 pattern strings the Ray-side redact_pii applies, in
+# order — shared verbatim with the SQL oracle (both engines are RE2)
+def _pii_sql_patterns() -> list[str]:
+    from datavec_ray.ops.textstats import PII_PATTERNS
+    return [p for _, p, _ in PII_PATTERNS]
+
+
+_PII_SQL = _pii_sql_patterns()
 
 
 def _splitmix_mul_sql(x: str, c: int) -> str:
@@ -1404,6 +1482,63 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, string_agg(line, chr(10) order by line_idx) as text
             from winners where rn = 1
             group by doc_id
+        """,
+        # connected components as recursive-CTE transitive closure:
+        # walk enumerates every (node, reachable node) pair over the
+        # bidirected pair edges (UNION dedups, so it terminates);
+        # component = min reachable node; singletons label themselves.
+        "dup_clusters": """
+            with recursive pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b
+              from embeddings a join embeddings b on a.vec_id < b.vec_id
+              where list_cosine_similarity(cast(a.embedding as double[]),
+                                           cast(b.embedding as double[]))
+                    >= 0.35),
+            bidir as (
+              select id_a as a, id_b as b from pairs
+              union all
+              select id_b, id_a from pairs),
+            walk(node, reach) as (
+              select a, a from bidir group by a
+              union
+              select w.node, b.b
+              from walk w join bidir b on b.a = w.reach),
+            comp as (
+              select node, min(reach) as component from walk group by node)
+            select e.vec_id, e.label,
+                   coalesce(c.component, e.vec_id) as component
+            from embeddings e left join comp c on c.node = e.vec_id
+        """,
+        "grouped_topn": """
+            select o_orderkey, o_custkey, o_totalprice
+            from orders
+            qualify row_number() over (
+                partition by o_custkey
+                order by o_totalprice desc, o_orderkey) <= 3
+        """,
+        "pii_redact": f"""
+            with seeded as (
+              select doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com ip 10.0.' || doc_id ||
+                     '.7 tel +1 555 010 ' || doc_id ||
+                     ' ssn 123-45-6789' as text
+              from documents)
+            select doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text,
+                '{_PII_SQL[0]}', '<EMAIL>', 'g'),
+                '{_PII_SQL[1]}', '<IP>', 'g'),
+                '{_PII_SQL[2]}', '<PHONE>', 'g'),
+                '{_PII_SQL[3]}', '<SSN>', 'g') as text
+            from seeded
+        """,
+        "melt": """
+            select l_orderkey, l_linenumber, metric, val
+            from (select l_orderkey, l_linenumber, l_quantity,
+                         l_extendedprice, l_discount from lineitem)
+            unpivot (val for metric in
+                     (l_quantity, l_extendedprice, l_discount))
         """,
         "top_ngrams": """
             with words as (

@@ -123,6 +123,39 @@ def grouped_quantile(ds, keys: Sequence[str], column: str,
     return ds.groupby(list(keys)).map_groups(gq, batch_format="pyarrow")
 
 
+def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
+                 descending: bool = True,
+                 tiebreak: Optional[Sequence[str]] = None):
+    """Top-n rows per group by ``order_col`` (SQL ``QUALIFY
+    row_number() OVER (PARTITION BY keys ORDER BY ...) <= n``), exact
+    and deterministic: ties broken by ``tiebreak`` columns ascending.
+
+    Scale shape: a map-side combiner first takes the per-batch top-n of
+    every group (no batch can contribute more than its own winners), so
+    the ONE groupby shuffle moves at most n·groups·batches rows — at
+    100 TB with n=5 that is a rounding error of the input. The final
+    per-group selection is a pandas sort + head, vectorized per bucket.
+    """
+    keys = list(keys)
+    tiebreak = list(tiebreak) if tiebreak else []
+    by = keys + [order_col] + tiebreak
+    asc = [True] * len(keys) + [not descending] + [True] * len(tiebreak)
+
+    def _partial(df):
+        return (df.sort_values(by, ascending=asc, kind="mergesort")
+                .groupby(keys, sort=False).head(n))
+
+    _partial.__name__ = "topn_partial"
+
+    def _final(df):
+        return (df.sort_values(by, ascending=asc, kind="mergesort")
+                .head(n))
+
+    _final.__name__ = "topn_final"
+    return (ds.map_batches(_partial, batch_format="pandas")
+            .groupby(keys).map_groups(_final, batch_format="pandas"))
+
+
 def sequence_merge(datasets: Sequence, keys: Sequence[str],
                    order_by: Sequence[str],
                    ops: Sequence[SequenceOp] = ()):

@@ -242,6 +242,36 @@ class TextStats:
                                    pa.array(langs, pa.string()))
 
 
+# PII scrubbing patterns. RE2 syntax ONLY (no lookaround/backrefs) so
+# the exact same strings run on pyarrow's replace_substring_regex and
+# DuckDB's regexp_replace — the oracle shares them verbatim. Order
+# matters: email before ipv4 (a dotted-quad inside a hostname must be
+# consumed by the email rule first).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{2,4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(col: pa.ChunkedArray | pa.Array,
+               kinds: list[str] | None = None) -> pa.Array:
+    """Replace every PII match with its placeholder — chained global
+    vectorized RE2 replacements (one ``replace_substring_regex`` kernel
+    per pattern per batch, no Python row loop). The standard scrub
+    stage of a training-data pipeline; patterns are deliberately
+    conservative (precision over recall) and extensible via
+    ``PII_PATTERNS``-shaped tuples."""
+    out = combine(col)
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is not None and name not in kinds:
+            continue
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+    return out
+
+
 def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 50,
                sep: str = " "):
     """Corpus-wide top-k most frequent word n-grams — the vocabulary /

@@ -2,7 +2,7 @@
 
 from datavec_ray.steps.base import Step, WideStep
 from datavec_ray.steps.column import (
-    AddConstantColumn, DuplicateColumns, KeepColumns, RemoveColumns,
+    AddConstantColumn, DuplicateColumns, KeepColumns, Melt, RemoveColumns,
     RenameColumns, ReorderColumns, RoundColumns,
 )
 from datavec_ray.steps.math import (

@@ -162,3 +162,61 @@ class RoundColumns(Step):
     def to_dict(self) -> dict[str, Any]:
         return {"cls": "RoundColumns", "columns": self.columns,
                 "digits": self.digits}
+
+
+@register("step")
+class Melt(Step):
+    """Unpivot: widen-to-long reshape — each input row yields one output
+    row per value column, as (id_cols..., var_name, value_name). SQL
+    ``UNPIVOT tbl ON cols INTO NAME var VALUE val``. No reference
+    counterpart (DataVec's Pivot goes the other way); provided because
+    long-format metric tables are the standard input to grouped
+    analysis/plotting stages.
+
+    Narrow (row-local) despite changing the row count: one
+    ``pa.concat_tables`` of V zero-copy column selections per batch —
+    no shuffle, no per-row loop. Value columns are cast to a common
+    type (identical types kept; numerics promoted to float64)."""
+
+    def __init__(self, id_columns: Sequence[str], value_columns: Sequence[str],
+                 var_name: str = "variable", value_name: str = "value"):
+        if not value_columns:
+            raise ValueError("value_columns must be non-empty")
+        self.id_columns = list(id_columns)
+        self.value_columns = list(value_columns)
+        self.var_name, self.value_name = var_name, value_name
+
+    def _value_type(self, types: Sequence[pa.DataType]) -> pa.DataType:
+        if all(t == types[0] for t in types):
+            return types[0]
+        if all(pa.types.is_integer(t) or pa.types.is_floating(t)
+               for t in types):
+            return pa.float64()
+        raise ValueError(
+            f"value columns mix incompatible types: {list(map(str, types))}")
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(*self.id_columns, *self.value_columns)
+        vt = self._value_type([schema.type_of(c) for c in self.value_columns])
+        out = schema.select(self.id_columns)
+        out = out.with_column(self.var_name, pa.string())
+        return out.with_column(self.value_name, vt)
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        vt = self._value_type([table.schema.field(c).type
+                               for c in self.value_columns])
+        parts = []
+        for c in self.value_columns:
+            t = table.select(self.id_columns)
+            t = t.append_column(
+                pa.field(self.var_name, pa.string()),
+                pa.nulls(table.num_rows, pa.string()).fill_null(c))
+            t = t.append_column(pa.field(self.value_name, vt),
+                                table[c].cast(vt))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "Melt", "id_columns": self.id_columns,
+                "value_columns": self.value_columns,
+                "var_name": self.var_name, "value_name": self.value_name}

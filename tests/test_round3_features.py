@@ -220,3 +220,147 @@ def test_line_dedup_min_chars_exempt(ray_session):
     assert out["doc_id"].to_pylist() == [1, 2]
     assert out["text"].to_pylist() == [
         "ok\nthis is a long duplicated line", "ok"]
+
+
+# ---------------------------------------------------------------------------
+# connected components / dup clusters
+# ---------------------------------------------------------------------------
+
+def _cc_reference(edges):
+    """Driver-side union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(m) for r, m in comps.items() for n in m}
+
+
+def test_connected_components_random_graph(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(5)
+    # many small clusters + one chain spanning partitions
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 300, size=(400, 2)) if a != b]
+    edges += [(1000 + i, 1001 + i) for i in range(50)]     # long path
+    tbl = pa.table({"id_a": [a for a, _ in edges],
+                    "id_b": [b for _, b in edges]})
+    got = connected_components(rd.from_arrow(tbl).repartition(7))
+    expect = _cc_reference(edges)
+    got_map = dict(zip(got["node"].to_pylist(), got["component"].to_pylist()))
+    assert got_map == expect
+
+
+def test_connected_components_table_and_dedup(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.graph import (connected_components,
+                                       dedup_by_components)
+    from datavec_ray.util import dataset_to_table
+
+    edges = pa.table({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    local = connected_components(edges)
+    assert dict(zip(local["node"].to_pylist(),
+                    local["component"].to_pylist())) == \
+        {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    rows = pa.table({"doc_id": [1, 2, 3, 10, 11, 99],
+                     "v": list("abcdef")})
+    kept = dataset_to_table(dedup_by_components(
+        rd.from_arrow(rows).repartition(3), rd.from_arrow(edges),
+        id_col="doc_id")).sort_by("doc_id")
+    assert kept["doc_id"].to_pylist() == [1, 10, 99]
+    assert kept.column_names == ["doc_id", "v"]
+
+
+# ---------------------------------------------------------------------------
+# grouped_topn / redact_pii / Melt
+# ---------------------------------------------------------------------------
+
+def test_grouped_topn_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import grouped_topn
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"g": rng.integers(0, 20, 500),
+                  "v": rng.integers(0, 50, 500),   # many ties
+                  "id": np.arange(500)})
+    got = dataset_to_table(grouped_topn(
+        rd.from_arrow(t).repartition(6), ["g"], "v", 4,
+        tiebreak=["id"])).to_pandas().sort_values(["g", "id"])
+    exp = (t.to_pandas()
+           .sort_values(["g", "v", "id"], ascending=[True, False, True],
+                        kind="mergesort")
+           .groupby("g", sort=False).head(4).sort_values(["g", "id"]))
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_redact_pii():
+    from datavec_ray.ops.textstats import redact_pii
+
+    texts = pa.array([
+        "mail bob.smith+x@corp.example.org now",
+        "server at 192.168.0.1 port 80",
+        "call +44 207 946 0958 or +1 555 010 22",
+        "ssn 123-45-6789 inline",
+        "no pii here",
+        None,
+    ])
+    got = redact_pii(texts).to_pylist()
+    assert got == [
+        "mail <EMAIL> now",
+        "server at <IP> port 80",
+        "call <PHONE> or <PHONE>",
+        "ssn <SSN> inline",
+        "no pii here",
+        None,
+    ]
+
+
+def test_melt_local_vs_dataset(ray_session):
+    import ray.data as rd
+
+    from datavec_ray import TransformPipeline
+    from datavec_ray.schema import Schema
+    from datavec_ray.steps import Melt
+    from datavec_ray.util import dataset_to_table
+
+    t = pa.table({"k": [1, 2, 3], "a": [1.5, 2.5, 3.5],
+                  "b": [10, 20, 30]})
+    p = TransformPipeline(Schema(t.schema))
+    p.add(Melt(["k"], ["a", "b"], var_name="m", value_name="x"))
+    local = p.execute_table(t)
+    dist = dataset_to_table(p.execute(rd.from_arrow(t).repartition(2)))
+    key = [("k", "ascending"), ("m", "ascending")]
+    assert local.sort_by(key).equals(dist.sort_by(key).cast(local.schema))
+    # mixed int/float promotes to float64
+    assert local.schema.field("x").type == pa.float64()
+
+
+def test_melt_serde_roundtrip():
+    from datavec_ray import TransformPipeline
+    from datavec_ray.schema import Schema
+    from datavec_ray.steps import Melt
+
+    t = pa.table({"k": [1], "a": [1.0], "b": [2.0]})
+    p = TransformPipeline(Schema(t.schema))
+    p.add(Melt(["k"], ["a", "b"], var_name="m", value_name="x"))
+    q = TransformPipeline.from_json(p.to_json())
+    assert q.to_dict() == p.to_dict()
+    assert q.execute_table(t).equals(p.execute_table(t))
