@@ -939,6 +939,51 @@ def _q_melt(sf_dir: str):
     return p.execute(ds)
 
 
+def _q_set_except(sf_dir: str):
+    """(part, supplier) pairs shipped at deep discount but never at low
+    discount — SQL EXCEPT via hash-partitioned exact set resolution."""
+    from datavec_ray.ops.setops import except_rows
+
+    cols = ["l_partkey", "l_suppkey"]
+    a = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
+        .filter(expr="l_discount >= 0.06").drop_columns(["l_discount"])
+    b = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
+        .filter(expr="l_discount <= 0.02").drop_columns(["l_discount"])
+    return except_rows(a, b)
+
+
+def _q_set_intersect(sf_dir: str):
+    """(part, supplier) pairs shipped at BOTH deep and low discount —
+    SQL INTERSECT, same machinery as EXCEPT."""
+    from datavec_ray.ops.setops import intersect_rows
+
+    cols = ["l_partkey", "l_suppkey"]
+    a = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
+        .filter(expr="l_discount >= 0.06").drop_columns(["l_discount"])
+    b = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
+        .filter(expr="l_discount <= 0.02").drop_columns(["l_discount"])
+    return intersect_rows(a, b)
+
+
+def _q_distinct_rows(sf_dir: str):
+    """Multi-column SELECT DISTINCT (set-semantics dedup; NULLs equal)."""
+    from datavec_ray.ops.setops import distinct_rows
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_returnflag", "l_linestatus"])
+    return distinct_rows(ds)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Exactly 20 documents per language, picked by splitmix64(doc_id)
+    rank — deterministic stratified sampling (oracle mirrors the hash
+    bit-for-bit in SQL)."""
+    from datavec_ray.misc import sample_stratified
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return sample_stratified(docs, ["lang"], "doc_id", 20, seed=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -994,6 +1039,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topn": _q_grouped_topn,
         "pii_redact": _q_pii_redact,
         "melt": _q_melt,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
+        "distinct_rows": _q_distinct_rows,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1539,6 +1588,44 @@ def oracle_sql() -> dict[str, str]:
                          l_extendedprice, l_discount from lineitem)
             unpivot (val for metric in
                      (l_quantity, l_extendedprice, l_discount))
+        """,
+        "set_except": """
+            select l_partkey, l_suppkey from lineitem
+            where l_discount >= 0.06
+            except
+            select l_partkey, l_suppkey from lineitem
+            where l_discount <= 0.02
+        """,
+        "set_intersect": """
+            select l_partkey, l_suppkey from lineitem
+            where l_discount >= 0.06
+            intersect
+            select l_partkey, l_suppkey from lineitem
+            where l_discount <= 0.02
+        """,
+        "distinct_rows": """
+            select distinct l_suppkey, l_returnflag, l_linestatus
+            from lineitem
+        """,
+        # same splitmix64 SQL chain as hash_sample (seed 7), then a
+        # per-language rank on the hash value
+        "stratified_sample": f"""
+            with h0 as (
+              select doc_id, lang, source,
+                     cast(doc_id as hugeint) % 18446744073709551616 as x
+              from documents),
+            h1 as (select doc_id, lang, source,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select doc_id, lang, source,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select doc_id, lang, source,
+                     xor(xor(x, x >> 31), 6018027440424182931) as x
+                   from h2)
+            select doc_id, lang, source from h3
+            qualify row_number() over (partition by lang
+                                       order by x, doc_id) <= 20
         """,
         "top_ngrams": """
             with words as (

@@ -1315,6 +1315,14 @@ class CdcIngestEngine:
             return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
         return rd.read_parquet(files)
 
+    def time_travel(self):
+        """Snapshot history / as-of reads / change feed over the retained
+        checkpoint chain — see ``datavec_ray.cdc.timetravel``."""
+        from datavec_ray.cdc.timetravel import TimeTravel
+        bits = 64 if (self._canonical is not None and pa.types.is_int64(
+            self._canonical.field("turn_idx").type)) else 32
+        return TimeTravel(self.ckpt_dir, self.manifest, turn_idx_bits=bits)
+
     def read_lake(self) -> pa.Table:
         """TEST/ORACLE convenience ONLY — materializes + globally sorts the
         whole lake on the driver. Production readers use

@@ -1,0 +1,211 @@
+"""Time travel and change-data-feed over the CDC lake's checkpoint chain.
+
+Every ``replay(..., checkpoint_name=...)`` / ``checkpoint(name, ...)``
+leaves a COMPLETE per-partition state set under
+``<lake>/_checkpoints/<name>/`` (quiet partitions are hardlinked
+forward, payloads are hardlinks to immutable lake inodes — see
+``read_checkpoint_partition``), and the manifest records each segment's
+LSN watermark. That makes the checkpoint chain a version history for
+free — the same mechanism Delta Lake / Iceberg snapshots provide:
+
+- ``versions()``        — the committed snapshots (name, lsn_hi, keys).
+- ``read_state_at``     — the lake AS OF a named snapshot, as a
+  streaming Dataset (one read task per partition file, no driver
+  materialization).
+- ``read_state_as_of``  — the latest snapshot with watermark <= lsn.
+- ``change_feed``       — the row-level delta BETWEEN two snapshots
+  (insert / update / delete per (conv_id, turn_idx)), computed by a
+  vectorized per-partition sidecar join: partitions align across
+  segments (fixed partition count), so the diff never shuffles — it is
+  P independent tasks each joining two narrow key/meta files.
+
+On a multi-node cluster the checkpoint directory must be on shared
+storage (as any checkpoint dir must be for resume); tasks read only
+their own partition's files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KEY = ["conv_id", "turn_idx"]
+_PAYLOAD = ["role", "text", "tool"]
+
+CHANGE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int64()),
+    ("change_type", pa.string()),       # insert | update | delete
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("ms")),
+    ("lsn", pa.int64()),
+])
+
+
+def _segment_dir(ckpt_dir: str, name: str) -> str:
+    d = os.path.join(ckpt_dir, name)
+    if not os.path.isdir(d):
+        have = sorted(x for x in os.listdir(ckpt_dir)
+                      if os.path.isdir(os.path.join(ckpt_dir, x))) \
+            if os.path.isdir(ckpt_dir) else []
+        raise FileNotFoundError(
+            f"no checkpoint segment {name!r} under {ckpt_dir}; have {have}")
+    return d
+
+
+def _partition_ids(seg_dir: str) -> list[int]:
+    return sorted(int(f[len("part-"):-len(".parquet")])
+                  for f in os.listdir(seg_dir)
+                  if f.startswith("part-") and f.endswith(".parquet")
+                  and ".payload." not in f)
+
+
+def _normalize_state(t: Optional[pa.Table]) -> pa.Table:
+    """Checkpoint partition table → uniform (key, meta, payload) types."""
+    if t is None:
+        return CHANGE_SCHEMA.empty_table().drop_columns(["change_type"]) \
+            .append_column("op", pa.array([], pa.string()))
+    cols = {
+        "conv_id": t["conv_id"].cast(pa.string()),
+        "turn_idx": t["turn_idx"].cast(pa.int64()),
+    }
+    for c in _PAYLOAD:
+        cols[c] = (t[c].cast(pa.string()) if c in t.column_names
+                   else pa.nulls(t.num_rows, pa.string()))
+    ts = t["ts"]
+    if not pa.types.is_timestamp(ts.type):
+        ts = ts.cast(pa.int64()).cast(pa.timestamp("ms"))
+    else:
+        ts = ts.cast(pa.timestamp("ms"))
+    cols["ts"] = ts
+    cols["lsn"] = t["lsn"].cast(pa.int64())
+    cols["op"] = t["op"].cast(pa.string())
+    return pa.table(cols)
+
+
+def _live_lake_rows(state: pa.Table, turn_idx_type: pa.DataType) -> pa.Table:
+    live = state.filter(pc.fill_null(pc.not_equal(state["op"], "D"), True))
+    return pa.table({
+        "conv_id": live["conv_id"],
+        "turn_idx": live["turn_idx"].cast(turn_idx_type),
+        "role": live["role"],
+        "text": live["text"],
+        "tool": live["tool"],
+        "ts": live["ts"],
+    }).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _read_partition_live(seg_dir: str, pid: int,
+                         turn_idx_bits: int) -> pa.Table:
+    from datavec_ray.cdc.engine import read_checkpoint_partition
+    state = _normalize_state(read_checkpoint_partition(seg_dir, pid))
+    t_turn = pa.int64() if turn_idx_bits == 64 else pa.int32()
+    return _live_lake_rows(state, t_turn)
+
+
+def _diff_partition(old_dir: Optional[str], new_dir: str,
+                    pid: int) -> pa.Table:
+    """Row-level changes new-vs-old for ONE partition (no shuffle:
+    partitions align across segments)."""
+    from datavec_ray.cdc.engine import read_checkpoint_partition
+    old = _normalize_state(
+        read_checkpoint_partition(old_dir, pid) if old_dir else None)
+    new = _normalize_state(read_checkpoint_partition(new_dir, pid))
+    old_k = pa.table({
+        "conv_id": old["conv_id"], "turn_idx": old["turn_idx"],
+        "__old_lsn": old["lsn"], "__old_op": old["op"]})
+    j = new.join(old_k, keys=_KEY, join_type="left outer")
+    new_del = pc.fill_null(pc.equal(j["op"], "D"), False)
+    had_old = pc.is_valid(j["__old_lsn"])
+    old_live = pc.and_(had_old,
+                       pc.fill_null(pc.not_equal(j["__old_op"], "D"), True))
+    changed = pc.or_(pc.invert(had_old),
+                     pc.not_equal(j["lsn"], pc.fill_null(j["__old_lsn"], -1)))
+    # tombstone that never deleted a live row is not an observable change
+    effective = pc.and_(changed, pc.or_(pc.invert(new_del), old_live))
+    j = j.filter(pc.fill_null(effective, False))
+    is_del = pc.fill_null(pc.equal(j["op"], "D"), False)
+    was_live = pc.and_(pc.is_valid(j["__old_lsn"]),
+                       pc.fill_null(pc.not_equal(j["__old_op"], "D"), True))
+    ctype = pc.if_else(
+        is_del, "delete", pc.if_else(was_live, "update", "insert"))
+    out = pa.table({
+        "conv_id": j["conv_id"], "turn_idx": j["turn_idx"],
+        "change_type": ctype,
+        "role": j["role"], "text": j["text"], "tool": j["tool"],
+        "ts": j["ts"], "lsn": j["lsn"]})
+    return out.cast(CHANGE_SCHEMA).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+class TimeTravel:
+    """Bound to one engine/lake; see module docstring."""
+
+    def __init__(self, ckpt_dir: str, manifest, turn_idx_bits: int = 32):
+        self.ckpt_dir = ckpt_dir
+        self.manifest = manifest
+        self.turn_idx_bits = turn_idx_bits
+
+    def versions(self) -> list[dict]:
+        """Committed snapshots, oldest first: {name, lsn_hi, keys,
+        partitions}. A re-used checkpoint name keeps its LAST entry."""
+        out: dict[str, dict] = {}
+        for e in self.manifest.entries:
+            if e.get("type") == "checkpoint":
+                out[e["name"]] = {k: e.get(k) for k in
+                                  ("name", "lsn_hi", "keys", "partitions")}
+        return list(out.values())
+
+    def resolve_as_of(self, lsn: int) -> Optional[str]:
+        """Name of the latest snapshot with watermark <= lsn."""
+        best = None
+        for v in self.versions():
+            if (v["lsn_hi"] or 0) <= lsn:
+                best = v["name"]
+        return best
+
+    def read_state_at(self, name: str):
+        """The lake AS OF snapshot ``name`` — a streaming Dataset (one
+        task per partition)."""
+        import ray
+        import ray.data as rd
+        seg = _segment_dir(self.ckpt_dir, name)
+        pids = _partition_ids(seg)
+        if not pids:
+            from datavec_ray.cdc.binlog import TRANSCRIPT_SCHEMA
+            return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        task = ray.remote(_read_partition_live)
+        refs = [task.remote(seg, pid, self.turn_idx_bits) for pid in pids]
+        return rd.from_arrow_refs(refs)
+
+    def read_state_as_of(self, lsn: int):
+        """The lake as of LSN watermark ``lsn`` (latest snapshot at or
+        before it; empty Dataset when none)."""
+        import ray.data as rd
+        name = self.resolve_as_of(lsn)
+        if name is None:
+            from datavec_ray.cdc.binlog import TRANSCRIPT_SCHEMA
+            return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return self.read_state_at(name)
+
+    def change_feed(self, from_name: Optional[str], to_name: str):
+        """Row-level delta between two snapshots as a Dataset of
+        (conv_id, turn_idx, change_type, payload..., ts, lsn).
+        ``from_name=None`` means "from empty" (everything is an
+        insert)."""
+        import ray
+        import ray.data as rd
+        new_seg = _segment_dir(self.ckpt_dir, to_name)
+        old_seg = _segment_dir(self.ckpt_dir, from_name) if from_name \
+            else None
+        pids = _partition_ids(new_seg)
+        if not pids:
+            return rd.from_arrow(CHANGE_SCHEMA.empty_table())
+        task = ray.remote(_diff_partition)
+        refs = [task.remote(old_seg, new_seg, pid) for pid in pids]
+        return rd.from_arrow_refs(refs)

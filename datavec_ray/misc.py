@@ -98,6 +98,30 @@ def hash_sample(ds, column: str, rate: float, seed: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sample_stratified(ds, keys: Sequence[str], id_col: str, n: int,
+                      seed: int = 0):
+    """Deterministic stratified sample: exactly min(n, group size) rows
+    per key group, chosen by rank of ``splitmix64(id) XOR seed_mix`` —
+    a pure function of the data (reproducible across reruns,
+    repartitioning and engines; the oracle mirrors splitmix64 in SQL).
+    The standard "n examples per language/domain/source" curation step.
+
+    Scale shape: composes :func:`grouped_topn`, so a per-batch combiner
+    keeps only each batch's n best rows per group before the ONE groupby
+    shuffle."""
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        h = hash64(combine(batch[id_col])) ^ seed_mix
+        return batch.append_column(pa.field("__srank", pa.uint64()),
+                                   pa.array(h))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = grouped_topn(ranked, keys, "__srank", n,
+                       descending=False, tiebreak=[id_col])
+    return out.drop_columns(["__srank"])
+
+
 def grouped_quantile(ds, keys: Sequence[str], column: str,
                      qs: Sequence[float], names: Optional[Sequence[str]] = None):
     """Exact per-group quantiles (discrete / inverted-CDF element

@@ -1,0 +1,195 @@
+"""Set operations, stratified sampling, and CDC time travel / change feed."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from datavec_ray.cdc.binlog import split_segments, synth_binlog
+from datavec_ray.cdc.oracle import replay_oracle
+from datavec_ray.util import dataset_to_table
+
+
+def _rand_table(seed: int, n: int = 600) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, 40, n)
+    v = rng.choice(["x", "y", "z", None], n, p=[0.4, 0.3, 0.2, 0.1])
+    return pa.table({"k": pa.array(k, pa.int64()),
+                     "v": pa.array(v, pa.string())})
+
+
+def _sql_rows(con, q):
+    return set(map(tuple, con.sql(q).fetchall()))
+
+
+def _tbl_rows(t: pa.Table):
+    return set(zip(*[t[c].to_pylist() for c in t.column_names]))
+
+
+@pytest.mark.parametrize("op,sql", [
+    ("intersect_rows", "select * from ta intersect select * from tb"),
+    ("except_rows", "select * from ta except select * from tb"),
+    ("union_distinct", "select * from ta union select * from tb"),
+])
+def test_set_ops_match_duckdb(ray_session, op, sql):
+    import ray.data as rd
+
+    from datavec_ray.ops import setops
+
+    ta, tb = _rand_table(1), _rand_table(2)
+    con = duckdb.connect()
+    con.register("ta", ta)
+    con.register("tb", tb)
+    expect = _sql_rows(con, sql)
+    got = dataset_to_table(getattr(setops, op)(
+        rd.from_arrow(ta).repartition(5), rd.from_arrow(tb).repartition(3),
+        num_partitions=7))
+    assert got.column_names == ["k", "v"]
+    assert _tbl_rows(got) == expect
+    assert got.num_rows == len(expect)      # result itself is distinct
+
+
+def test_distinct_rows_nulls_equal(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.setops import distinct_rows
+
+    t = pa.table({"a": [1, 1, 1, 2, None, None],
+                  "b": ["x", "x", None, "x", None, None]})
+    got = dataset_to_table(distinct_rows(rd.from_arrow(t).repartition(3)))
+    assert _tbl_rows(got) == {(1, "x"), (1, None), (2, "x"), (None, None)}
+
+
+def test_stratified_sample_exact_counts_and_determinism(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import sample_stratified
+
+    rng = np.random.default_rng(9)
+    t = pa.table({"g": pa.array(rng.integers(0, 8, 1000), pa.int64()),
+                  "id": pa.array(np.arange(1000), pa.int64())})
+    # group 7 made tiny: min(n, group size) behaviour
+    t = t.filter(pc.or_(pc.not_equal(t["g"], 7),
+                        pc.less(t["id"], 3)))
+    a = dataset_to_table(sample_stratified(
+        rd.from_arrow(t).repartition(4), ["g"], "id", 10, seed=3))
+    b = dataset_to_table(sample_stratified(
+        rd.from_arrow(t).repartition(11), ["g"], "id", 10, seed=3))
+    assert _tbl_rows(a) == _tbl_rows(b)     # partitioning-invariant
+    counts = {g: c for g, c in zip(*np.unique(
+        a["g"].to_numpy(zero_copy_only=False), return_counts=True))}
+    sizes = {g: c for g, c in zip(*np.unique(
+        t["g"].to_numpy(zero_copy_only=False), return_counts=True))}
+    for g, size in sizes.items():
+        assert counts.get(g, 0) == min(10, size)
+    # a different seed picks a different set
+    c = dataset_to_table(sample_stratified(
+        rd.from_arrow(t).repartition(4), ["g"], "id", 10, seed=4))
+    assert _tbl_rows(c) != _tbl_rows(a)
+
+
+# ---------------------------------------------------------------------------
+# time travel / change feed
+# ---------------------------------------------------------------------------
+
+_KEYCOLS = ["conv_id", "turn_idx"]
+
+
+def _keys(t: pa.Table):
+    return set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+
+
+def _payload_map(t: pa.Table):
+    return {k: p for k, p in zip(
+        _key_list(t),
+        zip(t["role"].to_pylist(), t["text"].to_pylist(),
+            t["tool"].to_pylist(), t["ts"].to_pylist()))}
+
+
+def _key_list(t: pa.Table):
+    return list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def tt_engine(ray_session, tmp_path_factory):
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    binlog = synth_binlog(6000, seed=11)
+    segs = split_segments(binlog, 3)
+    lake = str(tmp_path_factory.mktemp("ttlake"))
+    eng = CdcIngestEngine(lake, num_partitions=4)
+    for i, seg in enumerate(segs, 1):
+        eng.replay(seg, checkpoint_name=f"seg{i}")
+    yield eng, binlog, segs
+    eng.shutdown()
+
+
+def test_versions_and_watermarks(tt_engine):
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    vs = tt.versions()
+    assert [v["name"] for v in vs] == ["seg1", "seg2", "seg3"]
+    wms = [v["lsn_hi"] for v in vs]
+    assert wms == sorted(wms) and wms[-1] == int(pc.max(binlog["lsn"]).as_py())
+
+
+def test_read_state_at_matches_oracle_prefix(tt_engine):
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    for upto, name in ((1, "seg1"), (2, "seg2"), (3, "seg3")):
+        expect = replay_oracle(pa.concat_tables(segs[:upto]))
+        got = dataset_to_table(tt.read_state_at(name)).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")])
+        assert got.num_rows == expect.num_rows
+        for c in ("conv_id", "turn_idx", "role", "text", "tool"):
+            assert got[c].cast(expect[c].type).to_pylist() == \
+                expect[c].to_pylist(), (name, c)
+
+
+def test_read_state_as_of_lsn(tt_engine):
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    wm1 = tt.versions()[0]["lsn_hi"]
+    expect = replay_oracle(segs[0])
+    got = dataset_to_table(tt.read_state_as_of(wm1))
+    assert _keys(got) == _keys(expect)
+    # an lsn between watermarks resolves to the earlier snapshot
+    got2 = dataset_to_table(tt.read_state_as_of(wm1 + 1))
+    assert _keys(got2) == _keys(expect)
+    # before the first snapshot: empty
+    assert dataset_to_table(tt.read_state_as_of(0)).num_rows == 0
+
+
+def test_change_feed_between_segments(tt_engine):
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    s1 = replay_oracle(segs[0])
+    s2 = replay_oracle(pa.concat_tables(segs[:2]))
+    feed = dataset_to_table(tt.change_feed("seg1", "seg2"))
+    by_type = {ct: feed.filter(pc.equal(feed["change_type"], ct))
+               for ct in ("insert", "update", "delete")}
+    k1, k2 = _keys(s1), _keys(s2)
+    assert _keys(by_type["insert"]) == k2 - k1
+    assert _keys(by_type["delete"]) == k1 - k2
+    upd = _keys(by_type["update"])
+    assert upd <= (k1 & k2)
+    # every key whose payload actually changed is reported...
+    p1, p2 = _payload_map(s1), _payload_map(s2)
+    changed = {k for k in (k1 & k2) if p1[k] != p2[k]}
+    assert changed <= upd
+    # ...and reported updates carry the NEW payload
+    pf = _payload_map(by_type["update"])
+    for k in upd:
+        assert pf[k] == p2[k]
+    # feed keys are unique
+    assert len(_key_list(feed)) == len(_keys(feed))
+
+
+def test_change_feed_from_empty_is_all_inserts(tt_engine):
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    s1 = replay_oracle(segs[0])
+    feed = dataset_to_table(tt.change_feed(None, "seg1"))
+    live = feed.filter(pc.not_equal(feed["change_type"], "delete"))
+    assert set(live["change_type"].to_pylist()) == {"insert"}
+    assert _keys(live) == _keys(s1)
