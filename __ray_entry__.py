@@ -984,6 +984,55 @@ def _q_stratified_sample(sf_dir: str):
     return sample_stratified(docs, ["lang"], "doc_id", 20, seed=7)
 
 
+def _q_pivot_agg(sf_dir: str):
+    """Aggregating pivot (SQL PIVOT ... USING sum(...) GROUP BY ...):
+    per-batch partial-agg combiner, ONE shuffle of (keys × states)
+    cells, spread to one column per return flag."""
+    from datavec_ray.misc import pivot_table
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_returnflag", "l_quantity"])
+    return pivot_table(ds, ["l_suppkey"], "l_returnflag", "l_quantity",
+                       "sum", states=["A", "N", "R"])
+
+
+def _q_window_rank(sf_dir: str):
+    """SQL rank() OVER (PARTITION BY customer ORDER BY price DESC) —
+    ties share the min position, so the result is deterministic without
+    a tiebreak column."""
+    from datavec_ray.misc import window_rank
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    return window_rank(orders, ["o_custkey"], "o_totalprice",
+                       rank_col="rnk", method="rank", descending=True)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling: each lineitem survives with
+    probability l_linenumber/10 as a pure function of
+    splitmix64(l_orderkey) — integer weights, no float rounding to
+    diverge between engines; oracle mirrors the hash in SQL."""
+    from datavec_ray.misc import weighted_sample
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    return weighted_sample(li, "l_orderkey", "l_linenumber",
+                           denom=10, seed=5)
+
+
+def _q_group_normalize(sf_dir: str):
+    """Within-group z-score (SQL window avg/stddev_samp): one small
+    stats groupby + broadcast join; the 60k-row input is never
+    shuffled."""
+    from datavec_ray.steps.normalize import group_normalize
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+    return group_normalize(li, ["l_suppkey"], ["l_quantity"],
+                           "Standardize", suffix="_z")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1043,6 +1092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": _q_set_intersect,
         "distinct_rows": _q_distinct_rows,
         "stratified_sample": _q_stratified_sample,
+        "pivot_agg": _q_pivot_agg,
+        "window_rank": _q_window_rank,
+        "weighted_sample": _q_weighted_sample,
+        "group_normalize": _q_group_normalize,
     }
 
 
@@ -1606,6 +1659,41 @@ def oracle_sql() -> dict[str, str]:
         "distinct_rows": """
             select distinct l_suppkey, l_returnflag, l_linestatus
             from lineitem
+        """,
+        "pivot_agg": """
+            pivot (select l_suppkey, l_returnflag, l_quantity from lineitem)
+            on l_returnflag using sum(l_quantity) group by l_suppkey
+        """,
+        "window_rank": """
+            select o_orderkey, o_custkey, o_totalprice,
+                   rank() over (partition by o_custkey
+                                order by o_totalprice desc) as rnk
+            from orders
+        """,
+        # splitmix64 chain on l_orderkey (seed 5); survive iff
+        # hash mod 10 < l_linenumber
+        "weighted_sample": f"""
+            with h0 as (
+              select l_orderkey, l_linenumber, l_quantity,
+                     cast(l_orderkey as hugeint) % 18446744073709551616 as x
+              from lineitem),
+            h1 as (select l_orderkey, l_linenumber, l_quantity,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select l_orderkey, l_linenumber, l_quantity,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select l_orderkey, l_linenumber, l_quantity,
+                     xor(xor(x, x >> 31), 1663341875487337577) as x
+                   from h2)
+            select l_orderkey, l_linenumber, l_quantity from h3
+            where x % 10 < l_linenumber
+        """,
+        "group_normalize": """
+            select l_orderkey, l_linenumber, l_suppkey, l_quantity,
+                   (l_quantity - avg(l_quantity) over w)
+                     / stddev_samp(l_quantity) over w as l_quantity_z
+            from lineitem window w as (partition by l_suppkey)
         """,
         # same splitmix64 SQL chain as hash_sample (seed 7), then a
         # per-language rank on the hash value

@@ -379,3 +379,34 @@ def write_sequence_plot_html(table: pa.Table, path: str, key_col: str,
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+def approx_quantile(ds_or_table, column: str,
+                    qs: Sequence[float], bins: int = 8192) -> dict[str, float]:
+    """Approximate global quantiles from the two-pass fixed-bucket
+    histogram (exact min/max pass, then one ``bins``-bucket count pass
+    with map-side combining — both are small-shuffle aggregates, so this
+    works on columns far too large for ``grouped_quantile``'s
+    sort-in-worker path). Linear interpolation inside the landing
+    bucket bounds the error by one bucket width: (max-min)/bins — with
+    the default 8192 buckets, under 0.013% of the value range.
+    Deterministic (no sampling). Returns {"p50": v, ...} keyed like
+    ``grouped_quantile``."""
+    qs = list(qs)
+    edges, counts = histogram(ds_or_table, column, bins=bins)
+    total = int(counts.sum())
+    out: dict[str, float] = {}
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    for q in qs:
+        name = f"p{int(round(q * 100))}"
+        if total == 0:
+            out[name] = float("nan")
+            continue
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = max(1, min(b, bins))
+        in_bucket = counts[b - 1]
+        frac = ((target - cum[b - 1]) / in_bucket) if in_bucket else 0.0
+        lo, hi = edges[b - 1], edges[b]
+        out[name] = float(lo + frac * (hi - lo))
+    return out

@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from datavec_ray.hll import hash64
 from datavec_ray.sequence import GroupedSequence, SequenceOp
@@ -178,6 +179,132 @@ def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
     _final.__name__ = "topn_final"
     return (ds.map_batches(_partial, batch_format="pandas")
             .groupby(keys).map_groups(_final, batch_format="pandas"))
+
+
+def weighted_sample(ds, column: str, weight_col: str, denom: int = 100,
+                    seed: int = 0):
+    """Deterministic weighted sampling: keep a row iff
+    ``splitmix64(column) XOR seed_mix`` mod ``denom`` is below the row's
+    integer weight — i.e. each row survives with probability
+    ``weight/denom``, as a pure function of the data (reproducible
+    across reruns/repartitioning/engines; the oracle mirrors the hash in
+    SQL). Integer weights only: no float rounding to diverge between
+    engines. The standard importance-sampling step (e.g. keep long
+    documents proportionally more often)."""
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = (hash64(combine(batch[column])) ^ seed_mix) % np.uint64(denom)
+        w = combine(batch[weight_col]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(h.astype(np.int64) < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_PIVOT_AGGS = ("sum", "min", "max", "count", "mean")
+
+
+def pivot_table(ds, keys: Sequence[str], pivot_col: str, value_col: str,
+                agg: str = "sum", states: Optional[Sequence[str]] = None):
+    """Aggregating pivot (SQL ``PIVOT t ON pivot_col USING agg(value)
+    GROUP BY keys``): one output row per key combination, one column per
+    pivot state (named by the state value), missing combinations NULL.
+    The inverse of ``steps.Melt``; the reference's ``PivotTransform`` is
+    per-row with no aggregation — this is the grouped form every
+    reporting stage actually needs.
+
+    Scale shape: a per-batch pandas partial aggregation first collapses
+    each batch to (keys × states) partial rows, so the ONE groupby
+    shuffle moves pre-aggregated cells, not input rows. ``states`` must
+    enumerate the pivot values for a stable schema (computed with one
+    ``ds.unique`` pass when omitted — pass it explicitly in pipelines).
+    """
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}")
+    keys = list(keys)
+    if states is None:
+        states = sorted(ds.unique(pivot_col))
+    states = [str(s) for s in states]
+
+    gcols = keys + [pivot_col]
+    part_agg = {"mean": "sum"}.get(agg, agg)
+
+    def _partial(df):
+        g = df.groupby(gcols, sort=False, dropna=False)[value_col]
+        out = g.agg(part_agg).rename("__s").reset_index()
+        if agg == "mean":
+            out["__c"] = g.count().reset_index(drop=True)
+        return out
+
+    _partial.__name__ = "pivot_partial"
+
+    def _final(df):
+        g = df.groupby(pivot_col, sort=False, dropna=False)
+        if agg in ("sum", "count"):
+            cells = g["__s"].sum()
+        elif agg == "min":
+            cells = g["__s"].min()
+        elif agg == "max":
+            cells = g["__s"].max()
+        else:                       # mean
+            cells = g["__s"].sum() / g["__c"].sum()
+        cells.index = cells.index.map(str)
+        row = {k: [df[k].iloc[0]] for k in keys}
+        for s in states:
+            row[s] = [cells[s] if s in cells.index else None]
+        import pandas as pd
+        return pd.DataFrame(row)
+
+    _final.__name__ = "pivot_final"
+    return (ds.map_batches(_partial, batch_format="pandas")
+            .groupby(keys).map_groups(_final, batch_format="pandas"))
+
+
+def window_rank(ds, keys: Sequence[str], order_col: str,
+                rank_col: str = "rank", method: str = "rank",
+                descending: bool = False,
+                tiebreak: Optional[Sequence[str]] = None):
+    """Per-group rank column — SQL ``rank() / dense_rank() /
+    row_number() OVER (PARTITION BY keys ORDER BY order_col)``.
+    ``rank``/``dense_rank`` tie on equal ``order_col`` values (so they
+    are deterministic without a tiebreak); ``row_number`` needs
+    ``tiebreak`` columns for a total order. ONE groupby shuffle; the
+    per-group pass is numpy (run-boundary scan, no Python loop)."""
+    if method not in ("rank", "dense_rank", "row_number"):
+        raise ValueError(f"unknown rank method {method!r}")
+    keys = list(keys)
+    tiebreak = list(tiebreak) if tiebreak else []
+    if method == "row_number" and not tiebreak:
+        raise ValueError("row_number needs tiebreak columns to be "
+                         "deterministic")
+
+    def _rank(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [(order_col, "descending" if descending else "ascending")]
+            + [(c, "ascending") for c in tiebreak])
+        n = g.num_rows
+        if method == "row_number":
+            r = np.arange(1, n + 1, dtype=np.int64)
+        else:
+            v = combine(g[order_col])
+            new = np.ones(n, dtype=bool)
+            if n > 1:
+                eq = pc.fill_null(pc.equal(v.slice(0, n - 1), v.slice(1)),
+                                  False)
+                both_null = pc.and_(pc.is_null(v.slice(0, n - 1)),
+                                    pc.is_null(v.slice(1)))
+                new[1:] = ~pc.or_(eq, both_null).to_numpy(
+                    zero_copy_only=False)
+            if method == "dense_rank":
+                r = np.cumsum(new).astype(np.int64)
+            else:                   # rank: position of the run start
+                pos = np.arange(1, n + 1, dtype=np.int64)
+                r = np.maximum.accumulate(np.where(new, pos, 0))
+        return g.append_column(pa.field(rank_col, pa.int64()), pa.array(r))
+
+    _rank.__name__ = "window_rank"
+    return ds.groupby(keys).map_groups(_rank, batch_format="pyarrow")
 
 
 def sequence_merge(datasets: Sequence, keys: Sequence[str],

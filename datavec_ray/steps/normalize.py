@@ -111,3 +111,74 @@ def fit_normalizers(ds_or_table, mode: str, columns,
                  "mean": row[f"mean({c})"], "std": row[f"std({c})"] or 0.0}
         out.append(Normalize(c, mode, stats, new_min, new_max))
     return out
+
+
+def group_normalize(ds, keys, columns, mode: str = "Standardize",
+                    suffix: str = "_norm"):
+    """Within-group normalization — SQL
+    ``(v - avg(v) OVER (PARTITION BY keys)) / stddev_samp(v) OVER ...``
+    (``Standardize``), or min-max to [0,1] (``MinMax``), or mean
+    subtraction (``SubtractMean``). Appends ``{col}{suffix}`` float64
+    columns; groups where the statistic is undefined (single row, or
+    zero range) yield NULL, matching SQL division-by-NULL.
+
+    Scale shape: ONE small ``groupby().aggregate`` shuffle computes the
+    per-group stats (combiner-backed builtin aggs), the stats table is
+    broadcast once via ``ray.put``, and the transform itself is a
+    stateless per-batch join + vectorized arithmetic — the input is
+    never shuffled."""
+    import numpy as np
+    import ray
+
+    if mode not in ("Standardize", "MinMax", "SubtractMean"):
+        raise ValueError(f"unsupported group_normalize mode {mode!r}")
+    from ray.data.aggregate import Max, Mean, Min, Std
+    keys, columns = list(keys), list(columns)
+    aggs = []
+    for c in columns:
+        if mode == "Standardize":
+            aggs += [Mean(c), Std(c, ddof=1)]
+        elif mode == "MinMax":
+            aggs += [Min(c), Max(c)]
+        else:
+            aggs += [Mean(c)]
+    stats = ds.groupby(keys).aggregate(*aggs)
+    stats_tbl = stats.to_arrow() if isinstance(stats, pa.Table) else None
+    if stats_tbl is None:
+        from datavec_ray.util import dataset_to_table
+        stats_tbl = dataset_to_table(stats)
+    ref = ray.put(stats_tbl)
+
+    class _Apply:
+        def __init__(self):
+            self.stats = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            # join may reorder rows within the batch (row identity, not
+            # order, is the contract here — same as any shuffle stage)
+            j = batch.join(self.stats, keys=keys, join_type="left outer")
+            for c in columns:
+                v = pc.cast(j[c], pa.float64())
+                if mode == "Standardize":
+                    mu, sd = j[f"mean({c})"], j[f"std({c})"]
+                    sd = pc.if_else(pc.equal(sd, 0.0),
+                                    pa.scalar(None, pa.float64()), sd)
+                    out = pc.divide(pc.subtract(v, mu), sd)
+                elif mode == "MinMax":
+                    lo, hi = j[f"min({c})"], j[f"max({c})"]
+                    rng = pc.subtract(pc.cast(hi, pa.float64()),
+                                      pc.cast(lo, pa.float64()))
+                    rng = pc.if_else(pc.equal(rng, 0.0),
+                                     pa.scalar(None, pa.float64()), rng)
+                    out = pc.divide(pc.subtract(v, pc.cast(lo, pa.float64())),
+                                    rng)
+                else:
+                    out = pc.subtract(v, j[f"mean({c})"])
+                j = j.append_column(pa.field(c + suffix, pa.float64()),
+                                    combine(out))
+            drop = [n for n in j.column_names
+                    if n.startswith(("mean(", "std(", "min(", "max("))]
+            return j.drop_columns(drop)
+
+    return ds.map_batches(_Apply, batch_format="pyarrow",
+                          concurrency=(1, 8))
