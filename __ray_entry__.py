@@ -1033,6 +1033,17 @@ def _q_group_normalize(sf_dir: str):
                            "Standardize", suffix="_z")
 
 
+def _q_chunk_words(sf_dir: str):
+    """Context-window chunking: 32-word windows advancing by 24 (8-word
+    overlap) — the max-sequence-length prep step before tokenize/pack.
+    Row-local and fully vectorized (repeat/cumsum gather on the flat
+    word array); oracle = list_slice over generate_series in SQL."""
+    from datavec_ray.ops.textstats import chunk_words
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_words(docs, "text", ["doc_id"], chunk=32, overlap=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1096,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": _q_window_rank,
         "weighted_sample": _q_weighted_sample,
         "group_normalize": _q_group_normalize,
+        "chunk_words": _q_chunk_words,
     }
 
 
@@ -1694,6 +1706,23 @@ def oracle_sql() -> dict[str, str]:
                    (l_quantity - avg(l_quantity) over w)
                      / stddev_samp(l_quantity) over w as l_quantity_z
             from lineitem window w as (partition by l_suppkey)
+        """,
+        # 32-word chunks advancing by 24; W words -> ceil(W/24) chunks
+        # (W=0 still gives one chunk: split('') = [''], len 1)
+        "chunk_words": """
+            with words as (
+              select doc_id, string_split(text, ' ') as w from documents),
+            n as (
+              select doc_id, w,
+                     greatest(1, cast(ceil(len(w) / 24.0) as bigint)) as nc
+              from words),
+            c as (
+              select doc_id, w, unnest(range(nc)) as chunk_idx from n)
+            select doc_id, chunk_idx,
+                   array_to_string(
+                     list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                     ' ') as text
+            from c
         """,
         # same splitmix64 SQL chain as hash_sample (seed 7), then a
         # per-language rank on the hash value

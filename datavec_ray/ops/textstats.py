@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -318,3 +319,58 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 50,
             .map_batches(_rename, batch_format="pyarrow")
             .sort(["n", "gram"], descending=[True, False])
             .limit(k))
+
+
+def chunk_words(ds, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",),
+                chunk: int = 128, overlap: int = 0,
+                chunk_idx_col: str = "chunk_idx"):
+    """Context-window chunking: split each document's word sequence into
+    windows of ``chunk`` words advancing by ``chunk - overlap`` (so
+    consecutive chunks share ``overlap`` words) — the standard
+    max-sequence-length preparation step before tokenize-and-pack.
+    Output: one row per chunk with the id columns, ``chunk_idx_col``
+    (0-based) and ``text_col`` replaced by the chunk text. A document
+    with W words yields ceil(W/step) chunks (W=0 → one empty chunk), so
+    every input row survives.
+
+    Narrow (row-local, no shuffle) and fully vectorized: one
+    whitespace split per batch, chunk index ranges built by a
+    repeat/cumsum gather on the flat word array, one ``binary_join``
+    to materialize chunk strings.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    step = chunk - overlap
+    id_cols = list(id_cols)
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(combine(batch[text_col]), ""), " ")
+        off = words.offsets.to_numpy(zero_copy_only=False)
+        lens = off[1:] - off[:-1]
+        n_chunks = np.maximum(1, np.ceil(lens / step)).astype(np.int64)
+        doc_of_chunk = np.repeat(np.arange(len(lens)), n_chunks)
+        # j = chunk ordinal within its doc: global arange minus each
+        # doc's first-chunk position
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        j = np.arange(n_chunks.sum()) - first[doc_of_chunk]
+        starts = off[:-1][doc_of_chunk] + j * step
+        ends = np.minimum(starts + chunk, off[1:][doc_of_chunk])
+        clens = ends - starts
+        # flat gather indices: one arange per chunk, built vectorized
+        coff = np.concatenate([[0], np.cumsum(clens)])
+        idx = np.arange(coff[-1]) - np.repeat(coff[:-1], clens) \
+            + np.repeat(starts, clens)
+        flat = words.values.take(pa.array(idx, type=pa.int64()))
+        la = pa.ListArray.from_arrays(pa.array(coff, type=pa.int32()
+                                               if coff[-1] < 2**31
+                                               else pa.int64()), flat)
+        texts = pc.binary_join(la.cast(pa.list_(pa.string())),
+                               pa.scalar(" "))
+        cols = {c: combine(batch[c]).take(
+            pa.array(doc_of_chunk, type=pa.int64())) for c in id_cols}
+        cols[chunk_idx_col] = pa.array(j, type=pa.int64())
+        cols[text_col] = texts
+        return pa.table(cols)
+
+    return ds.map_batches(_chunk, batch_format="pyarrow")

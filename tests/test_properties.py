@@ -256,3 +256,48 @@ def test_segmented_sidecar_commits_match_oracle(tbl, n_segs, seed):
         assert got.cast(oracle.schema).equals(oracle)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                         max_size=30), min_size=1, max_size=8),
+       st.integers(2, 6), st.integers(0, 3))
+def test_chunk_words_covers_and_reconstructs(docs, chunk, overlap):
+    """Every chunk_words output (a) preserves each doc's word sequence
+    under de-overlapped concatenation and (b) has chunks of <= chunk
+    words starting at multiples of step (table-path kernel applied
+    directly)."""
+    from hypothesis import assume
+
+    from datavec_ray.ops.textstats import chunk_words
+
+    assume(overlap < chunk)
+    step = chunk - overlap
+    texts = [" ".join(d) for d in docs]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    class _DS:  # minimal duck-typed dataset: run the batch fn locally
+        def map_batches(self, fn, **kw):
+            return fn(tbl)
+
+    out = chunk_words(_DS(), "text", ["doc_id"], chunk=chunk,
+                      overlap=overlap)
+    for i, text in enumerate(texts):
+        words = text.split(" ")        # split('') == [''] like the kernel
+        rows = out.filter(pa.compute.equal(out["doc_id"], i))
+        idxs = rows["chunk_idx"].to_pylist()
+        assert idxs == list(range(len(idxs)))
+        chunks = [t.split(" ") for t in rows["text"].to_pylist()]
+        assert len(chunks) == max(1, -(-len(words) // step))
+        rec = []
+        for j, cw in enumerate(chunks):
+            assert cw == words[j * step: j * step + chunk]
+            rec += cw if j == 0 else cw[min(overlap, len(cw)):]
+        # de-overlapped concat covers every word exactly once in order
+        # (final fully-overlapped chunks add nothing)
+        assert rec == words[:len(rec)] and len(rec) <= len(words)
+        assert set().union(*[set(range(j * step, min(j * step + chunk,
+                                                     len(words))))
+                             for j in range(len(chunks))]) == \
+            set(range(len(words)))

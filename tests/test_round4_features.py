@@ -156,3 +156,40 @@ def test_approx_quantile_within_bucket_error(ray_session):
     # local table path agrees with the dataset path
     local = approx_quantile(t, "v", [0.5], bins=4096)
     assert abs(local["p50"] - got["p50"]) < 1e-9
+
+
+def test_chunk_words_reconstruction_and_overlap(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.textstats import chunk_words
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",   # 10 words
+                 "a b c",                            # < chunk
+                 "",                                 # empty
+                 " ".join(f"t{i}" for i in range(25))],
+    })
+    got = dataset_to_table(chunk_words(
+        rd.from_arrow(docs).repartition(2), "text", ["doc_id"],
+        chunk=4, overlap=1)).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    d1 = got[got.doc_id == 1]
+    # step 3: starts 0,3,6,9 -> 4 chunks; neighbors share 1 word
+    assert d1.text.tolist() == ["w0 w1 w2 w3", "w3 w4 w5 w6",
+                                "w6 w7 w8 w9", "w9"]
+    assert got[got.doc_id == 2].text.tolist() == ["a b c"]
+    assert got[got.doc_id == 3].text.tolist() == [""]
+    d4 = got[got.doc_id == 4]
+    assert len(d4) == int(np.ceil(25 / 3))
+    # de-overlapped concatenation reconstructs the document
+    rec = d4.text.iloc[0].split(" ")
+    for t in d4.text.iloc[1:]:
+        rec += t.split(" ")[1:]
+    assert rec == [f"t{i}" for i in range(25)]
+
+
+def test_chunk_words_overlap_must_be_smaller():
+    from datavec_ray.ops.textstats import chunk_words
+    with pytest.raises(ValueError):
+        chunk_words(None, chunk=8, overlap=8)
