@@ -123,44 +123,99 @@ def sample_stratified(ds, keys: Sequence[str], id_col: str, n: int,
     return out.drop_columns(["__srank"])
 
 
+_GPART = "__gpart"
+
+
+def _group_partition(ds, keys: Sequence[str], num_partitions: int):
+    """Tag rows with ``hash(keys) % P`` so ONE ``groupby(_GPART)`` both
+    co-locates whole key groups AND calls the per-group logic once per
+    PARTITION (P calls total), never once per key — at 100 TB a per-key
+    ``map_groups`` is millions of Python invocations; the partition form
+    is the engine-wide discipline (see exact_dedup, setops)."""
+    from datavec_ray.ops.setops import _row_hash
+
+    keys = list(keys)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _row_hash(batch, keys) % np.uint64(num_partitions)
+        return batch.append_column(pa.field(_GPART, pa.int64()),
+                                   pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _key_run_starts(tbl: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Boolean mask marking the first row of each key run (tbl sorted by
+    keys); nulls compare equal."""
+    n = tbl.num_rows
+    first = np.ones(n, dtype=bool)
+    if n <= 1:
+        return first
+    same = np.ones(n - 1, dtype=bool)
+    for k in keys:
+        col = combine(tbl[k])
+        a, b = col.slice(0, n - 1), col.slice(1)
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both = pc.and_(pc.is_null(a), pc.is_null(b))
+        same &= pc.or_(eq, both).to_numpy(zero_copy_only=False)
+    first[1:] = ~same
+    return first
+
+
 def grouped_quantile(ds, keys: Sequence[str], column: str,
-                     qs: Sequence[float], names: Optional[Sequence[str]] = None):
+                     qs: Sequence[float], names: Optional[Sequence[str]] = None,
+                     num_partitions: int = 32):
     """Exact per-group quantiles (discrete / inverted-CDF element
     selection — DuckDB ``quantile_disc`` semantics; no interpolation, so
-    results are bit-exact vs SQL). One ``groupby().map_groups`` shuffle;
-    each group's values are sorted in the worker (per-group data must
-    fit a worker heap — for global quantiles over huge groups use
-    ``analysis.histogram``). Output: one row per key with float64
-    quantile columns named ``names`` (default ``p{q*100}``)."""
+    results are bit-exact vs SQL). ONE hash-partition shuffle (P groups,
+    not one per key); within a partition every group is resolved by one
+    vectorized sort + segment index arithmetic. Output: one row per key
+    with float64 quantile columns named ``names`` (default
+    ``p{q*100}``); all-null groups yield NULL."""
     qs = list(qs)
     names = list(names) if names else [f"p{int(round(q * 100))}" for q in qs]
+    keys = list(keys)
 
     def gq(group: pa.Table) -> pa.Table:
-        v = combine(group[column]).drop_null().to_numpy(zero_copy_only=False)
-        cols: dict = {k: group[k][:1] for k in keys}
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys] + [(column, "ascending")])
+        n = g.num_rows
+        starts = np.flatnonzero(_key_run_starts(g, keys))
+        vals = combine(g[column]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        valid = (~np.isnan(vals)).astype(np.int64)
+        m = np.add.reduceat(valid, starts) if len(starts) else \
+            np.zeros(0, dtype=np.int64)
+        cols: dict = {k: combine(g[k]).take(pa.array(starts, pa.int64()))
+                      for k in keys}
         for q, nm in zip(qs, names):
-            val = (float(np.quantile(v, q, method="inverted_cdf"))
-                   if len(v) else None)
-            cols[nm] = pa.array([val], type=pa.float64())
+            # inverted CDF: smallest element with CDF >= q
+            idx = starts + np.clip(np.ceil(q * m).astype(np.int64) - 1,
+                                   0, np.maximum(m - 1, 0))
+            out = vals[idx]
+            out[m == 0] = np.nan
+            cols[nm] = pa.array(out, pa.float64(), from_pandas=True)
         return pa.table(cols)
 
     gq.__name__ = "grouped_quantile"
-    return ds.groupby(list(keys)).map_groups(gq, batch_format="pyarrow")
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(gq, batch_format="pyarrow")
 
 
 def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
                  descending: bool = True,
-                 tiebreak: Optional[Sequence[str]] = None):
+                 tiebreak: Optional[Sequence[str]] = None,
+                 num_partitions: int = 32):
     """Top-n rows per group by ``order_col`` (SQL ``QUALIFY
     row_number() OVER (PARTITION BY keys ORDER BY ...) <= n``), exact
     and deterministic: ties broken by ``tiebreak`` columns ascending.
 
     Scale shape: a map-side combiner first takes the per-batch top-n of
     every group (no batch can contribute more than its own winners), so
-    the ONE groupby shuffle moves at most n·groups·batches rows — at
-    100 TB with n=5 that is a rounding error of the input. The final
-    per-group selection is a pandas sort + head, vectorized per bucket.
-    """
+    the ONE hash-partition shuffle moves at most n·groups·batches rows —
+    at 100 TB with n=5 that is a rounding error of the input. The final
+    selection runs once per PARTITION (one pandas sort + groupby-head
+    over all of its keys), never once per key."""
     keys = list(keys)
     tiebreak = list(tiebreak) if tiebreak else []
     by = keys + [order_col] + tiebreak
@@ -173,12 +228,14 @@ def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
     _partial.__name__ = "topn_partial"
 
     def _final(df):
+        df = df.drop(columns=[_GPART])
         return (df.sort_values(by, ascending=asc, kind="mergesort")
-                .head(n))
+                .groupby(keys, sort=False).head(n))
 
     _final.__name__ = "topn_final"
-    return (ds.map_batches(_partial, batch_format="pandas")
-            .groupby(keys).map_groups(_final, batch_format="pandas"))
+    combined = ds.map_batches(_partial, batch_format="pandas")
+    return _group_partition(combined, keys, num_partitions) \
+        .groupby(_GPART).map_groups(_final, batch_format="pandas")
 
 
 def weighted_sample(ds, column: str, weight_col: str, denom: int = 100,
@@ -240,7 +297,11 @@ def pivot_table(ds, keys: Sequence[str], pivot_col: str, value_col: str,
     _partial.__name__ = "pivot_partial"
 
     def _final(df):
-        g = df.groupby(pivot_col, sort=False, dropna=False)
+        # one pandas groupby + unstack resolves EVERY key in the
+        # partition at once (P partition calls total, never per-key)
+        df = df.drop(columns=[_GPART])
+        df[pivot_col] = df[pivot_col].astype(str)
+        g = df.groupby(keys + [pivot_col], sort=False, dropna=False)
         if agg in ("sum", "count"):
             cells = g["__s"].sum()
         elif agg == "min":
@@ -249,28 +310,28 @@ def pivot_table(ds, keys: Sequence[str], pivot_col: str, value_col: str,
             cells = g["__s"].max()
         else:                       # mean
             cells = g["__s"].sum() / g["__c"].sum()
-        cells.index = cells.index.map(str)
-        row = {k: [df[k].iloc[0]] for k in keys}
-        for s in states:
-            row[s] = [cells[s] if s in cells.index else None]
-        import pandas as pd
-        return pd.DataFrame(row)
+        wide = cells.unstack(pivot_col).reindex(columns=states)
+        wide.columns.name = None
+        return wide.reset_index()
 
     _final.__name__ = "pivot_final"
-    return (ds.map_batches(_partial, batch_format="pandas")
-            .groupby(keys).map_groups(_final, batch_format="pandas"))
+    combined = ds.map_batches(_partial, batch_format="pandas")
+    return _group_partition(combined, keys, 32) \
+        .groupby(_GPART).map_groups(_final, batch_format="pandas")
 
 
 def window_rank(ds, keys: Sequence[str], order_col: str,
                 rank_col: str = "rank", method: str = "rank",
                 descending: bool = False,
-                tiebreak: Optional[Sequence[str]] = None):
+                tiebreak: Optional[Sequence[str]] = None,
+                num_partitions: int = 32):
     """Per-group rank column — SQL ``rank() / dense_rank() /
     row_number() OVER (PARTITION BY keys ORDER BY order_col)``.
     ``rank``/``dense_rank`` tie on equal ``order_col`` values (so they
     are deterministic without a tiebreak); ``row_number`` needs
-    ``tiebreak`` columns for a total order. ONE groupby shuffle; the
-    per-group pass is numpy (run-boundary scan, no Python loop)."""
+    ``tiebreak`` columns for a total order. ONE hash-partition shuffle
+    (P groups, never one per key); within a partition one sort + numpy
+    run-boundary scan ranks every group at once."""
     if method not in ("rank", "dense_rank", "row_number"):
         raise ValueError(f"unknown rank method {method!r}")
     keys = list(keys)
@@ -280,31 +341,38 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                          "deterministic")
 
     def _rank(group: pa.Table) -> pa.Table:
-        g = group.sort_by(
-            [(order_col, "descending" if descending else "ascending")]
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys]
+            + [(order_col, "descending" if descending else "ascending")]
             + [(c, "ascending") for c in tiebreak])
         n = g.num_rows
+        pos = np.arange(n, dtype=np.int64)
+        new_grp = _key_run_starts(g, keys)
+        grp_start = np.maximum.accumulate(np.where(new_grp, pos, 0))
         if method == "row_number":
-            r = np.arange(1, n + 1, dtype=np.int64)
+            r = pos - grp_start + 1
         else:
             v = combine(g[order_col])
-            new = np.ones(n, dtype=bool)
+            new_val = new_grp.copy()
             if n > 1:
                 eq = pc.fill_null(pc.equal(v.slice(0, n - 1), v.slice(1)),
                                   False)
                 both_null = pc.and_(pc.is_null(v.slice(0, n - 1)),
                                     pc.is_null(v.slice(1)))
-                new[1:] = ~pc.or_(eq, both_null).to_numpy(
+                new_val[1:] |= ~pc.or_(eq, both_null).to_numpy(
                     zero_copy_only=False)
             if method == "dense_rank":
-                r = np.cumsum(new).astype(np.int64)
-            else:                   # rank: position of the run start
-                pos = np.arange(1, n + 1, dtype=np.int64)
-                r = np.maximum.accumulate(np.where(new, pos, 0))
-        return g.append_column(pa.field(rank_col, pa.int64()), pa.array(r))
+                cnv = np.cumsum(new_val)
+                r = cnv - cnv[grp_start] + 1
+            else:                   # rank: position of the value-run start
+                r = np.maximum.accumulate(np.where(new_val, pos, 0)) \
+                    - grp_start + 1
+        return g.append_column(pa.field(rank_col, pa.int64()),
+                               pa.array(r.astype(np.int64)))
 
     _rank.__name__ = "window_rank"
-    return ds.groupby(keys).map_groups(_rank, batch_format="pyarrow")
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(_rank, batch_format="pyarrow")
 
 
 def sequence_merge(datasets: Sequence, keys: Sequence[str],
