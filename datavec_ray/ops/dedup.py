@@ -256,6 +256,83 @@ def _pair_indices(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ids[a], ids[b]
 
 
+def _tag_bucket_partition(ds, cols, num_partitions: int = 64):
+    """Tag rows with ``hash(bucket key) % P``: ONE ``groupby(__bpart)``
+    co-locates whole buckets while invoking the per-bucket logic once
+    per PARTITION — at corpus scale a per-bucket ``map_groups`` is one
+    Ray group dispatch per LSH bucket (millions); the partition form
+    replaces that with an in-process numpy segment scan."""
+    def tag(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in cols:
+            h = h * _FNV + hash64(combine(batch[c]))
+            h ^= h >> np.uint64(29)
+        return batch.append_column(
+            pa.field("__bpart", pa.int64()),
+            pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+class _PerBucket:
+    """Adapt a per-bucket callable to a per-PARTITION ``map_groups``
+    body: sort by the bucket key, segment with a run scan, call the
+    inner once per bucket slice in process (numpy work per call; no Ray
+    dispatch per bucket)."""
+
+    def __init__(self, inner, bucket_cols, empty: pa.Table):
+        self.inner, self.bucket_cols, self.empty = inner, list(bucket_cols), empty
+        self.__name__ = getattr(inner, "__name__", "per_bucket")
+
+    def __call__(self, part: pa.Table) -> pa.Table:
+        g = part.drop_columns(["__bpart"]).sort_by(
+            [(c, "ascending") for c in self.bucket_cols])
+        n = g.num_rows
+        if n == 0:
+            return self.empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = False
+        for c in self.bucket_cols:
+            a = combine(g[c]).to_numpy(zero_copy_only=False)
+            new[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        outs = [self.inner(g.slice(s, e - s))
+                for s, e in zip(starts, ends) if e - s >= 2]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs) if outs else self.empty
+
+
+def distinct_pairs(pairs, num_partitions: int = 32):
+    """Distinct (id_a, id_b) rows, keeping the first row's extra columns
+    — hash-partitioned with a vectorized run dedupe per partition (the
+    per-pair ``groupby([id_a, id_b])`` form would dispatch one Ray group
+    per candidate pair)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        a = combine(batch["id_a"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)
+        b = combine(batch["id_b"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)
+        h = (a * _FNV) ^ b
+        return batch.append_column(
+            pa.field("__ppart", pa.int64()),
+            pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def dd(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__ppart"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")])
+        a = combine(g["id_a"]).to_numpy(zero_copy_only=False)
+        b = combine(g["id_b"]).to_numpy(zero_copy_only=False)
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return g.filter(pa.array(first))
+
+    dd.__name__ = "distinct_pairs"
+    return (pairs.map_batches(tag, batch_format="pyarrow")
+            .groupby("__ppart").map_groups(dd, batch_format="pyarrow"))
+
+
 _EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64())})
 
@@ -368,8 +445,11 @@ def minhash_lsh_pairs(ds, verify: bool = True,
     bands = ds.map_batches(_MinHashBands(text_col, id_col, num_hashes,
                                          num_bands, shingle_k),
                            batch_format="pyarrow", batch_size=4096)
-    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
-        _BucketPairs(max_bucket), batch_format="pyarrow")
+    pairs_ds = _tag_bucket_partition(bands, ["band", "band_hash"]) \
+        .groupby("__bpart").map_groups(
+            _PerBucket(_BucketPairs(max_bucket), ["band", "band_hash"],
+                       _EMPTY_PAIRS),
+            batch_format="pyarrow")
     ia, ib = _dedupe_pairs(dataset_to_table(pairs_ds))
     if not verify:
         return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
@@ -522,10 +602,14 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "id_b": pa.array(ib.astype(np.int64)),
                              "hamming": pa.array(hm.astype(np.int64))})
 
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        _Pairs(), batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    pairs = _tag_bucket_partition(exploded, ["band", "key"]) \
+        .groupby("__bpart").map_groups(
+            _PerBucket(_Pairs(), ["band", "key"], empty),
+            batch_format="pyarrow")
+    return distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -631,9 +715,14 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
                              "cosine": pa.array(cs)})
 
     buckets = ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=(1, 4))
-    pairs = buckets.groupby("bucket").map_groups(_Pairs(), batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    pairs = _tag_bucket_partition(buckets, ["bucket"]) \
+        .groupby("__bpart").map_groups(
+            _PerBucket(_Pairs(), ["bucket"], empty),
+            batch_format="pyarrow")
+    return distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -717,8 +806,11 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              f"sz_{name[-1]}": t["count()"]})
         return f
 
-    pairs = (grams.groupby("g")
-             .map_groups(_GramPairs(max_df), batch_format="pyarrow")
+    pairs = (_tag_bucket_partition(grams, ["g"])
+             .groupby("__bpart")
+             .map_groups(_PerBucket(_GramPairs(max_df), ["g"],
+                                    _EMPTY_PAIRS),
+                         batch_format="pyarrow")
              .groupby(["id_a", "id_b"]).count())
     j = JoinStep(sizes.map_batches(_sz("id_a"), batch_format="pyarrow"),
                  keys=["id_a"]).apply_dataset(pairs)
