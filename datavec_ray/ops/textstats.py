@@ -362,11 +362,15 @@ def chunk_words(ds, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
         idx = np.arange(coff[-1]) - np.repeat(coff[:-1], clens) \
             + np.repeat(starts, clens)
         flat = words.values.take(pa.array(idx, type=pa.int64()))
-        la = pa.ListArray.from_arrays(pa.array(coff, type=pa.int32()
-                                               if coff[-1] < 2**31
-                                               else pa.int64()), flat)
-        texts = pc.binary_join(la.cast(pa.list_(pa.string())),
-                               pa.scalar(" "))
+        if coff[-1] < 2**31:
+            la = pa.ListArray.from_arrays(pa.array(coff, pa.int32()), flat)
+            texts = pc.binary_join(la.cast(pa.list_(pa.string())),
+                                   pa.scalar(" "))
+        else:       # >2^31 words in one batch: large_list offsets
+            la = pa.LargeListArray.from_arrays(pa.array(coff, pa.int64()),
+                                               flat)
+            texts = pc.binary_join(la.cast(pa.large_list(pa.string())),
+                                   pa.scalar(" ")).cast(pa.string())
         cols = {c: combine(batch[c]).take(
             pa.array(doc_of_chunk, type=pa.int64())) for c in id_cols}
         cols[chunk_idx_col] = pa.array(j, type=pa.int64())
