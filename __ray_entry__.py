@@ -1044,6 +1044,19 @@ def _q_chunk_words(sf_dir: str):
     return chunk_words(docs, "text", ["doc_id"], chunk=32, overlap=8)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic corpus mixing: keep ALL English documents and a 30%
+    content-hash sample of everything else — the fixed-ratio
+    domain-mixture step of a training-data pipeline (reproducible across
+    reruns/engines; oracle mirrors the per-source seeded hash)."""
+    from datavec_ray.misc import interleave_corpora
+
+    cols = ["doc_id", "lang", "source"]
+    en = _read(sf_dir, "documents", cols).filter(expr="lang == 'en'")
+    rest = _read(sf_dir, "documents", cols).filter(expr="lang != 'en'")
+    return interleave_corpora([en, rest], [1.0, 0.3], "doc_id", seed=11)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "group_normalize": _q_group_normalize,
         "chunk_words": _q_chunk_words,
+        "corpus_mix": _q_corpus_mix,
     }
 
 
@@ -1706,6 +1720,28 @@ def oracle_sql() -> dict[str, str]:
                    (l_quantity - avg(l_quantity) over w)
                      / stddev_samp(l_quantity) over w as l_quantity_z
             from lineitem window w as (partition by l_suppkey)
+        """,
+        # second source (seed 11+1=12) sampled at 30%: splitmix64 chain
+        # with xor constant (12 * golden) mod 2^64
+        "corpus_mix": f"""
+            select doc_id, lang, source from documents where lang = 'en'
+            union all
+            select doc_id, lang, source from (
+              with h0 as (
+                select doc_id, lang, source,
+                       cast(doc_id as hugeint) % 18446744073709551616 as x
+                from documents where lang <> 'en'),
+              h1 as (select doc_id, lang, source,
+                       {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                     from h0),
+              h2 as (select doc_id, lang, source,
+                       {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                     from h1),
+              h3 as (select doc_id, lang, source,
+                       xor(xor(x, x >> 31), 7681369315911520508) as x
+                     from h2)
+              select doc_id, lang, source from h3
+              where x % 10000 < 3000)
         """,
         # 32-word chunks advancing by 24; W words -> ceil(W/24) chunks
         # (W=0 still gives one chunk: split('') = [''], len 1)

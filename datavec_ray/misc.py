@@ -259,6 +259,26 @@ def weighted_sample(ds, column: str, weight_col: str, denom: int = 100,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def interleave_corpora(sources: Sequence, rates: Sequence[float],
+                       column: str, seed: int = 0):
+    """Deterministic corpus mixing: sample source i at ``rates[i]`` by
+    content hash (``hash_sample`` with per-source seed ``seed + i``),
+    then union — the standard "mix domains/sources at fixed ratios"
+    curation step. The kept set is a pure function of the data, so a
+    resumed 100 TB run reproduces the same mixture; per-source seeds
+    decorrelate the keep decisions of a document present in several
+    sources. Union is a metadata-only concatenation (no shuffle)."""
+    sources, rates = list(sources), list(rates)
+    if len(sources) != len(rates):
+        raise ValueError("one rate per source required")
+    outs = [ds if r >= 1.0 else hash_sample(ds, column, r, seed=seed + i)
+            for i, (ds, r) in enumerate(zip(sources, rates))]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 _PIVOT_AGGS = ("sum", "min", "max", "count", "mean")
 
 

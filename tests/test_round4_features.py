@@ -193,3 +193,31 @@ def test_chunk_words_overlap_must_be_smaller():
     from datavec_ray.ops.textstats import chunk_words
     with pytest.raises(ValueError):
         chunk_words(None, chunk=8, overlap=8)
+
+
+def test_interleave_corpora_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import interleave_corpora
+
+    n = 10000
+    a = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "src": ["a"] * n})
+    b = pa.table({"id": pa.array(np.arange(n, 2 * n), pa.int64()),
+                  "src": ["b"] * n})
+    out = dataset_to_table(interleave_corpora(
+        [rd.from_arrow(a).repartition(3), rd.from_arrow(b).repartition(2)],
+        [1.0, 0.25], "id", seed=4))
+    df = out.to_pandas()
+    assert (df.src == "a").sum() == n                  # rate 1.0 keeps all
+    frac_b = (df.src == "b").sum() / n
+    assert abs(frac_b - 0.25) < 0.02
+    out2 = dataset_to_table(interleave_corpora(
+        [rd.from_arrow(a), rd.from_arrow(b)], [1.0, 0.25], "id", seed=4))
+    assert sorted(out2["id"].to_pylist()) == sorted(df["id"].tolist())
+
+
+def test_interleave_corpora_rate_count_mismatch():
+    from datavec_ray.misc import interleave_corpora
+    with pytest.raises(ValueError):
+        interleave_corpora([None, None], [0.5], "id")
