@@ -1315,6 +1315,31 @@ class CdcIngestEngine:
             return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
         return rd.read_parquet(files)
 
+    def metrics(self) -> dict:
+        """Operational rollup of the manifest's lineage: totals across
+        every commit (events applied, lake rows, stale/dedup drops,
+        deletes), per-partition LSN watermarks (min/max spread shows
+        partition lag), and snapshot/commit counts. Pure manifest read —
+        no state or lake access."""
+        commits = [e for e in self.manifest.entries
+                   if e.get("type") == "commit"]
+        ckpts = [e for e in self.manifest.entries
+                 if e.get("type") == "checkpoint"]
+        wms = self.manifest.committed_watermarks()
+        vals = [w for w in wms.values() if w is not None]
+        return {
+            "commits": len(commits),
+            "checkpoints": len(ckpts),
+            "events_applied": sum(e.get("events_applied", 0) for e in commits),
+            "rows_live": sum(e.get("rows", 0) for e in commits),
+            "stale_dropped": sum(e.get("stale_dropped", 0) for e in commits),
+            "deletes": sum(e.get("deletes", 0) for e in commits),
+            "partitions_committed": len(wms),
+            "watermark": self.manifest.watermark(),
+            "partition_watermark_min": min(vals) if vals else None,
+            "partition_watermark_max": max(vals) if vals else None,
+        }
+
     def time_travel(self):
         """Snapshot history / as-of reads / change feed over the retained
         checkpoint chain — see ``datavec_ray.cdc.timetravel``."""

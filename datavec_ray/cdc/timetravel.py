@@ -153,21 +153,45 @@ class TimeTravel:
 
     def versions(self) -> list[dict]:
         """Committed snapshots, oldest first: {name, lsn_hi, keys,
-        partitions}. A re-used checkpoint name keeps its LAST entry."""
+        partitions, available}. A re-used checkpoint name keeps its LAST
+        entry; ``available`` is False for segments whose files were
+        pruned (the manifest keeps the full history as an audit log)."""
         out: dict[str, dict] = {}
         for e in self.manifest.entries:
             if e.get("type") == "checkpoint":
                 out[e["name"]] = {k: e.get(k) for k in
                                   ("name", "lsn_hi", "keys", "partitions")}
-        return list(out.values())
+        vs = list(out.values())
+        for v in vs:
+            v["available"] = os.path.isdir(
+                os.path.join(self.ckpt_dir, v["name"]))
+        return vs
 
     def resolve_as_of(self, lsn: int) -> Optional[str]:
-        """Name of the latest snapshot with watermark <= lsn."""
+        """Name of the latest still-available snapshot with watermark
+        <= lsn."""
         best = None
         for v in self.versions():
-            if (v["lsn_hi"] or 0) <= lsn:
+            if v["available"] and (v["lsn_hi"] or 0) <= lsn:
                 best = v["name"]
         return best
+
+    def prune_versions(self, keep_last: int) -> list[str]:
+        """Retention policy: delete the on-disk files of all but the
+        newest ``keep_last`` snapshots (payloads are hardlinks to lake
+        inodes, so old segments are cheap — but sidecars and directory
+        entries still accumulate at one set per replay). The latest
+        segment is never pruned (resume merges from it); the manifest
+        history is kept. Returns the pruned names."""
+        import shutil
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = [v for v in self.versions() if v["available"]]
+        pruned = []
+        for v in vs[:-keep_last] if len(vs) > keep_last else []:
+            shutil.rmtree(os.path.join(self.ckpt_dir, v["name"]))
+            pruned.append(v["name"])
+        return pruned
 
     def read_state_at(self, name: str):
         """The lake AS OF snapshot ``name`` — a streaming Dataset (one

@@ -193,3 +193,44 @@ def test_change_feed_from_empty_is_all_inserts(tt_engine):
     live = feed.filter(pc.not_equal(feed["change_type"], "delete"))
     assert set(live["change_type"].to_pylist()) == {"insert"}
     assert _keys(live) == _keys(s1)
+
+
+def test_prune_versions_retention(ray_session, tmp_path):
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(3000, seed=21)
+    segs = split_segments(binlog, 3)
+    eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=2)
+    for i, seg in enumerate(segs, 1):
+        eng.replay(seg, checkpoint_name=f"s{i}")
+    tt = eng.time_travel()
+    assert [v["available"] for v in tt.versions()] == [True] * 3
+    assert tt.prune_versions(keep_last=1) == ["s1", "s2"]
+    vs = tt.versions()
+    assert [v["available"] for v in vs] == [False, False, True]
+    # as-of resolution skips pruned segments: everything now resolves
+    # to the latest surviving snapshot
+    assert tt.resolve_as_of(vs[0]["lsn_hi"]) is None
+    assert tt.resolve_as_of(vs[2]["lsn_hi"]) == "s3"
+    # latest still readable and equal to the full replay oracle
+    expect = replay_oracle(binlog)
+    got = dataset_to_table(tt.read_state_at("s3"))
+    assert _keys(got) == _keys(expect)
+    # pruning is idempotent and never removes the last survivor
+    assert tt.prune_versions(keep_last=1) == []
+    eng.shutdown()
+
+
+def test_engine_metrics_rollup(tt_engine):
+    eng, binlog, segs = tt_engine
+    m = eng.metrics()
+    assert m["checkpoints"] == 3
+    assert m["partitions_committed"] == 4
+    assert m["watermark"] == int(pc.max(binlog["lsn"]).as_py())
+    # per-partition watermark = max lsn DELIVERED to that partition, so
+    # the spread is bounded by the global watermark
+    assert m["partition_watermark_min"] <= m["partition_watermark_max"] \
+        == m["watermark"]
+    # every binlog event reached a commit exactly once across segments
+    assert m["events_applied"] <= binlog.num_rows   # pre-compaction combiner
+    assert m["rows_live"] > 0 and m["deletes"] >= 0
