@@ -177,13 +177,17 @@ def _shingle_hashes_flat(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
         starts = out_offs[:-1][full_mask]
         pos = np.repeat(starts, w) + _segment_arange(w)
         sh[pos] = acc[valid]
-    # short docs (rare): one rolling hash over all tokens each
-    for d in np.flatnonzero(short):
-        seg = th[offs[d]:offs[d + 1]]
-        h = seg[0]
-        for x in seg[1:]:
-            h = h * _FNV + x
-        sh[out_offs[d]] = h
+    # short docs (rare): one rolling hash over all tokens each.
+    # uint64 wraparound is intentional; suppress the scalar-overflow
+    # RuntimeWarning so a session-level "warnings as errors" filter
+    # can't turn the by-design wrap into a flaky failure.
+    with np.errstate(over="ignore"):
+        for d in np.flatnonzero(short):
+            seg = th[offs[d]:offs[d + 1]]
+            h = seg[0]
+            for x in seg[1:]:
+                h = h * _FNV + x
+            sh[out_offs[d]] = h
     return sh, out_offs
 
 

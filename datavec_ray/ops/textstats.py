@@ -120,25 +120,28 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
     col = combine(batch[text_col])
     out = np.zeros(len(col), dtype=np.uint64)
     B = np.uint64(1000003)
-    for i, v in enumerate(col.to_pylist()):
-        if not v:
-            continue
-        b = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < window:
-            h = np.uint64(0)
-            for x in b:
-                h = h * B + x
-            out[i] = h
-            continue
-        # rolling hash via cumulative powers (vectorized)
-        n = len(b)
-        pw = np.ones(window, dtype=np.uint64)
-        for j in range(1, window):
-            pw[j] = pw[j - 1] * B
-        # hash of window starting at k: sum b[k+j] * B^(window-1-j)
-        mat = np.lib.stride_tricks.sliding_window_view(b, window)
-        hashes = (mat * pw[::-1]).sum(axis=1, dtype=np.uint64)
-        out[i] = hashes.min()
+    # uint64 wraparound is intentional (modular polynomial hash); keep
+    # numpy from emitting scalar-overflow RuntimeWarnings for it.
+    with np.errstate(over="ignore"):
+        for i, v in enumerate(col.to_pylist()):
+            if not v:
+                continue
+            b = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                out[i] = h
+                continue
+            # rolling hash via cumulative powers (vectorized)
+            n = len(b)
+            pw = np.ones(window, dtype=np.uint64)
+            for j in range(1, window):
+                pw[j] = pw[j - 1] * B
+            # hash of window starting at k: sum b[k+j] * B^(window-1-j)
+            mat = np.lib.stride_tricks.sliding_window_view(b, window)
+            hashes = (mat * pw[::-1]).sum(axis=1, dtype=np.uint64)
+            out[i] = hashes.min()
     return batch.append_column(pa.field(out_col, pa.uint64()), pa.array(out))
 
 

@@ -5,10 +5,21 @@ masks partition rows exactly; HLL merge is commutative."""
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from datavec_ray.cdc.engine import lww_compact_table
 from datavec_ray.cdc.oracle import replay_oracle
+
+# The sandbox host has episodic multi-second stalls (see NOTES.md); without
+# this, hypothesis's too_slow health check can fail a run that would pass on
+# replay, which it then reports as a flaky falsification.
+settings.register_profile(
+    "hostweather",
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    derandomize=True,
+)
+settings.load_profile("hostweather")
 
 
 @st.composite
@@ -115,23 +126,27 @@ def test_shingle_flat_matches_naive(texts, k):
 
     sh, offs = _shingle_hashes_flat(texts, k)
     assert len(offs) == len(texts) + 1
-    for d, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if toks:
-            th = hash64(pa.array(toks, pa.string())).astype(np.uint64)
-            kk = min(k, len(toks))
-            expect = []
-            for i in range(len(toks) - kk + 1):
-                h = th[i]
-                for j in range(1, kk):
-                    h = h * _FNV + th[i + j]
-                expect.append(int(h))
-            if kk < k:  # short doc: single shingle over all tokens
-                expect = expect[:1]
-        else:
-            expect = []
-        got = [int(x) for x in sh[offs[d]:offs[d + 1]]]
-        assert got == expect, (t, k)
+    # uint64 wraparound is the hash's definition; silence the scalar
+    # RuntimeWarning so a warnings-as-errors filter elsewhere in the
+    # session can't make hypothesis see this test as flaky.
+    with np.errstate(over="ignore"):
+        for d, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if toks:
+                th = hash64(pa.array(toks, pa.string())).astype(np.uint64)
+                kk = min(k, len(toks))
+                expect = []
+                for i in range(len(toks) - kk + 1):
+                    h = th[i]
+                    for j in range(1, kk):
+                        h = h * _FNV + th[i + j]
+                    expect.append(int(h))
+                if kk < k:  # short doc: single shingle over all tokens
+                    expect = expect[:1]
+            else:
+                expect = []
+            got = [int(x) for x in sh[offs[d]:offs[d + 1]]]
+            assert got == expect, (t, k)
 
 
 @settings(max_examples=30, deadline=None)
