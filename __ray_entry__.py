@@ -1008,6 +1008,20 @@ def _q_window_rank(sf_dir: str):
                        rank_col="rnk", method="rank", descending=True)
 
 
+def _q_window_ntile(sf_dir: str):
+    """percent_rank / cume_dist / ntile(4) over one shuffle+sort pass
+    (specs mode): the percentile-bucketing step of a quality-filter
+    pipeline ("drop the bottom quartile by score per group")."""
+    from datavec_ray.misc import window_rank
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    return window_rank(orders, ["o_custkey"], "o_totalprice",
+                       tiebreak=["o_orderkey"],
+                       specs={"pct": "percent_rank", "cume": "cume_dist",
+                              "tile": "ntile"}, ntile_buckets=4)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling: each lineitem survives with
     probability l_linenumber/10 as a pure function of
@@ -1055,6 +1069,46 @@ def _q_corpus_mix(sf_dir: str):
     en = _read(sf_dir, "documents", cols).filter(expr="lang == 'en'")
     rest = _read(sf_dir, "documents", cols).filter(expr="lang != 'en'")
     return interleave_corpora([en, rest], [1.0, 0.3], "doc_id", seed=11)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: documents sharing >= 1 exact word
+    3-gram with the 'benchmark' split (doc_id < 25) are flagged with
+    their distinct-overlap count. Bench grams are collected once and
+    broadcast (eval sets are tiny vs the corpus); the corpus side is
+    one shuffle-free streaming map. Oracle = distinct-gram join."""
+    from datavec_ray.ops.dedup import decontaminate
+
+    cols = ["doc_id", "text"]
+    bench = _read(sf_dir, "documents", cols).filter(expr="doc_id < 25")
+    cand = _read(sf_dir, "documents", cols).filter(expr="doc_id >= 25")
+    return decontaminate(cand, bench, "text", "doc_id", n=3)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column: seeded
+    sample init + 3 full refinement passes (per-batch (sum,count)
+    partials; the corpus never moves), then one assignment map.
+    Iterative — no SQL oracle; test asserts allclose parity of the
+    distributed Lloyd update vs an in-memory numpy reference."""
+    from datavec_ray.ops.similarity import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, "embedding", k=8, iters=3, seed=11)
+    return (kmeans_assign(ds, cents, "embedding")
+            .select_columns(["vec_id", "cluster"]).sort("vec_id"))
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means clustering + exact within-cluster cosine pairs
+    (>= 0.35) -> connected components -> keep min-id representative.
+    Approximate by construction (cross-cluster pairs pruned); the exact
+    counterparts cosine_pairs / dup_clusters are oracle-checked."""
+    from datavec_ray.ops.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, "embedding", "vec_id", k=8,
+                          threshold=0.35, iters=3, seed=11).sort("vec_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1118,10 +1172,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "pivot_agg": _q_pivot_agg,
         "window_rank": _q_window_rank,
+        "window_ntile": _q_window_ntile,
         "weighted_sample": _q_weighted_sample,
         "group_normalize": _q_group_normalize,
         "chunk_words": _q_chunk_words,
         "corpus_mix": _q_corpus_mix,
+        "decontaminate": _q_decontaminate,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1474,6 +1532,29 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on id_b = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
             order by id_a, id_b""",
+        "decontaminate": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), grams as (
+              select distinct doc_id, g from (
+                select doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] as g
+                from toks, unnest(range(1, len(w) - 1)) as t(i)
+                where len(w) >= 3
+                union all
+                select doc_id, array_to_string(w, ' ') as g
+                from toks where len(w) > 0 and len(w) < 3
+              )
+            ), bench as (
+              select distinct g from grams where doc_id < 25
+            )
+            select g.doc_id, count(*) as n_hits
+            from grams g join bench b on g.g = b.g
+            where g.doc_id >= 25
+            group by g.doc_id
+            order by g.doc_id""",
         "asof_join": """
             with clicks as (
               select event_id, user_id, ts, value from events
@@ -1695,6 +1776,15 @@ def oracle_sql() -> dict[str, str]:
                    rank() over (partition by o_custkey
                                 order by o_totalprice desc) as rnk
             from orders
+        """,
+        "window_ntile": """
+            select o_orderkey, o_custkey, o_totalprice,
+                   percent_rank() over w as pct,
+                   cume_dist() over w as cume,
+                   ntile(4) over (partition by o_custkey
+                                  order by o_totalprice, o_orderkey) as tile
+            from orders
+            window w as (partition by o_custkey order by o_totalprice)
         """,
         # splitmix64 chain on l_orderkey (seed 5); survive iff
         # hash mod 10 < l_linenumber

@@ -340,24 +340,38 @@ def pivot_table(ds, keys: Sequence[str], pivot_col: str, value_col: str,
         .groupby(_GPART).map_groups(_final, batch_format="pandas")
 
 
+_RANK_METHODS = ("rank", "dense_rank", "row_number", "percent_rank",
+                 "cume_dist", "ntile")
+
+
 def window_rank(ds, keys: Sequence[str], order_col: str,
                 rank_col: str = "rank", method: str = "rank",
                 descending: bool = False,
                 tiebreak: Optional[Sequence[str]] = None,
-                num_partitions: int = 32):
-    """Per-group rank column — SQL ``rank() / dense_rank() /
-    row_number() OVER (PARTITION BY keys ORDER BY order_col)``.
-    ``rank``/``dense_rank`` tie on equal ``order_col`` values (so they
-    are deterministic without a tiebreak); ``row_number`` needs
-    ``tiebreak`` columns for a total order. ONE hash-partition shuffle
-    (P groups, never one per key); within a partition one sort + numpy
-    run-boundary scan ranks every group at once."""
-    if method not in ("rank", "dense_rank", "row_number"):
-        raise ValueError(f"unknown rank method {method!r}")
+                num_partitions: int = 32,
+                specs: Optional[dict] = None, ntile_buckets: int = 4):
+    """Per-group window-function column(s) — SQL ``rank() /
+    dense_rank() / row_number() / percent_rank() / cume_dist() /
+    ntile(b) OVER (PARTITION BY keys ORDER BY order_col)``.
+
+    ``specs={out_col: method, ...}`` computes several functions in ONE
+    shuffle+sort (the common "rank + percentile + bucket" trio);
+    otherwise the single ``rank_col``/``method`` pair is used.
+    Value-tied methods (rank/dense_rank/percent_rank/cume_dist) are
+    deterministic without a tiebreak; positional ones
+    (row_number/ntile) need ``tiebreak`` columns for a total order.
+    ONE hash-partition shuffle (P groups, never one per key); within a
+    partition one sort + numpy run-boundary scan ranks every group at
+    once."""
+    specs = dict(specs) if specs else {rank_col: method}
+    for m in specs.values():
+        if m not in _RANK_METHODS:
+            raise ValueError(f"unknown rank method {m!r}")
     keys = list(keys)
     tiebreak = list(tiebreak) if tiebreak else []
-    if method == "row_number" and not tiebreak:
-        raise ValueError("row_number needs tiebreak columns to be "
+    if any(m in ("row_number", "ntile") for m in specs.values()) \
+            and not tiebreak:
+        raise ValueError("row_number/ntile need tiebreak columns to be "
                          "deterministic")
 
     def _rank(group: pa.Table) -> pa.Table:
@@ -369,26 +383,59 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
         pos = np.arange(n, dtype=np.int64)
         new_grp = _key_run_starts(g, keys)
         grp_start = np.maximum.accumulate(np.where(new_grp, pos, 0))
-        if method == "row_number":
-            r = pos - grp_start + 1
-        else:
-            v = combine(g[order_col])
-            new_val = new_grp.copy()
-            if n > 1:
-                eq = pc.fill_null(pc.equal(v.slice(0, n - 1), v.slice(1)),
-                                  False)
-                both_null = pc.and_(pc.is_null(v.slice(0, n - 1)),
-                                    pc.is_null(v.slice(1)))
-                new_val[1:] |= ~pc.or_(eq, both_null).to_numpy(
-                    zero_copy_only=False)
-            if method == "dense_rank":
-                cnv = np.cumsum(new_val)
-                r = cnv - cnv[grp_start] + 1
-            else:                   # rank: position of the value-run start
-                r = np.maximum.accumulate(np.where(new_val, pos, 0)) \
-                    - grp_start + 1
-        return g.append_column(pa.field(rank_col, pa.int64()),
-                               pa.array(r.astype(np.int64)))
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        grp_n = np.repeat(sizes, sizes) if n else pos  # group size per row
+        new_val = None
+
+        def value_runs():
+            nonlocal new_val
+            if new_val is None:
+                v = combine(g[order_col])
+                new_val = new_grp.copy()
+                if n > 1:
+                    eq = pc.fill_null(pc.equal(v.slice(0, n - 1),
+                                               v.slice(1)), False)
+                    both_null = pc.and_(pc.is_null(v.slice(0, n - 1)),
+                                        pc.is_null(v.slice(1)))
+                    new_val[1:] |= ~pc.or_(eq, both_null).to_numpy(
+                        zero_copy_only=False)
+            return new_val
+
+        for col, m in specs.items():
+            if m == "row_number":
+                r = pos - grp_start + 1
+            elif m == "ntile":
+                p = pos - grp_start
+                b = np.int64(ntile_buckets)
+                q, rem = grp_n // b, grp_n % b
+                head = rem * (q + 1)        # rows in the larger buckets
+                r = np.where(p < head, p // np.maximum(q + 1, 1),
+                             rem + (p - head) // np.maximum(q, 1)) + 1
+                r = np.minimum(r, grp_n)    # q==0: each row its own bucket
+            else:
+                nv = value_runs()
+                if m == "dense_rank":
+                    cnv = np.cumsum(nv)
+                    r = cnv - cnv[grp_start] + 1
+                elif m == "cume_dist":
+                    vs = np.flatnonzero(nv)
+                    run_idx = np.cumsum(nv) - 1
+                    run_end = np.append(vs[1:], n)[run_idx]
+                    r = (run_end - grp_start) / grp_n
+                else:               # rank: position of the value-run start
+                    r = np.maximum.accumulate(np.where(nv, pos, 0)) \
+                        - grp_start + 1
+                    if m == "percent_rank":
+                        r = np.where(grp_n > 1,
+                                     (r - 1) / np.maximum(grp_n - 1, 1), 0.0)
+            if m in ("percent_rank", "cume_dist"):
+                g = g.append_column(pa.field(col, pa.float64()),
+                                    pa.array(r.astype(np.float64)))
+            else:
+                g = g.append_column(pa.field(col, pa.int64()),
+                                    pa.array(r.astype(np.int64)))
+        return g
 
     _rank.__name__ = "window_rank"
     return _group_partition(ds, keys, num_partitions) \

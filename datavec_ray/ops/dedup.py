@@ -991,3 +991,90 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             .groupby("__db")
             .map_groups(_RebuildDocs(id_col, text_col, delimiter),
                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (exact n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+class _ContamCount:
+    """map_batches actor: per document, count DISTINCT word n-grams that
+    appear in the broadcast benchmark gram set. The gram representation
+    is the same rolling-FNV shingle hash as ``ngram_jaccard_pairs``
+    (``_shingle_hashes_flat``), so counting over hashes equals counting
+    over gram strings modulo negligible 64-bit collisions — the same
+    assumption the oracle-checked jaccard join already rests on.
+
+    The benchmark side is ray.put ONCE as a sorted int64 array and read
+    zero-copy by every actor; membership is one ``searchsorted`` per
+    batch. No shuffle: each row (document) is wholly contained in its
+    batch, so per-batch counts are final.
+    """
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, n: int):
+        import ray
+        self.bench = np.asarray(ray.get(bench_ref))   # sorted, unique int64
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = combine(b[self.id_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out_t = pa.table({self.id_col: pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if len(ids) == 0 or len(self.bench) == 0:
+            return out_t
+        hashes, offs = _shingle_hashes_flat(b[self.text_col], self.n)
+        h = hashes.view(np.int64)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, row))
+        r, hh = row[order], h[order]
+        keep = np.ones(len(r), dtype=bool)
+        if len(r) > 1:                                # distinct per doc
+            keep[1:] = (r[1:] != r[:-1]) | (hh[1:] != hh[:-1])
+        r, hh = r[keep], hh[keep]
+        pos = np.searchsorted(self.bench, hh).clip(0, len(self.bench) - 1)
+        hit = self.bench[pos] == hh
+        hits = np.bincount(r[hit], minlength=len(ids))
+        mask = hits > 0
+        return pa.table({self.id_col: pa.array(ids[mask]),
+                         "n_hits": pa.array(hits[mask].astype(np.int64))})
+
+
+def decontaminate(ds, bench_ds, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3):
+    """Training-set decontamination: flag documents sharing at least one
+    exact word ``n``-gram with an evaluation/benchmark corpus (the
+    GPT-3 appendix-C / PaLM overlap rule). Returns one row per
+    contaminated document: ``(id_col, n_hits)`` with n_hits = number of
+    the document's DISTINCT n-grams found in the benchmark, sorted by id.
+
+    Scale shape: the benchmark side is the SMALL side by definition
+    (eval sets are a few thousand documents against a 100 TB corpus) —
+    its distinct gram hashes are collected to the driver once, sorted,
+    and broadcast via ``ray.put``; the corpus side is one streaming
+    column-pruned ``map_batches`` with zero shuffles. Tokenization is
+    lowercase + whitespace split; documents with 0 < tokens < n
+    contribute a single gram over all their tokens (matching
+    ``_shingle_hashes_flat`` and the jaccard SQL oracle).
+    """
+    import ray
+
+    from datavec_ray.util import dataset_to_table
+
+    bench_grams = bench_ds.map_batches(
+        _DistinctGrams(text_col, id_col, n), batch_format="pyarrow")
+    tbl = dataset_to_table(bench_grams)
+    # a 0-row bench dataset never runs the map, leaving the input schema
+    g = (tbl["g"].to_numpy(zero_copy_only=False)
+         if "g" in tbl.column_names else np.array([], np.int64))
+    uniq = np.unique(g)
+    if len(uniq) == 0:    # empty benchmark → nothing can be contaminated
+        import ray.data as rd
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "n_hits": pa.array([], pa.int64())}))
+    bench_ref = ray.put(uniq)                         # sorted unique int64
+    return (ds.map_batches(_ContamCount, batch_format="pyarrow",
+                           fn_constructor_args=(bench_ref, text_col,
+                                                id_col, n),
+                           concurrency=(1, 8))
+            .sort(id_col))

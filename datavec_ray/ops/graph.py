@@ -129,14 +129,18 @@ def assign_components(ds, labels: pa.Table, id_col: str,
 
     class _Assign:
         def __init__(self):
-            self.lbl = ray.get(lbl_ref)
+            lbl = ray.get(lbl_ref)
+            # index_in lookup instead of Table.join: pyarrow's join
+            # rejects list-typed payload columns (e.g. embeddings), a
+            # lookup is type-agnostic and just as vectorized
+            self.ids = lbl[id_col].combine_chunks().cast(pa.int64())
+            self.comps = lbl[comp_col].combine_chunks().cast(pa.int64())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = batch.join(self.lbl, keys=[id_col], join_type="left outer")
-            comp = pc.coalesce(out[comp_col],
-                               out[id_col].combine_chunks().cast(pa.int64()))
-            i = out.schema.get_field_index(comp_col)
-            return out.set_column(i, pa.field(comp_col, pa.int64()), comp)
+            ids = batch[id_col].combine_chunks().cast(pa.int64())
+            idx = pc.index_in(ids, value_set=self.ids)
+            comp = pc.coalesce(pc.take(self.comps, idx), ids)
+            return batch.append_column(pa.field(comp_col, pa.int64()), comp)
 
     return ds.map_batches(_Assign, batch_format="pyarrow",
                           concurrency=(1, 8))

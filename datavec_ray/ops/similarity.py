@@ -299,3 +299,152 @@ def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
         concurrency=(1, 8))
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) and SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+class _KMeansPartial:
+    """map_batches body for one Lloyd iteration: assign the batch to the
+    broadcast centroids and emit the per-cluster (sum-vector, count)
+    partial — k x d floats per batch, the classic combiner. The corpus
+    never crosses the wire; only these tiny partials do."""
+
+    def __init__(self, cents_ref, vec_col: str):
+        import ray
+        self.cents = np.asarray(ray.get(cents_ref))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col])
+        k, d = self.cents.shape
+        if len(m) == 0:
+            sums = np.zeros((k, d)); counts = np.zeros(k, dtype=np.int64)
+        else:
+            a = _assign_centroids(m, self.cents)
+            # d bincounts (vectorized over rows) instead of slow np.add.at
+            sums = np.stack([np.bincount(a, weights=m[:, j], minlength=k)
+                             for j in range(d)], axis=1)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(counts)})
+
+
+def kmeans_fit(ds, vec_col: str = "embedding", k: int = 8, iters: int = 5,
+               seed: int = 11, init_sample_frac: float = 0.25) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Init: deterministic seeded k-means on a driver-side sample (the IVF
+    path's ``_fit_centroids``). Refinement: ``iters`` full passes, each
+    ONE streaming ``map_batches`` emitting per-batch (cluster, sum,
+    count) partials reduced by a small Arrow groupby — shuffle volume
+    per pass is O(num_batches * k * d), independent of corpus size.
+    Empty clusters keep their previous centroid (standard Lloyd fix).
+    """
+    import ray
+
+    from datavec_ray.util import dataset_to_table
+
+    cents = _fit_centroids(ds, k, init_sample_frac, vec_col, seed)
+    k, d = cents.shape
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = dataset_to_table(
+            ds.map_batches(_KMeansPartial, batch_format="pyarrow",
+                           fn_constructor_args=(ref, vec_col),
+                           concurrency=(1, 8)))
+        sums = _matrix(parts["vsum"])
+        cl = parts["cluster"].to_numpy(zero_copy_only=False)
+        n = parts["n"].to_numpy(zero_copy_only=False)
+        tot = np.stack([np.bincount(cl, weights=sums[:, j], minlength=k)
+                        for j in range(d)], axis=1)
+        cnt = np.bincount(cl, weights=n, minlength=k)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = tot[nz] / cnt[nz, None]
+    return cents
+
+
+def kmeans_assign(ds, cents: np.ndarray, vec_col: str = "embedding"):
+    """Append a ``cluster`` int64 column: nearest broadcast centroid."""
+    import ray
+
+    ref = ray.put(np.asarray(cents))
+
+    class _Assign:
+        def __init__(self):
+            self.cents = np.asarray(ray.get(ref))
+            self.__name__ = "kmeans_assign"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _matrix(batch[vec_col])
+            a = _assign_centroids(m, self.cents) if len(m) else \
+                np.zeros(0, dtype=np.int64)
+            return batch.append_column(pa.field("cluster", pa.int64()),
+                                       pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(_Assign, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def semantic_dedup_pairs(ds, vec_col: str = "embedding",
+                         id_col: str = "vec_id", k: int = 8,
+                         threshold: float = 0.95, iters: int = 3,
+                         seed: int = 11, num_partitions: int = 32):
+    """SemDeDup (Abbas et al. 2023) candidate pairs: k-means-cluster the
+    embeddings, then exact pairwise cosine WITHIN each cluster — the
+    quadratic work drops from corpus^2 to sum of cluster_size^2, and
+    cross-cluster pairs are pruned by construction (the SemDeDup
+    approximation; recall vs the exact join rises with k-means quality).
+
+    Shuffle discipline matches the LSH ops: clusters are co-located by
+    ONE hash-partition groupby (one Ray group per PARTITION, segment
+    scan per cluster in process). Returns (id_a, id_b, cosine) pairs
+    with cosine >= threshold, id_a < id_b, sorted.
+    """
+    from datavec_ray.ops.dedup import _PerBucket, _tag_bucket_partition
+
+    cents = kmeans_fit(ds, vec_col, k=k, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds.select_columns([id_col, vec_col]), cents,
+                             vec_col)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    class _ClusterPairs:
+        __name__ = "semantic_pairs"
+
+        def __call__(self, grp: pa.Table) -> pa.Table:
+            ids = combine(grp[id_col]).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            mn = _normalize(_matrix(grp[vec_col]))
+            sims = mn @ mn.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            keep = sims[ai, bi] >= threshold
+            ai, bi = ai[keep], bi[keep]
+            a, b = ids[ai], ids[bi]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                             "cosine": pa.array(sims[ai, bi])})
+
+    return (_tag_bucket_partition(assigned, ["cluster"], num_partitions)
+            .groupby("__bpart")
+            .map_groups(_PerBucket(_ClusterPairs(), ["cluster"], empty),
+                        batch_format="pyarrow")
+            .sort(["id_a", "id_b"]))
+
+
+def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 8, threshold: float = 0.95, iters: int = 3,
+                   seed: int = 11):
+    """Full SemDeDup: semantic pairs → connected components → keep the
+    min-id representative of every duplicate cluster. Returns the
+    deduplicated dataset (all columns of ``ds``)."""
+    from datavec_ray.ops.graph import dedup_by_components
+
+    pairs = semantic_dedup_pairs(ds, vec_col, id_col, k=k,
+                                 threshold=threshold, iters=iters, seed=seed)
+    return dedup_by_components(ds, pairs, id_col)
