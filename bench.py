@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "similarity_topk", "sequence_diff", "tumbling_window",
                  "reduce_ops", "asof_join", "doc_quality", "grouped_topk",
-                 "set_except", "pivot_agg", "window_rank"]
+                 "set_except", "pivot_agg", "window_rank", "decontaminate"]
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -161,6 +161,45 @@ def run_sketch(sf: float) -> dict:
     return {"sec": round(sec, 3)}
 
 
+def run_split_stage(sf: float) -> dict:
+    """The replay's SPLIT stage in isolation — read + schema normalize +
+    per-batch LWW pre-compaction (the combiner) + dictionary encoding +
+    P-way hash split — with the exchange gather and commit/write left
+    out. This is the map/compact component of the headline: measuring
+    it separately shows which part of the replay scales with CPUs and
+    which is bound by the single box's memory/object-store bandwidth
+    (the component that multiplies with added NODES on a real cluster)."""
+    import ray
+    import ray.data as rd
+    from datavec_ray.cdc.engine import (_PrepareShuffle, _replay_split,
+                                        CdcIngestEngine)
+
+    path = binlog_path(sf)
+    rd.range(10_000).map_batches(lambda b: b).count()
+    warm_cluster()
+    P = int(os.environ.get("GRAFT_NUM_PARTS", "32"))
+    ds = rd.read_parquet(path)
+    schema = ds.schema().base_schema
+    prep = _PrepareShuffle(P, schema, salt_turns=1, hot_convs=None,
+                           min_lsn_exclusive=0, carry_watermark=True)
+    split_task = ray.remote(_replay_split).options(num_returns=P + 1)
+    t0 = time.time()
+    refs, pending, pending_rows = [], [], 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            pending.append(bref)
+            pending_rows += meta.num_rows or 0
+            if pending_rows >= CdcIngestEngine.REPLAY_SPLIT_ROWS:
+                refs.append(split_task.remote(prep, P, *pending))
+                pending, pending_rows = [], 0
+    if pending:
+        refs.append(split_task.remote(prep, P, *pending))
+    ray.wait([r[P] for r in refs], num_returns=len(refs), fetch_local=False)
+    sec = time.time() - t0
+    del refs
+    return {"sec": round(sec, 3)}
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -201,6 +240,12 @@ def main_once() -> dict:
     if stage == "sketch":
         result = {"metric": "simhash_sketch_sec", "unit": "sec",
                   "value": run_sketch(sf)["sec"], "sf": sf,
+                  "num_cpus": NUM_CPUS}
+        ray.shutdown()
+        return result
+    if stage == "split":
+        result = {"metric": "replay_split_stage_sec", "unit": "sec",
+                  "value": run_split_stage(sf)["sec"], "sf": sf,
                   "num_cpus": NUM_CPUS}
         ray.shutdown()
         return result
@@ -295,6 +340,8 @@ def main_scaling():
     h_hi = min(x["value"] for x in hi_runs)
     s_lo = run(lo, "sketch")["value"]
     s_hi = run(hi, "sketch")["value"]
+    sp_lo = run(lo, "split")["value"]
+    sp_hi = run(hi, "split")["value"]
     r = lo_runs[0]
     events = r["events"]
     eff = round((h_lo / h_hi) / (hi / lo), 3)
@@ -315,6 +362,12 @@ def main_scaling():
         if ceiling else None,
         "sketch_sec_lo": s_lo, "sketch_sec_hi": s_hi,
         "sketch_scaling_efficiency": round((s_lo / s_hi) / (hi / lo), 3),
+        # the replay's own map/compact stage in isolation (read +
+        # normalize + per-batch LWW combine + dict-encode + hash split;
+        # no exchange gather, no commit) — the component whose scaling
+        # carries to added nodes
+        "split_sec_lo": sp_lo, "split_sec_hi": sp_hi,
+        "split_scaling_efficiency": round((sp_lo / sp_hi) / (hi / lo), 3),
         "events": events, "sf": r["sf"],
         "routed_rows": r.get("routed_rows"),
         "combine_ratio": r.get("combine_ratio"),
