@@ -316,3 +316,62 @@ def test_chunk_words_covers_and_reconstructs(docs, chunk, overlap):
                                                      len(words))))
                              for j in range(len(chunks))]) == \
             set(range(len(words)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(5, 120),
+    nkeys=st.integers(1, 6),
+    vmax=st.integers(1, 8),
+    buckets=st.integers(1, 5),
+    seed=st.integers(0, 10_000),
+)
+def test_window_functions_match_duckdb(n, nkeys, vmax, buckets, seed):
+    """percent_rank / cume_dist / ntile / rank / dense_rank computed by
+    the in-process window kernel equal DuckDB's window functions on
+    random key/value tables (heavy ties by construction)."""
+    import duckdb
+
+    from datavec_ray.misc import window_rank
+
+    rng = np.random.default_rng(seed)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n), pa.int64()),
+        "v": pa.array(rng.integers(0, vmax, n).astype(float)),
+        "id": pa.array(np.arange(n), pa.int64())})
+
+    class _DS:  # duck-typed: run the per-partition body locally
+        def map_batches(self, fn, **kw):
+            self._tagged = fn(tbl)
+            return self
+
+        def groupby(self, col):
+            return self
+
+        def map_groups(self, fn, **kw):
+            return fn(self._tagged)
+
+    out = window_rank(_DS(), ["k"], "v", tiebreak=["id"],
+                      specs={"rnk": "rank", "drk": "dense_rank",
+                             "pct": "percent_rank", "cume": "cume_dist",
+                             "tile": "ntile", "rn": "row_number"},
+                      ntile_buckets=buckets)
+    got = out.sort_by("id")
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        select id,
+               rank() over w as rnk,
+               dense_rank() over w as drk,
+               percent_rank() over w as pct,
+               cume_dist() over w as cume,
+               row_number() over wt as rn,
+               ntile(?) over wt as tile
+        from t
+        window w as (partition by k order by v),
+               wt as (partition by k order by v, id)
+        order by id""", [buckets]).arrow()
+    for c in ("rnk", "drk", "rn", "tile"):
+        assert got[c].to_pylist() == exp[c].to_pylist(), c
+    assert np.allclose(got["pct"], np.asarray(exp["pct"]))
+    assert np.allclose(got["cume"], np.asarray(exp["cume"]))
