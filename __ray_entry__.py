@@ -1071,6 +1071,17 @@ def _q_corpus_mix(sf_dir: str):
     return interleave_corpora([en, rest], [1.0, 0.3], "doc_id", seed=11)
 
 
+def _q_pack_shards(sf_dir: str):
+    """Token-budget shard packing: documents assigned to fixed-budget
+    output shards (10k chars each) in doc_id order via a global
+    exclusive prefix sum (sort + per-block offsets, rank.py shape —
+    blocks never leave the object store). Oracle = SQL window sum."""
+    from datavec_ray.misc import pack_by_budget
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_by_budget(docs, "n_chars", 10_000, "doc_id")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: documents sharing >= 1 exact word
     3-gram with the 'benchmark' split (doc_id < 25) are flagged with
@@ -1177,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_normalize": _q_group_normalize,
         "chunk_words": _q_chunk_words,
         "corpus_mix": _q_corpus_mix,
+        "pack_shards": _q_pack_shards,
         "decontaminate": _q_decontaminate,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
@@ -1532,6 +1544,13 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on id_b = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
             order by id_a, id_b""",
+        "pack_shards": """
+            select doc_id, n_chars,
+                   coalesce(sum(n_chars) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding), 0)
+                   // 10000 as shard
+            from documents
+            order by doc_id""",
         "decontaminate": r"""
             with toks as (
               select doc_id,

@@ -453,3 +453,49 @@ def sequence_merge(datasets: Sequence, keys: Sequence[str],
     for other in it:
         ds = ds.union(other)
     return GroupedSequence(keys, order_by, ops).apply_dataset(ds)
+
+
+def pack_by_budget(ds, weight_col: str, budget: int,
+                   order_by: Sequence[str] | str,
+                   shard_col: str = "shard"):
+    """Pack rows into fixed-weight-budget output shards in a stable
+    total order — the training-data sharding step ("fill each shard
+    with ~budget tokens, in doc_id order, reproducibly"). A row whose
+    EXCLUSIVE prefix sum is p lands in shard ``p // budget``, so shard
+    boundaries are pure functions of the order and weights (a shard
+    overruns only by its last document's overflow — sequential-packing
+    parity, and exactly SQL's
+    ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING) // budget``).
+
+    Execution mirrors CalculateSortedRank (rank.py): ``ds.sort`` (range
+    shuffle) → per-block weight sums (tiny metadata pass) → driver
+    prefix offsets (P ints) → per-block exclusive cumsum + offset.
+    Blocks never leave the object store; the driver sees P numbers.
+    """
+    import ray
+    import ray.data as rd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    mat = ds.sort(order_by).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _wsum(block: pa.Table) -> int:
+        s = pc.sum(pc.fill_null(block[weight_col].cast(pa.int64()), 0))
+        return int(s.as_py() or 0)
+
+    @ray.remote
+    def _assign(block: pa.Table, offset: int) -> pa.Table:
+        w = pc.fill_null(block[weight_col].cast(pa.int64()), 0) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        excl = offset + np.cumsum(w, dtype=np.int64) - w
+        return block.append_column(
+            pa.field(shard_col, pa.int64()), pa.array(excl // budget))
+
+    sums = ray.get([_wsum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    return rd.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])

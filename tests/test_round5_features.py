@@ -187,3 +187,29 @@ def test_window_rank_percentile_ntile(ray_session):
     # row_number is a total order per group
     for k, sub in out.groupby("k"):
         assert sorted(sub["rn"]) == list(range(1, len(sub) + 1))
+
+
+def test_pack_by_budget(ray_session):
+    """Shard = exclusive-prefix-sum // budget in the stable order; no
+    shard (except a doc's own overflow) exceeds the budget."""
+    import ray.data as rd
+
+    from datavec_ray.misc import pack_by_budget
+
+    rng = np.random.default_rng(4)
+    w = rng.integers(1, 50, 200)
+    t = pa.table({"doc_id": pa.array(np.arange(200), pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    out = dataset_to_table(pack_by_budget(
+        rd.from_arrow(t).repartition(5), "w", 100, "doc_id")) \
+        .sort_by("doc_id")
+    excl = np.cumsum(w) - w
+    assert out["shard"].to_pylist() == (excl // 100).tolist()
+    df = out.to_pandas()
+    per = df.groupby("shard")["w"].sum()
+    assert (per.iloc[:-1] >= 100 - 49).all()      # shards are filled
+    # a shard holds the budget plus at most its last doc's overflow
+    assert (per <= 100 + 49).all()
+
+    with pytest.raises(ValueError):
+        pack_by_budget(rd.from_arrow(t), "w", 0, "doc_id")
