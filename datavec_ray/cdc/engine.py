@@ -908,6 +908,24 @@ def _replay_split(prep: "_PrepareShuffle", num_parts: int, *blocks):
     bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
     shards = tuple(gathered.slice(bounds[i], bounds[i + 1] - bounds[i])
                    for i in range(num_parts))
+    if getattr(prep, "exchange_lz4", False):
+        # trade cheap LZ4 CPU for scarce plasma/memory bandwidth: each
+        # shard crosses the exchange as one compressed IPC buffer
+        # instead of a raw-width plasma copy. Opt-in
+        # (DATAVEC_EXCHANGE_LZ4=1, captured driver-side in replay()):
+        # measured SLOWER on the high-entropy synthetic text; wins only
+        # when the payload actually compresses (real transcripts).
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        packed = []
+        for s in shards:
+            if s.num_rows == 0:
+                packed.append(s)
+                continue
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, s.schema, options=opts) as w:
+                w.write_table(s)
+            packed.append(sink.getvalue())
+        shards = tuple(packed)
     return shards + (tbl.num_rows,)
 
 
@@ -918,6 +936,8 @@ def _replay_commit(commit_fn: "_ReplayCompactCommit", pid: int, *shards):
     memory SEQUENTIALLY, so the subsequent sort/take gather does not
     random-access hundreds of mmap'd shard objects."""
     warm_worker()
+    shards = [pa.ipc.open_stream(s).read_all() if isinstance(s, pa.Buffer)
+              else s for s in shards]
     shards = [s for s in shards if s.num_rows]
     if not shards:
         return commit_fn.carry_forward(pid)
@@ -1061,6 +1081,8 @@ class CdcIngestEngine:
         prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                self.salt_turns, self.hot_convs,
                                min_lsn_exclusive, carry_watermark=True)
+        # captured HERE (driver) so workers see it via the serialized prep
+        prep.exchange_lz4 = os.environ.get("DATAVEC_EXCHANGE_LZ4") == "1"
         turn_t = ("int64" if pa.types.is_int64(
             self._canonical.field("turn_idx").type) else "int32")
         commit_fn = _ReplayCompactCommit(
