@@ -1122,6 +1122,69 @@ def _q_semantic_dedup(sf_dir: str):
                           threshold=0.35, iters=3, seed=11).sort("vec_id")
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring signals (Lee et al. 2022): per
+    document, the count of 8-token windows shared verbatim with another
+    document and the tokens covered by their union. Corpus explodes to
+    one row per token position (the intrinsic cost of exact substring
+    matching), two hash-partition groupbys, vectorized run/interval
+    arithmetic inside. Oracle = DuckDB gram join + lead() span union."""
+    from datavec_ray.ops.dedup import substring_dup_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_signals(docs, "text", "doc_id", k=8)
+
+
+def _q_dedup_against(sf_dir: str):
+    """Incremental corpus dedup: drop incoming documents (doc_id % 7
+    != 0) whose normalized-content md5 already exists in the reference
+    'lake' split (doc_id % 7 == 0). Bloom-prefiltered shuffle anti-join
+    on 16-byte fingerprints — the new-crawl-versus-lake step of a
+    continuously ingesting pipeline."""
+    from datavec_ray.ops.dedup import dedup_against
+
+    def _split(want_ref: bool):
+        def f(b: pa.Table) -> pa.Table:
+            is_ref = pc.equal(
+                pc.subtract(b["doc_id"],
+                            pc.multiply(pc.divide(b["doc_id"], 7), 7)), 0)
+            return b.filter(is_ref if want_ref else pc.invert(is_ref))
+        f.__name__ = "split_ref" if want_ref else "split_inc"
+        return f
+
+    cols = ["doc_id", "text"]
+    inc = _read(sf_dir, "documents", cols).map_batches(
+        _split(False), batch_format="pyarrow")
+    ref = _read(sf_dir, "documents", cols).map_batches(
+        _split(True), batch_format="pyarrow")
+    return dedup_against(inc, ref, "text", "doc_id",
+                         broadcast=False, bloom=True,
+                         num_buckets=16).sort("doc_id")
+
+
+def _q_range_window(sf_dir: str):
+    """Value-range windowed aggregate: per user ordered by time, the
+    sum of `value` over the trailing 1-hour window (peers included) —
+    SQL RANGE BETWEEN frame. One hash-partition shuffle; per partition
+    all groups resolve via one sort + two segment-biased binary
+    searches + per-window reduceat summation."""
+    from datavec_ray.misc import range_window_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_ms(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        ms = pc.divide(us, 1000)        # truncation = date_trunc('ms')
+        return b.set_column(b.schema.get_field_index("ts"),
+                            pa.field("ts_ms", pa.int64()), ms)
+
+    ev = ev.map_batches(to_ms, batch_format="pyarrow")
+    return (range_window_agg(ev, ["user_id"], "ts_ms", "value",
+                             width=3_600_000, out_col="w_sum", agg="sum")
+            .select_columns(["event_id", "user_id", "ts_ms", "w_sum"])
+            .sort("event_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1192,6 +1255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
+        "substring_dedup": _q_substring_dedup,
+        "dedup_against": _q_dedup_against,
+        "range_window": _q_range_window,
     }
 
 
@@ -1905,6 +1971,51 @@ def oracle_sql() -> dict[str, str]:
             order by n desc, gram
             limit 50
         """,
+        "substring_dedup": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), grams as (
+              select doc_id, i, array_to_string(w[i:i+7], ' ') as g
+              from toks, unnest(range(1, len(w) - 6)) as t(i)
+              where len(w) >= 8
+            ), dup as (
+              select g from grams group by g
+              having count(distinct doc_id) > 1
+            ), hits as (
+              select doc_id, i from grams join dup using (g)
+            ), spans as (
+              select doc_id, i,
+                     lead(i) over (partition by doc_id order by i) as nxt
+              from hits
+            )
+            select doc_id,
+                   count(*) as dup_grams,
+                   cast(sum(case when nxt is null then 8
+                            else least(nxt - i, 8) end) as bigint)
+                     as covered_tokens
+            from spans group by doc_id order by doc_id""",
+        "dedup_against": r"""
+            select doc_id, text from documents
+            where doc_id % 7 <> 0
+              and md5(regexp_replace(lower(text), '\s', '', 'g')) not in (
+                select md5(regexp_replace(lower(text), '\s', '', 'g'))
+                from documents where doc_id % 7 = 0)
+            order by doc_id""",
+        "range_window": """
+            with e as (
+              select event_id, user_id, value,
+                     epoch_ms(date_trunc('milliseconds', ts)) as ts_ms
+              from events
+            )
+            select event_id, user_id, ts_ms,
+                   sum(value) over (
+                     partition by user_id order by ts_ms
+                     range between 3600000 preceding and current row)
+                     as w_sum
+            from e order by event_id""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

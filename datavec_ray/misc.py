@@ -499,3 +499,76 @@ def pack_by_budget(ds, weight_col: str, budget: int,
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
     return rd.from_arrow_refs(
         [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def range_window_agg(ds, keys: Sequence[str], order_col: str,
+                     value_col: str, width,
+                     out_col: str = "w_sum", agg: str = "sum",
+                     num_partitions: int = 32):
+    """Time-range windowed aggregate: for every row, aggregate
+    ``value_col`` over the rows of the same key group whose ``order_col``
+    lies in ``[t - width, t]`` — SQL ``agg(value) OVER (PARTITION BY keys
+    ORDER BY order_col RANGE BETWEEN width PRECEDING AND CURRENT ROW)``,
+    peers (equal timestamps) included, matching the SQL RANGE frame.
+    ``agg`` in {'sum', 'count', 'mean'}. Appends ``out_col`` (float64 for
+    sum/mean, int64 for count) to every input row.
+
+    Distinct from the sequence ops: `SequenceMovingWindowReduce` is a
+    ROWS frame (fixed row count) and `ReduceSequenceByWindow` collapses
+    windows to one row; this keeps every row and frames by VALUE range.
+
+    Scale shape: ONE hash-partition shuffle (P groups, not one per key);
+    within a partition all groups are resolved together by one sort +
+    two ``searchsorted`` calls — each group's timestamps are biased by
+    ``segment_id * 2**42`` so a single global binary search can never
+    cross a group boundary (epoch-ms fits in 2**41; up to 2**21 groups
+    per partition). Window sums use ``np.add.reduceat`` on the
+    [lo, hi) bounds — direct per-window summation, no cumsum
+    cancellation error.
+    """
+    if agg not in ("sum", "count", "mean"):
+        raise ValueError(f"agg must be sum/count/mean, got {agg!r}")
+    keys = list(keys)
+    width = float(width)
+
+    def rw(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys] + [(order_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(
+                pa.field(out_col, pa.int64() if agg == "count"
+                         else pa.float64()),
+                pa.array([], pa.int64() if agg == "count" else pa.float64()))
+        t = combine(g[order_col]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        v = combine(g[value_col]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        seg = np.cumsum(_key_run_starts(g, keys)) - 1      # segment id/row
+        bias = seg.astype(np.float64) * float(2 ** 42)
+        tt = t + bias
+        lo = np.searchsorted(tt, tt - width, side="left")
+        hi = np.searchsorted(tt, tt, side="right")
+        cnt = hi - lo
+        if agg == "count":
+            out = pa.array(cnt.astype(np.int64))
+        else:
+            # sentinel element keeps every hi (== n at the last row) a
+            # legal reduceat index; odd (inter-window) outputs discarded
+            vs = np.append(np.nan_to_num(v, nan=0.0), 0.0)
+            idx = np.empty(2 * n, dtype=np.int64)
+            idx[0::2], idx[1::2] = lo, hi
+            sums = np.add.reduceat(vs, idx)[0::2]
+            nvalid = np.add.reduceat(
+                np.append((~np.isnan(v)).astype(np.int64), 0), idx)[0::2]
+            if agg == "sum":
+                res = np.where(nvalid > 0, sums, np.nan)
+            else:
+                res = np.where(nvalid > 0, sums / np.maximum(nvalid, 1),
+                               np.nan)
+            out = pa.array(res, pa.float64(), from_pandas=True)
+        return g.append_column(pa.field(out_col, out.type), out)
+
+    rw.__name__ = "range_window_agg"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(rw, batch_format="pyarrow")

@@ -1078,3 +1078,195 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
                                                 id_col, n),
                            concurrency=(1, 8))
             .sort(id_col))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring signals (Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+class _EmitPosGrams:
+    """map_batches: explode every FULL k-token window of every document
+    into one ``(g, doc, pos, __part)`` row — g is the rolling-FNV hash
+    of the window's k token hashes (the `_shingle_hashes_flat` combiner,
+    full windows only: substring dedup has no short-doc fallback because
+    a duplicated span must be at least k tokens long).
+
+    One vectorized kernel per batch: tokenize+hash the whole batch with
+    Arrow kernels, then k shifted multiply-adds over the flat token-hash
+    array; positions fall out as flat-index minus doc offset.
+    """
+
+    def __init__(self, text_col: str, id_col: str, k: int, P: int):
+        self.text_col, self.id_col, self.k, self.P = text_col, id_col, k, P
+
+    def _empty(self) -> pa.Table:
+        return pa.table({"g": pa.array([], pa.int64()),
+                         "doc": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "__part": pa.array([], pa.int64())})
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        k = self.k
+        th, offs = _tokenize_flat(b[self.text_col])
+        n, D = len(th), len(offs) - 1
+        m = n - k + 1
+        if D == 0 or m <= 0:
+            return self._empty()
+        with np.errstate(over="ignore"):
+            acc = th[:m].copy()
+            for j in range(1, k):
+                acc = acc * _FNV + th[j:j + m]
+        counts = np.diff(offs)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), counts)
+        valid = doc_of[:m] == doc_of[k - 1:k - 1 + m]
+        if not valid.any():
+            return self._empty()
+        idx = np.flatnonzero(valid)
+        g = np.ascontiguousarray(acc[idx])
+        docrow = doc_of[idx]
+        pos = idx - offs[docrow]
+        ids = combine(b[self.id_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(g.view(np.int64)),
+            "doc": pa.array(ids[docrow]),
+            "pos": pa.array(pos),
+            "__part": pa.array((g % np.uint64(self.P)).astype(np.int64)),
+        })
+
+
+def _dup_gram_hits(grp: pa.Table) -> pa.Table:
+    """Per gram-hash partition: keep the (doc, pos) occurrences of every
+    gram that appears in >= 2 DISTINCT documents. One lexsort + run
+    arithmetic over the whole partition — never per-gram Python work."""
+    g = combine(grp["g"]).to_numpy(zero_copy_only=False)
+    d = combine(grp["doc"]).to_numpy(zero_copy_only=False)
+    p = combine(grp["pos"]).to_numpy(zero_copy_only=False)
+    n = len(g)
+    out = {"doc": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+    if n == 0:
+        return pa.table(out)
+    order = np.lexsort((d, g))
+    gs, ds_, ps = g[order], d[order], p[order]
+    starts = np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    multi = ds_[starts] != ds_[ends - 1]      # sorted by doc within run
+    keep = np.repeat(multi, ends - starts)
+    if not keep.any():
+        return pa.table(out)
+    return pa.table({"doc": pa.array(ds_[keep]), "pos": pa.array(ps[keep])})
+
+
+class _SpanSignals:
+    """Per doc-partition: merge each document's duplicated-gram positions
+    into covered-token counts. With sorted positions p_0 < ... < p_{m-1}
+    the union of the k-token intervals [p_j, p_j + k) has size
+    sum_{j<m-1} min(p_{j+1} - p_j, k) + k — one vectorized diff +
+    reduceat per partition."""
+
+    def __init__(self, id_col: str, k: int):
+        self.id_col, self.k = id_col, k
+        self.__name__ = "span_signals"
+
+    def __call__(self, grp: pa.Table) -> pa.Table:
+        d = combine(grp["doc"]).to_numpy(zero_copy_only=False)
+        p = combine(grp["pos"]).to_numpy(zero_copy_only=False)
+        n = len(d)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "dup_grams": pa.array([], pa.int64()),
+                             "covered_tokens": pa.array([], pa.int64())})
+        order = np.lexsort((p, d))
+        ds_, ps = d[order], p[order]
+        starts = np.concatenate(([0], np.flatnonzero(ds_[1:] != ds_[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        contrib = np.full(n, self.k, dtype=np.int64)
+        if n > 1:
+            gap = np.minimum(ps[1:] - ps[:-1], self.k)
+            last = np.zeros(n, dtype=bool)
+            last[starts + lens - 1] = True
+            contrib[:-1] = np.where(last[:-1], self.k, gap)
+        covered = np.add.reduceat(contrib, starts)
+        return pa.table({self.id_col: pa.array(ds_[starts]),
+                         "dup_grams": pa.array(lens),
+                         "covered_tokens": pa.array(covered)})
+
+
+def substring_dup_signals(ds, text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 8, num_partitions: int = 64):
+    """Exact duplicated-substring detection (the signal half of Lee et
+    al. 2022's "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): for every document, count the k-token
+    windows whose exact content also appears in ANOTHER document, and
+    the number of tokens covered by the union of those windows. Returns
+    one row per affected document: ``(id_col, dup_grams,
+    covered_tokens)`` sorted by id. Downstream policy (drop doc, cut
+    span, weight down) composes on top.
+
+    Scale shape: the corpus explodes to one 24-byte row per token —
+    that IS the intrinsic cost of exact substring matching (a suffix
+    array is likewise a global sort of every token position); both
+    shuffles are hash-partition groupbys (P groups total, vectorized
+    run arithmetic inside), and the second shuffle moves only the
+    duplicated positions, which at web scale is a few percent of the
+    first. Matching on 64-bit rolling hashes equals matching on gram
+    strings modulo negligible collisions — the same assumption as the
+    oracle-checked ngram_jaccard join.
+
+    Reference parity: the DataVec reference has no substring dedup;
+    this is a north-rule extra specified against the paper.
+    """
+    grams = ds.map_batches(_EmitPosGrams(text_col, id_col, k,
+                                         num_partitions),
+                           batch_format="pyarrow")
+    _dup_gram_hits.__name__ = "dup_gram_hits"
+    hits = (grams.groupby("__part")
+            .map_groups(_dup_gram_hits, batch_format="pyarrow"))
+
+    def _tag_doc(b: pa.Table) -> pa.Table:
+        d = combine(b["doc"]).to_numpy(zero_copy_only=False)
+        part = (d.astype(np.uint64) % np.uint64(num_partitions)) \
+            .astype(np.int64)
+        return b.append_column(pa.field("__dpart", pa.int64()),
+                               pa.array(part))
+
+    return (hits.map_batches(_tag_doc, batch_format="pyarrow")
+            .groupby("__dpart")
+            .map_groups(_SpanSignals(id_col, k), batch_format="pyarrow")
+            .sort(id_col))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against an existing corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against(ds, ref_ds, text_col: str = "text",
+                  id_col: str = "doc_id", **join_kw):
+    """Incremental exact dedup: drop incoming rows whose content
+    fingerprint already exists in a reference corpus (the
+    "new-crawl-versus-lake" step of a continuously-ingesting training
+    pipeline). Purely *against* the reference — internal duplicates
+    within the incoming batch are kept (compose ``exact_dedup``
+    afterwards for those), matching SQL
+    ``WHERE md5(text) NOT IN (SELECT md5(text) FROM ref)``.
+
+    Scale shape: fingerprint both sides per batch (one vectorized md5
+    pass, `textstats.fingerprint_md5`), then the Bloom-prefiltered hash
+    ANTI join (`join.SemiJoinStep`): one aggregate pass builds a Bloom
+    filter over the reference fingerprints, definite non-matches —
+    the overwhelming majority of a fresh crawl — bypass the shuffle
+    entirely, and only Bloom-positive rows are confirmed by bucketed
+    exact anti join. The reference side ships fingerprints only (16
+    bytes/doc), never text.
+    """
+    from datavec_ray.join import anti_join
+    from datavec_ray.ops.textstats import fingerprint_md5
+
+    def fp(b: pa.Table) -> pa.Table:
+        return fingerprint_md5(b, text_col=text_col, out_col="__fp")
+
+    left = ds.map_batches(fp, batch_format="pyarrow")
+    right = ref_ds.map_batches(fp, batch_format="pyarrow") \
+        .select_columns(["__fp"])
+    out = anti_join(left, right, keys=["__fp"], **join_kw)
+    return out.drop_columns(["__fp"])
