@@ -1185,6 +1185,40 @@ def _q_range_window(sf_dir: str):
             .sort("event_id"))
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Unigram-LM document scoring (the KenLM-free perplexity proxy of
+    CCNet-style curation): mean ln-probability per token under the
+    corpus's own unigram distribution. Two passes — a combiner-first
+    token-frequency groupby, then a broadcast vocab + one shuffle-free
+    scoring map. Oracle = SQL unnest + frequency join."""
+    from datavec_ray.ops.textstats import unigram_logprob
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(docs, "text", "doc_id")
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization of flat events: per user ordered by
+    (ts, event_id), a >30-minute silence starts a new session; each row
+    gets its 0-based per-user session ordinal. One hash-partition
+    shuffle, vectorized diff/cumsum across all of a partition's users
+    at once. Oracle = SQL windowed lag + running sum."""
+    from datavec_ray.misc import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_ms(b: pa.Table) -> pa.Table:
+        ms = pc.divide(pc.cast(b["ts"], pa.int64()), 1000)
+        return b.set_column(b.schema.get_field_index("ts"),
+                            pa.field("ts_ms", pa.int64()), ms)
+
+    ev = ev.map_batches(to_ms, batch_format="pyarrow")
+    return (sessionize(ev, ["user_id"], "ts_ms", gap=1_800_000,
+                       tiebreak="event_id")
+            .select_columns(["event_id", "user_id", "ts_ms", "session_id"])
+            .sort("event_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1258,6 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "dedup_against": _q_dedup_against,
         "range_window": _q_range_window,
+        "unigram_logprob": _q_unigram_logprob,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -2016,6 +2052,40 @@ def oracle_sql() -> dict[str, str]:
                      range between 3600000 preceding and current row)
                      as w_sum
             from e order by event_id""",
+        "unigram_logprob": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), flat as (
+              select doc_id, unnest(w) as tok from toks
+            ), freq as (
+              select tok, count(*) as c from flat group by tok
+            ), tot as (
+              select sum(c) as tc from freq
+            )
+            select doc_id,
+                   count(*) as n_tokens,
+                   sum(ln(c / tc)) / count(*) as logprob_per_token
+            from flat join freq using (tok), tot
+            group by doc_id order by doc_id""",
+        "sessionize": """
+            with e as (
+              select event_id, user_id,
+                     epoch_ms(date_trunc('milliseconds', ts)) as ts_ms
+              from events
+            ), g as (
+              select *, case when ts_ms - lag(ts_ms) over w > 1800000
+                             then 1 else 0 end as brk
+              from e window w as (partition by user_id
+                                  order by ts_ms, event_id)
+            )
+            select event_id, user_id, ts_ms,
+                   sum(brk) over (partition by user_id
+                                  order by ts_ms, event_id
+                                  rows unbounded preceding) as session_id
+            from g order by event_id""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

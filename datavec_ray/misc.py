@@ -572,3 +572,47 @@ def range_window_agg(ds, keys: Sequence[str], order_col: str,
     rw.__name__ = "range_window_agg"
     return _group_partition(ds, keys, num_partitions) \
         .groupby(_GPART).map_groups(rw, batch_format="pyarrow")
+
+
+def sessionize(ds, keys: Sequence[str], order_col: str, gap,
+               tiebreak: Optional[str] = None,
+               out_col: str = "session_id", num_partitions: int = 32):
+    """Gap-based sessionization over FLAT event rows: within each key
+    group ordered by ``order_col`` (ties broken by ``tiebreak``), start
+    a new session whenever the gap to the previous event exceeds
+    ``gap``; appends ``out_col`` = 0-based session ordinal per key.
+    SQL: ``sum(case when t - lag(t) > gap then 1 else 0 end) OVER
+    (PARTITION BY keys ORDER BY t, tiebreak ROWS UNBOUNDED PRECEDING)``.
+
+    The sequence op `SequenceSplitTimeSeparation` does the same split on
+    the grouped-sequence representation; this variant never builds
+    sequences — one hash-partition shuffle, then per partition one sort
+    + one vectorized diff/cumsum over ALL groups at once.
+    """
+    keys = list(keys)
+    gap = float(gap)
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+
+    def sz(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(pa.field(out_col, pa.int64()),
+                                   pa.array([], pa.int64()))
+        t = combine(g[order_col]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        starts_mask = _key_run_starts(g, keys)
+        new = starts_mask.copy()
+        if n > 1:
+            new[1:] |= (t[1:] - t[:-1]) > gap
+        sid = np.cumsum(new)
+        seg_starts = np.flatnonzero(starts_mask)
+        lens = np.diff(np.concatenate((seg_starts, [n])))
+        base = np.repeat(sid[seg_starts], lens)
+        return g.append_column(pa.field(out_col, pa.int64()),
+                               pa.array(sid - base))
+
+    sz.__name__ = "sessionize"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(sz, batch_format="pyarrow")

@@ -381,3 +381,90 @@ def chunk_words(ds, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
         return pa.table(cols)
 
     return ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram language-model scoring: per document, the mean natural
+    log-probability per token under the corpus's OWN unigram
+    distribution — the cheap perplexity proxy curation pipelines use to
+    rank documents by "typicality" before (or instead of) a real LM
+    (CCNet trains KenLM for the same role; the unigram version is its
+    zero-dependency floor). Low scores = rare-token-heavy documents
+    (gibberish, boilerplate-free noise); returns ``(id_col, n_tokens,
+    logprob_per_token)`` sorted by id, empty-token docs excluded.
+
+    Two passes, no shuffle of documents:
+    1. corpus token frequencies — per-batch vectorized hash counting
+       (the map-side combiner: one `_tokenize_flat` + np.unique per
+       batch, shuffle moves (token_hash, partial_count) rows bounded by
+       per-batch vocabulary) → one small ``groupby(h).sum``;
+    2. the vocabulary ships back as TWO ray.put'd sorted arrays (hash,
+       ln-prob) read zero-copy by every map task; per-doc scoring is a
+       searchsorted + add.reduceat per batch. Web-scale vocabularies
+       are Zipf-bounded (counts, not text), but if the vocab ever
+       outgrew worker memory the broadcast would become a hash-partition
+       join on token hash — same layout the LSH stages already use.
+
+    Matching on 64-bit token hashes equals matching on token strings
+    modulo negligible collisions (the assumption every oracle-checked
+    gram op here rests on).
+    """
+    import ray
+
+    from datavec_ray.ops.dedup import _tokenize_flat
+    from datavec_ray.util import dataset_to_table
+
+    def _vocab_counts(b: pa.Table) -> pa.Table:
+        th, _ = _tokenize_flat(b[text_col])
+        if len(th) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(th, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    vocab = dataset_to_table(
+        ds.map_batches(_vocab_counts, batch_format="pyarrow")
+        .groupby("h").sum("c"))
+    if vocab.num_rows == 0 or "h" not in vocab.column_names:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logprob_per_token": pa.array([], pa.float64())}))
+    h = vocab["h"].to_numpy(zero_copy_only=False)
+    c = vocab["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(h)
+    h, c = h[order], c[order]
+    lp = np.log(c / c.sum())
+    h_ref, lp_ref = ray.put(h), ray.put(lp)
+
+    class _Score:
+        def __init__(self):
+            self.h = ray.get(h_ref)
+            self.lp = ray.get(lp_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = combine(b[id_col]).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            th, offs = _tokenize_flat(b[text_col])
+            counts = np.diff(offs)
+            pos = np.searchsorted(self.h, th.view(np.int64))
+            tok_lp = self.lp[pos]         # every token is in the vocab
+            starts = offs[:-1]
+            nz = counts > 0
+            if not nz.any():
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob_per_token": pa.array([], pa.float64())})
+            sums = np.add.reduceat(np.append(tok_lp, 0.0),
+                                   np.minimum(starts[nz], len(th)))
+            return pa.table({
+                id_col: pa.array(ids[nz]),
+                "n_tokens": pa.array(counts[nz]),
+                "logprob_per_token": pa.array(sums / counts[nz],
+                                              pa.float64())})
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=(1, 8)).sort(id_col)

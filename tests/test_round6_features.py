@@ -1,5 +1,6 @@
 """Tests for exact duplicated-substring signals (Lee et al. 2022),
-incremental dedup-against-corpus, and range-frame windowed aggregates
+incremental dedup-against-corpus, range-frame windowed aggregates,
+unigram-LM document scoring, and flat-event sessionization
 (round-6 additions)."""
 
 import numpy as np
@@ -152,3 +153,64 @@ def test_range_window_agg_nulls_and_peers(ray_session):
     assert s[0] is None            # frame = {null} -> NULL
     assert s[1] == 5.0 and s[2] == 5.0   # peers see each other, null skipped
     assert s[3] is None            # frame = {null row 3} only
+
+
+def test_unigram_logprob_vs_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from datavec_ray.ops.textstats import unigram_logprob
+
+    texts = ["the cat sat on the mat",
+             "the dog sat",
+             "a completely different sentence here",
+             "",                       # empty -> excluded
+             "the the the"]
+    # brute-force reference
+    from collections import Counter
+    toks = [t.lower().split() for t in texts]
+    freq = Counter(w for ws in toks for w in ws)
+    total = sum(freq.values())
+    expect = {i: (len(ws), sum(math.log(freq[w] / total) for w in ws) / len(ws))
+              for i, ws in enumerate(toks) if ws}
+
+    got = dataset_to_table(unigram_logprob(rd.from_arrow(_docs(texts))))
+    res = {int(d): (int(n), float(p)) for d, n, p in
+           zip(got["doc_id"].to_pylist(), got["n_tokens"].to_pylist(),
+               got["logprob_per_token"].to_pylist())}
+    assert set(res) == set(expect)
+    for i in expect:
+        assert res[i][0] == expect[i][0]
+        assert abs(res[i][1] - expect[i][1]) < 1e-9
+    # common-token docs score higher than the rare-token doc
+    assert res[4][1] > res[2][1]
+
+
+def test_sessionize_vs_brute(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 300
+    t = pa.table({
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "u": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "t": pa.array(np.sort(rng.integers(0, 3000, n)), pa.int64()),
+    })
+    got = dataset_to_table(
+        sessionize(rd.from_arrow(t), ["u"], "t", gap=50, tiebreak="eid",
+                   num_partitions=3)).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+
+    df = t.to_pandas().sort_values(["u", "t", "eid"])
+    sess = {}
+    for u, grp in df.groupby("u"):
+        sid, prev = 0, None
+        for eid, tt in zip(grp["eid"], grp["t"]):
+            if prev is not None and tt - prev > 50:
+                sid += 1
+            sess[eid] = sid
+            prev = tt
+    assert got.set_index("eid")["session_id"].to_dict() == sess
