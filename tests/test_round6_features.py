@@ -214,3 +214,37 @@ def test_sessionize_vs_brute(ray_session):
             sess[eid] = sid
             prev = tt
     assert got.set_index("eid")["session_id"].to_dict() == sess
+
+
+@pytest.mark.parametrize("how", ["Inner", "LeftOuter", "RightOuter",
+                                 "FullOuter"])
+def test_bucket_shuffle_join_parity(ray_session, how):
+    """strategy='bucket' (tagged-union + per-bucket pyarrow join) must
+    equal the local pyarrow join for every join type, including a
+    colliding non-key column renamed to _r."""
+    import ray.data as rd
+
+    from datavec_ray.join import JoinStep
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4, 4, None], pa.int64()),
+        "v": pa.array([10., 20., 30., 40., 41., 50.], pa.float64()),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 3, 3, 5, None], pa.int64()),
+        "v": pa.array(["b", "c1", "c2", "e", "n"], pa.string()),
+        "w": pa.array([200, 300, 301, 500, 600], pa.int64()),
+    })
+
+    def mk(strategy):
+        return JoinStep(right, ["k"], ["rk"], how, broadcast=False,
+                        num_partitions=4, strategy=strategy)
+
+    got = dataset_to_table(
+        mk("bucket").apply_dataset(rd.from_arrow(left))).to_pandas()
+    exp = mk("bucket").apply_local(left).to_pandas()
+    cols = sorted(exp.columns)
+    assert sorted(got.columns) == cols
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.astype(str).equals(e.astype(str))
