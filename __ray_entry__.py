@@ -1219,6 +1219,20 @@ def _q_sessionize(sf_dir: str):
             .sort("event_id"))
 
 
+def _q_rollup(sf_dir: str):
+    """Multi-level report in ONE pass: per-(lang, source), per-lang and
+    grand-total document counts + char sums via GROUPING SETS (SQL
+    ROLLUP). Map-side combiner aggregates every set per batch; the one
+    shuffle moves partial rows only. Oracle = GROUP BY ROLLUP."""
+    from datavec_ray.misc import rollup_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source",
+                                       "n_chars"])
+    return rollup_agg(docs, ["lang", "source"],
+                      [("n_chars", "Count", "n_docs"),
+                       ("n_chars", "Sum", "sum_chars")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1294,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_window": _q_range_window,
         "unigram_logprob": _q_unigram_logprob,
         "sessionize": _q_sessionize,
+        "rollup": _q_rollup,
     }
 
 
@@ -2086,6 +2101,13 @@ def oracle_sql() -> dict[str, str]:
                                   order by ts_ms, event_id
                                   rows unbounded preceding) as session_id
             from g order by event_id""",
+        "rollup": """
+            select lang, source,
+                   count(n_chars) as n_docs,
+                   sum(n_chars) as sum_chars
+            from documents
+            group by rollup(lang, source)
+            order by lang nulls last, source nulls last""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

@@ -616,3 +616,91 @@ def sessionize(ds, keys: Sequence[str], order_col: str, gap,
     sz.__name__ = "sessionize"
     return _group_partition(ds, keys, num_partitions) \
         .groupby(_GPART).map_groups(sz, batch_format="pyarrow")
+
+
+_ROLLUP_OPS = {"Sum": ("sum", "sum"), "Count": ("count", "sum"),
+               "Min": ("min", "min"), "Max": ("max", "max")}
+
+
+def rollup_agg(ds, keys: Sequence[str], aggs: Sequence[Sequence[str]],
+               sets: Optional[Sequence[Sequence[str]]] = None,
+               num_partitions: int = 32):
+    """Multi-level aggregation in ONE pass — SQL ``GROUP BY ROLLUP
+    (keys)`` (default) or arbitrary ``GROUPING SETS`` via ``sets``.
+    ``aggs`` rows are ``(column, op, out_name)`` with op in
+    Sum/Count/Min/Max (Count counts non-null values of ``column``).
+    Rolled-up key columns are emitted NULL, as in SQL.
+
+    Scale shape: the map-side combiner aggregates EVERY grouping set
+    per batch (one vectorized Acero ``group_by`` per set), so the ONE
+    hash-partition shuffle moves at most |sets| x per-batch-distinct
+    keys partial rows — never raw data; the final per-partition merge
+    is again one Acero ``group_by`` (nulls group together, giving the
+    rolled-up rows for free). This is how a 100 TB "per-(lang,source) +
+    per-lang + grand-total" report runs as a single job instead of
+    |sets| separate groupbys over the corpus.
+    """
+    keys = list(keys)
+    if sets is None:                       # ROLLUP: prefixes, longest first
+        sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    aggs = [tuple(a) for a in aggs]
+    for _, op, _ in aggs:
+        if op not in _ROLLUP_OPS:
+            raise ValueError(f"op must be one of {sorted(_ROLLUP_OPS)}")
+
+    schema = ds.schema().base_schema
+    key_types = {k: schema.field(k).type for k in keys}
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for gi, s in enumerate(sets):
+            if s:
+                g = batch.group_by(s).aggregate(
+                    [(c, _ROLLUP_OPS[op][0]) for c, op, _ in aggs])
+                cols = {}
+                for k in keys:
+                    cols[k] = (g[k] if k in s
+                               else pa.nulls(g.num_rows, key_types[k]))
+                for c, op, nm in aggs:
+                    cols[nm] = g[f"{c}_{_ROLLUP_OPS[op][0]}"] \
+                        .cast(pa.int64() if op == "Count" else
+                              g[f"{c}_{_ROLLUP_OPS[op][0]}"].type)
+            else:                          # grand total: no group_by([])
+                cols = {k: pa.nulls(1, key_types[k]) for k in keys}
+                for c, op, nm in aggs:
+                    col = combine(batch[c])
+                    if op == "Count":
+                        v = pa.array([len(col) - col.null_count], pa.int64())
+                    elif op == "Sum":
+                        v = pa.array([pc.sum(col).as_py()], from_pandas=True)
+                    elif op == "Min":
+                        v = pa.array([pc.min(col).as_py()], col.type,
+                                     from_pandas=True)
+                    else:
+                        v = pa.array([pc.max(col).as_py()], col.type,
+                                     from_pandas=True)
+                    cols[nm] = v
+            t = pa.table(cols)
+            outs.append(t.append_column(
+                pa.field("__gset", pa.int8()),
+                pa.nulls(t.num_rows, pa.int8()).fill_null(gi)))
+        out = pa.concat_tables(outs, promote_options="permissive")
+        return out
+
+    def _final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).group_by(
+            ["__gset"] + keys, use_threads=False).aggregate(
+            [(nm, _ROLLUP_OPS[op][1]) for _, op, nm in aggs])
+        cols = {k: g[k] for k in keys}
+        for _, op, nm in aggs:
+            cols[nm] = g[f"{nm}_{_ROLLUP_OPS[op][1]}"]
+        return pa.table(cols)
+
+    _final.__name__ = "rollup_final"
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return _group_partition(partials, ["__gset"] + keys, num_partitions) \
+        .groupby(_GPART).map_groups(_final, batch_format="pyarrow")

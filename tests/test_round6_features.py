@@ -248,3 +248,62 @@ def test_bucket_shuffle_join_parity(ray_session, how):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     e = exp[cols].sort_values(cols).reset_index(drop=True)
     assert g.astype(str).equals(e.astype(str))
+
+
+def test_rollup_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from datavec_ray.misc import rollup_agg
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "v": pa.array(np.round(rng.normal(5, 2, n), 2), pa.float64()),
+    })
+    got = dataset_to_table(
+        rollup_agg(rd.from_arrow(t), ["a", "b"],
+                   [("v", "Count", "n"), ("v", "Sum", "s"),
+                    ("v", "Min", "lo"), ("v", "Max", "hi")],
+                   num_partitions=4)).to_pandas()
+    ora = duckdb.sql("""
+        select a, b, count(v) n, sum(v) s, min(v) lo, max(v) hi
+        from t group by rollup(a, b)""").df()
+    key = ["a", "b"]
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    e = ora.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(g) == len(e)
+    assert g["a"].fillna("∅").tolist() == e["a"].fillna("∅").tolist()
+    assert np.allclose(g["b"].fillna(-1).astype(float),
+                       e["b"].fillna(-1).astype(float))
+    for c in ("n", "s", "lo", "hi"):
+        assert np.allclose(g[c].astype(float), e[c].astype(float),
+                           rtol=1e-9)
+
+
+def test_rollup_grouping_sets(ray_session):
+    """Arbitrary GROUPING SETS, not just prefixes."""
+    import duckdb
+    import ray.data as rd
+
+    from datavec_ray.misc import rollup_agg
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y"]),
+        "b": pa.array([1, 2, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    got = dataset_to_table(
+        rollup_agg(rd.from_arrow(t), ["a", "b"], [("v", "Sum", "s")],
+                   sets=[["a"], ["b"]], num_partitions=2)).to_pandas()
+    ora = duckdb.sql("""
+        select a, b, sum(v) s from t
+        group by grouping sets ((a), (b))""").df()
+    g = got.sort_values(["a", "b"], na_position="last") \
+        .reset_index(drop=True)
+    e = ora.sort_values(["a", "b"], na_position="last") \
+        .reset_index(drop=True)
+    assert g["a"].fillna("∅").tolist() == e["a"].fillna("∅").tolist()
+    assert np.allclose(g["s"].astype(float), e["s"].astype(float))
