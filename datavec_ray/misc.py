@@ -692,12 +692,43 @@ def rollup_agg(ds, keys: Sequence[str], aggs: Sequence[Sequence[str]],
         return out
 
     def _final(group: pa.Table) -> pa.Table:
-        g = group.drop_columns([_GPART]).group_by(
-            ["__gset"] + keys, use_threads=False).aggregate(
-            [(nm, _ROLLUP_OPS[op][1]) for _, op, nm in aggs])
-        cols = {k: g[k] for k in keys}
+        # merge partials with sort + run detection (`_key_run_starts`,
+        # nulls equal) instead of Acero group_by: worker-side blocks
+        # arrive as exotic chunk/slice layouts on which Acero's hash
+        # grouping was observed to split null-keyed groups (duplicate
+        # (key, NULL) output rows); the sort path is layout-independent.
+        gkeys = ["__gset"] + keys
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in gkeys])
+        n = g.num_rows
+        agg_names = [nm for _, _, nm in aggs]
+        if n == 0:
+            return g.select(keys + agg_names)
+        starts = np.flatnonzero(_key_run_starts(g, gkeys))
+        take = pa.array(starts, pa.int64())
+        cols = {k: combine(g[k]).take(take) for k in keys}
         for _, op, nm in aggs:
-            cols[nm] = g[f"{nm}_{_ROLLUP_OPS[op][1]}"]
+            arr = combine(g[nm])
+            isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            merge = _ROLLUP_OPS[op][1]
+            np_dtype = np.dtype(arr.type.to_pandas_dtype())
+            is_int = np.issubdtype(np_dtype, np.integer)
+            if merge == "sum":
+                sent = 0
+            elif merge == "min":
+                sent = np.iinfo(np_dtype).max if is_int else np.inf
+            else:
+                sent = np.iinfo(np_dtype).min if is_int else -np.inf
+            vals = pc.fill_null(arr, sent).to_numpy(zero_copy_only=False)
+            red = {"sum": np.add, "min": np.minimum,
+                   "max": np.maximum}[merge]
+            out = red.reduceat(vals, starts)
+            valid = np.add.reduceat((~isnull).astype(np.int64), starts)
+            res = pa.array(out).cast(arr.type)
+            if (valid == 0).any():          # all-null group stays NULL
+                res = pc.if_else(pa.array(valid == 0),
+                                 pa.nulls(len(starts), arr.type), res)
+            cols[nm] = res
         return pa.table(cols)
 
     _final.__name__ = "rollup_final"
