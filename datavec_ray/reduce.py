@@ -279,6 +279,32 @@ def _merge_var(a, b):
     return (n, mean, M2)
 
 
+def _minmax_mergeable(t: pa.DataType) -> bool:
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_boolean(t) or pa.types.is_temporal(t))
+
+
+def _minmax_reduceat(arr: pa.Array, starts: np.ndarray, fn: str) -> pa.Array:
+    """Segmented min/max over a partials column: nulls → sentinel, one
+    ``np.minimum/maximum.reduceat``, cast back. Caller masks all-null
+    groups to NULL via the companion count column."""
+    orig = arr.type
+    if pa.types.is_boolean(orig):
+        arr = arr.cast(pa.int8())
+    elif pa.types.is_temporal(orig):
+        arr = arr.cast(pa.int64() if orig.bit_width == 64 else pa.int32())
+    np_dtype = np.dtype(arr.type.to_pandas_dtype())
+    if np.issubdtype(np_dtype, np.integer):
+        info = np.iinfo(np_dtype)
+        sent = info.max if fn == "min" else info.min
+    else:
+        sent = np.inf if fn == "min" else -np.inf
+    vals = pc.fill_null(arr, sent).to_numpy(zero_copy_only=False)
+    red = np.minimum if fn == "min" else np.maximum
+    out = pa.array(red.reduceat(vals, starts)).cast(arr.type)
+    return out if out.type == orig else out.cast(orig)
+
+
 def _out_type(op: str, in_type: pa.DataType) -> pa.DataType:
     if op in _CUSTOM_OPS:
         return _CUSTOM_OPS[op]["out_type"]
@@ -352,11 +378,15 @@ class Reducer(WideStep):
     def apply_dataset(self, ds):
         from ray.data.aggregate import AggregateFn
 
-        # fast path: delegate to Ray's vectorized builtin aggregations when
-        # every op maps 1:1 and there is no conditional gate (~2x faster
-        # than Python accumulate_block on wide inputs)
+        # fast path: map-side combiner + ONE hash-partition shuffle of
+        # PARTIAL rows when every op is a builtin monoid and there is no
+        # conditional gate; falls back to Ray's builtin aggregations for
+        # non-numeric Min/Max inputs (e.g. strings)
         if (self.condition is None
                 and all(op in self._BUILTIN for _, op, _ in self.specs)):
+            out = self._combiner_groupby(ds)
+            if out is not None:
+                return out
             from ray.data.aggregate import Count, Max, Mean, Min, Sum
             mk = {"Sum": Sum, "Mean": Mean, "Min": Min, "Max": Max}
             aggs = []
@@ -393,6 +423,125 @@ class Reducer(WideStep):
             ))
         return ds.groupby(self.keys).aggregate(*aggs)
 
+    def _combiner_groupby(self, ds):
+        """Map-side pre-aggregation (combiner) + ONE hash-partition
+        shuffle of partial rows — the reference's ``aggregateByKey(seqOp,
+        combOp)`` discipline (AnalyzeSpark/Reducer execution).
+
+        Ray's builtin ``groupby().aggregate()`` is a sort-based shuffle
+        that moves EVERY raw row to the reduce side — at 100 TB that is
+        the whole corpus through the object store. Here each input block
+        is first collapsed to one partial row per (block, key) by a
+        vectorized Acero ``group_by`` (sum/count/min/max; Mean travels as
+        sum+count), so the shuffle moves at most blocks x per-block-
+        distinct-keys rows. Partials are merged per partition with the
+        layout-independent sort + key-run-detection idiom (see
+        misc.rollup_agg — Acero hash grouping was observed to split
+        null-keyed groups on exotic post-shuffle chunk layouts).
+
+        Returns None (caller falls back to the Ray builtin path) for
+        non-numeric Sum/Mean or non-orderable Min/Max input types, or
+        when DATAVEC_REDUCE_COMBINER=0. High-cardinality keys degrade
+        gracefully: partials approach input rows and the shuffle matches
+        the sort-based plan, paying only the per-batch group_by.
+        """
+        import os
+        if os.environ.get("DATAVEC_REDUCE_COMBINER", "1") == "0":
+            return None
+        from datavec_ray.misc import (_GPART, _group_partition,
+                                      _key_run_starts)
+        from datavec_ray.steps.base import combine
+
+        schema = ds.schema().base_schema
+        in_types = {c: schema.field(c).type for c in schema.names}
+        plan: dict = {}               # (col, acero_fn) -> partial name
+        need_count_all = False
+        for col, op, _ in self.specs:
+            if op == "Count":
+                need_count_all = True
+                continue
+            t = in_types[col]
+            if op in ("Sum", "Mean"):
+                if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                    return None
+            elif not _minmax_mergeable(t):
+                return None
+            plan.setdefault((col, "count"), f"__pa{len(plan)}")
+            fn = {"Sum": "sum", "Mean": "sum", "Min": "min",
+                  "Max": "max"}[op]
+            plan.setdefault((col, fn), f"__pa{len(plan)}")
+        keys = list(self.keys)
+        plist = list(plan.items())
+        specs = [tuple(s) for s in self.specs]
+        out_types = {out: _out_type(op, in_types[col] if col else pa.int64())
+                     for col, op, out in specs}
+        P = self.num_partitions or 32
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            aggs = [(c, f) for (c, f), _ in plist]
+            if need_count_all:
+                aggs.append(([], "count_all"))
+            g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+            cols = {k: g[k] for k in keys}
+            for (c, f), nm in plist:
+                cols[nm] = g[f"{c}_{f}"]
+            if need_count_all:
+                cols["__pca"] = g["count_all"]
+            return pa.table(cols)
+
+        def _merge(group: pa.Table) -> pa.Table:
+            g = group.drop_columns([_GPART]).sort_by(
+                [(k, "ascending") for k in keys])
+            if g.num_rows == 0:
+                fields = ([(k, g.schema.field(k).type) for k in keys]
+                          + [(out, out_types[out]) for _, _, out in specs])
+                return pa.table({n: pa.array([], type=t) for n, t in fields})
+            starts = np.flatnonzero(_key_run_starts(g, keys))
+            take = pa.array(starts, pa.int64())
+            cols = {k: combine(g[k]).take(take) for k in keys}
+            merged: dict = {}
+            for (c, f), nm in plist:
+                arr = combine(g[nm])
+                if f in ("sum", "count"):
+                    vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+                    merged[(c, f)] = pa.array(
+                        np.add.reduceat(vals, starts)).cast(arr.type)
+                else:
+                    merged[(c, f)] = _minmax_reduceat(arr, starts, f)
+            if need_count_all:
+                vals = pc.fill_null(combine(g["__pca"]), 0) \
+                    .to_numpy(zero_copy_only=False)
+                count_all = pa.array(np.add.reduceat(vals, starts),
+                                     pa.int64())
+            for col, op, out in specs:
+                if op == "Count":
+                    cols[out] = count_all
+                    continue
+                cnt = merged[(col, "count")].to_numpy(zero_copy_only=False)
+                if op == "Mean":
+                    s = merged[(col, "sum")].to_numpy(zero_copy_only=False) \
+                        .astype(np.float64)
+                    res = pa.array(s / np.maximum(cnt, 1))
+                elif op == "Sum":
+                    res = merged[(col, "sum")]
+                else:
+                    res = merged[(col, "min" if op == "Min" else "max")]
+                res = res.cast(out_types[out])
+                # all-null group: Mean/Min/Max are NULL; Sum keeps the
+                # monoid zero (matches _Acc semantics in apply_local and
+                # the general accumulate_block path)
+                if op != "Sum" and (cnt == 0).any():
+                    res = pc.if_else(pa.array(cnt == 0),
+                                     pa.nulls(len(starts), res.type), res)
+                cols[out] = res
+            return pa.table(cols)
+
+        _merge.__name__ = "reduce_merge"
+        partials = ds.map_batches(_partial, batch_format="pyarrow")
+        return _group_partition(partials, keys, P) \
+            .groupby(_GPART).map_groups(_merge, batch_format="pyarrow")
+
     # -- local oracle --------------------------------------------------------
     def apply_local(self, table: pa.Table) -> pa.Table:
         out_schema = self.output_schema(Schema(table.schema))
@@ -404,12 +553,14 @@ class Reducer(WideStep):
             else df_keys[self.keys[0]], use_na_sentinel=False)
         n_groups = len(uniques)
         rows: dict[str, list] = {k: [] for k in self.keys}
+        _na = lambda v: None if (v is None or (isinstance(v, float) and v != v)
+                                 or v is pd.NaT) else v
         if len(self.keys) > 1:
             for u in uniques:
                 for k, v in zip(self.keys, u):
-                    rows[k].append(v)
+                    rows[k].append(_na(v))
         else:
-            rows[self.keys[0]] = list(uniques)
+            rows[self.keys[0]] = [_na(v) for v in uniques]
         for col, op, out in self.specs:
             acc = _Acc(op)
             vals = []
