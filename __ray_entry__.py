@@ -1233,6 +1233,27 @@ def _q_rollup(sf_dir: str):
                        ("n_chars", "Sum", "sum_chars")])
 
 
+def _q_json_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull props.k out of the JSON
+    event payload (vectorized polars JSON kernel), then aggregate per
+    event_type with the map-side-combiner reduce. Oracle = DuckDB
+    json_extract_string + GROUP BY."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import JsonExtract, RoundColumns
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_type", "props"]))
+    p.add(JsonExtract("props", {"k": ["$.k", "Long"]}, keep_source=False))
+    p.add(Reducer(["event_type"],
+                  [["k", "Sum", "sum_k"],
+                   ["k", "Mean", "avg_k"],
+                   ["k", "Count", "n"]]))
+    p.add(RoundColumns(["avg_k"], 6))
+    return p.execute(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -1309,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "sessionize": _q_sessionize,
         "rollup": _q_rollup,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -2108,6 +2130,16 @@ def oracle_sql() -> dict[str, str]:
             from documents
             group by rollup(lang, source)
             order by lang nulls last, source nulls last""",
+        "json_extract": """
+            select event_type,
+                   sum(cast(json_extract_string(props, '$.k') as bigint))
+                       as sum_k,
+                   round(avg(cast(json_extract_string(props, '$.k')
+                                  as bigint)), 6) as avg_k,
+                   count(json_extract_string(props, '$.k')) as n
+            from events
+            group by event_type
+            order by event_type""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.

@@ -29,5 +29,6 @@ from datavec_ray.steps.conditional import (
     ConditionFilter, ConditionalCopyValue, ConditionalReplaceValue,
     ConditionalReplaceValueWithDefault, FilterInvalidValues, LambdaStep,
 )
+from datavec_ray.steps.jsoncol import JsonExtract
 
 __all__ = [n for n in dir() if not n.startswith("_")]

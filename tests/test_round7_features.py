@@ -1,0 +1,116 @@
+"""Tests for round-7 additions: JSON payload extraction and the
+map-side-combiner grouped reduce."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from datavec_ray.pipeline import TransformPipeline
+from datavec_ray.schema import Schema
+from datavec_ray.steps import JsonExtract
+from datavec_ray.util import dataset_to_table
+
+
+def test_json_extract_types_and_lenience():
+    t = pa.table({"j": [
+        '{"k": 69, "s": "ab", "f": 1.5, "b": true, "nested": {"x": 7}}',
+        '{"k": null, "s": "", "b": false}',
+        None,
+        'not json at all',
+        '{"s": "only s"}',
+    ]})
+    step = JsonExtract("j", {
+        "k": ("$.k", "Long"),
+        "s": ("$.s", "String"),
+        "f": ("$.f", "Double"),
+        "b": ("$.b", "Boolean"),
+        "x": ("$.nested.x", "Integer"),
+    }, keep_source=False)
+    out = step.apply(t)
+    assert out.column_names == ["k", "s", "f", "b", "x"]
+    assert out["k"].to_pylist() == [69, None, None, None, None]
+    assert out["s"].to_pylist() == ["ab", "", None, None, "only s"]
+    assert out["f"].to_pylist() == [1.5, None, None, None, None]
+    assert out["b"].to_pylist() == [True, False, None, None, None]
+    assert out["x"].to_pylist() == [7, None, None, None, None]
+    assert out["k"].type == pa.int64() and out["x"].type == pa.int32()
+
+
+def test_json_extract_schema_and_serde():
+    sch = Schema(pa.schema([("j", pa.string()), ("id", pa.int64())]))
+    step = JsonExtract("j", {"k": ("$.k", "Long")})
+    out = step.output_schema(sch)
+    assert out.names == ["j", "id", "k"]
+    assert out.type_of("k") == pa.int64()
+    # serde round trip through the pipeline registry
+    p = TransformPipeline(sch)
+    p.add(step)
+    p2 = TransformPipeline.from_json(p.to_json())
+    t = pa.table({"j": ['{"k": 3}'], "id": pa.array([1], pa.int64())})
+    assert p2.execute_table(t)["k"].to_pylist() == [3]
+
+
+def test_json_extract_rejects_non_string():
+    sch = Schema(pa.schema([("j", pa.int64())]))
+    step = JsonExtract("j", {"k": ("$.k", "Long")})
+    try:
+        step.output_schema(sch)
+        assert False, "expected TypeError"
+    except TypeError:
+        pass
+
+
+def test_reducer_combiner_edge_cases(ray_session):
+    """Null keys, all-null value groups, int/temporal/bool min-max:
+    distributed combiner path == local oracle."""
+    from datavec_ray.reduce import Reducer
+
+    t = pa.table({
+        "k": ["a", "a", None, None, "b", "b", "c"],
+        "i": pa.array([1, 2, 3, None, None, None, 7], pa.int32()),
+        "ts": pa.array([datetime.datetime(2020, 1, d + 1) for d in range(7)]),
+        "b": pa.array([True, False, True, None, False, True, None]),
+        "f": pa.array([1.5, 2.5, None, None, None, None, 9.0]),
+    })
+    r = Reducer(keys=["k"], specs=[
+        ("i", "Sum", "si"), ("i", "Mean", "mi"), ("i", "Min", "lo"),
+        ("ts", "Max", "mts"), ("b", "Min", "bmin"), ("f", "Max", "fmax"),
+        ("k", "Count", "n"),
+    ])
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t).repartition(5)))
+    out = out.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert out.num_rows == loc.num_rows == 4
+    for c in loc.column_names:
+        a, b = out[c].to_pylist(), loc[c].to_pylist()
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert abs(x - y) < 1e-12, (c, a, b)
+            else:
+                assert x == y, (c, a, b)
+
+
+def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
+    """Same query through the combiner and the Ray-builtin fallback."""
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 13, 2000) % 13),
+        "v": pa.array(rng.normal(size=2000)),
+    })
+    r = Reducer(keys=["g"], specs=[("v", "Sum", "s"), ("v", "Mean", "m"),
+                                   ("v", "Min", "lo"), ("v", "Max", "hi"),
+                                   ("v", "Count", "n")])
+    a = dataset_to_table(r.apply_dataset(rd.from_arrow(t).repartition(7)))
+    monkeypatch.setenv("DATAVEC_REDUCE_COMBINER", "0")
+    b = dataset_to_table(r.apply_dataset(rd.from_arrow(t).repartition(7)))
+    a = a.sort_by([("g", "ascending")])
+    b = b.sort_by([("g", "ascending")])
+    assert a["g"].to_pylist() == b["g"].to_pylist()
+    assert a["n"].to_pylist() == b["n"].to_pylist()
+    for c in ("s", "m", "lo", "hi"):
+        assert np.allclose(a[c].to_numpy(), np.asarray(b[c].to_pylist(),
+                                                       dtype=float))
