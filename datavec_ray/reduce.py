@@ -115,8 +115,12 @@ class _Acc:
             s = pc.sum(col)
             return state + (s.as_py() or 0)
         if o == "Prod":
+            # accumulate in float64: np.prod on an int array wraps mod
+            # 2^64 before the float conversion (Prod's declared output
+            # is Double)
             arr = _valid_numpy(col)
-            return state * float(np.prod(arr)) if len(arr) else state
+            return (state * float(np.prod(arr, dtype=np.float64))
+                    if len(arr) else state)
         if o == "Min":
             v = pc.min(col).as_py()
             if v is None:
@@ -279,6 +283,27 @@ def _merge_var(a, b):
     return (n, mean, M2)
 
 
+def _hash_column(arr: pa.Array) -> pa.Array:
+    """uint64 hash64 of a column, nulls preserved as nulls. Matches the
+    value→hash mapping _Acc's CountUniqueExact uses per dtype family so
+    distinct-hash counts agree between the combiner and AggregateFn
+    paths."""
+    t = arr.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)):
+        h = hash64(arr)
+    elif (pa.types.is_integer(t) or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)):
+        base = pc.fill_null(arr, 0)
+        if pa.types.is_temporal(t):
+            base = base.cast(pa.int64() if t.bit_width == 64 else pa.int32())
+        h = hash64(base.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    else:
+        h = hash64(pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False))
+    out = pa.array(h, pa.uint64())
+    return pc.if_else(arr.is_valid(), out, pa.nulls(len(arr), pa.uint64()))
+
+
 def _minmax_mergeable(t: pa.DataType) -> bool:
     return (pa.types.is_integer(t) or pa.types.is_floating(t)
             or pa.types.is_boolean(t) or pa.types.is_temporal(t))
@@ -374,19 +399,26 @@ class Reducer(WideStep):
 
     # -- distributed ---------------------------------------------------------
     _BUILTIN = {"Sum", "Mean", "Min", "Max", "Count"}
+    # ops whose per-key state is a fixed-size numeric partial an Acero
+    # per-block group_by can produce and numpy can segment-merge
+    _COMBINABLE = _BUILTIN | {"Range", "Prod", "Stdev", "UncorrectedStdDev",
+                              "Variance", "PopulationVariance",
+                              "CountUniqueExact"}
 
     def apply_dataset(self, ds):
         from ray.data.aggregate import AggregateFn
 
         # fast path: map-side combiner + ONE hash-partition shuffle of
-        # PARTIAL rows when every op is a builtin monoid and there is no
-        # conditional gate; falls back to Ray's builtin aggregations for
-        # non-numeric Min/Max inputs (e.g. strings)
+        # PARTIAL rows when every op is a mergeable monoid and there is
+        # no conditional gate; falls back to Ray's builtin aggregations
+        # (or the general AggregateFn path) for unsupported input types
         if (self.condition is None
-                and all(op in self._BUILTIN for _, op, _ in self.specs)):
+                and all(op in self._COMBINABLE for _, op, _ in self.specs)):
             out = self._combiner_groupby(ds)
             if out is not None:
                 return out
+        if (self.condition is None
+                and all(op in self._BUILTIN for _, op, _ in self.specs)):
             from ray.data.aggregate import Count, Max, Mean, Min, Sum
             mk = {"Sum": Sum, "Mean": Mean, "Min": Min, "Max": Max}
             aggs = []
@@ -439,9 +471,16 @@ class Reducer(WideStep):
         misc.rollup_agg — Acero hash grouping was observed to split
         null-keyed groups on exotic post-shuffle chunk layouts).
 
-        Returns None (caller falls back to the Ray builtin path) for
-        non-numeric Sum/Mean or non-orderable Min/Max input types, or
-        when DATAVEC_REDUCE_COMBINER=0. High-cardinality keys degrade
+        Covered ops: Sum/Mean/Min/Max/Count plus Range (min+max
+        partials), Prod (product partials) and the variance family
+        (count+mean+population-variance partials; merged with the
+        cancellation-free form of the Chan et al. update:
+        M2 = sum(M2_i) + sum(n_i*(mean_i - mu)^2), every term a
+        segmented reduceat — no subtraction of near-equal squares).
+
+        Returns None (caller falls back to the Ray builtin path or the
+        general AggregateFn path) for non-numeric inputs, or when
+        DATAVEC_REDUCE_COMBINER=0. High-cardinality keys degrade
         gracefully: partials approach input rows and the shuffle matches
         the sort-based plan, paying only the per-batch group_by.
         """
@@ -455,21 +494,46 @@ class Reducer(WideStep):
         schema = ds.schema().base_schema
         in_types = {c: schema.field(c).type for c in schema.names}
         plan: dict = {}               # (col, acero_fn) -> partial name
+        float_shadows: set = set()    # int cols needing a float64 copy
+        hash_shadows: set = set()     # cols needing a uint64 hash copy
         need_count_all = False
+        _VAR_OPS = ("Stdev", "UncorrectedStdDev", "Variance",
+                    "PopulationVariance")
+        _NUM_ONLY = ("Sum", "Mean", "Range", "Prod") + _VAR_OPS
         for col, op, _ in self.specs:
             if op == "Count":
                 need_count_all = True
                 continue
             t = in_types[col]
-            if op in ("Sum", "Mean"):
+            if op in _NUM_ONLY:
                 if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                    return None
+            elif op == "CountUniqueExact":
+                if pa.types.is_nested(t):
                     return None
             elif not _minmax_mergeable(t):
                 return None
-            plan.setdefault((col, "count"), f"__pa{len(plan)}")
-            fn = {"Sum": "sum", "Mean": "sum", "Min": "min",
-                  "Max": "max"}[op]
-            plan.setdefault((col, fn), f"__pa{len(plan)}")
+            fns = {"Sum": ["sum"], "Mean": ["sum"], "Min": ["min"],
+                   "Max": ["max"], "Range": ["min", "max"],
+                   "Prod": ["product"],
+                   "CountUniqueExact": ["distinct"]}.get(
+                       op, ["mean", "variance"])
+            for fn in ["count"] + fns:
+                src = col
+                if fn == "product" and pa.types.is_integer(t):
+                    # int products wrap mod 2^64 inside Acero; Prod's
+                    # declared output is Double — aggregate a float64
+                    # shadow column instead
+                    src = f"__f_{col}"
+                    float_shadows.add(col)
+                elif fn == "distinct":
+                    # Acero hash_distinct emits corrupt list offsets for
+                    # string inputs (observed pyarrow bug); aggregate
+                    # distinct over a uint64 hash64 shadow instead —
+                    # the same value→hash mapping _Acc counts
+                    src = f"__h_{col}"
+                    hash_shadows.add(col)
+                plan.setdefault((src, fn), f"__pa{len(plan)}")
         keys = list(self.keys)
         plist = list(plan.items())
         specs = [tuple(s) for s in self.specs]
@@ -479,6 +543,16 @@ class Reducer(WideStep):
 
         def _partial(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
+            for c in float_shadows:
+                batch = batch.append_column(
+                    pa.field(f"__f_{c}", pa.float64()),
+                    batch[c].cast(pa.float64()))
+            for c in hash_shadows:
+                batch = batch.append_column(
+                    pa.field(f"__h_{c}", pa.uint64()),
+                    _hash_column(batch[c].combine_chunks()
+                                 if isinstance(batch[c], pa.ChunkedArray)
+                                 else batch[c]))
             aggs = [(c, f) for (c, f), _ in plist]
             if need_count_all:
                 aggs.append(([], "count_all"))
@@ -501,12 +575,21 @@ class Reducer(WideStep):
             take = pa.array(starts, pa.int64())
             cols = {k: combine(g[k]).take(take) for k in keys}
             merged: dict = {}
+            raw: dict = {}      # per-partial arrays for mean/variance/product
             for (c, f), nm in plist:
                 arr = combine(g[nm])
                 if f in ("sum", "count"):
                     vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
                     merged[(c, f)] = pa.array(
                         np.add.reduceat(vals, starts)).cast(arr.type)
+                    if f == "count":
+                        raw[(c, f)] = vals
+                elif f in ("mean", "variance", "product"):
+                    fill = 1 if f == "product" else 0
+                    raw[(c, f)] = pc.fill_null(arr, fill) \
+                        .to_numpy(zero_copy_only=False).astype(np.float64)
+                elif f == "distinct":
+                    raw[(c, f)] = arr          # list array, merged below
                 else:
                     merged[(c, f)] = _minmax_reduceat(arr, starts, f)
             if need_count_all:
@@ -514,24 +597,82 @@ class Reducer(WideStep):
                     .to_numpy(zero_copy_only=False)
                 count_all = pa.array(np.add.reduceat(vals, starts),
                                      pa.int64())
+            seg_len = np.diff(np.append(starts, g.num_rows))
             for col, op, out in specs:
                 if op == "Count":
                     cols[out] = count_all
                     continue
                 cnt = merged[(col, "count")].to_numpy(zero_copy_only=False)
+                n = np.maximum(cnt, 1)
                 if op == "Mean":
                     s = merged[(col, "sum")].to_numpy(zero_copy_only=False) \
                         .astype(np.float64)
-                    res = pa.array(s / np.maximum(cnt, 1))
+                    res = pa.array(s / n)
                 elif op == "Sum":
                     res = merged[(col, "sum")]
-                else:
+                elif op in ("Min", "Max"):
                     res = merged[(col, "min" if op == "Min" else "max")]
+                elif op == "Range":
+                    lo = merged[(col, "min")].to_numpy(zero_copy_only=False)
+                    hi = merged[(col, "max")].to_numpy(zero_copy_only=False)
+                    # zero out all-null groups (sentinel-filled lo/hi
+                    # would overflow the subtraction); masked NULL below
+                    lo = np.where(cnt == 0, 0, lo)
+                    hi = np.where(cnt == 0, 0, hi)
+                    res = pa.array(hi - lo)
+                elif op == "Prod":
+                    src = f"__f_{col}" if col in float_shadows else col
+                    res = pa.array(np.multiply.reduceat(
+                        raw[(src, "product")], starts))
+                elif op == "CountUniqueExact":
+                    # flatten per-partial distinct-hash lists, tag each
+                    # value with its group index, distinct-count per group
+                    lists = raw[(f"__h_{col}", "distinct")]
+                    gid = np.zeros(g.num_rows, np.int64)
+                    gid[starts] = 1
+                    gid = np.cumsum(gid) - 1
+                    lens = pc.list_value_length(lists) \
+                        .to_numpy(zero_copy_only=False)
+                    lens = np.nan_to_num(lens.astype(np.float64)) \
+                        .astype(np.int64)
+                    seg = np.repeat(gid, lens)
+                    flat = lists.flatten()
+                    dtab = pa.table({"s": pa.array(seg), "v": flat}) \
+                        .combine_chunks() \
+                        .group_by(["s"], use_threads=False) \
+                        .aggregate([("v", "count_distinct")])
+                    uniq = np.zeros(len(starts), np.int64)
+                    uniq[dtab["s"].to_numpy(zero_copy_only=False)] = \
+                        dtab["v_count_distinct"] \
+                        .to_numpy(zero_copy_only=False)
+                    res = pa.array(uniq)
+                else:  # variance family: segmented Chan merge
+                    c_i = raw[(col, "count")].astype(np.float64)
+                    m_i = raw[(col, "mean")]
+                    M2_i = raw[(col, "variance")] * c_i   # population var*n
+                    mu = np.add.reduceat(c_i * m_i, starts) / n
+                    mu_rep = np.repeat(mu, seg_len)
+                    M2 = (np.add.reduceat(M2_i, starts)
+                          + np.add.reduceat(c_i * (m_i - mu_rep) ** 2,
+                                            starts))
+                    if op == "Stdev":
+                        v = np.where(cnt > 1, np.sqrt(M2 / np.maximum(
+                            cnt - 1, 1)), 0.0)
+                    elif op == "Variance":
+                        v = np.where(cnt > 1, M2 / np.maximum(cnt - 1, 1),
+                                     0.0)
+                    elif op == "UncorrectedStdDev":
+                        v = np.sqrt(M2 / n)
+                    else:  # PopulationVariance
+                        v = M2 / n
+                    res = pa.array(v)
                 res = res.cast(out_types[out])
-                # all-null group: Mean/Min/Max are NULL; Sum keeps the
-                # monoid zero (matches _Acc semantics in apply_local and
-                # the general accumulate_block path)
-                if op != "Sum" and (cnt == 0).any():
+                # all-null group: NULL for everything except Sum (monoid
+                # zero 0), Prod (monoid one 1.0) and CountUniqueExact
+                # (0) — matches _Acc semantics in apply_local / the
+                # AggregateFn path
+                if (op not in ("Sum", "Prod", "CountUniqueExact")
+                        and (cnt == 0).any()):
                     res = pc.if_else(pa.array(cnt == 0),
                                      pa.nulls(len(starts), res.type), res)
                 cols[out] = res

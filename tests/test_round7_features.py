@@ -92,6 +92,60 @@ def test_reducer_combiner_edge_cases(ray_session):
                 assert x == y, (c, a, b)
 
 
+def test_reducer_combiner_extended_ops(ray_session):
+    """Range / Prod / variance family / CountUniqueExact through the
+    combiner == local oracle, with null keys and null values."""
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "k": pa.array([f"g{i % 11}" if i % 40 else None for i in range(n)]),
+        "u": pa.array([f"s{x}" if x % 7 else None
+                       for x in rng.integers(0, 300, n)]),
+        "i": pa.array(rng.integers(-10, 10, n), pa.int32()),
+        "p": pa.array(rng.uniform(0.9, 1.1, n)),
+        "v": pa.array([None if i % 97 == 0 else x for i, x in
+                       enumerate(rng.normal(100, 15, n))], pa.float64()),
+    })
+    r = Reducer(keys=["k"], specs=[
+        ("v", "Stdev", "sd"), ("v", "Variance", "var"),
+        ("v", "UncorrectedStdDev", "usd"),
+        ("v", "PopulationVariance", "pvar"),
+        ("i", "Range", "rng"), ("p", "Prod", "prodf"),
+        ("i", "Prod", "prodi"),
+        ("u", "CountUniqueExact", "uq_s"),
+        ("i", "CountUniqueExact", "uq_i"),
+        ("k", "Count", "n"),
+    ])
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t).repartition(9)))
+    out = out.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert out.num_rows == loc.num_rows == 12
+    for c in loc.column_names:
+        for x, y in zip(out[c].to_pylist(), loc[c].to_pylist()):
+            if isinstance(x, str) or x is None or y is None:
+                assert x == y or (x is None and y is None), (c, x, y)
+            else:
+                assert np.isclose(float(x), float(y), rtol=1e-9), (c, x, y)
+
+
+def test_reducer_combiner_variance_large_offset(ray_session):
+    """The cancellation-free Chan merge stays accurate when |mean| >>
+    stdev (the case that kills naive sum-of-squares partials)."""
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(11)
+    vals = 1e9 + rng.normal(0, 1, 3000)
+    t = pa.table({"k": ["a"] * 3000, "v": pa.array(vals)})
+    r = Reducer(keys=["k"], specs=[("v", "Variance", "var"),
+                                   ("v", "Stdev", "sd")])
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t).repartition(8)))
+    got_var = out["var"].to_pylist()[0]
+    exact = float(np.var(vals, ddof=1))
+    assert abs(got_var - exact) / exact < 1e-6
+
+
 def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
     """Same query through the combiner and the Ray-builtin fallback."""
     from datavec_ray.reduce import Reducer
