@@ -71,6 +71,27 @@ def hash64(values) -> np.ndarray:
     return out
 
 
+def register_updates(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 64-bit hash — the HLL scatter kernel,
+    shared by HyperLogLog.add_hashes and the grouped combiner fold in
+    datavec_ray.reduce."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
+    # rank = leading zeros of w + 1. Exact vectorized clz: split into
+    # 32-bit halves (32-bit ints are exact in float64; a direct log2 of
+    # a full uint64 is not).
+    hi = (w >> np.uint64(32)).astype(np.int64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    lz = np.empty(len(w), dtype=np.int64)
+    hi_nz = hi != 0
+    lz[hi_nz] = 31 - np.floor(np.log2(hi[hi_nz])).astype(np.int64)
+    lo_part = ~hi_nz
+    # w always has the (p-1) guard bit set, so lo != 0 where hi == 0
+    lz[lo_part] = 32 + (31 - np.floor(np.log2(lo[lo_part])).astype(np.int64))
+    rank = (lz + 1).astype(np.uint8)
+    return idx, rank
+
+
 class HyperLogLog:
     __slots__ = ("p", "m", "registers")
 
@@ -83,20 +104,7 @@ class HyperLogLog:
     def add_hashes(self, h: np.ndarray) -> None:
         if len(h) == 0:
             return
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        w = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of w + 1. Exact vectorized clz: split into
-        # 32-bit halves (32-bit ints are exact in float64; a direct log2 of
-        # a full uint64 is not).
-        hi = (w >> np.uint64(32)).astype(np.int64)
-        lo = (w & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        lz = np.empty(len(w), dtype=np.int64)
-        hi_nz = hi != 0
-        lz[hi_nz] = 31 - np.floor(np.log2(hi[hi_nz])).astype(np.int64)
-        lo_part = ~hi_nz
-        # w always has the (p-1) guard bit set, so lo != 0 where hi == 0
-        lz[lo_part] = 32 + (31 - np.floor(np.log2(lo[lo_part])).astype(np.int64))
-        rank = (lz + 1).astype(np.uint8)
+        idx, rank = register_updates(h, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def add(self, values: Iterable) -> None:

@@ -154,15 +154,13 @@ class _Acc:
             return _merge_var(state, (bn, bmean, bM2))
         if o == "CountUnique":
             hll = HyperLogLog.from_bytes(state)
-            arr = _valid_numpy(col, allow_object=True)
-            hll.add_hashes(hash64(arr))
+            hll.add_hashes(_hashes_of_valid(col))
             return hll.to_bytes()
         if o == "CountUniqueExact":
             # exact distinct via mergeable sorted-hash-set bytes (Arrow-safe
             # state for shipping between partial and final aggregation)
-            arr = _valid_numpy(col, allow_object=True)
             prev = np.frombuffer(state, dtype=np.uint64)
-            return np.union1d(prev, hash64(arr)).tobytes()
+            return np.union1d(prev, _hashes_of_valid(col)).tobytes()
         if o == "TakeFirst":
             import pickle
             seen, v = pickle.loads(state)
@@ -284,10 +282,11 @@ def _merge_var(a, b):
 
 
 def _hash_column(arr: pa.Array) -> pa.Array:
-    """uint64 hash64 of a column, nulls preserved as nulls. Matches the
-    value→hash mapping _Acc's CountUniqueExact uses per dtype family so
-    distinct-hash counts agree between the combiner and AggregateFn
-    paths."""
+    """uint64 hash64 of a column, nulls preserved as nulls. The ONE
+    value→hash mapping per dtype family shared by _Acc's CountUnique /
+    CountUniqueExact and the combiner's hash shadows, so distinct-hash
+    sets (and therefore HLL register states) are identical between the
+    combiner and AggregateFn paths."""
     t = arr.type
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t)):
@@ -298,10 +297,47 @@ def _hash_column(arr: pa.Array) -> pa.Array:
         if pa.types.is_temporal(t):
             base = base.cast(pa.int64() if t.bit_width == 64 else pa.int32())
         h = hash64(base.cast(pa.int64()).to_numpy(zero_copy_only=False))
-    else:
+    elif pa.types.is_floating(t):
         h = hash64(pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False))
+    else:  # decimals, dictionaries, ... — per-value blake2b slow path
+        h = hash64(arr.to_numpy(zero_copy_only=False))
     out = pa.array(h, pa.uint64())
     return pc.if_else(arr.is_valid(), out, pa.nulls(len(arr), pa.uint64()))
+
+
+def _hashes_of_valid(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hashes of the non-null values of a column (via
+    _hash_column — the shared mapping)."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    c = c.drop_null()
+    if len(c) == 0:
+        return np.empty(0, np.uint64)
+    return _hash_column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def _hll_fold(gid: np.ndarray, h: np.ndarray, n_groups: int,
+              p: int = 9) -> np.ndarray:
+    """Scatter-max a batch of hashes into per-group HLL registers —
+    (n_groups, 2^p) uint8, the grouped form of HyperLogLog.add_hashes."""
+    from datavec_ray.hll import register_updates
+    m = 1 << p
+    regs = np.zeros((n_groups, m), np.uint8)
+    if len(h):
+        idx, rank = register_updates(h, p)
+        np.maximum.at(regs, (gid, idx), rank)
+    return regs
+
+
+def _hll_cardinality(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HyperLogLog.cardinality (same estimator + linear-counting
+    small-range correction) over an (n_groups, m) register matrix."""
+    from datavec_ray.hll import _alpha
+    m = regs.shape[1]
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)),
+                                     axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
 
 
 def _minmax_mergeable(t: pa.DataType) -> bool:
@@ -403,17 +439,17 @@ class Reducer(WideStep):
     # per-block group_by can produce and numpy can segment-merge
     _COMBINABLE = _BUILTIN | {"Range", "Prod", "Stdev", "UncorrectedStdDev",
                               "Variance", "PopulationVariance",
-                              "CountUniqueExact"}
+                              "CountUniqueExact", "CountUnique"}
 
     def apply_dataset(self, ds):
         from ray.data.aggregate import AggregateFn
 
         # fast path: map-side combiner + ONE hash-partition shuffle of
-        # PARTIAL rows when every op is a mergeable monoid and there is
-        # no conditional gate; falls back to Ray's builtin aggregations
-        # (or the general AggregateFn path) for unsupported input types
-        if (self.condition is None
-                and all(op in self._COMBINABLE for _, op, _ in self.specs)):
+        # PARTIAL rows when every op is a mergeable monoid (conditional
+        # gates are handled by null-masking gated-out values per block);
+        # falls back to Ray's builtin aggregations (or the general
+        # AggregateFn path) for unsupported input types
+        if all(op in self._COMBINABLE for _, op, _ in self.specs):
             out = self._combiner_groupby(ds)
             if out is not None:
                 return out
@@ -472,11 +508,20 @@ class Reducer(WideStep):
         null-keyed groups on exotic post-shuffle chunk layouts).
 
         Covered ops: Sum/Mean/Min/Max/Count plus Range (min+max
-        partials), Prod (product partials) and the variance family
+        partials), Prod (product partials), the variance family
         (count+mean+population-variance partials; merged with the
         cancellation-free form of the Chan et al. update:
         M2 = sum(M2_i) + sum(n_i*(mean_i - mu)^2), every term a
-        segmented reduceat — no subtraction of near-equal squares).
+        segmented reduceat — no subtraction of near-equal squares),
+        CountUniqueExact (distinct uint64-hash lists) and CountUnique
+        (fixed 513-byte HLL register blobs per (block, key) — the
+        partial stays 0.5 KB regardless of cardinality).
+
+        A conditional gate (``iff``) is applied map-side by replacing
+        gated-out values with NULL in per-column shadows (every partial
+        fn skips nulls), so group membership still comes from ALL rows —
+        a fully-gated group survives with count 0, matching the
+        AggregateFn path.
 
         Returns None (caller falls back to the Ray builtin path or the
         general AggregateFn path) for non-numeric inputs, or when
@@ -493,10 +538,15 @@ class Reducer(WideStep):
 
         schema = ds.schema().base_schema
         in_types = {c: schema.field(c).type for c in schema.names}
-        plan: dict = {}               # (col, acero_fn) -> partial name
+        plan: dict = {}               # (src col, partial fn) -> partial name
         float_shadows: set = set()    # int cols needing a float64 copy
         hash_shadows: set = set()     # cols needing a uint64 hash copy
         need_count_all = False
+        cond = self.condition
+        gated = cond is not None
+        # with a gate, every reduced column reads through a null-masked
+        # shadow __g_{col} (never mutate the original: it may be a key)
+        base = {c: (f"__g_{c}" if gated else c) for c, _, _ in self.specs}
         _VAR_OPS = ("Stdev", "UncorrectedStdDev", "Variance",
                     "PopulationVariance")
         _NUM_ONLY = ("Sum", "Mean", "Range", "Prod") + _VAR_OPS
@@ -508,7 +558,7 @@ class Reducer(WideStep):
             if op in _NUM_ONLY:
                 if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
                     return None
-            elif op == "CountUniqueExact":
+            elif op in ("CountUniqueExact", "CountUnique"):
                 if pa.types.is_nested(t):
                     return None
             elif not _minmax_mergeable(t):
@@ -516,17 +566,18 @@ class Reducer(WideStep):
             fns = {"Sum": ["sum"], "Mean": ["sum"], "Min": ["min"],
                    "Max": ["max"], "Range": ["min", "max"],
                    "Prod": ["product"],
-                   "CountUniqueExact": ["distinct"]}.get(
+                   "CountUniqueExact": ["distinct"],
+                   "CountUnique": ["hll"]}.get(
                        op, ["mean", "variance"])
             for fn in ["count"] + fns:
-                src = col
+                src = base[col]
                 if fn == "product" and pa.types.is_integer(t):
                     # int products wrap mod 2^64 inside Acero; Prod's
                     # declared output is Double — aggregate a float64
                     # shadow column instead
                     src = f"__f_{col}"
                     float_shadows.add(col)
-                elif fn == "distinct":
+                elif fn in ("distinct", "hll"):
                     # Acero hash_distinct emits corrupt list offsets for
                     # string inputs (observed pyarrow bug); aggregate
                     # distinct over a uint64 hash64 shadow instead —
@@ -534,6 +585,8 @@ class Reducer(WideStep):
                     src = f"__h_{col}"
                     hash_shadows.add(col)
                 plan.setdefault((src, fn), f"__pa{len(plan)}")
+        gate_cols = sorted({c for c, op, _ in self.specs
+                            if op != "Count"}) if gated else []
         keys = list(self.keys)
         plist = list(plan.items())
         specs = [tuple(s) for s in self.specs]
@@ -543,25 +596,67 @@ class Reducer(WideStep):
 
         def _partial(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
+            if gated:
+                msk = cond.mask(batch)
+                if isinstance(msk, pa.ChunkedArray):
+                    msk = msk.combine_chunks()
+                for c in gate_cols:
+                    t = batch.schema.field(c).type
+                    batch = batch.append_column(
+                        pa.field(f"__g_{c}", t),
+                        pc.if_else(msk, batch[c], pa.nulls(len(batch), t)))
+                if need_count_all:
+                    # Count counts gated ROWS (null values included):
+                    # count of non-null entries in a mask-shaped shadow
+                    batch = batch.append_column(
+                        pa.field("__cg", pa.bool_()),
+                        pc.if_else(msk, pa.scalar(True),
+                                   pa.scalar(None, pa.bool_())))
             for c in float_shadows:
                 batch = batch.append_column(
                     pa.field(f"__f_{c}", pa.float64()),
-                    batch[c].cast(pa.float64()))
+                    batch[base[c]].cast(pa.float64()))
             for c in hash_shadows:
+                src = batch[base[c]]
                 batch = batch.append_column(
                     pa.field(f"__h_{c}", pa.uint64()),
-                    _hash_column(batch[c].combine_chunks()
-                                 if isinstance(batch[c], pa.ChunkedArray)
-                                 else batch[c]))
-            aggs = [(c, f) for (c, f), _ in plist]
+                    _hash_column(src.combine_chunks()
+                                 if isinstance(src, pa.ChunkedArray)
+                                 else src))
+            aggs, seen = [], set()
+            for (c, f), _ in plist:
+                fa = "distinct" if f == "hll" else f
+                if (c, fa) not in seen:
+                    seen.add((c, fa))
+                    aggs.append((c, fa))
             if need_count_all:
-                aggs.append(([], "count_all"))
+                aggs.append(("__cg", "count") if gated
+                            else ([], "count_all"))
             g = batch.group_by(keys, use_threads=False).aggregate(aggs)
             cols = {k: g[k] for k in keys}
             for (c, f), nm in plist:
-                cols[nm] = g[f"{c}_{f}"]
+                if f == "hll":
+                    # fold each group's distinct-hash list into a fixed
+                    # 512-byte HLL register blob: the partial stays 0.5 KB
+                    # per (block, key) regardless of cardinality
+                    lists = g[f"{c}_distinct"]
+                    if isinstance(lists, pa.ChunkedArray):
+                        lists = lists.combine_chunks()
+                    lens = pc.fill_null(pc.list_value_length(lists), 0) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    gid = np.repeat(np.arange(g.num_rows), lens)
+                    flat = lists.flatten()
+                    ok = flat.is_valid().to_numpy(zero_copy_only=False)
+                    h = pc.fill_null(flat, 0) \
+                        .to_numpy(zero_copy_only=False).astype(np.uint64)
+                    regs = _hll_fold(gid[ok], h[ok], g.num_rows)
+                    cols[nm] = pa.Array.from_buffers(
+                        pa.binary(regs.shape[1]), g.num_rows,
+                        [None, pa.py_buffer(regs.tobytes())])
+                else:
+                    cols[nm] = g[f"{c}_{f}"]
             if need_count_all:
-                cols["__pca"] = g["count_all"]
+                cols["__pca"] = g["__cg_count" if gated else "count_all"]
             return pa.table(cols)
 
         def _merge(group: pa.Table) -> pa.Table:
@@ -588,8 +683,8 @@ class Reducer(WideStep):
                     fill = 1 if f == "product" else 0
                     raw[(c, f)] = pc.fill_null(arr, fill) \
                         .to_numpy(zero_copy_only=False).astype(np.float64)
-                elif f == "distinct":
-                    raw[(c, f)] = arr          # list array, merged below
+                elif f in ("distinct", "hll"):
+                    raw[(c, f)] = arr   # list / register arrays, merged below
                 else:
                     merged[(c, f)] = _minmax_reduceat(arr, starts, f)
             if need_count_all:
@@ -602,28 +697,39 @@ class Reducer(WideStep):
                 if op == "Count":
                     cols[out] = count_all
                     continue
-                cnt = merged[(col, "count")].to_numpy(zero_copy_only=False)
+                bc = base[col]
+                cnt = merged[(bc, "count")].to_numpy(zero_copy_only=False)
                 n = np.maximum(cnt, 1)
                 if op == "Mean":
-                    s = merged[(col, "sum")].to_numpy(zero_copy_only=False) \
+                    s = merged[(bc, "sum")].to_numpy(zero_copy_only=False) \
                         .astype(np.float64)
                     res = pa.array(s / n)
                 elif op == "Sum":
-                    res = merged[(col, "sum")]
+                    res = merged[(bc, "sum")]
                 elif op in ("Min", "Max"):
-                    res = merged[(col, "min" if op == "Min" else "max")]
+                    res = merged[(bc, "min" if op == "Min" else "max")]
                 elif op == "Range":
-                    lo = merged[(col, "min")].to_numpy(zero_copy_only=False)
-                    hi = merged[(col, "max")].to_numpy(zero_copy_only=False)
+                    lo = merged[(bc, "min")].to_numpy(zero_copy_only=False)
+                    hi = merged[(bc, "max")].to_numpy(zero_copy_only=False)
                     # zero out all-null groups (sentinel-filled lo/hi
                     # would overflow the subtraction); masked NULL below
                     lo = np.where(cnt == 0, 0, lo)
                     hi = np.where(cnt == 0, 0, hi)
                     res = pa.array(hi - lo)
                 elif op == "Prod":
-                    src = f"__f_{col}" if col in float_shadows else col
+                    src = f"__f_{col}" if col in float_shadows else bc
                     res = pa.array(np.multiply.reduceat(
                         raw[(src, "product")], starts))
+                elif op == "CountUnique":
+                    # elementwise-max merge of fixed-size HLL register
+                    # blobs, then the row-wise HLL estimator
+                    a = raw[(f"__h_{col}", "hll")]
+                    m = len(a[0].as_py()) if len(a) else 512
+                    buf = a.buffers()[1]
+                    regs = np.frombuffer(buf, np.uint8)[
+                        a.offset * m:(a.offset + len(a)) * m].reshape(-1, m)
+                    res = pa.array(_hll_cardinality(
+                        np.maximum.reduceat(regs, starts, axis=0)))
                 elif op == "CountUniqueExact":
                     # flatten per-partial distinct-hash lists, tag each
                     # value with its group index, distinct-count per group
@@ -647,9 +753,9 @@ class Reducer(WideStep):
                         .to_numpy(zero_copy_only=False)
                     res = pa.array(uniq)
                 else:  # variance family: segmented Chan merge
-                    c_i = raw[(col, "count")].astype(np.float64)
-                    m_i = raw[(col, "mean")]
-                    M2_i = raw[(col, "variance")] * c_i   # population var*n
+                    c_i = raw[(bc, "count")].astype(np.float64)
+                    m_i = raw[(bc, "mean")]
+                    M2_i = raw[(bc, "variance")] * c_i   # population var*n
                     mu = np.add.reduceat(c_i * m_i, starts) / n
                     mu_rep = np.repeat(mu, seg_len)
                     M2 = (np.add.reduceat(M2_i, starts)
@@ -668,10 +774,11 @@ class Reducer(WideStep):
                     res = pa.array(v)
                 res = res.cast(out_types[out])
                 # all-null group: NULL for everything except Sum (monoid
-                # zero 0), Prod (monoid one 1.0) and CountUniqueExact
-                # (0) — matches _Acc semantics in apply_local / the
-                # AggregateFn path
-                if (op not in ("Sum", "Prod", "CountUniqueExact")
+                # zero 0), Prod (monoid one 1.0), CountUniqueExact (0)
+                # and CountUnique (empty-HLL estimate 0.0) — matches
+                # _Acc semantics in apply_local / the AggregateFn path
+                if (op not in ("Sum", "Prod", "CountUniqueExact",
+                               "CountUnique")
                         and (cnt == 0).any()):
                     res = pc.if_else(pa.array(cnt == 0),
                                      pa.nulls(len(starts), res.type), res)

@@ -146,6 +146,89 @@ def test_reducer_combiner_variance_large_offset(ray_session):
     assert abs(got_var - exact) / exact < 1e-6
 
 
+def test_reducer_combiner_hll_parity(ray_session, monkeypatch):
+    """CountUnique through the combiner (fixed 512-byte register
+    partials) produces EXACTLY the same estimates as the AggregateFn
+    path and the local oracle — same hash mapping, same registers,
+    same estimator."""
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    t = pa.table({
+        "k": pa.array([f"g{i % 5}" for i in range(n)]),
+        "u": pa.array([f"s{x}" if x % 9 else None
+                       for x in rng.integers(0, 900, n)]),
+        "i": pa.array(rng.integers(0, 2000, n), pa.int64()),
+        "f": pa.array(rng.uniform(0, 1, n)),
+    })
+    r = Reducer(keys=["k"], specs=[
+        ("u", "CountUnique", "au"), ("i", "CountUnique", "ai"),
+        ("f", "CountUnique", "af"), ("u", "CountUniqueExact", "eu"),
+    ])
+    comb = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                            .repartition(8)))
+    comb = comb.sort_by([("k", "ascending")])
+    monkeypatch.setenv("DATAVEC_REDUCE_COMBINER", "0")
+    agg = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(8)))
+    agg = agg.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    for c in loc.column_names:
+        assert comb[c].to_pylist() == agg[c].to_pylist() \
+            == loc[c].to_pylist(), c
+    # estimates are within HLL p=9 tolerance of the exact counts
+    for est, exact in zip(comb["au"].to_pylist(), comb["eu"].to_pylist()):
+        assert abs(est - exact) / exact < 0.15
+
+
+def test_reducer_combiner_conditional_gate(ray_session, monkeypatch):
+    """A conditional Reducer runs through the combiner (null-masked
+    gated values) and matches both the AggregateFn path and the local
+    oracle, including fully-gated-out groups."""
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    t = pa.table({
+        "k": pa.array([f"g{i % 6}" for i in range(n)]),
+        "u": pa.array([f"s{x}" if x % 5 else None
+                       for x in rng.integers(0, 300, n)]),
+        "v": pa.array([None if i % 89 == 0 else x for i, x in
+                       enumerate(rng.normal(50, 9, n))], pa.float64()),
+        "i": pa.array(rng.integers(0, 100, n), pa.int64()),
+        # group g5 is fully gated out (its v values forced >= 200)
+    })
+    v = t["v"].to_pylist()
+    v = [200.0 if (j % 6 == 5) else x for j, x in enumerate(v)]
+    t = t.set_column(2, "v", pa.array(v, pa.float64()))
+    cond = ColumnCondition("v", "LessThan", 50.0)
+    r = Reducer(keys=["k"], specs=[
+        ("v", "Mean", "mv"), ("v", "Sum", "sv"), ("v", "Stdev", "sd"),
+        ("i", "Range", "rg"), ("u", "CountUniqueExact", "uu"),
+        ("u", "CountUnique", "au"), ("k", "Count", "cnt"),
+    ], condition=cond)
+    comb = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                            .repartition(7)))
+    comb = comb.sort_by([("k", "ascending")])
+    monkeypatch.setenv("DATAVEC_REDUCE_COMBINER", "0")
+    agg = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(7)))
+    agg = agg.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert comb.num_rows == loc.num_rows == 6   # gated group survives
+    g5 = comb.filter(pa.compute.equal(comb["k"], "g5"))
+    assert g5["cnt"].to_pylist() == [0] and g5["mv"].to_pylist() == [None]
+    for c in loc.column_names:
+        for x, y, z in zip(comb[c].to_pylist(), agg[c].to_pylist(),
+                           loc[c].to_pylist()):
+            if isinstance(x, float):
+                assert abs(x - y) < 1e-9 and abs(x - z) < 1e-9, (c, x, y, z)
+            else:
+                assert x == y == z, (c, x, y, z)
+
+
 def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
     """Same query through the combiner and the Ray-builtin fallback."""
     from datavec_ray.reduce import Reducer
