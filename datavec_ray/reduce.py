@@ -347,9 +347,20 @@ def _minmax_mergeable(t: pa.DataType) -> bool:
 
 def _minmax_reduceat(arr: pa.Array, starts: np.ndarray, fn: str) -> pa.Array:
     """Segmented min/max over a partials column: nulls → sentinel, one
-    ``np.minimum/maximum.reduceat``, cast back. Caller masks all-null
-    groups to NULL via the companion count column."""
+    ``np.minimum/maximum.reduceat``, cast back. Strings/binary use a
+    pandas groupby (no numpy sentinel exists; partial rows only, so the
+    object path is off the hot path). Caller masks all-null groups to
+    NULL via the companion count column."""
     orig = arr.type
+    if (pa.types.is_string(orig) or pa.types.is_large_string(orig)
+            or pa.types.is_binary(orig)):
+        import pandas as pd
+        seg_len = np.diff(np.append(starts, len(arr)))
+        gid = np.repeat(np.arange(len(starts)), seg_len)
+        s = pd.Series(arr.to_numpy(zero_copy_only=False)).groupby(gid)
+        r = (s.min() if fn == "min" else s.max()).reindex(
+            np.arange(len(starts)))
+        return pa.array(r.to_numpy(), orig, from_pandas=True)
     if pa.types.is_boolean(orig):
         arr = arr.cast(pa.int8())
     elif pa.types.is_temporal(orig):
@@ -439,7 +450,8 @@ class Reducer(WideStep):
     # per-block group_by can produce and numpy can segment-merge
     _COMBINABLE = _BUILTIN | {"Range", "Prod", "Stdev", "UncorrectedStdDev",
                               "Variance", "PopulationVariance",
-                              "CountUniqueExact", "CountUnique"}
+                              "CountUniqueExact", "CountUnique",
+                              "TakeFirst", "TakeLast", "Append", "Prepend"}
 
     def apply_dataset(self, ds):
         from ray.data.aggregate import AggregateFn
@@ -543,6 +555,7 @@ class Reducer(WideStep):
         hash_shadows: set = set()     # cols needing a uint64 hash copy
         need_count_all = False
         cond = self.condition
+        delim = self.append_delimiter
         gated = cond is not None
         # with a gate, every reduced column reads through a null-masked
         # shadow __g_{col} (never mutate the original: it may be a key)
@@ -550,6 +563,8 @@ class Reducer(WideStep):
         _VAR_OPS = ("Stdev", "UncorrectedStdDev", "Variance",
                     "PopulationVariance")
         _NUM_ONLY = ("Sum", "Mean", "Range", "Prod") + _VAR_OPS
+        _STRINGY = (pa.types.is_string, pa.types.is_large_string,
+                    pa.types.is_binary)
         for col, op, _ in self.specs:
             if op == "Count":
                 need_count_all = True
@@ -561,13 +576,23 @@ class Reducer(WideStep):
             elif op in ("CountUniqueExact", "CountUnique"):
                 if pa.types.is_nested(t):
                     return None
-            elif not _minmax_mergeable(t):
+            elif op in ("TakeFirst", "TakeLast"):
+                # a gated first/last can't tell "gated out" from a
+                # genuine null value in the null-masked shadow
+                if gated or pa.types.is_nested(t):
+                    return None
+            elif op in ("Append", "Prepend"):
+                if pa.types.is_nested(t):
+                    return None
+            elif not (_minmax_mergeable(t) or any(p(t) for p in _STRINGY)):
                 return None
             fns = {"Sum": ["sum"], "Mean": ["sum"], "Min": ["min"],
                    "Max": ["max"], "Range": ["min", "max"],
                    "Prod": ["product"],
                    "CountUniqueExact": ["distinct"],
-                   "CountUnique": ["hll"]}.get(
+                   "CountUnique": ["hll"],
+                   "TakeFirst": ["first"], "TakeLast": ["last"],
+                   "Append": ["agglist"], "Prepend": ["agglist"]}.get(
                        op, ["mean", "variance"])
             for fn in ["count"] + fns:
                 src = base[col]
@@ -625,9 +650,16 @@ class Reducer(WideStep):
                                  else src))
             aggs, seen = [], set()
             for (c, f), _ in plist:
-                fa = "distinct" if f == "hll" else f
-                if (c, fa) not in seen:
-                    seen.add((c, fa))
+                fa = {"hll": "distinct", "agglist": "list"}.get(f, f)
+                if (c, fa) in seen:
+                    continue
+                seen.add((c, fa))
+                if fa in ("first", "last"):
+                    # keep a genuinely-null first/last value (matches
+                    # _Acc's TakeFirst/TakeLast arrival semantics)
+                    aggs.append((c, fa, pc.ScalarAggregateOptions(
+                        skip_nulls=False)))
+                else:
                     aggs.append((c, fa))
             if need_count_all:
                 aggs.append(("__cg", "count") if gated
@@ -653,6 +685,8 @@ class Reducer(WideStep):
                     cols[nm] = pa.Array.from_buffers(
                         pa.binary(regs.shape[1]), g.num_rows,
                         [None, pa.py_buffer(regs.tobytes())])
+                elif f == "agglist":
+                    cols[nm] = g[f"{c}_list"]
                 else:
                     cols[nm] = g[f"{c}_{f}"]
             if need_count_all:
@@ -683,8 +717,8 @@ class Reducer(WideStep):
                     fill = 1 if f == "product" else 0
                     raw[(c, f)] = pc.fill_null(arr, fill) \
                         .to_numpy(zero_copy_only=False).astype(np.float64)
-                elif f in ("distinct", "hll"):
-                    raw[(c, f)] = arr   # list / register arrays, merged below
+                elif f in ("distinct", "hll", "agglist", "first", "last"):
+                    raw[(c, f)] = arr   # merged per-op below
                 else:
                     merged[(c, f)] = _minmax_reduceat(arr, starts, f)
             if need_count_all:
@@ -720,6 +754,30 @@ class Reducer(WideStep):
                     src = f"__f_{col}" if col in float_shadows else bc
                     res = pa.array(np.multiply.reduceat(
                         raw[(src, "product")], starts))
+                elif op in ("TakeFirst", "TakeLast"):
+                    # every partial row covers >=1 input row, so the
+                    # first/last partial IN MERGE ORDER carries the
+                    # group's value — same arrival-order-dependent
+                    # semantics as _Acc's merge
+                    a = raw[(bc, "first" if op == "TakeFirst" else "last")]
+                    pos = starts if op == "TakeFirst" \
+                        else starts + seg_len - 1
+                    res = a.take(pa.array(pos, pa.int64()))
+                elif op in ("Append", "Prepend"):
+                    lists = raw[(bc, "agglist")]
+                    lens = pc.fill_null(pc.list_value_length(lists), 0) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    pyvals = lists.flatten().to_pylist()
+                    cum = np.concatenate(([0], np.cumsum(lens)))
+                    seg_end = cum[starts + seg_len]
+                    seg_beg = cum[starts]
+                    strs = []
+                    for s, e in zip(seg_beg, seg_end):
+                        vs = [str(v) for v in pyvals[s:e] if v is not None]
+                        if op == "Prepend":
+                            vs.reverse()
+                        strs.append(delim.join(vs))
+                    res = pa.array(strs, pa.string())
                 elif op == "CountUnique":
                     # elementwise-max merge of fixed-size HLL register
                     # blobs, then the row-wise HLL estimator
@@ -778,7 +836,7 @@ class Reducer(WideStep):
                 # and CountUnique (empty-HLL estimate 0.0) — matches
                 # _Acc semantics in apply_local / the AggregateFn path
                 if (op not in ("Sum", "Prod", "CountUniqueExact",
-                               "CountUnique")
+                               "CountUnique", "Append", "Prepend")
                         and (cnt == 0).any()):
                     res = pc.if_else(pa.array(cnt == 0),
                                      pa.nulls(len(starts), res.type), res)

@@ -229,6 +229,53 @@ def test_reducer_combiner_conditional_gate(ray_session, monkeypatch):
                 assert x == y == z, (c, x, y, z)
 
 
+def test_reducer_combiner_order_ops_and_string_minmax(ray_session):
+    """TakeFirst/TakeLast/Append/Prepend and string Min/Max through the
+    combiner. Order-dependent ops are arrival-nondeterministic across
+    partitions (same as the AggregateFn path), so: exact parity on one
+    partition, multiset/membership parity on many."""
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    t = pa.table({
+        "k": pa.array([f"g{i % 9}" if i % 41 else None
+                       for i in range(n)]),
+        "s": pa.array([f"w{x}" if x % 6 else None
+                       for x in rng.integers(0, 50, n)]),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    r = Reducer(keys=["k"], specs=[
+        ("s", "Min", "smin"), ("s", "Max", "smax"),
+        ("s", "Append", "app"), ("s", "Prepend", "pre"),
+        ("v", "TakeFirst", "tf"), ("s", "TakeLast", "tl"),
+    ])
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(6)))
+    out = out.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert out.num_rows == loc.num_rows == 10
+    assert out["smin"].to_pylist() == loc["smin"].to_pylist()
+    assert out["smax"].to_pylist() == loc["smax"].to_pylist()
+    for c in ("app", "pre"):
+        for a, b in zip(out[c].to_pylist(), loc[c].to_pylist()):
+            assert sorted(a.split(",")) == sorted(b.split(",")), (c, a, b)
+    members = {}
+    for k, v, s in zip(t["k"].to_pylist(), t["v"].to_pylist(),
+                       t["s"].to_pylist()):
+        members.setdefault(k, (set(), set()))[0].add(v)
+        members[k][1].add(s)
+    for k, tf, tl in zip(out["k"].to_pylist(), out["tf"].to_pylist(),
+                         out["tl"].to_pylist()):
+        assert tf in members[k][0] and tl in members[k][1]
+    # one partition → merge order is deterministic → exact local parity
+    one = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(1)))
+    one = one.sort_by([("k", "ascending")])
+    for c in ("tf", "tl", "app", "pre"):
+        assert one[c].to_pylist() == loc[c].to_pylist(), c
+
+
 def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
     """Same query through the combiner and the Ray-builtin fallback."""
     from datavec_ray.reduce import Reducer
