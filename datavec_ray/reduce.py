@@ -480,28 +480,89 @@ class Reducer(WideStep):
             # Min/Max->input, Count->int64)
             return ds.groupby(self.keys).aggregate(*aggs)
 
+        import os
+        if os.environ.get("DATAVEC_REDUCE_GENERAL", "partition") == "aggfn":
+            # legacy general path: Ray AggregateFn over a sort-based
+            # groupby. Kept selectable for cross-path parity testing;
+            # raises on NULL keys (Ray's sort can't order them).
+            cond = self.condition
+            delim = self.append_delimiter
+            aggs = []
+            for col, op, out in self.specs:
+                acc = _Acc(op)
+
+                def make(acc=acc, col=col):
+                    def accumulate_block(state, block: pa.Table):
+                        c = block[col]
+                        if cond is not None:
+                            c = c.filter(cond.mask(block))
+                        return acc.accumulate(state, c)
+                    return accumulate_block
+
+                aggs.append(AggregateFn(
+                    init=lambda k, acc=acc: acc.zero(),
+                    merge=lambda a, b, acc=acc: acc.merge(a, b),
+                    accumulate_block=make(),
+                    finalize=lambda s, acc=acc: acc.finalize(s, delim),
+                    name=out,
+                ))
+            return ds.groupby(self.keys).aggregate(*aggs)
+        return self._acc_groupby(ds)
+
+    def _acc_groupby(self, ds):
+        """General fallback (UDAFs, gated TakeFirst/TakeLast): ONE hash
+        partition on the keys, then per-partition _Acc accumulation over
+        key runs (sort + run detection, the combiner's merge idiom).
+        Unlike Ray's sort-based ``groupby().aggregate()`` this tolerates
+        NULL keys and moves each row through exactly one exchange with
+        no global sort. Per-group work is a Python _Acc call — the same
+        cost profile as the AggregateFn path it replaces."""
+        from datavec_ray.misc import (_GPART, _group_partition,
+                                      _key_run_starts)
+        from datavec_ray.steps.base import combine
+
         cond = self.condition
         delim = self.append_delimiter
-        aggs = []
-        for col, op, out in self.specs:
-            acc = _Acc(op)
+        keys = list(self.keys)
+        specs = [tuple(s) for s in self.specs]
+        accs = [_Acc(op) for _, op, _ in specs]   # captures UDAF registry
+        schema = ds.schema().base_schema
+        out_types = {out: _out_type(op, schema.field(col).type)
+                     for col, op, out in specs}
+        key_types = {k: schema.field(k).type for k in keys}
+        P = self.num_partitions or 32
 
-            def make(acc=acc, col=col):
-                def accumulate_block(state, block: pa.Table):
-                    c = block[col]
-                    if cond is not None:
-                        c = c.filter(cond.mask(block))
-                    return acc.accumulate(state, c)
-                return accumulate_block
+        def _grp(group: pa.Table) -> pa.Table:
+            g = group.drop_columns([_GPART]).sort_by(
+                [(k, "ascending") for k in keys])
+            if g.num_rows == 0:
+                return pa.table(
+                    {**{k: pa.array([], key_types[k]) for k in keys},
+                     **{out: pa.array([], out_types[out])
+                        for _, _, out in specs}})
+            g = g.combine_chunks()
+            starts = np.flatnonzero(_key_run_starts(g, keys))
+            seg_len = np.diff(np.append(starts, g.num_rows))
+            take = pa.array(starts, pa.int64())
+            cols = {k: combine(g[k]).take(take) for k in keys}
+            mask = cond.mask(g) if cond is not None else None
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            for (col, op, out), acc in zip(specs, accs):
+                full = combine(g[col])
+                vals = []
+                for s, ln in zip(starts, seg_len):
+                    c = full.slice(s, ln)
+                    if mask is not None:
+                        c = c.filter(mask.slice(s, ln))
+                    vals.append(acc.finalize(
+                        acc.accumulate(acc.zero(), c), delim))
+                cols[out] = pa.array(vals, out_types[out])
+            return pa.table(cols)
 
-            aggs.append(AggregateFn(
-                init=lambda k, acc=acc: acc.zero(),
-                merge=lambda a, b, acc=acc: acc.merge(a, b),
-                accumulate_block=make(),
-                finalize=lambda s, acc=acc: acc.finalize(s, delim),
-                name=out,
-            ))
-        return ds.groupby(self.keys).aggregate(*aggs)
+        _grp.__name__ = "reduce_general"
+        return _group_partition(ds, keys, P) \
+            .groupby(_GPART).map_groups(_grp, batch_format="pyarrow")
 
     def _combiner_groupby(self, ds):
         """Map-side pre-aggregation (combiner) + ONE hash-partition

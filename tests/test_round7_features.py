@@ -276,6 +276,60 @@ def test_reducer_combiner_order_ops_and_string_minmax(ray_session):
         assert one[c].to_pylist() == loc[c].to_pylist(), c
 
 
+def test_reducer_general_path_null_keys_and_gated_takefirst(
+        ray_session, monkeypatch):
+    """The partition-based general fallback (_acc_groupby) handles NULL
+    keys (Ray's sort-based aggregate raises on them) and gated
+    TakeFirst/TakeLast, matching the local oracle; on non-null keys it
+    matches the legacy AggregateFn path."""
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.reduce import Reducer
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    t = pa.table({
+        "k": pa.array([f"g{i % 4}" if i % 17 else None
+                       for i in range(n)]),
+        "v": pa.array(rng.normal(10, 2, n)),
+        "s": pa.array([f"x{v}" for v in rng.integers(0, 9, n)]),
+    })
+    # gated TakeFirst/TakeLast → not combinable → general path; null
+    # keys → would raise in Ray's sort-based groupby
+    cond = ColumnCondition("v", "GreaterThan", 10.0)
+    r = Reducer(keys=["k"], specs=[
+        ("v", "TakeFirst", "tf"), ("s", "TakeLast", "tl"),
+        ("v", "Mean", "mv"),
+    ], condition=cond)
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(1)))
+    out = out.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert out.num_rows == loc.num_rows == 5
+    for c in ("tf", "tl", "mv"):   # 1 partition → deterministic
+        for x, y in zip(out[c].to_pylist(), loc[c].to_pylist()):
+            if isinstance(x, float):
+                assert abs(x - y) < 1e-9, (c, x, y)
+            else:
+                assert x == y, (c, x, y)
+    # non-null keys: general path == legacy AggregateFn path
+    t2 = t.set_column(0, "k", pa.array(
+        [f"g{i % 4}" for i in range(n)]))
+    r2 = Reducer(keys=["k"], specs=[("v", "Mean", "mv"),
+                                    ("v", "Stdev", "sd")],
+                 condition=cond)
+    monkeypatch.setenv("DATAVEC_REDUCE_COMBINER", "0")
+    part = dataset_to_table(r2.apply_dataset(rd.from_arrow(t2)
+                                             .repartition(5)))
+    part = part.sort_by([("k", "ascending")])
+    monkeypatch.setenv("DATAVEC_REDUCE_GENERAL", "aggfn")
+    agg = dataset_to_table(r2.apply_dataset(rd.from_arrow(t2)
+                                            .repartition(5)))
+    agg = agg.sort_by([("k", "ascending")])
+    for c in ("mv", "sd"):
+        for x, y in zip(part[c].to_pylist(), agg[c].to_pylist()):
+            assert abs(x - y) < 1e-9, (c, x, y)
+
+
 def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
     """Same query through the combiner and the Ray-builtin fallback."""
     from datavec_ray.reduce import Reducer
