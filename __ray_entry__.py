@@ -367,6 +367,41 @@ def _q_cdc_upsert(sf_dir: str):
     return final.map_batches(ts_to_ms, batch_format="pyarrow")
 
 
+def _q_cdc_aggview(sf_dir: str):
+    """Incrementally-maintained grouped aggregate over the CDC lake:
+    ingest the first half of the binlog (snapshot v1), build the view,
+    ingest the rest (v2), then ADVANCE the view with the v1→v2 retract
+    feed — delta-proportional work, no lake rescan. The oracle
+    recomputes the same aggregate from scratch over the full LWW
+    replay, so the incremental path is value-checked end to end."""
+    import tempfile
+
+    from datavec_ray.cdc.aggview import AggView
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events")
+    cut = int(ds.max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="aggview_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                   checkpoint_name="v2")
+        tt = eng.time_travel()
+        view = AggView(keys=["role"],
+                       specs=[("role", "Count", "n_turns"),
+                              ("turn_idx", "Sum", "sum_turn"),
+                              ("ts", "Mean", "mean_ts_ms")])
+        state = view.build(tt.read_state_at("v1"))
+        state = view.advance(state, tt.retract_feed("v1", "v2"))
+        return view.finalize(state)
+    finally:
+        eng.shutdown()
+
+
 def _q_exact_dedup(sf_dir: str):
     from datavec_ray.ops.dedup import exact_dedup
 
@@ -1273,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_split": _q_session_split,
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
+        "cdc_aggview": _q_cdc_aggview,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1611,6 +1647,16 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_aggview": _BINLOG_CTE + """
+            select role, count(*) as n_turns,
+                   sum(turn_idx) as sum_turn,
+                   avg(ts_ms) as mean_ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'
+            group by role""",
         "exact_dedup": """
             select doc_id, text from documents
             where doc_id in (select min(doc_id) from documents group by text)""",

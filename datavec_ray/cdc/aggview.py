@@ -1,0 +1,186 @@
+"""Incrementally-maintained grouped aggregates over the CDC lake.
+
+``AggView`` keeps a compact per-group partial state (sign-weighted sums
+and counts) for a Reducer-style spec restricted to the INVERTIBLE ops
+Sum / Count / Mean — the ones a retraction can undo exactly.
+
+- ``build(live_ds)``   — state from a full snapshot, computed with the
+  combiner discipline (per-block Acero partials, ONE partial-row
+  shuffle; the raw rows never move).
+- ``advance(state, retract_ds)`` — apply a retract stream
+  (``TimeTravel.retract_feed``): -1 rows subtract their old image,
+  +1 rows add their new image. Work is proportional to the DELTA —
+  the lake is never rescanned. Groups whose live row count reaches 0
+  disappear from the view, exactly as a recompute would drop them.
+- ``finalize(state)``  — the user-facing view table.
+
+Maintaining a materialized aggregate this way is the
+streaming-materialized-view convention (retract streams as in
+Flink/differential dataflow); the reference has no counterpart — this
+is CDC-native functionality the lake's snapshot chain enables.
+
+Non-invertible ops (Min/Max/CountUnique/...) would need per-group
+recompute or sketch-assisted retraction on deletes; they are
+deliberately out of scope here — build those views with ``Reducer``
+over ``TimeTravel.read_state_at`` instead.
+
+State size is one row per group: compact for analytic keys (role,
+tool, day buckets). For key spaces rivaling the corpus itself, shard
+the state with ``misc._group_partition`` instead of holding one Table —
+``advance`` only touches groups named in the delta either way.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_INVERTIBLE = {"Sum", "Count", "Mean"}
+
+
+class AggView:
+    def __init__(self, keys: Sequence[str],
+                 specs: Sequence[Sequence[str]],
+                 num_partitions: int = 32):
+        self.keys = list(keys)
+        self.specs = [tuple(s) for s in specs]
+        self.num_partitions = num_partitions
+        bad = [op for _, op, _ in self.specs if op not in _INVERTIBLE]
+        if bad:
+            raise ValueError(
+                f"AggView supports invertible ops {sorted(_INVERTIBLE)}; "
+                f"got {bad}. Use Reducer over read_state_at for the rest.")
+        # value columns needing (sum, valid-count) partials
+        self.val_cols = sorted({c for c, op, _ in self.specs
+                                if op in ("Sum", "Mean")})
+
+    # -- internal partial layout ---------------------------------------------
+    def _partial_names(self):
+        names = ["__vn"]
+        for c in self.val_cols:
+            names += [f"__s_{c}", f"__c_{c}"]
+        return names
+
+    def _partial_fn(self, signed: bool):
+        keys, vcols = list(self.keys), list(self.val_cols)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            n = len(batch)
+            if signed:
+                sign = batch["sign"].cast(pa.int64())
+            else:
+                sign = pa.chunked_array([pa.array(np.ones(n, np.int64))])
+            aggs = [("__rw", "sum")]
+            batch = batch.append_column(pa.field("__rw", pa.int64()), sign)
+            for c in vcols:
+                v = batch[c]
+                if pa.types.is_timestamp(v.type):
+                    v = v.cast(pa.int64())
+                elif pa.types.is_integer(v.type):
+                    v = v.cast(pa.int64())
+                else:
+                    v = v.cast(pa.float64())
+                sv = pc.multiply_checked(v, sign) if signed else v
+                cv = pc.if_else(v.is_valid() if isinstance(v, pa.Array)
+                                else v.combine_chunks().is_valid(),
+                                sign, pa.scalar(None, pa.int64()))
+                batch = batch.append_column(
+                    pa.field(f"__sv_{c}", sv.type), sv)
+                batch = batch.append_column(
+                    pa.field(f"__cv_{c}", pa.int64()), cv)
+                aggs += [(f"__sv_{c}", "sum"), (f"__cv_{c}", "sum")]
+            g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+            cols = {k: g[k] for k in keys}
+            cols["__vn"] = pc.fill_null(g["__rw_sum"], 0)
+            for c in vcols:
+                cols[f"__s_{c}"] = g[f"__sv_{c}_sum"]
+                cols[f"__c_{c}"] = pc.fill_null(g[f"__cv_{c}_sum"], 0)
+            return pa.table(cols)
+
+        _partial.__name__ = "aggview_partial"
+        return _partial
+
+    def _merge_partials(self, partials_ds) -> pa.Table:
+        """ONE hash-partition shuffle of partial rows, segmented-sum
+        merge per partition, dropped-group filter, collected to a
+        compact state Table."""
+        from datavec_ray.misc import (_GPART, _group_partition,
+                                      _key_run_starts)
+        from datavec_ray.steps.base import combine
+        from datavec_ray.util import dataset_to_table
+
+        keys, pnames = list(self.keys), self._partial_names()
+
+        def _merge(group: pa.Table) -> pa.Table:
+            g = group.drop_columns([_GPART]).sort_by(
+                [(k, "ascending") for k in keys])
+            if g.num_rows == 0:
+                return g
+            g = g.combine_chunks()
+            starts = np.flatnonzero(_key_run_starts(g, keys))
+            take = pa.array(starts, pa.int64())
+            cols = {k: combine(g[k]).take(take) for k in keys}
+            valid_cnt = {}
+            for nm in pnames:
+                arr = combine(g[nm])
+                vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+                red = np.add.reduceat(vals, starts)
+                if nm.startswith("__c_") or nm == "__vn":
+                    valid_cnt[nm] = red
+                cols[nm] = pa.array(red).cast(arr.type)
+            # a sum over 0 valid values is the monoid zero, but after a
+            # retraction it must become NULL-equivalent state: zero it
+            # so +x followed by -x leaves no residue (exact for ints;
+            # float residue is zeroed with the count)
+            for c in self.val_cols:
+                cnt = valid_cnt[f"__c_{c}"]
+                s = cols[f"__s_{c}"]
+                if (cnt == 0).any():
+                    cols[f"__s_{c}"] = pc.if_else(
+                        pa.array(cnt == 0), pa.scalar(0).cast(s.type), s)
+            out = pa.table(cols)
+            return out.filter(pa.array(valid_cnt["__vn"] != 0))
+
+        _merge.__name__ = "aggview_merge"
+        merged = _group_partition(partials_ds, keys,
+                                  self.num_partitions) \
+            .groupby(_GPART).map_groups(_merge, batch_format="pyarrow")
+        return dataset_to_table(merged)
+
+    # -- public API ------------------------------------------------------------
+    def build(self, live_ds) -> pa.Table:
+        """Initial state from a snapshot of live rows (e.g.
+        ``TimeTravel.read_state_at(name)``)."""
+        parts = live_ds.map_batches(self._partial_fn(signed=False),
+                                    batch_format="pyarrow")
+        return self._merge_partials(parts)
+
+    def advance(self, state: pa.Table, retract_ds) -> pa.Table:
+        """Apply a retract stream to the state — delta-sized work."""
+        import ray.data as rd
+        parts = retract_ds.map_batches(self._partial_fn(signed=True),
+                                       batch_format="pyarrow")
+        if state.num_rows:
+            parts = parts.union(rd.from_arrow(state))
+        return self._merge_partials(parts)
+
+    def finalize(self, state: pa.Table) -> pa.Table:
+        """Render the user-facing view from the partial state."""
+        cols = {k: state[k] for k in self.keys}
+        for col, op, out in self.specs:
+            if op == "Count":
+                cols[out] = state["__vn"]
+            elif op == "Sum":
+                cols[out] = state[f"__s_{col}"]
+            else:  # Mean
+                s = state[f"__s_{col}"].cast(pa.float64())
+                c = state[f"__c_{col}"]
+                cols[out] = pc.if_else(
+                    pc.equal(c, 0), pa.scalar(None, pa.float64()),
+                    pc.divide(s, c.cast(pa.float64())))
+        return pa.table(cols).sort_by(
+            [(k, "ascending") for k in self.keys])

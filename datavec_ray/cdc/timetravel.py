@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -39,6 +40,20 @@ CHANGE_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int64()),
     ("change_type", pa.string()),       # insert | update | delete
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("ms")),
+    ("lsn", pa.int64()),
+])
+
+# retract stream: every change as +1/-1 FULL row images (an update is a
+# -1 old image followed by a +1 new image) — the form downstream
+# incremental operators consume (Flink/differential-dataflow convention)
+RETRACT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int64()),
+    ("sign", pa.int8()),                # +1 add | -1 retract
     ("role", pa.string()),
     ("text", pa.string()),
     ("tool", pa.string()),
@@ -143,6 +158,52 @@ def _diff_partition(old_dir: Optional[str], new_dir: str,
         [("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _live_state(t: pa.Table) -> pa.Table:
+    return t.filter(pc.fill_null(pc.not_equal(t["op"], "D"), True))
+
+
+def _retract_rows(t: pa.Table, mask, sign: int) -> pa.Table:
+    sel = t.filter(mask)
+    return pa.table({
+        "conv_id": sel["conv_id"], "turn_idx": sel["turn_idx"],
+        "sign": pa.array(np.full(sel.num_rows, sign, np.int8)),
+        "role": sel["role"], "text": sel["text"], "tool": sel["tool"],
+        "ts": sel["ts"], "lsn": sel["lsn"]}).cast(RETRACT_SCHEMA)
+
+
+def _diff_partition_retract(old_dir: Optional[str], new_dir: str,
+                            pid: int) -> pa.Table:
+    """Retract-stream delta new-vs-old for ONE partition: -1 rows carry
+    the OLD image of every replaced/deleted live row, +1 rows the NEW
+    image of every added/replacing live row. Applying the stream to the
+    old live set as a multiset yields exactly the new live set. No
+    shuffle — partitions align across segments."""
+    from datavec_ray.cdc.engine import read_checkpoint_partition
+    old = _live_state(_normalize_state(
+        read_checkpoint_partition(old_dir, pid) if old_dir else None))
+    new = _live_state(_normalize_state(
+        read_checkpoint_partition(new_dir, pid)))
+    old_k = pa.table({"conv_id": old["conv_id"],
+                      "turn_idx": old["turn_idx"],
+                      "__o": old["lsn"]})
+    new_k = pa.table({"conv_id": new["conv_id"],
+                      "turn_idx": new["turn_idx"],
+                      "__n": new["lsn"]})
+    # old live rows no longer current (key gone live or lsn moved)
+    oj = old.join(new_k, keys=_KEY, join_type="left outer")
+    gone = pc.or_(pc.invert(pc.is_valid(oj["__n"])),
+                  pc.not_equal(oj["lsn"], pc.fill_null(oj["__n"], -1)))
+    # new live rows not current before
+    nj = new.join(old_k, keys=_KEY, join_type="left outer")
+    fresh = pc.or_(pc.invert(pc.is_valid(nj["__o"])),
+                   pc.not_equal(nj["lsn"], pc.fill_null(nj["__o"], -1)))
+    out = pa.concat_tables([
+        _retract_rows(oj, pc.fill_null(gone, True), -1),
+        _retract_rows(nj, pc.fill_null(fresh, True), +1)])
+    return out.sort_by([("conv_id", "ascending"),
+                        ("turn_idx", "ascending"), ("sign", "ascending")])
+
+
 class TimeTravel:
     """Bound to one engine/lake; see module docstring."""
 
@@ -231,5 +292,24 @@ class TimeTravel:
         if not pids:
             return rd.from_arrow(CHANGE_SCHEMA.empty_table())
         task = ray.remote(_diff_partition)
+        refs = [task.remote(old_seg, new_seg, pid) for pid in pids]
+        return rd.from_arrow_refs(refs)
+
+    def retract_feed(self, from_name: Optional[str], to_name: str):
+        """The delta between two snapshots as a RETRACT stream Dataset
+        (RETRACT_SCHEMA): -1 rows carry old images, +1 rows new images;
+        an update is a -1/+1 pair. This is the input incremental
+        operators (``cdc.aggview.AggView``) consume — applying it to
+        the old live set yields the new live set exactly.
+        ``from_name=None`` means "from empty"."""
+        import ray
+        import ray.data as rd
+        new_seg = _segment_dir(self.ckpt_dir, to_name)
+        old_seg = _segment_dir(self.ckpt_dir, from_name) if from_name \
+            else None
+        pids = _partition_ids(new_seg)
+        if not pids:
+            return rd.from_arrow(RETRACT_SCHEMA.empty_table())
+        task = ray.remote(_diff_partition_retract)
         refs = [task.remote(old_seg, new_seg, pid) for pid in pids]
         return rd.from_arrow_refs(refs)

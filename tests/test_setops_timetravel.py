@@ -234,3 +234,109 @@ def test_engine_metrics_rollup(tt_engine):
     # every binlog event reached a commit exactly once across segments
     assert m["events_applied"] <= binlog.num_rows   # pre-compaction combiner
     assert m["rows_live"] > 0 and m["deletes"] >= 0
+
+
+# -- retract feed + incremental aggregate views -------------------------------
+
+def _multiset(t: pa.Table):
+    from collections import Counter
+    cs = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return Counter(zip(*[t[c].to_pylist() for c in cs]))
+
+
+def test_retract_feed_applies_old_to_new(tt_engine):
+    """Applying the retract stream to the old live multiset yields the
+    new live multiset exactly (the defining property of a retract
+    stream), and every update is a -1/+1 pair on the same key."""
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    old = dataset_to_table(tt.read_state_at("seg1"))
+    new = dataset_to_table(tt.read_state_at("seg2"))
+    feed = dataset_to_table(tt.retract_feed("seg1", "seg2"))
+    m = _multiset(old)
+    for row, sign in zip(zip(feed["conv_id"].to_pylist(),
+                             feed["turn_idx"].to_pylist(),
+                             feed["role"].to_pylist(),
+                             feed["text"].to_pylist(),
+                             feed["tool"].to_pylist()),
+                         feed["sign"].to_pylist()):
+        m[row] += sign
+    assert +m == _multiset(new)
+    # from-empty feed is all +1 and equals the snapshot
+    f0 = dataset_to_table(tt.retract_feed(None, "seg1"))
+    assert set(f0["sign"].to_pylist()) == {1}
+    assert _multiset(f0) == _multiset(old)
+
+
+def test_aggview_incremental_matches_direct_and_oracle(tt_engine):
+    from datavec_ray.cdc.aggview import AggView
+
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    view = AggView(keys=["role"],
+                   specs=[("turn_idx", "Sum", "sum_turn"),
+                          ("turn_idx", "Mean", "mean_turn"),
+                          ("role", "Count", "n")])
+    st = view.build(tt.read_state_at("seg1"))
+    st = view.advance(st, tt.retract_feed("seg1", "seg2"))
+    st = view.advance(st, tt.retract_feed("seg2", "seg3"))
+    inc = view.finalize(st)
+    direct = view.finalize(view.build(tt.read_state_at("seg3")))
+    orc = replay_oracle(binlog).group_by("role").aggregate(
+        [("turn_idx", "sum"), ("turn_idx", "mean"), ([], "count_all")]
+    ).sort_by([("role", "ascending")])
+    assert inc.num_rows == direct.num_rows == orc.num_rows
+    for got in (inc, direct):
+        assert got["role"].to_pylist() == orc["role"].to_pylist()
+        assert got["sum_turn"].to_pylist() == \
+            orc["turn_idx_sum"].to_pylist()
+        assert got["n"].to_pylist() == orc["count_all"].to_pylist()
+        for x, y in zip(got["mean_turn"].to_pylist(),
+                        orc["turn_idx_mean"].to_pylist()):
+            assert abs(x - y) < 1e-9
+
+
+def test_aggview_group_vanishes_on_full_retraction(ray_session, tmp_path):
+    """A group whose rows are all deleted disappears from the view —
+    exactly what a recompute would produce."""
+    from datavec_ray.cdc.aggview import AggView
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    def seg(rows):
+        return pa.table({
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "conv_id": pa.array([r[2] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int64()),
+            "role": pa.array([r[4] for r in rows], pa.string()),
+            "text": pa.array([r[5] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([1000 + r[0] for r in rows],
+                           pa.timestamp("ms")),
+        })
+
+    s1 = seg([(1, "I", "c1", 0, "user", "a"),
+              (2, "I", "c1", 1, "assistant", "b"),
+              (3, "I", "c2", 0, "tool", "c")])
+    s2 = seg([(4, "D", "c2", 0, None, None),      # group 'tool' vanishes
+              (5, "U", "c1", 1, "assistant", "b2")])
+    eng = CdcIngestEngine(str(tmp_path / "vlake"), num_partitions=2)
+    eng.replay(s1, checkpoint_name="v1")
+    eng.replay(s2, checkpoint_name="v2")
+    tt = eng.time_travel()
+    view = AggView(keys=["role"], specs=[("role", "Count", "n"),
+                                         ("turn_idx", "Sum", "s")])
+    st = view.build(tt.read_state_at("v1"))
+    assert set(view.finalize(st)["role"].to_pylist()) == \
+        {"user", "assistant", "tool"}
+    st = view.advance(st, tt.retract_feed("v1", "v2"))
+    out = view.finalize(st)
+    assert set(out["role"].to_pylist()) == {"user", "assistant"}
+    assert out.to_pydict()["n"] == [1, 1]
+    eng.shutdown()
+
+
+def test_aggview_rejects_non_invertible_ops():
+    from datavec_ray.cdc.aggview import AggView
+    with pytest.raises(ValueError):
+        AggView(keys=["role"], specs=[("turn_idx", "Min", "m")])
