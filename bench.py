@@ -31,7 +31,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "similarity_topk", "sequence_diff", "tumbling_window",
                  "reduce_ops", "asof_join", "doc_quality", "grouped_topk",
-                 "set_except", "pivot_agg", "window_rank", "decontaminate"]
+                 "set_except", "pivot_agg", "window_rank", "decontaminate",
+                 "cdc_aggview"]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -19,10 +19,10 @@ streaming-materialized-view convention (retract streams as in
 Flink/differential dataflow); the reference has no counterpart — this
 is CDC-native functionality the lake's snapshot chain enables.
 
-Non-invertible ops (Min/Max/CountUnique/...) would need per-group
-recompute or sketch-assisted retraction on deletes; they are
-deliberately out of scope here — build those views with ``Reducer``
-over ``TimeTravel.read_state_at`` instead.
+Non-invertible ops (Min/Max/CountUnique/...) cannot subtract a
+retraction; ``RecomputeAggView`` maintains those by recomputing ONLY
+the groups named in the retract feed from the new snapshot (broadcast
+hash-set filter map-side) and carrying every other view row forward.
 
 State size is one row per group: compact for analytic keys (role,
 tool, day buckets). For key spaces rivaling the corpus itself, shard
@@ -39,6 +39,91 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _INVERTIBLE = {"Sum", "Count", "Mean"}
+
+
+def _key_hashes(tbl: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Combined uint64 hash of the key columns per row (FNV-style fold
+    over per-column hash64; nulls hash to a fixed sentinel). Collisions
+    only cost a spurious group recompute — never wrong results."""
+    from datavec_ray.reduce import _hash_column
+    from datavec_ray.steps.base import combine
+    h = None
+    for k in keys:
+        col = pc.fill_null(_hash_column(combine(tbl[k])),
+                           np.uint64(0x9E3779B97F4A7C15))
+        hk = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = hk if h is None else (h * np.uint64(0x100000001B3)) ^ hk
+    return h
+
+
+class RecomputeAggView:
+    """Materialized grouped aggregate for ANY Reducer op (Min / Max /
+    CountUnique / variance / UDAFs ...), maintained by AFFECTED-GROUP
+    recompute: ``advance`` recomputes only the groups named in the
+    retract feed from the new snapshot and carries every other view row
+    forward untouched. Non-invertible aggregates cannot subtract a
+    retraction, so per-group recompute is the exact-answer floor — the
+    shuffle moves only delta rows + affected-group rows (unaffected
+    lake rows are dropped map-side by a broadcast hash-set filter; the
+    snapshot scan itself remains, which is why the invertible ``AggView``
+    is preferred when the ops allow it)."""
+
+    def __init__(self, keys: Sequence[str],
+                 specs: Sequence[Sequence[str]],
+                 num_partitions: int = 32):
+        self.keys = list(keys)
+        self.specs = [tuple(s) for s in specs]
+        self.num_partitions = num_partitions
+
+    def _reducer(self):
+        from datavec_ray.reduce import Reducer
+        return Reducer(self.keys, [list(s) for s in self.specs],
+                       num_partitions=self.num_partitions)
+
+    def build(self, live_ds) -> pa.Table:
+        from datavec_ray.util import dataset_to_table
+        out = dataset_to_table(self._reducer().apply_dataset(live_ds))
+        return out.sort_by([(k, "ascending") for k in self.keys])
+
+    def advance(self, view: pa.Table, retract_ds, live_ds) -> pa.Table:
+        """``live_ds`` must be the NEW snapshot (the retract feed's
+        ``to`` side, e.g. ``TimeTravel.read_state_at(to_name)``)."""
+        import ray
+        from datavec_ray.util import dataset_to_table
+
+        keys = list(self.keys)
+
+        def _feed_keys(b: pa.Table) -> pa.Table:
+            return pa.table({"__h": pa.array(np.unique(
+                _key_hashes(b.combine_chunks(), keys)))})
+
+        touched = dataset_to_table(
+            retract_ds.map_batches(_feed_keys, batch_format="pyarrow"))
+        if touched.num_rows == 0 or "__h" not in touched.column_names:
+            return view                         # empty delta: no-op
+        affected = np.unique(touched["__h"].to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+        if len(affected) == 0:
+            return view
+        ref = ray.put(affected)          # broadcast once, read per task
+
+        def _only_affected(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            aff = ray.get(ref)
+            h = _key_hashes(b, keys)
+            idx = np.searchsorted(aff, h)
+            idx[idx == len(aff)] = 0
+            return b.filter(pa.array(aff[idx] == h))
+
+        _only_affected.__name__ = "aggview_affected_filter"
+        recomputed = dataset_to_table(self._reducer().apply_dataset(
+            live_ds.map_batches(_only_affected, batch_format="pyarrow")))
+        vh = _key_hashes(view.combine_chunks(), keys)
+        idx = np.searchsorted(affected, vh)
+        idx[idx == len(affected)] = 0
+        keep = view.filter(pa.array(affected[idx] != vh))
+        out = pa.concat_tables([keep, recomputed.cast(keep.schema)])
+        return out.sort_by([(k, "ascending") for k in keys])
 
 
 class AggView:

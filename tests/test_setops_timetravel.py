@@ -340,3 +340,34 @@ def test_aggview_rejects_non_invertible_ops():
     from datavec_ray.cdc.aggview import AggView
     with pytest.raises(ValueError):
         AggView(keys=["role"], specs=[("turn_idx", "Min", "m")])
+
+
+def test_recompute_aggview_non_invertible(tt_engine):
+    """Affected-group-recompute view for non-invertible ops: advancing
+    snapshot by snapshot equals a from-scratch build at the head."""
+    from datavec_ray.cdc.aggview import RecomputeAggView
+
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    view = RecomputeAggView(
+        keys=["role"],
+        specs=[("turn_idx", "Min", "lo"), ("turn_idx", "Max", "hi"),
+               ("text", "CountUniqueExact", "uniq_texts"),
+               ("turn_idx", "Stdev", "sd")])
+    v = view.build(tt.read_state_at("seg1"))
+    v = view.advance(v, tt.retract_feed("seg1", "seg2"),
+                     tt.read_state_at("seg2"))
+    v = view.advance(v, tt.retract_feed("seg2", "seg3"),
+                     tt.read_state_at("seg3"))
+    direct = view.build(tt.read_state_at("seg3"))
+    assert v.num_rows == direct.num_rows
+    for c in direct.column_names:
+        for x, y in zip(v[c].to_pylist(), direct[c].to_pylist()):
+            if isinstance(x, float):
+                assert abs(x - y) < 1e-9, (c, x, y)
+            else:
+                assert x == y, (c, x, y)
+    # empty delta: advance is a no-op returning the same view object
+    same = view.advance(v, tt.retract_feed("seg3", "seg3"),
+                        tt.read_state_at("seg3"))
+    assert same.equals(v) or same.num_rows == v.num_rows
