@@ -402,6 +402,16 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_frequent_tokens(sf_dir: str):
+    """Exact top-25 corpus tokens via the bounded-shuffle heavy-hitter
+    plan (block-local candidate pruning with the pigeonhole guarantee,
+    then an exact refine pass over the broadcast candidate set)."""
+    from datavec_ray.ops.sketches import frequent_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return frequent_tokens(ds, "text", k=25, capacity=4000)
+
+
 def _q_exact_dedup(sf_dir: str):
     from datavec_ray.ops.dedup import exact_dedup
 
@@ -1309,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
+        "frequent_tokens": _q_frequent_tokens,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1657,6 +1668,15 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "frequent_tokens": """
+            select value, cnt from (
+              select tok as value, count(*) as cnt
+              from (select unnest(list_filter(
+                       string_split(coalesce(text, ''), ' '),
+                       x -> x <> '')) as tok
+                    from documents)
+              group by tok)
+            order by cnt desc, value asc limit 25""",
         "exact_dedup": """
             select doc_id, text from documents
             where doc_id in (select min(doc_id) from documents group by text)""",

@@ -352,3 +352,59 @@ def test_reducer_combiner_matches_builtin_path(ray_session, monkeypatch):
     for c in ("s", "m", "lo", "hi"):
         assert np.allclose(a[c].to_numpy(), np.asarray(b[c].to_pylist(),
                                                        dtype=float))
+
+
+def test_frequent_items_exact_on_skew(ray_session):
+    """Bounded-shuffle heavy hitters == plain exact counting on a
+    skewed stream; guarantee warning fires when capacity is too small."""
+    import logging
+
+    from datavec_ray.ops.sketches import frequent_items
+
+    rng = np.random.default_rng(4)
+    # zipf-ish: value i appears ~ C / (i+1)
+    vals = np.repeat(np.arange(200), (4000 / (np.arange(200) + 1))
+                     .astype(np.int64) + 1)
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array([f"item{x}" for x in vals])})
+    ds = rd.from_arrow(t).repartition(7)
+    got = frequent_items(ds, "v", k=10, capacity=2000)
+    # exact reference
+    g = t.group_by("v").aggregate([("v", "count")]).sort_by(
+        [("v_count", "descending"), ("v", "ascending")]).slice(0, 10)
+    assert got["value"].to_pylist() == g["v"].to_pylist()
+    assert got["cnt"].to_pylist() == [int(x) for x in
+                                      g["v_count"].to_pylist()]
+    # too-small capacity: a value concentrated in one small block
+    # becomes a candidate while the k-th true count sits at or under
+    # N / capacity — the guarantee check must warn
+    b1 = pa.table({"v": pa.array(["rare"] * 100)})
+    b2 = pa.table({"v": pa.array([f"u{i % 1000}" for i in range(10000)])})
+    logger = logging.getLogger("datavec_ray.ops.sketches")
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger.addHandler(h)
+    try:
+        out = frequent_items(rd.from_arrow([b1, b2]), "v", k=5,
+                             capacity=50)
+    finally:
+        logger.removeHandler(h)
+    assert out["value"].to_pylist() == ["rare"]   # the one candidate
+    assert any("incomplete" in r.getMessage() for r in records)
+
+
+def test_frequent_tokens_matches_naive(ray_session):
+    from collections import Counter
+
+    from datavec_ray.ops.sketches import frequent_tokens
+
+    texts = ["the cat sat on the mat", "the dog", None,
+             "a cat and a dog and a bird", "", "the the the"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = frequent_tokens(rd.from_arrow(t).repartition(3),
+                          "text", k=5, capacity=100)
+    c = Counter(w for s in texts if s for w in s.split(" ") if w)
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["value"].to_pylist(),
+                    got["cnt"].to_pylist())) == expect
