@@ -402,6 +402,19 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_grouped_quantile_hist(sf_dir: str):
+    """Histogram-sketch per-group quantiles (bounded shuffle: at most
+    groups x bins partial rows cross the exchange, never raw rows).
+    Deterministic binning — the SQL oracle mirrors every float
+    expression term for term, so the approximation itself is
+    value-checked."""
+    from datavec_ray.misc import grouped_quantile_hist
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_hist(ev, ["event_type"], "value",
+                                 [0.5, 0.9, 0.99], bins=1024)
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Exact top-25 corpus tokens via the bounded-shuffle heavy-hitter
     plan (block-local candidate pruning with the pigeonhole guarantee,
@@ -1320,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
         "frequent_tokens": _q_frequent_tokens,
+        "grouped_quantile_hist": _q_grouped_quantile_hist,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1677,6 +1691,36 @@ def oracle_sql() -> dict[str, str]:
                     from documents)
               group by tok)
             order by cnt desc, value asc limit 25""",
+        "grouped_quantile_hist": """
+            with rng as (
+              select event_type, min(value) as lo, max(value) as hi
+              from events where value is not null group by event_type
+            ), b as (
+              select e.event_type,
+                     cast(case when hi > lo
+                          then least(floor((value - lo) / (hi - lo) * 1024),
+                                     1023)
+                          else 0 end as bigint) as bin
+              from events e join rng using (event_type)
+              where value is not null
+            ), h as (
+              select event_type, bin, count(*) as c from b group by 1, 2
+            ), cum as (
+              select event_type, bin,
+                     sum(c) over (partition by event_type
+                                  order by bin) as cc,
+                     sum(c) over (partition by event_type) as m
+              from h
+            )
+            select c.event_type,
+                   min(case when cc >= ceil(0.5 * m)
+                       then lo + (bin + 0.5) / 1024 * (hi - lo) end) as p50,
+                   min(case when cc >= ceil(0.9 * m)
+                       then lo + (bin + 0.5) / 1024 * (hi - lo) end) as p90,
+                   min(case when cc >= ceil(0.99 * m)
+                       then lo + (bin + 0.5) / 1024 * (hi - lo) end) as p99
+            from cum c join rng using (event_type)
+            group by c.event_type""",
         "exact_dedup": """
             select doc_id, text from documents
             where doc_id in (select min(doc_id) from documents group by text)""",

@@ -202,6 +202,125 @@ def grouped_quantile(ds, keys: Sequence[str], column: str,
         .groupby(_GPART).map_groups(gq, batch_format="pyarrow")
 
 
+def grouped_quantile_hist(ds, keys: Sequence[str], column: str,
+                          qs: Sequence[float],
+                          names: Optional[Sequence[str]] = None,
+                          bins: int = 2048, num_partitions: int = 32):
+    """Approximate per-group quantiles with a BOUNDED shuffle: unlike
+    ``grouped_quantile`` (exact, but every raw row crosses the
+    exchange), this ships at most ``groups x bins`` histogram rows.
+
+    Pass 1 — grouped min/max through the Reducer combiner (partial rows
+    only); the compact (key, lo, hi) table is broadcast once.
+    Pass 2 — each block bins its rows against its group's [lo, hi]
+    (fixed ``bins`` buckets), counts per (key, bin) with one Acero
+    group_by, and ships those partial histogram rows through ONE hash
+    partition; per partition the histograms merge by segmented sum and
+    the q-th value is estimated as the MIDPOINT of the first bin whose
+    cumulative count reaches ceil(q*m) (inverted CDF on the histogram).
+
+    Error is bounded by (hi-lo)/bins per group. The estimate is a
+    DETERMINISTIC function of the data (no sampling), and every float
+    expression mirrors an ANSI-SQL formulation term for term, so the
+    result is oracle-checkable despite being approximate. Groups whose
+    values are all null are dropped (as SQL's join-based formulation
+    does). Broadcast lookups key on the shared 64-bit row hash —
+    a collision merely merges two groups' ranges (wider bins, still
+    deterministic), with probability ~(groups^2)/2^64."""
+    import ray
+
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.util import dataset_to_table
+
+    qs = list(qs)
+    names = list(names) if names else [f"p{int(round(q * 100))}" for q in qs]
+    keys = list(keys)
+    B = int(bins)
+
+    rng = dataset_to_table(
+        Reducer(keys, [[column, "Min", "__lo"], [column, "Max", "__hi"]],
+                num_partitions=num_partitions).apply_dataset(ds))
+    rng = rng.filter(pc.is_valid(rng["__lo"]))     # all-null groups out
+    from datavec_ray.ops.setops import _row_hash
+    kh = _row_hash(rng, keys)
+    order = np.argsort(kh)
+    ref = ray.put((kh[order],
+                   rng["__lo"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64)[order],
+                   rng["__hi"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64)[order]))
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        valid = pc.is_valid(batch[column])
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return pa.table({**{k: pa.array([], batch.schema.field(k).type)
+                                for k in keys},
+                             "__bin": pa.array([], pa.int64()),
+                             "__c": pa.array([], pa.int64())})
+        khs, lo, hi = ray.get(ref)
+        h = _row_hash(batch, keys)
+        pos = np.searchsorted(khs, h)
+        pos[pos == len(khs)] = 0       # unseen key: impossible, guard
+        glo, ghi = lo[pos], hi[pos]
+        v = combine(batch[column]).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        span = ghi - glo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where(span > 0,
+                         np.minimum(np.floor((v - glo) / span * B), B - 1),
+                         0.0).astype(np.int64)
+        tagged = batch.select(keys).append_column(
+            pa.field("__bin", pa.int64()), pa.array(b))
+        g = tagged.group_by(keys + ["__bin"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        cols = {k: g[k] for k in keys}
+        cols["__bin"] = g["__bin"]
+        cols["__c"] = g["count_all"].cast(pa.int64())
+        return pa.table(cols)
+
+    def _final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys] + [("__bin", "ascending")])
+        if g.num_rows == 0:
+            return pa.table({**{k: pa.array([], g.schema.field(k).type)
+                                for k in keys},
+                             **{nm: pa.array([], pa.float64())
+                                for nm in names}})
+        g = g.combine_chunks()
+        starts = np.flatnonzero(_key_run_starts(g, keys))
+        seg_len = np.diff(np.append(starts, g.num_rows))
+        c = g["__c"].to_numpy(zero_copy_only=False)
+        bn = g["__bin"].to_numpy(zero_copy_only=False)
+        cumg = np.cumsum(c)
+        base = np.repeat(cumg[starts] - c[starts], seg_len)
+        local = cumg - base
+        m = np.add.reduceat(c, starts)
+        khs, lo, hi = ray.get(ref)
+        kh_g = _row_hash(g.take(pa.array(starts, pa.int64())), keys)
+        pos = np.searchsorted(khs, kh_g)
+        pos[pos == len(khs)] = 0
+        glo, ghi = lo[pos], hi[pos]
+        idxs = np.arange(g.num_rows)
+        cols = {k: combine(g[k]).take(pa.array(starts, pa.int64()))
+                for k in keys}
+        big = g.num_rows
+        for q, nm in zip(qs, names):
+            target = np.repeat(np.ceil(q * m), seg_len)
+            hit = np.where(local >= target, idxs, big)
+            first = np.minimum.reduceat(hit, starts)
+            first = np.minimum(first, big - 1)   # numeric-safety clamp
+            sel_bin = bn[first].astype(np.float64)
+            cols[nm] = pa.array(glo + (sel_bin + 0.5) / B * (ghi - glo))
+        return pa.table(cols)
+
+    _final.__name__ = "grouped_quantile_hist"
+    partials = ds.map_batches(_hist, batch_format="pyarrow")
+    return _group_partition(partials, keys, num_partitions) \
+        .groupby(_GPART).map_groups(_final, batch_format="pyarrow")
+
+
 def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
                  descending: bool = True,
                  tiebreak: Optional[Sequence[str]] = None,

@@ -408,3 +408,39 @@ def test_frequent_tokens_matches_naive(ray_session):
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["value"].to_pylist(),
                     got["cnt"].to_pylist())) == expect
+
+
+def test_grouped_quantile_hist_tolerance(ray_session):
+    """Histogram-sketch quantiles land within (hi-lo)/bins of the exact
+    grouped quantiles, and all-null groups are dropped."""
+    from datavec_ray.misc import grouped_quantile, grouped_quantile_hist
+
+    rng = np.random.default_rng(6)
+    n = 20000
+    t = pa.table({
+        "k": pa.array([f"g{i % 4}" for i in range(n)]),
+        "v": pa.array(np.where(np.arange(n) % 4 == 3, np.nan,
+                               rng.lognormal(0, 1, n))),
+    })
+    # group g3 all-NaN → dropped by the hist variant
+    v = t["v"].to_pylist()
+    v = [None if (i % 4 == 3) else x for i, x in enumerate(v)]
+    t = t.set_column(1, "v", pa.array(v, pa.float64()))
+    bins = 512
+    approx = dataset_to_table(grouped_quantile_hist(
+        rd.from_arrow(t).repartition(6), ["k"], "v",
+        [0.5, 0.9], bins=bins)).sort_by([("k", "ascending")])
+    exact = dataset_to_table(grouped_quantile(
+        rd.from_arrow(t).repartition(6), ["k"], "v",
+        [0.5, 0.9])).sort_by([("k", "ascending")])
+    assert approx["k"].to_pylist() == ["g0", "g1", "g2"]
+    lohi = {}
+    for k, x in zip(t["k"].to_pylist(), t["v"].to_pylist()):
+        if x is not None:
+            lo, hi = lohi.get(k, (x, x))
+            lohi[k] = (min(lo, x), max(hi, x))
+    for col in ("p50", "p90"):
+        for k, a in zip(approx["k"].to_pylist(), approx[col].to_pylist()):
+            e = exact[col].to_pylist()[exact["k"].to_pylist().index(k)]
+            lo, hi = lohi[k]
+            assert abs(a - e) <= (hi - lo) / bins + 1e-9, (col, k, a, e)
