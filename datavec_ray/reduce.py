@@ -347,20 +347,20 @@ def _minmax_mergeable(t: pa.DataType) -> bool:
 
 def _minmax_reduceat(arr: pa.Array, starts: np.ndarray, fn: str) -> pa.Array:
     """Segmented min/max over a partials column: nulls → sentinel, one
-    ``np.minimum/maximum.reduceat``, cast back. Strings/binary use a
-    pandas groupby (no numpy sentinel exists; partial rows only, so the
-    object path is off the hot path). Caller masks all-null groups to
-    NULL via the companion count column."""
+    ``np.minimum/maximum.reduceat``, cast back. Strings/binary use an
+    Acero groupby over integer SEGMENT ids (never-null keys, so the
+    null-key grouping caveat doesn't apply; Acero min/max skips null
+    values). Caller masks all-null groups to NULL via the companion
+    count column."""
     orig = arr.type
     if (pa.types.is_string(orig) or pa.types.is_large_string(orig)
             or pa.types.is_binary(orig)):
-        import pandas as pd
         seg_len = np.diff(np.append(starts, len(arr)))
         gid = np.repeat(np.arange(len(starts)), seg_len)
-        s = pd.Series(arr.to_numpy(zero_copy_only=False)).groupby(gid)
-        r = (s.min() if fn == "min" else s.max()).reindex(
-            np.arange(len(starts)))
-        return pa.array(r.to_numpy(), orig, from_pandas=True)
+        gt = pa.table({"s": pa.array(gid), "v": arr}) \
+            .group_by(["s"], use_threads=False).aggregate([("v", fn)]) \
+            .sort_by([("s", "ascending")])   # one group per segment
+        return gt[f"v_{fn}"].combine_chunks().cast(orig)
     if pa.types.is_boolean(orig):
         arr = arr.cast(pa.int8())
     elif pa.types.is_temporal(orig):

@@ -375,3 +375,56 @@ def test_window_functions_match_duckdb(n, nkeys, vmax, buckets, seed):
         assert got[c].to_pylist() == exp[c].to_pylist(), c
     assert np.allclose(got["pct"], np.asarray(exp["pct"]))
     assert np.allclose(got["cume"], np.asarray(exp["cume"]))
+
+
+@st.composite
+def reduce_inputs(draw):
+    n = draw(st.integers(5, 250))
+    nk = draw(st.integers(1, 8))
+    keys = [None if draw(st.booleans()) and i % 7 == 0
+            else f"g{draw(st.integers(0, nk - 1))}" for i in range(n)]
+    ints = [None if draw(st.integers(0, 9)) == 0
+            else draw(st.integers(-50, 50)) for _ in range(n)]
+    flts = [None if draw(st.integers(0, 9)) == 0
+            else draw(st.floats(-100, 100, allow_nan=False))
+            for _ in range(n)]
+    strs = [None if draw(st.integers(0, 9)) == 0
+            else f"s{draw(st.integers(0, 30))}" for _ in range(n)]
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "i": pa.array(ints, pa.int64()),
+                  "f": pa.array(flts, pa.float64()),
+                  "s": pa.array(strs, pa.string())})
+    pool = [("i", "Sum", "o1"), ("f", "Mean", "o2"), ("i", "Min", "o3"),
+            ("s", "Max", "o4"), ("k", "Count", "o5"), ("i", "Range", "o6"),
+            ("f", "Stdev", "o7"), ("f", "Variance", "o8"),
+            ("s", "CountUniqueExact", "o9"), ("i", "CountUnique", "o10"),
+            ("s", "Min", "o11")]
+    idx = draw(st.sets(st.integers(0, len(pool) - 1), min_size=1,
+                       max_size=5))
+    parts = draw(st.integers(1, 6))
+    return t, [pool[i] for i in sorted(idx)], parts
+
+
+@settings(max_examples=15, deadline=None)
+@given(reduce_inputs())
+def test_reducer_combiner_matches_local_oracle(ray_session, inp):
+    """PROPERTY: for arbitrary nullable data, key sets, op subsets and
+    partitionings, the distributed combiner equals the local oracle."""
+    import ray.data as rd
+
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.util import dataset_to_table
+
+    t, specs, parts = inp
+    r = Reducer(keys=["k"], specs=specs)
+    out = dataset_to_table(r.apply_dataset(rd.from_arrow(t)
+                                           .repartition(parts)))
+    out = out.sort_by([("k", "ascending")])
+    loc = r.apply_local(t).sort_by([("k", "ascending")])
+    assert out.num_rows == loc.num_rows
+    for c in loc.column_names:
+        for x, y in zip(out[c].to_pylist(), loc[c].to_pylist()):
+            if isinstance(x, float) and isinstance(y, float):
+                assert np.isclose(x, y, rtol=1e-9, atol=1e-9), (c, x, y)
+            else:
+                assert x == y, (c, x, y)
