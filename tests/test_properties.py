@@ -428,3 +428,86 @@ def test_reducer_combiner_matches_local_oracle(ray_session, inp):
                 assert np.isclose(x, y, rtol=1e-9, atol=1e-9), (c, x, y)
             else:
                 assert x == y, (c, x, y)
+
+
+@st.composite
+def binlog_with_roles(draw):
+    """binlog_tables but with varied roles (so view groups churn)."""
+    t = draw(binlog_tables())
+    roles = [draw(st.sampled_from(["user", "assistant", "tool"]))
+             for _ in range(t.num_rows)]
+    i = t.schema.get_field_index("role")
+    return t.set_column(i, "role", pa.array(roles, pa.string()))
+
+
+@settings(max_examples=6, deadline=None)
+@given(binlog_with_roles(), st.integers(1, 4))
+def test_retract_feed_and_aggview_property(ray_session, tmp_path_factory,
+                                           binlog, ncut):
+    """PROPERTY over arbitrary binlogs and segmentations: the retract
+    feed applied to the old live multiset yields the new one, and the
+    incrementally-advanced AggView equals a from-scratch build."""
+    from collections import Counter
+
+    import ray.data as rd  # noqa: F401  (session must be live)
+
+    from datavec_ray.cdc.aggview import AggView
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    segs = []
+    n = binlog.num_rows
+    k = min(ncut, n)
+    for i in range(k):
+        s = binlog.slice(i * n // k, (i + 1) * n // k - i * n // k)
+        if s.num_rows:
+            segs.append(s)
+    lake = str(tmp_path_factory.mktemp("pv"))
+    eng = CdcIngestEngine(lake, num_partitions=2)
+    try:
+        for i, s in enumerate(segs, 1):
+            eng.replay(s, checkpoint_name=f"s{i}")
+        tt = eng.time_travel()
+
+        def mset(t):
+            cs = ["conv_id", "turn_idx", "role", "text", "tool"]
+            return Counter(zip(*[t[c].to_pylist() for c in cs]))
+
+        prev = None
+        for i in range(1, len(segs) + 1):
+            feed = dataset_to_table(tt.retract_feed(
+                f"s{i-1}" if i > 1 else None, f"s{i}"))
+            cur = dataset_to_table(tt.read_state_at(f"s{i}"))
+            m = mset(dataset_to_table(tt.read_state_at(f"s{i-1}"))) \
+                if i > 1 else Counter()
+            for row, sign in zip(
+                    zip(feed["conv_id"].to_pylist(),
+                        feed["turn_idx"].to_pylist(),
+                        feed["role"].to_pylist(),
+                        feed["text"].to_pylist(),
+                        feed["tool"].to_pylist()),
+                    feed["sign"].to_pylist()):
+                m[row] += sign
+            assert +m == mset(cur)
+            prev = cur  # noqa: F841
+
+        view = AggView(keys=["role"],
+                       specs=[("turn_idx", "Sum", "s"),
+                              ("turn_idx", "Mean", "mu"),
+                              ("role", "Count", "n")],
+                       num_partitions=2)
+        st_ = view.build(tt.read_state_at("s1"))
+        for i in range(2, len(segs) + 1):
+            st_ = view.advance(st_, tt.retract_feed(f"s{i-1}", f"s{i}"))
+        inc = view.finalize(st_)
+        direct = view.finalize(view.build(
+            tt.read_state_at(f"s{len(segs)}")))
+        assert inc.num_rows == direct.num_rows
+        for c in inc.column_names:
+            for x, y in zip(inc[c].to_pylist(), direct[c].to_pylist()):
+                if isinstance(x, float):
+                    assert abs(x - y) < 1e-9, (c, x, y)
+                else:
+                    assert x == y, (c, x, y)
+    finally:
+        eng.shutdown()
