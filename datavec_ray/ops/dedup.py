@@ -1046,7 +1046,9 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
     exact word ``n``-gram with an evaluation/benchmark corpus (the
     GPT-3 appendix-C / PaLM overlap rule). Returns one row per
     contaminated document: ``(id_col, n_hits)`` with n_hits = number of
-    the document's DISTINCT n-grams found in the benchmark, sorted by id.
+    the document's DISTINCT n-grams found in the benchmark (row order
+    unspecified — sorting a possibly-large flag set would be a needless
+    all-to-all; sort downstream if needed).
 
     Scale shape: the benchmark side is the SMALL side by definition
     (eval sets are a few thousand documents against a 100 TB corpus) —
@@ -1073,11 +1075,10 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
         return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                        "n_hits": pa.array([], pa.int64())}))
     bench_ref = ray.put(uniq)                         # sorted unique int64
-    return (ds.map_batches(_ContamCount, batch_format="pyarrow",
-                           fn_constructor_args=(bench_ref, text_col,
-                                                id_col, n),
-                           concurrency=(1, 8))
-            .sort(id_col))
+    return ds.map_batches(_ContamCount, batch_format="pyarrow",
+                          fn_constructor_args=(bench_ref, text_col,
+                                               id_col, n),
+                          concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------

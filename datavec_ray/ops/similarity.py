@@ -141,7 +141,19 @@ def cosine_pairs_exact(ds, threshold: float = 0.35,
 
 def _kmeans(sample: np.ndarray, c: int, iters: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]
+    # k-means++ seeding (Arthur & Vassilvitskii 2007): each next centroid
+    # drawn proportionally to squared distance from the chosen set —
+    # deterministic given the (canonicalized) sample order and far less
+    # likely than uniform choice to drop two centroids in one cluster
+    n, c = len(sample), min(c, len(sample))
+    cent = np.empty((c, sample.shape[1]), np.float64)
+    cent[0] = sample[rng.integers(n)]
+    d2 = ((sample - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, c):
+        tot = d2.sum()
+        cent[j] = sample[rng.choice(n, p=d2 / tot) if tot > 0
+                         else rng.integers(n)]
+        d2 = np.minimum(d2, ((sample - cent[j]) ** 2).sum(axis=1))
     for _ in range(iters):
         assign = _assign_centroids(sample, cent)  # matmul, no (N,C,dim) blowup
         for j in range(len(cent)):
@@ -165,6 +177,11 @@ def _fit_centroids(ds, num_centroids: int, sample_frac: float,
     sample_tbl = ds.select_columns([vec_col]) \
         .random_sample(sample_frac, seed=seed).materialize()
     sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
+    # canonicalize row order: the collected sample's block order is not
+    # stable across executions (observed permutations under executor
+    # load), and the seeded init picks rows BY POSITION — without this
+    # the same seed can yield different centroids run to run
+    sample = sample[np.lexsort(sample.T[::-1])]
     return _kmeans(sample, num_centroids)
 
 

@@ -96,7 +96,9 @@ def test_kmeans_fit_matches_numpy_reference(ray_session):
                        init_sample_frac=1.0)
 
     # reference: same init path (full sample, same seed), whole-matrix Lloyd
-    ref = _kmeans(stored.copy(), 3, seed=11)
+    # mirror the engine's canonical sample ordering (init picks rows by
+    # position; see _fit_centroids)
+    ref = _kmeans(stored[np.lexsort(stored.T[::-1])].copy(), 3, seed=11)
     for _ in range(4):
         a = _assign_centroids(stored, ref)
         for j in range(3):
