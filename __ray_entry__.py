@@ -415,6 +415,16 @@ def _q_grouped_quantile_hist(sf_dir: str):
                                  [0.5, 0.9, 0.99], bins=1024)
 
 
+def _q_shuffle_export(sf_dir: str):
+    """Deterministic global shuffle into training shards: shard and
+    within-shard position are pure functions of doc_id (splitmix64),
+    so the full permutation is reproducible in SQL."""
+    from datavec_ray.misc import shuffled_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return shuffled_shards(ds, "doc_id", n_shards=8, seed=0)
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Exact top-25 corpus tokens via the bounded-shuffle heavy-hitter
     plan (block-local candidate pruning with the pigeonhole guarantee,
@@ -1334,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
+        "shuffle_export": _q_shuffle_export,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1940,6 +1951,26 @@ def oracle_sql() -> dict[str, str]:
                    from h2)
             select doc_id, lang, n_chars from h3
             where x % 10000 < 1000
+        """,
+        # shuffle_export: same splitmix64 chain as hash_sample, seed 0
+        # (no xor), shard = x % 8, pos = dense order by (x, doc_id)
+        "shuffle_export": f"""
+            with h0 as (
+              select doc_id, lang,
+                     cast(doc_id as hugeint) % 18446744073709551616 as x
+              from documents),
+            h1 as (select doc_id, lang,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select doc_id, lang,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select doc_id, lang, xor(x, x >> 31) as x from h2)
+            select doc_id, lang, cast(x % 8 as bigint) as shard,
+                   cast(row_number() over (partition by x % 8
+                                           order by x, doc_id) - 1
+                        as bigint) as pos
+            from h3
         """,
         "line_dedup": """
             with words as (

@@ -561,6 +561,43 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
         .groupby(_GPART).map_groups(_rank, batch_format="pyarrow")
 
 
+def shuffled_shards(ds, id_col: str, n_shards: int, seed: int = 0):
+    """Deterministic global shuffle for training-data export: each
+    row's shard and within-shard position are PURE FUNCTIONS of its id
+    (shard = splitmix64(id) XOR seed_mix, mod n_shards; within-shard
+    order ascending by (shuffle hash, id)). Appends int64 ``shard`` and
+    ``pos`` columns.
+
+    vs ``Dataset.random_shuffle``: the same uniform-permutation effect
+    for training, but reproducible across reruns / repartitionings /
+    engines (the oracle reproduces splitmix64 in SQL), resumable
+    per shard after a crash, and ONE hash exchange — no two-stage
+    materializing all-to-all. Epochs vary by ``seed``. Each shard is
+    one output group — write shard files straight from the groups."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    n_u = np.uint64(n_shards)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64(combine(batch[id_col])).astype(np.uint64) ^ seed_mix
+        batch = batch.append_column(
+            pa.field("__h", pa.uint64()), pa.array(h))
+        return batch.append_column(
+            pa.field("shard", pa.int64()),
+            pa.array((h % n_u).astype(np.int64)))
+
+    def order(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
+        g = g.append_column(pa.field("pos", pa.int64()),
+                            pa.array(np.arange(g.num_rows)))
+        return g.drop_columns(["__h"])
+
+    order.__name__ = "shard_order"
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(order, batch_format="pyarrow")
+
+
 def sequence_merge(datasets: Sequence, keys: Sequence[str],
                    order_by: Sequence[str],
                    ops: Sequence[SequenceOp] = ()):

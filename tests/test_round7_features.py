@@ -444,3 +444,33 @@ def test_grouped_quantile_hist_tolerance(ray_session):
             e = exact[col].to_pylist()[exact["k"].to_pylist().index(k)]
             lo, hi = lohi[k]
             assert abs(a - e) <= (hi - lo) / bins + 1e-9, (col, k, a, e)
+
+
+def test_shuffled_shards_deterministic_and_uniform(ray_session):
+    """shard/pos are pure functions of the id: identical across
+    repartitionings; different seeds give different permutations;
+    shards are roughly balanced; each shard's positions are dense."""
+    from datavec_ray.misc import shuffled_shards
+
+    t = pa.table({"doc_id": pa.array(range(4000), pa.int64()),
+                  "x": pa.array(range(4000), pa.int64())})
+
+    def run(parts, seed):
+        out = dataset_to_table(shuffled_shards(
+            rd.from_arrow(t).repartition(parts), "doc_id", 8, seed=seed))
+        return out.sort_by([("doc_id", "ascending")])
+
+    a, b = run(3, 0), run(9, 0)
+    assert a["shard"].to_pylist() == b["shard"].to_pylist()
+    assert a["pos"].to_pylist() == b["pos"].to_pylist()
+    c = run(3, 1)
+    assert a["shard"].to_pylist() != c["shard"].to_pylist()
+    counts = np.bincount(a["shard"].to_numpy(zero_copy_only=False),
+                         minlength=8)
+    assert counts.min() > 300 and counts.max() < 700   # ~500 each
+    srt = a.sort_by([("shard", "ascending"), ("pos", "ascending")])
+    sh = srt["shard"].to_numpy(zero_copy_only=False)
+    po = srt["pos"].to_numpy(zero_copy_only=False)
+    for s in range(8):
+        p = po[sh == s]
+        assert (p == np.arange(len(p))).all()
