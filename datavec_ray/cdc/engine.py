@@ -1337,6 +1337,42 @@ class CdcIngestEngine:
             return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
         return rd.read_parquet(files)
 
+    def lookup(self, conv_ids) -> pa.Table:
+        """Serving-style POINT READS: hash each requested conv_id to its
+        owning lake partition (the same ``assign_partitions`` routing
+        ingest uses) and read ONLY those partition files, with a
+        conv_id row filter pushed into the parquet read — work is
+        O(#owning partitions), never a lake scan. Salted hot
+        conversations are resolved by probing every salt variant.
+        Returns live rows sorted by (conv_id, turn_idx). High-QPS
+        serving would wrap this in a read actor per partition; the
+        routing math is identical."""
+        ids = sorted({str(c) for c in conv_ids})
+        if not ids:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        arr = pa.array(ids, pa.string())
+        h = hash64(arr).astype(np.uint64)
+        P = np.uint64(self.num_partitions)
+        pids = set((h % P).astype(int).tolist())
+        if self.salt_turns > 1 and self.hot_convs:
+            gold = np.uint64(0x9E3779B97F4A7C15)
+            for cid, hh in zip(ids, h):
+                if cid in self.hot_convs:
+                    for s in range(self.salt_turns):
+                        pids.add(int((hh + np.uint64(s) * gold) % P))
+        tables = []
+        for pid in sorted(pids):
+            path = os.path.join(self.lake_dir, f"part-{pid:04d}.parquet")
+            if os.path.exists(path):
+                t = pq.read_table(path, filters=[("conv_id", "in", ids)])
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        out = pa.concat_tables(tables, promote_options="permissive")
+        return out.sort_by([("conv_id", "ascending"),
+                            ("turn_idx", "ascending")])
+
     def metrics(self) -> dict:
         """Operational rollup of the manifest's lineage: totals across
         every commit (events applied, lake rows, stale/dedup drops,

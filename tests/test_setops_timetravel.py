@@ -371,3 +371,32 @@ def test_recompute_aggview_non_invertible(tt_engine):
     same = view.advance(v, tt.retract_feed("seg3", "seg3"),
                         tt.read_state_at("seg3"))
     assert same.equals(v) or same.num_rows == v.num_rows
+
+
+def test_lake_point_lookup(ray_session, tmp_path):
+    """lookup() reads only the owning partitions and returns exactly
+    the requested conversations' live rows — including salted hot
+    conversations spread over several partitions."""
+    import os
+
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(5000, seed=31)
+    hot = binlog["conv_id"].to_pylist()[0]
+    eng = CdcIngestEngine(str(tmp_path / "plake"), num_partitions=8,
+                          salt_turns=3, hot_convs=[hot])
+    eng.replay(binlog, checkpoint_name="v1")
+    full = eng.read_lake()
+    want = sorted({c for c in full["conv_id"].to_pylist()})[:3] + [hot]
+    got = eng.lookup(want)
+    exp = full.filter(pc.is_in(full["conv_id"],
+                               value_set=pa.array(sorted(set(want)))))
+    exp = exp.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.num_rows == exp.num_rows > 0
+    for c in ("conv_id", "turn_idx", "role", "text"):
+        assert got[c].to_pylist() == exp[c].to_pylist(), c
+    # empty request
+    assert eng.lookup([]).num_rows == 0
+    # unknown conversation: no rows, no error
+    assert eng.lookup(["conv-none-such"]).num_rows == 0
+    eng.shutdown()
