@@ -262,7 +262,10 @@ class AggView:
             elif op == "Sum":
                 cols[out] = state[f"__s_{col}"]
             else:  # Mean
-                s = state[f"__s_{col}"].cast(pa.float64())
+                # unchecked cast: an int64 sum of epoch-ms timestamps
+                # legitimately exceeds float64's exact-integer range;
+                # Mean is a float result, sub-ulp loss is expected
+                s = pc.cast(state[f"__s_{col}"], pa.float64(), safe=False)
                 c = state[f"__c_{col}"]
                 cols[out] = pc.if_else(
                     pc.equal(c, 0), pa.scalar(None, pa.float64()),
