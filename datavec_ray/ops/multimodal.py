@@ -28,6 +28,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from datavec_ray.hll import hash64
 from datavec_ray.ops import codecs
 from datavec_ray.steps.base import combine
 
@@ -143,6 +144,120 @@ class ImageDecodeResize:
             pa.array(feats.ravel()), self.h * self.w).cast(pa.list_(pa.float32()))
         return batch.append_column(pa.field("image_feat", pa.list_(pa.float32())),
                                    arr)
+
+
+def _unit_draws(ids: np.ndarray, seed: int, step: int,
+                j: int) -> np.ndarray:
+    """Deterministic uniform[0,1) per image: splitmix64 finalizer over
+    (id hash, epoch seed, step index, draw index). Pure function of the
+    row — augmentation reproduces across reruns and partitionings."""
+    x = (ids.astype(np.uint64)
+         + np.uint64((seed + 1) * 0x9E3779B97F4A7C15 % (1 << 64))
+         + np.uint64((step + 1) * 0xBF58476D1CE4E5B9 % (1 << 64))
+         + np.uint64((j + 1) * 0x94D049BB133111EB % (1 << 64)))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+class ImageAugmentChain:
+    """ImageTransformProcess parity (ImageTransformProcess.java:43):
+    a declarative chain of image ops applied to the decoded image
+    column — the whole batch stacked into ONE (N, H, W) ndarray, every
+    op a vectorized kernel across all images (no per-image Python
+    loop). PipelineImageTransform parity (PipelineImageTransform.java):
+    any step may carry a probability ``p`` — inclusion is decided per
+    image by a splitmix64 draw seeded from (id, epoch seed, step
+    index), so the random chain is DETERMINISTIC per row and varies by
+    ``seed`` across epochs.
+
+    Steps (dicts):
+      {"op": "random_crop", "h": H', "w": W'}          (per-image offset)
+      {"op": "flip_h", "p": q} | {"op": "flip_v", "p": q}
+      {"op": "rot90", "p": q}                          (square images)
+      {"op": "brightness", "delta": d, "p": q}         (additive, clipped)
+      {"op": "normalize", "mean": m, "std": s}         (affine)
+
+    Operates on the ``ImageDecodeResize`` output layout (row-major
+    flattened grayscale floats). Use as an actor-pool ``map_batches``
+    class: steps validate in ``__init__`` once per actor.
+    """
+
+    _OPS = {"random_crop", "flip_h", "flip_v", "rot90", "brightness",
+            "normalize"}
+
+    def __init__(self, steps, h: int, w: int, in_col: str = "image_feat",
+                 id_col: str = "media_id", out_col: str = "image_aug",
+                 seed: int = 0):
+        self.steps = [dict(s) for s in steps]
+        self.h, self.w = h, w
+        self.in_col, self.id_col, self.out_col = in_col, id_col, out_col
+        self.seed = seed
+        ch, cw = h, w
+        for s in self.steps:
+            op = s.get("op")
+            if op not in self._OPS:
+                raise ValueError(f"unknown image op {op!r}")
+            if op == "random_crop":
+                if not (0 < s["h"] <= ch and 0 < s["w"] <= cw):
+                    raise ValueError(
+                        f"crop {s['h']}x{s['w']} exceeds image {ch}x{cw}")
+                ch, cw = s["h"], s["w"]
+            if op == "rot90" and ch != cw:
+                raise ValueError(
+                    "rot90 with probability needs square images "
+                    f"(got {ch}x{cw}) — output shape must be uniform")
+        self.out_h, self.out_w = ch, cw
+        self.__name__ = "image_augment"
+
+    def apply_stack(self, img: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """(N, H, W) float stack → (N, out_h, out_w). Pure numpy; shared
+        by the actor path and the local oracle in tests."""
+        n = len(img)
+        for k, s in enumerate(self.steps):
+            op = s["op"]
+            gate = _unit_draws(ids, self.seed, k, 0) < s["p"] \
+                if "p" in s else np.ones(n, bool)
+            if op == "random_crop":
+                hh, ww = s["h"], s["w"]
+                oy = np.floor(_unit_draws(ids, self.seed, k, 1)
+                              * (img.shape[1] - hh + 1)).astype(np.int64)
+                ox = np.floor(_unit_draws(ids, self.seed, k, 2)
+                              * (img.shape[2] - ww + 1)).astype(np.int64)
+                rows = oy[:, None] + np.arange(hh)
+                cols = ox[:, None] + np.arange(ww)
+                img = img[np.arange(n)[:, None, None],
+                          rows[:, :, None], cols[:, None, :]]
+            elif op == "flip_h":
+                img = np.where(gate[:, None, None], img[:, :, ::-1], img)
+            elif op == "flip_v":
+                img = np.where(gate[:, None, None], img[:, ::-1, :], img)
+            elif op == "rot90":
+                img = np.where(gate[:, None, None],
+                               np.rot90(img, axes=(1, 2)), img)
+            elif op == "brightness":
+                d = (_unit_draws(ids, self.seed, k, 1) * 2 - 1) * s["delta"]
+                img = np.clip(img + np.where(gate, d, 0.0)[:, None, None],
+                              0.0, 1.0)
+            else:  # normalize
+                img = (img - s["mean"]) / s["std"]
+        return img
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = combine(batch[self.in_col])
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          np.float32)
+        img = flat.reshape(-1, self.h, self.w).astype(np.float64)
+        ids = hash64(combine(batch[self.id_col]))
+        out = self.apply_stack(img, ids).astype(np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.ravel()), self.out_h * self.out_w) \
+            .cast(pa.list_(pa.float32()))
+        return batch.append_column(
+            pa.field(self.out_col, pa.list_(pa.float32())), arr)
 
 
 class AudioFeatures:

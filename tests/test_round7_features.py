@@ -474,3 +474,62 @@ def test_shuffled_shards_deterministic_and_uniform(ray_session):
     for s in range(8):
         p = po[sh == s]
         assert (p == np.arange(len(p))).all()
+
+
+def test_image_augment_chain(ray_session):
+    """Random-chain augmentation (ImageTransformProcess parity):
+    batch-vectorized, per-row deterministic, epoch-varied by seed,
+    distributed == local kernel."""
+    from datavec_ray.ops.multimodal import (ImageAugmentChain,
+                                            ImageDecodeResize,
+                                            synth_media_table)
+
+    media = synth_media_table(120, seed=4)
+    media = media.filter(pa.compute.equal(media["media_type"], "image"))
+    steps = [
+        {"op": "random_crop", "h": 6, "w": 6},
+        {"op": "flip_h", "p": 0.5},
+        {"op": "brightness", "delta": 0.2, "p": 0.8},
+        {"op": "normalize", "mean": 0.5, "std": 0.25},
+    ]
+    chain = ImageAugmentChain(steps, h=8, w=8, seed=0)
+    dec = rd.from_arrow(media).map_batches(
+        ImageDecodeResize, batch_format="pyarrow",
+        fn_constructor_args=(8, 8), concurrency=(1, 2), batch_size=32)
+    out = dataset_to_table(dec.map_batches(
+        chain, batch_format="pyarrow", batch_size=16))
+    out = out.sort_by([("media_id", "ascending")])
+    assert chain.out_h == chain.out_w == 6
+    assert len(out["image_aug"][0].as_py()) == 36
+
+    # local oracle: same kernel over the whole decoded stack at once
+    loc_in = dataset_to_table(dec).sort_by([("media_id", "ascending")])
+    import numpy as npytest  # noqa: F401
+    flat = np.asarray(loc_in["image_feat"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False), np.float64)
+    from datavec_ray.hll import hash64
+    ids = hash64(loc_in["media_id"].combine_chunks())
+    ref = chain.apply_stack(flat.reshape(-1, 8, 8), ids)
+    got = np.asarray(out["image_aug"].combine_chunks().flatten()
+                     .to_numpy(zero_copy_only=False), np.float32) \
+        .reshape(-1, 6, 6)
+    assert np.allclose(got, ref.astype(np.float32), atol=1e-6)
+
+    # different epoch seed → different augmentation of the same rows
+    chain2 = ImageAugmentChain(steps, h=8, w=8, seed=1)
+    out2 = dataset_to_table(dec.map_batches(
+        chain2, batch_format="pyarrow", batch_size=16))
+    out2 = out2.sort_by([("media_id", "ascending")])
+    a = out["image_aug"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    b = out2["image_aug"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    assert not np.allclose(a, b)
+
+    # invalid chains rejected at build time
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ImageAugmentChain([{"op": "random_crop", "h": 9, "w": 4}], h=8, w=8)
+    with _pt.raises(ValueError):
+        ImageAugmentChain([{"op": "random_crop", "h": 4, "w": 6},
+                           {"op": "rot90", "p": 0.5}], h=8, w=8)
