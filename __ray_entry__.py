@@ -415,6 +415,21 @@ def _q_grouped_quantile_hist(sf_dir: str):
                                  [0.5, 0.9, 0.99], bins=1024)
 
 
+def _q_importance_resample(sf_dir: str):
+    """DSIR-style importance resampling: docs >= 100 are the raw pool,
+    docs < 100 the target distribution; keep raw docs whose
+    deterministic draw lands under min(1, exp(score)/tau). Scores, the
+    two unigram LMs and the splitmix selection are all reproduced in
+    SQL — the whole selection is value-checked."""
+    from datavec_ray.ops.textstats import importance_resample
+
+    cols = ["doc_id", "text"]
+    raw = _read(sf_dir, "documents", cols).filter(expr="doc_id >= 100")
+    tgt = _read(sf_dir, "documents", cols).filter(expr="doc_id < 100")
+    return importance_resample(raw, tgt, "text", "doc_id",
+                               tau=1.0, seed=0)
+
+
 def _q_shuffle_export(sf_dir: str):
     """Deterministic global shuffle into training shards: shard and
     within-shard position are pure functions of doc_id (splitmix64),
@@ -1345,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
         "shuffle_export": _q_shuffle_export,
+        "importance_resample": _q_importance_resample,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1951,6 +1967,55 @@ def oracle_sql() -> dict[str, str]:
                    from h2)
             select doc_id, lang, n_chars from h3
             where x % 10000 < 1000
+        """,
+        # importance_resample: both unigram LMs, the per-doc score and
+        # the splitmix selection chain reproduced in SQL (tau=1, seed=0)
+        "importance_resample": f"""
+            with rawd as (select doc_id, text from documents
+                          where doc_id >= 100),
+            tgtd as (select text from documents where doc_id < 100),
+            rt as (select doc_id,
+                          unnest(list_filter(
+                              string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) as tok
+                   from rawd),
+            tt as (select unnest(list_filter(
+                              string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) as tok
+                   from tgtd),
+            rf as (select tok, count(*) as cr from rt group by tok),
+            tf as (select tok, count(*) as ct from tt group by tok),
+            rn as (select cast(sum(cr) as double) as nr from rf),
+            tn as (select cast(coalesce(sum(ct), 0) as double) as nt
+                   from tf),
+            vu as (select cast(count(*) as double) as v from
+                   (select tok from rf union select tok from tf)),
+            diff as (
+              select rf.tok,
+                     ln((coalesce(tf.ct, 0) + 1.0) / (nt + v))
+                       - ln(cr / nr) as d
+              from rf left join tf using (tok), rn, tn, vu),
+            scored as (
+              select rt.doc_id, count(*) as n_tokens,
+                     sum(d) / count(*) as score
+              from rt join diff using (tok)
+              group by rt.doc_id),
+            h0 as (select doc_id, n_tokens, score,
+                     cast(doc_id as hugeint) % 18446744073709551616 as x
+                   from scored),
+            h1 as (select doc_id, n_tokens, score,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select doc_id, n_tokens, score,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select doc_id, n_tokens, score,
+                     xor(x, x >> 31) as x from h2)
+            select doc_id, n_tokens,
+                   score as log_importance_per_token
+            from h3
+            where x % 10000 <
+                  floor(10000 * least(1.0, exp(score) / 1.0))
         """,
         # shuffle_export: same splitmix64 chain as hash_sample, seed 0
         # (no xor), shard = x % 8, pos = dense order by (x, doc_id)

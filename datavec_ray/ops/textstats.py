@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from datavec_ray.hll import hash64
 from datavec_ray.steps.base import combine
 
 _STOPWORDS = frozenset(
@@ -468,3 +469,114 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.map_batches(_Score, batch_format="pyarrow",
                           concurrency=(1, 8)).sort(id_col)
+
+
+def importance_resample(ds, target_ds, text_col: str = "text",
+                        id_col: str = "doc_id", tau: float = 1.0,
+                        seed: int = 0):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection with Importance Resampling, hashed-unigram variant):
+    score every raw document by its mean per-token log importance
+    ``ln p_target(t) - ln p_raw(t)`` under two unigram LMs — the raw
+    LM unsmoothed over its own corpus (every scored token exists
+    there), the TARGET LM add-one smoothed over the UNION vocabulary so
+    tokens unseen in the target keep finite mass — then keep a row iff
+    its deterministic uniform draw (the hash_sample splitmix64 chain on
+    the id, per-mille resolution) lands under
+    ``min(1, exp(score) / tau)``. Higher tau = stricter selection.
+
+    Fully deterministic: scores, probabilities and the kept set are
+    pure functions of the data and seed, reproducible across reruns /
+    partitionings / engines (the oracle reproduces both LMs, the score
+    and the splitmix chain in SQL). Returns kept rows
+    ``(id_col, n_tokens, log_importance_per_token)``, empty-token
+    documents excluded.
+
+    Scale shape: two frequency passes with map-side combining (shuffle
+    = per-batch vocabularies, Zipf-bounded), two broadcast sorted
+    arrays (union token hash → precomputed lp difference), then ONE
+    streaming score+filter map — documents never shuffle.
+    """
+    import ray
+
+    from datavec_ray.ops.dedup import _tokenize_flat
+    from datavec_ray.util import dataset_to_table
+
+    def _vocab_counts(b: pa.Table) -> pa.Table:
+        th, _ = _tokenize_flat(b[text_col])
+        if len(th) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(th, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _freq(d):
+        t = dataset_to_table(d.map_batches(_vocab_counts,
+                                           batch_format="pyarrow")
+                             .groupby("h").sum("c"))
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.argsort(h)
+        return h[o], c[o]
+
+    rh, rc = _freq(ds)
+    th_, tc = _freq(target_ds)
+    if len(rh) == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "log_importance_per_token": pa.array([], pa.float64())}))
+    n_raw, n_tgt = rc.sum(), tc.sum()
+    vocab_union = len(np.union1d(rh, th_))
+    # per-RAW-token precomputed lp difference (scored tokens are always
+    # in the raw vocabulary)
+    pos = np.searchsorted(th_, rh)
+    pos_c = np.minimum(pos, max(len(th_) - 1, 0))
+    in_tgt = (th_[pos_c] == rh) if len(th_) else np.zeros(len(rh), bool)
+    c_tgt = np.where(in_tgt, tc[pos_c] if len(tc) else 0.0, 0.0)
+    lp_diff = (np.log((c_tgt + 1.0) / (n_tgt + vocab_union))
+               - np.log(rc / n_raw))
+    h_ref, d_ref = ray.put(rh), ray.put(lp_diff)
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    class _ScoreKeep:
+        def __init__(self):
+            self.h = ray.get(h_ref)
+            self.d = ray.get(d_ref)
+            self.__name__ = "importance_resample"
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = combine(b[id_col]).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            th, offs = _tokenize_flat(b[text_col])
+            counts = np.diff(offs)
+            pos = np.searchsorted(self.h, th.view(np.int64))
+            tok_d = self.d[pos]
+            starts = offs[:-1]
+            nz = counts > 0
+            empty = pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "log_importance_per_token": pa.array([], pa.float64())})
+            if not nz.any():
+                return empty
+            sums = np.add.reduceat(np.append(tok_d, 0.0),
+                                   np.minimum(starts[nz], len(th)))
+            score = sums / counts[nz]
+            p = np.minimum(1.0, np.exp(score) / tau)
+            u = (hash64(ids[nz]) ^ seed_mix) % np.uint64(10000)
+            keep = u < np.floor(10000.0 * p).astype(np.uint64)
+            if not keep.any():
+                return empty
+            return pa.table({
+                id_col: pa.array(ids[nz][keep]),
+                "n_tokens": pa.array(counts[nz][keep]),
+                "log_importance_per_token": pa.array(score[keep],
+                                                     pa.float64())})
+
+    return ds.map_batches(_ScoreKeep, batch_format="pyarrow",
+                          concurrency=(1, 8))

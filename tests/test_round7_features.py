@@ -533,3 +533,50 @@ def test_image_augment_chain(ray_session):
     with _pt.raises(ValueError):
         ImageAugmentChain([{"op": "random_crop", "h": 4, "w": 6},
                            {"op": "rot90", "p": 0.5}], h=8, w=8)
+
+
+def test_importance_resample_prefers_target_like_docs(ray_session):
+    """DSIR selection: raw docs drawn from the target's vocabulary
+    survive at a much higher rate than off-distribution docs; the kept
+    set is deterministic across runs and partitionings."""
+    from datavec_ray.ops.textstats import importance_resample
+
+    rng = np.random.default_rng(8)
+    tgt_vocab = [f"t{i}" for i in range(30)]
+    off_vocab = [f"z{i}" for i in range(30)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab, 20))
+
+    tgt = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "text": pa.array([doc(tgt_vocab) for _ in range(100)])})
+    raw_rows = []
+    for i in range(300):
+        raw_rows.append(doc(tgt_vocab) if i % 2 == 0 else doc(off_vocab))
+    raw = pa.table({"doc_id": pa.array(range(1000, 1300), pa.int64()),
+                    "text": pa.array(raw_rows)})
+
+    def run(parts, tau):
+        out = dataset_to_table(importance_resample(
+            rd.from_arrow(raw).repartition(parts), rd.from_arrow(tgt),
+            "text", "doc_id", tau=tau, seed=0))
+        return out.sort_by([("doc_id", "ascending")])
+
+    a = run(3, 0.5)
+    b = run(7, 0.5)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    kept = set(a["doc_id"].to_pylist())
+    kept_in = sum(1 for i in range(1000, 1300, 2) if i in kept)
+    kept_off = sum(1 for i in range(1001, 1300, 2) if i in kept)
+    assert kept_in > 100 and kept_off < 30, (kept_in, kept_off)
+    # scores separate the populations decisively
+    sc = dict(zip(a["doc_id"].to_pylist(),
+                  a["log_importance_per_token"].to_pylist()))
+    s_in = [v for i, v in sc.items() if i % 2 == 0]
+    s_off = [v for i, v in sc.items() if i % 2 == 1]
+    assert s_off and min(s_in) > max(s_off) + 1.0
+    # larger tau keeps fewer (a stray off-doc may still clear the
+    # per-mille draw — selection is probabilistic by design)
+    strict = set(run(3, 50.0)["doc_id"].to_pylist())
+    assert len(strict) < len(kept)
+    assert sum(1 for i in strict if i % 2 == 1) <= 3
