@@ -542,23 +542,78 @@ def detect_hot_convs(ds, sample_frac: float = 0.02,
     return hot["conv_id"].to_pylist()
 
 
+_VALID_OPS = pa.array(["I", "U", "D"])
+
+
+def split_invalid_events(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(valid rows, invalid rows + ``reason``). An event is invalid when
+    any of lsn / conv_id / turn_idx / ts is null or op is not I/U/D —
+    such rows route fine but the LWW state could never resolve them;
+    shipping them silently poisons merges. Vectorized masks; the reason
+    records the FIRST failing rule."""
+    import numpy as np
+    n = batch.num_rows
+    rules = [("null_lsn", pc.is_null(batch["lsn"])),
+             ("null_conv_id", pc.is_null(batch["conv_id"])),
+             ("null_turn_idx", pc.is_null(batch["turn_idx"])),
+             ("null_ts", pc.is_null(batch["ts"])),
+             ("bad_op", pc.invert(pc.fill_null(
+                 pc.is_in(batch["op"], value_set=_VALID_OPS), False)))]
+    masks = [r.to_numpy(zero_copy_only=False) for _, r in rules]
+    bad = np.logical_or.reduce(masks)
+    if not bad.any():
+        return batch, batch.slice(0, 0).append_column(
+            pa.field("reason", pa.string()), pa.array([], pa.string()))
+    reason = np.select(masks, [name for name, _ in rules],
+                       default="").astype(object)
+    bad_rows = batch.filter(pa.array(bad)).append_column(
+        pa.field("reason", pa.string()),
+        pa.array(reason[bad], pa.string()))
+    return batch.filter(pa.array(~bad)), bad_rows
+
+
+def _write_dlq(bad: pa.Table, dlq_dir: str) -> None:
+    """Idempotent dead-letter write: the file name is a content hash,
+    so re-running the same segment overwrites the same file instead of
+    duplicating entries."""
+    import hashlib
+    os.makedirs(dlq_dir, exist_ok=True)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, bad.schema) as w:
+        w.write_table(bad)
+    digest = hashlib.blake2b(sink.getvalue().to_pybytes(),
+                             digest_size=8).hexdigest()
+    path = os.path.join(dlq_dir, f"dlq-{digest}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(bad, tmp)
+    os.replace(tmp, path)
+
+
 class _PrepareShuffle:
     """map_batches body for shuffle-mode ingest: filter watermark,
-    normalize schema, per-batch LWW pre-compaction, assign partition."""
+    normalize schema, per-batch LWW pre-compaction, assign partition.
+    With ``dlq_dir`` set, malformed events are split out and written to
+    the dead-letter queue instead of entering the exchange."""
 
     def __init__(self, num_partitions: int, schema: pa.Schema, salt_turns: int,
                  hot_convs: Optional[frozenset], min_lsn_exclusive: int,
-                 carry_watermark: bool = False):
+                 carry_watermark: bool = False,
+                 dlq_dir: Optional[str] = None):
         self.num_partitions = num_partitions
         self.schema = schema
         self.salt_turns = salt_turns
         self.hot_convs = hot_convs
         self.min_lsn = min_lsn_exclusive
         self.carry_watermark = carry_watermark
+        self.dlq_dir = dlq_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.min_lsn:
             batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
+        if self.dlq_dir is not None:
+            batch, bad = split_invalid_events(batch)
+            if bad.num_rows:
+                _write_dlq(bad, self.dlq_dir)
         batch = normalize_to_schema(batch, self.schema)
         batch = lww_compact_table(batch, drop_tombstones=False,
                                   carry_watermark=self.carry_watermark)
@@ -987,12 +1042,17 @@ class CdcIngestEngine:
                  router_batch_size: int = 65536,
                  ingest_mode: str = "auto",
                  shard_spill: bool = True,
-                 shard_spill_threshold_rows: int = 5_000_000):
+                 shard_spill_threshold_rows: int = 5_000_000,
+                 dlq: bool = False):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if ingest_mode == "auto":
             ingest_mode = ("shuffle" if num_partitions >= self.AUTO_SHUFFLE_PARTITIONS
                            else "router")
+        # dead-letter queue: malformed events (null keys / bad op) are
+        # split out in the split/prepare stage and written idempotently
+        # under <lake>/_dlq instead of poisoning LWW state
+        self.dlq_dir = os.path.join(lake_dir, "_dlq") if dlq else None
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.salt_turns = salt_turns
@@ -1080,7 +1140,8 @@ class CdcIngestEngine:
         prior_dir = os.path.join(self.ckpt_dir, cp["name"]) if cp else None
         prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                self.salt_turns, self.hot_convs,
-                               min_lsn_exclusive, carry_watermark=True)
+                               min_lsn_exclusive, carry_watermark=True,
+                               dlq_dir=self.dlq_dir)
         # captured HERE (driver) so workers see it via the serialized prep
         prep.exchange_lz4 = os.environ.get("DATAVEC_EXCHANGE_LZ4") == "1"
         turn_t = ("int64" if pa.types.is_int64(
@@ -1203,7 +1264,7 @@ class CdcIngestEngine:
             # (SparkTransformExecutor.java:252-290).
             prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                    self.salt_turns, self.hot_convs,
-                                   min_lsn_exclusive)
+                                   min_lsn_exclusive, dlq_dir=self.dlq_dir)
             deliver = _Deliver(self.shards)
             acks = (ds.map_batches(prep, batch_format="pyarrow",
                                    batch_size=self.router_batch_size)
@@ -1373,6 +1434,19 @@ class CdcIngestEngine:
         return out.sort_by([("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
 
+    def read_dlq(self) -> pa.Table:
+        """All dead-lettered events (original columns + ``reason``).
+        Empty table when the DLQ is disabled or clean."""
+        if self.dlq_dir is None or not os.path.isdir(self.dlq_dir):
+            return pa.table({"reason": pa.array([], pa.string())})
+        files = sorted(os.path.join(self.dlq_dir, f)
+                       for f in os.listdir(self.dlq_dir)
+                       if f.endswith(".parquet"))
+        if not files:
+            return pa.table({"reason": pa.array([], pa.string())})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="permissive")
+
     def metrics(self) -> dict:
         """Operational rollup of the manifest's lineage: totals across
         every commit (events applied, lake rows, stale/dedup drops,
@@ -1393,6 +1467,8 @@ class CdcIngestEngine:
             "stale_dropped": sum(e.get("stale_dropped", 0) for e in commits),
             "deletes": sum(e.get("deletes", 0) for e in commits),
             "partitions_committed": len(wms),
+            "dlq_rows": (self.read_dlq().num_rows
+                         if self.dlq_dir is not None else 0),
             "watermark": self.manifest.watermark(),
             "partition_watermark_min": min(vals) if vals else None,
             "partition_watermark_max": max(vals) if vals else None,

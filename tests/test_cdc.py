@@ -311,3 +311,49 @@ def test_replay_then_ingest_resume(ray_session, binlog, oracle, tmp_path):
     eng.commit()
     assert eng.read_lake().equals(oracle)
     eng.shutdown()
+
+
+def test_dead_letter_queue(ray_session, tmp_path):
+    """Malformed events (null keys, bad op, null ts) are dead-lettered
+    with a reason instead of entering LWW state; the lake matches the
+    oracle on the valid subset; re-running the same segment is
+    idempotent (content-hash file names)."""
+    import pyarrow.compute as pc
+
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.cdc.oracle import replay_oracle
+
+    good = synth_binlog(2000, seed=41)
+    bad = pa.table({
+        "lsn": pa.array([None, 990001, 990002, 990003], pa.int64()),
+        "op": pa.array(["I", "X", "I", "I"], pa.string()),
+        "conv_id": pa.array(["c-a", "c-b", None, "c-d"], pa.string()),
+        "turn_idx": pa.array([1, 2, 3, 4],
+                             good.schema.field("turn_idx").type),
+        "role": pa.array(["user"] * 4, pa.string()),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "tool": pa.array([None] * 4, pa.string()),
+        "ts": pa.array([1000, 2000, 3000, None], pa.timestamp("ms")),
+    }).cast(good.schema)
+    seg = pa.concat_tables([good, bad]).combine_chunks()
+
+    eng = CdcIngestEngine(str(tmp_path / "dlake"), num_partitions=4,
+                          dlq=True)
+    eng.replay(seg, checkpoint_name="v1")
+    dlq = eng.read_dlq()
+    assert dlq.num_rows == 4
+    assert sorted(dlq["reason"].to_pylist()) == \
+        ["bad_op", "null_conv_id", "null_lsn", "null_ts"]
+    # lake equals the oracle of the VALID events only
+    lake = eng.read_lake()
+    expect = replay_oracle(good)
+    assert lake.num_rows == expect.num_rows
+    assert lake["conv_id"].to_pylist() == expect["conv_id"].to_pylist()
+    assert eng.metrics()["dlq_rows"] == 4
+    # idempotent rerun: same content-hashed files, no duplicates
+    eng2 = CdcIngestEngine(str(tmp_path / "dlake"), num_partitions=4,
+                           dlq=True)
+    eng2.replay(seg, checkpoint_name="v1", min_lsn_exclusive=0)
+    assert eng2.read_dlq().num_rows == 4
+    eng.shutdown()
+    eng2.shutdown()
