@@ -220,31 +220,41 @@ class TextStats:
         self.text_col = text_col
         self.word_re = re.compile(r"\w+", re.UNICODE)
 
-    def _lang(self, text: str) -> str:
-        if not text:
-            return "unknown"
-        # script check first
-        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿"
-                  or "぀" <= ch <= "ヿ")
-        if cjk > len(text[:200]) * 0.2:
-            return "cjk"
-        cyr = sum(1 for ch in text[:200] if "Ѐ" <= ch <= "ӿ")
-        if cyr > len(text[:200]) * 0.2:
-            return "ru"
-        padded = " " + text.lower()[:1000] + " "
-        best, best_n = "unknown", 0
-        for lang, markers in _LANG_MARKERS.items():
-            n = sum(padded.count(m) for m in markers)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
+    def _lang_batch(self, texts: pa.Array) -> pa.Array:
+        """Vectorized language ID: script ranges by one regex count per
+        script, marker frequencies by one substring-count kernel per
+        marker — no per-document Python loop. Semantics identical to
+        the original scalar heuristic (same prefixes, thresholds,
+        non-overlapping counts, first-language tie-break)."""
+        t = pc.fill_null(texts, "")
+        head = pc.utf8_slice_codeunits(t, 0, 200)
+        hlen = pc.utf8_length(head).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cjk = pc.count_substring_regex(head, "[一-鿿぀-ヿ]") \
+            .to_numpy(zero_copy_only=False)
+        cyr = pc.count_substring_regex(head, "[Ѐ-ӿ]") \
+            .to_numpy(zero_copy_only=False)
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(pc.utf8_slice_codeunits(t, 0, 1000)), " ",
+            "")
+        langs = list(_LANG_MARKERS)
+        counts = np.zeros((len(langs), len(t)), np.int64)
+        for i, lang in enumerate(langs):
+            for m in _LANG_MARKERS[lang]:
+                counts[i] += pc.count_substring(padded, m) \
+                    .to_numpy(zero_copy_only=False)
+        best = np.argmax(counts, axis=0)          # first max wins ties
+        out = np.array(langs, object)[best]
+        out[counts.max(axis=0) == 0] = "unknown"
+        out[cyr > hlen * 0.2] = "ru"
+        out[cjk > hlen * 0.2] = "cjk"
+        return pa.array(out, pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = add_text_stats(batch, self.text_col)
-        texts = combine(batch[self.text_col]).to_pylist()
-        langs = [self._lang(t or "") for t in texts]
-        return batch.append_column(pa.field("lang_id", pa.string()),
-                                   pa.array(langs, pa.string()))
+        return batch.append_column(
+            pa.field("lang_id", pa.string()),
+            self._lang_batch(combine(batch[self.text_col])))
 
 
 # PII scrubbing patterns. RE2 syntax ONLY (no lookaround/backrefs) so
