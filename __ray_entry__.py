@@ -430,6 +430,32 @@ def _q_importance_resample(sf_dir: str):
                                tau=1.0, seed=0)
 
 
+def _q_curation_export(sf_dir: str):
+    """END-TO-END curation pipeline, every stage SQL-mirrored: Gopher
+    quality gate → exact dedup (min doc_id per text) → benchmark
+    decontamination (drop docs sharing any word 3-gram with docs < 25)
+    → deterministic shuffled-shard export. The final (doc_id, shard,
+    pos) permutation is value-checked, so the whole chain is."""
+    from datavec_ray.join import anti_join
+    from datavec_ray.misc import shuffled_shards
+    from datavec_ray.ops.dedup import decontaminate, exact_dedup
+    from datavec_ray.ops.textstats import quality_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pool = docs.filter(expr="doc_id >= 25")
+    bench = docs.filter(expr="doc_id < 25")
+    kept = (pool.map_batches(quality_signals, batch_format="pyarrow")
+            .filter(expr="keep == 1")
+            .select_columns(["doc_id", "text"]))
+    uniq = exact_dedup(kept, "text", "doc_id", num_partitions=16)
+    flagged = decontaminate(uniq, bench, "text", "doc_id", n=3)
+    clean = anti_join(uniq, lambda: flagged.select_columns(["doc_id"]),
+                      ["doc_id"])
+    return (shuffled_shards(clean, "doc_id", n_shards=4, seed=0)
+            .map_batches(lambda t: t.select(["doc_id", "shard", "pos"]),
+                         batch_format="pyarrow"))
+
+
 def _q_shuffle_export(sf_dir: str):
     """Deterministic global shuffle into training shards: shard and
     within-shard position are pure functions of doc_id (splitmix64),
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile_hist": _q_grouped_quantile_hist,
         "shuffle_export": _q_shuffle_export,
         "importance_resample": _q_importance_resample,
+        "curation_export": _q_curation_export,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
@@ -1967,6 +1994,77 @@ def oracle_sql() -> dict[str, str]:
                    from h2)
             select doc_id, lang, n_chars from h3
             where x % 10000 < 1000
+        """,
+        # curation_export: the full pipeline in SQL — quality gate,
+        # keep-min dedup, 3-gram decontamination anti-join, splitmix
+        # shard/pos (same chain as shuffle_export, 4 shards)
+        "curation_export": f"""
+            with pool as (select doc_id, text from documents
+                          where doc_id >= 25),
+            qtoks as (select doc_id,
+                        list_filter(string_split(text, ' '),
+                                    x -> x <> '') as w from pool),
+            qflat as (select doc_id, unnest(w) as word from qtoks),
+            qfreq as (select doc_id, word, count(*) as c
+                      from qflat group by 1, 2),
+            sig as (select doc_id, sum(c) as n_words,
+                      max(c) * 1.0 / sum(c) as topf,
+                      count(*) * 1.0 / sum(c) as distf,
+                      sum(case when word in
+                          ('the','a','and','of','to','in','is')
+                          then c else 0 end) * 1.0 / sum(c) as stopf
+                    from qfreq group by doc_id),
+            kept as (select p.doc_id, p.text
+                     from pool p join sig s using (doc_id)
+                     where s.n_words between 20 and 5000
+                       and s.topf <= 0.12 and s.distf >= 0.5
+                       and s.stopf between 0.02 and 0.3),
+            uniq as (select doc_id, text from kept
+                     where doc_id in (select min(doc_id)
+                                      from kept group by text)),
+            ltoks as (select doc_id,
+                        list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                                    x -> x <> '') as w from uniq),
+            grams as (select distinct doc_id, g from (
+                select doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] as g
+                from ltoks, unnest(range(1, len(w) - 1)) as t(i)
+                where len(w) >= 3
+                union all
+                select doc_id, array_to_string(w, ' ') as g
+                from ltoks where len(w) > 0 and len(w) < 3)),
+            btoks as (select doc_id,
+                        list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                                    x -> x <> '') as w
+                      from documents where doc_id < 25),
+            bgrams as (select distinct g from (
+                select w[i] || ' ' || w[i+1] || ' ' || w[i+2] as g
+                from btoks, unnest(range(1, len(w) - 1)) as t(i)
+                where len(w) >= 3
+                union all
+                select array_to_string(w, ' ') as g
+                from btoks where len(w) > 0 and len(w) < 3)),
+            flagged as (select distinct doc_id
+                        from grams join bgrams using (g)),
+            clean as (select doc_id from uniq
+                      where doc_id not in (select doc_id from flagged)),
+            h0 as (select doc_id,
+                     cast(doc_id as hugeint) % 18446744073709551616 as x
+                   from clean),
+            h1 as (select doc_id,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select doc_id,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select doc_id, xor(x, x >> 31) as x from h2)
+            select doc_id, cast(x % 4 as bigint) as shard,
+                   cast(row_number() over (partition by x % 4
+                                           order by x, doc_id) - 1
+                        as bigint) as pos
+            from h3
         """,
         # importance_resample: both unigram LMs, the per-doc score and
         # the splitmix selection chain reproduced in SQL (tau=1, seed=0)
