@@ -402,6 +402,16 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_grouped_quantile_cont(sf_dir: str):
+    """Interpolated (continuous) per-group quantiles — DuckDB
+    quantile_cont semantics."""
+    from datavec_ray.misc import grouped_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile(ev, ["event_type"], "value",
+                            [0.5, 0.9, 0.95], interpolation="linear")
+
+
 def _q_grouped_quantile_hist(sf_dir: str):
     """Histogram-sketch per-group quantiles (bounded shuffle: at most
     groups x bins partial rows cross the exchange, never raw rows).
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
+        "grouped_quantile_cont": _q_grouped_quantile_cont,
         "shuffle_export": _q_shuffle_export,
         "importance_resample": _q_importance_resample,
         "curation_export": _q_curation_export,
@@ -1964,6 +1975,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) as p50,
                    quantile_disc(value, 0.9) as p90,
                    quantile_disc(value, 0.95) as p95
+            from events group by event_type
+        """,
+        "grouped_quantile_cont": """
+            select event_type,
+                   quantile_cont(value, 0.5) as p50,
+                   quantile_cont(value, 0.9) as p90,
+                   quantile_cont(value, 0.95) as p95
             from events group by event_type
         """,
         "cumulative_sum": """

@@ -164,17 +164,23 @@ def _key_run_starts(tbl: pa.Table, keys: Sequence[str]) -> np.ndarray:
 
 def grouped_quantile(ds, keys: Sequence[str], column: str,
                      qs: Sequence[float], names: Optional[Sequence[str]] = None,
-                     num_partitions: int = 32):
-    """Exact per-group quantiles (discrete / inverted-CDF element
-    selection — DuckDB ``quantile_disc`` semantics; no interpolation, so
-    results are bit-exact vs SQL). ONE hash-partition shuffle (P groups,
-    not one per key); within a partition every group is resolved by one
-    vectorized sort + segment index arithmetic. Output: one row per key
-    with float64 quantile columns named ``names`` (default
-    ``p{q*100}``); all-null groups yield NULL."""
+                     num_partitions: int = 32,
+                     interpolation: str = "lower"):
+    """Exact per-group quantiles. ``interpolation="lower"`` is discrete
+    inverted-CDF element selection (DuckDB ``quantile_disc`` semantics —
+    bit-exact vs SQL); ``"linear"`` interpolates between the two
+    bracketing elements at rank q*(m-1) (DuckDB ``quantile_cont``).
+    ONE hash-partition shuffle (P groups, not one per key); within a
+    partition every group is resolved by one vectorized sort + segment
+    index arithmetic. Output: one row per key with float64 quantile
+    columns named ``names`` (default ``p{q*100}``); all-null groups
+    yield NULL."""
+    if interpolation not in ("lower", "linear"):
+        raise ValueError("interpolation must be 'lower' or 'linear'")
     qs = list(qs)
     names = list(names) if names else [f"p{int(round(q * 100))}" for q in qs]
     keys = list(keys)
+    linear = interpolation == "linear"
 
     def gq(group: pa.Table) -> pa.Table:
         g = group.drop_columns([_GPART]).sort_by(
@@ -189,10 +195,19 @@ def grouped_quantile(ds, keys: Sequence[str], column: str,
         cols: dict = {k: combine(g[k]).take(pa.array(starts, pa.int64()))
                       for k in keys}
         for q, nm in zip(qs, names):
-            # inverted CDF: smallest element with CDF >= q
-            idx = starts + np.clip(np.ceil(q * m).astype(np.int64) - 1,
-                                   0, np.maximum(m - 1, 0))
-            out = vals[idx]
+            if linear:
+                # rank q*(m-1), linear between bracketing elements
+                h = q * np.maximum(m - 1, 0)
+                lo = np.floor(h).astype(np.int64)
+                frac = h - lo
+                hi = np.minimum(lo + 1, np.maximum(m - 1, 0))
+                out = (vals[starts + lo] * (1.0 - frac)
+                       + vals[starts + hi] * frac)
+            else:
+                # inverted CDF: smallest element with CDF >= q
+                idx = starts + np.clip(np.ceil(q * m).astype(np.int64) - 1,
+                                       0, np.maximum(m - 1, 0))
+                out = vals[idx]
             out[m == 0] = np.nan
             cols[nm] = pa.array(out, pa.float64(), from_pandas=True)
         return pa.table(cols)
