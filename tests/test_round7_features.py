@@ -580,3 +580,33 @@ def test_importance_resample_prefers_target_like_docs(ray_session):
     strict = set(run(3, 50.0)["doc_id"].to_pylist())
     assert len(strict) < len(kept)
     assert sum(1 for i in strict if i % 2 == 1) <= 3
+
+
+def test_audio_spectrogram_finds_tone(ray_session):
+    """Real FFT spectrogram over stdlib-encoded WAV payloads: a pure
+    sine clip's dominant frequency lands within one bin of the truth."""
+    from datavec_ray.ops.codecs import encode_wav
+    from datavec_ray.ops.multimodal import AudioSpectrogram
+
+    sr = 16000
+    rows = []
+    freqs = [440.0, 1000.0, 3000.0]
+    for f in freqs:
+        t = np.arange(sr) / sr               # 1 second
+        pcm = (0.6 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+        rows.append(encode_wav(pcm, sr))
+    tbl = pa.table({
+        "media_id": pa.array(range(len(rows)), pa.int64()),
+        "payload": pa.array(rows, pa.binary()),
+        "sample_rate": pa.array([sr] * len(rows), pa.int32()),
+    })
+    out = dataset_to_table(rd.from_arrow(tbl).map_batches(
+        AudioSpectrogram, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(n_frames=8, n_bins=32, frame_len=512,
+                                   deterministic_fake=False),
+        concurrency=(1, 2), batch_size=2))
+    out = out.sort_by([("media_id", "ascending")])
+    bin_hz = sr / 512
+    for f, got in zip(freqs, out["peak_hz"].to_pylist()):
+        assert abs(got - f) <= bin_hz, (f, got)
+    assert len(out["spec_feat"][0].as_py()) == 8 * 32
