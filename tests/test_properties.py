@@ -511,3 +511,75 @@ def test_retract_feed_and_aggview_property(ray_session, tmp_path_factory,
                     assert x == y, (c, x, y)
     finally:
         eng.shutdown()
+
+
+@st.composite
+def skewed_values(draw):
+    n_heavy = draw(st.integers(1, 5))
+    heavy_count = draw(st.integers(50, 200))
+    n_light = draw(st.integers(10, 80))
+    vals = []
+    for i in range(n_heavy):
+        vals += [f"hot{i}"] * (heavy_count - i)   # distinct heavy counts
+    for i in range(n_light):
+        vals += [f"cold{i}"] * draw(st.integers(1, 4))
+    parts = draw(st.integers(1, 5))
+    return vals, parts, n_heavy
+
+
+@settings(max_examples=10, deadline=None)
+@given(skewed_values())
+def test_frequent_items_exact_when_guarantee_holds(ray_session, inp):
+    """PROPERTY: whenever the k-th true count clears N/capacity, the
+    bounded-shuffle heavy hitter result equals plain exact counting."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from datavec_ray.ops.sketches import frequent_items
+
+    vals, parts, k = inp
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    capacity = 2000
+    c = Counter(vals)
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    if expect[-1][1] * capacity <= len(vals):
+        return  # guarantee would not hold; out of scope
+    got = frequent_items(rd.from_arrow(t).repartition(parts), "v",
+                         k=k, capacity=capacity)
+    assert list(zip(got["value"].to_pylist(),
+                    got["cnt"].to_pylist())) == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 6), st.integers(64, 256))
+def test_grouped_quantile_hist_error_bound(ray_session, seed, parts, bins):
+    """PROPERTY: the histogram-sketch quantile is within (hi-lo)/bins
+    of the exact grouped quantile for arbitrary data and partitioning."""
+    import ray.data as rd
+
+    from datavec_ray.misc import grouped_quantile, grouped_quantile_hist
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    t = pa.table({
+        "k": pa.array([f"g{i % 3}" for i in range(n)]),
+        "v": pa.array(rng.gamma(2.0, 10.0, n)),
+    })
+    ds = rd.from_arrow(t).repartition(parts)
+    approx = dataset_to_table(grouped_quantile_hist(
+        ds, ["k"], "v", [0.5, 0.95], bins=bins)).sort_by(
+        [("k", "ascending")])
+    exact = dataset_to_table(grouped_quantile(
+        ds, ["k"], "v", [0.5, 0.95])).sort_by([("k", "ascending")])
+    lohi = {}
+    for k_, x in zip(t["k"].to_pylist(), t["v"].to_pylist()):
+        lo, hi = lohi.get(k_, (x, x))
+        lohi[k_] = (min(lo, x), max(hi, x))
+    for col in ("p50", "p95"):
+        for k_, a, e in zip(approx["k"].to_pylist(),
+                            approx[col].to_pylist(),
+                            exact[col].to_pylist()):
+            lo, hi = lohi[k_]
+            assert abs(a - e) <= (hi - lo) / bins + 1e-9, (col, k_, a, e)
