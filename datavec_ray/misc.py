@@ -576,7 +576,8 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
         .groupby(_GPART).map_groups(_rank, batch_format="pyarrow")
 
 
-def shuffled_shards(ds, id_col: str, n_shards: int, seed: int = 0):
+def shuffled_shards(ds, id_col: str, n_shards: int, seed: int = 0,
+                    _emit=None):
     """Deterministic global shuffle for training-data export: each
     row's shard and within-shard position are PURE FUNCTIONS of its id
     (shard = splitmix64(id) XOR seed_mix, mod n_shards; within-shard
@@ -606,11 +607,48 @@ def shuffled_shards(ds, id_col: str, n_shards: int, seed: int = 0):
         g = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
         g = g.append_column(pa.field("pos", pa.int64()),
                             pa.array(np.arange(g.num_rows)))
-        return g.drop_columns(["__h"])
+        g = g.drop_columns(["__h"])
+        return _emit(g) if _emit is not None else g
 
     order.__name__ = "shard_order"
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("shard").map_groups(order, batch_format="pyarrow")
+
+
+def export_shuffled_shards(ds, id_col: str, n_shards: int, out_dir: str,
+                           seed: int = 0) -> pa.Table:
+    """RESUMABLE training-data export: ``shuffled_shards`` with one
+    parquet file per shard (``shard-NNNN.parquet``) written atomically
+    (tmp + rename) INSIDE the per-shard group task — same single
+    exchange, no extra pass. A shard file that already exists is
+    skipped, so a crashed export rerun finishes only the missing shards
+    (the permutation is a pure function of the data and seed, so a
+    rewritten shard has identical content). Returns a manifest table
+    (shard, rows, path, skipped)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from datavec_ray.util import dataset_to_table
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(g: pa.Table) -> pa.Table:
+        sid = int(g["shard"][0].as_py())
+        path = os.path.join(out_dir, f"shard-{sid:04d}.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + ".tmp"
+            _pq.write_table(g, tmp)     # already in pos order
+            os.replace(tmp, path)
+        return pa.table({"shard": pa.array([sid], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string()),
+                         "skipped": pa.array([skipped], pa.bool_())})
+
+    manifest = shuffled_shards(ds, id_col, n_shards, seed=seed,
+                               _emit=write)
+    return dataset_to_table(manifest).sort_by([("shard", "ascending")])
 
 
 def sequence_merge(datasets: Sequence, keys: Sequence[str],

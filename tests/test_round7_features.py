@@ -610,3 +610,32 @@ def test_audio_spectrogram_finds_tone(ray_session):
     for f, got in zip(freqs, out["peak_hz"].to_pylist()):
         assert abs(got - f) <= bin_hz, (f, got)
     assert len(out["spec_feat"][0].as_py()) == 8 * 32
+
+
+def test_export_shuffled_shards_resumable(ray_session, tmp_path):
+    """Partitioned shard export: one file per shard in position order;
+    a rerun skips finished shards and rewrites only missing ones."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datavec_ray.misc import export_shuffled_shards
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64()),
+                  "x": pa.array(range(2000), pa.int64())})
+    out = str(tmp_path / "shards")
+    ds = rd.from_arrow(t).repartition(4)
+    man = export_shuffled_shards(ds, "doc_id", 4, out, seed=0)
+    assert man["shard"].to_pylist() == [0, 1, 2, 3]
+    assert not any(man["skipped"].to_pylist())
+    assert sum(man["rows"].to_pylist()) == 2000
+    for p in man["path"].to_pylist():
+        f = pq.read_table(p)
+        assert f["pos"].to_pylist() == list(range(f.num_rows))
+    # crash-resume: delete one shard, rerun → only that one rewritten
+    victim = man["path"].to_pylist()[2]
+    os.remove(victim)
+    man2 = export_shuffled_shards(ds, "doc_id", 4, out, seed=0)
+    assert man2["skipped"].to_pylist() == [True, True, False, True]
+    a = pq.read_table(victim)
+    assert a.num_rows == man["rows"].to_pylist()[2]
