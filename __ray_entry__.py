@@ -425,6 +425,18 @@ def _q_grouped_quantile_hist(sf_dir: str):
                                  [0.5, 0.9, 0.99], bins=1024)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Bigram stupid-backoff scoring: LM built from docs < 300, docs
+    >= 300 scored — both the seen-bigram and OOV-backoff branches are
+    exercised and value-checked."""
+    from datavec_ray.ops.textstats import bigram_logprob
+
+    cols = ["doc_id", "text"]
+    lm = _read(sf_dir, "documents", cols).filter(expr="doc_id < 300")
+    sc = _read(sf_dir, "documents", cols).filter(expr="doc_id >= 300")
+    return bigram_logprob(sc, "text", "doc_id", alpha=0.4, lm_ds=lm)
+
+
 def _q_importance_resample(sf_dir: str):
     """DSIR-style importance resampling: docs >= 100 are the raw pool,
     docs < 100 the target distribution; keep raw docs whose
@@ -1398,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile_cont": _q_grouped_quantile_cont,
         "shuffle_export": _q_shuffle_export,
         "importance_resample": _q_importance_resample,
+        "bigram_logprob": _q_bigram_logprob,
         "curation_export": _q_curation_export,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -2084,6 +2097,39 @@ def oracle_sql() -> dict[str, str]:
                         as bigint) as pos
             from h3
         """,
+        # bigram_logprob: stupid backoff mirrored term for term
+        "bigram_logprob": r"""
+            with lm as (select text from documents where doc_id < 300),
+            lt as (select list_filter(string_split_regex(lower(text),
+                                                         '\s+'),
+                                      x -> x <> '') as w from lm),
+            uni as (select unnest(w) as tok from lt),
+            uf as (select tok, count(*) as c from uni group by tok),
+            un as (select cast(sum(c) as double) as nu,
+                          cast(count(*) as double) as v from uf),
+            bp as (select w[i] as w1, w[i+1] as w2
+                   from lt, unnest(range(1, len(w))) as t(i)
+                   where len(w) >= 2),
+            bf as (select w1, w2, count(*) as cb from bp group by 1, 2),
+            st as (select doc_id,
+                          list_filter(string_split_regex(lower(text),
+                                                         '\s+'),
+                                      x -> x <> '') as w
+                   from documents where doc_id >= 300),
+            sp as (select doc_id, w[i] as w1, w[i+1] as w2
+                   from st, unnest(range(1, len(w))) as t(i)
+                   where len(w) >= 2)
+            select p.doc_id, count(*) as n_bigrams,
+                   sum(case when bf.cb is not null
+                        then ln(bf.cb / f1.c)
+                        else ln(0.4) + ln(coalesce(f2.c, 0) + 1.0)
+                             - ln(nu + v) end) / count(*)
+                     as logprob_per_bigram
+            from sp p
+            left join bf on p.w1 = bf.w1 and p.w2 = bf.w2
+            left join uf f1 on p.w1 = f1.tok
+            left join uf f2 on p.w2 = f2.tok, un
+            group by p.doc_id""",
         # importance_resample: both unigram LMs, the per-doc score and
         # the splitmix selection chain reproduced in SQL (tau=1, seed=0)
         "importance_resample": f"""

@@ -28,6 +28,13 @@ State size is one row per group: compact for analytic keys (role,
 tool, day buckets). For key spaces rivaling the corpus itself, shard
 the state with ``misc._group_partition`` instead of holding one Table —
 ``advance`` only touches groups named in the delta either way.
+
+Schema-evolution boundary: retract feeds carry the CORE transcript
+columns (conv_id, turn_idx, role, text, tool, ts, lsn). A view keyed
+on or aggregating an EVOLVED payload column cannot be advanced from
+the feed — rebuild it from a snapshot (``build``) after evolution, or
+derive the column from core fields map-side (as the windowed-view
+test does with ts buckets).
 """
 
 from __future__ import annotations

@@ -590,3 +590,138 @@ def importance_resample(ds, target_ds, text_col: str = "text",
 
     return ds.map_batches(_ScoreKeep, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.4, lm_ds=None):
+    """Bigram language-model scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    standard web-scale smoothing): per document of ``ds``, the mean
+    natural-log score per transition under the LM built from ``lm_ds``
+    (default: ``ds`` itself). score(w2 | w1) = c(w1 w2) / c(w1) when
+    the LM saw the bigram, else ``alpha`` * p_add1(w2) (add-one
+    unigram over the LM vocabulary, so OOV words keep finite mass).
+    A sharper typicality proxy than ``unigram_logprob`` (word order
+    counts); documents with < 2 tokens are excluded.
+
+    Same scale shape as the unigram scorer: two map-side-combined
+    frequency passes over the LM corpus (unigrams + bigram hashes;
+    shuffle volume is the per-batch vocabularies), broadcast sorted
+    arrays, then one shuffle-free searchsorted + reduceat scoring map.
+    Bigrams match on the splitmix-combined hash of the two token
+    hashes — the same hash-equals-string assumption every gram op
+    here makes.
+    """
+    import ray
+
+    from datavec_ray.ops.dedup import _tokenize_flat
+    from datavec_ray.util import dataset_to_table
+
+    corpus = lm_ds if lm_ds is not None else ds
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _big_hash(th: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """Hashes of consecutive-token pairs WITHIN each doc."""
+        if len(th) < 2:
+            return np.empty(0, np.uint64)
+        h = th[:-1] * GOLD ^ th[1:]
+        # drop pairs that straddle a document boundary
+        counts = np.diff(offs)
+        row_of = np.repeat(np.arange(len(counts)), counts)
+        keep = row_of[:-1] == row_of[1:]
+        return h[keep]
+
+    def _uni_counts(b: pa.Table) -> pa.Table:
+        th, _ = _tokenize_flat(b[text_col])
+        if len(th) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(th, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _big_counts(b: pa.Table) -> pa.Table:
+        th, offs = _tokenize_flat(b[text_col])
+        bh = _big_hash(th, offs)
+        if len(bh) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(bh, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _freq(fn):
+        t = dataset_to_table(
+            corpus.map_batches(fn, batch_format="pyarrow")
+            .groupby("h").sum("c"))
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.argsort(h)
+        return h[o], c[o]
+
+    uh, uc = _freq(_uni_counts)
+    bh_, bc = _freq(_big_counts)
+    n_uni = uc.sum() if len(uc) else 1.0
+    vocab = float(max(len(uh), 1))
+    refs = tuple(ray.put(x) for x in (uh, uc, bh_, bc))
+    log_alpha = float(np.log(alpha))
+    log_denom = float(np.log(n_uni + vocab))
+
+    class _Score:
+        def __init__(self):
+            self.uh, self.uc, self.bh, self.bc = (ray.get(r) for r in refs)
+            self.__name__ = "bigram_logprob"
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = combine(b[id_col]).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            th, offs = _tokenize_flat(b[text_col])
+            counts = np.diff(offs)
+            empty = pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "logprob_per_bigram": pa.array([], pa.float64())})
+            if len(th) < 2:
+                return empty
+            pair_h = th[:-1] * GOLD ^ th[1:]
+            row_of = np.repeat(np.arange(len(counts)), counts)
+            within = row_of[:-1] == row_of[1:]
+            bpos = np.searchsorted(self.bh, pair_h)
+            bpos_c = np.minimum(bpos, max(len(self.bh) - 1, 0))
+            hit = (self.bh[bpos_c] == pair_h) if len(self.bh) \
+                else np.zeros(len(pair_h), bool)
+            cb = np.where(hit, self.bc[bpos_c] if len(self.bc) else 1.0,
+                          1.0)
+            # left/right unigram counts (0 when OOV for the LM corpus)
+            upos1 = np.searchsorted(self.uh, th[:-1])
+            upos2 = np.searchsorted(self.uh, th[1:])
+            u1c = np.minimum(upos1, max(len(self.uh) - 1, 0))
+            u2c = np.minimum(upos2, max(len(self.uh) - 1, 0))
+            if len(self.uh):
+                c1 = np.where(self.uh[u1c] == th[:-1], self.uc[u1c], 0.0)
+                c2 = np.where(self.uh[u2c] == th[1:], self.uc[u2c], 0.0)
+            else:
+                c1 = c2 = np.zeros(len(pair_h))
+            # ln(cb/c1) (not ln(cb)-ln(c1)) — term-for-term float parity
+            # with the SQL oracle's expression
+            seen = np.log(cb / np.maximum(c1, 1.0))
+            backoff = log_alpha + np.log(c2 + 1.0) - log_denom
+            lp = np.where(hit, seen, backoff)
+            lp = np.where(within, lp, 0.0)
+            nb = np.maximum(counts - 1, 0)
+            nz = nb > 0
+            if not nz.any():
+                return empty
+            starts = offs[:-1][nz]
+            sums = np.add.reduceat(np.append(lp, 0.0),
+                                   np.minimum(starts, len(lp)))
+            return pa.table({
+                id_col: pa.array(ids[nz]),
+                "n_bigrams": pa.array(nb[nz]),
+                "logprob_per_bigram": pa.array(sums / nb[nz],
+                                               pa.float64())})
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=(1, 8))
