@@ -298,7 +298,10 @@ def _hash_column(arr: pa.Array) -> pa.Array:
             base = base.cast(pa.int64() if t.bit_width == 64 else pa.int32())
         h = hash64(base.cast(pa.int64()).to_numpy(zero_copy_only=False))
     elif pa.types.is_floating(t):
-        h = hash64(pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False))
+        # +0.0 canonicalizes -0.0 (they compare equal, so they must
+        # hash equal for distinct counts to match SQL semantics)
+        h = hash64(pc.fill_null(arr, 0.0)
+                   .to_numpy(zero_copy_only=False) + 0.0)
     else:  # decimals, dictionaries, ... — per-value blake2b slow path
         h = hash64(arr.to_numpy(zero_copy_only=False))
     out = pa.array(h, pa.uint64())
