@@ -522,14 +522,27 @@ class AddSimHash:
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, max_bucket: int = 512):
+                  max_hamming: int = 3, max_bucket: int = 512,
+                  hash_col: str | None = None):
     """Near-dup pairs by SimHash banding: 4 bands of 16 bits — any pair
     within Hamming distance ≤ 3 of 64 bits shares at least one exact
     16-bit band (pigeonhole). Oversized buckets sub-split by a secondary
     hash of the FULL simhash (exact dups always stay together); a
     still-oversized sub-bucket compares its members against the min-id
-    representative (O(n), keeps exact-dup components connected)."""
-    with_h = ds.map_batches(AddSimHash(text_col), batch_format="pyarrow")
+    representative (O(n), keeps exact-dup components connected).
+
+    ``hash_col`` supplies a PRECOMPUTED 64-bit sketch column instead of
+    text SimHashing — any Hamming-locality hash rides the same banding
+    (e.g. ``multimodal.ImagePHash`` perceptual image hashes)."""
+    if hash_col is not None:
+        def _alias(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                pa.field("simhash", pa.uint64()),
+                combine(b[hash_col]).cast(pa.uint64()))
+        with_h = ds.map_batches(_alias, batch_format="pyarrow")
+    else:
+        with_h = ds.map_batches(AddSimHash(text_col),
+                                batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False)

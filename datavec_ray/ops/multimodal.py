@@ -297,6 +297,56 @@ class AudioFeatures:
                                    arr)
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi / n * (m + 0.5) * k)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+class ImagePHash:
+    """Perceptual image hash (classic DCT pHash): 2D DCT-II of the
+    decoded image via two batched matmuls over the whole (N, H, W)
+    stack, keep the top-left 8x8 low-frequency block, threshold each
+    coefficient against the per-image median of the non-DC block →
+    64-bit ``phash`` (uint64). Near-duplicate images (re-encodes, mild
+    noise, small edits) differ in few bits; pipe the column into
+    ``dedup.simhash_pairs(hash_col="phash")`` for banded Hamming
+    near-dup pairs at corpus scale. Operates on the
+    ``ImageDecodeResize`` output layout (use target >= 8x8; 32x32 is
+    the classic choice)."""
+
+    def __init__(self, h: int = 32, w: int = 32,
+                 in_col: str = "image_feat", out_col: str = "phash"):
+        if h < 8 or w < 8:
+            raise ValueError("pHash needs at least an 8x8 image")
+        self.h, self.w = h, w
+        self.in_col, self.out_col = in_col, out_col
+        self._dh = _dct_matrix(h)
+        self._dw = _dct_matrix(w)
+        self.__name__ = "image_phash"
+
+    def hash_stack(self, img: np.ndarray) -> np.ndarray:
+        """(N, H, W) float stack → (N,) uint64 pHashes."""
+        dct = np.einsum("ij,njk,lk->nil", self._dh, img, self._dw,
+                        optimize=True)
+        block = dct[:, :8, :8].reshape(len(img), 64)
+        med = np.median(block[:, 1:], axis=1)       # exclude DC
+        bits = (block > med[:, None]).astype(np.uint64)
+        return (bits << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = combine(batch[self.in_col])
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        img = flat.reshape(-1, self.h, self.w)
+        return batch.append_column(pa.field(self.out_col, pa.uint64()),
+                                   pa.array(self.hash_stack(img)))
+
+
 class AudioSpectrogram:
     """Actor-pool stage: audio bytes → log-power spectrogram, flattened
     to a ``(n_frames * n_bins)`` float32 vector (``spec_feat``) plus the

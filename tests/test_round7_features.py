@@ -639,3 +639,46 @@ def test_export_shuffled_shards_resumable(ray_session, tmp_path):
     assert man2["skipped"].to_pylist() == [True, True, False, True]
     a = pq.read_table(victim)
     assert a.num_rows == man["rows"].to_pylist()[2]
+
+
+def test_image_phash_neardup(ray_session):
+    """DCT pHash: identical images hash equal, mildly noised copies
+    land within a few bits, distinct images far apart; the precomputed
+    column rides simhash_pairs' banding to exact near-dup pairs."""
+    from datavec_ray.ops.codecs import encode_png
+    from datavec_ray.ops.dedup import simhash_pairs
+    from datavec_ray.ops.multimodal import ImageDecodeResize, ImagePHash
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    noised = base.copy()
+    noised[:2, :2] = np.clip(noised[:2, :2].astype(int) + 12,
+                             0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    payloads = [encode_png(base), encode_png(base), encode_png(noised),
+                encode_png(other)]
+    tbl = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([32] * 4, pa.int32()),
+        "height": pa.array([32] * 4, pa.int32()),
+    })
+    ds = rd.from_arrow(tbl).map_batches(
+        ImageDecodeResize, batch_format="pyarrow",
+        fn_constructor_args=(32, 32, False), concurrency=(1, 2))
+    hashed = ds.map_batches(ImagePHash(32, 32), batch_format="pyarrow")
+    out = dataset_to_table(hashed).sort_by([("media_id", "ascending")])
+    h = out["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[0], h[1]) == 0            # identical
+    assert ham(h[0], h[2]) <= 3            # mild noise
+    assert ham(h[0], h[3]) > 10            # different image
+    pairs = dataset_to_table(simhash_pairs(
+        hashed, id_col="media_id", max_hamming=3, hash_col="phash"))
+    got = {tuple(sorted(p)) for p in
+           zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
