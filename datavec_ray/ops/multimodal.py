@@ -27,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from datavec_ray.hll import hash64
 from datavec_ray.ops import codecs
@@ -411,6 +412,84 @@ class AudioSpectrogram:
             pa.field("spec_feat", pa.list_(pa.float32())), out)
         return batch.append_column(pa.field("peak_hz", pa.float64()),
                                    pa.array(peak_hz))
+
+
+def video_phash_pairs(ds, id_col: str = "media_id", n_frames: int = 4,
+                      grid: int = 8, min_shared: int = 2,
+                      num_partitions: int = 32,
+                      deterministic_fake: bool = True):
+    """Video near-duplicate pairs: sample ``n_frames`` evenly per video
+    (REAL Y4M decode), perceptual-hash each frame's ``grid``x``grid``
+    luma plane (the DCT pHash kernel, batched over every frame in the
+    batch at once), then bucket videos on EXACT frame-hash matches —
+    pairs sharing >= ``min_shared`` distinct frame hashes are emitted
+    with their shared-frame count. Re-encoded / brightness-shifted /
+    trimmed copies keep most frame pHashes, so they collide; the
+    exchange carries (frame_hash, video_id) rows only — never frames.
+
+    Returns (id_a, id_b, shared_frames), id_a < id_b.
+    """
+    from datavec_ray.misc import _GPART, _group_partition, _key_run_starts
+    from datavec_ray.steps.base import combine as _combine
+
+    sampler = VideoFrameSample(n_frames, grid * grid,
+                               deterministic_fake=deterministic_fake)
+    hasher = ImagePHash(grid, grid, in_col="frame_feat",
+                        out_col="fh")
+
+    def _hash_frames(batch: pa.Table) -> pa.Table:
+        f = sampler(batch)
+        f = hasher(f)
+        # distinct (video, frame hash) — repeated identical frames in
+        # one video must count once
+        g = pa.table({id_col: f[id_col], "fh": f["fh"]}) \
+            .group_by([id_col, "fh"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({id_col: g[id_col],
+                         "fh": g["fh"].cast(pa.uint64())})
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [("fh", "ascending"), (id_col, "ascending")])
+        if g.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = g.combine_chunks()
+        starts = np.flatnonzero(_key_run_starts(g, ["fh"]))
+        seg_len = np.diff(np.append(starts, g.num_rows))
+        ids = _combine(g[id_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        a_all, b_all = [], []
+        for s, ln in zip(starts, seg_len):        # buckets are tiny
+            if ln < 2:
+                continue
+            mem = ids[s:s + ln]
+            ai, bi = np.triu_indices(ln, k=1)
+            a_all.append(mem[ai])
+            b_all.append(mem[bi])
+        if not a_all:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(a_all)),
+                         "id_b": pa.array(np.concatenate(b_all)),
+                         "n": pa.array(np.ones(
+                             sum(map(len, a_all)), np.int64))})
+
+    _pairs.__name__ = "video_frame_pairs"
+    hashed = ds.map_batches(_hash_frames, batch_format="pyarrow",
+                            batch_size=32)
+    pairs = _group_partition(hashed, ["fh"], num_partitions) \
+        .groupby(_GPART).map_groups(_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["id_a", "id_b"]).sum("n")
+
+    def _final(b: pa.Table) -> pa.Table:
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "shared_frames": b["sum(n)"].cast(pa.int64())})
+        return t.filter(pc.greater_equal(t["shared_frames"], min_shared))
+
+    return agg.map_batches(_final, batch_format="pyarrow")
 
 
 BOX_TYPE = pa.list_(pa.struct([

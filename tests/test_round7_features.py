@@ -682,3 +682,36 @@ def test_image_phash_neardup(ray_session):
            zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_video_phash_pairs(ray_session):
+    """Video near-dup via frame pHashes: an identical copy and a
+    mildly brightness-shifted re-encode pair with the original; an
+    unrelated video does not."""
+    from datavec_ray.ops.codecs import encode_y4m
+    from datavec_ray.ops.multimodal import video_phash_pairs
+
+    rng = np.random.default_rng(14)
+    # smooth-ish frames so small brightness shifts keep DCT signs
+    base = np.zeros((6, 32, 32), dtype=np.uint8)
+    yy, xx = np.mgrid[0:32, 0:32]
+    for f in range(6):
+        base[f] = (96 + 64 * np.sin(xx / 5 + f) * np.cos(yy / 7)
+                   ).astype(np.uint8)
+    shifted = np.clip(base.astype(int) + 6, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (6, 32, 32), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_y4m(base), encode_y4m(base),
+                             encode_y4m(shifted), encode_y4m(other)],
+                            pa.binary()),
+    })
+    pairs = dataset_to_table(video_phash_pairs(
+        rd.from_arrow(tbl), n_frames=4, grid=8, min_shared=2,
+        deterministic_fake=False))
+    got = {tuple(sorted((a, b)))
+           for a, b in zip(pairs["id_a"].to_pylist(),
+                           pairs["id_b"].to_pylist())}
+    assert (0, 1) in got               # identical copy
+    assert (0, 2) in got or (1, 2) in got   # brightness-shifted copy
+    assert not any(3 in p for p in got)     # unrelated video
