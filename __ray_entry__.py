@@ -861,14 +861,27 @@ def _q_geo_distance(sf_dir: str):
 
 def _q_media_pipeline(sf_dir: str):
     """Multimodal pipeline: synthetic media table (real PNG/BMP/WAV
-    payloads) → actor-pool decode / resize stages with real pixel
-    decode (pure-stdlib codecs). Rows-only."""
+    payloads) → actor-pool decode/resize → deterministic augmentation
+    chain → DCT perceptual hash, all real kernels over decoded pixels
+    (pure-stdlib codecs). Rows-only."""
     import ray.data as rd
-    from datavec_ray.ops.multimodal import ImageDecodeResize, synth_media_table
+    from datavec_ray.ops.multimodal import (ImageAugmentChain,
+                                            ImageDecodeResize, ImagePHash,
+                                            synth_media_table)
 
     ds = rd.from_arrow(synth_media_table(200, seed=3))
-    return ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
-                          batch_size=32, concurrency=2)         .select_columns(["media_id", "media_type", "width", "height"])
+    dec = ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                         fn_constructor_args=(8, 8),
+                         batch_size=32, concurrency=2)
+    aug = dec.map_batches(
+        ImageAugmentChain([{"op": "flip_h", "p": 0.5},
+                           {"op": "normalize", "mean": 0.5, "std": 0.5}],
+                          h=8, w=8, seed=0),
+        batch_format="pyarrow", batch_size=32)
+    hashed = aug.map_batches(ImagePHash(8, 8), batch_format="pyarrow",
+                             batch_size=32)
+    return hashed.select_columns(["media_id", "media_type", "width",
+                                  "height", "phash"])
 
 
 def _q_jdbc_source(sf_dir: str):
