@@ -1553,9 +1553,9 @@ def oracle_sql() -> dict[str, str]:
             select "column",
                    count(v) as n,
                    count(*) - count(v) as n_missing,
-                   sum(case when v = 0 then 1 else 0 end) as n_zero,
-                   sum(case when v > 0 then 1 else 0 end) as n_positive,
-                   sum(case when v < 0 then 1 else 0 end) as n_negative,
+                   count(*) filter (where v = 0) as n_zero,
+                   count(*) filter (where v > 0) as n_positive,
+                   count(*) filter (where v < 0) as n_negative,
                    round(min(v), 4) as vmin,
                    round(max(v), 4) as vmax,
                    round(avg(v), 4) as vmean,
@@ -1571,11 +1571,11 @@ def oracle_sql() -> dict[str, str]:
             select "column",
                    count(v) as n,
                    count(*) - count(v) as n_missing,
-                   sum(case when v = '' then 1 else 0 end) as n_empty,
-                   sum(case when regexp_full_match(v, '[A-Za-z]+')
-                       then 1 else 0 end) as n_alpha,
-                   sum(case when regexp_full_match(v, '[0-9]+')
-                       then 1 else 0 end) as n_numeric,
+                   count(*) filter (where v = '') as n_empty,
+                   count(*) filter (where regexp_full_match(v, '[A-Za-z]+'))
+                       as n_alpha,
+                   count(*) filter (where regexp_full_match(v, '[0-9]+'))
+                       as n_numeric,
                    min(length(v)) as len_min,
                    max(length(v)) as len_max,
                    round(avg(length(v)), 4) as len_mean
@@ -1583,34 +1583,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_profile": """
             select 'l_quantity' as "column", count(*) as count_total,
-                   sum(case when l_quantity is null then 1 else 0 end)
+                   count(*) filter (where l_quantity is null)
                        as count_missing,
-                   sum(case when l_quantity is not null and
-                       (isnan(l_quantity) or l_quantity < 0 or l_quantity > 50)
-                       then 1 else 0 end) as count_invalid,
-                   sum(case when l_quantity is not null and
+                   count(*) filter (where l_quantity is not null and
+                       (isnan(l_quantity) or l_quantity < 0
+                        or l_quantity > 50)) as count_invalid,
+                   count(*) filter (where l_quantity is not null and
                        not isnan(l_quantity) and l_quantity >= 0
-                       and l_quantity <= 50 then 1 else 0 end) as count_valid
+                       and l_quantity <= 50) as count_valid
             from lineitem
             union all
             select 'l_discount', count(*),
-                   sum(case when l_discount is null then 1 else 0 end),
-                   sum(case when l_discount is not null and
-                       (isnan(l_discount) or l_discount < 0 or l_discount > 0.05)
-                       then 1 else 0 end),
-                   sum(case when l_discount is not null and
+                   count(*) filter (where l_discount is null),
+                   count(*) filter (where l_discount is not null and
+                       (isnan(l_discount) or l_discount < 0
+                        or l_discount > 0.05)),
+                   count(*) filter (where l_discount is not null and
                        not isnan(l_discount) and l_discount >= 0
-                       and l_discount <= 0.05 then 1 else 0 end)
+                       and l_discount <= 0.05)
             from lineitem
             union all
             select 'l_returnflag', count(*),
-                   sum(case when l_returnflag is null then 1 else 0 end),
-                   sum(case when l_returnflag is not null and
-                       not regexp_full_match(l_returnflag, '[ANR]')
-                       then 1 else 0 end),
-                   sum(case when l_returnflag is not null and
-                       regexp_full_match(l_returnflag, '[ANR]')
-                       then 1 else 0 end)
+                   count(*) filter (where l_returnflag is null),
+                   count(*) filter (where l_returnflag is not null and
+                       not regexp_full_match(l_returnflag, '[ANR]')),
+                   count(*) filter (where l_returnflag is not null and
+                       regexp_full_match(l_returnflag, '[ANR]'))
             from lineitem
         """,
         "tfidf": """
@@ -1765,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
             where rn = 1 and op <> 'D'""",
         "cdc_aggview": _BINLOG_CTE + """
             select role, count(*) as n_turns,
-                   sum(turn_idx) as sum_turn,
+                   cast(sum(turn_idx) as bigint) as sum_turn,
                    avg(ts_ms) as mean_ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx
@@ -1886,9 +1884,9 @@ def oracle_sql() -> dict[str, str]:
             order by id_a, id_b""",
         "pack_shards": """
             select doc_id, n_chars,
-                   coalesce(sum(n_chars) over (order by doc_id
+                   cast(coalesce(sum(n_chars) over (order by doc_id
                      rows between unbounded preceding and 1 preceding), 0)
-                   // 10000 as shard
+                   // 10000 as bigint) as shard
             from documents
             order by doc_id""",
         "decontaminate": r"""
@@ -2500,21 +2498,22 @@ def oracle_sql() -> dict[str, str]:
                                   order by ts_ms, event_id)
             )
             select event_id, user_id, ts_ms,
-                   sum(brk) over (partition by user_id
+                   cast(sum(brk) over (partition by user_id
                                   order by ts_ms, event_id
-                                  rows unbounded preceding) as session_id
+                                  rows unbounded preceding) as bigint)
+                       as session_id
             from g order by event_id""",
         "rollup": """
             select lang, source,
                    count(n_chars) as n_docs,
-                   sum(n_chars) as sum_chars
+                   cast(sum(n_chars) as bigint) as sum_chars
             from documents
             group by rollup(lang, source)
             order by lang nulls last, source nulls last""",
         "json_extract": """
             select event_type,
-                   sum(cast(json_extract_string(props, '$.k') as bigint))
-                       as sum_k,
+                   cast(sum(cast(json_extract_string(props, '$.k')
+                                 as bigint)) as bigint) as sum_k,
                    round(avg(cast(json_extract_string(props, '$.k')
                                   as bigint)), 6) as avg_k,
                    count(json_extract_string(props, '$.k')) as n

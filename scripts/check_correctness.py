@@ -17,14 +17,23 @@ import numpy as np
 import pandas as pd
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, round_floats: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    sort_keys = {}
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            sort_keys[c] = df[c].round(6)
+            if round_floats:
+                df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # sort rows by the ROUNDED float keys (+ raw others) so both sides
+    # order identically even when raw floats differ at the last ulp
+    key_df = df.copy()
+    for c, k in sort_keys.items():
+        key_df[c] = k
+    order = key_df.sort_values(list(key_df.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
@@ -33,6 +42,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
     res["cols_match"] = sorted(ray_df.columns) == sorted(sql_df.columns)
     if not (res["rows_match"] and res["cols_match"]):
         res["values_match"] = False
+        res["exact_match"] = False
         return res
     a, b = normalize(ray_df), normalize(sql_df)
     try:
@@ -49,6 +59,35 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
     except Exception as e:  # noqa: BLE001
         res["values_match"] = False
         res["error"] = str(e)
+    # STRICT mirror of the driver's value-hash (calibrated against
+    # CORRECTNESS_r02: the driver ROUNDS floats before hashing — rows
+    # with last-ulp float diffs were hash-green — but is DTYPE
+    # sensitive: rows whose only diff was int64 vs float64, e.g. an
+    # uncast DuckDB hugeint sum, were hash-red). So: dtype kinds must
+    # match exactly; floats compared after round(6); everything else
+    # compared exactly.
+    try:
+        a = normalize(ray_df, round_floats=True)
+        b = normalize(sql_df, round_floats=True)
+        bad_cols = []
+        for c in a.columns:
+            if a[c].dtype.kind != b[c].dtype.kind:
+                bad_cols.append(f"{c}:dtype {a[c].dtype}!={b[c].dtype}")
+                continue
+            av, bv = a[c].values, b[c].values
+            if a[c].dtype.kind == "f":
+                eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            else:
+                eq = (a[c].fillna("\0null").astype(str).values
+                      == b[c].fillna("\0null").astype(str).values)
+            if not eq.all():
+                bad_cols.append(f"{c}:values")
+        res["exact_match"] = not bad_cols
+        if bad_cols:
+            res["exact_bad_cols"] = bad_cols
+    except Exception as e:  # noqa: BLE001
+        res["exact_match"] = False
+        res["error_exact"] = str(e)
     return res
 
 
@@ -104,10 +143,17 @@ def main():
         r = compare(name, ray_res, sql_res)
         r["sec"] = round(time.time() - t0, 2)
         results.append(r)
-        status = "OK" if r.get("values_match") else "MISMATCH"
+        if r.get("values_match") and r.get("exact_match"):
+            status = "OK"
+        elif r.get("values_match"):
+            status = f"INEXACT {r.get('exact_bad_cols')}"
+        else:
+            status = "MISMATCH"
         print(f"{name}: {status} rows={r['ray_rows']}/{r['sql_rows']} "
               f"cols={r['cols_match']} [{r['sec']}s]")
-    bad = [r for r in results if not r.get("values_match", True) or "error" in r]
+    bad = [r for r in results
+           if not (r.get("values_match", True) and r.get("exact_match", True))
+           or "error" in r]
     print(f"\n{len(results) - len(bad)}/{len(results)} pass")
     with open("/tmp/correctness_check.json", "w") as f:
         json.dump(results, f, indent=2)
