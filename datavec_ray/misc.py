@@ -357,14 +357,14 @@ def grouped_topn(ds, keys: Sequence[str], order_col: str, n: int,
 
     def _partial(df):
         return (df.sort_values(by, ascending=asc, kind="mergesort")
-                .groupby(keys, sort=False).head(n))
+                .groupby(keys, sort=False, dropna=False).head(n))
 
     _partial.__name__ = "topn_partial"
 
     def _final(df):
         df = df.drop(columns=[_GPART])
         return (df.sort_values(by, ascending=asc, kind="mergesort")
-                .groupby(keys, sort=False).head(n))
+                .groupby(keys, sort=False, dropna=False).head(n))
 
     _final.__name__ = "topn_final"
     combined = ds.map_batches(_partial, batch_format="pandas")
@@ -729,10 +729,15 @@ def range_window_agg(ds, keys: Sequence[str], order_col: str,
     Scale shape: ONE hash-partition shuffle (P groups, not one per key);
     within a partition all groups are resolved together by one sort +
     two ``searchsorted`` calls — each group's timestamps are biased by
-    ``segment_id * 2**42`` so a single global binary search can never
-    cross a group boundary (epoch-ms fits in 2**41; up to 2**21 groups
-    per partition). Window sums use ``np.add.reduceat`` on the
-    [lo, hi) bounds — direct per-window summation, no cumsum
+    ``segment_id * span`` in EXACT int64 arithmetic (span = observed
+    timestamp range + width + 1) so a single global binary search can
+    never cross a group boundary; exactness holds whenever
+    ``n_segments * span < 2**62`` (epoch-ms spans ~2**41 allow ~2**21
+    groups per partition — add partitions for more). Float order
+    columns, or partitions beyond that bound, fall back to a
+    per-segment searchsorted (still vectorized within each segment) —
+    never a lossy float bias. Window sums use ``np.add.reduceat`` on
+    the [lo, hi) bounds — direct per-window summation, no cumsum
     cancellation error.
     """
     if agg not in ("sum", "count", "mean"):
@@ -749,15 +754,40 @@ def range_window_agg(ds, keys: Sequence[str], order_col: str,
                 pa.field(out_col, pa.int64() if agg == "count"
                          else pa.float64()),
                 pa.array([], pa.int64() if agg == "count" else pa.float64()))
-        t = combine(g[order_col]).cast(pa.float64()).to_numpy(
-            zero_copy_only=False)
+        tarr = combine(g[order_col])
+        int_like = (pa.types.is_integer(tarr.type)
+                    or pa.types.is_timestamp(tarr.type))
         v = combine(g[value_col]).cast(pa.float64()).to_numpy(
             zero_copy_only=False)
-        seg = np.cumsum(_key_run_starts(g, keys)) - 1      # segment id/row
-        bias = seg.astype(np.float64) * float(2 ** 42)
-        tt = t + bias
-        lo = np.searchsorted(tt, tt - width, side="left")
-        hi = np.searchsorted(tt, tt, side="right")
+        run_starts = _key_run_starts(g, keys)
+        seg = np.cumsum(run_starts) - 1                    # segment id/row
+        lo = hi = None
+        if int_like:
+            # over integer timestamps a fractional width floors exactly:
+            # t_j >= t_i - w  <=>  t_j >= t_i - floor(w)
+            t = tarr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            wq = np.int64(np.floor(width))
+            shift = t - t.min()
+            span = int(shift.max()) + max(int(wq), 0) + 1
+            nseg = int(seg[-1]) + 1
+            if span > 0 and nseg <= (2 ** 62) // span:
+                # exact int64 segment bias: one global searchsorted pair
+                tt = seg * np.int64(span) + shift
+                lo = np.searchsorted(tt, tt - wq, side="left")
+                hi = np.searchsorted(tt, tt, side="right")
+        else:
+            t = tarr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            wq = width
+        if lo is None:
+            # per-segment searchsorted (float order cols / huge spans):
+            # exact at any timestamp magnitude or segment count
+            bounds = np.append(np.flatnonzero(run_starts), n)
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                ts = t[a:b]
+                lo[a:b] = a + np.searchsorted(ts, ts - wq, side="left")
+                hi[a:b] = a + np.searchsorted(ts, ts, side="right")
         cnt = hi - lo
         if agg == "count":
             out = pa.array(cnt.astype(np.int64))

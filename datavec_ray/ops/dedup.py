@@ -913,10 +913,15 @@ class _ExplodeLines:
             "line_idx": pa.array(_segment_arange(counts)),
             "line": combine(pc.list_flatten(lst)),
         })
-        # in-batch combine: rows are already in (id, line_idx) order, so
-        # the first occurrence per line is the right survivor; exempt
-        # (short) lines are NEVER combined — every occurrence is kept
+        # in-batch combine: sort to (id, line_idx) first — batches are
+        # NOT guaranteed id-ordered, and the survivor shipped to the
+        # bucket resolver must be the batch's min-(id, line_idx)
+        # occurrence or a later doc could win the global tiebreak;
+        # exempt (short) lines are NEVER combined — every occurrence
+        # is kept
         import pandas as pd
+        out = out.sort_by([(self.id_col, "ascending"),
+                           ("line_idx", "ascending")])
         first = ~pd.Index(out["line"].to_pandas()).duplicated(keep="first")
         if self.min_chars > 0:
             short = pc.less(pc.utf8_length(out["line"]),

@@ -176,7 +176,10 @@ class ImageAugmentChain:
     ``seed`` across epochs.
 
     Steps (dicts):
-      {"op": "random_crop", "h": H', "w": W'}          (per-image offset)
+      {"op": "random_crop", "h": H', "w": W'}          (per-image offset;
+          with "p": gated-out rows crop DETERMINISTICALLY at the
+          top-left corner — the output shape must stay uniform, so the
+          gate controls the randomness, not whether a crop happens)
       {"op": "flip_h", "p": q} | {"op": "flip_v", "p": q}
       {"op": "rot90", "p": q}                          (square images)
       {"op": "brightness", "delta": d, "p": q}         (additive, clipped)
@@ -228,6 +231,10 @@ class ImageAugmentChain:
                               * (img.shape[1] - hh + 1)).astype(np.int64)
                 ox = np.floor(_unit_draws(ids, self.seed, k, 2)
                               * (img.shape[2] - ww + 1)).astype(np.int64)
+                # a crop must happen regardless (uniform output shape);
+                # the probability gate selects random vs corner offset
+                oy = np.where(gate, oy, 0)
+                ox = np.where(gate, ox, 0)
                 rows = oy[:, None] + np.arange(hh)
                 cols = ox[:, None] + np.arange(ww)
                 img = img[np.arange(n)[:, None, None],
@@ -417,7 +424,8 @@ class AudioSpectrogram:
 def video_phash_pairs(ds, id_col: str = "media_id", n_frames: int = 4,
                       grid: int = 8, min_shared: int = 2,
                       num_partitions: int = 32,
-                      deterministic_fake: bool = True):
+                      deterministic_fake: bool = True,
+                      max_bucket: int = 256):
     """Video near-duplicate pairs: sample ``n_frames`` evenly per video
     (REAL Y4M decode), perceptual-hash each frame's ``grid``x``grid``
     luma plane (the DCT pHash kernel, batched over every frame in the
@@ -427,8 +435,16 @@ def video_phash_pairs(ds, id_col: str = "media_id", n_frames: int = 4,
     trimmed copies keep most frame pHashes, so they collide; the
     exchange carries (frame_hash, video_id) rows only — never frames.
 
+    A frame hash shared by more than ``max_bucket`` videos (black /
+    title-card frames) would cost O(n^2) pairs in one task; such
+    buckets are STAR-LINKED to their min-id member instead (the same
+    oversized-bucket fallback every LSH stage uses) and logged — near
+    dups stay reachable through the hub via their other shared frames.
+
     Returns (id_a, id_b, shared_frames), id_a < id_b.
     """
+    import logging
+    log = logging.getLogger(__name__)
     from datavec_ray.misc import _GPART, _group_partition, _key_run_starts
     from datavec_ray.steps.base import combine as _combine
 
@@ -461,10 +477,21 @@ def video_phash_pairs(ds, id_col: str = "media_id", n_frames: int = 4,
         ids = _combine(g[id_col]).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         a_all, b_all = [], []
-        for s, ln in zip(starts, seg_len):        # buckets are tiny
+        for s, ln in zip(starts, seg_len):
             if ln < 2:
                 continue
             mem = ids[s:s + ln]
+            if ln > max_bucket:
+                # degenerate common frame: star to the min id, not n^2
+                log.warning(
+                    "video frame-hash bucket of %d videos exceeds "
+                    "max_bucket=%d: star-linking to min id", ln,
+                    max_bucket)
+                hub = mem.min()
+                others = mem[mem != hub]
+                a_all.append(np.minimum(others, hub))
+                b_all.append(np.maximum(others, hub))
+                continue
             ai, bi = np.triu_indices(ln, k=1)
             a_all.append(mem[ai])
             b_all.append(mem[bi])
