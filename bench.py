@@ -32,7 +32,7 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "similarity_topk", "sequence_diff", "tumbling_window",
                  "reduce_ops", "asof_join", "doc_quality", "grouped_topk",
                  "set_except", "pivot_agg", "window_rank", "decontaminate",
-                 "cdc_aggview", "curation_export"]
+                 "cdc_aggview", "curation_export", "dedup_against"]
 
 
 def _sf_of(sf_dir: str) -> float:

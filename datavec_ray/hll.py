@@ -28,9 +28,11 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hash64(values) -> np.ndarray:
+def hash64(values, seed: int = 0) -> np.ndarray:
     """Deterministic 64-bit hashes of an array of values (vectorized for
     common dtypes; stable across processes — no PYTHONHASHSEED dependence).
+    Distinct ``seed`` values give independent hash families — pair two
+    seeds for a 128-bit fingerprint with negligible collision mass.
 
     Fast paths: numeric numpy → splitmix64; Arrow string arrays → polars'
     vectorized 64-bit hash (seeded, deterministic across processes for a
@@ -46,7 +48,7 @@ def hash64(values) -> np.ndarray:
                 import polars as pl
                 return pl.from_arrow(
                     values.combine_chunks() if isinstance(values, pa.ChunkedArray)
-                    else values).hash(seed=0).to_numpy().astype(np.uint64)
+                    else values).hash(seed=seed).to_numpy().astype(np.uint64)
             except ImportError:
                 pass
         values = (values.combine_chunks() if isinstance(values, pa.ChunkedArray)
@@ -56,17 +58,21 @@ def hash64(values) -> np.ndarray:
         data = arr.astype(np.float64, copy=False).tobytes() if arr.dtype.kind == "f" \
             else arr.astype(np.int64, copy=False).tobytes()
         raw = np.frombuffer(data, dtype=np.uint64)
-        # splitmix64 finalizer, vectorized
-        x = raw.copy()
-        x ^= x >> 30
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> 27
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> 31
+        # splitmix64 finalizer, vectorized; seed folded in up front
+        with np.errstate(over="ignore"):
+            x = raw ^ (np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+                       * np.uint64(0x9E3779B97F4A7C15))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
         return x
     out = np.empty(len(arr), dtype=np.uint64)
+    sb = seed.to_bytes(8, "little", signed=False) if seed else b""
     for i, v in enumerate(arr):
-        h = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
+        h = hashlib.blake2b(sb + str(v).encode("utf-8"),
+                            digest_size=8).digest()
         out[i] = int.from_bytes(h, "little")
     return out
 

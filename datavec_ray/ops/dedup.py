@@ -1269,23 +1269,32 @@ def dedup_against(ds, ref_ds, text_col: str = "text",
     afterwards for those), matching SQL
     ``WHERE md5(text) NOT IN (SELECT md5(text) FROM ref)``.
 
-    Scale shape: fingerprint both sides per batch (one vectorized md5
-    pass, `textstats.fingerprint_md5`), then the Bloom-prefiltered hash
-    ANTI join (`join.SemiJoinStep`): one aggregate pass builds a Bloom
-    filter over the reference fingerprints, definite non-matches —
-    the overwhelming majority of a fresh crawl — bypass the shuffle
-    entirely, and only Bloom-positive rows are confirmed by bucketed
-    exact anti join. The reference side ships fingerprints only (16
-    bytes/doc), never text.
+    Scale shape: fingerprint both sides per batch with a fully
+    VECTORIZED 128-bit content hash — normalize (lowercase, strip all
+    whitespace) via Arrow kernels, then two independent-seed `hash64`
+    passes (no per-document Python, unlike md5) — then the
+    Bloom-prefiltered hash ANTI join (`join.SemiJoinStep`): one
+    aggregate pass builds a Bloom filter over the reference
+    fingerprints, definite non-matches — the overwhelming majority of a
+    fresh crawl — bypass the shuffle entirely, and only Bloom-positive
+    rows are confirmed by bucketed exact anti join on BOTH hash halves
+    (collision mass ~n^2/2^128: negligible at any corpus size). The
+    reference side ships fingerprints only (16 bytes/doc), never text.
     """
     from datavec_ray.join import anti_join
-    from datavec_ray.ops.textstats import fingerprint_md5
 
     def fp(b: pa.Table) -> pa.Table:
-        return fingerprint_md5(b, text_col=text_col, out_col="__fp")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(combine(b[text_col]), "")),
+            r"\s", "")
+        return b.append_column(
+            pa.field("__fp0", pa.uint64()),
+            pa.array(hash64(norm, seed=0))).append_column(
+            pa.field("__fp1", pa.uint64()),
+            pa.array(hash64(norm, seed=1)))
 
     left = ds.map_batches(fp, batch_format="pyarrow")
     right = ref_ds.map_batches(fp, batch_format="pyarrow") \
-        .select_columns(["__fp"])
-    out = anti_join(left, right, keys=["__fp"], **join_kw)
-    return out.drop_columns(["__fp"])
+        .select_columns(["__fp0", "__fp1"])
+    out = anti_join(left, right, keys=["__fp0", "__fp1"], **join_kw)
+    return out.drop_columns(["__fp0", "__fp1"])

@@ -117,33 +117,61 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
                         out_col: str = "rfp", window: int = 8) -> pa.Table:
     """Polynomial rolling-hash document fingerprint: min of rolling hashes
     over byte windows (a winnowing-style signature; Schleimer et al. 2003).
-    Vectorized per document with numpy over the byte buffer."""
+
+    Vectorized over the WHOLE BATCH: one flat uint8 view of the Arrow
+    string buffer, one sliding-window hash pass over all documents at
+    once, per-document mins via ``np.minimum.reduceat`` — no Python
+    loop over documents (a loop bounded by ``window`` handles the few
+    docs shorter than the window, one iteration per distinct length)."""
     col = combine(batch[text_col])
-    out = np.zeros(len(col), dtype=np.uint64)
+    nrows = len(col)
+    out = np.zeros(nrows, dtype=np.uint64)
+    if nrows == 0:
+        return batch.append_column(pa.field(out_col, pa.uint64()),
+                                   pa.array(out))
     B = np.uint64(1000003)
+    arr = pa.chunked_array([pc.fill_null(col, "")]) \
+        .cast(pa.large_binary()).combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    flat = np.frombuffer(arr.buffers()[2] or b"", np.uint8) \
+        .astype(np.uint64)[off[0]:off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
     # uint64 wraparound is intentional (modular polynomial hash); keep
     # numpy from emitting scalar-overflow RuntimeWarnings for it.
     with np.errstate(over="ignore"):
-        for i, v in enumerate(col.to_pylist()):
-            if not v:
-                continue
-            b = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                out[i] = h
-                continue
-            # rolling hash via cumulative powers (vectorized)
-            n = len(b)
-            pw = np.ones(window, dtype=np.uint64)
-            for j in range(1, window):
-                pw[j] = pw[j - 1] * B
-            # hash of window starting at k: sum b[k+j] * B^(window-1-j)
-            mat = np.lib.stride_tricks.sliding_window_view(b, window)
+        pw = np.ones(window, dtype=np.uint64)
+        for j in range(1, window):
+            pw[j] = pw[j - 1] * B
+        if len(flat) >= window:
+            # hash of window starting at k: sum flat[k+j] * B^(w-1-j)
+            mat = np.lib.stride_tricks.sliding_window_view(flat, window)
             hashes = (mat * pw[::-1]).sum(axis=1, dtype=np.uint64)
-            out[i] = hashes.min()
+            # valid window starts per doc: off[d] .. off[d]+len-window
+            full = lens >= window
+            if full.any():
+                counts = (lens[full] - window + 1).astype(np.int64)
+                starts = off[:-1][full]
+                idx = np.repeat(starts, counts) + _pos_in_segment(counts)
+                segs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                out[full] = np.minimum.reduceat(hashes[idx], segs)
+        # short docs (0 < len < window): prefix hash, one vectorized
+        # pass per distinct length (< window iterations total)
+        for ln in np.unique(lens[(lens > 0) & (lens < window)]):
+            sel = lens == ln
+            starts = off[:-1][sel]
+            mat = flat[starts[:, None] + np.arange(ln)]
+            out[sel] = (mat * pw[:ln][::-1]).sum(axis=1, dtype=np.uint64)
     return batch.append_column(pa.field(out_col, pa.uint64()), pa.array(out))
+
+
+def _pos_in_segment(counts: np.ndarray) -> np.ndarray:
+    """[3, 2] -> [0, 1, 2, 0, 1] (vectorized per-segment arange)."""
+    total = int(counts.sum())
+    ids = np.repeat(np.arange(len(counts)), counts)
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - base[ids]
 
 
 _QS_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
