@@ -28,9 +28,16 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # metadata-free schema: the testdata files carry pandas metadata
+    # whose presence makes pa.Schema unhashable (pyarrow 16), so every
+    # read task would log Ray's "Failed to hash the schemas" warning
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _schema_of(sf_dir: str, table: str):
@@ -770,6 +777,65 @@ def _q_quality_profile(sf_dir: str):
     return pd.DataFrame([{"column": c, **v} for c, v in q.items()])
 
 
+def _q_stem_tokens(sf_dir: str):
+    """Token ending-stemmer parity (EndingPreProcessor.java) composed
+    with stopword removal (StopWords.java): explode documents to
+    whitespace tokens, drop stop words, strip endings, count per stem —
+    the oracle mirrors the five-regex chain term for term."""
+    from datavec_ray.steps.nlp import RemoveStopWords, ending_stem_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 200")
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(b["text"].combine_chunks(), "")),
+            " ")
+        flat = pc.list_flatten(parts)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"tok": flat})
+
+    def stem(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"stem": ending_stem_array(b["tok"].combine_chunks())})
+
+    rm = RemoveStopWords("tok")
+    toks = ds.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(rm.apply, batch_format="pyarrow")
+    stems = toks.map_batches(stem, batch_format="pyarrow")
+    agg = stems.groupby("stem").count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"stem": b["stem"],
+                         "n": b["count()"].cast(pa.int64())})
+
+    out = agg.map_batches(fin, batch_format="pyarrow")
+    return out.sort(["n", "stem"], descending=[True, False]).limit(30)
+
+
+def _q_context_windows(sf_dir: str):
+    """Moving-window context expansion (movingwindow/Windows.java):
+    per token of each document, the focus word + its '<s>'/'</s>'-padded
+    context window — oracle-checked against a DuckDB list_transform
+    reproducing windowForWordInPosition exactly."""
+    from datavec_ray.steps.nlp import context_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 40")
+    win = context_windows(ds, "text", "doc_id", window_size=5)
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "seq_pos": b["seq_pos"].cast(pa.int64()),
+            "focus": b["focus"],
+            "window_str": pc.binary_join(
+                b["window"].combine_chunks(), " "),
+        })
+
+    return win.map_batches(flat, batch_format="pyarrow")
+
+
 def _q_tfidf(sf_dir: str):
     """Two-pass TF-IDF over documents (stateful vocab build via a
     distributed DF aggregate + broadcast vectorize), exploded to
@@ -1083,30 +1149,40 @@ def _q_melt(sf_dir: str):
     return p.execute(ds)
 
 
+def _both_discount_sides(batch: pa.Table) -> pa.Table:
+    """side 1 = deep discount (>= 0.06), side 2 = low (<= 0.02),
+    0 = neither — both EXCEPT operands derived from ONE lineitem scan."""
+    d = batch["l_discount"]
+    side = pc.add(
+        pc.cast(pc.greater_equal(d, 0.06), pa.int8()),
+        pc.multiply(pc.cast(pc.less_equal(d, 0.02), pa.int8()),
+                    pa.scalar(2, pa.int8())))
+    return batch.drop_columns(["l_discount"]).append_column(
+        pa.field("side", pa.int8()), side)
+
+
 def _q_set_except(sf_dir: str):
     """(part, supplier) pairs shipped at deep discount but never at low
-    discount — SQL EXCEPT via hash-partitioned exact set resolution."""
-    from datavec_ray.ops.setops import except_rows
+    discount — SQL EXCEPT via hash-partitioned exact set resolution.
+    Both operands are filters of the same table, so the side assignment
+    happens in the scan map (one lineitem read, one exchange)."""
+    from datavec_ray.ops.setops import setop_with_sides
 
-    cols = ["l_partkey", "l_suppkey"]
-    a = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
-        .filter(expr="l_discount >= 0.06").drop_columns(["l_discount"])
-    b = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
-        .filter(expr="l_discount <= 0.02").drop_columns(["l_discount"])
-    return except_rows(a, b)
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_discount"]) \
+        .map_batches(_both_discount_sides, batch_format="pyarrow")
+    return setop_with_sides(ds, "side", "except")
 
 
 def _q_set_intersect(sf_dir: str):
     """(part, supplier) pairs shipped at BOTH deep and low discount —
-    SQL INTERSECT, same machinery as EXCEPT."""
-    from datavec_ray.ops.setops import intersect_rows
+    SQL INTERSECT, same one-scan machinery as EXCEPT."""
+    from datavec_ray.ops.setops import setop_with_sides
 
-    cols = ["l_partkey", "l_suppkey"]
-    a = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
-        .filter(expr="l_discount >= 0.06").drop_columns(["l_discount"])
-    b = _read(sf_dir, "lineitem", cols + ["l_discount"]) \
-        .filter(expr="l_discount <= 0.02").drop_columns(["l_discount"])
-    return intersect_rows(a, b)
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_discount"]) \
+        .map_batches(_both_discount_sides, batch_format="pyarrow")
+    return setop_with_sides(ds, "side", "intersect")
 
 
 def _q_distinct_rows(sf_dir: str):
@@ -1446,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_profile": _q_string_profile,
         "quality_profile": _q_quality_profile,
         "tfidf": _q_tfidf,
+        "stem_tokens": _q_stem_tokens,
+        "context_windows": _q_context_windows,
         "ivf_topk": _q_ivf_topk,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
@@ -1535,7 +1613,46 @@ def _splitmix_mul_sql(x: str, c: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from datavec_ray.steps.nlp import STOP_WORDS
+    _sw = ", ".join("'" + w.replace("'", "''") + "'"
+                    for w in sorted(STOP_WORDS))
     return {
+        "stem_tokens": f"""
+            with tok as (
+              select unnest(list_filter(
+                       string_split(lower(coalesce(text, '')), ' '),
+                       x -> x <> '')) as tok
+              from documents where doc_id < 200
+            ), kept as (
+              select tok from tok where tok not in ({_sw})
+            ), st as (
+              select regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       tok, '^s$', ''), '([^s])s$', '\\1'), '\\.$', ''),
+                       'ed$', ''), 'ing$', ''), 'ly$', '') as stem
+              from kept
+            )
+            select stem, count(*) as n from st group by stem
+            order by n desc, stem asc limit 30""",
+        "context_windows": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> x <> '') as w
+              from documents where doc_id < 40
+            ), e as (
+              select doc_id, w,
+                     unnest(generate_series(1, len(w))) as i
+              from toks
+            )
+            select doc_id, cast(i - 1 as bigint) as seq_pos,
+                   w[i] as focus,
+                   array_to_string(list_transform(
+                     generate_series(i - 2, i + 2),
+                     j -> case when j < 1 then '<s>'
+                               when j > len(w) then '</s>'
+                               else w[j] end), ' ') as window_str
+            from e""",
         "jdbc_source": """
             select n_nationkey, n_name, n_regionkey
             from nation

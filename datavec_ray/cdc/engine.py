@@ -206,6 +206,7 @@ def _shard_cls():
             self.pending = 0          # rows appended since last compaction
             self.base = 0             # rows in the compacted base
             self.applied = 0          # events routed here (incl. replays)
+            self.msgs = 0             # apply() calls processed (barrier)
             self.stale = 0            # events superseded by LWW (dedup count)
             self.lsn_lo: Optional[int] = None
             self.lsn_hi: Optional[int] = None
@@ -266,6 +267,7 @@ def _shard_cls():
             return out
 
         def apply(self, tbl: pa.Table) -> int:
+            self.msgs += 1
             n_in = tbl.num_rows
             if n_in == 0:
                 return 0
@@ -396,6 +398,11 @@ def _shard_cls():
                     "spill_runs": len(self.spill_runs),
                     "spilled_rows": self.spilled_rows}
 
+        def ack_counter(self) -> int:
+            """Number of apply() calls processed — the router-mode
+            delivery barrier (`CdcIngestEngine._router_barrier`)."""
+            return self.msgs
+
         def watermark(self) -> Optional[int]:
             return self.lsn_hi
 
@@ -486,17 +493,30 @@ class Manifest:
 
 class _Router:
     """map_batches body: normalize schema, pre-compact, hash-partition and
-    fan out to the shard actors. Returns a tiny ack table (counts)."""
+    fan out to the shard actors. Applies are FIRE-AND-FORGET behind a
+    bounded in-flight window (``ray.wait`` drains above ``window``
+    outstanding acks), so one hot shard mid-compaction no longer stalls
+    every router slot — the router keeps routing while the hot shard
+    catches up, and backpressure engages only when the window fills.
+    Returns a tiny ack table of (pid, msgs, rows) SUBMISSION counts; the
+    engine barriers on actual delivery by polling each shard's
+    ``ack_counter`` (``_router_barrier``) before returning from ingest,
+    so checkpoint/commit never run ahead of an in-flight apply."""
 
     def __init__(self, handles, num_partitions: int, schema: pa.Schema,
                  salt_turns: int, hot_convs: Optional[frozenset],
-                 min_lsn_exclusive: int):
+                 min_lsn_exclusive: int, window: int = 0):
         self.handles = handles
         self.num_partitions = num_partitions
         self.schema = schema
         self.salt_turns = salt_turns
         self.hot_convs = hot_convs
         self.min_lsn = min_lsn_exclusive
+        self.window = window or max(8, 4 * num_partitions)
+        self.pending: list = []
+
+    _ACK_SCHEMA = pa.schema([("pid", pa.int32()), ("msgs", pa.int64()),
+                             ("rows", pa.int64())])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -505,16 +525,23 @@ class _Router:
         batch = normalize_to_schema(batch, self.schema)
         batch = lww_compact_table(batch, drop_tombstones=False)
         if batch.num_rows == 0:
-            return pa.table({"routed": pa.array([0], pa.int64())})
+            return self._ACK_SCHEMA.empty_table()
         parts = assign_partitions(batch["conv_id"], batch["turn_idx"],
                                   self.num_partitions, self.salt_turns,
                                   self.hot_convs)
-        refs = []
+        pids, rows = [], []
         for pid in np.unique(parts):
             sub = batch.filter(pa.array(parts == pid))
-            refs.append(self.handles[int(pid)].apply.remote(sub))
-        routed = sum(ray.get(refs))
-        return pa.table({"routed": pa.array([routed], pa.int64())})
+            self.pending.append(self.handles[int(pid)].apply.remote(sub))
+            pids.append(int(pid))
+            rows.append(sub.num_rows)
+        if len(self.pending) > self.window:
+            _, rest = ray.wait(self.pending,
+                               num_returns=len(self.pending) - self.window)
+            self.pending = list(rest)
+        return pa.table({"pid": pa.array(pids, pa.int32()),
+                         "msgs": pa.array(np.ones(len(pids), np.int64)),
+                         "rows": pa.array(rows, pa.int64())})
 
 
 def detect_hot_convs(ds, sample_frac: float = 0.02,
@@ -1072,6 +1099,9 @@ class CdcIngestEngine:
         self._shards: Optional[list] = None
         Registry = _registry_cls()
         self.registry = Registry.remote()
+        # router-mode delivery barrier: cumulative apply() calls
+        # submitted per shard (compared against each shard's ack_counter)
+        self._expected_msgs: dict[int, int] = {}
         self._canonical: Optional[pa.Schema] = None
         self.events_seen = 0
 
@@ -1091,6 +1121,29 @@ class CdcIngestEngine:
     @shards.setter
     def shards(self, value) -> None:
         self._shards = value
+        self._expected_msgs = {}   # fresh actors → fresh ack counters
+
+    def _router_barrier(self, submitted: dict[int, int]) -> None:
+        """Block until every shard has PROCESSED all apply() calls ever
+        submitted to it by router tasks (counting barrier: router acks
+        are fire-and-forget, so submission != delivery). Cheap
+        exponential-backoff polling of a trivial actor method; in the
+        common case the window already drained and one poll suffices."""
+        import time
+
+        import ray
+        for pid, m in submitted.items():
+            self._expected_msgs[pid] = self._expected_msgs.get(pid, 0) + m
+        delay = 0.005
+        lagging = sorted(self._expected_msgs)
+        while lagging:
+            got = ray.get([self.shards[pid].ack_counter.remote()
+                           for pid in lagging])
+            lagging = [pid for pid, g in zip(lagging, got)
+                       if g < self._expected_msgs[pid]]
+            if lagging:
+                time.sleep(delay)
+                delay = min(delay * 2, 0.25)
 
     # -- batch replay (two-stage task-exchange fast path) -----------------
     # Target rows per split task: big enough to amortize task overhead
@@ -1255,6 +1308,19 @@ class CdcIngestEngine:
             if self.router_concurrency:
                 kwargs["concurrency"] = self.router_concurrency
             acks = ds.map_batches(router, **kwargs)
+            submitted: dict[int, int] = {}
+            routed = 0
+            for b in acks.iter_batches(batch_format="pyarrow"):
+                for pid, m, r in zip(b["pid"].to_pylist(),
+                                     b["msgs"].to_pylist(),
+                                     b["rows"].to_pylist()):
+                    submitted[pid] = submitted.get(pid, 0) + m
+                    routed += r
+            # applies are fire-and-forget behind the router's window:
+            # barrier on DELIVERY before anyone can checkpoint/commit
+            self._router_barrier(submitted)
+            self.events_seen += routed
+            return routed
         else:
             # shuffle mode: Ray-native hash shuffle (map-side LWW
             # pre-compaction → groupby(__part)) then EXACTLY ONE apply per
@@ -1417,10 +1483,13 @@ class CdcIngestEngine:
         pids = set((h % P).astype(int).tolist())
         if self.salt_turns > 1 and self.hot_convs:
             gold = np.uint64(0x9E3779B97F4A7C15)
-            for cid, hh in zip(ids, h):
-                if cid in self.hot_convs:
-                    for s in range(self.salt_turns):
-                        pids.add(int((hh + np.uint64(s) * gold) % P))
+            # uint64 wraparound is the salt-probe hash's intent — keep
+            # numpy from warning about it (same as assign_partitions)
+            with np.errstate(over="ignore"):
+                for cid, hh in zip(ids, h):
+                    if cid in self.hot_convs:
+                        for s in range(self.salt_turns):
+                            pids.add(int((hh + np.uint64(s) * gold) % P))
         tables = []
         for pid in sorted(pids):
             path = os.path.join(self.lake_dir, f"part-{pid:04d}.parquet")

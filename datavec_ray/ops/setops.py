@@ -168,3 +168,53 @@ def except_rows(a, b, columns: Optional[Sequence[str]] = None,
     t = _tagged(a, cols, 1, num_partitions).union(
         _tagged(b, cols, 2, num_partitions))
     return _resolve(t, cols, 1)
+
+
+class _TagSides:
+    """Map-side combiner for the one-scan path: the batch already
+    carries its side assignment; distinct is per (row value, side)."""
+
+    def __init__(self, columns: Sequence[str], side_col: str,
+                 num_partitions: int):
+        self.columns, self.side_col, self.P = \
+            list(columns), side_col, num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        side = combine(batch[self.side_col]).cast(pa.int8())
+        batch = batch.select(self.columns).append_column(
+            pa.field(_SIDE, pa.int8()), side)
+        batch = batch.filter(pc.greater(batch[_SIDE], 0))
+        h = _row_hash(batch, self.columns)
+        batch = batch.append_column(pa.field("__h", pa.uint64()),
+                                    pa.array(h))
+        batch = batch.sort_by(
+            [("__h", "ascending")]
+            + [(c, "ascending") for c in self.columns]
+            + [(_SIDE, "ascending")])
+        batch = batch.filter(pa.array(
+            _runs_equal(batch, self.columns + [_SIDE])))
+        hh = combine(batch["__h"]).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            pa.field(_PART, pa.int64()),
+            pa.array((hh % np.uint64(self.P)).astype(np.int64)))
+
+
+def setop_with_sides(ds, side_col: str, op: str,
+                     columns: Optional[Sequence[str]] = None,
+                     num_partitions: int = 32):
+    """ONE-SCAN set operation: when both operands are filters of the
+    same table, building them as two Datasets scans the source twice.
+    Instead, compute a per-row side assignment upstream (``side_col``
+    int8: 1 = left only, 2 = right only, 3 = both, 0 = neither) in the
+    same map that reads the batch — one scan, the same single
+    hash-partition exchange, identical exact resolution.
+
+    ``op``: 'except' (left \\ right), 'intersect', 'union'/'distinct'.
+    """
+    want = {"union": None, "distinct": None,
+            "intersect": 3, "except": 1}[op]
+    cols = list(columns) if columns is not None else \
+        [c for c in ds.schema().base_schema.names if c != side_col]
+    tagged = ds.map_batches(_TagSides(cols, side_col, num_partitions),
+                            batch_format="pyarrow")
+    return _resolve(tagged, cols, want)

@@ -202,3 +202,300 @@ class TfidfVectorize:
             .cast(pa.list_(out_t))
         return batch.append_column(pa.field(self.out_col, pa.list_(out_t)),
                                    arr)
+
+
+# ---------------------------------------------------------------------------
+# token preprocessors: ending-stripper, Porter stemmer, stopword removal
+# (reference: tokenization/tokenizer/preprocessor/EndingPreProcessor.java,
+#  stopwords/StopWords.java — the repo-side counterparts operate on token
+#  COLUMNS, vectorized by stemming each batch's DISTINCT tokens once)
+# ---------------------------------------------------------------------------
+
+# the reference's /stopwords classpath resource is the standard English
+# list (StopWords.java loads it verbatim); artifacts like '----s' and
+# quoted duplicates are dropped, words kept
+STOP_WORDS = frozenset("""
+a about above after again against all am an and any are aren't as at be
+because been before being below between both but by can't cannot could
+couldn't did didn't do does doesn't doing don't down during each few for
+from further had hadn't has hasn't haven't having he he'd he'll he's her
+here here's hers herself him himself his how how's i i'd i'll i'm i've
+if in into is isn't it it's its itself let's me more most mustn't my
+myself no nor not of off on once only or other ought our ours ourselves
+out over own same shan't she she'd she'll she's should shouldn't so some
+such than that that's the their theirs them themselves then there
+there's these they they'd they'll they're they've this those through to
+too under until up very was wasn't we we'd we'll we're we've were
+weren't what what's when when's where where's which while who who's whom
+why why's with won't would wouldn't you you'd you'll you're you've your
+yours yourself yourselves
+""".split())
+
+
+def ending_stem_array(tokens: pa.Array) -> pa.Array:
+    """EndingPreProcessor.java parity, fully vectorized Arrow kernels —
+    strip (in this order, each conditionally) a trailing
+    's' (not 'ss'), '.', 'ed', 'ing', 'ly'. SQL-mirrorable: five nested
+    regexp_replace calls reproduce it term for term."""
+    t = tokens
+    # trailing 's' unless 'ss' (RE2 has no lookbehind: backref keeps
+    # the preceding char; a bare "s" token is handled by ^s$)
+    t = pc.replace_substring_regex(t, r"^s$", "")
+    t = pc.replace_substring_regex(t, r"([^s])s$", r"\1")
+    for pat in (r"\.$", r"ed$", r"ing$", r"ly$"):
+        t = pc.replace_substring_regex(t, pat, "")
+    return t
+
+
+# -- Porter stemmer (Porter 1980, public algorithm) -------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences (the m in Porter's paper)."""
+    m, prev_c = 0, True
+    started = False
+    for i in range(len(stem)):
+        c = _cons(stem, i)
+        if started and prev_c and not c:
+            pass
+        if not c:
+            started = True
+        if c and started and not prev_c:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (_cons(w, len(w) - 3) and not _cons(w, len(w) - 2)
+            and _cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"]
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemming algorithm, the classic 5-step definition
+    (the standard stemmer the reference's NLP pipeline family builds on;
+    EndingPreProcessor is its crude sibling)."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[:-len(suf)]
+            if suf == "ion":
+                pass
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and _measure(w[:-3]) > 1 \
+                and w[:-3].endswith(("s", "t")):
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _ends_double_cons(w) and w[-1] == "l" and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+@register("step")
+class StemTokens(Step):
+    """Stem a token column in place. ``mode='ending'`` is
+    EndingPreProcessor.java parity (vectorized Arrow regex chain,
+    SQL-mirrorable); ``mode='porter'`` is the full Porter algorithm,
+    applied once per DISTINCT batch token via dictionary encoding —
+    cost scales with vocabulary, not corpus."""
+
+    def __init__(self, column: str, mode: str = "porter"):
+        if mode not in ("porter", "ending"):
+            raise ValueError(f"mode must be 'porter' or 'ending', got {mode!r}")
+        self.column, self.mode = column, mode
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(self.column)
+        return schema
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        col = combine(table[self.column])
+        i = table.schema.get_field_index(self.column)
+        if self.mode == "ending":
+            out = ending_stem_array(col)
+        else:
+            d = col.dictionary_encode()
+            toks = d.dictionary.to_pylist()
+            stemmed = pa.array([porter_stem(t) if t is not None else None
+                                for t in toks], pa.string())
+            out = pa.DictionaryArray.from_arrays(d.indices, stemmed) \
+                .cast(pa.string())
+        return table.set_column(i, pa.field(self.column, pa.string()), out)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "StemTokens", "column": self.column, "mode": self.mode}
+
+
+@register("step")
+class RemoveStopWords(Step):
+    """Drop rows whose token column is a stop word (StopWords.java:
+    the classpath English list), case-insensitive; composes with
+    TextToTermIndex / StemTokens in token-per-row pipelines."""
+
+    def __init__(self, column: str, stopwords: Optional[Sequence[str]] = None):
+        self.column = column
+        self.stopwords = sorted(stopwords) if stopwords is not None else None
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(self.column)
+        return schema
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        sw = pa.array(sorted(self.stopwords if self.stopwords is not None
+                             else STOP_WORDS), pa.string())
+        low = pc.utf8_lower(pc.fill_null(combine(table[self.column]), ""))
+        return table.filter(pc.invert(pc.is_in(low, value_set=sw)))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "RemoveStopWords", "column": self.column,
+                "stopwords": self.stopwords}
+
+
+# ---------------------------------------------------------------------------
+# moving-window context windows (movingwindow/Windows.java:146 —
+# windowForWordInPosition: per token, a window of contextSize =
+# floor((windowSize-1)/2) neighbors each side, '<s>'/'</s>' padding)
+# ---------------------------------------------------------------------------
+
+def context_windows(ds, text_col: str = "text", id_col: str = "doc_id",
+                    window_size: int = 5):
+    """One row per (document, token position): the focus word plus its
+    padded context window (list<string> of length 2*contextSize+1) —
+    the word2vec-style training-window expansion of Windows.java.
+
+    Fully vectorized: ONE whitespace split per batch, every window
+    column gathered by a shifted take over the flat token array with
+    boundary masks — no per-document Python. Narrow op (no shuffle):
+    each document's windows come from its own batch."""
+    c = (window_size - 1) // 2
+    W = 2 * c + 1
+
+    def w(batch: pa.Table) -> pa.Table:
+        col = combine(batch[text_col])
+        parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+        flat = pc.list_flatten(parts)
+        offs = np.asarray(parts.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(len(parts)), np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(nonempty))
+        row_of = row_of[nonempty]
+        n = len(row_of)
+        ids = combine(batch[id_col]).take(pa.array(row_of, pa.int64()))
+        # per-doc [start, end) over the filtered flat token array
+        starts_mask = np.ones(n, dtype=bool)
+        starts_mask[1:] = row_of[1:] != row_of[:-1]
+        doc_start = np.maximum.accumulate(
+            np.where(starts_mask, np.arange(n), 0))
+        doc_len = np.diff(np.append(np.flatnonzero(starts_mask), n)) \
+            if n else np.array([], np.int64)
+        doc_end = doc_start + np.repeat(doc_len, doc_len) \
+            if n else np.zeros(0, np.int64)
+        pos = np.arange(n) - doc_start
+        cols: list[pa.Array] = []
+        for delta in range(-c, c + 1):
+            idx = np.arange(n) + delta
+            valid = (idx >= doc_start) & (idx < doc_end)
+            got = toks.take(pa.array(np.where(valid, idx, 0), pa.int64()))
+            pad = "<s>" if delta < 0 else "</s>"
+            cols.append(pc.if_else(pa.array(valid), got,
+                                   pa.scalar(pad, pa.string())))
+        inter = np.empty(n * W, dtype=object)
+        for j, arr in enumerate(cols):
+            inter[j::W] = arr.to_pylist()
+        win = pa.FixedSizeListArray.from_arrays(
+            pa.array(inter, pa.string()), W).cast(pa.list_(pa.string()))
+        return pa.table({
+            id_col: ids,
+            "seq_pos": pa.array(pos.astype(np.int32)),
+            "focus": toks,
+            "window": win,
+        })
+
+    w.__name__ = "context_windows"
+    return ds.map_batches(w, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""Tokenizer-preprocessor family (reference EndingPreProcessor.java /
+StopWords.java / movingwindow/Windows.java): Porter stemmer golden
+cases, ending-stripper parity, stopword removal, context windows."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from datavec_ray.util import dataset_to_table
+
+# classic examples from Porter (1980), every algorithm step exercised
+PORTER_CASES = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+    "plastered": "plaster", "bled": "bled", "motoring": "motor",
+    "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+    "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+    "failing": "fail", "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl", "triplicate": "triplic",
+    "formative": "form", "formalize": "formal", "electriciti": "electr",
+    "electrical": "electr", "hopeful": "hope", "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+    "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_stem_golden():
+    from datavec_ray.steps.nlp import porter_stem
+    bad = {w: (porter_stem(w), e) for w, e in PORTER_CASES.items()
+           if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_ending_stem_java_parity():
+    """Exact EndingPreProcessor.java order: s (not ss), '.', ed, ing,
+    ly — applied sequentially to the mutated token."""
+    from datavec_ray.steps.nlp import ending_stem_array
+
+    def java_ref(tok):
+        if tok.endswith("s") and not tok.endswith("ss"):
+            tok = tok[:-1]
+        if tok.endswith("."):
+            tok = tok[:-1]
+        if tok.endswith("ed"):
+            tok = tok[:-2]
+        if tok.endswith("ing"):
+            tok = tok[:-3]
+        if tok.endswith("ly"):
+            tok = tok[:-2]
+        return tok
+
+    toks = ["cats", "pass", "running.", "quickly", "tested", "ssing",
+            "s", "miss.", "likes", "dated", "houses.", "ties", "sly",
+            "bed.", "glass", "was", "is", "ss", "fed", "freed."]
+    got = ending_stem_array(pa.array(toks, pa.string())).to_pylist()
+    assert got == [java_ref(t) for t in toks]
+
+
+def test_stem_tokens_step_both_modes():
+    from datavec_ray.steps.nlp import StemTokens
+
+    t = pa.table({"tok": pa.array(["running", "hopping", "cats", None],
+                                  pa.string())})
+    porter = StemTokens("tok", mode="porter").apply(t)["tok"].to_pylist()
+    assert porter == ["run", "hop", "cat", None]
+    ending = StemTokens("tok", mode="ending").apply(t)["tok"].to_pylist()
+    assert ending == ["runn", "hopp", "cat", None]
+    # serde round trip
+    d = StemTokens("tok", mode="ending").to_dict()
+    assert StemTokens.from_dict(d).mode == "ending"
+
+
+def test_remove_stopwords():
+    from datavec_ray.steps.nlp import STOP_WORDS, RemoveStopWords
+
+    t = pa.table({"tok": pa.array(["The", "quick", "and", "brown",
+                                   "aren't", "foxes"], pa.string()),
+                  "i": pa.array(range(6), pa.int64())})
+    out = RemoveStopWords("tok").apply(t)
+    assert out["tok"].to_pylist() == ["quick", "brown", "foxes"]
+    assert "the" in STOP_WORDS and "aren't" in STOP_WORDS
+    custom = RemoveStopWords("tok", stopwords=["quick"]).apply(t)
+    assert "quick" not in custom["tok"].to_pylist()
+    assert "and" in custom["tok"].to_pylist()
+
+
+def test_context_windows_padding_and_focus(ray_session):
+    from datavec_ray.steps.nlp import context_windows
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b c d", "x"], pa.string())})
+    out = dataset_to_table(
+        context_windows(rd.from_arrow(t), "text", "doc_id",
+                        window_size=5)).to_pandas() \
+        .sort_values(["doc_id", "seq_pos"]).reset_index(drop=True)
+    assert list(out["focus"]) == ["a", "b", "c", "d", "x"]
+    wins = [list(w) for w in out["window"]]
+    assert wins[0] == ["<s>", "<s>", "a", "b", "c"]
+    assert wins[1] == ["<s>", "a", "b", "c", "d"]
+    assert wins[2] == ["a", "b", "c", "d", "</s>"]
+    assert wins[3] == ["b", "c", "d", "</s>", "</s>"]
+    assert wins[4] == ["<s>", "<s>", "x", "</s>", "</s>"]
+    assert list(out["seq_pos"]) == [0, 1, 2, 3, 0]

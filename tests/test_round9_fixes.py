@@ -148,3 +148,60 @@ def test_image_random_crop_probability_gate():
                           ungated.apply_stack(img.copy(), ids))
     assert not np.array_equal(gated_on.apply_stack(img.copy(), ids),
                               out0)                  # randomness real
+
+
+def test_router_window_does_not_serialize_on_hot_shard(ray_session):
+    """A slow (hot) shard must not stall the router: applies are
+    fire-and-forget behind a bounded ray.wait window, so __call__
+    returns while the hot shard is still working, and the counting
+    barrier sees every apply delivered afterwards."""
+    import time
+
+    import ray
+
+    from datavec_ray.cdc.binlog import synth_binlog
+    from datavec_ray.cdc.engine import _Router
+
+    @ray.remote
+    class SlowShard:
+        def __init__(self, delay):
+            self.delay, self.msgs, self.rows = delay, 0, 0
+
+        def apply(self, tbl):
+            time.sleep(self.delay)
+            self.msgs += 1
+            self.rows += tbl.num_rows
+            return tbl.num_rows
+
+        def ack_counter(self):
+            return self.msgs
+
+    handles = [SlowShard.remote(0.4), SlowShard.remote(0.0)]
+    binlog = synth_binlog(2000, seed=3)
+    router = _Router(handles, num_partitions=2, schema=binlog.schema,
+                     salt_turns=1, hot_convs=None, min_lsn_exclusive=0,
+                     window=16)
+    t0 = time.time()
+    acks = [router(binlog.slice(i * 200, 200)) for i in range(10)]
+    routing_sec = time.time() - t0
+    # 10 batches x >= 1 apply to the 0.4 s shard would serialize to
+    # >= 4 s; the window keeps routing in the sub-second range
+    assert routing_sec < 2.0, f"routers serialized: {routing_sec:.2f}s"
+    assert len(router.pending) <= 16
+    expected = {}
+    rows = 0
+    for a in acks:
+        for pid, m, r in zip(a["pid"].to_pylist(), a["msgs"].to_pylist(),
+                             a["rows"].to_pylist()):
+            expected[pid] = expected.get(pid, 0) + m
+            rows += r
+    # delivery barrier: poll until each shard processed every apply
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        got = ray.get([handles[p].ack_counter.remote() for p in expected])
+        if all(g >= expected[p] for p, g in zip(expected, got)):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("applies never fully delivered")
+    assert rows > 0
