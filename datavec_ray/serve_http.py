@@ -17,6 +17,16 @@ JSON bodies:
     POST /transform          {"records": [{...}, ...]} → {"records": [...]}
     POST /transformincremental {"record": {...}} → {"record": {...} | null}
     GET  /health             → {"ok": true, "has_pipeline": bool}
+
+Image endpoints (ImageSparkTransformServer.java:33 —
+SingleImageRecord/BatchImageRecord → Base64NDArrayBody; the sandbox
+variant ships image BYTES base64-inline instead of a URI, decoded by
+the REAL pure-stdlib PNG/BMP codecs):
+    POST /imagetransformprocess  {"h":H,"w":W,"steps":[...]} hot-swap
+    GET  /imagetransformprocess  → current image-pipeline config
+    POST /transformimage         {"images": [b64, ...]} →
+                                 {"base64","dtype","shape"} (N,h',w')
+    POST /transformimageincremental {"image": b64} → same, (h',w')
 """
 
 from __future__ import annotations
@@ -30,6 +40,47 @@ from urllib import request as _urlreq
 from datavec_ray.serve import IncrementalTransformer
 
 
+class ImagePipelineEngine:
+    """Server-side image pipeline: base64 image bytes → REAL PNG/BMP
+    decode → grayscale resize → optional ImageAugmentChain → float32
+    stack. (ImageSparkTransform.java semantics on the repo's codecs.)"""
+
+    def __init__(self, config: dict):
+        import numpy as np
+        import pyarrow as pa
+
+        from datavec_ray.ops.multimodal import (ImageAugmentChain,
+                                                ImageDecodeResize)
+        self.config = dict(config)
+        h = int(config.get("h", 8))
+        w = int(config.get("w", 8))
+        self._np, self._pa = np, pa
+        self.decoder = ImageDecodeResize(h, w, deterministic_fake=False)
+        steps = config.get("steps") or []
+        self.chain = ImageAugmentChain(steps, h, w,
+                                       seed=int(config.get("seed", 0))) \
+            if steps else None
+
+    def transform(self, payloads: list[bytes]):
+        np, pa = self._np, self._pa
+        from datavec_ray.hll import hash64
+        batch = pa.table({
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * len(payloads), pa.int32()),
+            "height": pa.array([0] * len(payloads), pa.int32()),
+        })
+        feat = self.decoder(batch)["image_feat"].combine_chunks()
+        mat = np.asarray(feat.flatten().to_numpy(zero_copy_only=False),
+                         np.float32).reshape(len(payloads), self.decoder.h,
+                                             self.decoder.w)
+        if self.chain is not None:
+            ids = hash64(pa.array([p for p in payloads], pa.binary()))
+            mat = self.chain.apply_stack(mat.astype(np.float64),
+                                         ids).astype(np.float32)
+        return mat
+
+
 class TransformServer:
     """Threaded HTTP server holding one hot-swappable pipeline."""
 
@@ -38,6 +89,7 @@ class TransformServer:
         self._lock = threading.Lock()
         self._engine: Optional[IncrementalTransformer] = (
             IncrementalTransformer(pipeline_json) if pipeline_json else None)
+        self._image_engine: Optional[ImagePipelineEngine] = None
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -67,6 +119,13 @@ class TransformServer:
                         self._send(404, {"error": "no pipeline set"})
                     else:
                         self._send(200, {"pipeline": eng.get_pipeline_json()})
+                elif self.path == "/imagetransformprocess":
+                    with outer._lock:
+                        ieng = outer._image_engine
+                    if ieng is None:
+                        self._send(404, {"error": "no image pipeline set"})
+                    else:
+                        self._send(200, {"config": ieng.config})
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -77,6 +136,32 @@ class TransformServer:
                         with outer._lock:
                             outer._engine = IncrementalTransformer(raw.decode())
                         self._send(200, {"ok": True})
+                        return
+                    if self.path == "/imagetransformprocess":
+                        with outer._lock:
+                            outer._image_engine = ImagePipelineEngine(
+                                json.loads(raw.decode()))
+                        self._send(200, {"ok": True})
+                        return
+                    if self.path in ("/transformimage",
+                                     "/transformimageincremental"):
+                        import base64
+                        with outer._lock:
+                            ieng = outer._image_engine
+                        if ieng is None:
+                            self._send(409, {"error": "no image pipeline set"})
+                            return
+                        payload = json.loads(raw.decode())
+                        single = self.path.endswith("incremental")
+                        b64s = [payload["image"]] if single \
+                            else payload["images"]
+                        mat = ieng.transform(
+                            [base64.b64decode(b) for b in b64s])
+                        if single:
+                            mat = mat[0]
+                        self._send(200, {
+                            "base64": base64.b64encode(mat.tobytes()).decode(),
+                            "dtype": "float32", "shape": list(mat.shape)})
                         return
                     with outer._lock:
                         eng = outer._engine
@@ -163,3 +248,34 @@ class TransformClient:
     def transform_incremental(self, record: dict[str, Any]) -> Optional[dict]:
         return self._call("POST", "/transformincremental",
                           {"record": record})["record"]
+
+    # -- image endpoints (ImageSparkTransformServer parity) ---------------
+    def set_image_pipeline(self, config: dict) -> dict:
+        """config: {"h":H, "w":W, "steps":[ImageAugmentChain steps],
+        "seed": int}"""
+        return self._call("POST", "/imagetransformprocess", config)
+
+    def get_image_pipeline(self) -> dict:
+        return self._call("GET", "/imagetransformprocess")["config"]
+
+    def _decode_array(self, r: dict):
+        import base64
+
+        import numpy as np
+        return np.frombuffer(base64.b64decode(r["base64"]),
+                             dtype=r["dtype"]).reshape(r["shape"])
+
+    def transform_image(self, images: list[bytes]):
+        """PNG/BMP byte payloads → (N, h', w') float32 array."""
+        import base64
+        r = self._call("POST", "/transformimage", {
+            "images": [base64.b64encode(b).decode() for b in images]})
+        return self._decode_array(r)
+
+    def transform_image_incremental(self, image: bytes):
+        """One PNG/BMP payload → (h', w') float32 array
+        (SingleImageRecord → Base64NDArrayBody)."""
+        import base64
+        r = self._call("POST", "/transformimageincremental", {
+            "image": base64.b64encode(image).decode()})
+        return self._decode_array(r)

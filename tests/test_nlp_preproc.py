@@ -117,3 +117,44 @@ def test_context_windows_padding_and_focus(ray_session):
     assert wins[3] == ["b", "c", "d", "</s>", "</s>"]
     assert wins[4] == ["<s>", "<s>", "x", "</s>", "</s>"]
     assert list(out["seq_pos"]) == [0, 1, 2, 3, 0]
+
+
+def test_image_endpoints_round_trip():
+    """ImageSparkTransformServer parity: POST a base64 PNG with a known
+    pixel pattern, get back the decoded/resized (and augmented) float32
+    array (SingleImageRecord / BatchImageRecord -> Base64NDArrayBody)."""
+    from datavec_ray.ops.codecs import encode_bmp, encode_png
+    from datavec_ray.serve_http import TransformClient, TransformServer
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[0, 0] = 255                        # known hot pixel, top-left
+    img[7, 7] = 128
+    srv = TransformServer().start()
+    try:
+        cli = TransformClient(f"http://{srv.host}:{srv.port}")
+        cli.set_image_pipeline({"h": 8, "w": 8})
+        assert cli.get_image_pipeline()["h"] == 8
+        one = cli.transform_image_incremental(encode_png(img))
+        assert one.shape == (8, 8) and one.dtype == np.float32
+        assert abs(one[0, 0] - 1.0) < 1e-6
+        assert abs(one[7, 7] - 128 / 255) < 1e-6
+        assert one[3, 4] == 0.0
+        # batch: PNG and BMP payloads of the same image decode alike
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        batch = cli.transform_image([encode_png(img), encode_bmp(rgb)])
+        assert batch.shape == (2, 8, 8)
+        assert np.allclose(batch[0], batch[1], atol=1e-6)
+        # hot-swap: add a flip_v augment (p=1 -> deterministic)
+        cli.set_image_pipeline({"h": 8, "w": 8,
+                                "steps": [{"op": "flip_v", "p": 1.0}]})
+        flipped = cli.transform_image_incremental(encode_png(img))
+        assert abs(flipped[7, 0] - 1.0) < 1e-6   # hot pixel moved rows
+        # undecodable payload -> clean 400, not a crash
+        import urllib.error
+        try:
+            cli.transform_image_incremental(b"not an image")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
