@@ -173,9 +173,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"unrecognized image format (magic {data[:4]!r}); this container "
-        "decodes PNG/BMP natively — other formats need a native codec")
+        "decodes PNG/BMP/baseline-JPEG natively — other formats need a "
+        "native codec")
 
 
 # ---------------------------------------------------------------------------
@@ -275,3 +278,455 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81 / ISO 10918-1, public specification) —
+# sequential DCT, Huffman entropy coding. Reference parity:
+# ImageRecordReader decodes JPEG via native imageio
+# (datavec-data/datavec-data-image); this is the pure-stdlib/numpy
+# counterpart: SOF0 baseline, 8-bit, grayscale + YCbCr with arbitrary
+# (h, v) sampling factors incl. 4:2:0, restart markers. Encoder writes
+# baseline 4:4:4 (or single-component grayscale) with the Annex-K
+# example tables.
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# zigzag index i -> natural (row-major) position
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+_JPEG_QL = np.array([          # Annex K luminance quantization
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99], dtype=np.int64).reshape(8, 8)
+_JPEG_QC = np.array([          # Annex K chrominance quantization
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64).reshape(8, 8)
+
+# Annex K typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _dct_basis() -> np.ndarray:
+    """A[u, x] = 0.5 * C(u) * cos((2x+1) u pi / 16); pixels = A.T @ F @ A."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] /= np.sqrt(2)
+    return a
+
+
+_JPEG_A = _dct_basis()
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table (F.2.2.3 MINCODE/MAXCODE walk)."""
+
+    def __init__(self, bits, vals):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.vals = list(vals)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes (FF00 already
+    unstuffed, RST markers handled by the caller via segment splits)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG bitstream exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG bitstream exhausted")
+        chunk = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        out = 0
+        for b in chunk:
+            out = (out << 1) | int(b)
+        return out
+
+    def decode(self, table: _HuffDecoder) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if table.maxcode[ln] >= 0 and code <= table.maxcode[ln]:
+                return table.vals[table.valptr[ln] + code
+                                  - table.mincode[ln]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map s received bits to the signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (h, w) grayscale or (h, w, 3)
+    RGB. Supports SOF0, 8-bit samples, 1 or 3 components with any
+    (h, v) sampling (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart markers.
+    Progressive (SOF2) and arithmetic coding raise NotImplementedError."""
+    if data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[dict] = []
+    H = W = 0
+    restart = 0
+    i = 2
+    scan: list[tuple[int, int, int]] = []   # (comp idx, dc table, ac table)
+    entropy_start = -1
+    while i < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seglen = int.from_bytes(data[i + 2:i + 4], "big")
+        seg = data[i + 4:i + 2 + seglen]
+        if marker == 0xDB:                       # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq:
+                    tbl = np.frombuffer(seg[j:j + 128], ">u2").astype(np.int64)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(seg[j:j + 64], np.uint8).astype(np.int64)
+                    j += 64
+                nat = np.zeros(64, np.int64)
+                nat[_JPEG_ZZ] = tbl
+                qt[tq] = nat.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):             # SOF0/1 (baseline/ext seq)
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            n = seg[5]
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                "(SOF0/SOF1) is supported")
+        elif marker == 0xC4:                     # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:                     # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:                     # SOS
+            ns = seg[0]
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                ci = next(k for k, c in enumerate(comps) if c["id"] == cs)
+                scan.append((ci, tt >> 4, tt & 0xF))
+            entropy_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if entropy_start < 0 or not comps:
+        raise ValueError("JPEG: missing SOS/SOF")
+    # entropy data: up to EOI; split on RST markers, unstuff FF00
+    j = entropy_start
+    segments: list[bytes] = []
+    cur = bytearray()
+    while j < len(data):
+        b = data[j]
+        if b == 0xFF and j + 1 < len(data):
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:              # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            if nxt == 0xD9:                      # EOI
+                break
+            j += 2
+            continue
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]                  # blocks across
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.float64)
+    n_mcus = mcux * mcuy
+    per_seg = restart if restart else n_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        rd = _BitReader(seg_bytes)
+        pred = {ci: 0 for ci, _, _ in scan}
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, tdc, tac in scan:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        s = rd.decode(huff[(0, tdc)])
+                        diff = _extend(rd.read_bits(s), s) if s else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode(huff[(1, tac)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                 # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[_JPEG_ZZ[k]] = _extend(rd.read_bits(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = \
+                            blk.reshape(8, 8) * qt[c["tq"]]
+            mcu += 1
+    # IDCT all blocks of each component at once, assemble planes
+    planes = []
+    for c in comps:
+        pix = np.einsum("ux,nuv,vy->nxy", _JPEG_A, c["coef"], _JPEG_A)
+        pix = np.clip(np.round(pix + 128), 0, 255).astype(np.uint8)
+        grid = pix.reshape(c["bh"], c["bw"], 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        grid = np.repeat(np.repeat(grid, vmax // c["v"], axis=0),
+                         hmax // c["h"], axis=1)
+        planes.append(grid[:H, :W])
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)            # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    codes, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (4:4:4, Annex-K tables scaled by ``quality``, no subsampling)."""
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [ql]
+    else:
+        r, g, b = (img[:, :, k].astype(np.float64) for k in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+        qts = [ql, qc, qc]
+    dcl = _huff_encode_table(*_DC_L)
+    acl = _huff_encode_table(*_AC_L)
+    dcc = _huff_encode_table(*_DC_C)
+    acc_t = _huff_encode_table(*_AC_C)
+    bw, bh = -(-w // 8), -(-h // 8)
+    wtr = _BitWriter()
+    # per-plane coefficient grids (4:4:4 -> interleave one block each)
+    coefs = []
+    for p, q in zip(planes, qts):
+        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        f = np.einsum("ux,nxy,vy->nuv", _JPEG_A, blocks, _JPEG_A)
+        qz = np.round(f / q).astype(np.int64)
+        coefs.append(qz.reshape(-1, 64)[:, :])
+    pred = [0] * len(planes)
+    for n in range(bh * bw):
+        for ci in range(len(planes)):
+            dct, act = (dcl, acl) if ci == 0 else (dcc, acc_t)
+            zz = coefs[ci][n].reshape(8, 8).ravel()[_JPEG_ZZ]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s = int(diff).bit_length() if diff else 0
+            code, ln = dct[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = np.flatnonzero(zz[1:])
+            last = last_nz[-1] + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = act[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                code, ln = act[0x00]
+                wtr.write(code, ln)
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1])
+                   + bytes(qc.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+    if not gray:
+        out += dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -11,14 +11,16 @@ metadata columns; every decode/feature stage is an ACTOR-POOL
 ``map_batches`` class (decoder state init once per actor — the
 reference's per-executor OpenCV/ffmpeg loading).
 
-Codecs: PNG, BMP, WAV and Y4M video payloads are decoded FOR REAL via
-the pure-stdlib codecs in ``datavec_ray.ops.codecs`` (zlib PNG inflate
-+ filter reconstruction, 24-bit BMP, PCM WAV, YUV4MPEG2 luma planes) —
-pipelines and tests exercise true pixel/sample/frame values. Formats
-needing a native library (JPEG, mp4/webm containers) raise
-NotImplementedError unless ``deterministic_fake=True``, which
-substitutes a content-seeded fake so the Ray plumbing (schema, batch
-sizing, actor signature, output layout) stays real and tested.
+Codecs: PNG, BMP, baseline JPEG, WAV and Y4M video payloads are
+decoded FOR REAL via the pure-stdlib codecs in
+``datavec_ray.ops.codecs`` (zlib PNG inflate + filter reconstruction,
+24-bit BMP, T.81 baseline-JPEG Huffman+IDCT incl. 4:2:0, PCM WAV,
+YUV4MPEG2 luma planes) — pipelines and tests exercise true
+pixel/sample/frame values. Formats needing a native library
+(progressive JPEG, mp4/webm containers) raise NotImplementedError
+unless ``deterministic_fake=True``, which substitutes a content-seeded
+fake so the Ray plumbing (schema, batch sizing, actor signature,
+output layout) stays real and tested.
 """
 
 from __future__ import annotations

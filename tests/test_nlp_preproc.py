@@ -158,3 +158,103 @@ def test_image_endpoints_round_trip():
             assert e.code == 400
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_decode_jpeg_handcrafted_dc_only_gray():
+    """Decoder verified INDEPENDENTLY of the encoder: a hand-built
+    single-block grayscale JPEG with quant table all-1s and a DC-only
+    coefficient of 320 must decode to a flat 128 + 320/8 = 168 block."""
+    from datavec_ray.ops.codecs import _JPEG_ZZ, decode_jpeg
+
+    zz = bytes(64)  # placeholder; all-1 table below
+    qt = bytes([1] * 64)
+    dqt = _seg(0xDB, bytes([0]) + qt)
+    sof = _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    # DC table: single symbol 'category 9' with code '0' (length 1)
+    dht_dc = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [9]))
+    # AC table: single symbol EOB (0x00) with code '0'
+    dht_ac = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: DC code '0', 9 value bits of +320, AC EOB '0', pad 1s
+    entropy = bytes([0b01010000, 0b00011111])
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy \
+        + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8)
+    assert (out == 168).all(), np.unique(out)
+    assert len(_JPEG_ZZ) == 64 and len(zz) == 64
+
+
+def test_decode_jpeg_handcrafted_420_color():
+    """4:2:0 sampling path, hand-built: a 16x16 MCU (4 Y blocks + Cb +
+    Cr), Y DC = +320 on the first block then zero diffs, chroma flat
+    128 — decodes to uniform gray RGB (168, 168, 168)."""
+    from datavec_ray.ops.codecs import decode_jpeg
+
+    qt = bytes([1] * 64)
+    dqt = _seg(0xDB, bytes([0]) + qt)
+    sof = _seg(0xC0, bytes([8, 0, 16, 0, 16, 3,
+                            1, 0x22, 0,     # Y 2x2
+                            2, 0x11, 0,     # Cb 1x1
+                            3, 0x11, 0]))   # Cr 1x1
+    # DC table: category 9 -> '0', category 0 -> '10'
+    dht_dc = _seg(0xC4, bytes([0x00, 1, 1] + [0] * 14 + [9, 0]))
+    dht_ac = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # per block: DC sym + value bits, then AC EOB '0' each.
+    # Y1: 0 +101000000 0 | Y2..Y4: 10 0 | Cb: 10 0 | Cr: 10 0 | pad 1s
+    bits = "0" + "101000000" + "0" + "100" * 5 + "1" * 6
+    assert len(bits) % 8 == 0
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy \
+        + b"\xff\xd9"
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3)
+    assert (out == 168).all(), np.unique(out)
+
+
+def test_jpeg_round_trip_quality():
+    """Encoder+decoder round trip on smooth content stays within a
+    small RMS at high quality, exact shape at odd sizes, RGB + gray."""
+    from datavec_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = (128 + 100 * np.sin(xx / 9) * np.cos(yy / 11)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.sqrt(np.mean((dec.astype(float) - img) ** 2)) < 2.0
+    rgb = np.stack([img, img[::-1], (xx * 4).astype(np.uint8)], axis=2)
+    dec3 = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert dec3.shape == rgb.shape
+    assert np.sqrt(np.mean((dec3.astype(float) - rgb) ** 2)) < 3.0
+    odd = (xx[:37, :29] * 3 + yy[:37, :29]).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(odd, quality=95))
+    assert d.shape == odd.shape
+    assert np.sqrt(np.mean((d.astype(float) - odd) ** 2)) < 1.0
+    # quality knob is monotone-ish: q10 worse than q90
+    lo = decode_jpeg(encode_jpeg(img, quality=10))
+    hi = decode_jpeg(encode_jpeg(img, quality=90))
+    rms = lambda a: np.sqrt(np.mean((a.astype(float) - img) ** 2))  # noqa
+    assert rms(lo) > rms(hi)
+
+
+def test_jpeg_dispatch_and_progressive_rejected():
+    from datavec_ray.ops.codecs import decode_image, encode_jpeg
+
+    img = np.full((8, 8), 77, np.uint8)
+    assert (decode_image(encode_jpeg(img, quality=100)) == img).all() or \
+        np.abs(decode_image(encode_jpeg(img, quality=100)).astype(int)
+               - 77).max() <= 1
+    # progressive SOF2 raises a clear NotImplementedError
+    prog = encode_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
