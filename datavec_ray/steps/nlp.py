@@ -499,3 +499,90 @@ def context_windows(ds, text_col: str = "text", id_col: str = "doc_id",
 
     w.__name__ = "context_windows"
     return ds.map_batches(w, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# context-label extraction (movingwindow/ContextLabelRetriever.java:52 —
+# strip <LABEL>...</LABEL> span markers from a sentence, return the clean
+# text plus (begin_char, end_char, label) spans over the STRIPPED text;
+# unmarked stretches get label 'NONE')
+# ---------------------------------------------------------------------------
+
+_BEGIN_LABEL = re.compile(r"^<([A-Za-z]+|\d+)>$")
+_END_LABEL = re.compile(r"^</([A-Za-z]+|\d+)>$")
+
+
+def string_with_labels(sentence: str) -> tuple[str, list[tuple[int, int, str]]]:
+    """One sentence → (stripped sentence, [(begin, end, label), ...]).
+    Mismatched begin/end labels raise, an end without a begin raises —
+    the reference's invariants."""
+    segments: list[tuple[str, list[str]]] = []
+    curr: list[str] = []
+    curr_label = None
+    for token in sentence.split():
+        mb = _BEGIN_LABEL.match(token)
+        me = _END_LABEL.match(token)
+        if mb:
+            if curr:
+                segments.append(("NONE", curr))
+                curr = []
+            curr_label = mb.group(1)
+        elif me:
+            if curr_label is None:
+                raise ValueError(
+                    "found an ending label with no matching begin label")
+            if me.group(1) != curr_label:
+                raise ValueError(
+                    f"label mismatch: <{curr_label}> ended by {token}")
+            segments.append((curr_label, curr))
+            curr = []
+            curr_label = None
+        else:
+            curr.append(token)
+    if curr:
+        segments.append(("none", curr))
+    stripped = ""
+    spans: list[tuple[int, int, str]] = []
+    for label, toks in segments:
+        joined = " ".join(toks)
+        if stripped:
+            stripped += " "
+        stripped += joined
+        # the reference's indexOf-after-append (first occurrence wins
+        # for repeated span text — quirk preserved)
+        begin = stripped.find(joined) if joined else len(stripped)
+        spans.append((begin, begin + len(joined), label))
+    return stripped, spans
+
+
+def extract_context_labels(ds, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Dataset version: one output row per labeled span —
+    (id, begin, end, label, span_text, stripped). Narrow map_batches
+    (label markup never crosses documents); the per-row parse is the
+    reference's sequential grammar, applied over each batch."""
+    def run(batch: pa.Table) -> pa.Table:
+        ids, begins, ends, labels, span_txt, stripped_out = \
+            [], [], [], [], [], []
+        id_vals = combine(batch[id_col]).to_pylist()
+        for rid, txt in zip(id_vals,
+                            combine(batch[text_col]).to_pylist()):
+            stripped, spans = string_with_labels(txt or "")
+            for b, e, lab in spans:
+                ids.append(rid)
+                begins.append(b)
+                ends.append(e)
+                labels.append(lab)
+                span_txt.append(stripped[b:e])
+                stripped_out.append(stripped)
+        return pa.table({
+            id_col: pa.array(ids),
+            "begin": pa.array(begins, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+            "label": pa.array(labels, pa.string()),
+            "span_text": pa.array(span_txt, pa.string()),
+            "stripped": pa.array(stripped_out, pa.string()),
+        })
+
+    run.__name__ = "extract_context_labels"
+    return ds.map_batches(run, batch_format="pyarrow")

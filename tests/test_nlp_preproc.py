@@ -258,3 +258,32 @@ def test_jpeg_dispatch_and_progressive_rejected():
     import pytest
     with pytest.raises(NotImplementedError):
         decode_image(prog)
+
+
+def test_context_label_retriever(ray_session):
+    """ContextLabelRetriever.java parity: strip <LABEL>...</LABEL>
+    markers, return spans over the stripped sentence; plain stretches
+    labeled NONE/none; mismatches raise."""
+    import pytest
+
+    from datavec_ray.steps.nlp import (extract_context_labels,
+                                       string_with_labels)
+
+    s, spans = string_with_labels(
+        "ship to <LOC> new york </LOC> by <NUM> 5 </NUM> pm")
+    assert s == "ship to new york by 5 pm"
+    got = [(lab, s[b:e]) for b, e, lab in spans]
+    assert got == [("NONE", "ship to"), ("LOC", "new york"),
+                   ("NONE", "by"), ("NUM", "5"), ("none", "pm")]
+    with pytest.raises(ValueError):
+        string_with_labels("oops </LOC> no begin")
+    with pytest.raises(ValueError):
+        string_with_labels("<LOC> x </NUM>")
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a <X> b c </X> d"], pa.string())})
+    out = dataset_to_table(extract_context_labels(
+        rd.from_arrow(t))).to_pandas().sort_values("begin")
+    assert list(out["label"]) == ["NONE", "X", "none"]
+    assert list(out["span_text"]) == ["a", "b c", "d"]
+    assert out["stripped"].iloc[0] == "a b c d"
