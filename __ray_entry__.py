@@ -777,6 +777,19 @@ def _q_quality_profile(sf_dir: str):
     return pd.DataFrame([{"column": c, **v} for c, v in q.items()])
 
 
+def _q_bpe_subwords(sf_dir: str):
+    """Distributed BPE (Sennrich 2016): learn 150 merges from the
+    corpus (one combiner word-count pass + driver merge loop over the
+    vocabulary-sized table), then encode every document with the
+    broadcast merge ranks — rows-only (iterative algorithm; merge
+    order and encode are golden-tested vs a brute-force reference)."""
+    from datavec_ray.ops.bpe import bpe_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = bpe_pipeline(ds, num_merges=150)
+    return enc.select_columns(["doc_id", "n_subwords"])
+
+
 def _q_stem_tokens(sf_dir: str):
     """Token ending-stemmer parity (EndingPreProcessor.java) composed
     with stopword removal (StopWords.java): explode documents to
@@ -1527,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": _q_tfidf,
         "stem_tokens": _q_stem_tokens,
         "context_windows": _q_context_windows,
+        "bpe_subwords": _q_bpe_subwords,
         "ivf_topk": _q_ivf_topk,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
