@@ -900,6 +900,29 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_query(idx, q, k=10, nprobe=4)
 
 
+def _q_ivf_exact(sf_dir: str):
+    """IVF with FULL probing (nprobe = num_centroids) is exact — every
+    partition is scored, so the result must equal brute-force cosine
+    top-k. Oracle-checks the whole IVF machinery (k-means build,
+    physical centroid partitioning, probe routing, per-partition
+    scoring, top-k merge) against the same SQL as similarity_topk."""
+    import pyarrow.parquet as pq
+    from datavec_ray.ops.similarity import ivf_build, ivf_query
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"].to_pylist()[:5]])
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    idx = os.path.join("/tmp", "datavec_ray_ivf_idx_"
+                       + os.path.basename(sf_dir.rstrip("/")) + f"_{mtime}")
+    if not os.path.isdir(os.path.join(idx, "cent=0")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ivf_build(ds, idx, num_centroids=8, sample_frac=0.5)
+    out = ivf_query(idx, q, k=10, nprobe=8)
+    return out.select_columns(["query_id", "match_id"])
+
+
 def _q_geo_distance(sf_dir: str):
     """Geo ops over coordinates derived deterministically from events
     (no geo columns in the testdata). Rows-only."""
@@ -1542,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_windows": _q_context_windows,
         "bpe_subwords": _q_bpe_subwords,
         "ivf_topk": _q_ivf_topk,
+        "ivf_exact": _q_ivf_exact,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
         "jdbc_source": _q_jdbc_source,
@@ -1977,6 +2001,16 @@ def oracle_sql() -> dict[str, str]:
                      as value_offset1
             from events""",
         "similarity_topk": """
+            with q as (select vec_id as qid, embedding as qe
+                       from embeddings where vec_id < 5)
+            select qid as query_id, vec_id as match_id
+            from q cross join embeddings
+            qualify row_number() over
+              (partition by qid
+               order by list_cosine_similarity(
+                 cast(qe as double[]), cast(embedding as double[])) desc,
+               vec_id asc) <= 10""",
+        "ivf_exact": """
             with q as (select vec_id as qid, embedding as qe
                        from embeddings where vec_id < 5)
             select qid as query_id, vec_id as match_id

@@ -583,3 +583,33 @@ def test_grouped_quantile_hist_error_bound(ray_session, seed, parts, bins):
                             exact[col].to_pylist()):
             lo, hi = lohi[k_]
             assert abs(a - e) <= (hi - lo) / bins + 1e-9, (col, k_, a, e)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(4, 40), st.integers(4, 40),
+       st.integers(0, 2**31 - 1), st.sampled_from([60, 85, 95]))
+def test_jpeg_round_trip_bounded_error(channels, h, w, seed, quality):
+    """Property: any uint8 image round-trips through the baseline JPEG
+    codec with bounded error — smooth content tightly, arbitrary noise
+    within the worst-case quantization bound for the quality level."""
+    from datavec_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    # piecewise-smooth content: random low-order cosine mixture
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(3):
+        fy, fx = rng.uniform(0, 0.35, 2)
+        img += rng.uniform(20, 60) * np.cos(fy * yy + rng.uniform(0, 6)) \
+            * np.cos(fx * xx + rng.uniform(0, 6))
+    img = np.clip(img + 128, 0, 255).astype(np.uint8)
+    if channels == 3:
+        img = np.stack([img, np.roll(img, 1, 0), 255 - img], axis=2)
+    elif channels == 2:
+        img = img.T.copy()
+        h, w = w, h
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    assert dec.dtype == np.uint8
+    rms = np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert rms < {60: 14.0, 85: 8.0, 95: 5.0}[quality], rms
