@@ -145,17 +145,43 @@ def _q_join_shuffle(sf_dir: str):
     from datavec_ray.join import JoinStep
     from datavec_ray.reduce import Reducer
 
+    from datavec_ray.steps import LambdaStep
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
         ["l_orderkey", "l_extendedprice", "l_discount"]))
+
+    # prices have 2 decimals: sum EXACT integer cents so the parallel
+    # sum is bit-equal to the oracle's at any scale factor (a float
+    # sum's error exceeds round(4) once the total passes ~1e10)
+    def to_cents(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("l_extendedprice")
+        return t.set_column(
+            i, pa.field("l_extendedprice", pa.int64()),
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0),
+                    pa.int64()))
+
+    p.add(LambdaStep(
+        to_cents,
+        lambda s: s.without_columns(["l_extendedprice"])
+        .with_column("l_extendedprice", pa.int64(), index=1),
+        "price_to_cents"))
     p.add(JoinStep(lambda: orders, ["l_orderkey"], ["o_orderkey"], "Inner",
                    broadcast=False, num_partitions=8))  # exercise shuffle join
     p.add(Reducer(["o_orderpriority"],
-                  [["l_extendedprice", "Sum", "sum_price"],
+                  [["l_extendedprice", "Sum", "sum_cents"],
                    ["l_extendedprice", "Count", "n"]]))
-    from datavec_ray.steps import RoundColumns
-    p.add(RoundColumns(["sum_price"], 4))
+
+    def cents_out(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_cents")
+        return t.set_column(
+            i, pa.field("sum_price", pa.float64()),
+            pc.round(pc.divide(pc.cast(t["sum_cents"], pa.float64()), 100.0),
+                     4)).rename_columns(
+            [c if c != "sum_cents" else "sum_price" for c in t.column_names])
+
+    p.add(LambdaStep(cents_out, lambda s: s, "cents_to_price"))
     return p.execute(li)
 
 
@@ -936,8 +962,11 @@ def _q_geo_distance(sf_dir: str):
         v = pc.cast(t["value"], pa.float64())
         lat = pc.subtract(pc.cast(pc.multiply(
             pc.subtract(v, pc.floor(v)), 180), pa.float64()), 90.0)
+        # wrap user_id so lon stays in [-180, 180) at every scale factor
+        uid = pc.subtract(t["user_id"],
+                          pc.multiply(pc.divide(t["user_id"], 10000), 10000))
         lon = pc.subtract(pc.cast(pc.multiply(pc.divide(
-            pc.cast(t["user_id"], pa.float64()), 1e4), 360), pa.float64()), 180.0)
+            pc.cast(uid, pa.float64()), 1e4), 360), pa.float64()), 180.0)
         a = pc.binary_join_element_wise(pc.cast(lat, pa.string()),
                                         pc.cast(lon, pa.string()), ",")
         b = pc.binary_join_element_wise(pc.cast(lon, pa.string()),
@@ -952,12 +981,16 @@ def _q_geo_distance(sf_dir: str):
     p.add(CoordinatesDistance("dist_m", "pos_a", "pos_b"))
     p.add(KeepColumns(["event_id", "dist_m"]))
 
-    def round4(t: pa.Table) -> pa.Table:
+    def to_int_m(t: pa.Table) -> pa.Table:
+        # integer meters: numpy and DuckDB libm disagree in the last
+        # ulp, so any fixed-decimal rounding can flip a boundary digit
+        # somewhere in a big table; at whole meters the flip window is
+        # ~1e-8 m — negligible at any scale factor
         return t.set_column(t.schema.get_field_index("dist_m"),
-                            pa.field("dist_m", pa.float64()),
-                            pc.round(t["dist_m"], 4))
+                            pa.field("dist_m", pa.int64()),
+                            pc.cast(pc.round(t["dist_m"], 0), pa.int64()))
 
-    p.add(LambdaStep(round4, lambda s: s, "round_dist"))
+    p.add(LambdaStep(to_int_m, lambda s: s, "round_dist"))
     return p.execute(ds)
 
 
@@ -1801,16 +1834,20 @@ def oracle_sql() -> dict[str, str]:
             with c as (
                 select event_id,
                        (value - floor(value)) * 180 - 90 as lat,
-                       (user_id / 10000.0) * 360 - 180 as lon
+                       ((user_id % 10000) / 10000.0) * 360 - 180 as lon
                 from events
+            ), h as (
+                select event_id,
+                       least(1.0, greatest(0.0,
+                           pow(sin(radians(lon - lat) / 2), 2)
+                           + cos(radians(lat)) * cos(radians(lon))
+                             * pow(sin(radians(lat - lon) / 2), 2))) as a
+                from c
             )
             select event_id,
-                   round(2 * 6371000 * asin(sqrt(
-                       pow(sin(radians(lon - lat) / 2), 2)
-                       + cos(radians(lat)) * cos(radians(lon))
-                         * pow(sin(radians(lat - lon) / 2), 2)
-                   )), 4) as dist_m
-            from c
+                   cast(round(2 * 6371000 * atan2(sqrt(a), sqrt(1 - a)), 0)
+                        as bigint) as dist_m
+            from h
         """,
         "groupby_agg": """
             select l_returnflag, l_linestatus,
@@ -1833,7 +1870,8 @@ def oracle_sql() -> dict[str, str]:
             where c_mktsegment = 'BUILDING'""",
         "join_shuffle": """
             select o_orderpriority,
-                   round(sum(l_extendedprice), 4) as sum_price,
+                   round(sum(cast(round(l_extendedprice * 100, 0) as bigint))
+                         / 100.0, 4) as sum_price,
                    count(*) as n
             from lineitem join orders on l_orderkey = o_orderkey
             group by 1""",

@@ -68,7 +68,10 @@ class CoordinatesDistance(Step):
             dp = p2 - p1
             dl = np.radians(lo2 - lo1)
             a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
-            d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+            # atan2 form: no NaN when float error pushes a past 1, and
+            # numerically stable at (near-)antipodal pairs
+            a = np.clip(a, 0.0, 1.0)
+            d = 2 * EARTH_RADIUS_M * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
         return table.append_column(pa.field(self.new_column, pa.float64()),
                                    pa.array(d))
 
