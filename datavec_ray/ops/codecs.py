@@ -7,7 +7,15 @@ Real decoders for the formats that are tractable without native libs:
   non-interlaced. Encoder writes filter-0 rows (valid, universally
   readable) for fixtures.
 - BMP: 24-bit uncompressed BI_RGB (bottom-up, 4-byte row padding).
+- JPEG: T.81 baseline sequential (Huffman + IDCT, any chroma
+  sampling, restart markers); encoder writes baseline 4:4:4.
+- GIF: 87a/89a LZW, global/local color tables, interlace; encoder is
+  lossless for ≤256-color images (real LZW, exact palette).
 - WAV: stdlib ``wave`` module, 8/16/32-bit PCM → float32 in [-1, 1].
+- Y4M: raw YUV4MPEG2 frame runs (luma plane).
+- AVI/MJPEG: RIFF container walk + per-frame baseline JPEG (parity:
+  ``datavec-data-codec/.../CodecRecordReader.java:56`` reads avi via
+  JCodec). mp4/webm still need a native codec and raise.
 
 Parity targets: ``datavec-data-image/.../ImageRecordReader.java:33``
 (image file → pixel NDArray) and
@@ -175,10 +183,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
     raise NotImplementedError(
         f"unrecognized image format (magic {data[:4]!r}); this container "
-        "decodes PNG/BMP/baseline-JPEG natively — other formats need a "
-        "native codec")
+        "decodes PNG/BMP/baseline-JPEG/GIF natively — other formats need "
+        "a native codec")
 
 
 # ---------------------------------------------------------------------------
@@ -729,4 +739,317 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xDA, sos)
     out += wtr.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI container (Microsoft RIFF, public specification) carrying MJPEG —
+# each video frame is a complete baseline JPEG, so the pure-Python JPEG
+# codec above decodes the stream end to end. Reference parity:
+# CodecRecordReader.java:56 (datavec-data-codec) reads avi/mjpeg via
+# JCodec; this is the stdlib/numpy counterpart.
+# ---------------------------------------------------------------------------
+
+AVI_MAGIC = b"RIFF"
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) walking a RIFF chunk run."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        ln = int.from_bytes(data[pos + 4:pos + 8], "little")
+        yield fourcc, pos + 8, ln
+        pos += 8 + ln + (ln & 1)          # chunks are word-aligned
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI/MJPEG bytes → (uint8 luma frames (n, h, w), fps).
+
+    Parses the RIFF tree (hdrl → strh for the frame rate, movi for the
+    frame run) and decodes every ``..dc``/``..db`` video chunk with
+    :func:`decode_jpeg`. RGB frames are reduced to BT.601 luma so the
+    return shape matches :func:`decode_y4m`.
+    """
+    if data[:4] != AVI_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file (bad RIFF/AVI magic)")
+    fps = 30
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int):
+        nonlocal fps
+        for fourcc, body, ln in _riff_chunks(data, pos, end):
+            if fourcc == b"LIST":
+                ltype = data[body:body + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    walk(body + 4, body + ln)
+            elif fourcc == b"strh" and data[body:body + 4] == b"vids":
+                scale = int.from_bytes(data[body + 20:body + 24], "little")
+                rate = int.from_bytes(data[body + 24:body + 28], "little")
+                if scale and rate:
+                    fps = max(1, round(rate / scale))
+            elif fourcc[2:] in (b"dc", b"db"):
+                payload = data[body:body + ln]
+                if payload[:2] == JPEG_MAGIC:
+                    img = decode_jpeg(payload)
+                else:
+                    raise NotImplementedError(
+                        f"AVI stream chunk is not MJPEG "
+                        f"(magic {payload[:4]!r}); only MJPG-compressed "
+                        "AVI decodes without a native codec")
+                if img.ndim == 3:
+                    img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                           + 0.114 * img[:, :, 2]).astype(np.uint8)
+                frames.append(img)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise NotImplementedError("AVI with varying frame sizes")
+    return np.stack(frames), fps
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 30,
+                     quality: int = 90) -> bytes:
+    """uint8 frames (n, h, w) luma or (n, h, w, 3) RGB → AVI/MJPEG
+    bytes (one baseline JPEG per ``00dc`` chunk, idx1 index)."""
+    frames = np.asarray(frames, np.uint8)
+    n = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = max(1, round(1_000_000 / fps))
+    maxbuf = max(len(j) for j in jpegs)
+    avih = struct.pack("<14I", usec, maxbuf * fps, 0, 0x10, n, 0, 1,
+                       maxbuf, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, fps, 0, n, maxbuf, 10000, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4
+    for j in jpegs:
+        movi_chunks.append(chunk(b"00dc", j))
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_video(data: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch on magic bytes → (uint8 luma frames (n, h, w), fps).
+
+    Y4M and AVI/MJPEG decode for real; other containers (mp4/webm)
+    need a native codec and raise."""
+    if data[:9] == Y4M_MAGIC:
+        return decode_y4m(data)
+    if data[:4] == AVI_MAGIC and data[8:12] == b"AVI ":
+        return decode_avi(data)
+    raise NotImplementedError(
+        f"unrecognized video container (magic {data[:4]!r}); this "
+        "container decodes Y4M and AVI/MJPEG natively — mp4/webm need "
+        "a native codec")
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, public specification) — LZW-compressed indexed
+# color. Reference parity: ImageRecordReader.java:33 accepts .gif via
+# native imageio; this is the pure-Python counterpart (first frame).
+# ---------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF8"
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF-variant LZW → uint8 index array of length ``npix``."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while len(out) < npix:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW bad code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:npix]), np.uint8)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (h, w, 3) RGB of the FIRST frame, composed
+    onto the logical screen (background color where the frame doesn't
+    cover). Handles global/local color tables and interlacing."""
+    if data[:4] != GIF_MAGIC or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad magic)")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, ncol * 3, pos).reshape(-1, 3)
+        pos += ncol * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                     # image descriptor
+            left = int.from_bytes(data[pos + 1:pos + 3], "little")
+            top = int.from_bytes(data[pos + 3:pos + 5], "little")
+            fw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            fh = int.from_bytes(data[pos + 7:pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                ncol = 2 << (ipacked & 7)
+                ct = np.frombuffer(data, np.uint8, ncol * 3,
+                                   pos).reshape(-1, 3)
+                pos += ncol * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(lzw), fw * fh)
+            if ipacked & 0x40:              # interlaced: 4-pass rows
+                rows = np.concatenate([np.arange(0, fh, 8),
+                                       np.arange(4, fh, 8),
+                                       np.arange(2, fh, 4),
+                                       np.arange(1, fh, 2)])
+                deint = np.empty((fh, fw), np.uint8)
+                deint[rows] = idx.reshape(fh, fw)
+                idx = deint.ravel()
+            frame = ct[np.minimum(idx, len(ct) - 1)].reshape(fh, fw, 3)
+            canvas = np.tile(ct[min(bg, len(ct) - 1)], (sh, sw, 1))
+            canvas[top:top + fh, left:left + fw] = frame[
+                :max(0, min(fh, sh - top)), :max(0, min(fw, sw - left))]
+            return canvas.astype(np.uint8)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF bad block id {b:#x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB with ≤256 distinct colors → GIF87a bytes
+    (exact palette, real LZW — lossless round trip)."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF encoder needs ≤256 colors, got {len(pal)}")
+    depth = max(1, (len(pal) - 1).bit_length())
+    ncol = 1 << depth
+    min_code = max(2, depth)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # real LZW: longest-match against a growing dict, reset at 4096
+    out_codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    nxt, width_seq = end + 1, []
+    cur = b""
+    for px in idx.astype(np.uint8).tobytes():
+        cand = cur + bytes([px])
+        if cand in table:
+            cur = cand
+            continue
+        out_codes.append(table[cur])
+        table[cand] = nxt
+        nxt += 1
+        cur = bytes([px])
+        if nxt > 4095:
+            out_codes.append(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+    if cur:
+        out_codes.append(table[cur])
+    out_codes.append(end)
+
+    # pack codes LSB-first, tracking the DECODER's table length: the
+    # first data code after a clear adds no decoder entry (prev=None),
+    # every later one adds exactly one — width bumps must mirror that
+    buf = bytearray()
+    acc = bits = 0
+    width = min_code + 1
+    size = end + 1                   # decoder table size after each code
+    first = True
+    for code in out_codes:
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if code == clear:
+            width, size, first = min_code + 1, end + 1, True
+        elif code != end:
+            if first:
+                first = False
+            else:
+                size += 1
+                if size == (1 << width) and width < 12:
+                    width += 1
+    if bits:
+        buf.append(acc & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += pal.tobytes() + b"\x00" * ((ncol - len(pal)) * 3)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(buf), 255):
+        blk = buf[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
     return bytes(out)

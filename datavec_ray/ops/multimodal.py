@@ -11,12 +11,13 @@ metadata columns; every decode/feature stage is an ACTOR-POOL
 ``map_batches`` class (decoder state init once per actor — the
 reference's per-executor OpenCV/ffmpeg loading).
 
-Codecs: PNG, BMP, baseline JPEG, WAV and Y4M video payloads are
-decoded FOR REAL via the pure-stdlib codecs in
+Codecs: PNG, BMP, baseline JPEG, GIF, WAV, Y4M and AVI/MJPEG video
+payloads are decoded FOR REAL via the pure-stdlib codecs in
 ``datavec_ray.ops.codecs`` (zlib PNG inflate + filter reconstruction,
-24-bit BMP, T.81 baseline-JPEG Huffman+IDCT incl. 4:2:0, PCM WAV,
-YUV4MPEG2 luma planes) — pipelines and tests exercise true
-pixel/sample/frame values. Formats needing a native library
+24-bit BMP, T.81 baseline-JPEG Huffman+IDCT incl. 4:2:0, GIF LZW, PCM
+WAV, YUV4MPEG2 luma planes, RIFF AVI walking + per-frame JPEG) —
+pipelines and tests exercise true pixel/sample/frame values. Formats
+needing a native library
 (progressive JPEG, mp4/webm containers) raise NotImplementedError
 unless ``deterministic_fake=True``, which substitutes a content-seeded
 fake so the Ray plumbing (schema, batch sizing, actor signature,
@@ -47,8 +48,9 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
-    """Deterministic media rows with REAL payloads: PNG/BMP images,
-    PCM WAV audio and Y4M video (all encoded by the stdlib codecs)."""
+    """Deterministic media rows with REAL payloads: PNG/BMP/JPEG/GIF
+    images, PCM WAV audio and Y4M/AVI-MJPEG video (all encoded by the
+    stdlib codecs)."""
     rng = np.random.default_rng(seed)
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, rates, durs = [], [], [], [], []
@@ -58,7 +60,14 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             h = int(rng.integers(8, 32))
             w = int(rng.integers(8, 32))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            enc = codecs.encode_png if i % 2 == 0 else codecs.encode_bmp
+            if i % 4 == 3:
+                # GIF is indexed color: draw from a 64-color palette
+                pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+                img = pal[rng.integers(0, 64, (h, w))]
+                enc = codecs.encode_gif
+            else:
+                enc = (codecs.encode_png, codecs.encode_bmp,
+                       codecs.encode_jpeg)[i % 4]
             payloads.append(enc(img))
             widths.append(w)
             heights.append(h)
@@ -80,7 +89,9 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             w = int(rng.integers(8, 24))
             nfr = int(rng.integers(3, 10))
             frames = rng.integers(0, 256, (nfr, h, w), dtype=np.uint8)
-            payloads.append(codecs.encode_y4m(frames, fps=10))
+            enc = (codecs.encode_y4m if i % 2 == 0
+                   else lambda f, fps: codecs.encode_avi_mjpeg(f, fps=fps))
+            payloads.append(enc(frames, fps=10))
             widths.append(w)
             heights.append(h)
             rates.append(0)
@@ -578,10 +589,11 @@ class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
     frame (explode), each with a frame luma-feature vector.
 
-    Y4M (YUV4MPEG2) payloads decode FOR REAL — evenly-sampled frames,
-    grayscale luma plane resized to a ``feat``-long vector (sqrt(feat)
-    grid). Container formats needing a native codec (mp4/webm) fall back
-    to a content-seeded fake when ``deterministic_fake`` else raise."""
+    Y4M (YUV4MPEG2) and AVI/MJPEG payloads decode FOR REAL —
+    evenly-sampled frames, grayscale luma plane resized to a
+    ``feat``-long vector (sqrt(feat) grid). Container formats needing a
+    native codec (mp4/webm) fall back to a content-seeded fake when
+    ``deterministic_fake`` else raise."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
                  deterministic_fake: bool = True):
@@ -593,12 +605,12 @@ class VideoFrameSample:
     def _frames(self, payload: bytes) -> np.ndarray:
         """(n_frames, feat) float32 in [0, 1]."""
         try:
-            frames, _fps = codecs.decode_y4m(payload)
+            frames, _fps = codecs.decode_video(payload)
         except Exception as e:  # noqa: BLE001
             if not self.fake:
                 raise NotImplementedError(
-                    f"cannot decode video payload ({e}); only Y4M decodes "
-                    "without a native codec") from e
+                    f"cannot decode video payload ({e}); only Y4M and "
+                    "AVI/MJPEG decode without a native codec") from e
             return _content_seeded(payload, (self.n_frames, self.feat))
         if len(frames) == 0:
             return np.zeros((self.n_frames, self.feat), np.float32)
