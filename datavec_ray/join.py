@@ -165,7 +165,7 @@ class JoinStep(WideStep):
         """
         from datavec_ray.ops.bloom import key_hash64
 
-        schema = ds.schema()
+        schema = self._input_arrow_schema(ds)
         if schema is None:
             return None
         keys, right_keys = self.keys, self.right_keys
@@ -173,9 +173,9 @@ class JoinStep(WideStep):
         how_pa = {"Inner": "inner", "LeftOuter": "left outer",
                   "RightOuter": "right outer",
                   "FullOuter": "full outer"}[self.join_type]
-        left_fields = list(schema.base_schema)
+        left_fields = list(schema)
         left_names = [f.name for f in left_fields]
-        key_types = {k: schema.base_schema.field(k).type for k in keys}
+        key_types = {k: schema.field(k).type for k in keys}
         right_ds = self._right_dataset()
         rsch = right_ds.schema().base_schema
         val_renames = {n: (f"{n}_r" if n in left_names else n)
@@ -250,12 +250,12 @@ class JoinStep(WideStep):
         import ray
         if self.join_type not in ("Inner", "LeftOuter"):
             raise ValueError("broadcast join supports Inner/LeftOuter only")
-        left_schema = ds.schema()
+        left_schema = self._input_arrow_schema(ds)
         if left_schema is None:
             # fully-empty upstream (e.g. every group filtered out): an
             # Inner/LeftOuter join of nothing is nothing — pass through
             return ds
-        left_names = [f.name for f in left_schema.base_schema]
+        left_names = [f.name for f in left_schema]
         right_ref = ray.put(self._suffixed_right(left_names))
         keys, right_keys, how = self.keys, self.right_keys, self.join_type
 

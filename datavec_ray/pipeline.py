@@ -98,7 +98,7 @@ class TransformPipeline:
                 if run:
                     plan.append(("narrow", (run, self._schemas[i])))
                     run = []
-                plan.append(("wide", s))
+                plan.append(("wide", (s, self._schemas[i])))
                 run_start = i + 1
             else:
                 if not run:
@@ -122,7 +122,13 @@ class TransformPipeline:
                 ds = ds.map_batches(fn, batch_format="pyarrow",
                                     batch_size=batch_size)
             else:
-                ds = payload.apply_dataset(ds)
+                step, in_schema = payload
+                # hand the wide step its statically-propagated input
+                # schema so it never calls ds.schema() — a schema fetch
+                # on an unexecuted plan runs the WHOLE upstream (joins,
+                # sorts) through a limit(1) probe
+                step._in_schema_hint = in_schema
+                ds = step.apply_dataset(ds)
         return ds
 
     def execute_table(self, table: pa.Table) -> pa.Table:

@@ -45,7 +45,6 @@ class CalculateSortedRank(WideStep):
         sorted_ds = ds.sort(self.sort_columns, descending=self.descending)
         # zipWithIndex: block sizes → prefix sums → per-block rank append.
         mat = sorted_ds.materialize()
-        refs = mat.to_arrow_refs()
 
         @ray.remote
         def _count(block: pa.Table) -> int:
@@ -57,7 +56,19 @@ class CalculateSortedRank(WideStep):
                              type=pa.int64())
             return block.append_column(pa.field(name, pa.int64()), ranks)
 
-        counts = ray.get([_count.remote(r) for r in refs])
+        try:
+            # block counts ride the bundle metadata — no extra pass, and
+            # no to_arrow_refs (its schema fetch can re-run the plan)
+            refs, counts = [], []
+            for bundle in mat.iter_internal_ref_bundles():
+                for ref, meta in bundle.blocks:
+                    refs.append(ref)
+                    counts.append(meta.num_rows)
+            if any(c is None for c in counts):
+                counts = ray.get([_count.remote(r) for r in refs])
+        except AttributeError:                   # Ray internals moved
+            refs = mat.to_arrow_refs()
+            counts = ray.get([_count.remote(r) for r in refs])
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
         out_refs = [_with_rank.remote(r, int(off), self.rank_column)
                     for r, off in zip(refs, offsets)]

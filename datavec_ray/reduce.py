@@ -529,7 +529,7 @@ class Reducer(WideStep):
         keys = list(self.keys)
         specs = [tuple(s) for s in self.specs]
         accs = [_Acc(op) for _, op, _ in specs]   # captures UDAF registry
-        schema = ds.schema().base_schema
+        schema = self._input_arrow_schema(ds)
         out_types = {out: _out_type(op, schema.field(col).type)
                      for col, op, out in specs}
         key_types = {k: schema.field(k).type for k in keys}
@@ -612,7 +612,7 @@ class Reducer(WideStep):
                                       _key_run_starts)
         from datavec_ray.steps.base import combine
 
-        schema = ds.schema().base_schema
+        schema = self._input_arrow_schema(ds)
         in_types = {c: schema.field(c).type for c in schema.names}
         plan: dict = {}               # (src col, partial fn) -> partial name
         float_shadows: set = set()    # int cols needing a float64 copy

@@ -886,7 +886,7 @@ class GroupedSequence(WideStep):
         return out
 
     def apply_dataset(self, ds, num_partitions: int = 32):
-        out = self.output_schema(Schema(ds.schema().base_schema))
+        out = self.output_schema(Schema(self._input_arrow_schema(ds)))
         vectorizable = bool(self.ops) and all(
             op.supports_partition() for op in self.ops)
         if not vectorizable:

@@ -74,6 +74,20 @@ class WideStep(Step):
     def apply(self, table: pa.Table) -> pa.Table:
         return self.apply_local(table)
 
+    def _input_arrow_schema(self, ds) -> "pa.Schema | None":
+        """Input schema WITHOUT executing the plan: inside a
+        TransformPipeline the statically-propagated schema is handed
+        over via ``_in_schema_hint``; standalone use falls back to
+        ``ds.schema()``, which may run the whole upstream (joins,
+        sorts) through a limit(1) probe when Ray can't infer it."""
+        hint = getattr(self, "_in_schema_hint", None)
+        if hint is not None:
+            return hint.arrow()
+        s = ds.schema()
+        if s is None:
+            return None
+        return s.base_schema if hasattr(s, "base_schema") else s
+
     def apply_dataset(self, ds):  # ray.data.Dataset -> ray.data.Dataset
         raise NotImplementedError
 

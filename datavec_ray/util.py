@@ -13,7 +13,16 @@ def dataset_to_table(ds) -> pa.Table:
     """
     import pandas as pd
     import ray
-    refs = ds.to_arrow_refs()
+    try:
+        # one execution, zero-copy: Dataset.to_arrow_refs() would call
+        # schema(fetch_if_missing=True) AFTER executing, which re-runs
+        # the ENTIRE plan through a limit(1) whenever Ray lost schema
+        # tracking (mixed pandas/arrow stages) — consume the ref
+        # bundles directly and convert blocks ourselves instead
+        refs = [r for bundle in ds.iter_internal_ref_bundles()
+                for r in bundle.block_refs]
+    except AttributeError:                      # Ray internals moved
+        refs = ds.to_arrow_refs()
     blocks = [pa.Table.from_pandas(b, preserve_index=False)
               if isinstance(b, pd.DataFrame) else b
               for b in ray.get(list(refs))]
