@@ -7,8 +7,11 @@ Real decoders for the formats that are tractable without native libs:
   non-interlaced. Encoder writes filter-0 rows (valid, universally
   readable) for fixtures.
 - BMP: 24-bit uncompressed BI_RGB (bottom-up, 4-byte row padding).
-- JPEG: T.81 baseline sequential (Huffman + IDCT, any chroma
-  sampling, restart markers); encoder writes baseline 4:4:4.
+- JPEG: T.81 baseline sequential (SOF0/1) AND progressive (SOF2,
+  spectral selection + successive approximation), Huffman + IDCT, any
+  chroma sampling, restart markers, multi-scan. Encoders write
+  baseline 4:4:4 and a full progressive scan script (DC/AC first +
+  refine) whose decode is bit-exact with the baseline encoding.
 - GIF: 87a/89a LZW, global/local color tables, interlace; encoder is
   lossless for ≤256-color images (real LZW, exact palette).
 - WAV: stdlib ``wave`` module, 8/16/32-bit PCM → float32 in [-1, 1].
@@ -436,27 +439,66 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuff FF00 and split on RSTn from ``pos`` until the next real
+    marker; returns (segments, index of that marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = pos
+    n = len(data)
+    while j < n:
+        b = data[j]
+        if b == 0xFF and j + 1 < n:
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xFF:                      # fill byte
+                j += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:              # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break                                # real marker
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
+def _ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → uint8 (h, w) grayscale or (h, w, 3)
-    RGB. Supports SOF0, 8-bit samples, 1 or 3 components with any
-    (h, v) sampling (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart markers.
-    Progressive (SOF2) and arithmetic coding raise NotImplementedError."""
+    """JPEG → uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    Supports baseline sequential (SOF0/SOF1) AND progressive (SOF2,
+    spectral selection + successive approximation per ITU-T T.81
+    annexes F/G), 8-bit samples, 1 or 3 components with any (h, v)
+    sampling (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart markers,
+    multi-scan streams. Arithmetic coding and hierarchical (SOF9+)
+    raise NotImplementedError."""
     if data[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     comps: list[dict] = []
+    scans: list[dict] = []
     H = W = 0
     restart = 0
     i = 2
-    scan: list[tuple[int, int, int]] = []   # (comp idx, dc table, ac table)
-    entropy_start = -1
-    while i < len(data):
+    while i < len(data) - 1:
         if data[i] != 0xFF:
             i += 1
             continue
         marker = data[i + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:                       # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
         seglen = int.from_bytes(data[i + 2:i + 4], "big")
@@ -474,8 +516,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     j += 64
                 nat = np.zeros(64, np.int64)
                 nat[_JPEG_ZZ] = tbl
-                qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):             # SOF0/1 (baseline/ext seq)
+                qt[tq] = nat
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 (seq) / SOF2 (prog)
             H = int.from_bytes(seg[1:3], "big")
             W = int.from_bytes(seg[3:5], "big")
             n = seg[5]
@@ -483,11 +525,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "(SOF0/SOF1) is supported")
+                "(SOF0/SOF1) and progressive (SOF2) are supported")
         elif marker == 0xC4:                     # DHT
             j = 0
             while j < len(seg):
@@ -501,90 +543,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:                     # SOS
             ns = seg[0]
+            sc = []
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(k for k, c in enumerate(comps) if c["id"] == cs)
-                scan.append((ci, tt >> 4, tt & 0xF))
-            entropy_start = i + 2 + seglen
-            break
-        i += 2 + seglen
-    if entropy_start < 0 or not comps:
-        raise ValueError("JPEG: missing SOS/SOF")
-    # entropy data: up to EOI; split on RST markers, unstuff FF00
-    j = entropy_start
-    segments: list[bytes] = []
-    cur = bytearray()
-    while j < len(data):
-        b = data[j]
-        if b == 0xFF and j + 1 < len(data):
-            nxt = data[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:              # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            if nxt == 0xD9:                      # EOI
-                break
-            j += 2
+                sc.append((ci, tt >> 4, tt & 0xF))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segments, i = _jpeg_entropy_segments(data, i + 2 + seglen)
+            scans.append({"comps": sc, "Ss": Ss, "Se": Se,
+                          "Ah": ahal >> 4, "Al": ahal & 0xF,
+                          "huff": dict(huff), "restart": restart,
+                          "segments": segments})
             continue
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+        i += 2 + seglen
+    if not scans or not comps:
+        raise ValueError("JPEG: missing SOS/SOF")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
+    mcux = _ceil(W, 8 * hmax)
+    mcuy = _ceil(H, 8 * vmax)
     for c in comps:
-        c["bw"] = mcux * c["h"]                  # blocks across
+        c["bw"] = mcux * c["h"]                  # blocks across (padded)
         c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.float64)
-    n_mcus = mcux * mcuy
-    per_seg = restart if restart else n_mcus
-    mcu = 0
-    for seg_bytes in segments:
-        if mcu >= n_mcus:
-            break
-        rd = _BitReader(seg_bytes)
-        pred = {ci: 0 for ci, _, _ in scan}
-        for _ in range(min(per_seg, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, tdc, tac in scan:
-                c = comps[ci]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int64)
-                        s = rd.decode(huff[(0, tdc)])
-                        diff = _extend(rd.read_bits(s), s) if s else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.decode(huff[(1, tac)])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                 # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            blk[_JPEG_ZZ[k]] = _extend(rd.read_bits(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = \
-                            blk.reshape(8, 8) * qt[c["tq"]]
-            mcu += 1
-    # IDCT all blocks of each component at once, assemble planes
+        c["bw_eff"] = _ceil(_ceil(W * c["h"], hmax), 8)
+        c["bh_eff"] = _ceil(_ceil(H * c["v"], vmax), 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+    for scan in scans:
+        _jpeg_decode_scan(scan, comps, mcux, mcuy)
+
+    # dequantize, IDCT all blocks of each component at once, assemble
     planes = []
     for c in comps:
-        pix = np.einsum("ux,nuv,vy->nxy", _JPEG_A, c["coef"], _JPEG_A)
+        deq = (c["coef"] * qt[c["tq"]][None, :]).astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", _JPEG_A, deq.reshape(-1, 8, 8),
+                        _JPEG_A)
         pix = np.clip(np.round(pix + 128), 0, 255).astype(np.uint8)
         grid = pix.reshape(c["bh"], c["bw"], 8, 8) \
             .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
@@ -599,6 +593,154 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
                    255).astype(np.uint8)
+
+
+def _jpeg_decode_scan(scan: dict, comps: list[dict],
+                      mcux: int, mcuy: int) -> None:
+    """Decode one scan's entropy data into the components' coefficient
+    arrays (natural-order positions, un-dequantized)."""
+    sc = scan["comps"]
+    Ss, Se, Ah, Al = scan["Ss"], scan["Se"], scan["Ah"], scan["Al"]
+    huff = scan["huff"]
+    interleaved = len(sc) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c0 = comps[sc[0][0]]
+        n_units = c0["bw_eff"] * c0["bh_eff"]
+    per_seg = scan["restart"] if scan["restart"] else n_units
+    u = 0
+    for seg_bytes in scan["segments"]:
+        if u >= n_units:
+            break
+        rd = _BitReader(seg_bytes)
+        pred = {ci: 0 for ci, _, _ in sc}
+        eobrun = 0
+
+        def dc_unit(coef, bi, tdc, ci):
+            if Ah == 0:
+                s = rd.decode(huff[(0, tdc)])
+                diff = _extend(rd.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[bi, 0] = pred[ci] << Al
+            elif rd.read_bit():
+                coef[bi, 0] |= 1 << Al          # two's complement: exact
+                                                # for negative DC too
+
+        def seq_block(coef, bi, tdc, tac, ci):
+            s = rd.decode(huff[(0, tdc)])
+            diff = _extend(rd.read_bits(s), s) if s else 0
+            pred[ci] += diff
+            coef[bi, 0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = rd.decode(huff[(1, tac)])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                        # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run overflow")
+                coef[bi, _JPEG_ZZ[k]] = _extend(rd.read_bits(s), s)
+                k += 1
+
+        def ac_first(coef, bi, tac):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = Ss
+            while k <= Se:
+                rs = rd.decode(huff[(1, tac)])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        return
+                    k += 16
+                    continue
+                k += r
+                if k > Se:
+                    raise ValueError("JPEG AC run overflow")
+                coef[bi, _JPEG_ZZ[k]] = _extend(rd.read_bits(s), s) << Al
+                k += 1
+
+        def ac_refine(coef, bi, tac):
+            # T.81 G.2 / libjpeg decode_mcu_AC_refine structure: each
+            # code's "advance" refines every already-nonzero coefficient
+            # it passes with one correction bit
+            nonlocal eobrun
+            p1, m1 = 1 << Al, -(1 << Al)
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = rd.decode(huff[(1, tac)])
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break               # tail handled below
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("JPEG AC refine: s != 1")
+                        newval = p1 if rd.read_bit() else m1
+                    while k <= Se:
+                        z = _JPEG_ZZ[k]
+                        if coef[bi, z] != 0:
+                            if rd.read_bit():
+                                coef[bi, z] += p1 if coef[bi, z] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        coef[bi, _JPEG_ZZ[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    z = _JPEG_ZZ[k]
+                    if coef[bi, z] != 0 and rd.read_bit():
+                        coef[bi, z] += p1 if coef[bi, z] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        for _ in range(min(per_seg, n_units - u)):
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci, tdc, tac in sc:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = ((my * c["v"] + by) * c["bw"]
+                                  + mx * c["h"] + bx)
+                            if Se == 0:
+                                dc_unit(c["coef"], bi, tdc, ci)
+                            else:
+                                seq_block(c["coef"], bi, tdc, tac, ci)
+            else:
+                ci, tdc, tac = sc[0]
+                c = comps[ci]
+                row, col = divmod(u, c["bw_eff"])
+                bi = row * c["bw"] + col
+                if Se == 0:
+                    dc_unit(c["coef"], bi, tdc, ci)
+                elif Ss == 0:
+                    seq_block(c["coef"], bi, tdc, tac, ci)
+                elif Ah == 0:
+                    ac_first(c["coef"], bi, tac)
+                else:
+                    ac_refine(c["coef"], bi, tac)
+            u += 1
 
 
 class _BitWriter:
@@ -643,9 +785,10 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return ql, qc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (4:4:4, Annex-K tables scaled by ``quality``, no subsampling)."""
+def _jpeg_plane_coefs(img: np.ndarray, quality: int):
+    """Shared encoder front half: uint8 image → per-component quantized
+    DCT coefficients in ZIGZAG order ((nblocks, 64) int64, 4:4:4, one
+    block per MCU). Returns (coefs_zz, gray, ql, qc, h, w, bw, bh)."""
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -660,13 +803,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
         planes = [y, cb, cr]
         qts = [ql, qc, qc]
-    dcl = _huff_encode_table(*_DC_L)
-    acl = _huff_encode_table(*_AC_L)
-    dcc = _huff_encode_table(*_DC_C)
-    acc_t = _huff_encode_table(*_AC_C)
     bw, bh = -(-w // 8), -(-h // 8)
-    wtr = _BitWriter()
-    # per-plane coefficient grids (4:4:4 -> interleave one block each)
     coefs = []
     for p, q in zip(planes, qts):
         pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
@@ -674,12 +811,24 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
             .reshape(-1, 8, 8) - 128.0
         f = np.einsum("ux,nxy,vy->nuv", _JPEG_A, blocks, _JPEG_A)
         qz = np.round(f / q).astype(np.int64)
-        coefs.append(qz.reshape(-1, 64)[:, :])
-    pred = [0] * len(planes)
+        coefs.append(qz.reshape(-1, 64)[:, _JPEG_ZZ])
+    return coefs, gray, ql, qc, h, w, bw, bh
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (4:4:4, Annex-K tables scaled by ``quality``, no subsampling)."""
+    coefs, gray, ql, qc, h, w, bw, bh = _jpeg_plane_coefs(img, quality)
+    dcl = _huff_encode_table(*_DC_L)
+    acl = _huff_encode_table(*_AC_L)
+    dcc = _huff_encode_table(*_DC_C)
+    acc_t = _huff_encode_table(*_AC_C)
+    wtr = _BitWriter()
+    pred = [0] * len(coefs)
     for n in range(bh * bw):
-        for ci in range(len(planes)):
+        for ci in range(len(coefs)):
             dct, act = (dcl, acl) if ci == 0 else (dcc, acc_t)
-            zz = coefs[ci][n].reshape(8, 8).ravel()[_JPEG_ZZ]
+            zz = coefs[ci][n]                    # already zigzag order
             diff = int(zz[0]) - pred[ci]
             pred[ci] = int(zz[0])
             s = int(diff).bit_length() if diff else 0
@@ -1052,4 +1201,213 @@ def encode_gif(img: np.ndarray) -> bytes:
         blk = buf[i:i + 255]
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG encoder (T.81 annex G) — used to produce real SOF2
+# fixtures for the progressive decode path: spectral selection +
+# successive approximation (DC first/refine, AC first + two refine
+# levels). Decoding encode_jpeg_progressive(img) is bit-exact with
+# decoding encode_jpeg(img) at the same quality (identical quantized
+# coefficients, just a different scan order).
+# ---------------------------------------------------------------------------
+
+# single shared code space (valid canonical Huffman, Kraft sum 0.5):
+# every RS symbol available so EOBn run codes exist
+_DC_FLAT = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_AC_FLAT = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+class _ProgAcState:
+    """EOB-run accumulator shared across blocks of one AC scan."""
+
+    def __init__(self, wtr, act):
+        self.wtr, self.act = wtr, act
+        self.eobrun = 0
+        self.pend: list[int] = []        # correction bits of EOB blocks
+
+    def flush(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.act[r << 4]
+            self.wtr.write(code, ln)
+            if r:
+                self.wtr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pend:
+            self.wtr.write(b, 1)
+        self.pend = []
+
+    def add_eob(self, bits):
+        self.eobrun += 1
+        self.pend.extend(bits)
+        if self.eobrun == 0x7FFF:        # EOBn caps at r=14
+            self.flush()
+
+
+def _enc_ac_first(wtr, act, blocks_zz, Ss, Se, Al):
+    st = _ProgAcState(wtr, act)
+    for blk in blocks_zz:
+        vz = blk[Ss:Se + 1]
+        v = np.sign(vz) * (np.abs(vz) >> Al)
+        nz = np.flatnonzero(v)
+        if len(nz) == 0:
+            st.add_eob([])
+            continue
+        st.flush()
+        run = 0
+        for idx in range(int(nz[-1]) + 1):
+            val = int(v[idx])
+            if val == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = abs(val).bit_length()
+            code, ln = act[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(val if val > 0 else val + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < len(v) - 1:
+            st.add_eob([])
+    st.flush()
+
+
+def _enc_ac_refine(wtr, act, blocks_zz, Ss, Se, Al):
+    """Mirror of the decoder's refine state machine: each emitted code
+    is followed by the correction bits of the already-nonzero
+    coefficients its advance passes; EOB blocks queue their bits until
+    the EOBn code is emitted."""
+    st = _ProgAcState(wtr, act)
+    for blk in blocks_zz:
+        vz = blk[Ss:Se + 1]
+        av = np.abs(vz) >> Al            # 0 = zero so far, 1 = newly
+        n = len(av)                      # nonzero, >1 = history
+        newpos = np.flatnonzero(av == 1)
+        if len(newpos) == 0:
+            st.add_eob([int(x) & 1 for x in av[av != 0]])
+            continue
+        st.flush()
+        k = 0
+        ni = 0
+        while ni < len(newpos):
+            p = int(newpos[ni])
+            z = int(np.count_nonzero(av[k:p] == 0))
+            if z > 15:
+                # ZRL: the decoder consumes exactly 16 zero-history
+                # positions, refining history coefficients in between
+                cnt = 0
+                q = k
+                bits = []
+                while True:
+                    if av[q] == 0:
+                        cnt += 1
+                        if cnt == 16:
+                            break
+                    elif av[q] > 1:
+                        bits.append(int(av[q]) & 1)
+                    q += 1
+                code, ln = act[0xF0]
+                wtr.write(code, ln)
+                for b in bits:
+                    wtr.write(b, 1)
+                k = q + 1
+                continue
+            bits = [int(av[q]) & 1 for q in range(k, p) if av[q] > 1]
+            code, ln = act[(z << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if vz[p] > 0 else 0, 1)
+            for b in bits:
+                wtr.write(b, 1)
+            k = p + 1
+            ni += 1
+        if k < n:
+            # positions remain after the last new coefficient: the
+            # decoder will read one more code here, so this block must
+            # join an EOB run (its tail correction bits ride along)
+            st.add_eob([int(av[q]) & 1 for q in range(k, n) if av[q] > 1])
+    st.flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → PROGRESSIVE (SOF2)
+    JPEG bytes: DC first (Al=1) + DC refine, per-component AC spectral
+    bands at Al=2 refined to 1 then 0 — exercises every progressive
+    decode path (EOBn runs, ZRL-in-refine, successive approximation)."""
+    coefs, gray, ql, qc, h, w, bw, bh = _jpeg_plane_coefs(img, quality)
+    ncomp = len(coefs)
+    dct = _huff_encode_table(*_DC_FLAT)
+    act = _huff_encode_table(*_AC_FLAT)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1])
+                   + bytes(qc.ravel()[_JPEG_ZZ].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)                        # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_FLAT[0])
+               + bytes(_DC_FLAT[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_FLAT[0])
+               + bytes(_AC_FLAT[1]))
+
+    def sos(comp_ids, Ss, Se, Ah, Al, body: bytes) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])            # DC table 0 / AC table 0
+        hdr += bytes([Ss, Se, (Ah << 4) | Al])
+        return seg(0xDA, hdr) + body
+
+    # scan 1: DC of all components, interleaved, Al=1
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for nblk in range(bh * bw):
+        for ci in range(ncomp):
+            dc = int(coefs[ci][nblk, 0]) >> 1    # arithmetic shift (A.4)
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            s = abs(diff).bit_length()
+            code, ln = dct[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1, bytes(wtr.out))
+
+    # AC scans per component: two spectral bands at Al=2, then refine
+    # each band 2→1→0
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for (bs, be) in bands:
+            wtr = _BitWriter()
+            _enc_ac_first(wtr, act, coefs[ci], bs, be, 2)
+            wtr.flush()
+            out += sos([ci + 1], bs, be, 0, 2, bytes(wtr.out))
+    # DC refine (interleaved, bit 0)
+    wtr = _BitWriter()
+    for nblk in range(bh * bw):
+        for ci in range(ncomp):
+            wtr.write(int(coefs[ci][nblk, 0]) & 1, 1)
+    wtr.flush()
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0, bytes(wtr.out))
+    # AC refines
+    for ci in range(ncomp):
+        for (bs, be) in bands:
+            for ah, al in ((2, 1), (1, 0)):
+                wtr = _BitWriter()
+                _enc_ac_refine(wtr, act, coefs[ci], bs, be, al)
+                wtr.flush()
+                out += sos([ci + 1], bs, be, ah, al, bytes(wtr.out))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -121,3 +121,41 @@ def test_video_frame_sample_real_avi(ray_session):
     feats = np.asarray(out["frame_feat"].to_pylist(), np.float32)
     want = np.array([0, 85, 170, 255], np.float32) / 255.0
     assert np.allclose(feats.mean(axis=1), want, atol=0.02)
+
+
+# -- progressive JPEG ----------------------------------------------------------
+
+def test_progressive_jpeg_bit_exact_with_baseline():
+    rng = np.random.default_rng(5)
+    for shape, q in [((16, 16), 85), ((33, 41, 3), 90), ((8, 8), 50),
+                     ((64, 48, 3), 75), ((7, 5), 85)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg(img, q))
+        prog_bytes = C.encode_jpeg_progressive(img, q)
+        assert prog_bytes[:2] == b"\xff\xd8"
+        assert b"\xff\xc2" in prog_bytes[:256]   # SOF2 marker present
+        assert np.array_equal(C.decode_jpeg(prog_bytes), base)
+
+
+def test_progressive_jpeg_eob_heavy_content():
+    # smooth gradient → long EOB runs; constant → everything is EOB
+    smooth = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    assert np.array_equal(
+        C.decode_jpeg(C.encode_jpeg_progressive(smooth, 95)),
+        C.decode_jpeg(C.encode_jpeg(smooth, 95)))
+    const = np.full((40, 40, 3), 128, np.uint8)
+    assert np.array_equal(
+        C.decode_jpeg(C.encode_jpeg_progressive(const, 85)),
+        C.decode_jpeg(C.encode_jpeg(const, 85)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.booleans(),
+       st.integers(40, 98), st.integers(0, 2**32 - 1))
+def test_progressive_jpeg_property(h, w, color, quality, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, np.uint8)
+    assert np.array_equal(
+        C.decode_jpeg(C.encode_jpeg_progressive(img, quality)),
+        C.decode_jpeg(C.encode_jpeg(img, quality)))
