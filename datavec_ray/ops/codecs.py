@@ -18,7 +18,10 @@ Real decoders for the formats that are tractable without native libs:
 - Y4M: raw YUV4MPEG2 frame runs (luma plane).
 - AVI/MJPEG: RIFF container walk + per-frame baseline JPEG (parity:
   ``datavec-data-codec/.../CodecRecordReader.java:56`` reads avi via
-  JCodec). mp4/webm still need a native codec and raise.
+  JCodec).
+- MP4/ISO-BMFF: sample-table demux (stsd/stsz/stsc/stco/stts);
+  motion-JPEG samples decode; AVC/HEVC/VP9 raise. webm needs a
+  native codec and raises.
 
 Parity targets: ``datavec-data-image/.../ImageRecordReader.java:33``
 (image file → pixel NDArray) and
@@ -1000,16 +1003,18 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 30,
 def decode_video(data: bytes) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes → (uint8 luma frames (n, h, w), fps).
 
-    Y4M and AVI/MJPEG decode for real; other containers (mp4/webm)
-    need a native codec and raise."""
+    Y4M, AVI/MJPEG and MP4/MJPEG decode for real; webm (and mp4
+    carrying AVC/VP9) need a native codec and raise."""
     if data[:9] == Y4M_MAGIC:
         return decode_y4m(data)
     if data[:4] == AVI_MAGIC and data[8:12] == b"AVI ":
         return decode_avi(data)
+    if data[4:8] == b"ftyp":
+        return decode_mp4_mjpeg(data)
     raise NotImplementedError(
         f"unrecognized video container (magic {data[:4]!r}); this "
-        "container decodes Y4M and AVI/MJPEG natively — mp4/webm need "
-        "a native codec")
+        "container decodes Y4M, AVI/MJPEG and MP4/MJPEG natively — "
+        "webm and non-MJPEG mp4 codecs need a native decoder")
 
 
 # ---------------------------------------------------------------------------
@@ -1411,3 +1416,196 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
                 out += sos([ci + 1], bs, be, ah, al, bytes(wtr.out))
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO base media file format (ISO/IEC 14496-12, public spec) —
+# container DEMUX. Sample tables (stsd/stsz/stsc/stco/stts) are plain
+# box parsing; samples decode when the codec is motion-JPEG ('jpeg' /
+# 'mjpa' / 'MJPG' sample entries — each sample is a complete baseline
+# JPEG). AVC/HEVC/VP9 samples still need a native codec and raise.
+# Reference parity: CodecRecordReader.java:56 reads .mp4 via JCodec.
+# ---------------------------------------------------------------------------
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) walking a box run."""
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        fourcc = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                            # 64-bit largesize
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:                          # to end of file
+            size = end - pos
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, pos: int, end: int, path: list[bytes]):
+    """Return (body_start, body_end) of the first box at a nested path."""
+    for fourcc, body, bend in _mp4_boxes(data, pos, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return body, bend
+            return _mp4_find(data, body, bend, path[1:])
+    return None
+
+
+def decode_mp4_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
+    """MP4 bytes → (uint8 luma frames (n, h, w), fps) when the video
+    track's samples are motion-JPEG. Walks moov→trak→mdia→minf→stbl,
+    reads stsz/stsc/stco(+co64) sample tables, decodes each sample with
+    :func:`decode_jpeg`. Non-MJPEG codecs raise NotImplementedError."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp)")
+    n = len(data)
+    for fourcc, body, bend in _mp4_boxes(data, 0, n):
+        if fourcc != b"moov":
+            continue
+        for tk, tbody, tbend in _mp4_boxes(data, body, bend):
+            if tk != b"trak":
+                continue
+            hdlr = _mp4_find(data, tbody, tbend, [b"mdia", b"hdlr"])
+            if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+                continue
+            stbl = _mp4_find(data, tbody, tbend,
+                             [b"mdia", b"minf", b"stbl"])
+            mdhd = _mp4_find(data, tbody, tbend, [b"mdia", b"mdhd"])
+            if stbl is None:
+                continue
+            sb, se = stbl
+            boxes = {fc: (b, e) for fc, b, e in _mp4_boxes(data, sb, se)}
+            # codec check: first stsd sample entry fourcc
+            db, _ = boxes[b"stsd"]
+            codec = data[db + 12:db + 16]
+            if codec not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+                raise NotImplementedError(
+                    f"MP4 video codec {codec!r}: only motion-JPEG "
+                    "samples decode without a native codec")
+            # sample sizes
+            zb, _ = boxes[b"stsz"]
+            fixed = int.from_bytes(data[zb + 4:zb + 8], "big")
+            count = int.from_bytes(data[zb + 8:zb + 12], "big")
+            sizes = ([fixed] * count if fixed else
+                     [int.from_bytes(data[zb + 12 + 4 * i:zb + 16 + 4 * i],
+                                     "big") for i in range(count)])
+            # chunk offsets
+            if b"stco" in boxes:
+                cb, _ = boxes[b"stco"]
+                nch = int.from_bytes(data[cb + 4:cb + 8], "big")
+                offs = [int.from_bytes(data[cb + 8 + 4 * i:cb + 12 + 4 * i],
+                                       "big") for i in range(nch)]
+            else:
+                cb, _ = boxes[b"co64"]
+                nch = int.from_bytes(data[cb + 4:cb + 8], "big")
+                offs = [int.from_bytes(data[cb + 8 + 8 * i:cb + 16 + 8 * i],
+                                       "big") for i in range(nch)]
+            # sample-to-chunk: (first_chunk, samples_per_chunk) runs
+            scb, _ = boxes[b"stsc"]
+            nrun = int.from_bytes(data[scb + 4:scb + 8], "big")
+            runs = [(int.from_bytes(data[scb + 8 + 12 * i:
+                                         scb + 12 + 12 * i], "big"),
+                     int.from_bytes(data[scb + 12 + 12 * i:
+                                         scb + 16 + 12 * i], "big"))
+                    for i in range(nrun)]
+            # fps from mdhd timescale + stts deltas
+            fps = 30
+            if mdhd is not None and b"stts" in boxes:
+                mb, _ = mdhd
+                ver = data[mb]
+                timescale = int.from_bytes(
+                    data[mb + (20 if ver else 12):
+                         mb + (24 if ver else 16)], "big")
+                tb, _ = boxes[b"stts"]
+                delta = int.from_bytes(data[tb + 12:tb + 16], "big")
+                if delta:
+                    fps = max(1, round(timescale / delta))
+            # walk chunks → sample byte ranges
+            frames = []
+            si = 0
+            for ci in range(len(offs)):
+                spc = next((s for fc, s in reversed(runs)
+                            if fc <= ci + 1), runs[0][1])
+                pos = offs[ci]
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    payload = data[pos:pos + sizes[si]]
+                    img = decode_jpeg(payload)
+                    if img.ndim == 3:
+                        img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                               + 0.114 * img[:, :, 2]).astype(np.uint8)
+                    frames.append(img)
+                    pos += sizes[si]
+                    si += 1
+            if not frames:
+                raise ValueError("MP4 video track has no samples")
+            return np.stack(frames), fps
+    raise ValueError("MP4 contains no video track")
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 30,
+                     quality: int = 90) -> bytes:
+    """uint8 frames (n, h, w) or (n, h, w, 3) → minimal valid MP4 with
+    one motion-JPEG ('jpeg') video track (mdat first, moov after so
+    chunk offsets are known; one chunk per sample)."""
+    frames = np.asarray(frames, np.uint8)
+    nfr = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(nfr)]
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+    def full(fourcc: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(fourcc, bytes([ver, 0, 0, 0]) + body)
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mdat_off = len(ftyp) + 8                     # first sample offset
+    offs = []
+    pos = mdat_off
+    for j in jpegs:
+        offs.append(pos)
+        pos += len(j)
+    mdat = box(b"mdat", b"".join(jpegs))
+
+    timescale = 1000
+    dur = nfr * (timescale // fps)
+    u32, u16 = ((lambda v: int(v).to_bytes(4, "big")),
+                (lambda v: int(v).to_bytes(2, "big")))
+    mvhd = full(b"mvhd", u32(0) * 2 + u32(timescale) + u32(dur)
+                + u32(0x00010000) + u16(0x0100) + u16(0) + u32(0) * 2
+                + u32(0x00010000) + u32(0) * 2 + u32(0) + u32(0x00010000)
+                + u32(0) * 2 + u32(0) + u32(0x40000000) + u32(0) * 6
+                + u32(2))
+    tkhd = full(b"tkhd", u32(0) * 2 + u32(1) + u32(0) + u32(dur)
+                + u32(0) * 2 + u16(0) * 4
+                + u32(0x00010000) + u32(0) * 2 + u32(0) + u32(0x00010000)
+                + u32(0) * 2 + u32(0) + u32(0x40000000)
+                + u32(w << 16) + u32(h << 16), ver=0)
+    # tkhd flags must be 0x7 (enabled): redo with flags
+    tkhd = box(b"tkhd", bytes([0, 0, 0, 7]) + tkhd[12:])
+    mdhd = full(b"mdhd", u32(0) * 2 + u32(timescale) + u32(dur)
+                + u16(0x55C4) + u16(0))
+    hdlr = full(b"hdlr", u32(0) + b"vide" + u32(0) * 3 + b"VideoHandler\x00")
+    vmhd = box(b"vmhd", bytes([0, 0, 0, 1]) + u16(0) * 4)
+    dref = full(b"dref", u32(1) + full(b"url ", b"", ver=0)[:0]
+                + box(b"url ", bytes([0, 0, 0, 1])))
+    dinf = box(b"dinf", dref)
+    sample_entry = (u32(0) + u16(0) + u16(1)      # reserved + dref idx
+                    + u16(0) * 2 + u32(0) * 3 + u16(w) + u16(h)
+                    + u32(0x00480000) + u32(0x00480000) + u32(0)
+                    + u16(1) + b"\x00" * 32 + u16(24) + u16(0xFFFF))
+    stsd = full(b"stsd", u32(1) + box(b"jpeg", sample_entry))
+    stts = full(b"stts", u32(1) + u32(nfr) + u32(timescale // fps))
+    stsc = full(b"stsc", u32(1) + u32(1) + u32(1) + u32(1))
+    stsz = full(b"stsz", u32(0) + u32(nfr)
+                + b"".join(u32(len(j)) for j in jpegs))
+    stco = full(b"stco", u32(len(offs)) + b"".join(u32(o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -18,7 +18,7 @@ payloads are decoded FOR REAL via the pure-stdlib codecs in
 WAV, YUV4MPEG2 luma planes, RIFF AVI walking + per-frame JPEG) —
 pipelines and tests exercise true pixel/sample/frame values. Formats
 needing a native library
-(progressive JPEG, mp4/webm containers) raise NotImplementedError
+(webm, non-MJPEG mp4 codecs) raise NotImplementedError
 unless ``deterministic_fake=True``, which substitutes a content-seeded
 fake so the Ray plumbing (schema, batch sizing, actor signature,
 output layout) stays real and tested.
@@ -49,8 +49,8 @@ MEDIA_SCHEMA = pa.schema([
 
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
     """Deterministic media rows with REAL payloads: PNG/BMP/JPEG/GIF
-    images, PCM WAV audio and Y4M/AVI-MJPEG video (all encoded by the
-    stdlib codecs)."""
+    images, PCM WAV audio and Y4M / AVI-MJPEG / MP4-MJPEG video (all
+    encoded by the stdlib codecs)."""
     rng = np.random.default_rng(seed)
     types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, rates, durs = [], [], [], [], []
@@ -89,8 +89,9 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             w = int(rng.integers(8, 24))
             nfr = int(rng.integers(3, 10))
             frames = rng.integers(0, 256, (nfr, h, w), dtype=np.uint8)
-            enc = (codecs.encode_y4m if i % 2 == 0
-                   else lambda f, fps: codecs.encode_avi_mjpeg(f, fps=fps))
+            enc = (codecs.encode_y4m,
+                   lambda f, fps: codecs.encode_avi_mjpeg(f, fps=fps),
+                   lambda f, fps: codecs.encode_mp4_mjpeg(f, fps=fps))[i % 3]
             payloads.append(enc(frames, fps=10))
             widths.append(w)
             heights.append(h)
@@ -117,8 +118,9 @@ class ImageDecodeResize:
     """Actor-pool stage: decode image bytes → grayscale [0,1] → resize →
     float feature vector column (list<float32> of size target_h*target_w).
 
-    PNG/BMP payloads decode for real; other formats fall back to a
-    content-seeded fake when ``deterministic_fake`` else raise. Small
+    PNG/BMP/JPEG/GIF payloads decode for real; undecodable formats fall
+    back to a content-seeded fake when ``deterministic_fake`` else
+    raise. Small
     batch sizes are mandatory for large binary payloads — pass
     batch_size explicitly when wiring (e.g. 64); the output vector
     layout is row-major (h, w) flattened.
@@ -589,11 +591,11 @@ class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
     frame (explode), each with a frame luma-feature vector.
 
-    Y4M (YUV4MPEG2) and AVI/MJPEG payloads decode FOR REAL —
-    evenly-sampled frames, grayscale luma plane resized to a
-    ``feat``-long vector (sqrt(feat) grid). Container formats needing a
-    native codec (mp4/webm) fall back to a content-seeded fake when
-    ``deterministic_fake`` else raise."""
+    Y4M (YUV4MPEG2), AVI/MJPEG and MP4/MJPEG payloads decode FOR
+    REAL — evenly-sampled frames, grayscale luma plane resized to a
+    ``feat``-long vector (sqrt(feat) grid). Codecs needing a native
+    decoder (webm, AVC/VP9 mp4) fall back to a content-seeded fake
+    when ``deterministic_fake`` else raise."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
                  deterministic_fake: bool = True):

@@ -93,8 +93,8 @@ def test_decode_video_dispatch():
     assert np.array_equal(y4m, frames)
     avi, fps = C.decode_video(C.encode_avi_mjpeg(frames, fps=24))
     assert avi.shape == frames.shape and fps == 24
-    with pytest.raises(NotImplementedError, match="mp4/webm"):
-        C.decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="webm"):
+        C.decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)  # EBML/webm
 
 
 def test_video_frame_sample_real_avi(ray_session):
@@ -159,3 +159,27 @@ def test_progressive_jpeg_property(h, w, color, quality, seed):
     assert np.array_equal(
         C.decode_jpeg(C.encode_jpeg_progressive(img, quality)),
         C.decode_jpeg(C.encode_jpeg(img, quality)))
+
+
+# -- MP4/MJPEG (ISO-BMFF demux) ------------------------------------------------
+
+def test_mp4_mjpeg_roundtrip():
+    frames = _checker_frames(4, 32, 24)
+    mp4 = C.encode_mp4_mjpeg(frames, fps=15, quality=92)
+    assert mp4[4:8] == b"ftyp"
+    back, fps = C.decode_mp4_mjpeg(mp4)
+    assert fps == 15 and back.shape == frames.shape
+    rms = float(np.sqrt(np.mean((back.astype(float) - frames) ** 2)))
+    assert rms < 8.0, rms
+    # dispatcher route
+    b2, f2 = C.decode_video(mp4)
+    assert np.array_equal(b2, back) and f2 == 15
+
+
+def test_mp4_non_mjpeg_codec_raises():
+    frames = _checker_frames(2, 16, 16)
+    mp4 = bytearray(C.encode_mp4_mjpeg(frames, fps=10))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))    # sample entry fourcc
+    mp4[i:i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="motion-JPEG"):
+        C.decode_mp4_mjpeg(bytes(mp4))
