@@ -138,8 +138,12 @@ def _group_partition(ds, keys: Sequence[str], num_partitions: int):
 
     def tag(batch: pa.Table) -> pa.Table:
         h = _row_hash(batch, keys) % np.uint64(num_partitions)
-        return batch.append_column(pa.field(_GPART, pa.int64()),
-                                   pa.array(h.astype(np.int64)))
+        # drop parquet pandas-metadata dicts: they make the schema
+        # unhashable, and Ray's sort stage then logs a "Failed to hash
+        # the schemas" warning per reduce task
+        return batch.replace_schema_metadata(None) \
+            .append_column(pa.field(_GPART, pa.int64()),
+                           pa.array(h.astype(np.int64)))
 
     return ds.map_batches(tag, batch_format="pyarrow")
 

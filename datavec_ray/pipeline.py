@@ -51,6 +51,10 @@ class _FusedSteps:
         self.out_schema = out_schema
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        if table.schema.metadata:
+            # parquet pandas-metadata dicts make the schema unhashable
+            # downstream (Ray sort logs a warning per reduce task)
+            table = table.replace_schema_metadata(None)
         for s in self.steps:
             table = s.apply(table)
         if table.num_rows == 0:
