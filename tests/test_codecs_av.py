@@ -183,3 +183,21 @@ def test_mp4_non_mjpeg_codec_raises():
     mp4[i:i + 4] = b"avc1"
     with pytest.raises(NotImplementedError, match="motion-JPEG"):
         C.decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_gif_interlaced_decode():
+    # build an interlaced GIF by encoding the 4-pass row permutation
+    # and setting the interlace flag in the image descriptor
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (23, 11))]
+    fh = img.shape[0]
+    rows = np.concatenate([np.arange(0, fh, 8), np.arange(4, fh, 8),
+                           np.arange(2, fh, 4), np.arange(1, fh, 2)])
+    data = bytearray(C.encode_gif(img[rows]))
+    # image descriptor follows 13-byte header + 3*ncol GCT
+    ncol = 2 << (data[10] & 7)
+    desc = 13 + 3 * ncol
+    assert data[desc] == 0x2C
+    data[desc + 9] |= 0x40                      # interlace flag
+    assert np.array_equal(C.decode_gif(bytes(data)), img)
