@@ -815,7 +815,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     grams = ds.map_batches(_DistinctGrams(text_col, id_col, n),
                            batch_format="pyarrow").materialize()
-    sizes = grams.groupby("did").count()
+    # materialize: BOTH size joins read this — lazy would re-run the
+    # groupby once per join side
+    sizes = grams.groupby("did").count().materialize()
 
     def _sz(name):
         def f(t: pa.Table) -> pa.Table:
@@ -823,16 +825,35 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              f"sz_{name[-1]}": t["count()"]})
         return f
 
-    pairs = (_tag_bucket_partition(grams, ["g"])
-             .groupby("__bpart")
-             .map_groups(_PerBucket(_GramPairs(max_df), ["g"],
-                                    _EMPTY_PAIRS),
-                         batch_format="pyarrow")
-             .groupby(["id_a", "id_b"]).count())
-    j = JoinStep(sizes.map_batches(_sz("id_a"), batch_format="pyarrow"),
-                 keys=["id_a"]).apply_dataset(pairs)
-    j = JoinStep(sizes.map_batches(_sz("id_b"), batch_format="pyarrow"),
-                 keys=["id_b"]).apply_dataset(j)
+    from datavec_ray.reduce import Reducer
+
+    co = (_tag_bucket_partition(grams, ["g"])
+          .groupby("__bpart")
+          .map_groups(_PerBucket(_GramPairs(max_df), ["g"],
+                                 _EMPTY_PAIRS),
+                      batch_format="pyarrow"))
+    # |A n B| per pair through the map-side-combining Reducer (partial
+    # counts per batch, ONE shuffle of partials) instead of a second
+    # native sort-groupby over raw pair rows
+    cnt = Reducer(["id_a", "id_b"], [["id_a", "Count", "count()"]])
+    cnt._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                     ("id_b", pa.int64())])
+    pairs = cnt.apply_dataset(co)
+    j1 = JoinStep(sizes.map_batches(_sz("id_a"), batch_format="pyarrow"),
+                  keys=["id_a"])
+    # static schema hints: a standalone JoinStep would otherwise probe
+    # ds.schema(), running the whole pairs pipeline once extra
+    j1._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("count()", pa.int64())])
+    j = j1.apply_dataset(pairs)
+    j2 = JoinStep(sizes.map_batches(_sz("id_b"), batch_format="pyarrow"),
+                  keys=["id_b"])
+    j2._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("count()", pa.int64()),
+                                    ("sz_a", pa.int64())])
+    j = j2.apply_dataset(j)
 
     def _finish(t: pa.Table) -> pa.Table:
         inter = t["count()"].cast(pa.float64())

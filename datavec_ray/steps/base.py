@@ -82,7 +82,7 @@ class WideStep(Step):
         sorts) through a limit(1) probe when Ray can't infer it."""
         hint = getattr(self, "_in_schema_hint", None)
         if hint is not None:
-            return hint.arrow()
+            return hint.arrow() if hasattr(hint, "arrow") else hint
         s = ds.schema()
         if s is None:
             return None

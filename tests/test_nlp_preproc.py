@@ -246,18 +246,22 @@ def test_jpeg_round_trip_quality():
     assert rms(lo) > rms(hi)
 
 
-def test_jpeg_dispatch_and_progressive_rejected():
-    from datavec_ray.ops.codecs import decode_image, encode_jpeg
+def test_jpeg_dispatch_and_unsupported_sof_rejected():
+    from datavec_ray.ops.codecs import (decode_image, encode_jpeg,
+                                        encode_jpeg_progressive)
 
     img = np.full((8, 8), 77, np.uint8)
     assert (decode_image(encode_jpeg(img, quality=100)) == img).all() or \
         np.abs(decode_image(encode_jpeg(img, quality=100)).astype(int)
                - 77).max() <= 1
-    # progressive SOF2 raises a clear NotImplementedError
-    prog = encode_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # progressive SOF2 now decodes for real through the dispatcher
+    assert np.abs(decode_image(encode_jpeg_progressive(img, quality=100))
+                  .astype(int) - 77).max() <= 1
+    # lossless SOF3 raises a clear NotImplementedError
+    lossless = encode_jpeg(img).replace(b"\xff\xc0", b"\xff\xc3", 1)
     import pytest
     with pytest.raises(NotImplementedError):
-        decode_image(prog)
+        decode_image(lossless)
 
 
 def test_context_label_retriever(ray_session):
