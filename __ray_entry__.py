@@ -435,6 +435,74 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_joinview(sf_dir: str):
+    """Incrementally-maintained materialized JOIN view over the CDC
+    lake: pair every live USER turn with the live ASSISTANT turn that
+    answers it (join key (conv_id, pair=turn_idx//2)). Build the view
+    from snapshot v1's sides, then ADVANCE it with the v1→v2 retract
+    feed — only join keys named in the delta are recomputed from the
+    v2 snapshot (broadcast affected-key filter map-side); every other
+    view row is carried forward. The oracle joins the two sides of the
+    from-scratch LWW state, so the incremental splice is value-checked
+    end to end."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.cdc.joinview import JoinView
+
+    def _side(parity: int, text_name: str, ts_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            turn = t["turn_idx"].cast(pa.int64())
+            keep = pc.equal(pc.bit_wise_and(turn, 1), parity)
+            s = t.filter(keep)
+            turn_s = s["turn_idx"].cast(pa.int64())
+            return pa.table({
+                "conv_id": s["conv_id"],
+                "pair": pc.shift_right(turn_s, 1),
+                text_name: s["text"],
+                ts_name: s["ts"].cast(pa.int64()),
+            })
+        fn.__name__ = f"joinview_side_p{parity}"
+        return fn
+
+    def _feed_keys(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "pair": pc.shift_right(t["turn_idx"].cast(pa.int64()), 1)})
+
+    ds = _read(sf_dir, "events")
+    cut = int(ds.max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="joinview_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                   checkpoint_name="v2")
+        tt = eng.time_travel()
+        jv = JoinView(on=["conv_id", "pair"], how="inner")
+        left = _side(0, "q_text", "q_ts_ms")
+        right = _side(1, "a_text", "a_ts_ms")
+        v1 = tt.read_state_at("v1")
+        view = jv.build(
+            v1.map_batches(left, batch_format="pyarrow"),
+            tt.read_state_at("v1").map_batches(right,
+                                               batch_format="pyarrow"))
+        feed = tt.retract_feed("v1", "v2").map_batches(
+            _feed_keys, batch_format="pyarrow")
+        v2l = tt.read_state_at("v2").map_batches(left,
+                                                 batch_format="pyarrow")
+        v2r = tt.read_state_at("v2").map_batches(right,
+                                                 batch_format="pyarrow")
+        return jv.advance(view, [feed], v2l, v2r)
+    finally:
+        eng.shutdown()
+
+
 def _q_grouped_quantile_cont(sf_dir: str):
     """Interpolated (continuous) per-group quantiles — DuckDB
     quantile_cont semantics."""
@@ -1566,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
+        "cdc_joinview": _q_cdc_joinview,
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
         "grouped_quantile_cont": _q_grouped_quantile_cont,
@@ -1967,6 +2036,21 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "cdc_joinview": _BINLOG_CTE + """
+            , state as (
+              select conv_id, turn_idx, text, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D')
+            select l.conv_id, cast(l.turn_idx // 2 as bigint) as pair,
+                   l.text as q_text, l.ts_ms as q_ts_ms,
+                   r.text as a_text, r.ts_ms as a_ts_ms
+            from state l join state r
+              on l.conv_id = r.conv_id
+             and l.turn_idx // 2 = r.turn_idx // 2
+            where l.turn_idx % 2 = 0 and r.turn_idx % 2 = 1""",
         "frequent_tokens": """
             select value, cnt from (
               select tok as value, count(*) as cnt

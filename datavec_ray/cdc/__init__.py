@@ -9,3 +9,4 @@ schema evolution and per-partition lineage. See SURVEY.md §7.
 from datavec_ray.cdc.binlog import synth_binlog, binlog_from_events, TRANSCRIPT_SCHEMA
 from datavec_ray.cdc.oracle import replay_oracle
 from datavec_ray.cdc.engine import CdcIngestEngine, lww_compact_dataset
+from datavec_ray.cdc.joinview import JoinView
