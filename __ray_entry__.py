@@ -1213,6 +1213,19 @@ def _q_line_dedup(sf_dir: str):
                       num_buckets=16)
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher n-gram/line repetition filters per document (dup-line
+    fractions over 10-word lines, top-{2,3,4}-gram char coverage,
+    dup-{5,10}-gram char coverage) — exact int64 numerators, one
+    divide, round(6); the oracle reproduces every expression."""
+    from datavec_ray.ops.textstats import repetition_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_signals(docs, "text", "doc_id",
+                              words_per_line=10,
+                              top_ns=(2, 3, 4), dup_ns=(5, 10))
+
+
 def _q_top_ngrams(sf_dir: str):
     """Corpus-wide 50 most frequent word bigrams (count desc, gram asc
     — total order, deterministic under ties)."""
@@ -1678,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "line_dedup": _q_line_dedup,
         "top_ngrams": _q_top_ngrams,
+        "repetition_signals": _q_repetition_signals,
         "dup_clusters": _q_dup_clusters,
         "grouped_topn": _q_grouped_topn,
         "pii_redact": _q_pii_redact,
@@ -1732,6 +1746,89 @@ with b as (
   from b
 )
 """
+
+
+def _repetition_sql(wpl: int = 10, top_ns=(2, 3, 4),
+                    dup_ns=(5, 10)) -> str:
+    """Oracle for ``repetition_signals``: every numerator/denominator
+    mirrored term for term (exact integer sums, one divide, round 6)."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    ctes = [f"""
+with toks as (
+  select doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> x <> '') as ws
+  from documents
+), w as (
+  select doc_id, unnest(ws) as w, generate_subscripts(ws, 1) as i
+  from toks
+), base as (
+  select doc_id, count(*) as n_words,
+         cast(sum(length(w)) + count(*) - 1 as bigint) as total_chars
+  from w group by doc_id
+), lines as (
+  select doc_id, (i - 1) // {wpl} as li,
+         cast(sum(length(w)) + count(*) - 1 as bigint) as L,
+         string_agg(w, ' ' order by i) as line
+  from w group by doc_id, (i - 1) // {wpl}
+), lg as (
+  select doc_id, line, count(*) as k, max(L) as L
+  from lines group by doc_id, line
+), lstats as (
+  select doc_id, cast(sum(k) as bigint) as n_lines,
+         sum(k - 1) as dup_lines,
+         sum((k - 1) * L) as dup_chars,
+         sum(k * L) as tot_lchars
+  from lg group by doc_id
+)"""]
+    for n in all_ns:
+        gram = " || ' ' || ".join(
+            ["w"] + [f"lead(w, {j}) over win" for j in range(1, n)])
+        ctes.append(f""", g{n} as (
+  select doc_id, gram, count(*) as k,
+         cast(max(length(gram)) as bigint) as L
+  from (select doc_id, {gram} as gram,
+               lead(w, {n - 1}) over win as last_w
+        from w window win as (partition by doc_id order by i))
+  where last_w is not null
+  group by doc_id, gram
+)""")
+        if n in top_ns:
+            ctes.append(f""", top{n} as (
+  select doc_id, k * L as top_num
+  from (select doc_id, k, L, row_number() over
+          (partition by doc_id order by k desc, gram asc) as rn
+        from g{n})
+  where rn = 1
+)""")
+        if n in dup_ns:
+            ctes.append(f""", dup{n} as (
+  select doc_id, sum((k - 1) * L) as dup_num from g{n} group by doc_id
+)""")
+    sel = ["""
+select d.doc_id,
+       cast(coalesce(b.n_words, 0) as bigint) as n_words,
+       cast(coalesce(ls.n_lines, 0) as bigint) as n_lines,
+       round(coalesce(ls.dup_lines * 1.0 / ls.n_lines, 0.0), 6)
+           as dup_line_frac,
+       round(coalesce(ls.dup_chars * 1.0 / ls.tot_lchars, 0.0), 6)
+           as dup_line_char_frac"""]
+    joins = ["""
+from documents d
+left join base b using (doc_id)
+left join lstats ls using (doc_id)"""]
+    for n in all_ns:
+        if n in top_ns:
+            sel.append(f""",
+       round(coalesce(t{n}.top_num * 1.0 / b.total_chars, 0.0), 6)
+           as top{n}gram_char_frac""")
+            joins.append(f"\nleft join top{n} t{n} using (doc_id)")
+        if n in dup_ns:
+            sel.append(f""",
+       round(coalesce(d{n}.dup_num * 1.0 / b.total_chars, 0.0), 6)
+           as dup{n}gram_char_frac""")
+            joins.append(f"\nleft join dup{n} d{n} using (doc_id)")
+    return "".join(ctes) + "".join(sel) + "".join(joins)
 
 
 # the exact RE2 pattern strings the Ray-side redact_pii applies, in
@@ -2697,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
             qualify row_number() over (partition by lang
                                        order by x, doc_id) <= 20
         """,
+        "repetition_signals": _repetition_sql(),
         "top_ngrams": """
             with words as (
               select doc_id,

@@ -753,3 +753,144 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_Score, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
+                       words_per_line: int = 10,
+                       top_ns: Sequence[int] = (2, 3, 4),
+                       dup_ns: Sequence[int] = (5, 10)):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, public) — the
+    n-gram and line half of the family (``quality_signals`` covers the
+    word-level half):
+
+    - ``dup_line_frac``        lines that duplicate another line in the
+      SAME doc / total lines (docs are re-chunked into
+      ``words_per_line``-word lines first, as ``line_dedup`` does);
+    - ``dup_line_char_frac``   chars in those duplicate occurrences /
+      total line chars;
+    - ``top{n}gram_char_frac`` (n in ``top_ns``): chars covered by all
+      occurrences of the doc's MOST FREQUENT word n-gram / total chars
+      (ties broken to the lexicographically smallest gram, so the
+      signal is deterministic and SQL-mirrorable);
+    - ``dup{n}gram_char_frac`` (n in ``dup_ns``): chars in beyond-first
+      occurrences of duplicated n-grams / total chars.
+
+    Token = space-separated non-empty run (the file-wide convention);
+    total chars = length of the single-space-normalized text. All
+    numerators/denominators are exact int64 sums divided once, rounded
+    to 6 — the oracle SQL reproduces every expression term for term.
+
+    Row-local (shuffle-free) and vectorized: ONE split per batch, line
+    and gram strings built with offset-arithmetic ListArray /
+    binary_join kernels, per-(doc, gram) counting in a hash groupby —
+    no per-document Python loop.
+    """
+    import pandas as pd
+
+    from datavec_ray.util import round_half_away
+
+    top_set, dup_set = set(top_ns), set(dup_ns)
+    all_ns = sorted(top_set | dup_set)
+    wpl = int(words_per_line)
+
+    def _empty_cols(ndocs):
+        z = np.zeros(ndocs, np.float64)
+        return z
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        col = combine(batch[text_col])
+        ndocs = len(col)
+        parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+        flat = combine(pc.list_flatten(parts))
+        offsets = np.asarray(parts.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(ndocs, dtype=np.int64),
+                           np.diff(offsets))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_of = row_of[nonempty]
+        words = flat.filter(pa.array(nonempty))
+        n_words = np.bincount(row_of, minlength=ndocs).astype(np.int64)
+        wlen = pc.utf8_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        char_sum = np.bincount(row_of, weights=wlen,
+                               minlength=ndocs).astype(np.int64)
+        total_chars = char_sum + np.maximum(n_words - 1, 0)
+        denom = np.maximum(total_chars, 1).astype(np.float64)
+
+        out = {id_col: batch[id_col],
+               "n_words": pa.array(n_words)}
+
+        # ---- line repetition over `wpl`-word lines ------------------------
+        nlines = -(-n_words // wpl)
+        out["n_lines"] = pa.array(nlines.astype(np.int64))
+        doc_of_line = np.repeat(np.arange(ndocs, dtype=np.int64), nlines)
+        first_word = np.concatenate(([0], np.cumsum(n_words)[:-1])) \
+            if ndocs else np.array([], np.int64)
+        j = _pos_in_segment(nlines)
+        ends = np.minimum(first_word[doc_of_line] + (j + 1) * wpl,
+                          (first_word + n_words)[doc_of_line])
+        # lines tile each doc's word run contiguously → offsets = [0, ends...]
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], ends)), pa.int32()), words)
+        lines = pc.binary_join(la.cast(pa.list_(pa.string())),
+                               pa.scalar(" "))
+        llen = pc.utf8_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lg = pd.DataFrame({"d": doc_of_line, "s": lines.to_pandas(),
+                           "L": llen}) \
+            .groupby(["d", "s"], sort=False) \
+            .agg(k=("L", "size"), L=("L", "first")).reset_index()
+        gd = lg["d"].to_numpy()
+        kk = lg["k"].to_numpy(dtype=np.int64)
+        LL = lg["L"].to_numpy(dtype=np.int64)
+        dup_lines = np.bincount(gd, weights=kk - 1, minlength=ndocs)
+        dup_chars = np.bincount(gd, weights=(kk - 1) * LL, minlength=ndocs)
+        tot_lchars = np.bincount(gd, weights=kk * LL, minlength=ndocs)
+        out["dup_line_frac"] = pa.array(round_half_away(
+            dup_lines / np.maximum(nlines, 1), 6))
+        out["dup_line_char_frac"] = pa.array(round_half_away(
+            dup_chars / np.maximum(tot_lchars, 1), 6))
+
+        # ---- n-gram repetition --------------------------------------------
+        m_total = len(words)
+        for n in all_ns:
+            m = m_total - n + 1
+            top = _empty_cols(ndocs)
+            dup = _empty_cols(ndocs)
+            if m > 0:
+                valid = row_of[:m] == row_of[n - 1:]
+                grams = pc.binary_join_element_wise(
+                    *(words.slice(i, m) for i in range(n)), " ") \
+                    .filter(pa.array(valid))
+                gdoc = row_of[:m][valid]
+                if len(grams):
+                    glen = pc.utf8_length(grams).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    gg = pd.DataFrame({"d": gdoc, "g": grams.to_pandas(),
+                                       "L": glen}) \
+                        .groupby(["d", "g"], sort=False) \
+                        .agg(k=("L", "size"), L=("L", "first")) \
+                        .reset_index()
+                    if n in dup_set:
+                        kv = gg["k"].to_numpy(dtype=np.int64)
+                        Lv = gg["L"].to_numpy(dtype=np.int64)
+                        dup = np.bincount(gg["d"].to_numpy(),
+                                          weights=(kv - 1) * Lv,
+                                          minlength=ndocs) / denom
+                    if n in top_set:
+                        best = gg.sort_values(
+                            ["d", "k", "g"],
+                            ascending=[True, False, True],
+                            kind="stable").drop_duplicates("d")
+                        num = np.zeros(ndocs, np.float64)
+                        num[best["d"].to_numpy()] = \
+                            (best["k"].to_numpy(dtype=np.int64)
+                             * best["L"].to_numpy(dtype=np.int64))
+                        top = num / denom
+            if n in top_set:
+                out[f"top{n}gram_char_frac"] = pa.array(round_half_away(top, 6))
+            if n in dup_set:
+                out[f"dup{n}gram_char_frac"] = pa.array(round_half_away(dup, 6))
+        return pa.table(out)
+
+    _sig.__name__ = "repetition_signals"
+    return ds.map_batches(_sig, batch_format="pyarrow")

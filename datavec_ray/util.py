@@ -40,3 +40,22 @@ def table_from_result(obj) -> pa.Table:
     if isinstance(obj, pd.DataFrame):
         return pa.Table.from_pandas(obj, preserve_index=False)
     return dataset_to_table(obj)
+
+
+def round_half_away(x, digits: int = 6):
+    """Round HALF AWAY FROM ZERO — SQL semantics (DuckDB round(), which
+    gives 2.5→3, 3.5→4), vs numpy/pyarrow's banker's rounding (2.5→2).
+    Needed whenever a rounded float column must hash-match a SQL
+    oracle: tie cases (exact binary halves, e.g. k/256 fractions) flip
+    the last digit between the two conventions.
+
+    Exact-tie detection on the scaled value; non-ties take the nearest
+    double either way, so only representable .5 ties are adjusted."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** digits
+    y = x * scale
+    f = np.floor(y)
+    tie = (y - f) == 0.5
+    r = np.where(tie, np.where(y > 0, f + 1.0, f), np.rint(y))
+    return r / scale
