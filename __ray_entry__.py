@@ -228,6 +228,25 @@ def _q_string_ops(sf_dir: str):
     return p.execute(ds)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode canonicalization before hashing/dedup: deterministic
+    messy text (combining accent + tab + control char injected around
+    each document, mirrored in SQL) → NFC + control strip + whitespace
+    collapse + trim + lowercase."""
+    from datavec_ray.steps.string import NormalizeText
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        m = pc.binary_join_element_wise(
+            "Café\t ", t["text"].combine_chunks(), "  X\x7fY", "")
+        return pa.table({"doc_id": t["doc_id"], "text": m})
+
+    step = NormalizeText("text", form="NFC", lower=True)
+    return docs.map_batches(messy, batch_format="pyarrow") \
+        .map_batches(lambda b: step.apply(b), batch_format="pyarrow")
+
+
 def _q_categorical_onehot(sf_dir: str):
     from datavec_ray import TransformPipeline
     from datavec_ray.steps import CategoricalToOneHot, KeepColumns, StringToCategorical
@@ -1692,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "top_ngrams": _q_top_ngrams,
         "repetition_signals": _q_repetition_signals,
+        "normalize_text": _q_normalize_text,
         "dup_clusters": _q_dup_clusters,
         "grouped_topn": _q_grouped_topn,
         "pii_redact": _q_pii_redact,
@@ -2795,6 +2815,14 @@ def oracle_sql() -> dict[str, str]:
                                        order by x, doc_id) <= 20
         """,
         "repetition_signals": _repetition_sql(),
+        "normalize_text": """
+            select doc_id,
+                   lower(trim(regexp_replace(regexp_replace(
+                       nfc_normalize('Cafe' || chr(769) || chr(9) || ' '
+                                     || text || '  X' || chr(127) || 'Y'),
+                       '[\\x00-\\x1f\\x7f]', '', 'g'),
+                       '\\s+', ' ', 'g'))) as text
+            from documents""",
         "top_ngrams": """
             with words as (
               select doc_id,

@@ -14,6 +14,7 @@ from datavec_ray.steps.math import (
 )
 from datavec_ray.steps.string import (
     AppendString, ChangeCase, ConcatenateStringColumns, MapAllStringsExceptList,
+    NormalizeText,
     RegexReplace, RemoveWhiteSpace, ReplaceEmptyString, StringListToCategoricalSet,
     StringListToCounts, StringListToIndicator, StringListToIndices, StringMap,
 )

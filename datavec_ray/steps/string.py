@@ -86,6 +86,72 @@ class ConcatenateStringColumns(Step):
 
 
 @register("step")
+class NormalizeText(Step):
+    """Unicode/whitespace text normalization — the canonicalization pass
+    a curation pipeline runs before hashing, dedup or tokenization
+    (beyond the reference, which has no Unicode handling): NFC
+    normalization (``pc.utf8_normalize``; combining sequences →
+    precomposed), control-character strip, whitespace-run collapse to a
+    single space, edge trim, optional lowercase — in that fixed order,
+    each an RE2/Arrow kernel that DuckDB reproduces verbatim
+    (``nfc_normalize`` + ``regexp_replace`` + ``trim`` + ``lower``).
+    """
+
+    CTRL = r"[\x00-\x1f\x7f]"
+
+    def __init__(self, column: str, form: str = "NFC",
+                 strip_control: bool = True,
+                 collapse_whitespace: bool = True,
+                 trim: bool = True, lower: bool = False):
+        if form not in ("NFC", "NFKC", "NFD", "NFKD", None):
+            raise ValueError("form must be an NF* form or None")
+        self.column = column
+        self.form = form
+        self.strip_control = strip_control
+        self.collapse_whitespace = collapse_whitespace
+        self.trim = trim
+        self.lower = lower
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(self.column)
+        return schema
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        col = combine(table[self.column])
+        if self.form:
+            # NOT pc.utf8_normalize: pyarrow 16's kernel decomposes no
+            # matter which form is asked for (NFC of a precomposed char
+            # returns the combining sequence), so it cannot round-trip
+            # against SQL nfc_normalize. Gate the per-row unicodedata
+            # path behind a vectorized non-ASCII scan — ASCII batches
+            # (the overwhelming common case) never leave Arrow, and
+            # every NF* form is the identity on them.
+            import unicodedata
+            has_non_ascii = pc.any(pc.match_substring_regex(
+                pc.fill_null(col, ""), "[^\\x00-\\x7f]")).as_py()
+            if has_non_ascii:
+                col = pa.array(
+                    [s if s is None or s.isascii()
+                     else unicodedata.normalize(self.form, s)
+                     for s in col.to_pylist()], pa.string())
+        if self.strip_control:
+            col = pc.replace_substring_regex(col, self.CTRL, "")
+        if self.collapse_whitespace:
+            col = pc.replace_substring_regex(col, r"\s+", " ")
+        if self.trim:
+            col = pc.utf8_trim_whitespace(col)
+        if self.lower:
+            col = pc.utf8_lower(col)
+        return set_column(table, self.column, combine(col))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "NormalizeText", "column": self.column,
+                "form": self.form, "strip_control": self.strip_control,
+                "collapse_whitespace": self.collapse_whitespace,
+                "trim": self.trim, "lower": self.lower}
+
+
+@register("step")
 class MapAllStringsExceptList(Step):
     """Values not in the keep-list → replacement (MapAllStringsExceptListTransform)."""
 

@@ -220,3 +220,30 @@ def test_pipeline_serde_roundtrip():
     b = p2.execute_table(base_table())
     assert a.schema == b.schema
     assert a.drop_columns(["d"]).equals(b.drop_columns(["d"]))  # d has NaN
+
+
+def test_normalize_text():
+    from datavec_ray.steps.string import NormalizeText
+
+    t = pa.table({"s": pa.array(
+        ["Café  \t X\x7fY ",      # combining accent + ctrl + runs
+         "plain  ascii",
+         None,
+         "é"],                      # precomposed stays precomposed
+        pa.string())})
+    out = NormalizeText("s", lower=True).apply(t)
+    assert out["s"].to_pylist() == ["café xy", "plain ascii", None, "é"]
+    # NFC really composes: 'e'+U+0301 collapses to one codepoint
+    assert len(out["s"][0].as_py()) == len("cafe xy")
+    # serde round-trip through the registry
+    from datavec_ray.pipeline import TransformPipeline
+    from datavec_ray.schema import Schema
+    s = Schema.builder().add_string("s").build()
+    p = TransformPipeline(s).add(NormalizeText("s", lower=True))
+    p2 = TransformPipeline.from_json(p.to_json())
+    assert p2.execute_table(t)["s"].to_pylist() == out["s"].to_pylist()
+    # ASCII-only batches never enter the per-row path (identity check)
+    t2 = pa.table({"s": pa.array(["abc  def", " x "], pa.string())})
+    assert NormalizeText("s").apply(t2)["s"].to_pylist() == ["abc def", "x"]
+    with pytest.raises(ValueError):
+        NormalizeText("s", form="XXX")
