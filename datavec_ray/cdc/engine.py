@@ -709,6 +709,25 @@ def read_checkpoint_partition(ckpt_dir: str, pid: int) -> Optional[pa.Table]:
     return pa.table(cols)
 
 
+def detect_num_partitions(lake_dir: str) -> int:
+    """Partition count of an existing lake — size an engine that
+    reopens a possibly-repartitioned lake:
+    ``CdcIngestEngine(lake, num_partitions=detect_num_partitions(lake))``.
+    Prefers the manifest's recorded layout (exact even when the highest
+    partitions happen to be empty); falls back to counting lake files."""
+    mpath = os.path.join(lake_dir, "_manifest.jsonl")
+    if os.path.exists(mpath):
+        for e in reversed(Manifest(mpath).entries):
+            if e.get("layout"):
+                return int(e["layout"])
+    pids = [int(f[len("part-"):-len(".parquet")])
+            for f in os.listdir(lake_dir)
+            if f.startswith("part-") and f.endswith(".parquet")]
+    if not pids:
+        raise FileNotFoundError(f"no lake partition files in {lake_dir}")
+    return max(pids) + 1
+
+
 class _ReplayCompactCommit:
     """Reduce-side body for the batch-replay fast path: final LWW
     compaction of ONE hash partition (merged with the partition's prior
@@ -1152,7 +1171,9 @@ class CdcIngestEngine:
     REPLAY_SPLIT_ROWS = 500_000
 
     def replay(self, ds, checkpoint_name: str = "replay",
-               min_lsn_exclusive: Optional[int] = None) -> list[dict]:
+               min_lsn_exclusive: Optional[int] = None,
+               merge_prior: bool = True,
+               watermark_floor: Optional[int] = None) -> list[dict]:
         """Replay a binlog Dataset straight to a committed lake — the
         bulk/backfill fast path (``ingest()`` + shard actors remain the
         low-latency incremental path):
@@ -1190,7 +1211,8 @@ class CdcIngestEngine:
         cp = self.manifest.last_checkpoint()
         if min_lsn_exclusive is None:
             min_lsn_exclusive = (cp.get("lsn_hi") or 0) if cp else 0
-        prior_dir = os.path.join(self.ckpt_dir, cp["name"]) if cp else None
+        prior_dir = os.path.join(self.ckpt_dir, cp["name"]) \
+            if (cp and merge_prior) else None
         prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                self.salt_turns, self.hot_convs,
                                min_lsn_exclusive, carry_watermark=True,
@@ -1250,8 +1272,11 @@ class CdcIngestEngine:
         # watermark can never move backwards even if a segment was empty
         lsn_hi = max((l["lsn_hi"] for l in lineages),
                      default=min_lsn_exclusive)
+        if watermark_floor is not None:
+            lsn_hi = max(lsn_hi, watermark_floor)
         self.manifest.append({
             "type": "checkpoint", "name": checkpoint_name, "lsn_hi": lsn_hi,
+            "layout": P,
             "partitions": len(lineages) + len(carried),
             "keys": (sum(l["rows"] + l["deletes"] for l in lineages)
                      + sum(l["state_rows"] for l in carried)),
@@ -1263,6 +1288,75 @@ class CdcIngestEngine:
                 continue  # crash-rerun of an already-committed partition
             self.manifest.append(l)
         self.events_seen += sum(l["events_applied"] for l in lineages)
+        return lineages
+
+    # -- layout evolution -------------------------------------------------
+    def repartition(self, new_num_partitions: int,
+                    checkpoint_name: str = "repartition") -> list[dict]:
+        """Change the lake's partition LAYOUT (split when partitions
+        outgrow a node, merge when over-sharded) — the scale knob a
+        long-lived 100 TB lake eventually needs, since `num_partitions`
+        is otherwise fixed at creation.
+
+        Mechanism: the latest checkpoint's FULL state (live rows +
+        tombstones, read per old partition) is already binlog-shaped
+        (lsn/op/key/payload/ts), so it replays through the ordinary
+        two-stage exchange at the NEW partition count with prior-state
+        merging disabled (the old layout's partition files must not
+        merge positionally into the new layout) and the LSN watermark
+        floored at the manifest's current value (events beyond the max
+        surviving row's lsn were already applied; the watermark must
+        not regress). Exactly-once exactly as replay(): idempotent
+        per-partition files + atomic manifest append — a crashed
+        repartition rerun rewrites the same files.
+
+        After the commit, stale lake files beyond the new count are
+        removed (shrink case) and a `repartition` audit entry records
+        the layout change. Checkpoint segments BEFORE the boundary keep
+        the old layout — time travel reads still work, but change/
+        retract feeds cannot cross a layout boundary (partition-aligned
+        diff; TimeTravel raises). Shard actors are reset; the next
+        ingest() builds the new pool. When reopening a lake later, size
+        the engine with ``detect_num_partitions(lake_dir)``.
+        """
+        import ray
+        import ray.data as rd
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        cp = self.manifest.last_checkpoint()
+        if not cp:
+            raise RuntimeError("nothing to repartition: no checkpoint yet")
+        prior_dir = os.path.join(self.ckpt_dir, cp["name"])
+        old_pids = sorted(
+            int(f[len("part-"):-len(".parquet")])
+            for f in os.listdir(prior_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+            and ".payload." not in f)
+        old_p = self.num_partitions
+        wm = self.manifest.watermark()
+        task = ray.remote(read_checkpoint_partition)
+        refs = [task.remote(prior_dir, pid) for pid in old_pids]
+        state_ds = rd.from_arrow_refs(refs)
+        self.num_partitions = int(new_num_partitions)
+        self.shards = None                      # new layout → new pool
+        if self.ingest_mode in ("router", "shuffle"):
+            self.ingest_mode = (
+                "shuffle"
+                if self.num_partitions >= self.AUTO_SHUFFLE_PARTITIONS
+                else "router")
+        lineages = self.replay(state_ds, checkpoint_name=checkpoint_name,
+                               min_lsn_exclusive=0, merge_prior=False,
+                               watermark_floor=wm)
+        # shrink: drop lake files the new layout no longer writes
+        for pid in old_pids:
+            if pid >= self.num_partitions:
+                stale = os.path.join(self.lake_dir,
+                                     f"part-{pid:04d}.parquet")
+                if os.path.exists(stale):
+                    os.remove(stale)
+        self.manifest.append({"type": "repartition", "from": old_p,
+                              "to": self.num_partitions,
+                              "name": checkpoint_name, "lsn_hi": wm})
         return lineages
 
     # -- resume ---------------------------------------------------------
@@ -1348,6 +1442,7 @@ class CdcIngestEngine:
         infos = ray.get([s.snapshot.remote(os.path.join(d, f"part-{p:04d}.parquet"))
                          for p, s in enumerate(self.shards)])
         entry = {"type": "checkpoint", "name": name, "lsn_hi": lsn_hi,
+                 "layout": self.num_partitions,
                  "partitions": len(infos),
                  "keys": sum(i["keys"] for i in infos),
                  "schema": (self._canonical.serialize().to_pybytes().hex()

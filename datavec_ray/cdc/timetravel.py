@@ -278,6 +278,36 @@ class TimeTravel:
             return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
         return self.read_state_at(name)
 
+    def _check_same_layout(self, from_name: Optional[str],
+                           to_name: str) -> None:
+        """Feeds diff partitions POSITIONALLY (pid k vs pid k), which is
+        only meaningful while both snapshots share the hash layout. A
+        `repartition` boundary between them (or differing recorded
+        layouts) makes the positional diff wrong — refuse and point at
+        the recompute path."""
+        if from_name is None:       # diff-from-empty: layout-independent
+            return
+        layout = {}
+        crossed = False
+        seen_from = False
+        for e in self.manifest.entries:
+            t = e.get("type")
+            if t == "checkpoint":
+                layout[e["name"]] = e.get("layout")
+                if e["name"] == from_name:
+                    seen_from, crossed = True, False
+                elif e["name"] == to_name and seen_from:
+                    break
+            elif t == "repartition" and seen_from:
+                crossed = True
+        lf, lt = layout.get(from_name), layout.get(to_name)
+        if crossed or (lf and lt and lf != lt):
+            raise ValueError(
+                f"snapshots {from_name!r} -> {to_name!r} span a "
+                "repartition boundary; positional partition diffs are "
+                "undefined across layouts. Rebuild downstream views from "
+                "read_state_at(to) instead.")
+
     def change_feed(self, from_name: Optional[str], to_name: str):
         """Row-level delta between two snapshots as a Dataset of
         (conv_id, turn_idx, change_type, payload..., ts, lsn).
@@ -285,6 +315,7 @@ class TimeTravel:
         insert)."""
         import ray
         import ray.data as rd
+        self._check_same_layout(from_name, to_name)
         new_seg = _segment_dir(self.ckpt_dir, to_name)
         old_seg = _segment_dir(self.ckpt_dir, from_name) if from_name \
             else None
@@ -304,6 +335,7 @@ class TimeTravel:
         ``from_name=None`` means "from empty"."""
         import ray
         import ray.data as rd
+        self._check_same_layout(from_name, to_name)
         new_seg = _segment_dir(self.ckpt_dir, to_name)
         old_seg = _segment_dir(self.ckpt_dir, from_name) if from_name \
             else None

@@ -524,3 +524,78 @@ def test_joinview_empty_delta_and_collisions(ray_session, tt_engine):
                                                  batch_format="pyarrow"))
     with pytest.raises(ValueError, match="how"):
         JoinView(on=["conv_id"], how="cross")
+
+
+# ---------------------------------------------------------------------------
+# lake repartitioning (layout evolution)
+# ---------------------------------------------------------------------------
+
+def test_repartition_grow_shrink_preserves_state(ray_session, tmp_path):
+    from datavec_ray.cdc.engine import (CdcIngestEngine,
+                                        detect_num_partitions)
+
+    binlog = synth_binlog(4000, seed=33)
+    segs = split_segments(binlog, 2)
+    eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(segs[0], checkpoint_name="s1")
+    wm_before = eng.manifest.watermark()
+
+    # grow 4 -> 8: full state preserved, watermark never regresses
+    eng.repartition(8, checkpoint_name="r8")
+    assert eng.num_partitions == 8
+    assert detect_num_partitions(str(tmp_path / "lake")) == 8
+    assert eng.manifest.watermark() >= wm_before
+    expect1 = replay_oracle(segs[0])
+    got1 = eng.read_lake()
+    assert got1.num_rows == expect1.num_rows
+    assert _payload_map(got1) == _payload_map(expect1)
+
+    # ingest the second segment on the NEW layout
+    eng.replay(segs[1], checkpoint_name="s2")
+    expect = replay_oracle(binlog)
+    got = eng.read_lake()
+    assert _payload_map(got) == _payload_map(expect)
+
+    # shrink 8 -> 2: stale lake files removed, state still exact
+    eng.repartition(2, checkpoint_name="r2")
+    import os
+    files = [f for f in os.listdir(str(tmp_path / "lake"))
+             if f.startswith("part-") and f.endswith(".parquet")]
+    assert sorted(files) == ["part-0000.parquet", "part-0001.parquet"]
+    assert detect_num_partitions(str(tmp_path / "lake")) == 2
+    assert _payload_map(eng.read_lake()) == _payload_map(expect)
+
+    # lookups route on the new layout
+    some = expect["conv_id"].to_pylist()[0]
+    assert eng.lookup([some]).num_rows > 0
+
+    # feeds cannot cross the layout boundary; within one layout they work
+    tt = eng.time_travel()
+    with pytest.raises(ValueError, match="repartition boundary"):
+        tt.retract_feed("s1", "r2")
+    with pytest.raises(ValueError, match="repartition boundary"):
+        tt.change_feed("s2", "r2")
+    assert dataset_to_table(tt.change_feed(None, "r2")).num_rows > 0
+    eng.shutdown()
+
+
+def test_repartition_then_reopen_and_resume(ray_session, tmp_path):
+    from datavec_ray.cdc.engine import (CdcIngestEngine,
+                                        detect_num_partitions)
+
+    binlog = synth_binlog(2500, seed=44)
+    segs = split_segments(binlog, 2)
+    lake = str(tmp_path / "lake")
+    eng = CdcIngestEngine(lake, num_partitions=3)
+    eng.replay(segs[0], checkpoint_name="a")
+    eng.repartition(6, checkpoint_name="r6")
+    eng.shutdown()
+
+    eng2 = CdcIngestEngine(lake, num_partitions=detect_num_partitions(lake))
+    assert eng2.num_partitions == 6
+    wm = eng2.resume_from_checkpoint()
+    assert wm >= int(max(segs[0]["lsn"].to_pylist()))
+    eng2.replay(segs[1], checkpoint_name="b")
+    assert _payload_map(eng2.read_lake()) == _payload_map(
+        replay_oracle(binlog))
+    eng2.shutdown()
