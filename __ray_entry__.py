@@ -1013,6 +1013,27 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_query(idx, q, k=10, nprobe=4)
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (the memory path: m uint8 codes per
+    vector, ADC lookup-table scoring — corpus pass reads 8 bytes/row
+    instead of 256). Rows-only; exactness/recall vs brute force is
+    asserted in tests (a corpus built from codebook entries round-trips
+    losslessly)."""
+    import pyarrow.parquet as pq
+
+    from datavec_ray.ops.similarity import pq_encode, pq_topk, pq_train
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"].to_pylist()[:5]])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = pq_train(ds, m=8, sample_frac=0.5)
+    codes = pq_encode(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      cb)
+    return pq_topk(codes, cb, q, k=10)
+
+
 def _q_ivf_exact(sf_dir: str):
     """IVF with FULL probing (nprobe = num_centroids) is exact — every
     partition is scored, so the result must equal brute-force cosine
@@ -1699,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_windows": _q_context_windows,
         "bpe_subwords": _q_bpe_subwords,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "ivf_exact": _q_ivf_exact,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,

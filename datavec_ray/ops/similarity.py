@@ -465,3 +465,125 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     pairs = semantic_dedup_pairs(ds, vec_col, id_col, k=k,
                                  threshold=threshold, iters=iters, seed=seed)
     return dedup_by_components(ds, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze, Schmid 2011 — public): the ANN
+# MEMORY path. IVF prunes which rows are read; PQ shrinks what a row
+# costs — m uint8 codes per vector (dim x float32 → m bytes, 32x at
+# dim=64/m=8), scored against queries via per-subspace lookup tables
+# (ADC) without ever reconstructing the vectors.
+# ---------------------------------------------------------------------------
+
+def pq_train(ds, m: int = 8, nbits: int = 8, sample_frac: float = 0.1,
+             vec_col: str = "embedding", seed: int = 11,
+             normalize: bool = True) -> np.ndarray:
+    """Train PQ codebooks on a canonicalized sample: the vector space is
+    split into ``m`` equal subspaces, each clustered to ``2**nbits``
+    codewords with the engine's deterministic k-means++ — returns
+    codebooks of shape (m, 2**nbits, dim//m). ``normalize=True`` trains
+    in the unit-sphere space so ADC inner products approximate cosine."""
+    from datavec_ray.util import dataset_to_table
+    sample_tbl = ds.select_columns([vec_col]) \
+        .random_sample(sample_frac, seed=seed).materialize()
+    sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
+    sample = sample[np.lexsort(sample.T[::-1])]     # stable across runs
+    if normalize:
+        sample = _normalize(sample)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, c = dim // m, 1 << nbits
+    return np.stack([_kmeans(np.ascontiguousarray(
+        sample[:, j * dsub:(j + 1) * dsub]), c, seed=seed + j)
+        for j in range(m)])
+
+
+class _PQEncode:
+    """Actor-pool encode stage: codebooks broadcast once (ray.put →
+    __init__), each batch = m small assignment matmuls → a
+    fixed-size-list<uint8> code column."""
+
+    def __init__(self, cb_ref, vec_col: str, id_col: str, normalize: bool):
+        import ray
+        self.cb = ray.get(cb_ref)                   # (m, c, dsub)
+        self.vec_col, self.id_col = vec_col, id_col
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mt = _matrix(batch[self.vec_col])
+        if self.normalize:
+            mt = _normalize(mt)
+        m, _, dsub = self.cb.shape
+        codes = np.empty((len(mt), m), np.uint8)
+        for j in range(m):
+            codes[:, j] = _assign_centroids(
+                np.ascontiguousarray(mt[:, j * dsub:(j + 1) * dsub]),
+                self.cb[j])
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(flat, m)})
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id", normalize: bool = True):
+    """Vectors → m-byte PQ codes (Dataset of id + pq_code)."""
+    import ray
+    return ds.map_batches(
+        _PQEncode, batch_format="pyarrow",
+        fn_constructor_args=(ray.put(codebooks), vec_col, id_col, normalize),
+        concurrency=(1, 8))
+
+
+class _PQScore:
+    """ADC scoring: per query and subspace, LUT[q, j, c] = q_sub · cb
+    entry (built ONCE per actor from the broadcast query matrix); a
+    batch of codes scores as Σ_j LUT[q, j, code_j] — pure fancy-indexed
+    adds, no vector reconstruction."""
+
+    def __init__(self, cb_ref, q_ref, id_col: str, k: int):
+        import ray
+        cb = ray.get(cb_ref)                        # (m, c, dsub)
+        q = ray.get(q_ref)                          # normalized (Q, dim)
+        m, c, dsub = cb.shape
+        # (Q, m, c): einsum over the shared dsub axis
+        self.lut = np.einsum("qjd,jcd->qjc",
+                             q.reshape(len(q), m, dsub), cb)
+        self.id_col, self.k, self.m = id_col, k, m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False)
+        codes = np.asarray(combine(batch["pq_code"]).values) \
+            .reshape(len(ids), self.m)
+        Q = self.lut.shape[0]
+        # scores (N, Q): sum LUT slices along subspaces
+        scores = np.zeros((len(ids), Q), np.float64)
+        for j in range(self.m):
+            scores += self.lut[:, j, codes[:, j]].T    # (N, Q)
+        kk = min(self.k, len(ids))
+        top = (np.argpartition(-scores, kk - 1, axis=0)[:kk]
+               if kk < len(ids) else
+               np.arange(len(ids))[:, None].repeat(Q, axis=1))
+        qi = np.repeat(np.arange(Q, dtype=np.int64), kk)
+        sel = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qi),
+            "match_id": pa.array(ids[sel]),
+            "cosine": pa.array(scores[sel, qi])})
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, id_col: str = "vec_id"):
+    """Approximate top-k over PQ codes: per-batch ADC partial top-k →
+    one tiny merge per query (same merge stage as brute force). The
+    corpus pass reads only (id, m-byte code) — the 100 TB memory
+    story."""
+    import ray
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    per_batch = codes_ds.map_batches(
+        _PQScore, batch_format="pyarrow",
+        fn_constructor_args=(ray.put(codebooks), ray.put(q), id_col, k),
+        concurrency=(1, 8))
+    return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
+                                                    batch_format="pyarrow")

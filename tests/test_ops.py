@@ -447,3 +447,66 @@ def test_bpe_token_count():
                            None, ""]})
     # it|'s| a| well|-|known| fact = 7;  hello|sp|world(sp-prefixed)| 123 = 4
     assert bpe_token_count(t["text"]).to_pylist() == [7, 4, 0, 0]
+
+
+def test_pq_lossless_on_codebook_corpus(ray_session):
+    """When every normalized corpus subvector IS a codeword, encoding is
+    exact (assignment distance 0) and ADC scores equal true cosines —
+    PQ top-k must match brute force row for row."""
+    import ray.data as rd
+
+    from datavec_ray.ops.similarity import (brute_force_topk, pq_encode,
+                                            pq_topk)
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((60, 16))
+    corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    # codebooks = the normalized corpus's own subvectors (60 codewords)
+    cb = np.stack([corpus[:, j * 4:(j + 1) * 4] for j in range(4)])
+    ct = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                   "embedding": pa.array(corpus.tolist(),
+                                         pa.list_(pa.float64()))})
+    q = corpus[:3]
+    codes = pq_encode(rd.from_arrow(ct).repartition(3), cb)
+    approx = dataset_to_table(pq_topk(codes, cb, q, k=5)).to_pandas()
+    exact = dataset_to_table(brute_force_topk(
+        rd.from_arrow(ct), q, k=5)).to_pandas()
+    for qi in range(3):
+        a = approx[approx.query_id == qi].sort_values(
+            ["cosine", "match_id"], ascending=[False, True])
+        e = exact[exact.query_id == qi].sort_values(
+            ["cosine", "match_id"], ascending=[False, True])
+        assert set(a.match_id) == set(e.match_id)
+        assert np.allclose(sorted(a.cosine), sorted(e.cosine), atol=1e-9)
+
+
+def test_pq_recall_and_determinism(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.ops.similarity import (brute_force_topk, pq_encode,
+                                            pq_topk, pq_train)
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = vecs[:3].astype(np.float64)
+    cb = pq_train(rd.from_arrow(t), m=4, nbits=6, sample_frac=1.0)
+    codes = pq_encode(rd.from_arrow(t).repartition(4), cb)
+    a1 = dataset_to_table(pq_topk(codes, cb, q, k=10)).to_pandas()
+    exact = dataset_to_table(brute_force_topk(
+        rd.from_arrow(t), q, k=10)).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["match_id"])
+        a = set(a1[a1.query_id == qi]["match_id"])
+        assert len(e & a) / len(e) >= 0.5, (qi, len(e & a))
+    # deterministic: retrain + re-encode reproduces the result exactly
+    cb2 = pq_train(rd.from_arrow(t), m=4, nbits=6, sample_frac=1.0)
+    assert np.array_equal(cb, cb2)
+    codes2 = pq_encode(rd.from_arrow(t).repartition(7), cb2)
+    a2 = dataset_to_table(pq_topk(codes2, cb2, q, k=10)).to_pandas()
+    key = ["query_id", "match_id"]
+    assert a1.sort_values(key).reset_index(drop=True)[key].equals(
+        a2.sort_values(key).reset_index(drop=True)[key])
+    # dim not divisible by m
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(rd.from_arrow(t), m=5, sample_frac=1.0)
