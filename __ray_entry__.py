@@ -1034,6 +1034,28 @@ def _q_pq_topk(sf_dir: str):
     return pq_topk(codes, cb, q, k=10)
 
 
+def _q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ physical index (both scale levers composed: probed
+    partitions only are READ, and what is read is m-byte residual codes,
+    never vectors). Rows-only; recall/pruning asserted in tests."""
+    import pyarrow.parquet as pq
+
+    from datavec_ray.ops.similarity import ivfpq_build, ivfpq_query
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"].to_pylist()[:5]])
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    idx = os.path.join("/tmp", "datavec_ray_ivfpq_idx_"
+                       + os.path.basename(sf_dir.rstrip("/")) + f"_{mtime}")
+    if not os.path.isdir(os.path.join(idx, "cent=0")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ivfpq_build(ds, idx, num_centroids=8, m=8, nbits=8,
+                    sample_frac=0.5)
+    return ivfpq_query(idx, q, k=10, nprobe=4)
+
+
 def _q_ivf_exact(sf_dir: str):
     """IVF with FULL probing (nprobe = num_centroids) is exact — every
     partition is scored, so the result must equal brute-force cosine
@@ -1721,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subwords": _q_bpe_subwords,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "ivf_exact": _q_ivf_exact,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,

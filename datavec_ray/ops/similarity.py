@@ -587,3 +587,138 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
         concurrency=(1, 8))
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two scale levers composed (Jégou et al. 2011 §V) — the
+# coarse quantizer prunes which partitions are READ, the product
+# quantizer shrinks what each row costs, and codes encode RESIDUALS
+# (x_n - centroid) so the fine quantizer only has to cover the
+# within-cell spread: cos(q, x) ≈ q·c + ADC(q, residual code).
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(ds, index_dir: str, num_centroids: int = 16, m: int = 8,
+                nbits: int = 8, sample_frac: float = 0.1,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 11) -> None:
+    """Build a physical IVF-PQ index: coarse k-means in the normalized
+    space, per-subspace residual codebooks trained on the same sample,
+    then ONE streaming encode pass writing (id, cent, pq_code) parquet
+    partitioned by centroid. Artifacts: ``centroids.npy`` +
+    ``codebooks.npy``."""
+    import os
+
+    import ray
+    from datavec_ray.util import dataset_to_table
+
+    sample_tbl = ds.select_columns([vec_col]) \
+        .random_sample(sample_frac, seed=seed).materialize()
+    sample = _matrix(dataset_to_table(sample_tbl)[vec_col])
+    sample = _normalize(sample[np.lexsort(sample.T[::-1])])
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, c = dim // m, 1 << nbits
+    cents = _kmeans(sample, num_centroids, seed=seed)
+    resid = sample - cents[_assign_centroids(sample, cents)]
+    codebooks = np.stack([_kmeans(np.ascontiguousarray(
+        resid[:, j * dsub:(j + 1) * dsub]), c, seed=seed + j)
+        for j in range(m)])
+
+    cents_ref, cb_ref = ray.put(cents), ray.put(codebooks)
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        cn, cb = ray.get(cents_ref), ray.get(cb_ref)
+        mt = _normalize(_matrix(batch[vec_col]))
+        a = _assign_centroids(mt, cn)
+        r = mt - cn[a]
+        codes = np.empty((len(mt), m), np.uint8)
+        for j in range(m):
+            codes[:, j] = _assign_centroids(
+                np.ascontiguousarray(r[:, j * dsub:(j + 1) * dsub]), cb[j])
+        cent = pa.array(a.astype(np.int64))
+        return pa.table({
+            id_col: batch[id_col],
+            "cent": cent,          # partition key (hive dir, not in file)
+            "cent_id": cent,       # kept IN the file for the scorer
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m)})
+
+    _enc.__name__ = "ivfpq_encode"
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.map_batches(_enc, batch_format="pyarrow")
+       .write_parquet(index_dir, partition_cols=["cent"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "codebooks.npy"), codebooks)
+
+
+class _IVFPQScore:
+    """ADC over residual codes + the per-row coarse offset q·c_row."""
+
+    def __init__(self, cents_ref, cb_ref, q_ref, id_col: str, k: int):
+        import ray
+        self.cents = ray.get(cents_ref)
+        cb = ray.get(cb_ref)
+        q = ray.get(q_ref)
+        mm, c, dsub = cb.shape
+        self.lut = np.einsum("qjd,jcd->qjc",
+                             q.reshape(len(q), mm, dsub), cb)   # (Q, m, c)
+        self.qc = q @ self.cents.T                              # (Q, C)
+        self.id_col, self.k, self.m = id_col, k, mm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False)
+        cent = combine(batch["cent_id"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = np.asarray(combine(batch["pq_code"]).values) \
+            .reshape(len(ids), self.m)
+        scores = self.qc[:, cent].T.astype(np.float64).copy()   # (N, Q)
+        for j in range(self.m):
+            scores += self.lut[:, j, codes[:, j]].T
+        Q = self.lut.shape[0]
+        kk = min(self.k, len(ids))
+        top = (np.argpartition(-scores, kk - 1, axis=0)[:kk]
+               if kk < len(ids) else
+               np.arange(len(ids))[:, None].repeat(Q, axis=1))
+        qi = np.repeat(np.arange(Q, dtype=np.int64), kk)
+        sel = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qi),
+            "match_id": pa.array(ids[sel]),
+            "cosine": pa.array(scores[sel, qi])})
+
+
+def ivfpq_query(index_dir: str, queries: np.ndarray, k: int = 10,
+                nprobe: int = 4, id_col: str = "vec_id"):
+    """Query a physical IVF-PQ index: only the probed centroid
+    partitions are READ (union over queries), and what is read is
+    (id, cent, m-byte code) — never the vectors."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cb = np.load(os.path.join(index_dir, "codebooks.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for c in probe.reshape(-1)})
+    paths = []
+    for c in needed:
+        d = os.path.join(index_dir, f"cent={c}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "match_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not paths:
+        return rd.from_arrow(empty)
+    ds = rd.read_parquet(paths, columns=[id_col, "cent_id", "pq_code"])
+    refs = (ray.put(cents), ray.put(cb), ray.put(q))
+    per_batch = ds.map_batches(
+        _IVFPQScore, batch_format="pyarrow",
+        fn_constructor_args=(*refs, id_col, k),
+        concurrency=(1, 8))
+    return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
+                                                    batch_format="pyarrow")

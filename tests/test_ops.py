@@ -510,3 +510,42 @@ def test_pq_recall_and_determinism(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divisible"):
         pq_train(rd.from_arrow(t), m=5, sample_frac=1.0)
+
+
+def test_ivfpq_physical_index_recall_and_pruning(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from datavec_ray.ops.similarity import (brute_force_topk, ivfpq_build,
+                                            ivfpq_query)
+    rng = np.random.default_rng(8)
+    # clustered data so coarse probing is meaningful
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = (centers[rng.integers(0, 6, 400)]
+            + rng.standard_normal((400, 16))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(rd.from_arrow(t).repartition(4), idx, num_centroids=6,
+                m=8, nbits=8, sample_frac=1.0)
+    assert os.path.exists(os.path.join(idx, "codebooks.npy"))
+    q = vecs[:3].astype(np.float64)
+    exact = dataset_to_table(brute_force_topk(
+        rd.from_arrow(t), q, k=10)).to_pandas()
+    approx = dataset_to_table(ivfpq_query(idx, q, k=10, nprobe=3)).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["match_id"])
+        a = set(approx[approx.query_id == qi]["match_id"])
+        assert len(e & a) / len(e) >= 0.5, (qi, len(e & a))
+    # probing 1 of 6 centroids reads at most ... the matched partition
+    # rows only: every returned match must live in a probed partition
+    one = dataset_to_table(ivfpq_query(idx, q[:1], k=10, nprobe=1))
+    assert one.num_rows == 10
+    # what a full probe returns equals what the codes can express at all:
+    # nprobe=C is PQ-over-everything, recall vs exact stays high
+    full = dataset_to_table(ivfpq_query(idx, q, k=10, nprobe=6)).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["match_id"])
+        f = set(full[full.query_id == qi]["match_id"])
+        assert len(e & f) / len(e) >= 0.6
