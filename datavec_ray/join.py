@@ -399,6 +399,14 @@ class SemiJoinStep(WideStep):
         prefiltered = ds
         passthrough = None
         if self.bloom:
+            if self.anti:
+                # anti+bloom forks the LEFT side into two consumers
+                # (possible-match shuffle + definite-non-match bypass);
+                # without pinning, each branch re-executes the whole
+                # upstream plan (scan + fingerprint twice — measured on
+                # dedup_against). Materialize once: blocks pin in the
+                # object store and spill to disk, both branches read refs.
+                ds = ds.materialize()
             bf = bloom_from_dataset(self._right_dataset(), right_keys,
                                     fp=self.bloom_fp)
             bf_ref = ray.put(bf)
