@@ -186,7 +186,10 @@ def test_router_window_does_not_serialize_on_hot_shard(ray_session):
     routing_sec = time.time() - t0
     # 10 batches x >= 1 apply to the 0.4 s shard would serialize to
     # >= 4 s; the window keeps routing in the sub-second range
-    assert routing_sec < 2.0, f"routers serialized: {routing_sec:.2f}s"
+    # serialized routing would be >= 4 s (the hot shard's sleep budget);
+    # windowed routing is sub-second on a calm host but the margin must
+    # tolerate full-suite/host load (observed >2 s flakes under load)
+    assert routing_sec < 3.5, f"routers serialized: {routing_sec:.2f}s"
     assert len(router.pending) <= 16
     expected = {}
     rows = 0
