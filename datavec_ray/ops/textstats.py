@@ -755,6 +755,24 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
                           concurrency=(1, 8))
 
 
+def _group_counts(strs: pa.Array, doc_of: np.ndarray):
+    """(doc, string) multiplicity counting WITHOUT a string groupby:
+    dictionary-encode once (Arrow hash kernel), fold (doc, code) into
+    one int64 key, count with a single integer np.unique. Returns
+    (doc_ids, counts, dict_codes, dictionary_array) per distinct pair."""
+    dic = pc.dictionary_encode(strs)
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    v = max(len(dic.dictionary), 1)
+    uk, counts = np.unique(doc_of * v + codes, return_counts=True)
+    return ((uk // v).astype(np.int64), counts.astype(np.int64),
+            (uk % v).astype(np.int64), dic)
+
+
+def _dict_lengths(dic) -> np.ndarray:
+    return pc.utf8_length(dic.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
                        words_per_line: int = 10,
                        top_ns: Sequence[int] = (2, 3, 4),
@@ -833,15 +851,10 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
             pa.array(np.concatenate(([0], ends)), pa.int32()), words)
         lines = pc.binary_join(la.cast(pa.list_(pa.string())),
                                pa.scalar(" "))
-        llen = pc.utf8_length(lines).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        lg = pd.DataFrame({"d": doc_of_line, "s": lines.to_pandas(),
-                           "L": llen}) \
-            .groupby(["d", "s"], sort=False) \
-            .agg(k=("L", "size"), L=("L", "first")).reset_index()
-        gd = lg["d"].to_numpy()
-        kk = lg["k"].to_numpy(dtype=np.int64)
-        LL = lg["L"].to_numpy(dtype=np.int64)
+        # count (doc, line) multiplicities WITHOUT a string groupby:
+        # dictionary-encode once, then one integer np.unique
+        gd, kk, lcode, ldic = _group_counts(lines, doc_of_line)
+        LL = _dict_lengths(ldic)[lcode]
         dup_lines = np.bincount(gd, weights=kk - 1, minlength=ndocs)
         dup_chars = np.bincount(gd, weights=(kk - 1) * LL, minlength=ndocs)
         tot_lchars = np.bincount(gd, weights=kk * LL, minlength=ndocs)
@@ -863,28 +876,40 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
                     .filter(pa.array(valid))
                 gdoc = row_of[:m][valid]
                 if len(grams):
-                    glen = pc.utf8_length(grams).to_numpy(
-                        zero_copy_only=False).astype(np.int64)
-                    gg = pd.DataFrame({"d": gdoc, "g": grams.to_pandas(),
-                                       "L": glen}) \
-                        .groupby(["d", "g"], sort=False) \
-                        .agg(k=("L", "size"), L=("L", "first")) \
-                        .reset_index()
+                    ud, kv, ucode, dic = _group_counts(grams, gdoc)
+                    Lv = _dict_lengths(dic)[ucode]
                     if n in dup_set:
-                        kv = gg["k"].to_numpy(dtype=np.int64)
-                        Lv = gg["L"].to_numpy(dtype=np.int64)
-                        dup = np.bincount(gg["d"].to_numpy(),
-                                          weights=(kv - 1) * Lv,
+                        dup = np.bincount(ud, weights=(kv - 1) * Lv,
                                           minlength=ndocs) / denom
                     if n in top_set:
-                        best = gg.sort_values(
-                            ["d", "k", "g"],
-                            ascending=[True, False, True],
-                            kind="stable").drop_duplicates("d")
-                        num = np.zeros(ndocs, np.float64)
-                        num[best["d"].to_numpy()] = \
-                            (best["k"].to_numpy(dtype=np.int64)
-                             * best["L"].to_numpy(dtype=np.int64))
+                        # per-doc max count, then lexicographically
+                        # smallest gram among the (few) tied candidates
+                        maxc = np.zeros(ndocs, np.int64)
+                        np.maximum.at(maxc, ud, kv)
+                        tied = kv == maxc[ud]
+                        td, tc, tl, tk = ud[tied], ucode[tied], \
+                            Lv[tied], kv[tied]
+                        multi = np.bincount(td, minlength=ndocs) > 1
+                        if multi.any():
+                            # strings only for docs with a real tie
+                            sel = multi[td]
+                            sub = pd.DataFrame({
+                                "d": td[sel],
+                                "g": dic.dictionary.take(
+                                    pa.array(tc[sel])).to_pylist(),
+                                "L": tl[sel], "k": tk[sel]})
+                            best = sub.sort_values(
+                                ["d", "g"], kind="stable") \
+                                .drop_duplicates("d")
+                            num = np.zeros(ndocs, np.float64)
+                            keep = ~sel
+                            num[td[keep]] = tk[keep] * tl[keep]
+                            num[best["d"].to_numpy()] = \
+                                (best["k"].to_numpy(dtype=np.int64)
+                                 * best["L"].to_numpy(dtype=np.int64))
+                        else:
+                            num = np.zeros(ndocs, np.float64)
+                            num[td] = tk * tl
                         top = num / denom
             if n in top_set:
                 out[f"top{n}gram_char_frac"] = pa.array(round_half_away(top, 6))
