@@ -20,8 +20,10 @@ Real decoders for the formats that are tractable without native libs:
   ``datavec-data-codec/.../CodecRecordReader.java:56`` reads avi via
   JCodec).
 - MP4/ISO-BMFF: sample-table demux (stsd/stsz/stsc/stco/stts);
-  motion-JPEG samples decode; AVC/HEVC/VP9 raise. webm needs a
-  native codec and raises.
+  motion-JPEG samples decode; AVC/HEVC/VP9 raise.
+- Matroska/webm: full EBML demux (Segment/Info/Tracks/Clusters,
+  SimpleBlock + Block with Xiph/fixed/EBML lacing); V_MJPEG and
+  V_UNCOMPRESSED samples decode; VP8/VP9/AV1 raise.
 
 Parity targets: ``datavec-data-image/.../ImageRecordReader.java:33``
 (image file → pixel NDArray) and
@@ -1003,18 +1005,21 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 30,
 def decode_video(data: bytes) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes → (uint8 luma frames (n, h, w), fps).
 
-    Y4M, AVI/MJPEG and MP4/MJPEG decode for real; webm (and mp4
-    carrying AVC/VP9) need a native codec and raise."""
+    Y4M, AVI/MJPEG, MP4/MJPEG and Matroska/webm (MJPEG or uncompressed
+    samples) decode for real; compressed bitstream codecs (AVC/VP8/
+    VP9/AV1) inside mp4/webm need a native decoder and raise."""
     if data[:9] == Y4M_MAGIC:
         return decode_y4m(data)
     if data[:4] == AVI_MAGIC and data[8:12] == b"AVI ":
         return decode_avi(data)
     if data[4:8] == b"ftyp":
         return decode_mp4_mjpeg(data)
+    if data[:4] == MKV_MAGIC:
+        return decode_mkv(data)
     raise NotImplementedError(
         f"unrecognized video container (magic {data[:4]!r}); this "
-        "container decodes Y4M, AVI/MJPEG and MP4/MJPEG natively — "
-        "webm and non-MJPEG mp4 codecs need a native decoder")
+        "container decodes Y4M, AVI/MJPEG, MP4/MJPEG and Matroska/webm "
+        "natively — AVC/VP8/VP9/AV1 bitstreams need a native decoder")
 
 
 # ---------------------------------------------------------------------------
@@ -1609,3 +1614,287 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 30,
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML, public specifications: RFC 8794 + matroska.org)
+# Reference parity: CodecRecordReader.java:56 reads .mkv/.webm via
+# JCodec's native decoders; here the CONTAINER (EBML element tree,
+# Cluster/SimpleBlock framing incl. all three lacing modes) is parsed
+# for real, and tracks whose samples are motion-JPEG or uncompressed
+# raster decode to pixels. VP8/VP9/AV1 sample payloads need a native
+# codec and raise.
+# ---------------------------------------------------------------------------
+
+MKV_MAGIC = b"\x1aE\xdf\xa3"
+
+# EBML element IDs (marker bit kept, as they appear on the wire)
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKNUM = 0xD7
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CLUSTERTS = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool = False):
+    """One EBML variable-length integer at ``pos`` → (value, next_pos).
+
+    ``keep_marker=True`` keeps the length-marker bit (element IDs are
+    compared with it on); otherwise it is stripped (sizes, track
+    numbers). A stripped value with all bits set means 'unknown size'
+    and returns ``None`` for the value."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint (>8 bytes)")
+    length = 9 - first.bit_length()          # leading zeros + 1
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    if not keep_marker and val == (1 << (7 * length)) - 1:
+        return None, pos + length            # unknown size
+    return val, pos + length
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield ``(element_id, body_start, body_end)`` over an EBML run.
+    Unknown-size elements (live-muxed webm Segments/Clusters) extend to
+    the parent's end."""
+    while pos < end:
+        eid, p = _ebml_vint(data, pos, keep_marker=True)
+        size, body = _ebml_vint(data, p)
+        bend = end if size is None else body + size
+        yield eid, body, min(bend, end)
+        pos = bend
+
+
+def _ebml_uint_at(data: bytes, body: int, end: int) -> int:
+    return int.from_bytes(data[body:end], "big")
+
+
+def _mkv_block_frames(data: bytes, body: int, end: int):
+    """Matroska (Simple)Block body → (track_number, rel_ts, [payloads]).
+    Implements all three lacing modes (Xiph / fixed-size / EBML)."""
+    track, p = _ebml_vint(data, body)
+    rel_ts = int.from_bytes(data[p:p + 2], "big", signed=True)
+    flags = data[p + 2]
+    p += 3
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:                            # no lacing: one frame
+        return track, rel_ts, [data[p:end]]
+    nframes = data[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 1:                            # Xiph: 255-run sizes
+        for _ in range(nframes - 1):
+            s = 0
+            while data[p] == 255:
+                s += 255
+                p += 1
+            s += data[p]
+            p += 1
+            sizes.append(s)
+    elif lacing == 2:                          # fixed-size
+        per = (end - p) // nframes
+        sizes = [per] * (nframes - 1)
+    else:                                      # EBML: first abs, then deltas
+        s, p = _ebml_vint(data, p)
+        sizes.append(s)
+        for _ in range(nframes - 2):
+            raw_first = data[p]
+            length = 9 - raw_first.bit_length()
+            d, p = _ebml_vint(data, p)
+            d -= (1 << (7 * length - 1)) - 1   # signed vint bias
+            s += d
+            sizes.append(s)
+    frames = []
+    for s in sizes:
+        frames.append(data[p:p + s])
+        p += s
+    frames.append(data[p:end])                 # last frame: remainder
+    return track, rel_ts, frames
+
+
+def decode_mkv(data: bytes) -> tuple[np.ndarray, int]:
+    """Matroska/webm bytes → (uint8 luma frames (n, h, w), fps).
+
+    Real EBML demux: Segment → Info (TimestampScale) / Tracks (codec,
+    dimensions) / Clusters (SimpleBlock + BlockGroup/Block, all lacing
+    modes). Sample payloads decode when the track codec is
+    ``V_MJPEG`` (per-frame baseline/progressive JPEG) or
+    ``V_UNCOMPRESSED`` (raw luma or RGB24 raster); VP8/VP9/AV1 raise
+    NotImplementedError — same boundary as AVC in MP4."""
+    if data[:4] != MKV_MAGIC:
+        raise ValueError("not an EBML/Matroska stream")
+    seg = None
+    for eid, body, bend in _ebml_children(data, 0, len(data)):
+        if eid == _MKV_SEGMENT:
+            seg = (body, bend)
+            break
+    if seg is None:
+        raise ValueError("Matroska stream has no Segment")
+    timescale = 1_000_000                       # ns per tick (default: 1 ms)
+    vtrack = None                               # (tracknum, codec, w, h)
+    stamped: list[tuple[int, bytes]] = []       # (abs ticks, payload)
+
+    def _track_entry(tb: int, te: int):
+        num = ttype = w = h = None
+        codec = ""
+        for i2, b2, e2 in _ebml_children(data, tb, te):
+            if i2 == _MKV_TRACKNUM:
+                num = _ebml_uint_at(data, b2, e2)
+            elif i2 == _MKV_TRACKTYPE:
+                ttype = _ebml_uint_at(data, b2, e2)
+            elif i2 == _MKV_CODECID:
+                codec = data[b2:e2].rstrip(b"\x00").decode("ascii", "replace")
+            elif i2 == _MKV_VIDEO:
+                for i3, b3, e3 in _ebml_children(data, b2, e2):
+                    if i3 == _MKV_PIXELW:
+                        w = _ebml_uint_at(data, b3, e3)
+                    elif i3 == _MKV_PIXELH:
+                        h = _ebml_uint_at(data, b3, e3)
+        return num, ttype, codec, w, h
+
+    for eid, body, bend in _ebml_children(data, *seg):
+        if eid == _MKV_INFO:
+            for i2, b2, e2 in _ebml_children(data, body, bend):
+                if i2 == _MKV_TIMESCALE:
+                    timescale = _ebml_uint_at(data, b2, e2)
+        elif eid == _MKV_TRACKS:
+            for i2, b2, e2 in _ebml_children(data, body, bend):
+                if i2 == _MKV_TRACKENTRY:
+                    num, ttype, codec, w, h = _track_entry(b2, e2)
+                    if ttype == 1 and vtrack is None:
+                        vtrack = (num, codec, w, h)
+        elif eid == _MKV_CLUSTER:
+            if vtrack is None:
+                raise ValueError("Matroska Cluster before video Tracks")
+            cl_ts = 0
+            for i2, b2, e2 in _ebml_children(data, body, bend):
+                if i2 == _MKV_CLUSTERTS:
+                    cl_ts = _ebml_uint_at(data, b2, e2)
+                elif i2 == _MKV_SIMPLEBLOCK:
+                    tn, rel, payloads = _mkv_block_frames(data, b2, e2)
+                    if tn == vtrack[0]:
+                        for k, pl in enumerate(payloads):
+                            stamped.append((cl_ts + rel + k, pl))
+                elif i2 == _MKV_BLOCKGROUP:
+                    for i3, b3, e3 in _ebml_children(data, b2, e2):
+                        if i3 == _MKV_BLOCK:
+                            tn, rel, payloads = _mkv_block_frames(
+                                data, b3, e3)
+                            if tn == vtrack[0]:
+                                for k, pl in enumerate(payloads):
+                                    stamped.append((cl_ts + rel + k, pl))
+    if vtrack is None:
+        raise ValueError("Matroska stream has no video track")
+    if not stamped:
+        raise ValueError("Matroska video track has no frames")
+    _, codec, w, h = vtrack
+    stamped.sort(key=lambda t: t[0])
+    frames = []
+    for _, payload in stamped:
+        if codec == "V_MJPEG":
+            img = decode_jpeg(payload)
+            if img.ndim == 3:
+                img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                       + 0.114 * img[:, :, 2]).astype(np.uint8)
+        elif codec == "V_UNCOMPRESSED":
+            raw = np.frombuffer(payload, np.uint8)
+            if w and h and len(raw) == w * h:
+                img = raw.reshape(h, w)
+            elif w and h and len(raw) == w * h * 3:
+                rgb = raw.reshape(h, w, 3).astype(np.float64)
+                img = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                       + 0.114 * rgb[:, :, 2]).astype(np.uint8)
+            else:
+                raise ValueError(
+                    f"V_UNCOMPRESSED payload of {len(raw)} bytes does not "
+                    f"match {w}x{h} luma or RGB24 raster")
+        else:
+            raise NotImplementedError(
+                f"Matroska video codec {codec!r}: only V_MJPEG and "
+                "V_UNCOMPRESSED samples decode without a native codec")
+        frames.append(img)
+    # fps from tick deltas (ticks are timescale ns each)
+    ts = np.array([t for t, _ in stamped], np.int64)
+    fps = 30
+    if len(ts) > 1:
+        dt = np.median(np.diff(ts)) * timescale   # ns per frame
+        if dt > 0:
+            fps = max(1, round(1e9 / float(dt)))
+    return np.stack(frames), fps
+
+
+def _ebml_id_bytes(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size_bytes(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size_bytes(len(body)) + body
+
+
+def _ebml_uint_el(eid: int, v: int) -> bytes:
+    return _ebml_el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def encode_mkv_mjpeg(frames: np.ndarray, fps: int = 30,
+                     quality: int = 90) -> bytes:
+    """uint8 frames (n, h, w) or (n, h, w, 3) → minimal valid Matroska
+    file with one V_MJPEG video track (1 ms timestamp ticks, one
+    keyframe SimpleBlock per frame, a new Cluster every 1000 frames so
+    the int16 relative timestamp never overflows)."""
+    frames = np.asarray(frames, np.uint8)
+    nfr, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    header = _ebml_el(0x1A45DFA3, b"".join([
+        _ebml_uint_el(0x4286, 1),               # EBMLVersion
+        _ebml_uint_el(0x42F7, 1),               # EBMLReadVersion
+        _ebml_uint_el(0x42F2, 4),               # EBMLMaxIDLength
+        _ebml_uint_el(0x42F3, 8),               # EBMLMaxSizeLength
+        _ebml_el(0x4282, b"matroska"),          # DocType
+        _ebml_uint_el(0x4287, 2),               # DocTypeVersion
+        _ebml_uint_el(0x4285, 2)]))             # DocTypeReadVersion
+    info = _ebml_el(_MKV_INFO, b"".join([
+        _ebml_uint_el(_MKV_TIMESCALE, 1_000_000),
+        _ebml_el(0x4D80, b"datavec_ray"),       # MuxingApp
+        _ebml_el(0x5741, b"datavec_ray")]))     # WritingApp
+    tracks = _ebml_el(_MKV_TRACKS, _ebml_el(_MKV_TRACKENTRY, b"".join([
+        _ebml_uint_el(_MKV_TRACKNUM, 1),
+        _ebml_uint_el(0x73C5, 1),               # TrackUID
+        _ebml_uint_el(_MKV_TRACKTYPE, 1),       # video
+        _ebml_el(_MKV_CODECID, b"V_MJPEG"),
+        _ebml_el(_MKV_VIDEO, _ebml_uint_el(_MKV_PIXELW, w)
+                 + _ebml_uint_el(_MKV_PIXELH, h))])))
+    clusters = []
+    per_cluster = 1000
+    for c0 in range(0, nfr, per_cluster):
+        base_ms = c0 * 1000 // fps
+        blocks = [_ebml_uint_el(_MKV_CLUSTERTS, base_ms)]
+        for i in range(c0, min(c0 + per_cluster, nfr)):
+            rel = i * 1000 // fps - base_ms
+            payload = encode_jpeg(frames[i], quality=quality)
+            body = (b"\x81"                     # track 1 (1-byte vint)
+                    + rel.to_bytes(2, "big", signed=True)
+                    + b"\x80"                   # keyframe, no lacing
+                    + payload)
+            blocks.append(_ebml_el(_MKV_SIMPLEBLOCK, body))
+        clusters.append(_ebml_el(_MKV_CLUSTER, b"".join(blocks)))
+    segment = _ebml_el(_MKV_SEGMENT, info + tracks + b"".join(clusters))
+    return header + segment

@@ -18,7 +18,7 @@ payloads are decoded FOR REAL via the pure-stdlib codecs in
 WAV, YUV4MPEG2 luma planes, RIFF AVI walking + per-frame JPEG) —
 pipelines and tests exercise true pixel/sample/frame values. Formats
 needing a native library
-(webm, non-MJPEG mp4 codecs) raise NotImplementedError
+(AVC/VP8/VP9/AV1 bitstreams inside mp4/webm) raise NotImplementedError
 unless ``deterministic_fake=True``, which substitutes a content-seeded
 fake so the Ray plumbing (schema, batch sizing, actor signature,
 output layout) stays real and tested.
@@ -591,11 +591,12 @@ class VideoFrameSample:
     """Actor-pool stage: sample n frames from a video payload → one row per
     frame (explode), each with a frame luma-feature vector.
 
-    Y4M (YUV4MPEG2), AVI/MJPEG and MP4/MJPEG payloads decode FOR
-    REAL — evenly-sampled frames, grayscale luma plane resized to a
+    Y4M (YUV4MPEG2), AVI/MJPEG, MP4/MJPEG and Matroska/webm
+    (MJPEG/uncompressed samples) payloads decode FOR REAL —
+    evenly-sampled frames, grayscale luma plane resized to a
     ``feat``-long vector (sqrt(feat) grid). Codecs needing a native
-    decoder (webm, AVC/VP9 mp4) fall back to a content-seeded fake
-    when ``deterministic_fake`` else raise."""
+    decoder (AVC/VP8/VP9/AV1 bitstreams) fall back to a content-seeded
+    fake when ``deterministic_fake`` else raise."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
                  deterministic_fake: bool = True):

@@ -93,8 +93,13 @@ def test_decode_video_dispatch():
     assert np.array_equal(y4m, frames)
     avi, fps = C.decode_video(C.encode_avi_mjpeg(frames, fps=24))
     assert avi.shape == frames.shape and fps == 24
-    with pytest.raises(NotImplementedError, match="webm"):
-        C.decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)  # EBML/webm
+    # Matroska/webm now demuxes for real: malformed EBML is a
+    # ValueError, and a compressed-bitstream codec raises (see
+    # test_mkv_vp9_codec_raises); an unknown container still raises.
+    with pytest.raises(ValueError):
+        C.decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="container"):
+        C.decode_video(b"\x00\x01\x02\x03" + b"\x00" * 64)
 
 
 def test_video_frame_sample_real_avi(ray_session):
@@ -201,3 +206,78 @@ def test_gif_interlaced_decode():
     assert data[desc] == 0x2C
     data[desc + 9] |= 0x40                      # interlace flag
     assert np.array_equal(C.decode_gif(bytes(data)), img)
+
+
+# -- Matroska/webm (EBML demux) ------------------------------------------------
+
+def _block(track, rel, flags, tail):
+    return (bytes([0x80 | track]) + rel.to_bytes(2, "big", signed=True)
+            + bytes([flags]) + tail)
+
+
+def test_mkv_mjpeg_roundtrip():
+    frames = _checker_frames(6, 48, 64)
+    mkv = C.encode_mkv_mjpeg(frames, fps=25, quality=92)
+    assert mkv[:4] == C.MKV_MAGIC
+    back, fps = C.decode_mkv(mkv)
+    assert fps == 25 and back.shape == frames.shape
+    rms = float(np.sqrt(np.mean((back.astype(float) - frames) ** 2)))
+    assert rms < 8.0, rms
+    b2, f2 = C.decode_video(mkv)                # dispatcher route
+    assert np.array_equal(b2, back) and f2 == 25
+
+
+def test_mkv_block_lacing_modes():
+    # no lacing
+    body = _block(1, -5, 0x80, b"ABC")
+    assert C._mkv_block_frames(body, 0, len(body)) == (1, -5, [b"ABC"])
+    # Xiph: sizes 300 (255+45), 2, remainder 4
+    x = bytes([2, 255, 45, 2]) + b"A" * 300 + b"BB" + b"CCCC"
+    body = _block(1, 0, 0x80 | 2, x)
+    _, _, fs = C._mkv_block_frames(body, 0, len(body))
+    assert [len(f) for f in fs] == [300, 2, 4] and fs[1] == b"BB"
+    # fixed-size: 3 equal frames
+    body = _block(1, 0, 0x80 | 4, bytes([2]) + b"AAAA" + b"BBBB" + b"CCCC")
+    _, _, fs = C._mkv_block_frames(body, 0, len(body))
+    assert fs == [b"AAAA", b"BBBB", b"CCCC"]
+    # EBML: first abs 500 (2-byte vint), delta -3 (2-byte signed vint)
+    uv = (0x4000 | 500).to_bytes(2, "big")
+    sv = (0x4000 | (-3 + (1 << 13) - 1)).to_bytes(2, "big")
+    x = bytes([2]) + uv + sv + b"A" * 500 + b"B" * 497 + b"C" * 9
+    body = _block(1, 7, 0x80 | 6, x)
+    _, rel, fs = C._mkv_block_frames(body, 0, len(body))
+    assert rel == 7 and [len(f) for f in fs] == [500, 497, 9]
+
+
+def test_mkv_uncompressed_track_exact():
+    frames = _checker_frames(3, 20, 16)
+    h, w = frames.shape[1], frames.shape[2]
+    info = C._ebml_el(C._MKV_INFO,
+                      C._ebml_uint_el(C._MKV_TIMESCALE, 1_000_000))
+    tracks = C._ebml_el(C._MKV_TRACKS, C._ebml_el(
+        C._MKV_TRACKENTRY, b"".join([
+            C._ebml_uint_el(C._MKV_TRACKNUM, 1),
+            C._ebml_uint_el(C._MKV_TRACKTYPE, 1),
+            C._ebml_el(C._MKV_CODECID, b"V_UNCOMPRESSED"),
+            C._ebml_el(C._MKV_VIDEO,
+                       C._ebml_uint_el(C._MKV_PIXELW, w)
+                       + C._ebml_uint_el(C._MKV_PIXELH, h))])))
+    blocks = [C._ebml_uint_el(C._MKV_CLUSTERTS, 0)]
+    for i in range(3):
+        blocks.append(C._ebml_el(
+            C._MKV_SIMPLEBLOCK, _block(1, i * 40, 0x80,
+                                       frames[i].tobytes())))
+    seg = C._ebml_el(C._MKV_SEGMENT,
+                     info + tracks
+                     + C._ebml_el(C._MKV_CLUSTER, b"".join(blocks)))
+    ref = C.encode_mkv_mjpeg(frames, fps=25)    # borrow a valid header
+    header = ref[:ref.index(C._ebml_id_bytes(C._MKV_SEGMENT))]
+    out, fps = C.decode_mkv(header + seg)
+    assert np.array_equal(out, frames) and fps == 25
+
+
+def test_mkv_vp9_codec_raises():
+    frames = _checker_frames(2, 16, 16)
+    mkv = C.encode_mkv_mjpeg(frames, fps=10).replace(b"V_MJPEG", b"V_VP9\x00\x00")
+    with pytest.raises(NotImplementedError, match="V_MJPEG"):
+        C.decode_mkv(mkv)
