@@ -467,3 +467,115 @@ def write_svmlight(ds, out_dir: str, label_col: str = "label",
 
     return [b for b in out.map_batches(write_block, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")]
+
+
+# ---------------------------------------------------------------------------
+# columnar file formats beyond parquet (ORC, Arrow IPC)
+# ---------------------------------------------------------------------------
+
+def _expand_paths(paths) -> list[str]:
+    """str | dir | list → sorted flat file list (hidden files skipped)."""
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += sorted(os.path.join(p, f) for f in sorted(os.listdir(p))
+                            if not f.startswith((".", "_")))
+        else:
+            files.append(p)
+    return files
+
+
+def read_orc(paths, columns: Optional[Sequence[str]] = None):
+    """ORC files → Dataset (this Ray build ships no ``read_orc``;
+    upstream DataVec reads columnar warehouse exports through Spark's
+    ORC support — same lake-interchange role as the parquet reader,
+    ``RecordReader.java:61`` record-iterator contract).
+
+    Scale shape: one read TASK per file (drivers only list paths — no
+    file bytes touch the driver), and within a task stripes stream out
+    as separate zero-copy Arrow tables, so block size tracks the ORC
+    stripe size rather than whole files. ``columns`` prunes at the
+    stripe reader, same discipline as ``read_parquet(columns=...)``."""
+    import ray.data as rd
+
+    files = _expand_paths(paths)
+    cols = list(columns) if columns else None
+
+    def load(batch: pa.Table):
+        from pyarrow import orc
+        for path in batch["path"].to_pylist():
+            f = orc.ORCFile(path)
+            for i in range(f.nstripes):
+                t = f.read_stripe(i, columns=cols)
+                yield pa.Table.from_batches([t]) \
+                    if isinstance(t, pa.RecordBatch) else t
+
+    return rd.from_items([{"path": p} for p in files],
+                         override_num_blocks=max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")
+
+
+def write_orc(ds, out_dir: str, **writer_kwargs):
+    """Dataset → ORC shards, one file per block, unique names with
+    tmp+rename so a re-run never exposes a torn file (same resumable
+    discipline as the parquet lake sink)."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.orc")
+        orc.write_table(batch, name + ".tmp", **writer_kwargs)
+        os.replace(name + ".tmp", name)
+        return pa.table({"file": pa.array([name]),
+                         "rows": pa.array([batch.num_rows])})
+
+    return [b for b in ds.map_batches(write_block, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+
+
+def read_arrow_ipc(paths, columns: Optional[Sequence[str]] = None):
+    """Arrow IPC (Feather V2 / ``.arrow``) files → Dataset. The file is
+    MEMORY-MAPPED in each read task and record batches are sliced
+    zero-copy — the cheapest possible on-disk interchange for
+    Arrow-native pipelines (upstream DataVec's ArrowRecordReader plays
+    this role; this snapshot predates it, so the parity anchor is the
+    same RecordReader.java:61 iterator contract)."""
+    import ray.data as rd
+
+    files = _expand_paths(paths)
+    cols = list(columns) if columns else None
+
+    def load(batch: pa.Table):
+        from pyarrow import ipc
+        for path in batch["path"].to_pylist():
+            with pa.memory_map(path) as src:
+                reader = ipc.open_file(src)
+                for i in range(reader.num_record_batches):
+                    t = pa.Table.from_batches([reader.get_batch(i)])
+                    yield t.select(cols) if cols else t
+
+    return rd.from_items([{"path": p} for p in files],
+                         override_num_blocks=max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")
+
+
+def write_arrow_ipc(ds, out_dir: str):
+    """Dataset → Arrow IPC file shards (one per block, tmp+rename)."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        from pyarrow import ipc
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.arrow")
+        with ipc.new_file(name + ".tmp", batch.schema) as w:
+            w.write_table(batch)
+        os.replace(name + ".tmp", name)
+        return pa.table({"file": pa.array([name]),
+                         "rows": pa.array([batch.num_rows])})
+
+    return [b for b in ds.map_batches(write_block, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]

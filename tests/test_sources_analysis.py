@@ -256,3 +256,33 @@ def test_matlab_roundtrip(ray_session, tmp_path):
     back = dataset_to_table(read_matlab(outdir))
     assert sorted(back["f0"].to_pylist()) == [1.0, 2.5]
     assert sorted(back["f1"].to_pylist()) == [-4.0, 3.0]
+
+
+def test_orc_roundtrip_and_column_prune(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.sources import read_orc, write_orc
+    t = pa.table({"a": list(range(100)),
+                  "b": [f"s{i}" for i in range(100)],
+                  "c": np.linspace(0.0, 1.0, 100)})
+    manifest = write_orc(rd.from_arrow(t), str(tmp_path / "orc"))
+    assert sum(m["rows"][0].as_py() for m in manifest) == 100
+    back = dataset_to_table(read_orc(str(tmp_path / "orc"))).sort_by("a")
+    assert back.equals(t)
+    pruned = dataset_to_table(
+        read_orc(str(tmp_path / "orc"), columns=["a"]))
+    assert pruned.column_names == ["a"] and pruned.num_rows == 100
+
+
+def test_arrow_ipc_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    from datavec_ray.sources import read_arrow_ipc, write_arrow_ipc
+    t = pa.table({"k": ["a", "b", "c", "d"],
+                  "v": pa.array([1, None, 3, 4], pa.int64()),
+                  "e": [[1.0, 2.0], [], None, [5.0]]})
+    write_arrow_ipc(rd.from_arrow(t), str(tmp_path / "ipc"))
+    back = dataset_to_table(
+        read_arrow_ipc(str(tmp_path / "ipc"))).sort_by("k")
+    assert back.equals(t)
+    pruned = dataset_to_table(
+        read_arrow_ipc(str(tmp_path / "ipc"), columns=["v"]))
+    assert pruned.column_names == ["v"]
