@@ -1597,6 +1597,43 @@ def _q_dedup_against(sf_dir: str):
                          num_buckets=16)
 
 
+def _q_orc_source(sf_dir: str):
+    """ORC lake interchange: customer.parquet converted once to ORC
+    shards under /tmp (tmp-dir + atomic rename, keyed by source mtime),
+    then read back via ``sources.read_orc`` with column pruning and
+    aggregated per nation. Exercises write_orc's shard manifest and
+    read_orc's per-stripe streaming; aggregates are order-insensitive
+    (count + min/max — no float summation) so the value hash is exact."""
+    import shutil
+
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.sources import read_orc, write_orc
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    mtime = int(os.path.getmtime(src))
+    lake = os.path.join("/tmp", "datavec_ray_orc_"
+                        + os.path.basename(sf_dir.rstrip("/")) + f"_{mtime}")
+    if not os.path.isdir(lake):
+        tmp = lake + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_orc(_read(sf_dir, "customer",
+                        ["c_custkey", "c_nationkey", "c_acctbal"]), tmp)
+        try:
+            os.rename(tmp, lake)
+        except OSError:                  # lost a concurrent-build race
+            shutil.rmtree(tmp, ignore_errors=True)
+    ds = read_orc(lake, columns=["c_nationkey", "c_acctbal"])
+
+    def positive(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["c_acctbal"], 0.0))
+
+    return Reducer(["c_nationkey"],
+                   [["c_acctbal", "Count", "n_customers"],
+                    ["c_acctbal", "Min", "min_acctbal"],
+                    ["c_acctbal", "Max", "max_acctbal"]]) \
+        .apply_dataset(ds.map_batches(positive, batch_format="pyarrow"))
+
+
 def _q_range_window(sf_dir: str):
     """Value-range windowed aggregate: per user ordered by time, the
     sum of `value` over the trailing 1-hour window (peers included) —
@@ -1778,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
         "dedup_against": _q_dedup_against,
+        "orc_source": _q_orc_source,
         "range_window": _q_range_window,
         "unigram_logprob": _q_unigram_logprob,
         "sessionize": _q_sessionize,
@@ -1963,6 +2001,15 @@ def oracle_sql() -> dict[str, str]:
             from nation
             where n_regionkey < 3
             order by n_nationkey
+        """,
+        "orc_source": """
+            select c_nationkey,
+                   count(c_acctbal) as n_customers,
+                   min(c_acctbal) as min_acctbal,
+                   max(c_acctbal) as max_acctbal
+            from customer
+            where c_acctbal > 0
+            group by c_nationkey
         """,
         "analysis_profile": """
             with cols as (
