@@ -1526,6 +1526,39 @@ class CdcIngestEngine:
                     since_ckpt = 0
         return {"segments": n_segments, "events": n_events, "watermark": wm}
 
+    def bootstrap(self, ds, base_lsn: int = 0,
+                  checkpoint_name: str = "bootstrap") -> list[dict]:
+        """Initial-snapshot bootstrap — the 'snapshot then stream'
+        pattern of production CDC connectors: seed the lake from an
+        EXISTING plain transcript table (TRANSCRIPT_SCHEMA shape, no
+        binlog columns) by framing every row as an insert ("I") change
+        event at ``base_lsn``, then running the exactly-once bulk
+        ``replay``. Continue with ``tail()`` afterwards (it resumes from
+        the bootstrap checkpoint itself), or hydrate the shard actors
+        with ``resume_from_checkpoint()`` before incremental
+        ``ingest()`` — the same contract as crash-resume. WAL events
+        carry lsn > base_lsn, so on any (conv_id, turn_idx) ts tie the
+        monotonic-LSN tiebreaker makes the stream win over the
+        snapshot — a snapshot taken while the WAL is already live
+        converges to the same final state as a full-history replay."""
+        import ray.data as rd
+        if isinstance(ds, pa.Table):
+            ds = rd.from_arrow(ds)
+
+        def frame(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = pa.table({
+                "lsn": pa.nulls(n, pa.int64()).fill_null(base_lsn),
+                "op": pa.nulls(n, pa.string()).fill_null("I"),
+            })
+            for name in batch.column_names:
+                out = out.append_column(batch.field(name), batch[name])
+            return out
+
+        return self.replay(ds.map_batches(frame, batch_format="pyarrow"),
+                           checkpoint_name=checkpoint_name,
+                           min_lsn_exclusive=-1)
+
     def shutdown(self, gc_spill: bool = True) -> None:
         """Kill shard/registry actors (bench + batch jobs that create
         several engines per process; otherwise dead handles linger until

@@ -357,3 +357,46 @@ def test_dead_letter_queue(ray_session, tmp_path):
     assert eng2.read_dlq().num_rows == 4
     eng.shutdown()
     eng2.shutdown()
+
+
+# -- snapshot-then-stream bootstrap --------------------------------------------
+
+def test_bootstrap_then_stream(ray_session, tmp_path):
+    """bootstrap() seeds the lake from a plain transcript table; a
+    subsequent WAL ingest wins ties via the LSN tiebreaker, and the
+    final state equals a full-history replay oracle."""
+    snap = pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": ["user", "assistant", "user"],
+        "text": ["hi", "hello!", "solo"],
+        "tool": ["", "", ""],
+        "ts": pa.array([1000, 2000, 1500], pa.timestamp("ms")),
+    })
+    eng = CdcIngestEngine(str(tmp_path / "blake"), num_partitions=4)
+    lineage = eng.bootstrap(snap)
+    assert sum(l["rows"] for l in lineage) == 3
+    # stream: same-ts update to (c1,1) must WIN via lsn>base_lsn;
+    # delete (c2,0); insert (c1,2)
+    wal = pa.table({
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+        "op": ["U", "D", "I"],
+        "conv_id": ["c1", "c2", "c1"],
+        "turn_idx": pa.array([1, 0, 2], pa.int32()),
+        "role": ["assistant", "user", "user"],
+        "text": ["hello — edited!", "", "bye"],
+        "tool": ["", "", ""],
+        "ts": pa.array([2000, 3000, 4000], pa.timestamp("ms")),
+    })
+    wm = eng.resume_from_checkpoint()     # hydrate shards (crash-resume contract)
+    assert wm == 0                        # bootstrap watermark = base_lsn
+    eng.ingest(wal, min_lsn_exclusive=wm)
+    eng.commit()
+    got = eng.read_lake()
+    framed_snap = pa.table({
+        "lsn": pa.array([0, 0, 0], pa.int64()),
+        "op": ["I"] * 3,
+        **{c: snap[c] for c in snap.column_names}})
+    want = replay_oracle(pa.concat_tables([framed_snap, wal]))
+    assert got.equals(want), (got.to_pydict(), want.to_pydict())
+    eng.shutdown()
