@@ -522,6 +522,54 @@ def _q_cdc_joinview(sf_dir: str):
         eng.shutdown()
 
 
+def _binlog_with_skewed_ts(sf_dir: str):
+    """Derived binlog + a deterministically OUT-OF-ORDER event-time
+    column (``ts_skew_ms = ts_ms - (lsn % 16) * 600s``): arrival order
+    (lsn) stays monotone while event time arrives late, which is the
+    real shape a watermark exists to reconcile. Pure vectorized map,
+    mirrored term-for-term in the oracle CTE."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+
+    ds = _read(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        bl = binlog_from_events(b)
+        ts_ms = bl["ts"].cast(pa.int64())
+        off = pc.multiply(pc.bit_wise_and(bl["lsn"], 15),
+                          pa.scalar(600_000, pa.int64()))
+        return bl.append_column("ts_skew_ms", pc.subtract(ts_ms, off))
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _q_late_events(sf_dir: str):
+    """Event-time watermark assignment over an out-of-order binlog:
+    wm_ms = (running max of event time over arrival order, exclusive)
+    - delay; is_late = own event time below the watermark in effect on
+    arrival. Two metadata-only passes, zero shuffles on lsn-contiguous
+    input (``cdc/watermark.py``)."""
+    from datavec_ray.cdc.watermark import assign_watermarks
+
+    out = assign_watermarks(_binlog_with_skewed_ts(sf_dir),
+                            delay_ms=1_800_000, ts_col="ts_skew_ms")
+    return out.select_columns(["lsn", "wm_ms", "is_late"])
+
+
+def _q_windowed_stream(sf_dir: str):
+    """Emit-on-watermark tumbling windows (1 h) with 10 min allowed
+    lateness: an event is dropped iff its window had already fired when
+    it arrived; survivors aggregate per (window, role). Watermark pass
+    + per-block (window,key) combine + ONE tiny partial groupby — raw
+    events never shuffle."""
+    from datavec_ray.cdc.watermark import windowed_stream
+
+    win, _dropped = windowed_stream(
+        _binlog_with_skewed_ts(sf_dir), window_ms=3_600_000,
+        delay_ms=1_800_000, allowed_lateness_ms=600_000,
+        keys=["role"], ts_col="ts_skew_ms", value_col="turn_idx")
+    return win
+
+
 def _q_grouped_quantile_cont(sf_dir: str):
     """Interpolated (continuous) per-group quantiles — DuckDB
     quantile_cont semantics."""
@@ -1747,6 +1795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
+        "late_events": _q_late_events,
+        "windowed_stream": _q_windowed_stream,
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
         "grouped_quantile_cont": _q_grouped_quantile_cont,
@@ -2260,6 +2310,30 @@ def oracle_sql() -> dict[str, str]:
               on l.conv_id = r.conv_id
              and l.turn_idx // 2 = r.turn_idx // 2
             where l.turn_idx % 2 = 0 and r.turn_idx % 2 = 1""",
+        "late_events": _BINLOG_CTE + """
+            , s as (select lsn, ts_ms - (lsn % 16) * 600000 as tsk from e)
+            select lsn,
+                   coalesce(max(tsk) over w - 1800000, -1) as wm_ms,
+                   coalesce(tsk < max(tsk) over w - 1800000, false)
+                     as is_late
+            from s
+            window w as (order by lsn
+                         rows between unbounded preceding
+                         and 1 preceding)""",
+        "windowed_stream": _BINLOG_CTE + """
+            , s as (select lsn, role, turn_idx,
+                           ts_ms - (lsn % 16) * 600000 as tsk from e)
+            , wmk as (select *, max(tsk) over (order by lsn
+                        rows between unbounded preceding
+                        and 1 preceding) - 1800000 as wm
+                      from s)
+            select tsk // 3600000 as win, role,
+                   count(*) as n,
+                   cast(sum(turn_idx) as bigint) as val_sum
+            from wmk
+            where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
+                           true)
+            group by win, role""",
         "frequent_tokens": """
             select value, cnt from (
               select tok as value, count(*) as cnt

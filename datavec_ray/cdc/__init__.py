@@ -10,3 +10,5 @@ from datavec_ray.cdc.binlog import synth_binlog, binlog_from_events, TRANSCRIPT_
 from datavec_ray.cdc.oracle import replay_oracle
 from datavec_ray.cdc.engine import CdcIngestEngine, lww_compact_dataset
 from datavec_ray.cdc.joinview import JoinView
+from datavec_ray.cdc.watermark import (assign_watermarks,
+                                       route_late_events, windowed_stream)

@@ -1,0 +1,271 @@
+"""Event-time watermarks, late-event routing, and emit-on-watermark
+tumbling windows with allowed lateness over a CDC binlog.
+
+The binlog carries two orders: ARRIVAL order (monotonic ``lsn``) and
+EVENT TIME (``ts``, which arrives out of order — the generator and the
+driver's events table both produce late updates). A streaming engine
+reconciles them with a watermark: after processing the event at
+``lsn``, the watermark is ``max(ts of all events with lower lsn) -
+delay``. An event whose own ``ts`` is below the watermark in effect
+when it arrives is LATE; a window finalizes ("fires") once the
+watermark passes ``window_end + allowed_lateness`` and later events
+for it are dropped to a side output, exactly the Flink/Beam
+allowed-lateness contract (public semantics; the reference has no
+counterpart — its sequence ops assume fully sorted input, e.g.
+``transform/sequence/ConvertToSequence.java`` sorting by time column).
+
+Everything here is deterministic and SQL-mirrorable: the watermark in
+effect at an event is
+
+    max(ts_ms) OVER (ORDER BY lsn ROWS UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) - delay_ms
+
+so the driver's DuckDB oracle checks both the per-event late flags and
+the final windowed aggregates (queries ``late_events`` /
+``windowed_stream``).
+
+Distributed shape — a prefix scan, computed in two tiny-metadata
+passes with the raw rows never leaving their blocks:
+
+1. one ``map_batches`` pass emits per-block summaries
+   ``(min_lsn, max_lsn, rows, max_ts)`` — O(blocks) rows to the driver;
+2. the driver sorts summaries by ``min_lsn``, VERIFIES the blocks
+   tile the lsn axis without overlap (true for any binlog written in
+   lsn order — segments and parquet row groups preserve it), and
+   computes each block's exclusive prefix max (its seed);
+3. a second ``map_batches`` pass over the SAME materialized blocks
+   re-keys each batch to its summary by (min_lsn, max_lsn, rows) and
+   runs a vectorized seeded cumulative max inside the block.
+
+If the input's blocks DO overlap in lsn (an already-shuffled dataset),
+``assign_watermarks`` falls back to ONE range-repartition exchange
+(driver picks balanced lsn cuts from the pass-1 summaries, rows route
+by searchsorted) after which the partitions tile by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_NEG = -(1 << 62)  # "no prior event" sentinel, far below any epoch-ms
+
+
+def _ts_ms(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = pc.cast(col, pa.timestamp("ms"), safe=False)
+        return pc.cast(col, pa.int64())
+    return pc.cast(col, pa.int64())
+
+
+def _block_summary(batch: pa.Table, order_col: str, ts_col: str) -> pa.Table:
+    lsn = batch[order_col]
+    ts = _ts_ms(batch[ts_col])
+    return pa.table({
+        "min_lsn": pa.array([pc.min(lsn).as_py()], pa.int64()),
+        "max_lsn": pa.array([pc.max(lsn).as_py()], pa.int64()),
+        "rows": pa.array([batch.num_rows], pa.int64()),
+        "max_ts": pa.array([pc.max(ts).as_py()], pa.int64()),
+    })
+
+
+def _seeded_scan(batch: pa.Table, seed_ms: int, delay_ms: int,
+                 order_col: str, ts_col: str,
+                 out_wm: str, out_late: str) -> pa.Table:
+    """Vectorized in-block watermark assignment given the exclusive
+    prefix max of every earlier block (``seed_ms``)."""
+    lsn = np.asarray(pc.cast(batch[order_col], pa.int64()).combine_chunks())
+    ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+    order = np.argsort(lsn, kind="stable")
+    ts_sorted = ts[order]
+    # exclusive running max: prior-events-only, seeded from earlier blocks
+    run = np.empty(len(ts_sorted), dtype=np.int64)
+    run[0] = seed_ms
+    if len(ts_sorted) > 1:
+        np.maximum.accumulate(ts_sorted[:-1], out=run[1:])
+        np.maximum(run[1:], seed_ms, out=run[1:])
+    wm_sorted = np.where(run == _NEG, np.int64(-1), run - np.int64(delay_ms))
+    wm = np.empty_like(wm_sorted)
+    wm[order] = wm_sorted
+    late_sorted = (run != _NEG) & (ts_sorted < run - np.int64(delay_ms))
+    late = np.empty_like(late_sorted)
+    late[order] = late_sorted
+    out = batch.append_column(out_wm, pa.array(wm, pa.int64()))
+    return out.append_column(out_late, pa.array(late, pa.bool_()))
+
+
+def _summaries(ds, order_col: str, ts_col: str) -> "pa.Table":
+    import pyarrow as _pa
+    meta = ds.map_batches(
+        lambda b: _block_summary(b, order_col, ts_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    rows = meta.take_all()
+    return _pa.table({k: [r[k] for r in rows] for k in
+                      ("min_lsn", "max_lsn", "rows", "max_ts")})
+
+
+def _tiles(summ: pa.Table) -> Optional[dict]:
+    """If the block lsn ranges tile without overlap, return a lookup
+    {(min_lsn, max_lsn, rows) -> exclusive-prefix-max seed}."""
+    order = np.argsort(np.asarray(summ["min_lsn"]), kind="stable")
+    lo = np.asarray(summ["min_lsn"])[order]
+    hi = np.asarray(summ["max_lsn"])[order]
+    if len(lo) > 1 and not (lo[1:] > hi[:-1]).all():
+        return None
+    mx = np.asarray(summ["max_ts"])[order]
+    seeds = np.empty(len(mx), dtype=np.int64)
+    seeds[0] = _NEG
+    if len(mx) > 1:
+        np.maximum.accumulate(mx[:-1], out=seeds[1:])
+    rows = np.asarray(summ["rows"])[order]
+    return {(int(a), int(b), int(n)): int(s)
+            for a, b, n, s in zip(lo, hi, rows, seeds)}
+
+
+class _SeededPass:
+    """Second-pass callable: re-key each batch to its pass-1 summary."""
+
+    def __init__(self, seeds: dict, delay_ms: int, order_col: str,
+                 ts_col: str, out_wm: str, out_late: str):
+        self.seeds, self.delay_ms = seeds, delay_ms
+        self.order_col, self.ts_col = order_col, ts_col
+        self.out_wm, self.out_late = out_wm, out_late
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lsn = batch[self.order_col]
+        key = (pc.min(lsn).as_py(), pc.max(lsn).as_py(), batch.num_rows)
+        seed = self.seeds.get(key)
+        if seed is None:
+            raise RuntimeError(
+                f"watermark pass-2 batch {key} does not match any pass-1 "
+                "block — the plan re-batched between passes; materialize "
+                "the input or use the range-shuffle path")
+        return _seeded_scan(batch, seed, self.delay_ms, self.order_col,
+                            self.ts_col, self.out_wm, self.out_late)
+
+
+def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
+                      order_col: str = "lsn", out_wm: str = "wm_ms",
+                      out_late: str = "is_late",
+                      num_partitions: int = 32):
+    """Append ``wm_ms`` (the event-time watermark in effect when each
+    event arrived; -1 for the very first arrival) and ``is_late``
+    (its own ts is below that watermark) to a binlog Dataset.
+
+    Contiguous-block fast path: two metadata-only passes, zero
+    shuffles. Overlapping-block fallback: one lsn-range exchange.
+    """
+    mat = ds.materialize()
+    summ = _summaries(mat, order_col, ts_col)
+    seeds = _tiles(summ)
+    if seeds is not None:
+        return mat.map_batches(
+            _SeededPass(seeds, delay_ms, order_col, ts_col, out_wm, out_late),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # ---- general path: ONE range exchange on lsn, then per-range scans
+    lo = int(pc.min(summ["min_lsn"]).as_py())
+    hi = int(pc.max(summ["max_lsn"]).as_py())
+    P = max(1, min(num_partitions, hi - lo + 1))
+    cuts = np.linspace(lo, hi + 1, P + 1).astype(np.int64)[1:-1]
+
+    def _route(batch: pa.Table) -> pa.Table:
+        part = np.searchsorted(cuts, np.asarray(
+            pc.cast(batch[order_col], pa.int64()).combine_chunks()),
+            side="right")
+        return batch.append_column("__rpart", pa.array(part, pa.int32()))
+
+    routed = mat.map_batches(_route, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    parts = routed.groupby("__rpart").map_groups(
+        lambda g: g, batch_format="pyarrow").materialize()
+    # per-range summaries now tile by construction; re-run the fast path
+    summ2 = _summaries(parts, order_col, ts_col)
+    seeds2 = _tiles(summ2)
+    if seeds2 is None:  # pragma: no cover - ranges tile by construction
+        raise RuntimeError("range partitions overlap — unreachable")
+    out = parts.map_batches(
+        _SeededPass(seeds2, delay_ms, order_col, ts_col, out_wm, out_late),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return out.drop_columns(["__rpart"])
+
+
+def route_late_events(ds, delay_ms: int, **kw):
+    """(on_time, late) Dataset pair — the late side is the DLQ-style
+    side output a streaming job audits."""
+    tagged = assign_watermarks(ds, delay_ms, **kw).materialize()
+    out_late = kw.get("out_late", "is_late")
+    on_time = tagged.filter(expr=f"{out_late} == False")
+    late = tagged.filter(expr=f"{out_late} == True")
+    return on_time, late
+
+
+def windowed_stream(ds, window_ms: int, delay_ms: int,
+                    allowed_lateness_ms: int = 0,
+                    keys: Sequence[str] = ("role",),
+                    ts_col: str = "ts", order_col: str = "lsn",
+                    value_col: str = "turn_idx"):
+    """Emit-on-watermark tumbling windows with allowed lateness.
+
+    An event assigned to window ``w = ts_ms // window_ms`` is DROPPED
+    (side output) iff the window had already fired when it arrived:
+    ``(w + 1) * window_ms + allowed_lateness <= wm_at_arrival``.
+    Surviving events aggregate per (window, keys): count + sum(value).
+
+    Returns ``(windows, dropped)`` — the fired-window table (every
+    window finalized at its last accepted state, identical to what an
+    online engine would have emitted after its final firing) and the
+    dropped-late side output.
+
+    Shape: watermark assignment (above, shuffle-free on binlog input)
+    → per-block combine to (window, keys) partial rows → ONE tiny
+    groupby over partials. Raw events never shuffle.
+    """
+    tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
+                               order_col=order_col).materialize()
+    keys = list(keys)
+    W = np.int64(window_ms)
+    L = np.int64(allowed_lateness_ms)
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
+        win = ts // W
+        keep = ~(((win + 1) * W + L) <= wm)
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table(
+                {"win": pa.array([], pa.int64()),
+                 **{k: pa.array([], batch.schema.field(k).type) for k in keys},
+                 "n": pa.array([], pa.int64()),
+                 "val_sum": pa.array([], pa.int64())})
+        gt = pa.table({"win": pa.array(win[keep], pa.int64()),
+                       **{k: sub[k] for k in keys},
+                       "__v": pc.cast(sub[value_col], pa.int64())})
+        agg = gt.group_by(["win"] + keys, use_threads=False).aggregate(
+            [("__v", "count"), ("__v", "sum")])
+        return agg.rename_columns(["win"] + keys + ["n", "val_sum"])
+
+    partials = tagged.map_batches(_combine, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["win"] + keys, use_threads=False).aggregate(
+            [("n", "sum"), ("val_sum", "sum")])
+        return agg.rename_columns(["win"] + keys + ["n", "val_sum"])
+
+    windows = partials.groupby("win").map_groups(
+        _final, batch_format="pyarrow")
+
+    def _dropped(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
+        win = ts // W
+        return batch.filter(pa.array(((win + 1) * W + L) <= wm))
+
+    dropped = tagged.map_batches(_dropped, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return windows, dropped

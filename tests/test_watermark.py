@@ -1,0 +1,119 @@
+"""Event-time watermarks / late routing / emit-on-watermark windows
+(``datavec_ray/cdc/watermark.py``) vs a sequential single-process
+reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from datavec_ray.cdc.binlog import synth_binlog
+
+DELAY = 5_000
+
+
+def _reference(bl: pa.Table, delay_ms: int):
+    df = bl.to_pandas().sort_values("lsn").reset_index(drop=True)
+    ts = df["ts"].values.astype("datetime64[ms]").astype("int64")
+    run = np.maximum.accumulate(ts)
+    wm = np.empty(len(ts), np.int64)
+    wm[0] = -1
+    wm[1:] = run[:-1] - delay_ms
+    late = np.zeros(len(ts), bool)
+    late[1:] = ts[1:] < run[:-1] - delay_ms
+    return df, ts, run, wm, late
+
+
+def test_assign_watermarks_fast_path(ray_session):
+    ray = ray_session
+    from datavec_ray.cdc.watermark import assign_watermarks
+    bl = synth_binlog(12_000, seed=11)
+    ds = ray.data.from_arrow(bl).repartition(7)
+    out = assign_watermarks(ds, DELAY).to_pandas().sort_values(
+        "lsn").reset_index(drop=True)
+    _, _, _, wm, late = _reference(bl, DELAY)
+    assert (out["wm_ms"].values == wm).all()
+    assert (out["is_late"].values == late).all()
+
+
+def test_assign_watermarks_overlapping_blocks_fallback(ray_session):
+    """Blocks that interleave in lsn must take the range-exchange path
+    and still produce the exact global scan."""
+    ray = ray_session
+    from datavec_ray.cdc.watermark import assign_watermarks
+    bl = synth_binlog(6_000, seed=13)
+    # deal rows round-robin into 5 interleaved tables
+    idx = np.arange(bl.num_rows)
+    parts = [bl.take(pa.array(idx[idx % 5 == r])) for r in range(5)]
+    ds = ray.data.from_arrow(parts)
+    out = assign_watermarks(ds, DELAY, num_partitions=6).to_pandas()
+    out = out.sort_values("lsn").reset_index(drop=True)
+    _, _, _, wm, late = _reference(bl, DELAY)
+    assert (out["wm_ms"].values == wm).all()
+    assert (out["is_late"].values == late).all()
+    assert "__rpart" not in out.columns
+
+
+def test_route_late_events(ray_session):
+    ray = ray_session
+    from datavec_ray.cdc.watermark import route_late_events
+    bl = synth_binlog(4_000, seed=5)
+    ds = ray.data.from_arrow(bl).repartition(4)
+    on_time, late = route_late_events(ds, DELAY)
+    _, _, _, _, late_ref = _reference(bl, DELAY)
+    assert on_time.count() == int((~late_ref).sum())
+    assert late.count() == int(late_ref.sum())
+    assert on_time.count() + late.count() == bl.num_rows
+
+
+@pytest.mark.parametrize("lateness", [0, 120_000])
+def test_windowed_stream_parity(ray_session, lateness):
+    ray = ray_session
+    from datavec_ray.cdc.watermark import windowed_stream
+    W = 3_600_000
+    bl = synth_binlog(10_000, seed=23)
+    ds = ray.data.from_arrow(bl).repartition(6)
+    win, dropped = windowed_stream(ds, window_ms=W, delay_ms=DELAY,
+                                   allowed_lateness_ms=lateness)
+    got = win.to_pandas().sort_values(["win", "role"]).reset_index(drop=True)
+
+    df, ts, run, wm, _ = _reference(bl, DELAY)
+    winid = ts // W
+    drop = (winid + 1) * W + lateness <= wm
+    keep = ~drop
+    ref = (pd.DataFrame({"win": winid[keep], "role": df["role"].values[keep],
+                         "v": df["turn_idx"].values[keep]})
+           .groupby(["win", "role"], dropna=False)
+           .agg(n=("v", "size"), val_sum=("v", "sum")).reset_index()
+           .sort_values(["win", "role"]).reset_index(drop=True))
+    assert dropped.count() == int(drop.sum())
+    assert len(got) == len(ref)
+    assert (got["n"].values == ref["n"].values).all()
+    assert (got["val_sum"].values == ref["val_sum"].values).all()
+
+
+def test_windowed_stream_matches_final_firing_semantics(ray_session):
+    """The batch result equals an ONLINE engine's last firing per
+    window: replaying events one at a time with watermark-gated
+    accepts produces the same (window, key) -> (n, sum) map."""
+    ray = ray_session
+    from datavec_ray.cdc.watermark import windowed_stream
+    W, L = 1_800_000, 60_000
+    bl = synth_binlog(3_000, seed=31)
+    df, ts, run, wm, _ = _reference(bl, DELAY)
+    state: dict = {}
+    for i in range(len(ts)):
+        w = ts[i] // W
+        if (w + 1) * W + L <= wm[i]:
+            continue  # window already fired before this arrival
+        key = (w, df["role"].values[i])
+        n, s = state.get(key, (0, 0))
+        state[key] = (n + 1, s + int(df["turn_idx"].values[i]))
+    ds = ray.data.from_arrow(bl).repartition(5)
+    win, _ = windowed_stream(ds, window_ms=W, delay_ms=DELAY,
+                             allowed_lateness_ms=L)
+    got = win.to_pandas()
+    assert len(got) == len(state)
+    for _, r in got.iterrows():
+        role = r["role"] if pd.notna(r["role"]) else None
+        assert state[(r["win"], role)] == (r["n"], r["val_sum"])
