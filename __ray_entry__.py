@@ -570,6 +570,28 @@ def _q_windowed_stream(sf_dir: str):
     return win
 
 
+def _q_funnel(sf_dir: str):
+    """Strict-order conversion funnel with a 24 h per-step window over
+    the events stream: one hash exchange on user, then every user in a
+    partition resolves per step via a single biased int64 searchsorted
+    (``ops/analytics.py``)."""
+    from datavec_ray.ops.analytics import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel(ds, ["signup", "view", "click", "purchase"],
+                  within_ms=86_400_000)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: per-batch distinct
+    (user, week) combiner → one exchange → per-partition cohort + cell
+    partials → tiny final groupby."""
+    from datavec_ray.ops.analytics import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, period_ms=7 * 86_400_000)
+
+
 def _q_grouped_quantile_cont(sf_dir: str):
     """Interpolated (continuous) per-group quantiles — DuckDB
     quantile_cont semantics."""
@@ -1797,6 +1819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_joinview": _q_cdc_joinview,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "frequent_tokens": _q_frequent_tokens,
         "grouped_quantile_hist": _q_grouped_quantile_hist,
         "grouped_quantile_cont": _q_grouped_quantile_cont,
@@ -2334,6 +2358,54 @@ def oracle_sql() -> dict[str, str]:
             where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
                            true)
             group by win, role""",
+        "funnel": """
+            with s1 as (
+              select user_id, min(epoch_ms(date_trunc('milliseconds', ts)))
+                       as t
+              from events where event_type = 'signup' group by user_id),
+            s2 as (
+              select e.user_id,
+                     min(epoch_ms(date_trunc('milliseconds', e.ts))) as t
+              from events e join s1 using(user_id)
+              where event_type = 'view'
+                and epoch_ms(date_trunc('milliseconds', e.ts)) > s1.t
+                and epoch_ms(date_trunc('milliseconds', e.ts))
+                      <= s1.t + 86400000
+              group by e.user_id),
+            s3 as (
+              select e.user_id,
+                     min(epoch_ms(date_trunc('milliseconds', e.ts))) as t
+              from events e join s2 using(user_id)
+              where event_type = 'click'
+                and epoch_ms(date_trunc('milliseconds', e.ts)) > s2.t
+                and epoch_ms(date_trunc('milliseconds', e.ts))
+                      <= s2.t + 86400000
+              group by e.user_id),
+            s4 as (
+              select e.user_id,
+                     min(epoch_ms(date_trunc('milliseconds', e.ts))) as t
+              from events e join s3 using(user_id)
+              where event_type = 'purchase'
+                and epoch_ms(date_trunc('milliseconds', e.ts)) > s3.t
+                and epoch_ms(date_trunc('milliseconds', e.ts))
+                      <= s3.t + 86400000
+              group by e.user_id)
+            select 1 as step, 'signup' as event_type,
+                   count(*) as n_users from s1
+            union all select 2, 'view', count(*) from s2
+            union all select 3, 'click', count(*) from s3
+            union all select 4, 'purchase', count(*) from s4""",
+        "cohort_retention": """
+            with up as (
+              select distinct user_id,
+                     epoch_ms(date_trunc('milliseconds', ts)) // 604800000
+                       as per
+              from events),
+            coh as (select user_id, min(per) as c from up group by user_id)
+            select coh.c as cohort, up.per - coh.c as "offset",
+                   count(*) as n_users
+            from up join coh using(user_id)
+            group by 1, 2""",
         "frequent_tokens": """
             select value, cnt from (
               select tok as value, count(*) as cnt

@@ -1,0 +1,193 @@
+"""Event-stream product analytics: ordered funnels and cohort
+retention.
+
+Classic event-table analytics the reference's reduce/sequence ops
+don't cover (nearest counterparts: grouped reduce
+``reduce/Reducer.java`` and time-ordered sequence ops
+``transform/sequence/*.java``, which both lack the cross-event-type
+ORDERED chaining a funnel needs). Both ops are SQL-mirrorable so the
+driver's DuckDB gate value-checks them end to end.
+
+Scale shapes:
+
+- ``funnel``: ONE hash-partition exchange on the user column (P
+  groups, not one per user), then each partition resolves every user
+  at once — per step, a two-level vectorized ``searchsorted`` (user
+  segment bounds, then strictly-after timestamps) finds each user's
+  earliest qualifying event; only S tiny (step, count) partials leave
+  the partition.
+- ``cohort_retention``: per-batch distinct (user, period) combiner →
+  the same single exchange → per-partition cohort (= min period per
+  user) + in-partition (cohort, offset) partial counts → one tiny
+  final groupby. Raw events cross the wire at most once, already
+  deduplicated to (user, period) granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datavec_ray.misc import _GPART, _group_partition
+
+
+def _ts_ms_np(col: pa.ChunkedArray) -> np.ndarray:
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = pc.cast(col, pa.timestamp("ms"), safe=False)
+    return np.asarray(pc.cast(col, pa.int64()).combine_chunks())
+
+
+def funnel(ds, steps: Sequence[str], user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           within_ms: int | None = None, num_partitions: int = 32):
+    """Strict-order funnel: a user reaches step k iff events of types
+    ``steps[0..k]`` exist with STRICTLY increasing timestamps (each
+    step's event is the earliest one after the previous step's —
+    greedy-earliest, the standard funnel definition; ties on ts do not
+    chain). ``within_ms`` additionally requires each step to land
+    within that window of the previous step (conversion windows).
+    Returns one row per step:
+    ``(step:int64 1-based, event_type, n_users:int64)``.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        # prune to funnel-relevant events before the exchange
+        keep = pc.is_in(batch[type_col],
+                        value_set=pa.array(steps, pa.string()))
+        sub = batch.filter(keep)
+        return pa.table({
+            user_col: sub[user_col],
+            type_col: sub[type_col],
+            "__ts_ms": pa.array(_ts_ms_np(sub[ts_col]), pa.int64()),
+        })
+
+    pruned = ds.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    parts = _group_partition(pruned, [user_col], num_partitions)
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(user_col, "ascending"), ("__ts_ms", "ascending")])
+        counts = np.zeros(len(steps), dtype=np.int64)
+        if g.num_rows:
+            ts = np.asarray(g["__ts_ms"].combine_chunks())
+            et = g[type_col].combine_chunks()
+            enc = pc.dictionary_encode(g[user_col].combine_chunks())
+            codes = np.asarray(enc.indices).astype(np.int64)
+            # frontier: per alive user, the ts of the last completed
+            # step; -inf sentinel = "no constraint yet"
+            NEG = -(1 << 62)
+            uids = np.arange(len(enc.dictionary), dtype=np.int64)
+            frontier = np.full(len(uids), NEG, dtype=np.int64)
+            base = int(ts.min())
+            span = int(ts.max()) - base + 2
+            if len(uids) * span >= (1 << 62):  # pragma: no cover
+                raise ValueError(
+                    "funnel partition exceeds the exact int64 bias bound "
+                    "(users x ts-span) — raise num_partitions")
+            for k, step in enumerate(steps):
+                m = pc.equal(et, step).to_numpy(zero_copy_only=False)
+                m = m.astype(bool) if m.dtype != bool else m
+                c_k, t_k = codes[m], ts[m]
+                # (c_k, t_k) is lexicographically ascending, so
+                # biased = code*span + (ts-base) is GLOBALLY ascending:
+                # one searchsorted resolves every alive user's earliest
+                # step-k event STRICTLY after its frontier (exact int64
+                # bias, same discipline as misc.range_window_agg)
+                biased = c_k * span + (t_k - base)
+                probe = uids * span + np.maximum(
+                    frontier - base + 1, 0)
+                pos = np.searchsorted(biased, probe, side="left")
+                found = pos < len(biased)
+                found[found] = c_k[pos[found]] == uids[found]
+                if within_ms is not None and k > 0:
+                    # greedy-earliest within a conversion window
+                    found[found] &= (t_k[pos[found]]
+                                     <= frontier[found] + int(within_ms))
+                new_frontier = np.full(len(uids), NEG, dtype=np.int64)
+                new_frontier[found] = t_k[pos[found]]
+                counts[k] = int(found.sum())
+                # dead users keep NEG frontiers and can never match a
+                # later step's strictly-after probe within their segment
+                keep = found
+                uids, frontier = uids[keep], new_frontier[keep]
+                if not len(uids):
+                    break
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(steps, pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = parts.groupby(_GPART).map_groups(
+        per_partition, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["step", "event_type"],
+                             use_threads=False).aggregate(
+            [("n_users", "sum")])
+        return agg.rename_columns(["step", "event_type", "n_users"])
+
+    return partials.groupby("step").map_groups(final,
+                                               batch_format="pyarrow")
+
+
+def cohort_retention(ds, period_ms: int, user_col: str = "user_id",
+                     ts_col: str = "ts", num_partitions: int = 32):
+    """Cohort retention matrix: cohort = each user's first-activity
+    period (``ts_ms // period_ms``); a user is retained at offset d if
+    active in period ``cohort + d``. Returns
+    ``(cohort:int64, offset:int64, n_users:int64)``.
+    """
+    P = np.int64(period_ms)
+
+    def combine_pairs(batch: pa.Table) -> pa.Table:
+        per = _ts_ms_np(batch[ts_col]) // P
+        t = pa.table({user_col: batch[user_col],
+                      "per": pa.array(per, pa.int64())})
+        return t.group_by([user_col, "per"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(combine_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = _group_partition(pairs, [user_col], num_partitions)
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART])
+        # batch-level distinct pairs may still repeat across batches
+        g = g.group_by([user_col, "per"], use_threads=False).aggregate([])
+        g = g.sort_by([(user_col, "ascending"), ("per", "ascending")])
+        per = np.asarray(g["per"].combine_chunks())
+        codes = np.asarray(
+            pc.dictionary_encode(g[user_col].combine_chunks()).indices)
+        if len(codes) == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        cohort = per[np.flatnonzero(first)][
+            np.cumsum(first) - 1]  # broadcast each user's min period
+        off = per - cohort
+        t = pa.table({"cohort": pa.array(cohort, pa.int64()),
+                      "offset": pa.array(off, pa.int64())})
+        agg = t.group_by(["cohort", "offset"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["cohort", "offset", "n_users"])
+
+    partials = parts.groupby(_GPART).map_groups(
+        per_partition, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["cohort", "offset"],
+                             use_threads=False).aggregate(
+            [("n_users", "sum")])
+        return agg.rename_columns(["cohort", "offset", "n_users"])
+
+    return partials.groupby("cohort").map_groups(final,
+                                                 batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""Funnel / cohort retention (``datavec_ray/ops/analytics.py``) vs a
+sequential per-user reference on synthetic event streams."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _synth_events(n=6_000, n_users=40, n_types=4, seed=3):
+    rng = np.random.default_rng(seed)
+    types = [f"t{i}" for i in range(n_types)]
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, n_users, n),
+        "event_type": rng.choice(types, n),
+        # coarse grid forces ts ties within users (strict-> must hold)
+        "ts_ms": rng.integers(0, 500, n).astype(np.int64) * 1000,
+    })
+    return df, types
+
+
+def _funnel_ref(df, steps, within=None):
+    counts = []
+    reached = {u: -(1 << 62) for u in df["user_id"].unique()}
+    for k, s in enumerate(steps):
+        nxt = {}
+        sub = df[df["event_type"] == s]
+        for u, f in reached.items():
+            cand = sub[(sub["user_id"] == u) & (sub["ts_ms"] > f)]
+            if within is not None and k > 0:
+                cand = cand[cand["ts_ms"] <= f + within]
+            if len(cand):
+                nxt[u] = int(cand["ts_ms"].min())
+        counts.append(len(nxt))
+        reached = nxt
+    return counts
+
+
+@pytest.mark.parametrize("within", [None, 30_000])
+def test_funnel_parity(ray_session, within):
+    ray = ray_session
+    from datavec_ray.ops.analytics import funnel
+    df, types = _synth_events()
+    steps = types[:3]
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=1)
+                              ).repartition(5)
+    got = funnel(ds, steps, ts_col="ts_ms", within_ms=within,
+                 num_partitions=4).to_pandas().sort_values(
+        "step").reset_index(drop=True)
+    ref = _funnel_ref(df, steps, within)
+    assert list(got["event_type"]) == steps
+    assert list(got["n_users"]) == ref
+    if within is not None:
+        assert ref[0] > ref[-1] > 0  # windowed funnel discriminates
+
+
+def test_funnel_strictness_on_ties(ray_session):
+    """Two steps at the SAME ts must not chain (strict >)."""
+    ray = ray_session
+    from datavec_ray.ops.analytics import funnel
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["a", "b", "a", "b"],
+        "ts_ms": np.array([100, 100, 100, 200], np.int64),
+    })
+    got = funnel(ray.data.from_pandas(df), ["a", "b"], ts_col="ts_ms",
+                 num_partitions=2).to_pandas().sort_values("step")
+    assert list(got["n_users"]) == [2, 1]  # user 1's tie doesn't chain
+
+
+def test_cohort_retention_parity(ray_session):
+    ray = ray_session
+    from datavec_ray.ops.analytics import cohort_retention
+    df, _ = _synth_events(seed=9)
+    P = 50_000
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=2)
+                              ).repartition(6)
+    got = cohort_retention(ds, P, ts_col="ts_ms", num_partitions=4
+                           ).to_pandas().sort_values(
+        ["cohort", "offset"]).reset_index(drop=True)
+    per = df.assign(per=df["ts_ms"] // P)[["user_id", "per"]].drop_duplicates()
+    coh = per.groupby("user_id")["per"].min().rename("c")
+    ref = (per.join(coh, on="user_id")
+           .assign(offset=lambda d: d["per"] - d["c"])
+           .groupby(["c", "offset"]).size().rename("n_users").reset_index()
+           .sort_values(["c", "offset"]).reset_index(drop=True))
+    assert len(got) == len(ref)
+    assert (got["cohort"].values == ref["c"].values).all()
+    assert (got["offset"].values == ref["offset"].values).all()
+    assert (got["n_users"].values == ref["n_users"].values).all()
+    # offset 0 row per cohort counts the whole cohort
+    z = got[got["offset"] == 0].set_index("cohort")["n_users"]
+    sizes = coh.value_counts()
+    for c, n in z.items():
+        assert sizes[c] == n
