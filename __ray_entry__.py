@@ -570,6 +570,39 @@ def _q_windowed_stream(sf_dir: str):
     return win
 
 
+def _q_txn_upsert(sf_dir: str):
+    """Transactional CDC visibility: group the derived binlog into
+    transactions (lsn // 8); a txn is committed iff it contains a
+    'signup' row (payload-based commit marker). Only committed txns'
+    events reach the LWW upsert — atomic visibility
+    (``cdc/txn.py``). Final state as epoch-ms, mirroring cdc_upsert."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import lww_compact_dataset
+    from datavec_ray.cdc.txn import txn_split
+
+    ds = _read(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        bl = binlog_from_events(b)
+        txn = pc.divide(bl["lsn"], 8)
+        return bl.append_column("txn_id", pc.cast(txn, pa.int64()))
+
+    binlog = ds.map_batches(prep, batch_format="pyarrow")
+    apply_ds, _pending, _n = txn_split(
+        binlog, txn_col="txn_id", op_col="tool", commit_op="signup",
+        drop_markers=False)
+    final = lww_compact_dataset(apply_ds.drop_columns(["txn_id"]),
+                                num_partitions=16)
+
+    def ts_to_ms(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                            t["ts"].cast(pa.int64())).rename_columns(
+            [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+    return final.map_batches(ts_to_ms, batch_format="pyarrow")
+
+
 def _q_funnel(sf_dir: str):
     """Strict-order conversion funnel with a 24 h per-step window over
     the events stream: one hash exchange on user, then every user in a
@@ -1819,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_joinview": _q_cdc_joinview,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
+        "txn_upsert": _q_txn_upsert,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "frequent_tokens": _q_frequent_tokens,
@@ -2334,6 +2368,15 @@ def oracle_sql() -> dict[str, str]:
               on l.conv_id = r.conv_id
              and l.turn_idx // 2 = r.turn_idx // 2
             where l.turn_idx % 2 = 0 and r.turn_idx % 2 = 1""",
+        "txn_upsert": _BINLOG_CTE + """
+            , t as (select *, lsn // 8 as txn_id from e),
+            c as (select distinct txn_id from t where tool = 'signup')
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select t.*, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from t join c using(txn_id)) x
+            where rn = 1 and op <> 'D'""",
         "late_events": _BINLOG_CTE + """
             , s as (select lsn, ts_ms - (lsn % 16) * 600000 as tsk from e)
             select lsn,
