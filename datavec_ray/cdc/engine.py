@@ -415,19 +415,36 @@ def _registry_cls():
     @ray.remote(num_cpus=0)
     class SchemaRegistry:
         """Arrow-schema-unification actor: holds the canonical schema,
-        evolves it additively / by widening via pa.unify_schemas."""
+        evolves it additively / by widening via pa.unify_schemas.
+        With ``compat_mode`` set (backward/forward/full), an evolution
+        whose UNIFIED schema would break that compatibility vs the
+        current canonical is rejected BEFORE any lake write
+        (``cdc/compat.py``)."""
 
-        def __init__(self, initial: Optional[bytes] = None):
+        def __init__(self, initial: Optional[bytes] = None,
+                     compat_mode: Optional[str] = None):
             self.schema: Optional[pa.Schema] = (
                 pa.ipc.read_schema(pa.BufferReader(initial)) if initial else None)
+            self.compat_mode = compat_mode
 
         def evolve(self, schema_bytes: bytes) -> bytes:
             incoming = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
             if self.schema is None:
                 self.schema = incoming
             else:
-                self.schema = pa.unify_schemas([self.schema, incoming],
-                                               promote_options="permissive")
+                unified = pa.unify_schemas([self.schema, incoming],
+                                           promote_options="permissive")
+                if self.compat_mode and not unified.equals(self.schema):
+                    from datavec_ray.cdc.compat import (SchemaCompatError,
+                                                        check_compatibility)
+                    probs = check_compatibility(self.schema, unified,
+                                                self.compat_mode)
+                    if probs:
+                        raise SchemaCompatError(
+                            f"segment schema evolution violates "
+                            f"{self.compat_mode} compatibility: "
+                            + "; ".join(probs))
+                self.schema = unified
             return self.schema.serialize().to_pybytes()
 
         def current(self) -> Optional[bytes]:
@@ -1089,7 +1106,8 @@ class CdcIngestEngine:
                  ingest_mode: str = "auto",
                  shard_spill: bool = True,
                  shard_spill_threshold_rows: int = 5_000_000,
-                 dlq: bool = False):
+                 dlq: bool = False,
+                 compat_mode: Optional[str] = None):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if ingest_mode == "auto":
@@ -1116,8 +1134,12 @@ class CdcIngestEngine:
         # needs them (its state lives in checkpoint files, its tasks
         # schedule on the whole cluster).
         self._shards: Optional[list] = None
+        if compat_mode is not None:
+            from datavec_ray.cdc.compat import MODES
+            if compat_mode not in MODES:
+                raise ValueError(f"compat_mode must be one of {MODES}")
         Registry = _registry_cls()
-        self.registry = Registry.remote()
+        self.registry = Registry.remote(compat_mode=compat_mode)
         # router-mode delivery barrier: cumulative apply() calls
         # submitted per shard (compared against each shard's ack_counter)
         self._expected_msgs: dict[int, int] = {}
