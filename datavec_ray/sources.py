@@ -408,6 +408,48 @@ def sqlite_connection(path: str):
     return functools.partial(sqlite3.connect, path)
 
 
+def write_jdbc(ds, table: str, connection_factory,
+               pk_cols: Optional[Sequence[str]] = None,
+               batch_rows: int = 10_000) -> int:
+    """Dataset → DB-API table sink (the write-side complement of
+    ``read_jdbc``; the reference only reads from JDBC — this closes
+    the round trip). Returns rows written.
+
+    Idempotence: with ``pk_cols``, every batch runs as
+    ``INSERT OR REPLACE`` (upsert on the primary key), so re-running a
+    failed write converges to the same table state — the same
+    exactly-once-by-idempotence discipline as the parquet lake sink.
+    Without ``pk_cols``, plain INSERT (caller owns dedup).
+
+    Shape: the connection is opened INSIDE each write task (never
+    shipped through the object store); each task commits one DB
+    transaction per block, parameters bound via ``executemany`` on
+    Python-native rows (DB-API has no columnar path — this boundary
+    is per-row by protocol, not by choice; keep bulk exports on the
+    parquet/ORC/IPC sinks)."""
+
+    verb = "INSERT OR REPLACE" if pk_cols else "INSERT"
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        conn = connection_factory()
+        try:
+            cols = batch.column_names
+            sql = (f"{verb} INTO {table} ({', '.join(cols)}) "
+                   f"VALUES ({', '.join(['?'] * len(cols))})")
+            cur = conn.cursor()
+            arrs = [combine(batch[c]).to_pylist() for c in cols]
+            rows = list(zip(*arrs)) if arrs else []
+            for i in range(0, len(rows), batch_rows):
+                cur.executemany(sql, rows[i:i + batch_rows])
+            conn.commit()
+        finally:
+            conn.close()
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    acks = ds.map_batches(write_block, batch_format="pyarrow")
+    return int(sum(r["rows"] for r in acks.take_all()))
+
+
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------

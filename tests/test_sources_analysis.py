@@ -286,3 +286,34 @@ def test_arrow_ipc_roundtrip(ray_session, tmp_path):
     pruned = dataset_to_table(
         read_arrow_ipc(str(tmp_path / "ipc"), columns=["v"]))
     assert pruned.column_names == ["v"]
+
+
+def test_write_jdbc_roundtrip_and_idempotence(ray_session, tmp_path):
+    """write_jdbc upserts on the PK: re-running the same write (a crash
+    retry) converges to the same table state; read_jdbc round-trips."""
+    import functools
+    import sqlite3
+
+    import ray.data as rd
+
+    from datavec_ray.sources import read_jdbc, write_jdbc
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("create table kv (k integer primary key, v text)")
+    factory = functools.partial(sqlite3.connect, db, 30.0)
+
+    t = pa.table({"k": pa.array(range(100), pa.int64()),
+                  "v": [f"v{i}" for i in range(100)]})
+    ds = rd.from_arrow(t).repartition(3)
+    n = write_jdbc(ds, "kv", factory, pk_cols=["k"])
+    assert n == 100
+    # idempotent retry: same rows again, plus an updated value
+    t2 = t.set_column(1, "v", pa.array(
+        [f"v{i}" if i else "UPDATED" for i in range(100)]))
+    write_jdbc(rd.from_arrow(t2), "kv", factory, pk_cols=["k"])
+    back = dataset_to_table(
+        read_jdbc("select k, v from kv", factory)).sort_by("k")
+    assert back.num_rows == 100
+    assert back["v"][0].as_py() == "UPDATED"
+    assert back["v"][5].as_py() == "v5"
