@@ -570,6 +570,35 @@ def _q_windowed_stream(sf_dir: str):
     return win
 
 
+def _q_hopping_stream(sf_dir: str):
+    """Emit-on-watermark HOPPING windows (2 h wide, 1 h slide, 10 min
+    allowed lateness) — each event lands in W/S overlapping windows;
+    the fan-out exists only inside the per-block combiner, already
+    pre-aggregated before the one tiny partial exchange."""
+    from datavec_ray.cdc.watermark import windowed_stream
+
+    win, _dropped = windowed_stream(
+        _binlog_with_skewed_ts(sf_dir), window_ms=7_200_000,
+        delay_ms=1_800_000, allowed_lateness_ms=600_000,
+        keys=["role"], ts_col="ts_skew_ms", value_col="turn_idx",
+        slide_ms=3_600_000)
+    return win
+
+
+def _q_session_stream(sf_dir: str):
+    """Watermark-gated SESSION windows: events too old to extend any
+    open session (ts <= wm - lateness on arrival) drop to the side
+    output; survivors sessionize per conversation on 30 min event-time
+    gaps."""
+    from datavec_ray.cdc.watermark import session_stream
+
+    sessions, _dropped = session_stream(
+        _binlog_with_skewed_ts(sf_dir), gap_ms=1_800_000,
+        delay_ms=1_800_000, allowed_lateness_ms=600_000,
+        keys=["conv_id"], ts_col="ts_skew_ms")
+    return sessions.select_columns(["lsn", "conv_id", "session_id"])
+
+
 def _q_txn_upsert(sf_dir: str):
     """Transactional CDC visibility: group the derived binlog into
     transactions (lsn // 8); a txn is committed iff it contains a
@@ -1853,6 +1882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "txn_upsert": _q_txn_upsert,
+        "hopping_stream": _q_hopping_stream,
+        "session_stream": _q_session_stream,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "frequent_tokens": _q_frequent_tokens,
@@ -2401,6 +2432,41 @@ def oracle_sql() -> dict[str, str]:
             where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
                            true)
             group by win, role""",
+        "hopping_stream": _BINLOG_CTE + """
+            , s as (select lsn, role, turn_idx,
+                           ts_ms - (lsn % 16) * 600000 as tsk from e)
+            , wmk as (select *, max(tsk) over (order by lsn
+                        rows between unbounded preceding
+                        and 1 preceding) - 1800000 as wm
+                      from s)
+            , x as (select *, unnest(generate_series(
+                        (tsk - 7200000) // 3600000 + 1,
+                        tsk // 3600000)) as win
+                    from wmk)
+            select win, role, count(*) as n,
+                   cast(sum(turn_idx) as bigint) as val_sum
+            from x
+            where coalesce(win * 3600000 + 7200000 + 600000 > wm, true)
+            group by win, role""",
+        "session_stream": _BINLOG_CTE + """
+            , s as (select lsn, conv_id,
+                           ts_ms - (lsn % 16) * 600000 as tsk from e)
+            , wmk as (select *, max(tsk) over (order by lsn
+                        rows between unbounded preceding
+                        and 1 preceding) - 1800000 as wm
+                      from s)
+            , ot as (select lsn, conv_id, tsk from wmk
+                     where wm is null or tsk > wm - 600000)
+            , g as (select *, case when tsk - lag(tsk) over w > 1800000
+                                   then 1 else 0 end as brk
+                    from ot window w as (partition by conv_id
+                                         order by tsk, lsn))
+            select lsn, conv_id,
+                   cast(sum(brk) over (partition by conv_id
+                                       order by tsk, lsn
+                                       rows unbounded preceding) as bigint)
+                     as session_id
+            from g""",
         "funnel": """
             with s1 as (
               select user_id, min(epoch_ms(date_trunc('milliseconds', ts)))

@@ -11,5 +11,6 @@ from datavec_ray.cdc.oracle import replay_oracle
 from datavec_ray.cdc.engine import CdcIngestEngine, lww_compact_dataset
 from datavec_ray.cdc.joinview import JoinView
 from datavec_ray.cdc.watermark import (assign_watermarks,
-                                       route_late_events, windowed_stream)
+                                       route_late_events, session_stream,
+                                       windowed_stream)
 from datavec_ray.cdc.txn import txn_split, committed_txns, synth_txn_binlog

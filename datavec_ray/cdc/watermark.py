@@ -207,44 +207,69 @@ def windowed_stream(ds, window_ms: int, delay_ms: int,
                     allowed_lateness_ms: int = 0,
                     keys: Sequence[str] = ("role",),
                     ts_col: str = "ts", order_col: str = "lsn",
-                    value_col: str = "turn_idx"):
-    """Emit-on-watermark tumbling windows with allowed lateness.
+                    value_col: str = "turn_idx",
+                    slide_ms: Optional[int] = None):
+    """Emit-on-watermark TUMBLING (default) or HOPPING
+    (``slide_ms < window_ms``) windows with allowed lateness.
 
-    An event assigned to window ``w = ts_ms // window_ms`` is DROPPED
-    (side output) iff the window had already fired when it arrived:
-    ``(w + 1) * window_ms + allowed_lateness <= wm_at_arrival``.
-    Surviving events aggregate per (window, keys): count + sum(value).
+    An event at event-time ``ts`` belongs to every window ``w`` with
+    ``w*S <= ts < w*S + W`` (S = slide, W = width; S == W is the
+    tumbling special case where ``w = ts // W``). A (event, window)
+    pair is DROPPED (side output) iff the window had already fired
+    when the event arrived: ``w*S + W + allowed_lateness <=
+    wm_at_arrival``. Surviving pairs aggregate per (window, keys):
+    count + sum(value).
 
     Returns ``(windows, dropped)`` — the fired-window table (every
     window finalized at its last accepted state, identical to what an
     online engine would have emitted after its final firing) and the
-    dropped-late side output.
+    dropped-late (event, window) side output.
 
     Shape: watermark assignment (above, shuffle-free on binlog input)
-    → per-block combine to (window, keys) partial rows → ONE tiny
-    groupby over partials. Raw events never shuffle.
+    → per-block multi-window assignment + combine to (window, keys)
+    partial rows → ONE tiny groupby over partials. Raw events never
+    shuffle; the hopping fan-out (W/S pairs per event) exists only
+    inside the combiner, already pre-aggregated before the exchange.
     """
     tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
                                order_col=order_col).materialize()
     keys = list(keys)
     W = np.int64(window_ms)
+    S = np.int64(slide_ms if slide_ms is not None else window_ms)
+    if S > W:
+        raise ValueError("slide_ms must be <= window_ms")
     L = np.int64(allowed_lateness_ms)
 
-    def _combine(batch: pa.Table) -> pa.Table:
+    def _assign(batch: pa.Table):
+        """(row_idx, win, keep) arrays for every (event, window) pair.
+        numpy // floors, so the range formula is exact for any int64
+        ts; the SQL mirror's `//` truncates — keep ts positive there
+        (epoch-ms always is)."""
         ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
         wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
-        win = ts // W
-        keep = ~(((win + 1) * W + L) <= wm)
-        sub = batch.filter(pa.array(keep))
-        if sub.num_rows == 0:
+        lo = (ts - W) // S + 1
+        hi = ts // S
+        cnt = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), cnt)
+        # win = lo[row] + position-within-row
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        win = lo[idx] + offs
+        keep = ~((win * S + W + L) <= wm[idx])
+        return idx, win, keep
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        idx, win, keep = _assign(batch)
+        if not keep.any():
             return pa.table(
                 {"win": pa.array([], pa.int64()),
                  **{k: pa.array([], batch.schema.field(k).type) for k in keys},
                  "n": pa.array([], pa.int64()),
                  "val_sum": pa.array([], pa.int64())})
+        rows = batch.take(pa.array(idx[keep]))
         gt = pa.table({"win": pa.array(win[keep], pa.int64()),
-                       **{k: sub[k] for k in keys},
-                       "__v": pc.cast(sub[value_col], pa.int64())})
+                       **{k: rows[k] for k in keys},
+                       "__v": pc.cast(rows[value_col], pa.int64())})
         agg = gt.group_by(["win"] + keys, use_threads=False).aggregate(
             [("__v", "count"), ("__v", "sum")])
         return agg.rename_columns(["win"] + keys + ["n", "val_sum"])
@@ -261,11 +286,51 @@ def windowed_stream(ds, window_ms: int, delay_ms: int,
         _final, batch_format="pyarrow")
 
     def _dropped(batch: pa.Table) -> pa.Table:
-        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
-        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
-        win = ts // W
-        return batch.filter(pa.array(((win + 1) * W + L) <= wm))
+        idx, win, keep = _assign(batch)
+        out = batch.take(pa.array(idx[~keep]))
+        return out.append_column("win", pa.array(win[~keep], pa.int64()))
 
     dropped = tagged.map_batches(_dropped, batch_format="pyarrow",
                                  zero_copy_batch=True)
     return windows, dropped
+
+
+def session_stream(ds, gap_ms: int, delay_ms: int,
+                   allowed_lateness_ms: int = 0,
+                   keys: Sequence[str] = ("conv_id",),
+                   ts_col: str = "ts", order_col: str = "lsn"):
+    """Watermark-gated SESSION windows: events older than
+    ``watermark - allowed_lateness`` at arrival are dropped to the
+    side output (they can no longer extend any open session); the
+    survivors sessionize per key on event-time gaps > ``gap_ms``
+    (``misc.sessionize`` — one hash exchange, per-partition segmented
+    gap scan). Returns ``(sessions, dropped)``.
+    """
+    tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
+                               order_col=order_col).materialize()
+    L = np.int64(allowed_lateness_ms)
+
+    def _gate(batch: pa.Table, drop: bool) -> pa.Table:
+        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
+        late = ts <= wm - L
+        return batch.filter(pa.array(late if drop else ~late))
+
+    import functools
+
+    def _ms_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__ts_ms", pa.array(np.asarray(
+                _ts_ms(batch[ts_col]).combine_chunks()), pa.int64()))
+
+    on_time = tagged.map_batches(
+        functools.partial(_gate, drop=False), batch_format="pyarrow",
+        zero_copy_batch=True).drop_columns(["wm_ms", "is_late"]) \
+        .map_batches(_ms_col, batch_format="pyarrow", zero_copy_batch=True)
+    dropped = tagged.map_batches(
+        functools.partial(_gate, drop=True), batch_format="pyarrow",
+        zero_copy_batch=True)
+    from datavec_ray.misc import sessionize
+    sessions = sessionize(on_time, keys=list(keys), order_col="__ts_ms",
+                          gap=gap_ms, tiebreak=order_col)
+    return sessions.drop_columns(["__ts_ms"]), dropped

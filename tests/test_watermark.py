@@ -117,3 +117,62 @@ def test_windowed_stream_matches_final_firing_semantics(ray_session):
     for _, r in got.iterrows():
         role = r["role"] if pd.notna(r["role"]) else None
         assert state[(r["win"], role)] == (r["n"], r["val_sum"])
+
+
+def test_hopping_stream_parity(ray_session):
+    """W=3600s, S=1800s: every event lands in 2 windows; pairs gate
+    independently on the watermark at arrival."""
+    ray = ray_session
+    from datavec_ray.cdc.watermark import windowed_stream
+    W, S, L = 3_600_000, 1_800_000, 60_000
+    bl = synth_binlog(8_000, seed=17)
+    ds = ray.data.from_arrow(bl).repartition(6)
+    win, dropped = windowed_stream(ds, window_ms=W, delay_ms=DELAY,
+                                   allowed_lateness_ms=L, slide_ms=S)
+    got = win.to_pandas().sort_values(["win", "role"]).reset_index(drop=True)
+
+    df, ts, run, wm, _ = _reference(bl, DELAY)
+    rows = []
+    for i in range(len(ts)):
+        lo = (ts[i] - W) // S + 1
+        for w in range(lo, ts[i] // S + 1):
+            rows.append((w, df["role"].values[i],
+                         int(df["turn_idx"].values[i]),
+                         w * S + W + L <= wm[i]))
+    ref = pd.DataFrame(rows, columns=["win", "role", "v", "drop"])
+    assert dropped.count() == int(ref["drop"].sum())
+    keep = ref[~ref["drop"]]
+    refagg = (keep.groupby(["win", "role"], dropna=False)
+              .agg(n=("v", "size"), val_sum=("v", "sum")).reset_index()
+              .sort_values(["win", "role"]).reset_index(drop=True))
+    assert len(got) == len(refagg)
+    assert (got["n"].values == refagg["n"].values).all()
+    assert (got["val_sum"].values == refagg["val_sum"].values).all()
+    # hopping assigns ~2x the windows of tumbling (W/S = 2 overlap);
+    # compare pre-gate universes (the late gate prunes both alike)
+    assert ref["win"].nunique() > len(np.unique(ts // W))
+
+
+def test_session_stream_parity(ray_session):
+    ray = ray_session
+    from datavec_ray.cdc.watermark import session_stream
+    GAP, L = 500, 120_000  # synth per-conv gaps are 0-2000 ms
+    DELAY_W = 3_600_000  # wide lateness band so conv gaps survive
+    bl = synth_binlog(6_000, seed=29)
+    ds = ray.data.from_arrow(bl).repartition(5)
+    sessions, dropped = session_stream(ds, gap_ms=GAP, delay_ms=DELAY_W,
+                                       allowed_lateness_ms=L)
+    got = sessions.to_pandas().sort_values("lsn").reset_index(drop=True)
+
+    df, ts, run, wm, _ = _reference(bl, DELAY_W)
+    late = ts <= wm - L
+    assert dropped.count() == int(late.sum())
+    sub = df[~late].assign(tsm=ts[~late]).sort_values(
+        ["conv_id", "tsm", "lsn"])
+    brk = (sub.groupby("conv_id")["tsm"].diff() > GAP).astype(int)
+    sid = brk.groupby(sub["conv_id"]).cumsum()
+    ref = sub.assign(session_id=sid).sort_values("lsn")
+    assert len(got) == len(ref)
+    assert (got["lsn"].values == ref["lsn"].values).all()
+    assert (got["session_id"].values == ref["session_id"].values).all()
+    assert got["session_id"].max() > 0  # sessions actually split
