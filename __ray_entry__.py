@@ -636,6 +636,20 @@ def _q_txn_upsert(sf_dir: str):
     return final.map_batches(ts_to_ms, batch_format="pyarrow")
 
 
+def _q_regex_extract(sf_dir: str):
+    """Named-capture-group regex extraction to new columns (RegexExtract
+    step, Arrow extract_regex kernel — one vectorized pass)."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.steps import KeepColumns, RegexExtract
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    p = TransformPipeline(_schema_of(sf_dir, "events").select(
+        ["event_id", "props"]))
+    p.add(RegexExtract("props", r'"k":\s*(?P<kval>\d+)'))
+    p.add(KeepColumns(["event_id", "kval"]))
+    return p.execute(ds)
+
+
 def _q_funnel(sf_dir: str):
     """Strict-order conversion funnel with a 24 h per-step window over
     the events stream: one hash exchange on user, then every user in a
@@ -1974,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "rollup": _q_rollup,
         "json_extract": _q_json_extract,
+        "regex_extract": _q_regex_extract,
     }
 
 
@@ -3287,6 +3302,12 @@ def oracle_sql() -> dict[str, str]:
             from documents
             group by rollup(lang, source)
             order by lang nulls last, source nulls last""",
+        "regex_extract": """
+            select event_id,
+                   nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+                       as kval
+            from events
+            order by event_id""",
         "json_extract": """
             select event_type,
                    cast(sum(cast(json_extract_string(props, '$.k')

@@ -15,7 +15,8 @@ from datavec_ray.steps.math import (
 from datavec_ray.steps.string import (
     AppendString, ChangeCase, ConcatenateStringColumns, MapAllStringsExceptList,
     NormalizeText,
-    RegexReplace, RemoveWhiteSpace, ReplaceEmptyString, StringListToCategoricalSet,
+    RegexExtract, RegexReplace, RemoveWhiteSpace, ReplaceEmptyString,
+    StringListToCategoricalSet,
     StringListToCounts, StringListToIndicator, StringListToIndices, StringMap,
 )
 from datavec_ray.steps.categorical import (

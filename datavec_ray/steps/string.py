@@ -240,6 +240,54 @@ class RegexReplace(Step):
 
 
 @register("step")
+class RegexExtract(Step):
+    """Named-capture-group regex extraction to NEW columns (the
+    column-side counterpart of the reader-side
+    ``RegexLineRecordReader.java:43``, which splits lines into fields
+    by a pattern at read time; here any string column can be exploded
+    mid-pipeline). Non-matching rows yield nulls. Vectorized via
+    Arrow's ``extract_regex`` — one pass, no Python per row.
+
+    ``pattern`` must use named groups, e.g.
+    ``r"(?P<k>\\w+)=(?P<v>\\d+)"``.
+    """
+
+    def __init__(self, column: str, pattern: str):
+        import re as _re
+        self.column, self.pattern = column, pattern
+        self.group_names = list(_re.compile(pattern).groupindex)
+        if not self.group_names:
+            raise ValueError("RegexExtract needs named capture groups "
+                             "(?P<name>...)")
+
+    def output_schema(self, schema: Schema) -> Schema:
+        schema.require(self.column)
+        out = schema
+        for g in self.group_names:
+            if g in out.names:  # collision: overwrite in place as string
+                out = out.without_columns([g]).with_column(
+                    g, pa.string(), index=out.index_of(g))
+            else:
+                out = out.with_column(g, pa.string())
+        return out
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        col = pc.fill_null(combine(table[self.column]), "")
+        st = pc.extract_regex(col, self.pattern)  # struct or null/row
+        for g in self.group_names:
+            arr = combine(pc.struct_field(st, g))
+            if g in table.column_names:
+                table = set_column(table, g, arr)
+            else:
+                table = table.append_column(pa.field(g, arr.type), arr)
+        return table
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"cls": "RegexExtract", "column": self.column,
+                "pattern": self.pattern}
+
+
+@register("step")
 class StringMap(Step):
     """Exact-match dictionary replace (StringMapTransform.java:38).
 

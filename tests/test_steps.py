@@ -131,6 +131,23 @@ def test_string_steps():
     assert out["cat"].to_pylist() == ["alpha", "b", "c", "alpha", "b"]
 
 
+def test_regex_extract():
+    t = pa.table({"x": ["k=1 v=a", "k=22 v=bb", "no match", None]})
+    out = run1(RegexExtract("x", r"k=(?P<knum>\d+) v=(?P<vstr>\w+)"), t)
+    assert out["knum"].to_pylist() == ["1", "22", None, None]
+    assert out["vstr"].to_pylist() == ["a", "bb", None, None]
+    assert out["x"].to_pylist()[0] == "k=1 v=a"  # source kept
+    # overwrite-in-place when a group name collides with an existing column
+    t2 = pa.table({"x": ["a=9"], "a": ["old"]})
+    out2 = run1(RegexExtract("x", r"a=(?P<a>\d+)"), t2)
+    assert out2["a"].to_pylist() == ["9"]
+    with pytest.raises(ValueError):
+        RegexExtract("x", r"k=(\d+)")  # unnamed groups rejected
+    # serde round-trip
+    d = RegexExtract("x", r"k=(?P<k>\d+)").to_dict()
+    assert d["cls"] == "RegexExtract" and "pattern" in d
+
+
 def test_string_list_steps():
     t = pa.table({"x": ["x,y", "z", "x,x,q", ""]})
     out = run1(StringListToCounts("x", ["x", "y", "z"], ","), t)
