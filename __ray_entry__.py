@@ -650,6 +650,107 @@ def _q_regex_extract(sf_dir: str):
     return p.execute(ds)
 
 
+_SYNTH_DOC_COLS = ["doc_id", "text", "lang", "source"]
+
+
+def _q_html_extract(sf_dir: str):
+    """Web-curation front half: deterministic HTML pages synthesized
+    from documents (pure column concatenation, mirrored term-for-term
+    in the oracle), parsed back by the HtmlTextExtract actor stage —
+    title, visible body text (script/style stripped), link count."""
+    from datavec_ray.ops.web import HtmlTextExtract, synth_html
+
+    ds = _read(sf_dir, "documents", _SYNTH_DOC_COLS)
+    out = ds.map_batches(synth_html, batch_format="pyarrow") \
+            .map_batches(HtmlTextExtract("html"), batch_format="pyarrow")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "title": b["title"],
+            "body_text": b["body_text"],
+            "n_links": b["links"].combine_chunks().value_lengths().cast(
+                pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def _q_url_extract(sf_dir: str):
+    """URL extraction + normalization + per-domain stats over the
+    synthesized pages: vectorized extract_all → host → per-batch
+    combine → one tiny grouped reduce (crawl domain-mix report)."""
+    from datavec_ray.ops.web import synth_html, url_domain_stats
+
+    ds = _read(sf_dir, "documents", _SYNTH_DOC_COLS)
+    pages = ds.map_batches(synth_html, batch_format="pyarrow")
+    return url_domain_stats(pages, "html")
+
+
+def _q_blocklist_tag(sf_dir: str):
+    """Word-boundary keyword-blocklist tagging (FlashText-style multi
+    keyword scan as ONE RE2 alternation pass per batch)."""
+    from datavec_ray.ops.web import blocklist_tag
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        n, flag = blocklist_tag(b["text"], ["spark", "slow", "dup", "big"])
+        return pa.table({"doc_id": b["doc_id"], "n_hits": n,
+                         "flagged": flag})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _q_warc_source(sf_dir: str):
+    """WARC lake interchange: synthesized pages written once to
+    .warc.gz shards under /tmp (gzip member per record, tmp+rename,
+    keyed by source mtime), read back via sources.read_warc, and
+    aggregated per host — page count plus exact payload byte sum, so
+    the round trip is verified byte-for-byte in aggregate."""
+    import shutil
+
+    from datavec_ray.ops.web import synth_html, url_host
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.sources import read_warc, write_warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src))
+    lake = os.path.join("/tmp", "datavec_ray_warc_"
+                        + os.path.basename(sf_dir.rstrip("/")) + f"_{mtime}")
+    if not os.path.isdir(lake):
+        tmp = lake + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def to_records(b: pa.Table) -> pa.Table:
+            b = synth_html(b)
+            url = pc.binary_join_element_wise(
+                "https://", b["source"].combine_chunks(),
+                ".example.com/page/",
+                pc.cast(b["doc_id"], pa.string()), "")
+            return pa.table({"url": url, "payload": b["html"]})
+
+        write_warc(_read(sf_dir, "documents", _SYNTH_DOC_COLS)
+                   .map_batches(to_records, batch_format="pyarrow"), tmp)
+        try:
+            os.rename(tmp, lake)
+        except OSError:                  # lost a concurrent-build race
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    ds = read_warc([os.path.join(lake, f) for f in sorted(os.listdir(lake))])
+
+    def per_page(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": url_host(b["url"]),
+            "bytes": pc.cast(pc.binary_length(
+                b["payload"].combine_chunks()), pa.int64()),
+        })
+
+    return Reducer(["host"], [["bytes", "Count", "n_pages"],
+                              ["bytes", "Sum", "sum_bytes"]]) \
+        .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
+
+
 def _q_funnel(sf_dir: str):
     """Strict-order conversion funnel with a 24 h per-step window over
     the events stream: one hash exchange on user, then every user in a
@@ -1989,6 +2090,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": _q_rollup,
         "json_extract": _q_json_extract,
         "regex_extract": _q_regex_extract,
+        "html_extract": _q_html_extract,
+        "url_extract": _q_url_extract,
+        "blocklist_tag": _q_blocklist_tag,
+        "warc_source": _q_warc_source,
     }
 
 
@@ -3308,6 +3413,52 @@ def oracle_sql() -> dict[str, str]:
                        as kval
             from events
             order by event_id""",
+        "html_extract": """
+            select doc_id,
+                   'doc ' || cast(doc_id as varchar) as title,
+                   'doc ' || cast(doc_id as varchar) || chr(10) || text
+                       || chr(10) || 'l0' || chr(10) || 'l1' as body_text,
+                   cast(2 as bigint) as n_links
+            from documents
+            order by doc_id""",
+        "url_extract": """
+            with u as (
+              select doc_id, source || '.example.com' as host
+              from documents
+              union all
+              select doc_id, 'mirror-' || lang || '.example.org' as host
+              from documents
+            )
+            select host, cast(count(*) as bigint) as n_urls,
+                   cast(count(distinct doc_id) as bigint) as n_pages
+            from u group by host order by host""",
+        "blocklist_tag": """
+            select doc_id,
+                   cast(len(regexp_extract_all(lower(coalesce(text, '')),
+                        '\\b(?:spark|slow|dup|big)\\b')) as bigint)
+                       as n_hits,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '\\b(?:spark|slow|dup|big)\\b')) > 0 as flagged
+            from documents
+            order by doc_id""",
+        "warc_source": """
+            with h as (
+              select source || '.example.com' as host,
+                     strlen('<html><head><title>doc '
+                       || cast(doc_id as varchar)
+                       || '</title><style>p{margin:0}</style></head>'
+                       || '<body><script>var x=1;</script><h1>doc '
+                       || cast(doc_id as varchar) || '</h1><p>' || text
+                       || '</p><a href="https://' || source
+                       || '.example.com/d/' || cast(doc_id % 97 as varchar)
+                       || '">l0</a> <a href="http://mirror-' || lang
+                       || '.example.org/d/' || cast(doc_id % 13 as varchar)
+                       || '?x=1#f">l1</a></body></html>') as nbytes
+              from documents
+            )
+            select host, cast(count(*) as bigint) as n_pages,
+                   cast(sum(nbytes) as bigint) as sum_bytes
+            from h group by host order by host""",
         "json_extract": """
             select event_type,
                    cast(sum(cast(json_extract_string(props, '$.k')

@@ -1,0 +1,133 @@
+"""Web-curation family: HTML extraction, URL ops, blocklist, WARC."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import pytest
+
+from datavec_ray.ops.web import (
+    HtmlTextExtract, blocklist_pattern, blocklist_tag, extract_urls,
+    synth_html, url_domain_stats, url_host,
+)
+
+
+def docs_table():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 97], pa.int64()),
+        "text": ["hello spark world", "slow data dup", "plain words"],
+        "lang": ["en", "fr", "en"],
+        "source": ["src1", "src2", "src1"],
+    })
+
+
+def test_synth_html_deterministic():
+    t = synth_html(docs_table())
+    h = t["html"][0].as_py()
+    assert h.startswith("<html><head><title>doc 0</title>")
+    assert 'href="https://src1.example.com/d/0"' in h
+    assert 'href="http://mirror-en.example.org/d/0?x=1#f"' in h
+    # pure function: same input, same bytes
+    assert synth_html(docs_table())["html"].equals(t["html"])
+    # doc 97 -> m97 = 0, m13 = 6
+    h97 = t["html"][2].as_py()
+    assert "src1.example.com/d/0" in h97 and "example.org/d/6?x=1" in h97
+
+
+def test_html_text_extract():
+    t = synth_html(docs_table())
+    out = HtmlTextExtract("html")(t)
+    assert "html" not in out.column_names
+    assert out["title"].to_pylist() == ["doc 0", "doc 1", "doc 97"]
+    assert out["body_text"][0].as_py() == "doc 0\nhello spark world\nl0\nl1"
+    assert out["links"][0].as_py() == [
+        "https://src1.example.com/d/0",
+        "http://mirror-en.example.org/d/0?x=1#f"]
+    # script/style stripped; malformed html survives
+    t2 = pa.table({"html": [
+        "<body><script>x<y</script><style>p{}</style>ok<b>bold",
+        None]})
+    o2 = HtmlTextExtract("html")(t2)
+    assert o2["body_text"].to_pylist() == ["ok\nbold", None]
+    assert o2["links"].to_pylist() == [[], None]
+
+
+def test_extract_urls_and_host():
+    col = pa.array([
+        'see https://A.Example.com/x and http://b.org/y?z=1 end',
+        "no urls here", None])
+    lists = extract_urls(col)
+    assert lists.to_pylist() == [
+        ["https://A.Example.com/x", "http://b.org/y?z=1"], [], None]
+    hosts = url_host(lists.flatten())
+    assert hosts.to_pylist() == ["a.example.com", "b.org"]
+    assert url_host(pa.array(["not a url"])).to_pylist() == [None]
+
+
+def test_blocklist_tag():
+    col = pa.array(["Spark is SLOW", "sparkly dupes", "dup spark slow", None])
+    n, flag = blocklist_tag(col, ["spark", "slow", "dup"])
+    assert n.to_pylist() == [2, 0, 3, 0]       # word boundaries hold
+    assert flag.to_pylist() == [True, False, True, False]
+    n2, _ = blocklist_tag(col, ["spark"], whole_word=False)
+    assert n2.to_pylist() == [1, 1, 1, 0]
+    n3, _ = blocklist_tag(col, ["spark"], case_insensitive=False)
+    assert n3.to_pylist() == [0, 0, 1, 0]
+    with pytest.raises(ValueError):
+        blocklist_pattern([])
+
+
+def test_url_domain_stats(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(synth_html(docs_table())).repartition(2)
+    out = url_domain_stats(ds, "html")
+    rows = {r["host"]: (r["n_urls"], r["n_pages"])
+            for r in out.take_all()}
+    assert rows["src1.example.com"] == (2, 2)
+    assert rows["src2.example.com"] == (1, 1)
+    assert rows["mirror-en.example.org"] == (2, 2)
+    assert rows["mirror-fr.example.org"] == (1, 1)
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_warc_roundtrip(ray_session, tmp_path, gz):
+    import ray.data as rd
+
+    from datavec_ray.sources import read_warc, write_warc
+
+    t = synth_html(docs_table())
+    src = pa.table({
+        "url": pa.array([f"https://{s}.example.com/page/{d}" for s, d in
+                         zip(t["source"].to_pylist(),
+                             t["doc_id"].to_pylist())]),
+        "payload": t["html"],
+    })
+    out_dir = str(tmp_path / ("gz" if gz else "plain"))
+    manifest = write_warc(rd.from_arrow(src), out_dir,
+                          gzip_members=gz)
+    assert sum(b["rows"].to_pylist()[0] for b in manifest) == 3
+    files = sorted(os.listdir(out_dir))
+    assert all(f.endswith(".warc.gz" if gz else ".warc") for f in files)
+    if gz:  # member-per-record: decompress walks concatenated members
+        raw = gzip.decompress(open(os.path.join(out_dir, files[0]),
+                                   "rb").read())
+        assert raw.count(b"WARC/1.0\r\n") >= 1
+
+    back = read_warc(out_dir + "/*" if False else
+                     [os.path.join(out_dir, f) for f in files],
+                     payload_as="text")
+    rows = sorted(back.take_all(), key=lambda r: r["url"])
+    want = sorted(zip(src["url"].to_pylist(), src["payload"].to_pylist()))
+    assert [(r["url"], r["payload"]) for r in rows] == want
+    assert all(r["warc_type"] == "resource" and
+               r["content_type"] == "text/html" for r in rows)
+    # re-export is byte-identical (deterministic record ids + date)
+    out2 = str(tmp_path / "again")
+    write_warc(rd.from_arrow(src).repartition(1), out2, gzip_members=gz)
+    write_warc(rd.from_arrow(src).repartition(1),
+               str(tmp_path / "again2"), gzip_members=gz)
+    b1 = open(os.path.join(out2, os.listdir(out2)[0]), "rb").read()
+    b2 = open(os.path.join(str(tmp_path / "again2"),
+                           os.listdir(str(tmp_path / "again2"))[0]),
+              "rb").read()
+    assert b1 == b2
