@@ -751,6 +751,25 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_ewma(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event values
+    ordered by time (feature-engineering scan): one hash-partition
+    shuffle, then pandas' Cython groupby().ewm() over all of a
+    partition's groups at once. Oracle = the closed form
+    Σ (1-α)^(t-i) x_i / Σ (1-α)^(t-i) as an in-group power-sum join."""
+    from datavec_ray.misc import grouped_ewma
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_ewma(ds, ["user_id"], "ts", "value", alpha=0.3,
+                       tiebreak="event_id")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "ewma": pc.round(b["ewma"], 6)})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_funnel(sf_dir: str):
     """Strict-order conversion funnel with a 24 h per-step window over
     the events stream: one hash exchange on user, then every user in a
@@ -2094,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_extract": _q_url_extract,
         "blocklist_tag": _q_blocklist_tag,
         "warc_source": _q_warc_source,
+        "ewma": _q_ewma,
     }
 
 
@@ -3413,6 +3433,20 @@ def oracle_sql() -> dict[str, str]:
                        as kval
             from events
             order by event_id""",
+        "ewma": """
+            with w as (
+              select event_id, user_id, value,
+                     row_number() over (partition by user_id
+                                        order by ts, event_id) as rn
+              from events
+            )
+            select a.event_id,
+                   round(sum(power(0.7, a.rn - b.rn) * b.value)
+                         / sum(power(0.7, a.rn - b.rn)), 6) as ewma
+            from w a join w b
+              on a.user_id = b.user_id and b.rn <= a.rn
+            group by a.event_id
+            order by a.event_id""",
         "html_extract": """
             select doc_id,
                    'doc ' || cast(doc_id as varchar) as title,

@@ -861,6 +861,45 @@ def sessionize(ds, keys: Sequence[str], order_col: str, gap,
         .groupby(_GPART).map_groups(sz, batch_format="pyarrow")
 
 
+def grouped_ewma(ds, keys: Sequence[str], order_col: str, value_col: str,
+                 alpha: float, tiebreak: Optional[str] = None,
+                 out_col: str = "ewma", adjust: bool = True,
+                 num_partitions: int = 32):
+    """Exponentially-weighted moving average per key group ordered by
+    ``order_col`` — the feature-engineering counterpart of the rolling
+    window ops (reference moving-window family, ``sequence/window``).
+    ``adjust=True`` is the standard normalized form
+    ``y_t = Σ (1-α)^(t-i) x_i / Σ (1-α)^(t-i)``.
+
+    Shape: ONE hash-partition shuffle (same discipline as sessionize);
+    per partition one sort, then pandas' Cython ``groupby().ewm()``
+    scan over ALL groups at once — a numerically-stable O(n) kernel,
+    no Python per row (the same deliberate pandas-kernel choice as
+    merge_asof in join.py).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    keys = list(keys)
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+
+    def ew(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        if g.num_rows == 0:
+            return g.append_column(pa.field(out_col, pa.float64()),
+                                   pa.array([], pa.float64()))
+        df = g.select(keys + [value_col]).to_pandas()
+        y = df.groupby(keys, sort=False, dropna=False)[value_col] \
+              .ewm(alpha=alpha, adjust=adjust).mean() \
+              .reset_index(drop=True).to_numpy()
+        return g.append_column(pa.field(out_col, pa.float64()),
+                               pa.array(y, pa.float64()))
+
+    ew.__name__ = "grouped_ewma"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(ew, batch_format="pyarrow")
+
+
 _ROLLUP_OPS = {"Sum": ("sum", "sum"), "Count": ("count", "sum"),
                "Min": ("min", "min"), "Max": ("max", "max")}
 

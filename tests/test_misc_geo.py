@@ -117,3 +117,36 @@ def test_pack_unpack_roundtrip(ray_session):
     key = [("conv", "ascending"), ("turn", "ascending")]
     assert flat.select(["conv", "turn", "text"]).sort_by(key).equals(
         t.sort_by(key))
+
+
+def test_grouped_ewma(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import grouped_ewma
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b", "a"],
+        "t": [3, 1, 2, 1, 2, 4],
+        "x": [30.0, 10.0, 20.0, 5.0, 7.0, 40.0],
+    })
+    out = dataset_to_table(
+        grouped_ewma(rd.from_arrow(t).repartition(3), ["k"], "t", "x",
+                     alpha=0.5, num_partitions=2)).sort_by(
+        [("k", "ascending"), ("t", "ascending")])
+    # hand-rolled adjust=True EWMA for a: x sorted by t = 10,20,30,40
+    want_a, num, den = [], 0.0, 0.0
+    for x in [10.0, 20.0, 30.0, 40.0]:
+        num = x + 0.5 * num
+        den = 1 + 0.5 * den
+        want_a.append(num / den)
+    got = out["ewma"].to_pylist()
+    assert np.allclose(got[:4], want_a)
+    assert np.allclose(got[4:], [5.0, (7 + 0.5 * 5) / 1.5])
+    # adjust=False recursive form
+    out2 = dataset_to_table(
+        grouped_ewma(rd.from_arrow(t), ["k"], "t", "x", alpha=0.5,
+                     adjust=False)).sort_by(
+        [("k", "ascending"), ("t", "ascending")])
+    assert np.allclose(out2["ewma"].to_pylist()[:4], [10.0, 15.0, 22.5, 31.25])
+    with pytest.raises(ValueError):
+        grouped_ewma(rd.from_arrow(t), ["k"], "t", "x", alpha=0.0)
