@@ -751,6 +751,67 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_pagerank(sf_dir: str):
+    """PageRank over a deterministic synthetic host graph derived from
+    documents (src = doc_id mod 211, dst = (31·doc_id+7) mod 211 —
+    mirrored term-for-term in the oracle's edge CTE): 5 fixed
+    iterations, damping 0.85, dangling mass redistributed. Each
+    iteration is one shuffle-free edges pass with the broadcast rank
+    vector + one tiny grouped Sum; the oracle unrolls the same 5
+    iterations as chained CTEs."""
+    from datavec_ray.ops.graph import pagerank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(ids % 211),
+                         "dst": pa.array((ids * 31 + 7) % 211)})
+
+    t = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                 damping=0.85, iterations=5)
+    return pa.table({"node": t["node"], "rank": pc.round(t["rank"], 6)})
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Oracle for ``pagerank``: the same fixed-iteration recurrence
+    unrolled as chained CTEs (r0 … r{iters})."""
+    sql = """
+with e as (
+  select doc_id % 211 as src, (doc_id * 31 + 7) % 211 as dst
+  from documents
+), nodes as (
+  select distinct n from (select src as n from e
+                          union all select dst as n from e)
+), deg as (
+  select src as n, count(*) as c from e group by src
+), nn as (select count(*) as cnt from nodes
+), r0 as (
+  select n, 1.0 / (select cnt from nn) as r from nodes
+)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""", r{i} as (
+  select nodes.n,
+         (1 - {d}) / (select cnt from nn)
+         + {d} * (coalesce(c.s, 0)
+                  + (select coalesce(sum(p.r), 0) from {prev} p
+                     where p.n not in (select n from deg))
+                    / (select cnt from nn)) as r
+  from nodes
+  left join (
+    select e.dst as n, sum(p.r / deg.c) as s
+    from e join {prev} p on p.n = e.src
+           join deg on deg.n = e.src
+    group by e.dst
+  ) c on c.n = nodes.n
+)"""
+        prev = f"r{i}"
+    sql += f"""
+select n as node, round(r, 6) as "rank" from {prev} order by n"""
+    return sql
+
+
 def _q_ewma(sf_dir: str):
     """Per-user exponentially-weighted moving average of event values
     ordered by time (feature-engineering scan): one hash-partition
@@ -2114,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_tag": _q_blocklist_tag,
         "warc_source": _q_warc_source,
         "ewma": _q_ewma,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -3433,6 +3495,7 @@ def oracle_sql() -> dict[str, str]:
                        as kval
             from events
             order by event_id""",
+        "pagerank": _pagerank_sql(),
         "ewma": """
             with w as (
               select event_id, user_id, value,

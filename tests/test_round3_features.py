@@ -364,3 +364,56 @@ def test_melt_serde_roundtrip():
     q = TransformPipeline.from_json(p.to_json())
     assert q.to_dict() == p.to_dict()
     assert q.execute_table(t).equals(p.execute_table(t))
+
+
+def test_pagerank_vs_dense_power_iteration(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datavec_ray.ops.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n, m, d, iters = 40, 300, 0.85, 8
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    # force a dangling node: strip node 39's out-edges
+    keep = src != 39
+    src, dst = src[keep], np.append(dst[keep], 39)  # keep 39 reachable
+    src = np.append(src, 3)
+    got = pagerank(rd.from_arrow(pa.table({"src": src, "dst": dst}))
+                   .repartition(5), damping=d, iterations=iters)
+    nodes = got["node"].to_numpy(zero_copy_only=False)
+    r = got["rank"].to_numpy(zero_copy_only=False)
+
+    # dense reference: column-stochastic multi-edge matrix + dangling
+    alln = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(alln)}
+    k = len(alln)
+    A = np.zeros((k, k))
+    for s, t in zip(src, dst):
+        A[idx[t], idx[s]] += 1.0
+    outdeg = A.sum(axis=0)
+    dang = outdeg == 0
+    P = np.divide(A, np.where(dang, 1, outdeg),
+                  out=np.zeros_like(A), where=~dang)
+    want = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        want = (1 - d) / k + d * (P @ want + want[dang].sum() / k)
+
+    assert np.array_equal(nodes, alln)
+    assert np.allclose(r, want, atol=1e-12)
+    assert abs(r.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph(ray_session):
+    import pyarrow as pa
+
+    from datavec_ray.ops.graph import pagerank
+
+    edges = pa.table({"src": pa.array([1, 2, 3, 4], pa.int64()),
+                      "dst": pa.array([0, 0, 0, 0], pa.int64())})
+    out = pagerank(edges, iterations=20)
+    ranks = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert ranks[0] == max(ranks.values())        # hub dominates
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
