@@ -131,3 +131,29 @@ def test_warc_roundtrip(ray_session, tmp_path, gz):
                            os.listdir(str(tmp_path / "again2"))[0]),
               "rb").read()
     assert b1 == b2
+
+
+def test_warc_payload_contains_delimiters(ray_session, tmp_path):
+    """Content-Length-driven parse: payloads embedding WARC headers or
+    \\r\\n\\r\\n must round-trip unharmed (no mid-payload resync)."""
+    import ray.data as rd
+
+    from datavec_ray.sources import read_warc, write_warc
+
+    nasty = [b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nfake inner record",
+             b"\r\n\r\nleading blank block", b"", b"\x00\xffbinary\r\n"]
+    src = pa.table({"url": [f"https://x.org/{i}" for i in range(len(nasty))],
+                    "payload": pa.array(nasty, pa.binary())})
+    out = str(tmp_path / "w")
+    write_warc(rd.from_arrow(src).repartition(1), out)
+    back = sorted(read_warc([os.path.join(out, f)
+                             for f in os.listdir(out)]).take_all(),
+                  key=lambda r: r["url"])
+    assert [r["payload"] for r in back] == nasty
+
+
+def test_blocklist_regex_metachars():
+    col = pa.array(["cost is $5.00 (sale)", "price 5x00"])
+    n, flag = blocklist_tag(col, ["$5.00", "(sale)"], whole_word=False)
+    assert n.to_pylist() == [2, 0]
+    assert flag.to_pylist() == [True, False]
