@@ -751,6 +751,43 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_web_pipeline(sf_dir: str):
+    """End-to-end web-curation slice chained as ONE streaming plan:
+    synthesized pages → HTML text extraction (actor-parse stage) →
+    word-boundary blocklist gate on the EXTRACTED body text → per-host
+    link stats over the surviving pages (in-batch combine → one tiny
+    grouped Sum). Every stage is mirrored in the composite oracle
+    (the blocklist gate on body text equals the gate on the raw text:
+    the synthetic wrapper tokens never match and newlines preserve
+    word boundaries)."""
+    from datavec_ray.ops.web import (HtmlTextExtract, blocklist_tag,
+                                     synth_html, url_host)
+    from datavec_ray.reduce import Reducer
+
+    ds = _read(sf_dir, "documents", _SYNTH_DOC_COLS)
+    pages = ds.map_batches(synth_html, batch_format="pyarrow") \
+              .map_batches(HtmlTextExtract("html"), batch_format="pyarrow")
+
+    def gate_explode(b: pa.Table) -> pa.Table:
+        _, flag = blocklist_tag(b["body_text"],
+                                ["spark", "slow", "dup", "big"])
+        b = b.filter(pc.invert(flag))
+        links = b["links"].combine_chunks()
+        counts = pc.fill_null(links.value_lengths(), 0).to_numpy(
+            zero_copy_only=False)
+        page_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        t = pa.table({"host": url_host(links.flatten()),
+                      "page": pa.array(page_of)})
+        g = t.to_pandas().groupby("host", dropna=True, sort=False).agg(
+            n_links=("page", "size"), n_docs=("page", "nunique"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    part = pages.map_batches(gate_explode, batch_format="pyarrow")
+    return Reducer(["host"], [["n_links", "Sum", "n_links"],
+                              ["n_docs", "Sum", "n_docs"]]) \
+        .apply_dataset(part)
+
+
 def _q_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic host graph derived from
     documents (src = doc_id mod 211, dst = (31·doc_id+7) mod 211 —
@@ -2176,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_source": _q_warc_source,
         "ewma": _q_ewma,
         "pagerank": _q_pagerank,
+        "web_pipeline": _q_web_pipeline,
     }
 
 
@@ -3496,6 +3534,20 @@ def oracle_sql() -> dict[str, str]:
             from events
             order by event_id""",
         "pagerank": _pagerank_sql(),
+        "web_pipeline": """
+            with ok as (
+              select doc_id, lang, source from documents
+              where len(regexp_extract_all(lower(coalesce(text, '')),
+                        '\\b(?:spark|slow|dup|big)\\b')) = 0
+            ), u as (
+              select doc_id, source || '.example.com' as host from ok
+              union all
+              select doc_id, 'mirror-' || lang || '.example.org' as host
+              from ok
+            )
+            select host, cast(count(*) as bigint) as n_links,
+                   cast(count(distinct doc_id) as bigint) as n_docs
+            from u group by host order by host""",
         "ewma": """
             with w as (
               select event_id, user_id, value,

@@ -166,7 +166,8 @@ def dedup_by_components(ds, edges, id_col: str, src: str = "id_a",
 
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
-             damping: float = 0.85, iterations: int = 10) -> pa.Table:
+             damping: float = 0.85, iterations: int = 10,
+             personalization: "dict[int, float] | None" = None) -> pa.Table:
     """PageRank over a directed edge-list Dataset (or Table) — the
     crawl-prioritization / domain-ranking stage of a web-curation
     pipeline (Common-Crawl-style pipelines rank hosts to decide what
@@ -185,6 +186,11 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     Sum over those partials. ``iterations`` fixed passes (no
     convergence test) keeps the result deterministic and
     SQL-mirrorable.
+
+    ``personalization`` (node → weight, normalized internally) makes
+    it PERSONALIZED PageRank: teleports — including dangling mass —
+    land on the seed distribution instead of uniformly (topic-focused
+    crawl ranking; Haveliwala 2002).
 
     Returns a pa.Table (node, rank) over every node in the edge set;
     ranks sum to 1.
@@ -221,7 +227,18 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     if n == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.float64())})
-    rank = np.full(n, 1.0 / n)
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.zeros(n)
+        seeds = np.array(sorted(personalization), dtype=np.int64)
+        pos = np.searchsorted(nodes, seeds)
+        ok = (pos < n) & (nodes[np.minimum(pos, n - 1)] == seeds)
+        if not ok.any():
+            raise ValueError("personalization names no node in the edge set")
+        p[pos[ok]] = [personalization[s] for s in seeds[ok]]
+        p /= p.sum()
+    rank = p.copy()
     dangling = outdeg == 0
     safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
 
@@ -251,7 +268,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
         contrib[np.searchsorted(nodes, cn)] = \
             contrib_tbl["c"].to_numpy(zero_copy_only=False)
         m = rank[dangling].sum()
-        rank = (1.0 - damping) / n + damping * (contrib + m / n)
+        rank = (1.0 - damping) * p + damping * (contrib + m * p)
 
     return pa.table({"node": pa.array(nodes),
                      "rank": pa.array(rank, pa.float64())})

@@ -417,3 +417,29 @@ def test_pagerank_star_graph(ray_session):
     ranks = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
     assert ranks[0] == max(ranks.values())        # hub dominates
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_personalized_pagerank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from datavec_ray.ops.graph import pagerank
+
+    edges = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 0], pa.int64())})
+    d, iters = 0.85, 12
+    out = pagerank(edges, damping=d, iterations=iters,
+                   personalization={0: 1.0})
+    r = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    # dense reference on the 4-cycle with teleport pinned to node 0
+    p = np.array([1.0, 0, 0, 0])
+    want = p.copy()
+    P = np.zeros((4, 4))
+    for s, t in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+        P[t, s] = 1.0
+    for _ in range(iters):
+        want = (1 - d) * p + d * (P @ want)
+    assert np.allclose([r[i] for i in range(4)], want, atol=1e-12)
+    assert r[0] == max(r.values())  # teleport seed dominates
+    with pytest.raises(ValueError):
+        pagerank(edges, personalization={99: 1.0})
