@@ -578,11 +578,17 @@ def write_orc(ds, out_dir: str, **writer_kwargs):
             .iter_batches(batch_format="pyarrow")]
 
 
-def read_warc(paths, payload_as: str = "binary"):
+def read_warc(paths, payload_as: str = "binary", http_parse: bool = False):
     """WARC crawl shards → Dataset of (url, warc_type, content_type,
     payload, path, rec_idx). ``.warc.gz`` (one gzip member per record,
     the Common-Crawl layout — ``gzip.decompress`` walks concatenated
     members) and plain ``.warc`` both work.
+
+    ``http_parse=True`` additionally strips the HTTP envelope from
+    ``response`` records (the Common-Crawl record type): payload
+    becomes the HTTP BODY and an ``http_status`` column carries the
+    status code (null for non-response records / unparseable
+    envelopes, whose payloads pass through untouched).
 
     Scale shape: one shard per read task (whole-file record reader —
     ``impl/FileRecordReader.java:42`` shape; WARC is a sequential
@@ -605,7 +611,7 @@ def read_warc(paths, payload_as: str = "binary"):
                 raw = f.read()
             if path.endswith(".gz"):
                 raw = gzip.decompress(raw)
-            urls, types, ctypes, payloads = [], [], [], []
+            urls, types, ctypes, payloads, statuses = [], [], [], [], []
             pos, n = 0, len(raw)
             while pos < n:
                 if not raw.startswith(b"WARC/", pos):
@@ -630,6 +636,18 @@ def read_warc(paths, payload_as: str = "binary"):
                                          b"").decode() or None)
                 ctypes.append(headers.get(b"content-type",
                                           b"").decode() or None)
+                status = None
+                if http_parse and types[-1] == "response" \
+                        and body.startswith(b"HTTP/"):
+                    split = body.find(b"\r\n\r\n")
+                    if split >= 0:
+                        line = body[:body.find(b"\r\n")].split(b" ")
+                        try:
+                            status = int(line[1])
+                            body = body[split + 4:]
+                        except (IndexError, ValueError):
+                            status = None
+                statuses.append(status)
                 payloads.append(body)
                 pos = hdr_end + 4 + clen + 4  # trailing \r\n\r\n
             if payload_as == "text":
@@ -637,14 +655,17 @@ def read_warc(paths, payload_as: str = "binary"):
                                 for b in payloads])
             else:
                 pay = pa.array(payloads, pa.binary())
-            yield pa.table({
+            cols = {
                 "url": pa.array(urls, pa.string()),
                 "warc_type": pa.array(types, pa.string()),
                 "content_type": pa.array(ctypes, pa.string()),
                 "payload": pay,
                 "path": pa.array([path] * len(urls)),
                 "rec_idx": pa.array(np.arange(len(urls), dtype=np.int64)),
-            })
+            }
+            if http_parse:
+                cols["http_status"] = pa.array(statuses, pa.int64())
+            yield pa.table(cols)
 
     return rd.from_items([{"path": p} for p in files],
                          override_num_blocks=max(len(files), 1)) \

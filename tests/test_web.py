@@ -157,3 +157,36 @@ def test_blocklist_regex_metachars():
     n, flag = blocklist_tag(col, ["$5.00", "(sale)"], whole_word=False)
     assert n.to_pylist() == [2, 0]
     assert flag.to_pylist() == [True, False]
+
+
+def test_warc_http_response_parse(ray_session, tmp_path):
+    """Common-Crawl-style `response` records: http_parse strips the
+    HTTP envelope and surfaces the status; resource records and
+    unparseable envelopes pass through with a null status."""
+    from datavec_ray.sources import read_warc
+
+    body = b"<html>hi</html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+
+    def rec(wtype, url, payload):
+        return (b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode() +
+                b"\r\n\r\n" + payload + b"\r\n\r\n")
+
+    p = tmp_path / "cc.warc"
+    p.write_bytes(rec(b"response", b"https://a.org/", http)
+                  + rec(b"resource", b"https://b.org/", b"plain")
+                  + rec(b"response", b"https://c.org/", b"not-http"))
+    rows = sorted(read_warc([str(p)], http_parse=True).take_all(),
+                  key=lambda r: r["url"])
+    assert rows[0]["http_status"] == 200
+    assert rows[0]["payload"] == body           # envelope stripped
+    assert rows[1]["http_status"] is None and rows[1]["payload"] == b"plain"
+    assert rows[2]["http_status"] is None and rows[2]["payload"] == b"not-http"
+    # without http_parse the envelope stays and no column appears
+    raw = read_warc([str(p)]).take_all()
+    assert all("http_status" not in r for r in raw)
+    assert sorted(r["payload"] for r in raw)[0] == http
