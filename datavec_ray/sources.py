@@ -675,13 +675,15 @@ def read_warc(paths, payload_as: str = "binary", http_parse: bool = False):
 def write_warc(ds, out_dir: str, url_col: str = "url",
                payload_col: str = "payload",
                content_type: str = "text/html",
+               warc_type: str = "resource",
                warc_date: str = "2026-01-01T00:00:00Z",
                gzip_members: bool = True):
     """Dataset → WARC shards (one ``.warc[.gz]`` per block, tmp+rename,
     one gzip member per record when ``gzip_members``). Records are
-    WARC-Type: resource with deterministic record ids (md5 of url) and
-    a FIXED WARC-Date so re-exports are byte-identical (resumable-sink
-    discipline)."""
+    ``warc_type`` (default resource; "conversion" + text/plain gives
+    the Common-Crawl WET extracted-text layout) with deterministic
+    record ids (md5 of url) and a FIXED WARC-Date so re-exports are
+    byte-identical (resumable-sink discipline)."""
     import gzip
     import hashlib
     import uuid
@@ -703,7 +705,7 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
             for url, body in zip(urls, bodies):
                 rid = hashlib.md5((url or "").encode()).hexdigest()
                 rec = (b"WARC/1.0\r\n"
-                       b"WARC-Type: resource\r\n"
+                       b"WARC-Type: " + warc_type.encode() + b"\r\n"
                        b"WARC-Target-URI: " + (url or "").encode() + b"\r\n"
                        b"WARC-Date: " + warc_date.encode() + b"\r\n"
                        b"WARC-Record-ID: <urn:uuid:" + rid.encode() +

@@ -613,3 +613,50 @@ def test_jpeg_round_trip_bounded_error(channels, h, w, seed, quality):
     assert dec.dtype == np.uint8
     rms = np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2))
     assert rms < {60: 14.0, 85: 8.0, 95: 5.0}[quality], rms
+
+
+@given(payloads=st.lists(st.binary(max_size=200), min_size=1, max_size=12),
+       gz=st.booleans())
+@settings(max_examples=25)
+def test_warc_roundtrip_property(tmp_path_factory, payloads, gz):
+    """Arbitrary binary payloads — including WARC headers and record
+    delimiters inside the payload — survive the write/read round trip
+    in order (Content-Length walk, no resync inside payloads)."""
+    import os
+
+    import pyarrow as pa
+
+    from datavec_ray.sources import read_warc, write_warc
+
+    out = str(tmp_path_factory.mktemp("warcprop"))
+    src = pa.table({
+        "url": [f"https://h{i}.org/p" for i in range(len(payloads))],
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    import ray.data as rd
+    write_warc(rd.from_arrow(src).repartition(1), out, gzip_members=gz)
+    got = sorted(read_warc([os.path.join(out, f)
+                            for f in os.listdir(out)]).take_all(),
+                 key=lambda r: r["rec_idx"])
+    assert [r["payload"] for r in got] == payloads
+    assert [r["url"] for r in got] == src["url"].to_pylist()
+
+
+@given(xs=st.lists(st.floats(min_value=-100, max_value=100,
+                             allow_nan=False), min_size=1, max_size=40),
+       alpha=st.floats(min_value=0.05, max_value=0.95))
+@settings(max_examples=40)
+def test_grouped_ewma_matches_closed_form(xs, alpha):
+    """grouped_ewma (pandas Cython scan) equals the O(n^2) closed form
+    y_t = sum r^(t-i) x_i / sum r^(t-i) used by the SQL oracle."""
+    import pandas as pd
+
+    r = 1.0 - alpha
+    df = pd.DataFrame({"k": ["g"] * len(xs), "x": xs})
+    got = df.groupby("k", sort=False)["x"].ewm(alpha=alpha, adjust=True) \
+            .mean().reset_index(drop=True).to_numpy()
+    want = []
+    for t in range(len(xs)):
+        ws = np.array([r ** (t - i) for i in range(t + 1)])
+        want.append(float(np.dot(ws, xs[:t + 1]) / ws.sum()))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)

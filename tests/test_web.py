@@ -190,3 +190,20 @@ def test_warc_http_response_parse(ray_session, tmp_path):
     raw = read_warc([str(p)]).take_all()
     assert all("http_status" not in r for r in raw)
     assert sorted(r["payload"] for r in raw)[0] == http
+
+
+def test_write_warc_wet_layout(ray_session, tmp_path):
+    """warc_type='conversion' + text/plain = Common-Crawl WET shards."""
+    import ray.data as rd
+
+    from datavec_ray.sources import read_warc, write_warc
+
+    src = pa.table({"url": ["https://a.org/"], "payload": ["clean text"]})
+    out = str(tmp_path / "wet")
+    write_warc(rd.from_arrow(src), out, warc_type="conversion",
+               content_type="text/plain")
+    rows = read_warc([os.path.join(out, f) for f in os.listdir(out)],
+                     payload_as="text").take_all()
+    assert rows[0]["warc_type"] == "conversion"
+    assert rows[0]["content_type"] == "text/plain"
+    assert rows[0]["payload"] == "clean text"
