@@ -778,9 +778,10 @@ def _q_web_pipeline(sf_dir: str):
         page_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         t = pa.table({"host": url_host(links.flatten()),
                       "page": pa.array(page_of)})
-        g = t.to_pandas().groupby("host", dropna=True, sort=False).agg(
-            n_links=("page", "size"), n_docs=("page", "nunique"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        t = t.filter(pc.is_valid(t["host"]))
+        g = t.group_by("host").aggregate([("page", "count"),
+                                          ("page", "count_distinct")])
+        return g.rename_columns(["host", "n_links", "n_docs"])
 
     part = pages.map_batches(gate_explode, batch_format="pyarrow")
     return Reducer(["host"], [["n_links", "Sum", "n_links"],

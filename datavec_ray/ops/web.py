@@ -213,12 +213,12 @@ def url_domain_stats(ds, text_col: str = "html",
         urls = lists.flatten()
         host = url_host(urls)
         t = pa.table({"host": host, "page": pa.array(page_of)})
-        # batch-local combine: (host, n_urls, n_pages-within-batch)
-        df = t.to_pandas()
-        g = df.groupby("host", dropna=True, sort=False).agg(
-            n_urls=("page", "size"), n_pages=("page", "nunique"))
-        g = g.reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = t.filter(pc.is_valid(t["host"]))
+        # batch-local combine: (host, n_urls, n_pages-within-batch) —
+        # one Arrow group_by kernel, no pandas round-trip
+        g = t.group_by("host").aggregate([("page", "count"),
+                                          ("page", "count_distinct")])
+        return g.rename_columns(["host", "n_urls", "n_pages"])
 
     partial = ds.map_batches(explode, batch_format="pyarrow")
     return Reducer(["host"], [["n_urls", "Sum", "n_urls"],
