@@ -751,6 +751,20 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_hashing_vectorize(sf_dir: str):
+    """Vocabulary-free feature-hashing vectorization (one pass, no
+    vocab fit/shuffle — the at-scale TF-IDF alternative). Rows-only by
+    design: the bucket mapping rides the engine-pinned vectorized
+    string hash (same rationale as hll_distinct); kernel parity is
+    test-covered against a naive per-token reference."""
+    from datavec_ray.ops.textstats import hashing_vectorize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: hashing_vectorize(b, dim=256, seed=7),
+        batch_format="pyarrow")
+
+
 def _q_web_pipeline(sf_dir: str):
     """End-to-end web-curation slice chained as ONE streaming plan:
     synthesized pages → HTML text extraction (actor-parse stage) →
@@ -2215,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma": _q_ewma,
         "pagerank": _q_pagerank,
         "web_pipeline": _q_web_pipeline,
+        "hashing_vectorize": _q_hashing_vectorize,
     }
 
 

@@ -919,3 +919,45 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
 
     _sig.__name__ = "repetition_signals"
     return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def hashing_vectorize(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", dim: int = 1024,
+                      seed: int = 0, signed: bool = True) -> pa.Table:
+    """Feature-hashing text vectorization (HashingVectorizer /
+    Weinberger et al. 2009): token → ``hash64(token) mod dim`` bucket,
+    counted per document — ONE pass, NO vocabulary fit, which is the
+    property that makes it the at-scale alternative to TF-IDF (whose
+    vocab pass is a corpus-wide shuffle). ``signed=True`` applies the
+    standard ±1 sign hash (an independent hash bit) so collisions
+    cancel in expectation instead of inflating counts.
+
+    Returns EXPLODED sparse rows (id_col, bucket:int64, weight:float64)
+    — the shuffle-friendly layout (hash-partition by bucket for
+    feature-major ops, by id for doc-major ops); densify per use.
+    Whole-batch vectorized: one RE2 split, one polars hash over the
+    flat token array, one bincount over (row, bucket) codes.
+    """
+    col = combine(batch[text_col])
+    parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(parts)
+    keep = pc.not_equal(flat, "")
+    offsets = np.asarray(parts.offsets)
+    row_of = np.repeat(np.arange(len(parts), dtype=np.int64),
+                       np.diff(offsets))
+    flat = flat.filter(keep)
+    row_of = row_of[keep.to_numpy(zero_copy_only=False)]
+    h = hash64(flat, seed=seed)
+    bucket = (h % np.uint64(dim)).astype(np.int64)
+    sign = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0) \
+        if signed else np.ones(len(h))
+    # combine (row, bucket) pairs in one bincount
+    codes = row_of * dim + bucket
+    uniq, inv = np.unique(codes, return_inverse=True)
+    w = np.bincount(inv, weights=sign, minlength=len(uniq))
+    nz = w != 0.0  # signed collisions may cancel exactly
+    uniq, w = uniq[nz], w[nz]
+    ids = combine(batch[id_col]).take(pa.array(uniq // dim))
+    return pa.table({id_col: ids,
+                     "bucket": pa.array(uniq % dim),
+                     "weight": pa.array(w, pa.float64())})

@@ -207,3 +207,35 @@ def test_write_warc_wet_layout(ray_session, tmp_path):
     assert rows[0]["warc_type"] == "conversion"
     assert rows[0]["content_type"] == "text/plain"
     assert rows[0]["payload"] == "clean text"
+
+
+def test_hashing_vectorize_parity_and_shape():
+    """Whole-batch kernel equals a per-doc naive reference using the
+    same hash; signed collisions cancel; layout is sparse-exploded."""
+    import numpy as np
+
+    from datavec_ray.hll import hash64
+    from datavec_ray.ops.textstats import hashing_vectorize
+
+    t = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64()),
+                  "text": ["a b a  c", "", None]})
+    out = hashing_vectorize(t, dim=16, seed=3)
+    # naive reference
+    want = {}
+    for did, txt in zip([7, 8, 9], ["a b a  c", "", None]):
+        for tok in (txt or "").split(" "):
+            if not tok:
+                continue
+            h = int(hash64(pa.array([tok]), seed=3)[0])
+            b = h % 16
+            s = -1.0 if (h >> 63) & 1 else 1.0
+            want[(did, b)] = want.get((did, b), 0.0) + s
+    want = {k: v for k, v in want.items() if v != 0.0}
+    got = {(i, b): w for i, b, w in zip(out["doc_id"].to_pylist(),
+                                        out["bucket"].to_pylist(),
+                                        out["weight"].to_pylist())}
+    assert got == want
+    assert out["bucket"].to_numpy().max() < 16
+    # unsigned mode counts tokens: total weight == total token count
+    out2 = hashing_vectorize(t, dim=4, signed=False)
+    assert np.isclose(sum(out2["weight"].to_pylist()), 4.0)  # a b a c
