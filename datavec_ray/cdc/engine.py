@@ -1693,6 +1693,14 @@ class CdcIngestEngine:
             "partition_watermark_max": max(vals) if vals else None,
         }
 
+    def secondary_index(self, columns, fp: float = 0.01):
+        """Bloom-sidecar lookup index for NON-key columns (role, tool,
+        ...) — see ``datavec_ray.cdc.index.SecondaryIndex``. Build is
+        one column-pruned task per partition file; lookups read only
+        Bloom-candidate partitions."""
+        from datavec_ray.cdc.index import SecondaryIndex
+        return SecondaryIndex(self, columns, fp=fp)
+
     def time_travel(self):
         """Snapshot history / as-of reads / change feed over the retained
         checkpoint chain — see ``datavec_ray.cdc.timetravel``."""

@@ -1,0 +1,202 @@
+"""Secondary (non-key) lookup index over the CDC lake — Bloom sidecars.
+
+``CdcIngestEngine.lookup`` serves point reads by the PARTITION key
+(conv_id hashes to its owning file). Serving reads by any other column
+(role, tool, a user id inside the payload) would otherwise scan every
+partition. This module adds the standard lakehouse answer: one small
+Bloom-filter sidecar per (partition file, indexed column), built with a
+column-pruned pass and consulted on the driver so a value lookup reads
+ONLY the partitions whose filter may contain it (false positives cost
+one wasted pruned read; false negatives cannot happen).
+
+Scale shape:
+- build = one Ray TASK per partition file (the same per-file unit the
+  lake itself uses), each reading only the indexed columns; sidecar
+  size is a few KB-MB per partition at 1% FP, independent of payload
+  width. Sidecars persist under ``<lake>/_index`` (tmp+rename) with
+  the manifest watermark stamped, so an index survives restarts and
+  staleness is detectable.
+- lookup = driver-side membership test over the per-partition filters
+  (numpy, microseconds) → pruned ``pq.read_table(file, filters=...)``
+  of only candidate partitions. Work is O(matching partitions), never
+  a lake scan.
+- maintenance = rebuild on watermark change (``refresh()``; checked by
+  default) — rebuild cost is the column-pruned pass, amortized the
+  usual lakehouse way (index after a batch of commits, not per
+  commit).
+
+No reference counterpart (DataVec has no serving index); the closest
+analogue is parquet row-group statistics, which cannot answer
+membership for high-cardinality string columns — Blooms can.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datavec_ray.hll import hash64
+from datavec_ray.ops.bloom import BloomFilter
+from datavec_ray.steps.base import combine
+
+
+class SecondaryIndex:
+    """Bloom-sidecar index over ``engine``'s committed lake files for
+    ``columns``. Build once (``build()`` or lazily on first lookup),
+    then ``lookup(col, values)`` returns the matching live rows."""
+
+    def __init__(self, engine, columns: Sequence[str], fp: float = 0.01):
+        self.engine = engine
+        self.columns = list(columns)
+        self.fp = fp
+        self.index_dir = os.path.join(engine.lake_dir, "_index")
+        # {(pid, col): BloomFilter}
+        self._blooms: dict[tuple[int, str], BloomFilter] = {}
+        self._built_watermark = None
+
+    # -- build -----------------------------------------------------------
+
+    def _lake_files(self) -> list[tuple[int, str]]:
+        out = []
+        for pid in sorted(self.engine.manifest.committed_partitions()):
+            path = os.path.join(self.engine.lake_dir,
+                                f"part-{pid:04d}.parquet")
+            if os.path.exists(path):
+                out.append((pid, path))
+        return out
+
+    def build(self) -> dict:
+        """(Re)build every sidecar: one Ray task per partition file,
+        column-pruned read, returns a small manifest dict."""
+        import ray
+
+        cols, fp = self.columns, self.fp
+
+        @ray.remote
+        def _index_file(pid: int, path: str):
+            import pyarrow.compute as pc
+            t = pq.read_table(path, columns=cols)
+            out = {}
+            for c in cols:
+                # canonical string representation so lookup's str(v)
+                # hashes identically (string/int columns supported)
+                arr = combine(pc.cast(t[c], pa.string()))
+                h = hash64(arr)
+                bits, k = BloomFilter.size_for(max(t.num_rows, 1), fp)
+                bf = BloomFilter(bits, k)
+                if arr.null_count:
+                    mask = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                    h = h[mask]
+                bf.add_hashes(h)
+                out[c] = (bf.num_bits, bf.num_hashes, bf.words)
+            return pid, out
+
+        files = self._lake_files()
+        results = ray.get([_index_file.remote(pid, path)
+                           for pid, path in files])
+        os.makedirs(self.index_dir, exist_ok=True)
+        self._blooms.clear()
+        for pid, per_col in results:
+            for c, (bits, k, words) in per_col.items():
+                self._blooms[(pid, c)] = BloomFilter(bits, k, words)
+        self._built_watermark = self.engine.manifest.watermark()
+        self._persist()
+        return {"partitions": len(files), "columns": cols,
+                "watermark": self._built_watermark}
+
+    def _persist(self) -> None:
+        rows = {"pid": [], "col": [], "num_bits": [], "num_hashes": [],
+                "words": []}
+        for (pid, c), bf in self._blooms.items():
+            rows["pid"].append(pid)
+            rows["col"].append(c)
+            rows["num_bits"].append(bf.num_bits)
+            rows["num_hashes"].append(bf.num_hashes)
+            rows["words"].append(bf.words.tobytes())
+        tmp = os.path.join(self.index_dir, "blooms.parquet.tmp")
+        pq.write_table(pa.table({
+            "pid": pa.array(rows["pid"], pa.int64()),
+            "col": pa.array(rows["col"], pa.string()),
+            "num_bits": pa.array(rows["num_bits"], pa.int64()),
+            "num_hashes": pa.array(rows["num_hashes"], pa.int64()),
+            "words": pa.array(rows["words"], pa.binary()),
+        }), tmp)
+        os.replace(tmp, os.path.join(self.index_dir, "blooms.parquet"))
+        meta = {"watermark": self._built_watermark, "columns": self.columns,
+                "fp": self.fp}
+        with open(os.path.join(self.index_dir, "meta.json.tmp"), "w") as f:
+            json.dump(meta, f)
+        os.replace(os.path.join(self.index_dir, "meta.json.tmp"),
+                   os.path.join(self.index_dir, "meta.json"))
+
+    def load(self) -> bool:
+        """Load persisted sidecars; False if absent."""
+        path = os.path.join(self.index_dir, "blooms.parquet")
+        meta_path = os.path.join(self.index_dir, "meta.json")
+        if not (os.path.exists(path) and os.path.exists(meta_path)):
+            return False
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self._built_watermark = meta["watermark"]
+        t = pq.read_table(path)
+        self._blooms.clear()
+        for pid, c, bits, k, raw in zip(t["pid"].to_pylist(),
+                                        t["col"].to_pylist(),
+                                        t["num_bits"].to_pylist(),
+                                        t["num_hashes"].to_pylist(),
+                                        t["words"].to_pylist()):
+            self._blooms[(pid, c)] = BloomFilter(
+                bits, k, np.frombuffer(raw, dtype=np.uint64).copy())
+        return True
+
+    def refresh(self) -> None:
+        """Build if never built, or rebuild if the lake advanced."""
+        if not self._blooms and not self.load():
+            self.build()
+        elif self._built_watermark != self.engine.manifest.watermark():
+            self.build()
+
+    # -- lookup ----------------------------------------------------------
+
+    def candidate_partitions(self, col: str, values) -> list[int]:
+        """Partitions whose Bloom may contain ANY of the values."""
+        if col not in self.columns:
+            raise KeyError(f"column {col!r} is not indexed "
+                           f"(indexed: {self.columns})")
+        vals = pa.array(sorted({str(v) for v in values}), pa.string())
+        if len(vals) == 0:
+            return []
+        h = hash64(vals)
+        pids = []
+        for (pid, c), bf in self._blooms.items():
+            if c == col and bf.contains_hashes(h).any():
+                pids.append(pid)
+        return sorted(set(pids))
+
+    def lookup(self, col: str, values, check_fresh: bool = True) -> pa.Table:
+        """Live lake rows whose ``col`` is in ``values`` — reads only
+        Bloom-candidate partitions, with the value filter pushed into
+        the parquet read (false positives are then dropped by the
+        pushed filter — results are exact)."""
+        if check_fresh or not self._blooms:
+            self.refresh()
+        vals = sorted(set(values))   # original type for the pushed filter
+        tables = []
+        for pid in self.candidate_partitions(col, vals):
+            path = os.path.join(self.engine.lake_dir,
+                                f"part-{pid:04d}.parquet")
+            if os.path.exists(path):
+                t = pq.read_table(path, filters=[(col, "in", vals)])
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            from datavec_ray.cdc.engine import TRANSCRIPT_SCHEMA
+            return TRANSCRIPT_SCHEMA.empty_table()
+        out = pa.concat_tables(tables, promote_options="permissive")
+        return out.sort_by([("conv_id", "ascending"),
+                            ("turn_idx", "ascending")])

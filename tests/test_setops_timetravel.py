@@ -599,3 +599,59 @@ def test_repartition_then_reopen_and_resume(ray_session, tmp_path):
     assert _payload_map(eng2.read_lake()) == _payload_map(
         replay_oracle(binlog))
     eng2.shutdown()
+
+
+def test_secondary_index_lookup(ray_session, tmp_path):
+    """Bloom-sidecar non-key lookups: exact results, pruned reads,
+    persistence across engine restarts, staleness-triggered rebuild."""
+    import os
+
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(4000, seed=17)
+    eng = CdcIngestEngine(str(tmp_path / "slake"), num_partitions=8)
+    eng.replay(binlog, checkpoint_name="v1")
+    full = eng.read_lake()
+
+    idx = eng.secondary_index(["role", "tool"])
+    manifest = idx.build()
+    assert manifest["partitions"] > 0
+
+    # exact vs full-scan oracle on a non-key column
+    got = idx.lookup("role", ["assistant"])
+    exp = full.filter(pc.equal(full["role"], "assistant")).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got["conv_id"].to_pylist() == exp["conv_id"].to_pylist()
+    assert got["turn_idx"].to_pylist() == exp["turn_idx"].to_pylist()
+
+    # a value that exists in few partitions prunes the read set
+    tools = [t for t in set(full["tool"].to_pylist()) if t][:1]
+    cand = idx.candidate_partitions("tool", tools)
+    assert 0 < len(cand) <= 8
+    got_t = idx.lookup("tool", tools)
+    exp_t = full.filter(pc.is_in(full["tool"], value_set=pa.array(tools)))
+    assert got_t.num_rows == exp_t.num_rows > 0
+
+    # absent value: no candidate partitions, empty exact result
+    assert idx.candidate_partitions("role", ["no-such-role"]) == [] or \
+        idx.lookup("role", ["no-such-role"]).num_rows == 0
+
+    # unindexed column refuses
+    with pytest.raises(KeyError):
+        idx.lookup("text", ["x"])
+
+    # persistence: a fresh index object loads sidecars from disk
+    idx2 = eng.secondary_index(["role", "tool"])
+    assert idx2.load()
+    assert idx2.lookup("role", ["assistant"],
+                       check_fresh=False).num_rows == got.num_rows
+
+    # staleness: advance the lake, refresh() rebuilds and sees new rows
+    more = synth_binlog(6000, seed=17).slice(4000)
+    eng.replay(more, checkpoint_name="v2")
+    idx.refresh()
+    full2 = eng.read_lake()
+    got2 = idx.lookup("role", ["assistant"])
+    exp2 = full2.filter(pc.equal(full2["role"], "assistant"))
+    assert got2.num_rows == exp2.num_rows
+    eng.shutdown()
