@@ -597,7 +597,10 @@ def read_warc(paths, payload_as: str = "binary", http_parse: bool = False):
     loop, same as every record-delimited reader here.
 
     ``payload_as``: "binary" (default) or "text" (utf-8, replacement
-    on invalid bytes).
+    on invalid bytes). Shards are parsed as a STREAM (a 1 GB .warc.gz
+    decompresses to several GB — it never sits in the task heap):
+    records walk off a bounded buffer and emit as Arrow blocks of
+    ``records_per_block`` records.
     """
     import gzip
 
@@ -605,67 +608,101 @@ def read_warc(paths, payload_as: str = "binary", http_parse: bool = False):
 
     files = _expand_paths(paths)
 
-    def parse(batch: pa.Table):
-        for path in batch["path"].to_pylist():
-            with open(path, "rb") as f:
-                raw = f.read()
-            if path.endswith(".gz"):
-                raw = gzip.decompress(raw)
-            urls, types, ctypes, payloads, statuses = [], [], [], [], []
-            pos, n = 0, len(raw)
-            while pos < n:
-                if not raw.startswith(b"WARC/", pos):
-                    pos += 1  # resync (tolerates stray bytes)
-                    continue
-                hdr_end = raw.find(b"\r\n\r\n", pos)
-                if hdr_end < 0:
+    def _iter_records(stream):
+        """(headers dict, body bytes) per record off a binary stream;
+        memory bounded by one record + one read chunk."""
+        buf = b""
+        while True:
+            start = buf.find(b"WARC/")
+            while start < 0:
+                buf = buf[-6:]  # keep a tail: magic may split a chunk
+                chunk = stream.read(1 << 18)
+                if not chunk:
+                    return
+                buf += chunk
+                start = buf.find(b"WARC/")
+            buf = buf[start:]
+            hdr_end = buf.find(b"\r\n\r\n")
+            while hdr_end < 0:
+                chunk = stream.read(1 << 18)
+                if not chunk:
+                    return
+                buf += chunk
+                hdr_end = buf.find(b"\r\n\r\n")
+            headers = {}
+            for line in buf[:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers.get(b"content-length", b"0"))
+            except ValueError:
+                clen = 0
+            need = hdr_end + 4 + clen + 4  # payload + trailing \r\n\r\n
+            while len(buf) < need:
+                chunk = stream.read(max(1 << 18, need - len(buf)))
+                if not chunk:
                     break
-                headers = {}
-                for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
-                    k, _, v = line.partition(b":")
-                    headers[k.strip().lower()] = v.strip()
-                try:
-                    clen = int(headers.get(b"content-length", b"0"))
-                except ValueError:
-                    clen = 0
-                body = raw[hdr_end + 4:hdr_end + 4 + clen]
-                urls.append(headers.get(b"warc-target-uri",
-                                        b"").decode("utf-8", "replace")
-                            or None)
-                types.append(headers.get(b"warc-type",
-                                         b"").decode() or None)
-                ctypes.append(headers.get(b"content-type",
-                                          b"").decode() or None)
-                status = None
-                if http_parse and types[-1] == "response" \
-                        and body.startswith(b"HTTP/"):
-                    split = body.find(b"\r\n\r\n")
-                    if split >= 0:
-                        line = body[:body.find(b"\r\n")].split(b" ")
-                        try:
-                            status = int(line[1])
-                            body = body[split + 4:]
-                        except (IndexError, ValueError):
-                            status = None
-                statuses.append(status)
-                payloads.append(body)
-                pos = hdr_end + 4 + clen + 4  # trailing \r\n\r\n
-            if payload_as == "text":
-                pay = pa.array([b.decode("utf-8", "replace")
-                                for b in payloads])
-            else:
-                pay = pa.array(payloads, pa.binary())
-            cols = {
-                "url": pa.array(urls, pa.string()),
-                "warc_type": pa.array(types, pa.string()),
-                "content_type": pa.array(ctypes, pa.string()),
-                "payload": pay,
-                "path": pa.array([path] * len(urls)),
-                "rec_idx": pa.array(np.arange(len(urls), dtype=np.int64)),
-            }
-            if http_parse:
-                cols["http_status"] = pa.array(statuses, pa.int64())
-            yield pa.table(cols)
+                buf += chunk
+            yield headers, buf[hdr_end + 4:hdr_end + 4 + clen]
+            buf = buf[need:]
+
+    def parse(batch: pa.Table, records_per_block: int = 1024):
+        for path in batch["path"].to_pylist():
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rb") as stream:
+                urls, types, ctypes, payloads, statuses = \
+                    [], [], [], [], []
+                base_idx = 0
+
+                def flush():
+                    nonlocal base_idx
+                    if payload_as == "text":
+                        pay = pa.array([b.decode("utf-8", "replace")
+                                        for b in payloads])
+                    else:
+                        pay = pa.array(payloads, pa.binary())
+                    cols = {
+                        "url": pa.array(urls, pa.string()),
+                        "warc_type": pa.array(types, pa.string()),
+                        "content_type": pa.array(ctypes, pa.string()),
+                        "payload": pay,
+                        "path": pa.array([path] * len(urls)),
+                        "rec_idx": pa.array(
+                            np.arange(base_idx, base_idx + len(urls),
+                                      dtype=np.int64)),
+                    }
+                    if http_parse:
+                        cols["http_status"] = pa.array(statuses, pa.int64())
+                    base_idx += len(urls)
+                    urls.clear(); types.clear(); ctypes.clear()
+                    payloads.clear(); statuses.clear()
+                    return pa.table(cols)
+
+                for headers, body in _iter_records(stream):
+                    urls.append(headers.get(b"warc-target-uri",
+                                            b"").decode("utf-8", "replace")
+                                or None)
+                    types.append(headers.get(b"warc-type",
+                                             b"").decode() or None)
+                    ctypes.append(headers.get(b"content-type",
+                                              b"").decode() or None)
+                    status = None
+                    if http_parse and types[-1] == "response" \
+                            and body.startswith(b"HTTP/"):
+                        split = body.find(b"\r\n\r\n")
+                        if split >= 0:
+                            line = body[:body.find(b"\r\n")].split(b" ")
+                            try:
+                                status = int(line[1])
+                                body = body[split + 4:]
+                            except (IndexError, ValueError):
+                                status = None
+                    statuses.append(status)
+                    payloads.append(body)
+                    if len(urls) >= records_per_block:
+                        yield flush()
+                if urls or base_idx == 0:
+                    yield flush()
 
     return rd.from_items([{"path": p} for p in files],
                          override_num_blocks=max(len(files), 1)) \
