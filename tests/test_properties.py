@@ -660,3 +660,22 @@ def test_grouped_ewma_matches_closed_form(xs, alpha):
         ws = np.array([r ** (t - i) for i in range(t + 1)])
         want.append(float(np.dot(ws, xs[:t + 1]) / ws.sum()))
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@given(docs=st.lists(st.text(max_size=120), min_size=1, max_size=8))
+@settings(max_examples=60)
+def test_html_extract_never_raises(docs):
+    """Arbitrary (including malformed) markup: the extractor never
+    raises, emits one output row per input, and non-markup text
+    survives somewhere in the body."""
+    import pyarrow as pa
+
+    from datavec_ray.ops.web import HtmlTextExtract
+
+    t = pa.table({"html": pa.array(docs, pa.string())})
+    out = HtmlTextExtract("html")(t)
+    assert out.num_rows == len(docs)
+    for raw, body in zip(docs, out["body_text"].to_pylist()):
+        assert body is not None
+        if raw and "<" not in raw and "&" not in raw and raw.strip():
+            assert raw.strip().split()[0] in body
