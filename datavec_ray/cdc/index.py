@@ -58,6 +58,8 @@ class SecondaryIndex:
         # {(pid, col): BloomFilter}
         self._blooms: dict[tuple[int, str], BloomFilter] = {}
         self._built_watermark = None
+        # pid → lsn_hi the sidecar was built at (incremental refresh)
+        self._pid_watermarks: dict[int, int] = {}
 
     # -- build -----------------------------------------------------------
 
@@ -70,9 +72,10 @@ class SecondaryIndex:
                 out.append((pid, path))
         return out
 
-    def build(self) -> dict:
-        """(Re)build every sidecar: one Ray task per partition file,
-        column-pruned read, returns a small manifest dict."""
+    def build(self, only_pids=None) -> dict:
+        """(Re)build sidecars — all of them, or (incremental refresh)
+        only ``only_pids``: one Ray task per partition file,
+        column-pruned read. Returns a small manifest dict."""
         import ray
 
         cols, fp = self.columns, self.fp
@@ -97,13 +100,19 @@ class SecondaryIndex:
             return pid, out
 
         files = self._lake_files()
+        if only_pids is not None:
+            files = [(pid, p) for pid, p in files if pid in set(only_pids)]
+        else:
+            self._blooms.clear()
+            self._pid_watermarks.clear()
         results = ray.get([_index_file.remote(pid, path)
                            for pid, path in files])
         os.makedirs(self.index_dir, exist_ok=True)
-        self._blooms.clear()
+        wms = self.engine.manifest.committed_watermarks()
         for pid, per_col in results:
             for c, (bits, k, words) in per_col.items():
                 self._blooms[(pid, c)] = BloomFilter(bits, k, words)
+            self._pid_watermarks[pid] = wms.get(pid)
         self._built_watermark = self.engine.manifest.watermark()
         self._persist()
         return {"partitions": len(files), "columns": cols,
@@ -128,7 +137,9 @@ class SecondaryIndex:
         }), tmp)
         os.replace(tmp, os.path.join(self.index_dir, "blooms.parquet"))
         meta = {"watermark": self._built_watermark, "columns": self.columns,
-                "fp": self.fp}
+                "fp": self.fp,
+                "pid_watermarks": {str(k): v for k, v
+                                   in self._pid_watermarks.items()}}
         with open(os.path.join(self.index_dir, "meta.json.tmp"), "w") as f:
             json.dump(meta, f)
         os.replace(os.path.join(self.index_dir, "meta.json.tmp"),
@@ -143,6 +154,8 @@ class SecondaryIndex:
         with open(meta_path) as f:
             meta = json.load(f)
         self._built_watermark = meta["watermark"]
+        self._pid_watermarks = {int(k): v for k, v
+                                in meta.get("pid_watermarks", {}).items()}
         t = pq.read_table(path)
         self._blooms.clear()
         for pid, c, bits, k, raw in zip(t["pid"].to_pylist(),
@@ -155,11 +168,20 @@ class SecondaryIndex:
         return True
 
     def refresh(self) -> None:
-        """Build if never built, or rebuild if the lake advanced."""
+        """Build if never built; otherwise re-index ONLY the partitions
+        whose committed watermark advanced since their sidecar was
+        built (new commits touch few partitions — the incremental cost
+        is proportional to the delta, the lakehouse discipline used by
+        AggView as well)."""
         if not self._blooms and not self.load():
             self.build()
-        elif self._built_watermark != self.engine.manifest.watermark():
-            self.build()
+            return
+        if self._built_watermark == self.engine.manifest.watermark():
+            return
+        wms = self.engine.manifest.committed_watermarks()
+        stale = [pid for pid, wm in wms.items()
+                 if self._pid_watermarks.get(pid) != wm]
+        self.build(only_pids=stale)
 
     # -- lookup ----------------------------------------------------------
 

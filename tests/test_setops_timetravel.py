@@ -655,3 +655,31 @@ def test_secondary_index_lookup(ray_session, tmp_path):
     exp2 = full2.filter(pc.equal(full2["role"], "assistant"))
     assert got2.num_rows == exp2.num_rows
     eng.shutdown()
+
+
+def test_secondary_index_incremental_refresh(ray_session, tmp_path):
+    """refresh() after new commits re-indexes only the partitions whose
+    committed watermark advanced — and still answers exactly."""
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(3000, seed=23)
+    eng = CdcIngestEngine(str(tmp_path / "ilake"), num_partitions=6)
+    eng.replay(binlog.slice(0, 2000), checkpoint_name="v1")
+    idx = eng.secondary_index(["role"])
+    idx.build()
+    before = dict(idx._pid_watermarks)
+
+    # touch a SUBSET of partitions with a tiny second segment
+    eng.replay(binlog.slice(2000, 60), checkpoint_name="v2")
+    wms = eng.manifest.committed_watermarks()
+    changed = {p for p, w in wms.items() if before.get(p) != w}
+    assert changed and len(changed) <= 6
+    idx.refresh()
+    # unchanged partitions kept their stamp; changed ones advanced
+    for p, w in idx._pid_watermarks.items():
+        assert w == wms.get(p)
+    full = eng.read_lake()
+    got = idx.lookup("role", ["user"])
+    exp = full.filter(pc.equal(full["role"], "user"))
+    assert got.num_rows == exp.num_rows > 0
+    eng.shutdown()
