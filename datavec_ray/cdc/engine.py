@@ -457,6 +457,11 @@ def _registry_cls():
 # Manifest (commit log)
 # ---------------------------------------------------------------------------
 
+class WriterFencedError(RuntimeError):
+    """A newer writer epoch opened this lake — this engine instance is
+    a zombie (e.g. a resumed job while the crashed one's process still
+    lives) and must not commit."""
+
 class Manifest:
     """Append-only JSON-lines commit log, atomically rewritten
     (tmp + rename) on every append — the single-committer invariant is
@@ -479,6 +484,26 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
+
+    def max_epoch(self) -> int:
+        """Highest writer epoch ever opened on this lake (0 if none)."""
+        return max((e.get("epoch", 0) for e in self.entries
+                    if e.get("type") == "writer_open"), default=0)
+
+    def reload_max_epoch(self) -> int:
+        """Re-read the manifest FILE for the highest writer epoch —
+        detects another process having taken over since we loaded."""
+        try:
+            mx = 0
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        if e.get("type") == "writer_open":
+                            mx = max(mx, e.get("epoch", 0))
+            return mx
+        except FileNotFoundError:
+            return 0
 
     def watermark(self) -> int:
         """Highest LSN through which state is durably checkpointed."""
@@ -1107,7 +1132,8 @@ class CdcIngestEngine:
                  shard_spill: bool = True,
                  shard_spill_threshold_rows: int = 5_000_000,
                  dlq: bool = False,
-                 compat_mode: Optional[str] = None):
+                 compat_mode: Optional[str] = None,
+                 fence_writer: bool = True):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if ingest_mode == "auto":
@@ -1125,6 +1151,20 @@ class CdcIngestEngine:
         self.router_batch_size = router_batch_size
         self.ingest_mode = ingest_mode
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
+        # writer-epoch fencing: each engine OPEN takes epoch = max+1 and
+        # records it; every state-mutating manifest append first
+        # re-reads the file and refuses (WriterFencedError) if a newer
+        # epoch opened the lake — a zombie writer (crashed job's
+        # process still alive after a new one resumed) can waste work
+        # but can never commit. Byte-level protection for concurrent
+        # lake-file writes would additionally need manifest-named data
+        # files; the manifest is the read-path source of truth.
+        self.fence_writer = fence_writer
+        self.writer_epoch = self.manifest.max_epoch() + 1
+        if fence_writer:
+            self.manifest.append({"type": "writer_open",
+                                  "epoch": self.writer_epoch,
+                                  "os_pid": os.getpid()})
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
         self.shard_spill_dir = (os.path.join(lake_dir, "_spill")
                                 if shard_spill else None)
@@ -1296,7 +1336,7 @@ class CdcIngestEngine:
                      default=min_lsn_exclusive)
         if watermark_floor is not None:
             lsn_hi = max(lsn_hi, watermark_floor)
-        self.manifest.append({
+        self._fenced_append({
             "type": "checkpoint", "name": checkpoint_name, "lsn_hi": lsn_hi,
             "layout": P,
             "partitions": len(lineages) + len(carried),
@@ -1308,7 +1348,7 @@ class CdcIngestEngine:
             l["type"] = "commit"
             if committed.get(l["partition"]) == l["lsn_hi"]:
                 continue  # crash-rerun of an already-committed partition
-            self.manifest.append(l)
+            self._fenced_append(l)
         self.events_seen += sum(l["events_applied"] for l in lineages)
         return lineages
 
@@ -1376,7 +1416,7 @@ class CdcIngestEngine:
                                      f"part-{pid:04d}.parquet")
                 if os.path.exists(stale):
                     os.remove(stale)
-        self.manifest.append({"type": "repartition", "from": old_p,
+        self._fenced_append({"type": "repartition", "from": old_p,
                               "to": self.num_partitions,
                               "name": checkpoint_name, "lsn_hi": wm})
         return lineages
@@ -1469,7 +1509,7 @@ class CdcIngestEngine:
                  "keys": sum(i["keys"] for i in infos),
                  "schema": (self._canonical.serialize().to_pybytes().hex()
                             if self._canonical else None)}
-        self.manifest.append(entry)
+        self._fenced_append(entry)
         return entry
 
     # -- commit -----------------------------------------------------------
@@ -1495,7 +1535,7 @@ class CdcIngestEngine:
         for pid, ref in refs.items():
             lineage = ray.get(ref)
             lineage["type"] = "commit"
-            self.manifest.append(lineage)
+            self._fenced_append(lineage)
             lineages.append(lineage)
         return lineages
 
@@ -1543,7 +1583,7 @@ class CdcIngestEngine:
                     entry["segment"] = f
                     # rewrite the last manifest entry with the segment tag
                     self.manifest.entries[-1]["segment"] = f
-                    self.manifest.append({"type": "tail-progress",
+                    self._fenced_append({"type": "tail-progress",
                                           "segment": f, "lsn_hi": wm})
                     since_ckpt = 0
         return {"segments": n_segments, "events": n_events, "watermark": wm}
@@ -1665,6 +1705,16 @@ class CdcIngestEngine:
             return pa.table({"reason": pa.array([], pa.string())})
         return pa.concat_tables([pq.read_table(f) for f in files],
                                 promote_options="permissive")
+
+    def _fenced_append(self, entry: dict) -> None:
+        """Manifest append guarded by the writer epoch (no-op guard
+        when fencing is off)."""
+        if self.fence_writer and \
+                self.manifest.reload_max_epoch() > self.writer_epoch:
+            raise WriterFencedError(
+                f"writer epoch {self.writer_epoch} fenced: a newer "
+                f"writer opened this lake")
+        self.manifest.append(entry)
 
     def metrics(self) -> dict:
         """Operational rollup of the manifest's lineage: totals across

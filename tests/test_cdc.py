@@ -400,3 +400,30 @@ def test_bootstrap_then_stream(ray_session, tmp_path):
     want = replay_oracle(pa.concat_tables([framed_snap, wal]))
     assert got.equals(want), (got.to_pydict(), want.to_pydict())
     eng.shutdown()
+
+
+def test_writer_epoch_fencing(ray_session, tmp_path):
+    """A newer engine open on the same lake fences the old one: the
+    zombie's next commit raises, the new writer proceeds; sequential
+    reopen (crash/resume) keeps working; fencing can be disabled."""
+    from datavec_ray.cdc.engine import CdcIngestEngine, WriterFencedError
+
+    binlog = synth_binlog(2000, seed=41)
+    lake = str(tmp_path / "flake")
+    a = CdcIngestEngine(lake, num_partitions=4)
+    a.replay(binlog.slice(0, 1000), checkpoint_name="v1")
+
+    b = CdcIngestEngine(lake, num_partitions=4)     # takes over: fences a
+    assert b.writer_epoch > a.writer_epoch
+    with pytest.raises(WriterFencedError):
+        a.replay(binlog.slice(1000, 500), checkpoint_name="zombie")
+    # the new writer commits fine and the lake equals the oracle
+    b.replay(binlog.slice(1000, 1000), checkpoint_name="v2")
+    got = b.read_lake().sort_by([("conv_id", "ascending"),
+                                 ("turn_idx", "ascending")])
+    exp = replay_oracle(binlog)
+    assert got["text"].to_pylist() == exp["text"].to_pylist()
+    # fencing off: a third engine does not take an epoch
+    c = CdcIngestEngine(lake, num_partitions=4, fence_writer=False)
+    assert c.manifest.max_epoch() == b.writer_epoch
+    a.shutdown(); b.shutdown(); c.shutdown()
