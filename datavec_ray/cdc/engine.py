@@ -1743,6 +1743,53 @@ class CdcIngestEngine:
             "partition_watermark_max": max(vals) if vals else None,
         }
 
+    def delete_where(self, predicate, checkpoint_name: str = "delete") -> dict:
+        """Bulk predicate delete (GDPR/retention erasure) as FIRST-CLASS
+        CDC tombstones: scan the live lake with a column-pruned read,
+        keep the keys ``predicate(table) -> bool mask`` selects, emit D
+        events at fresh LSNs (watermark+1...) and replay them through
+        the normal exactly-once commit path — so the deletion is
+        crash-resumable, shows up in time travel / change feeds /
+        retract streams and incremental views like any other change,
+        and the lineage records how many rows it erased.
+
+        ``predicate`` receives each lake batch as a pa.Table (all
+        columns) and returns a boolean numpy/pyarrow mask. Returns a
+        summary dict. O(lake scan) + one replay of only the matched
+        keys."""
+        import pyarrow.compute as _pc
+
+        files = sorted(
+            os.path.join(self.lake_dir, f)
+            for f in os.listdir(self.lake_dir)
+            if f.startswith("part-") and f.endswith(".parquet"))
+        wm = self.manifest.watermark()
+        keys = []
+        for path in files:
+            t = pq.read_table(path)
+            mask = predicate(t)
+            if not isinstance(mask, pa.Array):
+                mask = pa.array(np.asarray(mask, dtype=bool))
+            sel = t.select(["conv_id", "turn_idx", "ts"]).filter(mask)
+            if sel.num_rows:
+                keys.append(sel)
+        if not keys:
+            return {"deleted": 0, "watermark": wm}
+        sel = pa.concat_tables(keys)
+        n = sel.num_rows
+        tomb = pa.table({
+            "lsn": pa.array(np.arange(wm + 1, wm + 1 + n), pa.int64()),
+            "op": pa.array(["D"] * n, pa.string()),
+            "conv_id": sel["conv_id"],
+            "turn_idx": _pc.cast(sel["turn_idx"], pa.int32()),
+            "role": pa.array([None] * n, pa.string()),
+            "text": pa.array([None] * n, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": _pc.cast(sel["ts"], pa.timestamp("ms")),
+        })
+        self.replay(tomb, checkpoint_name=checkpoint_name)
+        return {"deleted": n, "watermark": self.manifest.watermark()}
+
     def secondary_index(self, columns, fp: float = 0.01):
         """Bloom-sidecar lookup index for NON-key columns (role, tool,
         ...) — see ``datavec_ray.cdc.index.SecondaryIndex``. Build is

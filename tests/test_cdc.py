@@ -427,3 +427,40 @@ def test_writer_epoch_fencing(ray_session, tmp_path):
     c = CdcIngestEngine(lake, num_partitions=4, fence_writer=False)
     assert c.manifest.max_epoch() == b.writer_epoch
     a.shutdown(); b.shutdown(); c.shutdown()
+
+
+def test_delete_where_gdpr_erasure(ray_session, tmp_path):
+    """Bulk predicate delete: tombstones flow through the normal
+    exactly-once replay, survive in time travel, and the erased keys
+    are gone from the live lake."""
+    import pyarrow.compute as pc2
+
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(3000, seed=43)
+    eng = CdcIngestEngine(str(tmp_path / "glake"), num_partitions=4)
+    eng.replay(binlog, checkpoint_name="v1")
+    before = eng.read_lake()
+    victim = before["conv_id"].to_pylist()[0]
+
+    res = eng.delete_where(
+        lambda t: pc2.equal(t["conv_id"], victim), checkpoint_name="gdpr")
+    n_victim = before.filter(pc2.equal(before["conv_id"], victim)).num_rows
+    assert res["deleted"] == n_victim > 0
+
+    after = eng.read_lake()
+    assert after.filter(pc2.equal(after["conv_id"], victim)).num_rows == 0
+    assert after.num_rows == before.num_rows - n_victim
+    # everything else untouched
+    keep = before.filter(pc2.not_equal(before["conv_id"], victim))
+    a = after.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    k = keep.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert a["text"].to_pylist() == k["text"].to_pylist()
+    # time travel still shows the pre-delete state at v1
+    tt = eng.time_travel()
+    v1 = dataset_to_table(tt.read_state_at("v1"))
+    assert v1.filter(pc2.equal(v1["conv_id"], victim)).num_rows == n_victim
+    # idempotent: deleting again matches nothing
+    assert eng.delete_where(
+        lambda t: pc2.equal(t["conv_id"], victim))["deleted"] == 0
+    eng.shutdown()
