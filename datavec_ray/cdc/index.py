@@ -200,6 +200,33 @@ class SecondaryIndex:
                 pids.append(pid)
         return sorted(set(pids))
 
+    def lookup_and(self, filters: dict, check_fresh: bool = True) -> pa.Table:
+        """Conjunctive lookup over several indexed columns: candidate
+        partitions = INTERSECTION of each column's Bloom-candidate set
+        (tighter pruning than any single column), then one read per
+        surviving partition with all value filters pushed (AND)."""
+        if check_fresh or not self._blooms:
+            self.refresh()
+        pids = None
+        for col, values in filters.items():
+            cand = set(self.candidate_partitions(col, sorted(set(values))))
+            pids = cand if pids is None else (pids & cand)
+        tables = []
+        for pid in sorted(pids or ()):
+            path = os.path.join(self.engine.lake_dir,
+                                f"part-{pid:04d}.parquet")
+            if os.path.exists(path):
+                t = pq.read_table(path, filters=[
+                    (c, "in", sorted(set(v))) for c, v in filters.items()])
+                if t.num_rows:
+                    tables.append(t)
+        if not tables:
+            from datavec_ray.cdc.engine import TRANSCRIPT_SCHEMA
+            return TRANSCRIPT_SCHEMA.empty_table()
+        out = pa.concat_tables(tables, promote_options="permissive")
+        return out.sort_by([("conv_id", "ascending"),
+                            ("turn_idx", "ascending")])
+
     def lookup(self, col: str, values, check_fresh: bool = True) -> pa.Table:
         """Live lake rows whose ``col`` is in ``values`` — reads only
         Bloom-candidate partitions, with the value filter pushed into

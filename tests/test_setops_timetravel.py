@@ -683,3 +683,24 @@ def test_secondary_index_incremental_refresh(ray_session, tmp_path):
     exp = full.filter(pc.equal(full["role"], "user"))
     assert got.num_rows == exp.num_rows > 0
     eng.shutdown()
+
+
+def test_secondary_index_lookup_and(ray_session, tmp_path):
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(3000, seed=29)
+    eng = CdcIngestEngine(str(tmp_path / "alake"), num_partitions=8)
+    eng.replay(binlog, checkpoint_name="v1")
+    full = eng.read_lake()
+    idx = eng.secondary_index(["role", "tool"])
+    idx.build()
+    tool = [t for t in set(full["tool"].to_pylist()) if t][0]
+    got = idx.lookup_and({"role": ["assistant"], "tool": [tool]})
+    exp = full.filter(pc.and_(pc.equal(full["role"], "assistant"),
+                              pc.equal(full["tool"], tool)))
+    assert got.num_rows == exp.num_rows
+    # intersection prunes at least as hard as either column alone
+    c_and = set(idx.candidate_partitions("role", ["assistant"])) \
+        & set(idx.candidate_partitions("tool", [tool]))
+    assert len(c_and) <= len(idx.candidate_partitions("role", ["assistant"]))
+    eng.shutdown()
