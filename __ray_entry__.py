@@ -751,6 +751,32 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_quality_classifier(sf_dir: str):
+    """fastText-class model-based quality scoring: label documents
+    with the deterministic blocklist heuristic, train the distributed
+    hashed-feature logistic regression (full-batch GD — fixed epochs,
+    partition-invariant gradients), then score the corpus in one
+    shuffle-free pass. Rows-only by design (iterative training, no SQL
+    counterpart); kernel + invariance are test-covered."""
+    from datavec_ray.ops.classifier import (score_logreg_hashed,
+                                            train_logreg_hashed)
+    from datavec_ray.ops.web import blocklist_tag
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(b: pa.Table) -> pa.Table:
+        _, flag = blocklist_tag(b["text"], ["spark", "slow", "dup"])
+        return b.append_column(
+            pa.field("label", pa.int64()),
+            pc.cast(pc.invert(flag), pa.int64()))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+    model = train_logreg_hashed(labeled, dim=1 << 14, epochs=8,
+                                lr=1.0, seed=11)
+    out = score_logreg_hashed(labeled, model)
+    return out.select_columns(["doc_id", "label", "quality_score"])
+
+
 def _q_hashing_vectorize(sf_dir: str):
     """Vocabulary-free feature-hashing vectorization (one pass, no
     vocab fit/shuffle — the at-scale TF-IDF alternative). Rows-only by
@@ -2230,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "web_pipeline": _q_web_pipeline,
         "hashing_vectorize": _q_hashing_vectorize,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
