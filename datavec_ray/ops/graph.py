@@ -167,7 +167,8 @@ def dedup_by_components(ds, edges, id_col: str, src: str = "id_a",
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iterations: int = 10,
-             personalization: "dict[int, float] | None" = None) -> pa.Table:
+             personalization: "dict[int, float] | None" = None,
+             materialize: bool = True) -> pa.Table:
     """PageRank over a directed edge-list Dataset (or Table) — the
     crawl-prioritization / domain-ranking stage of a web-curation
     pipeline (Common-Crawl-style pipelines rank hosts to decide what
@@ -203,6 +204,13 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges)
+    if materialize:
+        # iterative algorithm: pin the (src, dst) projection once in the
+        # object store instead of re-executing the upstream plan every
+        # iteration — the standard Ray Data iterative-dataset tradeoff
+        # (blocks spill to disk if the edge list exceeds store memory;
+        # pass materialize=False to re-stream from the source instead).
+        edges = edges.select_columns([src, dst]).materialize()
 
     def node_deg(batch: pa.Table):
         s = combine(batch[src]).cast(pa.int64()).to_numpy(
