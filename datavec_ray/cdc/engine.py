@@ -1757,6 +1757,8 @@ class CdcIngestEngine:
         columns) and returns a boolean numpy/pyarrow mask. Returns a
         summary dict. O(lake scan) + one replay of only the matched
         keys."""
+        import ray
+
         import pyarrow.compute as _pc
 
         files = sorted(
@@ -1764,15 +1766,20 @@ class CdcIngestEngine:
             for f in os.listdir(self.lake_dir)
             if f.startswith("part-") and f.endswith(".parquet"))
         wm = self.manifest.watermark()
-        keys = []
-        for path in files:
+
+        @ray.remote
+        def _matched_keys(path: str):
             t = pq.read_table(path)
             mask = predicate(t)
             if not isinstance(mask, pa.Array):
                 mask = pa.array(np.asarray(mask, dtype=bool))
-            sel = t.select(["conv_id", "turn_idx", "ts"]).filter(mask)
-            if sel.num_rows:
-                keys.append(sel)
+            return t.select(["conv_id", "turn_idx", "ts"]).filter(mask)
+
+        # one task per partition file — only the narrow matched KEYS
+        # return to the driver (bounded by the erasure size, never the
+        # lake), same per-file unit as the index builder
+        keys = [t for t in ray.get([_matched_keys.remote(p)
+                                    for p in files]) if t.num_rows]
         if not keys:
             return {"deleted": 0, "watermark": wm}
         sel = pa.concat_tables(keys)
