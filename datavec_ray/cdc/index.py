@@ -200,6 +200,28 @@ class SecondaryIndex:
                 pids.append(pid)
         return sorted(set(pids))
 
+    def _read_candidates(self, pids, filters) -> list:
+        """Pruned filtered reads of the candidate partition files — one
+        Ray task per file so a many-candidate lookup parallelizes."""
+        import ray
+
+        paths = [os.path.join(self.engine.lake_dir,
+                              f"part-{pid:04d}.parquet")
+                 for pid in pids]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return []
+        if len(paths) == 1:  # common point-lookup case: skip task cost
+            t = pq.read_table(paths[0], filters=filters)
+            return [t] if t.num_rows else []
+
+        @ray.remote
+        def _read(path):
+            return pq.read_table(path, filters=filters)
+
+        return [t for t in ray.get([_read.remote(p) for p in paths])
+                if t.num_rows]
+
     def lookup_and(self, filters: dict, check_fresh: bool = True) -> pa.Table:
         """Conjunctive lookup over several indexed columns: candidate
         partitions = INTERSECTION of each column's Bloom-candidate set
@@ -211,15 +233,9 @@ class SecondaryIndex:
         for col, values in filters.items():
             cand = set(self.candidate_partitions(col, sorted(set(values))))
             pids = cand if pids is None else (pids & cand)
-        tables = []
-        for pid in sorted(pids or ()):
-            path = os.path.join(self.engine.lake_dir,
-                                f"part-{pid:04d}.parquet")
-            if os.path.exists(path):
-                t = pq.read_table(path, filters=[
-                    (c, "in", sorted(set(v))) for c, v in filters.items()])
-                if t.num_rows:
-                    tables.append(t)
+        tables = self._read_candidates(
+            sorted(pids or ()),
+            [(c, "in", sorted(set(v))) for c, v in filters.items()])
         if not tables:
             from datavec_ray.cdc.engine import TRANSCRIPT_SCHEMA
             return TRANSCRIPT_SCHEMA.empty_table()
@@ -235,14 +251,8 @@ class SecondaryIndex:
         if check_fresh or not self._blooms:
             self.refresh()
         vals = sorted(set(values))   # original type for the pushed filter
-        tables = []
-        for pid in self.candidate_partitions(col, vals):
-            path = os.path.join(self.engine.lake_dir,
-                                f"part-{pid:04d}.parquet")
-            if os.path.exists(path):
-                t = pq.read_table(path, filters=[(col, "in", vals)])
-                if t.num_rows:
-                    tables.append(t)
+        tables = self._read_candidates(
+            self.candidate_partitions(col, vals), [(col, "in", vals)])
         if not tables:
             from datavec_ray.cdc.engine import TRANSCRIPT_SCHEMA
             return TRANSCRIPT_SCHEMA.empty_table()

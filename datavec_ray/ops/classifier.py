@@ -11,12 +11,13 @@ PageRank and k-means):
 - features are vocabulary-free hashed unigrams (`hashing_vectorize`) —
   no vocab fit, no shuffle, `dim` buckets;
 - training is FULL-BATCH gradient descent with a fixed epoch count:
-  each epoch is ONE shuffle-free pass over the corpus where every
-  batch emits a (dim,) gradient partial + scalar loss against the
-  broadcast weight vector (ray.put once per epoch), summed by Ray's
-  tree reduce; the driver applies the update. Deterministic up to
-  float summation order (gradients are a sum — order-independent
-  modulo last-ulp), unlike SGD;
+  each epoch is ONE pass over the corpus where every batch emits a
+  SPARSE gradient partial — only the buckets it touched — against the
+  broadcast weight vector (ray.put once per epoch), summed by the
+  map-side-combiner grouped reduce (shuffle volume ~ distinct buckets
+  touched, never dim × blocks); the driver applies the update.
+  Deterministic up to float summation order (gradients are a sum —
+  order-independent modulo last-ulp), unlike SGD;
 - scoring is one shuffle-free map with the broadcast weights.
 
 Weights are (dim + 1,) float64 (last slot = bias): 2 MB at the default
@@ -75,31 +76,36 @@ def train_logreg_hashed(ds, text_col: str = "text",
         z = _scores(rows, buckets, vals, wb, n)
         p = 1.0 / (1.0 + np.exp(-z))
         err = p - y                      # dL/dz per row
-        g = np.zeros(dim + 1)
-        np.add.at(g, buckets, vals * err[rows])
-        g[-1] = err.sum()
-        # numerically-stable logistic loss sum
+        # SPARSE gradient partial: only the buckets this batch touched
+        # leave the task (shuffle volume ~ nnz, never ~ dim x blocks);
+        # bias / loss / n ride along as sentinel buckets dim, dim+1,
+        # dim+2
+        ub, inv = np.unique(buckets, return_inverse=True)
+        gv = np.bincount(inv, weights=vals * err[rows],
+                         minlength=len(ub))
         loss = np.sum(np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z))))
-        # one flat partial: [gradient..., loss, n] — tree-reduce sums it
-        return pa.table({"acc": pa.array(
-            np.concatenate([g, [loss, float(n)]]), pa.float64())})
+        b_out = np.concatenate([ub, [dim, dim + 1, dim + 2]])
+        g_out = np.concatenate([gv, [err.sum(), loss, float(n)]])
+        return pa.table({"bucket": pa.array(b_out, pa.int64()),
+                         "g": pa.array(g_out, pa.float64())})
 
-    from ray.data.aggregate import AggregateFn
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.util import dataset_to_table
 
     for _ in range(epochs):
         ref = ray.put(w)
-
-        agg = AggregateFn(
-            init=lambda _k: np.zeros(dim + 3),
-            accumulate_block=lambda acc, blk: acc + blk["acc"].to_numpy(
-                zero_copy_only=False),
-            merge=lambda a, b: a + b,
-            finalize=lambda acc: acc, name="gln")
-        out = ds.map_batches(grad_partial, batch_format="pyarrow",
-                             fn_kwargs={"ref": ref}).aggregate(agg)
-        acc = np.asarray(out["gln"])
-        g, loss, n = acc[:dim + 1], acc[dim + 1], acc[dim + 2]
-        n = max(n, 1.0)
+        part = ds.map_batches(grad_partial, batch_format="pyarrow",
+                              fn_kwargs={"ref": ref})
+        tbl = dataset_to_table(
+            Reducer(["bucket"], [["g", "Sum", "g"]]).apply_dataset(part))
+        b = tbl["bucket"].to_numpy(zero_copy_only=False)
+        gs = tbl["g"].to_numpy(zero_copy_only=False)
+        g = np.zeros(dim + 1)
+        feat = b < dim
+        g[b[feat]] = gs[feat]
+        g[-1] = gs[b == dim].sum()
+        loss = gs[b == dim + 1].sum()
+        n = max(gs[b == dim + 2].sum(), 1.0)
         w = w - lr * (g / n + l2 * np.append(w[:-1], 0.0))
         losses.append(loss / n)
 
