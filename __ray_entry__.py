@@ -751,6 +751,28 @@ def _q_warc_source(sf_dir: str):
         .apply_dataset(ds.map_batches(per_page, batch_format="pyarrow"))
 
 
+def _q_render_transcripts(sf_dir: str):
+    """SFT-style conversation rendering: the binlog's INSERT turns are
+    assembled into one training text per conversation ('role: text'
+    joined by newlines in (turn_idx, lsn) order). One key shuffle, one
+    sort + Arrow concat + polars Rust group-join per partition. Oracle
+    = string_agg(... ORDER BY turn_idx, lsn) over the same CTE."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import render_conversations
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def inserts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["op"], "I")) \
+                .select(["conv_id", "turn_idx", "lsn", "role", "text"])
+
+    turns = ds.map_batches(inserts, batch_format="pyarrow")
+    return render_conversations(turns, key="conv_id",
+                                order_cols=["turn_idx", "lsn"])
+
+
 def _q_quality_classifier(sf_dir: str):
     """fastText-class model-based quality scoring: label documents
     with the deterministic blocklist heuristic, train the distributed
@@ -2257,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline": _q_web_pipeline,
         "hashing_vectorize": _q_hashing_vectorize,
         "quality_classifier": _q_quality_classifier,
+        "render_transcripts": _q_render_transcripts,
     }
 
 
@@ -3576,6 +3599,14 @@ def oracle_sql() -> dict[str, str]:
                        as kval
             from events
             order by event_id""",
+        "render_transcripts": _BINLOG_CTE + """
+            select conv_id,
+                   string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                              order by turn_idx, lsn) as rendered,
+                   cast(count(*) as bigint) as n_turns
+            from e where op = 'I'
+            group by conv_id
+            order by conv_id""",
         "pagerank": _pagerank_sql(),
         "web_pipeline": """
             with ok as (

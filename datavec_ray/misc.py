@@ -900,6 +900,54 @@ def grouped_ewma(ds, keys: Sequence[str], order_col: str, value_col: str,
         .groupby(_GPART).map_groups(ew, batch_format="pyarrow")
 
 
+def render_conversations(ds, key: str = "conv_id",
+                         order_cols: Sequence[str] = ("turn_idx",),
+                         role_col: str = "role", text_col: str = "text",
+                         role_sep: str = ": ", turn_sep: str = "\n",
+                         out_col: str = "rendered",
+                         num_partitions: int = 32):
+    """Assemble per-turn transcript rows into ONE training text per
+    conversation — the SFT/ChatML-style formatting step of an LLM data
+    pipeline (``role: text`` per turn, turns joined by ``turn_sep`` in
+    ``order_cols`` order). SQL: ``string_agg(role || ': ' || text,
+    sep ORDER BY order_cols) GROUP BY key``.
+
+    Shape: ONE hash-partition shuffle on the conversation key; per
+    partition one sort, one vectorized Arrow concat for the per-turn
+    parts, then polars' Rust group-join for the per-conversation join
+    (no Python per row/group). Output: (key, out_col, n_turns).
+    """
+    import polars as pl
+
+    key_cols = [key]
+    sort_cols = key_cols + list(order_cols)
+
+    def render(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        part = pc.binary_join_element_wise(
+            pc.fill_null(combine(g[role_col]).cast(pa.string()), ""),
+            pc.fill_null(combine(g[text_col]).cast(pa.string()), ""),
+            role_sep)
+        df = pl.DataFrame({key: pl.Series(combine(g[key])),
+                           "part": pl.Series(part)})
+        out = df.group_by(key, maintain_order=True).agg(
+            pl.col("part").str.join(turn_sep).alias(out_col),
+            pl.len().alias("n_turns"))
+        t = out.to_arrow()
+        # polars emits large_string; normalize for stable schemas
+        return pa.table({
+            key: t[key].cast(pa.string()) if pa.types.is_large_string(
+                t.schema.field(key).type) else t[key],
+            out_col: t[out_col].cast(pa.string()),
+            "n_turns": t["n_turns"].cast(pa.int64()),
+        })
+
+    render.__name__ = "render_conversations"
+    return _group_partition(ds, key_cols, num_partitions) \
+        .groupby(_GPART).map_groups(render, batch_format="pyarrow")
+
+
 _ROLLUP_OPS = {"Sum": ("sum", "sum"), "Count": ("count", "sum"),
                "Min": ("min", "min"), "Max": ("max", "max")}
 

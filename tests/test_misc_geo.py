@@ -150,3 +150,24 @@ def test_grouped_ewma(ray_session):
     assert np.allclose(out2["ewma"].to_pylist()[:4], [10.0, 15.0, 22.5, 31.25])
     with pytest.raises(ValueError):
         grouped_ewma(rd.from_arrow(t), ["k"], "t", "x", alpha=0.0)
+
+
+def test_render_conversations(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import render_conversations
+
+    t = pa.table({
+        "conv_id": ["b", "a", "a", "b", "a"],
+        "turn_idx": pa.array([0, 1, 0, 1, 2], pa.int32()),
+        "role": ["user", "assistant", "user", "assistant", "user"],
+        "text": ["hi", "second", "first", "bye", None],
+    })
+    out = dataset_to_table(render_conversations(
+        rd.from_arrow(t).repartition(3), num_partitions=2)).sort_by(
+        [("conv_id", "ascending")])
+    assert out["conv_id"].to_pylist() == ["a", "b"]
+    assert out["rendered"].to_pylist() == [
+        "user: first\nassistant: second\nuser: ",   # null text -> ''
+        "user: hi\nassistant: bye"]
+    assert out["n_turns"].to_pylist() == [3, 2]
