@@ -873,9 +873,31 @@ def _q_pagerank(sf_dir: str):
     return pa.table({"node": t["node"], "rank": pc.round(t["rank"], 6)})
 
 
-def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
-    """Oracle for ``pagerank``: the same fixed-iteration recurrence
-    unrolled as chained CTEs (r0 … r{iters})."""
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (Haveliwala 2002) over the same synthetic
+    host graph, teleport pinned to node 0 — topic-focused crawl
+    ranking. Same iteration engine; the oracle unrolls the seeded
+    recurrence (teleport AND dangling mass land on the seed)."""
+    from datavec_ray.ops.graph import pagerank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(ids % 211),
+                         "dst": pa.array((ids * 31 + 7) % 211)})
+
+    t = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                 damping=0.85, iterations=5, personalization={0: 1.0})
+    return pa.table({"node": t["node"], "rank": pc.round(t["rank"], 6)})
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85,
+                  seed_node: "int | None" = None) -> str:
+    """Oracle for ``pagerank`` / ``pagerank_personalized``: the same
+    fixed-iteration recurrence unrolled as chained CTEs (r0 … r{iters});
+    with ``seed_node`` the teleport vector p is the seed indicator
+    instead of uniform (init, (1-d) term and dangling mass all use p)."""
     sql = """
 with e as (
   select doc_id % 211 as src, (doc_id * 31 + 7) % 211 as dst
@@ -887,17 +909,23 @@ with e as (
   select src as n, count(*) as c from e group by src
 ), nn as (select count(*) as cnt from nodes
 ), r0 as (
-  select n, 1.0 / (select cnt from nn) as r from nodes
-)"""
+"""
+    if seed_node is None:
+        pvec = "1.0 / (select cnt from nn)"
+        sql += "  select n, 1.0 / (select cnt from nn) as r from nodes\n)"
+    else:
+        pvec = f"(case when nodes.n = {seed_node} then 1.0 else 0.0 end)"
+        sql += (f"  select n, case when n = {seed_node} then 1.0 "
+                "else 0.0 end as r from nodes\n)")
     prev = "r0"
     for i in range(1, iters + 1):
         sql += f""", r{i} as (
   select nodes.n,
-         (1 - {d}) / (select cnt from nn)
+         (1 - {d}) * {pvec}
          + {d} * (coalesce(c.s, 0)
                   + (select coalesce(sum(p.r), 0) from {prev} p
                      where p.n not in (select n from deg))
-                    / (select cnt from nn)) as r
+                    * {pvec}) as r
   from nodes
   left join (
     select e.dst as n, sum(p.r / deg.c) as s
@@ -2280,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashing_vectorize": _q_hashing_vectorize,
         "quality_classifier": _q_quality_classifier,
         "render_transcripts": _q_render_transcripts,
+        "pagerank_personalized": _q_pagerank_personalized,
     }
 
 
@@ -3608,6 +3637,7 @@ def oracle_sql() -> dict[str, str]:
             group by conv_id
             order by conv_id""",
         "pagerank": _pagerank_sql(),
+        "pagerank_personalized": _pagerank_sql(seed_node=0),
         "web_pipeline": """
             with ok as (
               select doc_id, lang, source from documents
