@@ -773,6 +773,26 @@ def _q_render_transcripts(sf_dir: str):
                                 order_cols=["turn_idx", "lsn"])
 
 
+def _q_role_alternation(sf_dir: str):
+    """Transcript QA: adjacent same-role turn pairs per conversation
+    over the binlog's INSERT turns (well-formed dialogues alternate).
+    One key shuffle + vectorized shifted-equality per partition."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import role_alternation_stats
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def inserts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["op"], "I")) \
+                .select(["conv_id", "turn_idx", "lsn", "role"])
+
+    turns = ds.map_batches(inserts, batch_format="pyarrow")
+    return role_alternation_stats(turns, key="conv_id",
+                                  order_cols=["turn_idx", "lsn"])
+
+
 def _q_quality_classifier(sf_dir: str):
     """fastText-class model-based quality scoring: label documents
     with the deterministic blocklist heuristic, train the distributed
@@ -2309,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "render_transcripts": _q_render_transcripts,
         "pagerank_personalized": _q_pagerank_personalized,
+        "role_alternation": _q_role_alternation,
     }
 
 
@@ -3628,6 +3649,17 @@ def oracle_sql() -> dict[str, str]:
                        as kval
             from events
             order by event_id""",
+        "role_alternation": _BINLOG_CTE + """
+            , w as (
+              select conv_id, role,
+                     lag(role) over (partition by conv_id
+                                     order by turn_idx, lsn) as prev
+              from e where op = 'I'
+            )
+            select conv_id, cast(count(*) as bigint) as n_turns,
+                   cast(sum(case when role = prev then 1 else 0 end)
+                        as bigint) as n_repeats
+            from w group by conv_id order by conv_id""",
         "render_transcripts": _BINLOG_CTE + """
             select conv_id,
                    string_agg(role || ': ' || coalesce(text, ''), chr(10)

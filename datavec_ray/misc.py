@@ -948,6 +948,52 @@ def render_conversations(ds, key: str = "conv_id",
         .groupby(_GPART).map_groups(render, batch_format="pyarrow")
 
 
+def role_alternation_stats(ds, key: str = "conv_id",
+                           order_cols: Sequence[str] = ("turn_idx",),
+                           role_col: str = "role",
+                           num_partitions: int = 32):
+    """Transcript QA: per conversation, count adjacent SAME-role turn
+    pairs (a well-formed user/assistant dialogue alternates, so
+    ``n_repeats > 0`` flags merge artifacts or dropped turns). SQL:
+    ``sum(case when role = lag(role) over (partition by key order by
+    order_cols) then 1 else 0 end)``.
+
+    ONE key shuffle; per partition one sort + one vectorized
+    shifted-equality + segmented bincount over all groups at once.
+    Output: (key, n_turns, n_repeats).
+    """
+    sort_cols = [key] + list(order_cols)
+
+    def stats(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: g[key],
+                             "n_turns": pa.array([], pa.int64()),
+                             "n_repeats": pa.array([], pa.int64())})
+        new_grp = _key_run_starts(g, [key])
+        role = combine(g[role_col])
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            eq = pc.fill_null(pc.equal(role.slice(0, n - 1), role.slice(1)),
+                              False).to_numpy(zero_copy_only=False)
+            same[1:] = eq & ~new_grp[1:]
+        gid = np.cumsum(new_grp) - 1
+        n_groups = int(gid[-1]) + 1
+        n_turns = np.bincount(gid, minlength=n_groups)
+        n_rep = np.bincount(gid, weights=same, minlength=n_groups)
+        keys = combine(g[key]).take(
+            pa.array(np.flatnonzero(new_grp), pa.int64()))
+        return pa.table({key: keys,
+                         "n_turns": pa.array(n_turns, pa.int64()),
+                         "n_repeats": pa.array(n_rep.astype(np.int64))})
+
+    stats.__name__ = "role_alternation_stats"
+    return _group_partition(ds, [key], num_partitions) \
+        .groupby(_GPART).map_groups(stats, batch_format="pyarrow")
+
+
 _ROLLUP_OPS = {"Sum": ("sum", "sum"), "Count": ("count", "sum"),
                "Min": ("min", "min"), "Max": ("max", "max")}
 

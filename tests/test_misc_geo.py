@@ -171,3 +171,22 @@ def test_render_conversations(ray_session):
         "user: first\nassistant: second\nuser: ",   # null text -> ''
         "user: hi\nassistant: bye"]
     assert out["n_turns"].to_pylist() == [3, 2]
+
+
+def test_role_alternation_stats(ray_session):
+    import ray.data as rd
+
+    from datavec_ray.misc import role_alternation_stats
+
+    t = pa.table({
+        "conv_id": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int32()),
+        "role": ["user", "user", "assistant", "assistant",
+                 "user", "assistant", None],
+    })
+    out = dataset_to_table(role_alternation_stats(
+        rd.from_arrow(t).repartition(3), num_partitions=2)).sort_by(
+        [("conv_id", "ascending")])
+    assert out["conv_id"].to_pylist() == ["a", "b", "c"]
+    assert out["n_turns"].to_pylist() == [4, 2, 1]
+    assert out["n_repeats"].to_pylist() == [2, 0, 0]  # null != anything
