@@ -953,11 +953,20 @@ class _ExplodeLines:
         return out.append_column(pa.field("__b", pa.int32()), pa.array(b))
 
 
-def _first_per_line(df):
+def _first_per_line(part: pa.Table) -> pa.Table:
     """Within one hash bucket (ALL occurrences of a line share its
-    bucket): global first occurrence per distinct line string."""
+    bucket): global first occurrence per distinct line string. Arrow
+    in / arrow out (pandas only INSIDE — arrow-format group concat
+    keeps block schemas hashable, avoiding Ray's schema-dedup warning
+    storm in every group task), pandas sort+drop_duplicates kernel."""
+    df = part.to_pandas()
     df = df.sort_values([df.columns[0], "line_idx"], kind="mergesort")
-    return df.drop_duplicates("line", keep="first").drop(columns="__b")
+    df = df.drop_duplicates("line", keep="first").drop(columns="__b")
+    # strip from_pandas' b'pandas' schema metadata: metadata-bearing
+    # schemas are unhashable and trip Ray's schema-dedup warning in
+    # every downstream shuffle task
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 class _RebuildDocs:
@@ -1018,7 +1027,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     else:
         exempt, dedupable = None, lines
     winners = dedupable.groupby("__b").map_groups(
-        _first_per_line, batch_format="pandas")
+        _first_per_line, batch_format="pyarrow")
     kept = winners.union(exempt) if exempt is not None else winners
 
     def _doc_bucket(batch: pa.Table) -> pa.Table:
