@@ -773,6 +773,28 @@ def _q_render_transcripts(sf_dir: str):
                                 order_cols=["turn_idx", "lsn"])
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_pairwise_corr(sf_dir: str):
+    """One-pass pairwise Pearson correlation matrix over lineitem's
+    numeric measures — O(k²) floats per batch, merged by addition;
+    driver forms the matrix. Oracle: DuckDB corr() per pair."""
+    from datavec_ray.ops.analytics import pairwise_corr
+
+    ds = _read(sf_dir, "lineitem", _CORR_COLS)
+    return pairwise_corr(ds, _CORR_COLS, round_digits=6)
+
+
+def _corr_sql() -> str:
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+    parts = [f"""select '{a}' as col_a, '{b}' as col_b,
+                    round(corr({a}, {b}), 6) as "corr" from lineitem"""
+             for a, b in pairs]
+    return " union all ".join(parts) + " order by col_a, col_b"
+
+
 def _q_role_alternation(sf_dir: str):
     """Transcript QA: adjacent same-role turn pairs per conversation
     over the binlog's INSERT turns (well-formed dialogues alternate).
@@ -2330,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_transcripts": _q_render_transcripts,
         "pagerank_personalized": _q_pagerank_personalized,
         "role_alternation": _q_role_alternation,
+        "pairwise_corr": _q_pairwise_corr,
     }
 
 
@@ -3670,6 +3693,7 @@ def oracle_sql() -> dict[str, str]:
             order by conv_id""",
         "pagerank": _pagerank_sql(),
         "pagerank_personalized": _pagerank_sql(seed_node=0),
+        "pairwise_corr": _corr_sql(),
         "web_pipeline": """
             with ok as (
               select doc_id, lang, source from documents

@@ -191,3 +191,63 @@ def cohort_retention(ds, period_ms: int, user_col: str = "user_id",
 
     return partials.groupby("cohort").map_groups(final,
                                                  batch_format="pyarrow")
+
+
+def pairwise_corr(ds, columns, round_digits: int | None = None) -> "pa.Table":
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    streaming pass (the classic profiling companion to `analysis.analyze`;
+    the reference's AnalyzeSpark stops at per-column moments —
+    AnalyzeSpark.java:120 — so cross-column structure is beyond-reference).
+
+    Per batch: rows with a null in ANY of the columns are dropped
+    (complete-case, matching SQL ``corr``'s pairwise-on-complete rows
+    when applied jointly), then one k-vector of sums, one of sum-squares
+    and one k×k Gram matrix X'X — O(k²) floats per batch regardless of
+    rows. Partials merge by addition (Ray tree reduce); the driver forms
+    the matrix. Returns tidy rows (col_a, col_b, corr) for a < b.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import AggregateFn
+
+    cols = list(columns)
+    k = len(cols)
+
+    # state = ONE flat float64 vector [n, sums(k), gram(k*k)] — a single
+    # ndarray ships through Ray's aggregate block layer cleanly
+    def acc_block(state, blk: pa.Table):
+        x = np.column_stack([
+            blk[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        x = x[~np.isnan(x).any(axis=1)]
+        out = state.copy()
+        out[0] += len(x)
+        out[1:k + 1] += x.sum(axis=0)
+        out[k + 1:] += (x.T @ x).ravel()
+        return out
+
+    agg = AggregateFn(
+        init=lambda _k: np.zeros(1 + k + k * k),
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        finalize=lambda s: s, name="corr")
+    state = np.asarray(ds.select_columns(cols).aggregate(agg)["corr"])
+    n = int(state[0])
+    s = state[1:k + 1]
+    g = state[k + 1:].reshape(k, k)
+    if n < 2:
+        return pa.table({"col_a": pa.array([], pa.string()),
+                         "col_b": pa.array([], pa.string()),
+                         "corr": pa.array([], pa.float64())})
+    cov = g / n - np.outer(s / n, s / n)
+    sd = np.sqrt(np.clip(np.diag(cov), 0, None))
+    denom = np.outer(sd, sd)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.where(denom > 0, cov / denom, np.nan)
+    a_idx, b_idx = np.triu_indices(k, 1)
+    vals = corr[a_idx, b_idx]
+    if round_digits is not None:
+        vals = np.round(vals, round_digits)
+    return pa.table({"col_a": pa.array([cols[i] for i in a_idx]),
+                     "col_b": pa.array([cols[i] for i in b_idx]),
+                     "corr": pa.array(vals, pa.float64())})

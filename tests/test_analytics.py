@@ -93,3 +93,29 @@ def test_cohort_retention_parity(ray_session):
     sizes = coh.value_counts()
     for c, n in z.items():
         assert sizes[c] == n
+
+
+def test_pairwise_corr_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datavec_ray.ops.analytics import pairwise_corr
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(size=2000)
+    t = pa.table({"a": a, "b": 2 * a + rng.normal(size=2000),
+                  "c": rng.normal(size=2000)})
+    out = pairwise_corr(rd.from_arrow(t).repartition(7), ["a", "b", "c"])
+    got = {(r, c): v for r, c, v in zip(out["col_a"].to_pylist(),
+                                        out["col_b"].to_pylist(),
+                                        out["corr"].to_pylist())}
+    ref = np.corrcoef(np.column_stack([a, t["b"].to_numpy(),
+                                       t["c"].to_numpy()]), rowvar=False)
+    assert abs(got[("a", "b")] - ref[0, 1]) < 1e-9
+    assert abs(got[("a", "c")] - ref[0, 2]) < 1e-9
+    assert abs(got[("b", "c")] - ref[1, 2]) < 1e-9
+    # nulls: complete-case rows only
+    t2 = pa.table({"a": [1.0, 2.0, None, 4.0], "b": [2.0, 4.0, 9.0, 8.0]})
+    out2 = pairwise_corr(rd.from_arrow(t2), ["a", "b"])
+    assert abs(out2["corr"][0].as_py() - 1.0) < 1e-12
