@@ -795,6 +795,37 @@ def _corr_sql() -> str:
     return " union all ".join(parts) + " order by col_a, col_b"
 
 
+def _q_grouped_linreg(sf_dir: str):
+    """Per-returnflag OLS of extendedprice (cents) on quantity —
+    combiner partial sums + one tiny grouped Sum + exact-int finalize
+    (partial integer sums are exact in float64 below 2^53; the final
+    combination runs in Python ints, mirrored by HUGEINT in the
+    oracle, so the single float division is bit-identical)."""
+    from datavec_ray.ops.analytics import grouped_linreg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": pa.array(np.rint(q).astype(np.int64)),
+            "y": pa.array(np.rint(p * 100).astype(np.int64)),
+        })
+
+    out = grouped_linreg(ds.map_batches(to_ints, batch_format="pyarrow"),
+                         ["l_returnflag"], "x", "y", exact=True)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"], "n": b["n"],
+                         "slope": pc.round(b["slope"], 6),
+                         "intercept": pc.round(b["intercept"], 6)})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_role_alternation(sf_dir: str):
     """Transcript QA: adjacent same-role turn pairs per conversation
     over the binlog's INSERT turns (well-formed dialogues alternate).
@@ -2353,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "role_alternation": _q_role_alternation,
         "pairwise_corr": _q_pairwise_corr,
+        "grouped_linreg": _q_grouped_linreg,
     }
 
 
@@ -3694,6 +3726,32 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "pagerank_personalized": _pagerank_sql(seed_node=0),
         "pairwise_corr": _corr_sql(),
+        "grouped_linreg": """
+            with s as (
+              select l_returnflag,
+                     cast(count(*) as hugeint) as n,
+                     cast(sum(cast(round(l_quantity) as bigint))
+                          as hugeint) as sx,
+                     cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                          as hugeint) as sy,
+                     cast(sum(cast(round(l_quantity) as bigint)
+                              * cast(round(l_quantity) as bigint))
+                          as hugeint) as sxx,
+                     cast(sum(cast(round(l_quantity) as bigint)
+                              * cast(round(l_extendedprice * 100) as bigint))
+                          as hugeint) as sxy
+              from lineitem
+              group by l_returnflag
+            )
+            select l_returnflag, cast(n as bigint) as n,
+                   round(cast(n * sxy - sx * sy as double)
+                         / cast(n * sxx - sx * sx as double), 6) as slope,
+                   round((cast(sy as double)
+                          - (cast(n * sxy - sx * sy as double)
+                             / cast(n * sxx - sx * sx as double))
+                            * cast(sx as double))
+                         / cast(n as double), 6) as intercept
+            from s order by l_returnflag""",
         "web_pipeline": """
             with ok as (
               select doc_id, lang, source from documents

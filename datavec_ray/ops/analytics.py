@@ -251,3 +251,91 @@ def pairwise_corr(ds, columns, round_digits: int | None = None) -> "pa.Table":
     return pa.table({"col_a": pa.array([cols[i] for i in a_idx]),
                      "col_b": pa.array([cols[i] for i in b_idx]),
                      "corr": pa.array(vals, pa.float64())})
+
+
+def grouped_linreg(ds, keys, x_col: str, y_col: str,
+                   round_digits: int | None = None, exact: bool = False):
+    """Per-group simple OLS — SQL ``regr_slope(y, x)`` /
+    ``regr_intercept(y, x)`` / ``regr_count`` GROUP BY keys — in one
+    combiner pass: each batch emits per-group partial sums
+    (n, Σx, Σy, Σxx, Σxy) via one Arrow group_by, the grouped Sum
+    reduce merges them (map-side combined), and a final narrow map
+    computes slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) and intercept.
+    Complete-case: rows with a null x or y are dropped (SQL regr_*
+    semantics). Groups with zero x-variance emit null slope/intercept
+    (DuckDB likewise).
+
+    ``exact=True`` is the cross-engine-exact mode for INTEGER-valued
+    inputs (pre-scale decimals yourself): partial sums of ints are
+    exact in float64 below 2^53, and the final combination runs in
+    arbitrary-precision Python ints with ONE float division at the end
+    — bit-identical to a DuckDB oracle doing the same formula in
+    HUGEINT then casting to double.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        t = b.select(keys).filter(pa.array(ok))
+        x, y = x[ok], y[ok]
+        t = t.append_column(pa.field("__n", pa.float64()),
+                            pa.array(np.ones(len(x))))
+        for name, v in (("__sx", x), ("__sy", y), ("__sxx", x * x),
+                        ("__sxy", x * y)):
+            t = t.append_column(pa.field(name, pa.float64()), pa.array(v))
+        return t.group_by(keys).aggregate(
+            [(c, "sum") for c in ("__n", "__sx", "__sy", "__sxx",
+                                  "__sxy")]) \
+            .rename_columns(keys + ["__n", "__sx", "__sy", "__sxx",
+                                    "__sxy"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    summed = Reducer(keys, [[c, "Sum", c] for c in
+                            ("__n", "__sx", "__sy", "__sxx", "__sxy")]) \
+        .apply_dataset(part)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["__n"].to_numpy(zero_copy_only=False)
+        sx = b["__sx"].to_numpy(zero_copy_only=False)
+        sy = b["__sy"].to_numpy(zero_copy_only=False)
+        sxx = b["__sxx"].to_numpy(zero_copy_only=False)
+        sxy = b["__sxy"].to_numpy(zero_copy_only=False)
+        if exact:
+            slope = np.empty(len(n)); intercept = np.empty(len(n))
+            for i in range(len(n)):
+                ni, sxi, syi = int(n[i]), int(sx[i]), int(sy[i])
+                sxxi, sxyi = int(sxx[i]), int(sxy[i])
+                den = ni * sxxi - sxi * sxi     # exact python ints
+                if den == 0:
+                    slope[i] = np.nan; intercept[i] = np.nan
+                    continue
+                slope[i] = float(ni * sxyi - sxi * syi) / float(den)
+                intercept[i] = (syi - slope[i] * sxi) / ni
+        else:
+            denom = n * sxx - sx * sx
+            with np.errstate(invalid="ignore", divide="ignore"):
+                slope = np.where(denom != 0, (n * sxy - sx * sy) / denom,
+                                 np.nan)
+                intercept = np.where(denom != 0, (sy - slope * sx) / n,
+                                     np.nan)
+        if round_digits is not None:
+            slope = np.round(slope, round_digits)
+            intercept = np.round(intercept, round_digits)
+        out = b.select(keys)
+        out = out.append_column(pa.field("n", pa.int64()),
+                                pc.cast(pa.array(n), pa.int64()))
+        out = out.append_column(pa.field("slope", pa.float64()),
+                                pa.array(slope))
+        out = out.append_column(pa.field("intercept", pa.float64()),
+                                pa.array(intercept))
+        return out
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

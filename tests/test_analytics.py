@@ -119,3 +119,38 @@ def test_pairwise_corr_matches_numpy(ray_session):
     t2 = pa.table({"a": [1.0, 2.0, None, 4.0], "b": [2.0, 4.0, 9.0, 8.0]})
     out2 = pairwise_corr(rd.from_arrow(t2), ["a", "b"])
     assert abs(out2["corr"][0].as_py() - 1.0) < 1e-12
+
+
+def test_grouped_linreg_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datavec_ray.ops.analytics import grouped_linreg
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(["a", "b"], 500)
+    x = rng.normal(size=1000)
+    y = np.where(g == "a", 3 * x + 1, -2 * x + 5) + rng.normal(
+        scale=0.1, size=1000)
+    t = pa.table({"g": g, "x": x, "y": y})
+    out = dataset_to_table(grouped_linreg(
+        rd.from_arrow(t).repartition(6), ["g"], "x", "y")).sort_by("g")
+    for i, grp in enumerate(out["g"].to_pylist()):
+        m = g == grp
+        want = np.polyfit(x[m], y[m], 1)
+        assert abs(out["slope"][i].as_py() - want[0]) < 1e-6
+        assert abs(out["intercept"][i].as_py() - want[1]) < 1e-6
+    assert out["n"].to_pylist() == [500, 500]
+    # zero-variance group -> null slope; null rows dropped
+    t2 = pa.table({"g": ["z"] * 3 + ["w"] * 2,
+                   "x": [2.0, 2.0, 2.0, 1.0, None],
+                   "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    o2 = dataset_to_table(grouped_linreg(rd.from_arrow(t2), ["g"],
+                                         "x", "y")).sort_by("g")
+    rows = {k: (s, n) for k, s, n in zip(o2["g"].to_pylist(),
+                                         o2["slope"].to_pylist(),
+                                         o2["n"].to_pylist())}
+    assert rows["z"][0] is None or np.isnan(rows["z"][0])
+    assert rows["w"][1] == 1   # the null row dropped
