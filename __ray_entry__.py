@@ -773,6 +773,27 @@ def _q_render_transcripts(sf_dir: str):
                                 order_cols=["turn_idx", "lsn"])
 
 
+def _q_ffill_tool(sf_dir: str):
+    """LOCF gap repair over the binlog: D tombstones carry null
+    role/tool; forward-fill both per conversation in lsn order so every
+    change event shows the last known attribution. One key shuffle +
+    per-partition maximum.accumulate donor scan (misc.ffill_group).
+    Oracle = last_value(x IGNORE NULLS) running window."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import ffill_group
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["conv_id", "lsn", "op", "role", "tool"])
+
+    return ffill_group(ds.map_batches(proj, batch_format="pyarrow"),
+                       keys=["conv_id"], order_col="lsn",
+                       value_cols=["role", "tool"])
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -2383,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_transcripts": _q_render_transcripts,
         "pagerank_personalized": _q_pagerank_personalized,
         "role_alternation": _q_role_alternation,
+        "ffill_tool": _q_ffill_tool,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3715,6 +3737,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "ffill_tool": _BINLOG_CTE + """
+            select conv_id, lsn, op,
+                   last_value(role ignore nulls) over (
+                       partition by conv_id order by lsn
+                       rows between unbounded preceding and current row)
+                       as role,
+                   last_value(tool ignore nulls) over (
+                       partition by conv_id order by lsn
+                       rows between unbounded preceding and current row)
+                       as tool
+            from e
+            order by conv_id, lsn""",
         "render_transcripts": _BINLOG_CTE + """
             select conv_id,
                    string_agg(role || ': ' || coalesce(text, ''), chr(10)

@@ -900,6 +900,72 @@ def grouped_ewma(ds, keys: Sequence[str], order_col: str, value_col: str,
         .groupby(_GPART).map_groups(ew, batch_format="pyarrow")
 
 
+def ffill_group(ds, keys: Sequence[str], order_col: str,
+                value_cols: Sequence[str],
+                tiebreak: Optional[str] = None,
+                direction: str = "forward", num_partitions: int = 32):
+    """Last-observation-carried-forward (LOCF) per key group: within
+    each ``keys`` group ordered by ``order_col`` (ties broken by
+    ``tiebreak``), replace each null in ``value_cols`` with the nearest
+    preceding non-null value of the same group (``direction="backward"``
+    fills from the nearest following value instead). Leading (resp.
+    trailing) nulls with no donor stay null. SQL:
+    ``last_value(x IGNORE NULLS) OVER (PARTITION BY keys ORDER BY
+    order_col ROWS UNBOUNDED PRECEDING)``.
+
+    The classic time-series gap-repair step (reference has no
+    counterpart; complements ReplaceInvalid, steps/math.py). Shape: one
+    hash-partition shuffle, then per PARTITION one sort + per column one
+    ``np.maximum.accumulate`` over all groups at once — donor indices
+    are clamped to their own key segment, so fills never cross group
+    boundaries; the gather is a single Arrow ``take`` (works for any
+    column type, strings included), no Python per row.
+    """
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+    keys = list(keys)
+    value_cols = list(value_cols)
+    bad = set(value_cols) & (set(keys) | {order_col})
+    if bad:
+        raise ValueError(f"value_cols overlap keys/order: {sorted(bad)}")
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+
+    def ff(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        n = g.num_rows
+        if n == 0:
+            return g
+        starts_mask = _key_run_starts(g, keys)
+        seg_starts = np.flatnonzero(starts_mask)
+        lens = np.diff(np.concatenate((seg_starts, [n])))
+        seg_lo = np.repeat(seg_starts, lens)          # segment start, incl.
+        idx = np.arange(n)
+        for col in value_cols:
+            arr = combine(g[col])
+            if arr.null_count == 0:
+                continue
+            valid = ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+            if direction == "forward":
+                lv = np.maximum.accumulate(np.where(valid, idx, -1))
+                ok = lv >= seg_lo
+            else:
+                lv_r = np.maximum.accumulate(
+                    np.where(valid[::-1], idx, -1))
+                lv = (n - 1) - lv_r[::-1]             # next valid >= i
+                ok = lv < seg_lo + np.repeat(lens, lens)
+            filled = arr.take(pa.array(np.where(ok, lv, 0)))
+            filled = pc.if_else(pa.array(ok), filled,
+                                pa.scalar(None, arr.type))
+            g = g.set_column(g.column_names.index(col),
+                             pa.field(col, arr.type), filled)
+        return g
+
+    ff.__name__ = "ffill_group"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(ff, batch_format="pyarrow")
+
+
 def render_conversations(ds, key: str = "conv_id",
                          order_cols: Sequence[str] = ("turn_idx",),
                          role_col: str = "role", text_col: str = "text",

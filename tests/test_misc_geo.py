@@ -190,3 +190,37 @@ def test_role_alternation_stats(ray_session):
     assert out["conv_id"].to_pylist() == ["a", "b", "c"]
     assert out["n_turns"].to_pylist() == [4, 2, 1]
     assert out["n_repeats"].to_pylist() == [2, 0, 0]  # null != anything
+
+
+def test_ffill_group_forward_and_backward(ray_session):
+    import ray
+    from datavec_ray.misc import ffill_group
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b", "b"],
+        "o": [1, 2, 3, 4, 1, 2, 3],
+        "v": ["x", None, "y", None, None, "z", None],
+        "n": [1.0, None, None, 4.0, None, None, 7.0],
+    })
+    ds = ray.data.from_arrow(t)
+    out = dataset_to_table(
+        ffill_group(ds, ["k"], "o", ["v", "n"])).sort_by(
+        [("k", "ascending"), ("o", "ascending")])
+    assert out["v"].to_pylist() == ["x", "x", "y", "y", None, "z", "z"]
+    assert out["n"].to_pylist() == [1.0, 1.0, 1.0, 4.0, None, None, 7.0]
+
+    back = dataset_to_table(
+        ffill_group(ds, ["k"], "o", ["v"], direction="backward")).sort_by(
+        [("k", "ascending"), ("o", "ascending")])
+    # trailing nulls stay null; fills never cross the a/b boundary
+    assert back["v"].to_pylist() == ["x", "y", "y", None, "z", "z", None]
+
+
+def test_ffill_group_validates_columns(ray_session):
+    import ray
+    from datavec_ray.misc import ffill_group
+    ds = ray.data.from_arrow(pa.table({"k": ["a"], "o": [1], "v": [None]}))
+    with pytest.raises(ValueError):
+        ffill_group(ds, ["k"], "o", ["o"])
+    with pytest.raises(ValueError):
+        ffill_group(ds, ["k"], "o", ["v"], direction="sideways")
