@@ -794,6 +794,18 @@ def _q_ffill_tool(sf_dir: str):
                        value_cols=["role", "tool"])
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """Entity-resolution fuzzy duplicates: every customer-name pair
+    within Levenshtein distance 1, found by SymSpell deletion-
+    neighborhood bucketing (variant HASHES only, via an invertible-base
+    polynomial over the flat byte buffer) + vectorized exact-DP verify.
+    EXACT output — oracle is the brute-force levenshtein() cross join."""
+    from datavec_ray.ops.fuzzy import fuzzy_dup_pairs
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return fuzzy_dup_pairs(ds, text_col="c_name", id_col="c_custkey",
+                           max_edits=1)
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -2405,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "role_alternation": _q_role_alternation,
         "ffill_tool": _q_ffill_tool,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3737,6 +3750,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "fuzzy_pairs": """
+            select c1.c_custkey as id_a, c2.c_custkey as id_b,
+                   levenshtein(c1.c_name, c2.c_name) as dist
+            from customer c1
+            join customer c2 on c1.c_custkey < c2.c_custkey
+            where levenshtein(c1.c_name, c2.c_name) <= 1
+            order by id_a, id_b""",
         "ffill_tool": _BINLOG_CTE + """
             select conv_id, lsn, op,
                    last_value(role ignore nulls) over (
