@@ -794,6 +794,20 @@ def _q_ffill_tool(sf_dir: str):
                        value_cols=["role", "tool"])
 
 
+def _q_key_skew(sf_dir: str):
+    """Partition-skew report on the CDC routing key: top-20 hottest
+    conv_ids with count / share / cumulative share — the diagnostic
+    that drives hot-key salting. Pigeonhole heavy-hitter pruning, one
+    exact refine pass (ops.analytics.key_skew)."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.ops.analytics import key_skew
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+    return key_skew(ds, "conv_id", k=20)
+
+
 def _q_fuzzy_pairs(sf_dir: str):
     """Entity-resolution fuzzy duplicates: every customer-name pair
     within Levenshtein distance 1, found by SymSpell deletion-
@@ -2418,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_alternation": _q_role_alternation,
         "ffill_tool": _q_ffill_tool,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "key_skew": _q_key_skew,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3750,6 +3765,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "key_skew": _BINLOG_CTE + """
+            , c as (
+              select conv_id as value, cast(count(*) as bigint) as cnt
+              from e group by conv_id
+            ), t as (select sum(cnt) as total from c)
+            select value, cnt,
+                   cnt / (select total from t) as share,
+                   sum(cnt / (select total from t)) over (
+                       order by cnt desc, value asc
+                       rows between unbounded preceding and current row)
+                       as cum_share
+            from c
+            order by cnt desc, value asc
+            limit 20""",
         "fuzzy_pairs": """
             select c1.c_custkey as id_a, c2.c_custkey as id_b,
                    levenshtein(c1.c_name, c2.c_name) as dist

@@ -339,3 +339,33 @@ def grouped_linreg(ds, keys, x_col: str, y_col: str,
         return out
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def key_skew(ds, col: str, k: int = 20, capacity: int = 2000) -> pa.Table:
+    """Partition-skew diagnostic for a prospective shuffle/partition
+    key: the exact top-``k`` hottest values of ``col`` with count,
+    share of all rows, and cumulative share in (count desc, value asc)
+    order — the report that tells you whether a key needs salting
+    before a groupby / CDC ingest routes on it (the engine's own hot-
+    conversation salting, cdc/engine.py, is driven by exactly this
+    distribution).
+
+    Scale shape: rides `ops.sketches.frequent_items` — block-local
+    pigeonhole candidate pruning (<= capacity candidate rows leave any
+    block) + one exact refine pass; the total row count comes from the
+    Dataset metadata count, no extra data pass. Output is k rows.
+    """
+    import numpy as np
+
+    from datavec_ray.ops.sketches import frequent_items
+
+    top = frequent_items(ds, col, k, capacity)
+    n = ds.count()
+    cnt = top["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    share = cnt / float(n)
+    return pa.table({
+        "value": top["value"],
+        "cnt": top["cnt"],
+        "share": pa.array(share, pa.float64()),
+        "cum_share": pa.array(np.cumsum(share), pa.float64()),
+    })

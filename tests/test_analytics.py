@@ -154,3 +154,16 @@ def test_grouped_linreg_matches_numpy(ray_session):
                                          o2["n"].to_pylist())}
     assert rows["z"][0] is None or np.isnan(rows["z"][0])
     assert rows["w"][1] == 1   # the null row dropped
+
+
+def test_key_skew_report(ray_session):
+    import ray
+    from datavec_ray.ops.analytics import key_skew
+
+    vals = ["hot"] * 50 + ["warm"] * 30 + ["a"] * 10 + ["b"] * 10
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)}))
+    out = key_skew(ds, "k", k=3)
+    assert out["value"].to_pylist() == ["hot", "warm", "a"]
+    assert out["cnt"].to_pylist() == [50, 30, 10]
+    assert np.allclose(out["share"].to_numpy(), [0.5, 0.3, 0.1])
+    assert np.allclose(out["cum_share"].to_numpy(), [0.5, 0.8, 0.9])
