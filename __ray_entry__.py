@@ -808,6 +808,19 @@ def _q_key_skew(sf_dir: str):
     return key_skew(ds, "conv_id", k=20)
 
 
+def _q_grouped_mode(sf_dir: str):
+    """Most frequent tool per conversation (SQL mode(), deterministic
+    smallest-value tie-break) — map-side (key,value) count combiner,
+    one partial-row shuffle, segmented-argmax finalize."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import grouped_mode
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+    return grouped_mode(ds, ["conv_id"], "tool")
+
+
 def _q_fuzzy_pairs(sf_dir: str):
     """Entity-resolution fuzzy duplicates: every customer-name pair
     within Levenshtein distance 1, found by SymSpell deletion-
@@ -2433,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_tool": _q_ffill_tool,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "key_skew": _q_key_skew,
+        "grouped_mode": _q_grouped_mode,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3765,6 +3779,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "grouped_mode": _BINLOG_CTE + """
+            , c as (
+              select conv_id, tool, cast(count(*) as bigint) as cnt
+              from e where tool is not null
+              group by conv_id, tool
+            ), r as (
+              select *, row_number() over (partition by conv_id
+                        order by cnt desc, tool asc) as rn
+              from c
+            )
+            select conv_id, tool as mode, cnt from r where rn = 1
+            order by conv_id""",
         "key_skew": _BINLOG_CTE + """
             , c as (
               select conv_id as value, cast(count(*) as bigint) as cnt

@@ -966,6 +966,64 @@ def ffill_group(ds, keys: Sequence[str], order_col: str,
         .groupby(_GPART).map_groups(ff, batch_format="pyarrow")
 
 
+def grouped_mode(ds, keys: Sequence[str], value_col: str,
+                 out_col: str = "mode", num_partitions: int = 32):
+    """Most frequent non-null ``value_col`` per key group (SQL
+    ``mode()``), made deterministic: ties broken by the SMALLEST value.
+    Output: keys + ``out_col`` + ``cnt`` (the winning count, int64).
+
+    Scale shape: a map-side combiner counts (keys, value) pairs per
+    batch with one Acero ``group_by`` — the ONE shuffle moves at most
+    per-batch-distinct (key, value) partial rows, never raw data; the
+    per-partition final merges counts and picks each key's winner with
+    a segmented argmax (first-max-in-value-order = smallest tied value),
+    no Python per group.
+    """
+    keys = list(keys)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = batch.replace_schema_metadata(None) \
+            .filter(pc.is_valid(batch[value_col]))
+        g = b.select(keys + [value_col]) \
+            .group_by(keys + [value_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "__cnt"])
+
+    def _final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in keys + [value_col]])
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["__cnt"]).rename_columns(
+                keys + [out_col]).append_column(
+                pa.field("cnt", pa.int64()), pa.array([], pa.int64()))
+        # merge partial counts of identical (keys, value) runs
+        pair_starts = np.flatnonzero(_key_run_starts(g, keys + [value_col]))
+        cnt = np.add.reduceat(
+            combine(g["__cnt"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64), pair_starts)
+        u = g.take(pa.array(pair_starts, pa.int64()))  # unique pairs
+        key_starts_mask = _key_run_starts(u, keys)
+        seg = np.flatnonzero(key_starts_mask)
+        segs_end = np.append(seg[1:], len(cnt))
+        best = np.maximum.reduceat(cnt, seg)
+        # first index in each segment attaining the max (value-sorted →
+        # smallest tied value)
+        cand = np.flatnonzero(cnt == np.repeat(best, segs_end - seg))
+        first = cand[np.searchsorted(cand, seg)]
+        win = u.take(pa.array(first, pa.int64()))
+        out = win.select(keys)
+        out = out.append_column(pa.field(out_col, win[value_col].type),
+                                combine(win[value_col]))
+        return out.append_column(pa.field("cnt", pa.int64()),
+                                 pa.array(cnt[first]))
+
+    _final.__name__ = "grouped_mode"
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return _group_partition(partials, keys, num_partitions) \
+        .groupby(_GPART).map_groups(_final, batch_format="pyarrow")
+
+
 def render_conversations(ds, key: str = "conv_id",
                          order_cols: Sequence[str] = ("turn_idx",),
                          role_col: str = "role", text_col: str = "text",

@@ -224,3 +224,21 @@ def test_ffill_group_validates_columns(ray_session):
         ffill_group(ds, ["k"], "o", ["o"])
     with pytest.raises(ValueError):
         ffill_group(ds, ["k"], "o", ["v"], direction="sideways")
+
+
+def test_grouped_mode_ties_and_combine(ray_session):
+    import ray
+    from datavec_ray.misc import grouped_mode
+
+    t = pa.table({
+        "k": ["a"] * 6 + ["b"] * 3 + ["c"] * 2,
+        "v": ["x", "y", "y", "x", None, "z",   # a: x=2, y=2 tie -> x
+              "q", "q", "p",                   # b: q=2
+              None, None],                     # c: all null -> no row
+    })
+    ds = ray.data.from_arrow(t).repartition(4)  # force cross-batch merge
+    out = dataset_to_table(grouped_mode(ds, ["k"], "v")).sort_by(
+        [("k", "ascending")])
+    assert out["k"].to_pylist() == ["a", "b"]
+    assert out["mode"].to_pylist() == ["x", "q"]
+    assert out["cnt"].to_pylist() == [2, 2]
