@@ -808,6 +808,20 @@ def _q_key_skew(sf_dir: str):
     return key_skew(ds, "conv_id", k=20)
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-group outlier trimming: clamp l_extendedprice into the
+    [p05, p95] of its own return-flag group. Exact grouped quantiles
+    (one partial-row shuffle) broadcast back; the corpus never
+    shuffles (misc.group_winsorize)."""
+    from datavec_ray.misc import group_winsorize
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+    return group_winsorize(ds, ["l_returnflag"], "l_extendedprice",
+                           lo=0.05, hi=0.95, out_col="price_w")
+
+
 def _q_grouped_mode(sf_dir: str):
     """Most frequent tool per conversation (SQL mode(), deterministic
     smallest-value tie-break) — map-side (key,value) count combiner,
@@ -2447,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "key_skew": _q_key_skew,
         "grouped_mode": _q_grouped_mode,
+        "winsorize": _q_winsorize,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3779,6 +3794,19 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "winsorize": """
+            with q as (
+              select l_returnflag,
+                     quantile_disc(l_extendedprice, 0.05) as lo,
+                     quantile_disc(l_extendedprice, 0.95) as hi
+              from lineitem group by l_returnflag
+            )
+            select l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   least(greatest(l.l_extendedprice, q.lo), q.hi)
+                       as price_w
+            from lineitem l join q using (l_returnflag)
+            order by l.l_orderkey, l.l_linenumber""",
         "grouped_mode": _BINLOG_CTE + """
             , c as (
               select conv_id, tool, cast(count(*) as bigint) as cnt

@@ -966,6 +966,44 @@ def ffill_group(ds, keys: Sequence[str], order_col: str,
         .groupby(_GPART).map_groups(ff, batch_format="pyarrow")
 
 
+def group_winsorize(ds, keys: Sequence[str], column: str,
+                    lo: float = 0.05, hi: float = 0.95,
+                    out_col: Optional[str] = None,
+                    interpolation: str = "lower",
+                    num_partitions: int = 32):
+    """Per-group quantile clipping (winsorization): each value is
+    clamped into [q_lo, q_hi] of ITS OWN key group — the outlier-
+    trimming feature-prep step (companion to the two-pass normalizers,
+    steps/normalize.py). Null values stay null; all-null groups pass
+    through unclipped.
+
+    Scale shape: two passes — exact grouped quantiles (ONE partial-row
+    shuffle, `grouped_quantile`) yield a groups-sized stats table that
+    is BROADCAST-joined back (JoinStep broadcast — the input corpus
+    never shuffles), then one vectorized min/max clip kernel.
+    """
+    from datavec_ray.join import JoinStep
+    from datavec_ray.util import dataset_to_table
+
+    out_col = out_col or f"{column}_w"
+    keys = list(keys)
+    stats = dataset_to_table(grouped_quantile(
+        ds, keys, column, [lo, hi], ["__wlo", "__whi"],
+        num_partitions, interpolation))
+    joined = JoinStep(stats, keys, join_type="LeftOuter",
+                      broadcast=True).apply_dataset(ds)
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = combine(b[column]).cast(pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(v, combine(b["__wlo"])),
+                                combine(b["__whi"]))
+        w = pc.if_else(pc.is_null(v), pa.scalar(None, pa.float64()), w)
+        return b.drop_columns(["__wlo", "__whi"]).append_column(
+            pa.field(out_col, pa.float64()), w)
+
+    return joined.map_batches(clip, batch_format="pyarrow")
+
+
 def grouped_mode(ds, keys: Sequence[str], value_col: str,
                  out_col: str = "mode", num_partitions: int = 32):
     """Most frequent non-null ``value_col`` per key group (SQL

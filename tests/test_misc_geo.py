@@ -242,3 +242,22 @@ def test_grouped_mode_ties_and_combine(ray_session):
     assert out["k"].to_pylist() == ["a", "b"]
     assert out["mode"].to_pylist() == ["x", "q"]
     assert out["cnt"].to_pylist() == [2, 2]
+
+
+def test_group_winsorize_clips_per_group(ray_session):
+    import ray
+    from datavec_ray.misc import group_winsorize
+
+    t = pa.table({
+        "k": ["a"] * 10 + ["b"] * 10,
+        "v": [float(x) for x in range(10)] + [float(100 + x) for x in range(10)],
+    })
+    ds = ray.data.from_arrow(t)
+    out = dataset_to_table(
+        group_winsorize(ds, ["k"], "v", lo=0.2, hi=0.8, out_col="w")) \
+        .sort_by([("k", "ascending"), ("v", "ascending")])
+    w = out["w"].to_pylist()
+    # group a: clamp into [q20, q80] = [1, 7] (inverted CDF over 0..9)
+    assert w[:10] == [1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0]
+    # group b clamps within its OWN range, not a's
+    assert w[10] == 101.0 and w[19] == 107.0
