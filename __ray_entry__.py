@@ -456,6 +456,46 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_topn_view(sf_dir: str):
+    """Incrementally-maintained per-conversation leaderboard (the 2
+    most recent live turns of every conversation): build from snapshot
+    v1, ADVANCE with the v1→v2 retract feed — only conversations named
+    in the delta are recomputed. Oracle = QUALIFY row_number() over the
+    from-scratch LWW state, so the splice is value-checked end to end."""
+    import tempfile
+
+    from datavec_ray.cdc.aggview import TopNView
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="topnview_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                   checkpoint_name="v2")
+        tt = eng.time_travel()
+        view = TopNView(keys=["conv_id"], order_col="turn_idx", n=2,
+                        descending=True)
+        state = view.build(tt.read_state_at("v1"))
+        state = view.advance(state, tt.retract_feed("v1", "v2"),
+                             tt.read_state_at("v2"))
+        return pa.table({
+            "conv_id": state["conv_id"],
+            "turn_idx": state["turn_idx"],
+            "role": state["role"],
+            "text": state["text"],
+            "tool": state["tool"],
+            "ts_ms": pc.cast(state["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_joinview(sf_dir: str):
     """Incrementally-maintained materialized JOIN view over the CDC
     lake: pair every live USER turn with the live ASSISTANT turn that
@@ -2363,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
+        "cdc_topn_view": _q_cdc_topn_view,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "txn_upsert": _q_txn_upsert,
@@ -2888,6 +2929,20 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "cdc_topn_view": _BINLOG_CTE + """
+            , state as (
+              select conv_id, turn_idx, role, text, tool, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D')
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id order by turn_idx desc) as rk
+                  from state) s
+            where rk <= 2
+            order by conv_id, turn_idx desc""",
         "cdc_joinview": _BINLOG_CTE + """
             , state as (
               select conv_id, turn_idx, text, ts_ms

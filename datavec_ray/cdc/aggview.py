@@ -87,10 +87,18 @@ class RecomputeAggView:
         return Reducer(self.keys, [list(s) for s in self.specs],
                        num_partitions=self.num_partitions)
 
-    def build(self, live_ds) -> pa.Table:
+    def _compute(self, ds) -> pa.Table:
+        """The per-key view computation (subclasses override: any
+        function of a key group works with the same affected-group
+        advance, as long as a group's rows determine its view rows)."""
         from datavec_ray.util import dataset_to_table
-        out = dataset_to_table(self._reducer().apply_dataset(live_ds))
-        return out.sort_by([(k, "ascending") for k in self.keys])
+        return dataset_to_table(self._reducer().apply_dataset(ds))
+
+    def _sort(self, tbl: pa.Table) -> pa.Table:
+        return tbl.sort_by([(k, "ascending") for k in self.keys])
+
+    def build(self, live_ds) -> pa.Table:
+        return self._sort(self._compute(live_ds))
 
     def advance(self, view: pa.Table, retract_ds, live_ds) -> pa.Table:
         """``live_ds`` must be the NEW snapshot (the retract feed's
@@ -123,14 +131,48 @@ class RecomputeAggView:
             return b.filter(pa.array(aff[idx] == h))
 
         _only_affected.__name__ = "aggview_affected_filter"
-        recomputed = dataset_to_table(self._reducer().apply_dataset(
-            live_ds.map_batches(_only_affected, batch_format="pyarrow")))
+        recomputed = self._compute(
+            live_ds.map_batches(_only_affected, batch_format="pyarrow"))
         vh = _key_hashes(view.combine_chunks(), keys)
         idx = np.searchsorted(affected, vh)
         idx[idx == len(affected)] = 0
         keep = view.filter(pa.array(affected[idx] != vh))
-        out = pa.concat_tables([keep, recomputed.cast(keep.schema)])
-        return out.sort_by([(k, "ascending") for k in keys])
+        return self._sort(pa.concat_tables(
+            [keep, recomputed.cast(keep.schema)]))
+
+
+class TopNView(RecomputeAggView):
+    """Incrementally maintained per-key top-n ROWS view — a
+    materialized leaderboard (the n most recent / highest-scoring turns
+    per conversation) kept current over the CDC lake. Rides the
+    affected-group-recompute machinery: ``advance`` recomputes only the
+    keys named in the retract feed and carries every other key's rows
+    forward; like all view rows here, a key's leaderboard is a pure
+    function of its own live rows, so the splice is exact."""
+
+    def __init__(self, keys: Sequence[str], order_col: str, n: int,
+                 descending: bool = True,
+                 tiebreak: Sequence[str] = (),
+                 num_partitions: int = 32):
+        super().__init__(keys, specs=[], num_partitions=num_partitions)
+        self.order_col, self.n = order_col, int(n)
+        self.descending = descending
+        self.tiebreak = list(tiebreak)
+
+    def _compute(self, ds) -> pa.Table:
+        from datavec_ray.misc import grouped_topn
+        from datavec_ray.util import dataset_to_table
+        return dataset_to_table(grouped_topn(
+            ds, self.keys, self.order_col, self.n,
+            descending=self.descending, tiebreak=self.tiebreak,
+            num_partitions=self.num_partitions))
+
+    def _sort(self, tbl: pa.Table) -> pa.Table:
+        order = "descending" if self.descending else "ascending"
+        return tbl.sort_by(
+            [(k, "ascending") for k in self.keys]
+            + [(self.order_col, order)]
+            + [(c, "ascending") for c in self.tiebreak])
 
 
 class AggView:

@@ -704,3 +704,28 @@ def test_secondary_index_lookup_and(ray_session, tmp_path):
         & set(idx.candidate_partitions("tool", [tool]))
     assert len(c_and) <= len(idx.candidate_partitions("role", ["assistant"]))
     eng.shutdown()
+
+
+def test_topn_view_advance_equals_direct(tt_engine):
+    """Incrementally maintained leaderboard: advancing the per-conv
+    top-2-most-recent-turns view snapshot by snapshot equals a
+    from-scratch build at the head."""
+    from datavec_ray.cdc.aggview import TopNView
+
+    eng, binlog, segs = tt_engine
+    tt = eng.time_travel()
+    view = TopNView(keys=["conv_id"], order_col="turn_idx", n=2,
+                    descending=True)
+    v = view.build(tt.read_state_at("seg1"))
+    v = view.advance(v, tt.retract_feed("seg1", "seg2"),
+                     tt.read_state_at("seg2"))
+    v = view.advance(v, tt.retract_feed("seg2", "seg3"),
+                     tt.read_state_at("seg3"))
+    direct = view.build(tt.read_state_at("seg3"))
+    assert v.num_rows == direct.num_rows
+    for c in direct.column_names:
+        assert v[c].to_pylist() == direct[c].to_pylist(), c
+    # empty delta: no-op
+    same = view.advance(v, tt.retract_feed("seg3", "seg3"),
+                        tt.read_state_at("seg3"))
+    assert same.num_rows == v.num_rows
