@@ -614,6 +614,19 @@ def _q_windowed_stream(sf_dir: str):
     return win
 
 
+def _q_windowed_distinct(sf_dir: str):
+    """Watermark-gated windowed exact distinct: active conversations
+    per (1 h window, role) with 10 min allowed lateness. Per-block
+    distinct-triple combiner — raw events never shuffle."""
+    from datavec_ray.cdc.watermark import windowed_distinct
+
+    win, _dropped = windowed_distinct(
+        _binlog_with_skewed_ts(sf_dir), window_ms=3_600_000,
+        delay_ms=1_800_000, allowed_lateness_ms=600_000,
+        keys=["role"], ts_col="ts_skew_ms", value_col="conv_id")
+    return win
+
+
 def _q_hopping_stream(sf_dir: str):
     """Emit-on-watermark HOPPING windows (2 h wide, 1 h slide, 10 min
     allowed lateness) — each event lands in W/S overlapping windows;
@@ -2406,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_topn_view": _q_cdc_topn_view,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
+        "windowed_distinct": _q_windowed_distinct,
         "txn_upsert": _q_txn_upsert,
         "hopping_stream": _q_hopping_stream,
         "session_stream": _q_session_stream,
@@ -2987,6 +3001,19 @@ def oracle_sql() -> dict[str, str]:
             select tsk // 3600000 as win, role,
                    count(*) as n,
                    cast(sum(turn_idx) as bigint) as val_sum
+            from wmk
+            where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
+                           true)
+            group by win, role""",
+        "windowed_distinct": _BINLOG_CTE + """
+            , s as (select lsn, role, conv_id,
+                           ts_ms - (lsn % 16) * 600000 as tsk from e)
+            , wmk as (select *, max(tsk) over (order by lsn
+                        rows between unbounded preceding
+                        and 1 preceding) - 1800000 as wm
+                      from s)
+            select tsk // 3600000 as win, role,
+                   cast(count(distinct conv_id) as bigint) as n_distinct
             from wmk
             where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
                            true)

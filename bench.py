@@ -33,7 +33,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "reduce_ops", "asof_join", "doc_quality", "grouped_topk",
                  "set_except", "pivot_agg", "window_rank", "decontaminate",
                  "cdc_aggview", "curation_export", "dedup_against",
-                 "cdc_joinview", "repetition_signals", "windowed_stream"]
+                 "cdc_joinview", "repetition_signals", "windowed_stream",
+                 "fuzzy_pairs", "ffill_tool"]
 
 
 def _sf_of(sf_dir: str) -> float:

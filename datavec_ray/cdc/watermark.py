@@ -295,6 +295,86 @@ def windowed_stream(ds, window_ms: int, delay_ms: int,
     return windows, dropped
 
 
+def windowed_distinct(ds, window_ms: int, delay_ms: int,
+                      allowed_lateness_ms: int = 0,
+                      keys: Sequence[str] = ("role",),
+                      ts_col: str = "ts", order_col: str = "lsn",
+                      value_col: str = "conv_id",
+                      slide_ms: Optional[int] = None):
+    """Emit-on-watermark windowed EXACT distinct count (e.g. active
+    conversations per hour) — same window / allowed-lateness contract
+    as :func:`windowed_stream`, with aggregate
+    ``count(DISTINCT value_col)`` per (window, keys).
+
+    Shape: the per-block combiner reduces every block to its distinct
+    (window, keys, value) TRIPLES — the exact-distinct floor: raw
+    events never shuffle and repeated values collapse map-side — then
+    ONE exchange on window and a final distinct+count per (window,
+    keys). (For approximate cardinality at unbounded value domains use
+    the Reducer's HLL CountUnique instead.) Returns
+    ``(windows, dropped)``.
+    """
+    tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
+                               order_col=order_col).materialize()
+    keys = list(keys)
+    W = np.int64(window_ms)
+    S = np.int64(slide_ms if slide_ms is not None else window_ms)
+    if S > W:
+        raise ValueError("slide_ms must be <= window_ms")
+    L = np.int64(allowed_lateness_ms)
+
+    def _assign(batch: pa.Table):
+        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
+        lo = (ts - W) // S + 1
+        hi = ts // S
+        cnt = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), cnt)
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        win = lo[idx] + offs
+        keep = ~((win * S + W + L) <= wm[idx])
+        return idx, win, keep
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        idx, win, keep = _assign(batch)
+        if not keep.any():
+            return pa.table(
+                {"win": pa.array([], pa.int64()),
+                 **{k: pa.array([], batch.schema.field(k).type)
+                    for k in keys},
+                 "__v": pa.array([], batch.schema.field(value_col).type)})
+        rows = batch.take(pa.array(idx[keep]))
+        gt = pa.table({"win": pa.array(win[keep], pa.int64()),
+                       **{k: rows[k] for k in keys},
+                       "__v": rows[value_col]})
+        return gt.group_by(["win"] + keys + ["__v"],
+                           use_threads=False).aggregate([])
+
+    partials = tagged.map_batches(_combine, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        d = group.group_by(["win"] + keys + ["__v"],
+                           use_threads=False).aggregate([])
+        agg = d.group_by(["win"] + keys, use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["win"] + keys + ["n_distinct"])
+
+    _final.__name__ = "windowed_distinct"
+    windows = partials.groupby("win").map_groups(
+        _final, batch_format="pyarrow")
+
+    def _dropped(batch: pa.Table) -> pa.Table:
+        idx, win, keep = _assign(batch)
+        out = batch.take(pa.array(idx[~keep]))
+        return out.append_column("win", pa.array(win[~keep], pa.int64()))
+
+    dropped = tagged.map_batches(_dropped, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return windows, dropped
+
+
 def session_stream(ds, gap_ms: int, delay_ms: int,
                    allowed_lateness_ms: int = 0,
                    keys: Sequence[str] = ("conv_id",),

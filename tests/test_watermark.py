@@ -176,3 +176,44 @@ def test_session_stream_parity(ray_session):
     assert (got["lsn"].values == ref["lsn"].values).all()
     assert (got["session_id"].values == ref["session_id"].values).all()
     assert got["session_id"].max() > 0  # sessions actually split
+
+
+def test_windowed_distinct_matches_exact(ray_session):
+    """windowed_distinct == exact count(distinct) over the gated pairs
+    (computed locally from the same watermark assignment)."""
+    import ray
+    import pyarrow.compute as pc
+    from datavec_ray.cdc.watermark import assign_watermarks, windowed_distinct
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    lsn = np.arange(1, n + 1)
+    ts = np.cumsum(rng.integers(0, 120_000, n)) \
+        - (lsn % 11) * 300_000          # out-of-order event time
+    conv = np.array([f"c{int(x)}" for x in rng.integers(0, 60, n)])
+    role = np.where(lsn % 2 == 0, "user", "assistant")
+    t = pa.table({"lsn": pa.array(lsn, pa.int64()),
+                  "ts_ms": pa.array(ts, pa.int64()),
+                  "role": pa.array(role.tolist()),
+                  "conv_id": pa.array(conv.tolist())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    W, D, L = 3_600_000, 1_200_000, 300_000
+    win, dropped = windowed_distinct(ds, W, D, allowed_lateness_ms=L,
+                                     keys=["role"], ts_col="ts_ms",
+                                     value_col="conv_id")
+    got = dataset_to_table(win).to_pandas() \
+        .sort_values(["win", "role"]).reset_index(drop=True)
+
+    # local oracle: sequential watermark scan in lsn order
+    order = np.argsort(lsn)
+    wm = -np.inf
+    seen = {}
+    for i in order:
+        w = ts[i] // W
+        if not (w * W + W + L <= wm):
+            seen.setdefault((w, role[i]), set()).add(conv[i])
+        wm = max(wm, ts[i] - D)
+    exp = sorted((int(w), r, len(s)) for (w, r), s in seen.items())
+    assert list(map(tuple, got[["win", "role", "n_distinct"]]
+                    .itertuples(index=False))) == exp
