@@ -57,13 +57,16 @@ def _flat_bytes(col) -> tuple[np.ndarray, np.ndarray]:
 
 def deletion_variant_hashes(col, max_edits: int,
                             max_len: int = 256) -> tuple[np.ndarray,
+                                                         np.ndarray,
                                                          np.ndarray]:
     """All <=``max_edits``-deletion variant hashes for a batch of
     strings: (variant hashes uint64 flat, source row indices int64
-    flat). Includes the 0-deletion (whole-string) hash for every row.
-    Rows longer than ``max_len`` bytes contribute only their whole-
-    string hash (logged) — edit distance over long documents is the
-    wrong tool (use minhash/simhash); exact-equality pairs still pair.
+    flat, deleted-position int32 flat: -1 = whole string, i >= 0 =
+    single deletion at byte i, -2 = double deletion). Includes the
+    0-deletion (whole-string) hash for every row. Rows longer than
+    ``max_len`` bytes contribute only their whole-string hash (logged)
+    — edit distance over long documents is the wrong tool (use
+    minhash/simhash); exact-equality pairs still pair.
     """
     if max_edits not in (1, 2):
         raise ValueError("max_edits must be 1 or 2")
@@ -92,11 +95,13 @@ def deletion_variant_hashes(col, max_edits: int,
         full_flat = np.repeat(full, lens)
         outs_h = [full]                              # 0 deletions
         outs_r = [np.arange(n, dtype=np.int64)]
+        outs_p = [np.full(n, -1, dtype=np.int32)]
         ok = ~long_rows[row_of]
         # 1 deletion: one vectorized expression per flat char
         h1 = p_cur + (full_flat - p_next) * _BINV
         outs_h.append(h1[ok])
         outs_r.append(row_of[ok])
+        outs_p.append(pos[ok].astype(np.int32))
         if max_edits == 2:
             binv2 = _BINV * _BINV
             for d in range(1, maxlen):
@@ -108,7 +113,9 @@ def deletion_variant_hashes(col, max_edits: int,
                       + (full_flat[g2] - p_next[g2]) * binv2)
                 outs_h.append(h2)
                 outs_r.append(row_of[g])
-    return np.concatenate(outs_h), np.concatenate(outs_r)
+                outs_p.append(np.full(len(g), -2, dtype=np.int32))
+    return (np.concatenate(outs_h), np.concatenate(outs_r),
+            np.concatenate(outs_p))
 
 
 def levenshtein_batch(a_col, b_col) -> np.ndarray:
@@ -154,62 +161,135 @@ class _VariantEmit:
         self.__name__ = "fuzzy_variants"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vh, rows = deletion_variant_hashes(
+        vh, rows, posn = deletion_variant_hashes(
             batch[self.text_col], self.max_edits, self.max_len)
         ids = combine(batch[self.id_col]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         return pa.table({
             "vh": pa.array(vh.view(np.int64)),
             "doc_id": pa.array(ids[rows]),
+            "pos": pa.array(posn),
         })
 
 
 class _VariantPairs:
-    """Per-bucket candidate pairs; buckets past ``max_bucket`` unique
-    ids are logged and emitted in full anyway by default (exactness over
-    silence) unless ``cap=True``, which star-links to the min id
-    (connected-components-preserving, NOT pair-exact)."""
+    """Per-bucket candidate pairs.
 
-    def __init__(self, max_bucket: int = 4096, cap: bool = False):
+    ``max_edits == 1`` applies the position-compatibility refinement:
+    within a bucket (equal variant hash), a pair is admissible iff the
+    two deletion positions are EQUAL (a substitution: del_i(a) ==
+    del_i(b) with a != b at i → lev exactly 1) or either side is the
+    whole string (an indel: del_i(a) == b → lev 1; full == full → lev
+    0). This is complete for lev <= 1 — every true pair falls in one of
+    those three cases — and prunes the cross-position del×del pairs,
+    which are lev-2 candidates (on near-identical corpora like
+    serial-number-style keys they otherwise dominate the bucket
+    quadratically). ``max_edits == 2`` keeps all-pairs generation.
+
+    Buckets past ``max_bucket`` unique ids are logged and emitted in
+    full anyway by default (exactness over silence) unless ``cap=True``,
+    which star-links to the min id (connected-components-preserving,
+    NOT pair-exact)."""
+
+    def __init__(self, max_bucket: int = 4096, cap: bool = False,
+                 max_edits: int = 2):
         self.max_bucket, self.cap = max_bucket, cap
+        self.max_edits = max_edits
         self.__name__ = "fuzzy_bucket_pairs"
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        from datavec_ray.ops.dedup import _EMPTY_PAIRS, _pair_indices
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return _EMPTY_PAIRS
-        if len(ids) > self.max_bucket:
-            if self.cap:
-                log.warning("fuzzy: bucket of %d ids star-linked (cap)",
-                            len(ids))
-                return pa.table({
-                    "id_a": pa.array(np.full(len(ids) - 1, ids[0])),
-                    "id_b": pa.array(ids[1:])})
-            log.warning("fuzzy: oversized bucket of %d ids emitted in "
-                        "full (%d pairs)", len(ids),
-                        len(ids) * (len(ids) - 1) // 2)
+    @staticmethod
+    def _allpairs(ids: np.ndarray) -> pa.Table:
+        from datavec_ray.ops.dedup import _pair_indices
         ia, ib = _pair_indices(ids)
         return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
 
+    def _pairs_k1(self, group: pa.Table) -> pa.Table:
+        from datavec_ray.ops.dedup import _EMPTY_PAIRS, _pair_indices
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        posn = group["pos"].to_numpy(zero_copy_only=False)
+        fulls = np.unique(ids[posn == -1])
+        outs_a, outs_b = [], []
+        # full × full (exact-equal strings) + full × deletion (indels)
+        dels = np.unique(ids[posn >= 0])
+        if len(fulls) >= 2:
+            ia, ib = _pair_indices(fulls)
+            outs_a.append(ia)
+            outs_b.append(ib)
+        if len(fulls) and len(dels):
+            fa = np.repeat(fulls, len(dels))
+            da = np.tile(dels, len(fulls))
+            m = fa != da
+            outs_a.append(np.minimum(fa[m], da[m]))
+            outs_b.append(np.maximum(fa[m], da[m]))
+        # del × del, SAME position only (substitutions)
+        dmask = posn >= 0
+        if dmask.any():
+            dp, di = posn[dmask], ids[dmask]
+            order = np.lexsort((di, dp))
+            dp, di = dp[order], di[order]
+            new = np.ones(len(dp), dtype=bool)
+            new[1:] = dp[1:] != dp[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(dp))
+            for s, e in zip(starts, ends):
+                u = di[s:e][np.concatenate(
+                    ([True], di[s + 1:e] != di[s:e - 1]))] \
+                    if e - s > 1 else di[s:e]
+                if len(u) >= 2:
+                    ia, ib = _pair_indices(u)
+                    outs_a.append(ia)
+                    outs_b.append(ib)
+        if not outs_a:
+            return _EMPTY_PAIRS
+        return pa.table({"id_a": pa.array(np.concatenate(outs_a)),
+                         "id_b": pa.array(np.concatenate(outs_b))})
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from datavec_ray.ops.dedup import _EMPTY_PAIRS
+        uq = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(uq) < 2:
+            return _EMPTY_PAIRS
+        if len(uq) > self.max_bucket:
+            if self.cap:
+                log.warning("fuzzy: bucket of %d ids star-linked (cap)",
+                            len(uq))
+                return pa.table({
+                    "id_a": pa.array(np.full(len(uq) - 1, uq[0])),
+                    "id_b": pa.array(uq[1:])})
+            log.warning("fuzzy: oversized bucket of %d ids emitted in "
+                        "full", len(uq))
+        if self.max_edits == 1:
+            return self._pairs_k1(group)
+        return self._allpairs(uq)
+
 
 class _VerifyPairs:
-    """Attach candidate texts (broadcast dict of candidate ids only)
-    and keep pairs with exact Levenshtein <= k."""
+    """Attach candidate texts (broadcast sorted-id arrays of candidate
+    ids only, looked up by searchsorted — no Python per pair) and keep
+    pairs with exact Levenshtein <= k."""
 
     def __init__(self, texts_ref, max_edits: int):
         import ray
         ids, txts = ray.get(texts_ref)
-        self.lut = dict(zip(ids.tolist(), txts))
+        order = np.argsort(ids)
+        self.ids = ids[order]
+        self.txts = txts.take(pa.array(order, pa.int64()))
         self.max_edits = max_edits
         self.__name__ = "fuzzy_verify"
+
+    def _lookup(self, want: np.ndarray) -> pa.Array:
+        idx = np.searchsorted(self.ids, want)
+        idx[idx == len(self.ids)] = 0
+        hit = self.ids[idx] == want
+        out = self.txts.take(pa.array(np.where(hit, idx, 0), pa.int64()))
+        if not hit.all():
+            out = pc.if_else(pa.array(hit), out, "")
+        return out
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
         a = pairs["id_a"].to_numpy(zero_copy_only=False)
         b = pairs["id_b"].to_numpy(zero_copy_only=False)
-        ta = pa.array([self.lut.get(int(x), "") for x in a], pa.string())
-        tb = pa.array([self.lut.get(int(x), "") for x in b], pa.string())
-        dist = levenshtein_batch(ta, tb)
+        dist = levenshtein_batch(self._lookup(a), self._lookup(b))
         keep = dist <= self.max_edits
         return pa.table({"id_a": pa.array(a[keep]),
                          "id_b": pa.array(b[keep]),
@@ -242,8 +322,8 @@ def fuzzy_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
     tagged = _tag_bucket_partition(variants, ["vh"], num_partitions)
     pairs = tagged.groupby("__bpart").map_groups(
-        _PerBucket(_VariantPairs(max_bucket, cap_buckets), ["vh"],
-                   _EMPTY_PAIRS),
+        _PerBucket(_VariantPairs(max_bucket, cap_buckets, max_edits),
+                   ["vh"], _EMPTY_PAIRS),
         batch_format="pyarrow")
     cand = dataset_to_table(distinct_pairs(pairs))
     if not verify or cand.num_rows == 0:
@@ -267,9 +347,13 @@ def fuzzy_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     tex = dataset_to_table(ds.map_batches(gather, batch_format="pyarrow"))
     texts_ref = ray.put((tex["id"].to_numpy(zero_copy_only=False),
-                         tex["txt"].to_pylist()))
-    out = ray.data.from_arrow(cand).map_batches(
+                         combine(tex["txt"])))
+    # slice candidates into blocks driver-side so the verify DP
+    # parallelizes (from_arrow of one table is one block = one task)
+    step = 20_000
+    chunks = [cand.slice(i, step) for i in range(0, cand.num_rows, step)]
+    out = ray.data.from_arrow(chunks).map_batches(
         _VerifyPairs(texts_ref, max_edits), batch_format="pyarrow",
-        concurrency=4)
+        concurrency=min(16, len(chunks)))
     return dataset_to_table(out).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")])

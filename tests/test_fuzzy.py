@@ -31,7 +31,7 @@ def _poly_hash(s: str):
 def test_deletion_variant_hashes_match_materialized_variants():
     from datavec_ray.ops.fuzzy import deletion_variant_hashes
     strs = ["abc", "hello", "", "a", "xy", "aaaa"]
-    vh, rows = deletion_variant_hashes(pa.array(strs), 2)
+    vh, rows, posn = deletion_variant_hashes(pa.array(strs), 2)
     exp = set()
     for r, s in enumerate(strs):
         exp.add((_poly_hash(s), r))
@@ -86,3 +86,10 @@ def test_fuzzy_long_rows_whole_string_only(ray_session):
     # long rows: only exact-equality pair (0,1) survives (no deletion
     # variants emitted), the lev-1 pair (0,2)/(1,2) is knowingly missed
     assert got == [(0, 1), (3, 4)]
+
+
+def test_deletion_variant_positions():
+    from datavec_ray.ops.fuzzy import deletion_variant_hashes
+    vh, rows, posn = deletion_variant_hashes(pa.array(["abc"]), 2)
+    # one full (-1), three single-dels (0,1,2), three double-dels (-2)
+    assert sorted(posn.tolist()) == [-2, -2, -2, -1, 0, 1, 2]
