@@ -847,6 +847,35 @@ def _q_ffill_tool(sf_dir: str):
                        value_cols=["role", "tool"])
 
 
+def _q_embedding_cov(sf_dir: str):
+    """Streaming covariance of the embedding column (first 8 dims as
+    tidy entries) — ONE pass, (1+d+d²)-float partials merged by
+    addition; the oracle-checkable face of the PCA moment pass."""
+    from datavec_ray.ops.similarity import embedding_cov
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_cov(ds, dims=8)
+
+
+def _q_embedding_pca(sf_dir: str):
+    """PCA projection of the embeddings to 4 components: one streaming
+    moment pass (driver-side d×d eigh, deterministic sign convention)
+    + one broadcast projection map. Rows-only by design (LAPACK
+    eigenvectors have no SQL counterpart); the moment pass itself is
+    oracle-checked as embedding_cov and the kernel parity-tested vs
+    whole-matrix numpy PCA."""
+    from datavec_ray.ops.similarity import pca_fit, pca_transform
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=4)
+    out = dataset_to_table(pca_transform(ds, model))
+    proj = np.stack(out["pca"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "vec_id": out["vec_id"],
+        **{f"p{i}": pa.array(proj[:, i], pa.float64()) for i in range(4)},
+    })
+
+
 def _q_key_skew(sf_dir: str):
     """Partition-skew report on the CDC routing key: top-20 hottest
     conv_ids with count / share / cumulative share — the diagnostic
@@ -2517,6 +2546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": _q_key_skew,
         "grouped_mode": _q_grouped_mode,
         "winsorize": _q_winsorize,
+        "embedding_cov": _q_embedding_cov,
+        "embedding_pca": _q_embedding_pca,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
     }
@@ -3876,6 +3907,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "embedding_cov": " union all ".join(
+            f"select cast({i} as bigint) as dim_a, "
+            f"cast({j} as bigint) as dim_b, "
+            f"covar_samp(embedding[{i + 1}], embedding[{j + 1}]) as cov "
+            f"from embeddings"
+            for i in range(8) for j in range(i, 8)
+        ) + " order by dim_a, dim_b",
         "winsorize": """
             with q as (
               select l_returnflag,

@@ -722,3 +722,100 @@ def ivfpq_query(index_dir: str, queries: np.ndarray, k: int = 10,
         concurrency=(1, 8))
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Streaming PCA (dimensionality reduction / whitening before ANN)
+# ---------------------------------------------------------------------------
+
+def _moment_pass(ds, vec_col: str):
+    """ONE streaming pass over a vector column → (n, mean (d,),
+    sample covariance (d, d)). Per batch the partial is a single
+    (1 + d + d*d) float64 array — count, sum vector, Gram matrix —
+    merged by addition (Ray tree reduce); d is the embedding width,
+    never the corpus."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state, blk: pa.Table):
+        x = _matrix(blk[vec_col]).astype(np.float64)
+        d = x.shape[1]
+        out = (np.zeros(1 + d + d * d) if state is None
+               else state.copy())
+        out[0] += len(x)
+        out[1:d + 1] += x.sum(axis=0)
+        out[d + 1:] += (x.T @ x).ravel()
+        return out
+
+    agg = AggregateFn(
+        init=lambda _: None,
+        accumulate_block=acc_block,
+        merge=lambda a, b: b if a is None else (a if b is None else a + b),
+        finalize=lambda s: s, name="mom")
+    state = np.asarray(ds.select_columns([vec_col]).aggregate(agg)["mom"])
+    # solve 1 + d + d^2 = len(state) for the embedding width d
+    d = int((-1 + (1 + 4 * (len(state) - 1)) ** 0.5) / 2)
+    n = int(state[0])
+    mean = state[1:d + 1] / max(n, 1)
+    g = state[d + 1:].reshape(d, d)
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return n, mean, cov
+
+
+def embedding_cov(ds, vec_col: str = "embedding",
+                  dims: int | None = None) -> pa.Table:
+    """Tidy sample-covariance entries (dim_a <= dim_b) of a vector
+    column — the oracle-checkable face of the streaming moment pass
+    PCA rides on (SQL mirror: covar_samp over list elements)."""
+    _, _, cov = _moment_pass(ds, vec_col)
+    if dims is not None:
+        cov = cov[:dims, :dims]
+    a, b = np.triu_indices(cov.shape[0])
+    return pa.table({"dim_a": pa.array(a.astype(np.int64)),
+                     "dim_b": pa.array(b.astype(np.int64)),
+                     "cov": pa.array(cov[a, b], pa.float64())})
+
+
+def pca_fit(ds, vec_col: str = "embedding", k: int = 8) -> dict:
+    """Principal components of an embedding column in ONE streaming
+    pass: per batch a (1 + d + d*d) float64 partial — count, sum
+    vector, Gram matrix — merged by addition (Ray tree reduce); the
+    d×d eigendecomposition runs on the driver (d is the embedding
+    width, never the corpus). Deterministic sign convention: each
+    component's largest-|coefficient| entry is made positive, so the
+    model is reproducible across partitionings and platforms.
+
+    Returns {"mean": (d,), "components": (k, d) rows = components in
+    descending explained-variance order, "explained_var": (k,)}.
+    """
+    n, mean, cov = _moment_pass(ds, vec_col)
+    if n < 2:
+        raise ValueError("need at least 2 vectors to fit PCA")
+    w, v = np.linalg.eigh(cov)               # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T                    # (k, d)
+    sign = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    sign[sign == 0] = 1.0
+    comps = comps * sign[:, None]
+    return {"mean": mean, "components": comps,
+            "explained_var": np.clip(w[order], 0, None)}
+
+
+def pca_transform(ds, model: dict, vec_col: str = "embedding",
+                  out_col: str = "pca"):
+    """Project vectors onto a fitted PCA basis — one shuffle-free
+    broadcast map (the model ships via ray.put once, never per batch)."""
+    import ray
+
+    ref = ray.put((model["mean"], model["components"]))
+
+    def _project(batch: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)        # zero-copy plasma read per task
+        x = _matrix(batch[vec_col]).astype(np.float64)
+        y = (x - mean) @ comps.T
+        return batch.append_column(
+            pa.field(out_col, pa.list_(pa.float64())),
+            pa.array(list(y)))
+
+    _project.__name__ = "pca_project"
+    return ds.map_batches(_project, batch_format="pyarrow")

@@ -352,3 +352,40 @@ def test_grouped_topk(ray_session):
     assert out[out.g == "a"]["id"].tolist() == [1, 2]
     assert out[out.g == "b"]["id"].tolist() == [7, 8]
     assert out[out.g == "c"]["id"].tolist() == [9]
+
+
+def test_pca_parity_with_numpy(ray_session):
+    import ray
+    from datavec_ray.ops.similarity import pca_fit, pca_transform
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(3)
+    # anisotropic data so the spectrum is well separated
+    base = rng.normal(size=(400, 6)) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    mix = rng.normal(size=(6, 6))
+    x = base @ mix
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array([row.tolist() for row in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    model = pca_fit(ds, k=3)
+
+    xf = x.astype(np.float32).astype(np.float64)
+    cov = np.cov(xf, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    sign = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * sign[:, None]
+    assert np.allclose(model["components"], ref, atol=1e-6)
+    assert np.allclose(model["explained_var"], w[order], atol=1e-6)
+
+    out = dataset_to_table(pca_transform(ds, model)).sort_by(
+        [("vec_id", "ascending")])
+    proj = np.stack(out["pca"].to_numpy(zero_copy_only=False))
+    expd = (xf - xf.mean(axis=0)) @ ref.T
+    assert np.allclose(proj, expd, atol=1e-6)
+
+    # partition invariance: different block structure, same model
+    model2 = pca_fit(ray.data.from_arrow(t).repartition(11), k=3)
+    assert np.allclose(model["components"], model2["components"], atol=1e-9)
