@@ -354,6 +354,6 @@ def fuzzy_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     chunks = [cand.slice(i, step) for i in range(0, cand.num_rows, step)]
     out = ray.data.from_arrow(chunks).map_batches(
         _VerifyPairs(texts_ref, max_edits), batch_format="pyarrow",
-        concurrency=(1, min(16, len(chunks))))
+        concurrency=min(16, len(chunks)))
     return dataset_to_table(out).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")])
