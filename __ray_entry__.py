@@ -456,6 +456,49 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_evolve(sf_dir: str):
+    """Schema evolution through the REAL ingest path, driver-checked:
+    segment 1 arrives WITHOUT the tool column, segment 2 arrives with
+    tool AND a widened turn_idx (int32→int64); the registry unifies
+    (additive column null-backfilled, lossless promotion) before any
+    lake write. Oracle = LWW over the full binlog with tool nulled for
+    the pre-evolution LSN range and turn_idx cast wide."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    binlog = binlog.sort_by([("lsn", "ascending")])
+    n1 = int(pc.sum(pc.less_equal(binlog["lsn"], cut)).as_py())
+    seg1 = binlog.slice(0, n1).drop_columns(["tool"])
+    seg2 = binlog.slice(n1)
+    i = seg2.schema.get_field_index("turn_idx")
+    seg2 = seg2.set_column(i, pa.field("turn_idx", pa.int64()),
+                           seg2["turn_idx"].cast(pa.int64()))
+    lake = tempfile.mkdtemp(prefix="evolve_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.ingest(seg1)
+        eng.ingest(seg2)
+        eng.commit()
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int64()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_topn_view(sf_dir: str):
     """Incrementally-maintained per-conversation leaderboard (the 2
     most recent live turns of every conversation): build from snapshot
@@ -2446,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
+        "cdc_evolve": _q_cdc_evolve,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "windowed_distinct": _q_windowed_distinct,
@@ -2974,6 +3018,21 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "cdc_evolve": _BINLOG_CTE + """
+            , ev as (
+              select lsn, op, conv_id,
+                     cast(turn_idx as bigint) as turn_idx, role, text,
+                     case when lsn <= (select max(event_id) // 2
+                                       from events)
+                          then null else tool end as tool,
+                     ts_ms
+              from e)
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from ev) t
+            where rn = 1 and op <> 'D'""",
         "cdc_topn_view": _BINLOG_CTE + """
             , state as (
               select conv_id, turn_idx, role, text, tool, ts_ms
