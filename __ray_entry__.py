@@ -499,6 +499,49 @@ def _q_cdc_evolve(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_resume(sf_dir: str):
+    """Crash/resume + double delivery through the real engine,
+    driver-checked: engine 1 replays the first half and checkpoints,
+    then 'crashes'; engine 2 opens the same lake (fresh writer epoch),
+    resumes from the checkpoint, and is fed the ENTIRE binlog again —
+    events at or below the resume watermark are dropped exactly-once
+    (min_lsn_exclusive), the rest apply. Final state must equal the
+    one-shot LWW oracle over the full binlog."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    lake = tempfile.mkdtemp(prefix="resume_lake")
+    eng1 = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng1.replay(binlog.filter(pc.less_equal(binlog["lsn"], cut)),
+                    checkpoint_name="v1")
+    finally:
+        eng1.shutdown()                      # crash after the checkpoint
+    eng2 = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        wm = eng2.resume_from_checkpoint()
+        eng2.ingest(binlog, min_lsn_exclusive=wm)   # full feed re-delivered
+        eng2.commit()
+        out = eng2.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng2.shutdown()
+
+
 def _q_cdc_topn_view(sf_dir: str):
     """Incrementally-maintained per-conversation leaderboard (the 2
     most recent live turns of every conversation): build from snapshot
@@ -2490,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_evolve": _q_cdc_evolve,
+        "cdc_resume": _q_cdc_resume,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "windowed_distinct": _q_windowed_distinct,
@@ -3018,6 +3062,13 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "cdc_resume": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
         "cdc_evolve": _BINLOG_CTE + """
             , ev as (
               select lsn, op, conv_id,
