@@ -542,6 +542,84 @@ def _q_cdc_resume(sf_dir: str):
         eng2.shutdown()
 
 
+def _q_cdc_salted(sf_dir: str):
+    """Skew handling through the real engine, driver-checked: the 4
+    hottest conversations (by event count) are salted over 3
+    sub-partitions each — (conv_id, turn_idx) keys keep single-owner
+    LWW semantics, but a hot conversation's turns spread across
+    partitions. Final state must equal the unsalted LWW oracle."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events")
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    counts = binlog.group_by("conv_id").aggregate([([], "count_all")]) \
+        .sort_by([("count_all", "descending"), ("conv_id", "ascending")])
+    hot = counts["conv_id"].to_pylist()[:4]
+    lake = tempfile.mkdtemp(prefix="salted_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8, salt_turns=3,
+                          hot_convs=hot)
+    try:
+        eng.ingest(binlog)
+        eng.commit()
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
+def _q_cdc_dlq(sf_dir: str):
+    """Dead-letter quarantine, driver-checked: every 97th event is
+    deterministically malformed (conv_id nulled); the engine splits
+    those to the DLQ vectorized and applies only the valid stream.
+    Final state must equal the LWW oracle over lsn % 97 <> 0 events."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events")
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    mod = pc.subtract(binlog["lsn"],
+                      pc.multiply(pc.divide(binlog["lsn"], 97),
+                                  pa.scalar(97, pa.int64())))
+    is_bad = pc.equal(mod, pa.scalar(0, pa.int64()))
+    conv = pc.if_else(is_bad, pa.scalar(None, pa.string()),
+                      binlog["conv_id"])
+    i = binlog.schema.get_field_index("conv_id")
+    corrupted = binlog.set_column(i, pa.field("conv_id", pa.string()),
+                                  conv)
+    lake = tempfile.mkdtemp(prefix="dlq_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8, dlq=True)
+    try:
+        eng.ingest(corrupted)
+        eng.commit()
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_topn_view(sf_dir: str):
     """Incrementally-maintained per-conversation leaderboard (the 2
     most recent live turns of every conversation): build from snapshot
@@ -2534,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_evolve": _q_cdc_evolve,
         "cdc_resume": _q_cdc_resume,
+        "cdc_salted": _q_cdc_salted,
+        "cdc_dlq": _q_cdc_dlq,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "windowed_distinct": _q_windowed_distinct,
@@ -3062,6 +3142,20 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "cdc_salted": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_dlq": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e where lsn % 97 <> 0) t
+            where rn = 1 and op <> 'D'""",
         "cdc_resume": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over

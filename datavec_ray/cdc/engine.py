@@ -547,7 +547,8 @@ class _Router:
 
     def __init__(self, handles, num_partitions: int, schema: pa.Schema,
                  salt_turns: int, hot_convs: Optional[frozenset],
-                 min_lsn_exclusive: int, window: int = 0):
+                 min_lsn_exclusive: int, window: int = 0,
+                 dlq_dir: Optional[str] = None):
         self.handles = handles
         self.num_partitions = num_partitions
         self.schema = schema
@@ -555,6 +556,7 @@ class _Router:
         self.hot_convs = hot_convs
         self.min_lsn = min_lsn_exclusive
         self.window = window or max(8, 4 * num_partitions)
+        self.dlq_dir = dlq_dir
         self.pending: list = []
 
     _ACK_SCHEMA = pa.schema([("pid", pa.int32()), ("msgs", pa.int64()),
@@ -564,6 +566,10 @@ class _Router:
         import ray
         if self.min_lsn:
             batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
+        if self.dlq_dir is not None:
+            batch, bad = split_invalid_events(batch)
+            if bad.num_rows:
+                _write_dlq(bad, self.dlq_dir)
         batch = normalize_to_schema(batch, self.schema)
         batch = lww_compact_table(batch, drop_tombstones=False)
         if batch.num_rows == 0:
@@ -1455,7 +1461,8 @@ class CdcIngestEngine:
         self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
         if self.ingest_mode == "router":
             router = _Router(self.shards, self.num_partitions, self._canonical,
-                             self.salt_turns, self.hot_convs, min_lsn_exclusive)
+                             self.salt_turns, self.hot_convs, min_lsn_exclusive,
+                             dlq_dir=self.dlq_dir)
             # large batches: the router pre-compacts vectorized and fans
             # out, so per-call overhead (actor RPC per partition) must be
             # amortized

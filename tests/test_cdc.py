@@ -464,3 +464,27 @@ def test_delete_where_gdpr_erasure(ray_session, tmp_path):
     assert eng.delete_where(
         lambda t: pc2.equal(t["conv_id"], victim))["deleted"] == 0
     eng.shutdown()
+
+
+def test_router_mode_dlq(ray_session, tmp_path):
+    """Router-mode ingest (the <32-partition path) quarantines
+    malformed events too — regression for the gap the cdc_dlq driver
+    query exposed (DLQ was only wired into the shuffle/replay paths)."""
+    binlog = synth_binlog(2000, seed=17)
+    i = binlog.schema.get_field_index("conv_id")
+    lsn = binlog["lsn"].to_numpy(zero_copy_only=False)
+    bad_mask = (lsn % 53) == 0
+    conv = binlog["conv_id"].to_pylist()
+    conv = [None if b else c for c, b in zip(conv, bad_mask)]
+    corrupted = binlog.set_column(i, pa.field("conv_id", pa.string()),
+                                  pa.array(conv, pa.string()))
+    eng = CdcIngestEngine(str(tmp_path / "rdlq"), num_partitions=4,
+                          ingest_mode="router", dlq=True)
+    try:
+        eng.ingest(corrupted)
+        eng.commit()
+        assert eng.read_dlq().num_rows == int(bad_mask.sum())
+        exp = replay_oracle(binlog.filter(pa.array(~bad_mask)))
+        assert eng.read_lake().equals(exp)
+    finally:
+        eng.shutdown()
