@@ -620,6 +620,41 @@ def _q_cdc_dlq(sf_dir: str):
         eng.shutdown()
 
 
+def _q_scd2_history(sf_dir: str):
+    """SCD Type-2 change history of the binlog: every I/U event as a
+    version row with [valid_from, valid_to) LSN range (D closes the
+    last version). One key shuffle + shifted next-LSN scan."""
+    from datavec_ray.cdc.binlog import binlog_from_events, scd2_history
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def to_ms(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("ts")
+        return b.set_column(i, pa.field("ts_ms", pa.int64()),
+                            b["ts"].cast(pa.int64()))
+
+    return scd2_history(ds.map_batches(to_ms, batch_format="pyarrow"))
+
+
+def _q_fuzzy_dedup(sf_dir: str):
+    """Fuzzy duplicate-cluster resolution: lev<=1 customer-name pairs
+    as edges → distributed connected components → every customer
+    labeled with its cluster representative (min id). Oracle =
+    recursive-CTE transitive closure over the levenshtein join."""
+    from datavec_ray.ops.fuzzy import fuzzy_dup_pairs
+    from datavec_ray.ops.graph import assign_components, connected_components
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    edges = fuzzy_dup_pairs(ds, text_col="c_name", id_col="c_custkey",
+                            max_edits=1)
+    labels = connected_components(edges, "id_a", "id_b")
+    return assign_components(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]), labels,
+        "c_custkey")
+
+
 def _q_cdc_topn_view(sf_dir: str):
     """Incrementally-maintained per-conversation leaderboard (the 2
     most recent live turns of every conversation): build from snapshot
@@ -2610,6 +2645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
+        "scd2_history": _q_scd2_history,
+        "fuzzy_dedup": _q_fuzzy_dedup,
         "cdc_evolve": _q_cdc_evolve,
         "cdc_resume": _q_cdc_resume,
         "cdc_salted": _q_cdc_salted,
@@ -3142,6 +3179,33 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "scd2_history": _BINLOG_CTE + """
+            , v as (select *, lead(lsn) over (partition by conv_id,
+                        turn_idx order by lsn) as valid_to
+                    from e)
+            select lsn as valid_from, op, conv_id, turn_idx, role,
+                   text, tool, ts_ms, valid_to
+            from v where op <> 'D'""",
+        "fuzzy_dedup": """
+            with recursive pairs as (
+              select a.c_custkey as id_a, b.c_custkey as id_b
+              from customer a join customer b
+                on a.c_custkey < b.c_custkey
+              where levenshtein(a.c_name, b.c_name) <= 1),
+            bidir as (
+              select id_a as a, id_b as b from pairs
+              union all
+              select id_b, id_a from pairs),
+            walk(node, reach) as (
+              select a, a from bidir group by a
+              union
+              select w.node, b.b
+              from walk w join bidir b on b.a = w.reach),
+            comp as (
+              select node, min(reach) as component from walk group by node)
+            select c.c_custkey, c.c_name,
+                   coalesce(p.component, c.c_custkey) as component
+            from customer c left join comp p on p.node = c.c_custkey""",
         "cdc_salted": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TRANSCRIPT_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -197,3 +198,55 @@ def binlog_from_events(events: pa.Table) -> pa.Table:
         # truncate us→ms (oracle SQL side uses date_trunc('milliseconds', ts))
         "ts": pc.cast(events["ts"], pa.timestamp("ms"), safe=False),
     }, schema=BINLOG_SCHEMA)
+
+
+def scd2_history(ds, keys=("conv_id", "turn_idx"), order_col: str = "lsn",
+                 op_col: str = "op", num_partitions: int = 32):
+    """Slowly-Changing-Dimension Type-2 view of a binlog: every I/U
+    event becomes a VERSION row with ``valid_from`` = its LSN and
+    ``valid_to`` = the next event's LSN for the same key (any op,
+    deletes included — a D closes the last version without opening a
+    new one); the current version has ``valid_to`` null. The full
+    audit-history companion to the LWW live state (SQL: ``lead(lsn)
+    OVER (PARTITION BY key ORDER BY lsn)`` then filter op <> 'D').
+
+    Shape: ONE hash-partition shuffle on the key; per partition one
+    sort + a shifted-array next-LSN scan over all keys at once.
+    """
+    from datavec_ray.misc import (_GPART, _group_partition,
+                                  _key_run_starts)
+    from datavec_ray.steps.base import combine
+
+    keys = list(keys)
+
+    def hist(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys]
+            + [(order_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(
+                pa.field("valid_to", pa.int64()),
+                pa.array([], pa.int64())).rename_columns(
+                [c if c != order_col else "valid_from"
+                 for c in g.column_names] + ["valid_to"])
+        lsn = combine(g[order_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        last_of_key = np.empty(n, dtype=bool)
+        last_of_key[:-1] = _key_run_starts(g, keys)[1:]
+        last_of_key[-1] = True
+        nxt = np.empty(n, dtype=np.float64)
+        nxt[:-1] = lsn[1:]
+        nxt[-1] = np.nan
+        nxt[last_of_key] = np.nan
+        out = g.rename_columns(
+            [c if c != order_col else "valid_from"
+             for c in g.column_names])
+        out = out.append_column(pa.field("valid_to", pa.int64()),
+                                pa.array(nxt, pa.int64(),
+                                         from_pandas=True))
+        return out.filter(pc.not_equal(out[op_col], "D"))
+
+    hist.__name__ = "scd2_history"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(hist, batch_format="pyarrow")

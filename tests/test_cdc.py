@@ -488,3 +488,24 @@ def test_router_mode_dlq(ray_session, tmp_path):
         assert eng.read_lake().equals(exp)
     finally:
         eng.shutdown()
+
+
+def test_scd2_history_versions(ray_session):
+    """SCD2: versions chain by LSN per key; D closes without opening."""
+    import ray
+    from datavec_ray.cdc.binlog import scd2_history
+
+    t = pa.table({
+        "lsn": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "op": ["I", "U", "D", "I", "I"],
+        "conv_id": ["c1", "c1", "c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 0, 0, 0, 0], pa.int32()),
+        "text": ["a", "b", None, "c", "x"],
+    })
+    out = dataset_to_table(scd2_history(ray.data.from_arrow(t),
+                                        keys=["conv_id", "turn_idx"])) \
+        .sort_by([("conv_id", "ascending"), ("valid_from", "ascending")])
+    assert out["valid_from"].to_pylist() == [1, 2, 4, 5]
+    # v1 closed by v2, v2 closed by the DELETE at lsn 3, v4/v5 current
+    assert out["valid_to"].to_pylist() == [2, 3, None, None]
+    assert out["text"].to_pylist() == ["a", "b", "c", "x"]
