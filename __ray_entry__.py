@@ -1301,6 +1301,27 @@ def _q_pagerank(sf_dir: str):
     return pa.table({"node": t["node"], "rank": pc.round(t["rank"], 6)})
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count of a deterministic synthetic host graph
+    (3 edge families over doc_id mod 97, mirrored in the oracle edge
+    CTE): degree-ordered wedge generation (Σ deg² ≤ O(E^1.5)) + one
+    Bloom-prefiltered semi join closing wedges against the edge set."""
+    from datavec_ray.ops.graph import triangle_count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = np.concatenate([d % 97, d % 97, d % 97])
+        v = np.concatenate([(31 * d + 7) % 97, (17 * d + 3) % 97,
+                            (53 * d + 11) % 97])
+        return pa.table({"src": pa.array(u), "dst": pa.array(v)})
+
+    n = triangle_count(ds.map_batches(edges, batch_format="pyarrow"))
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
 def _q_pagerank_personalized(sf_dir: str):
     """Personalized PageRank (Haveliwala 2002) over the same synthetic
     host graph, teleport pinned to node 0 — topic-focused crawl
@@ -2646,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
         "scd2_history": _q_scd2_history,
+        "triangle_count": _q_triangle_count,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "cdc_evolve": _q_cdc_evolve,
         "cdc_resume": _q_cdc_resume,
@@ -3179,6 +3201,20 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'
             group by role""",
+        "triangle_count": """
+            with raw as (
+              select doc_id % 97 as u, (31*doc_id+7) % 97 as v
+              from documents
+              union all
+              select doc_id % 97, (17*doc_id+3) % 97 from documents
+              union all
+              select doc_id % 97, (53*doc_id+11) % 97 from documents),
+            e as (select distinct least(u, v) as a, greatest(u, v) as b
+                  from raw where u <> v)
+            select cast(count(*) as bigint) as triangles
+            from e e1
+            join e e2 on e2.a = e1.b
+            join e e3 on e3.a = e1.a and e3.b = e2.b""",
         "scd2_history": _BINLOG_CTE + """
             , v as (select *, lead(lsn) over (partition by conv_id,
                         turn_idx order by lsn) as valid_to

@@ -280,3 +280,109 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
     return pa.table({"node": pa.array(nodes),
                      "rank": pa.array(rank, pa.float64())})
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   num_partitions: int = 32) -> int:
+    """Exact triangle count of the undirected simple graph induced by
+    the edge stream (self-loops dropped, multi-edges collapsed) — the
+    classic graph-quality / community-density statistic.
+
+    Degree-ordered wedge algorithm, fully vectorized:
+    1. canonicalize (u < v) + distinct — one pair-hash shuffle;
+    2. per-node out-degrees (one grouped Count with the combiner) —
+       broadcast as sorted arrays (the vertex-state-fits-memory regime,
+       same contract as `pagerank`'s rank vector);
+    3. orient every edge from its lower-(degree, id) endpoint, so each
+       node's out-degree is O(sqrt(E)) on any graph — wedge generation
+       (all pairs of out-neighbors per node, a per-partition segmented
+       triu explode) does Σ deg_out² ≤ O(E^1.5) total work;
+    4. every wedge (a, b) closes a triangle iff (a, b) is an edge:
+       one Bloom-prefiltered semi join (`join.semi_join`) of wedges
+       against the canonical edge set, counted.
+    Each triangle is counted exactly once (by its lowest-order apex).
+    """
+    import ray
+
+    from datavec_ray.join import semi_join
+    from datavec_ray.misc import _GPART, _group_partition
+    from datavec_ray.steps.base import combine
+    from datavec_ray.ops.dedup import distinct_pairs
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = combine(b[src]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = combine(b[dst]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = u != v
+        u, v = u[m], v[m]
+        return pa.table({"id_a": pa.array(np.minimum(u, v)),
+                         "id_b": pa.array(np.maximum(u, v))})
+
+    ce = distinct_pairs(edges.map_batches(canon, batch_format="pyarrow"),
+                        num_partitions=num_partitions).materialize()
+
+    # degrees over the canonical undirected edges
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)])
+        n, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(n), "d": pa.array(c)})
+
+    parts = ce.map_batches(deg_partial, batch_format="pyarrow")
+    from datavec_ray.util import dataset_to_table
+    dt = dataset_to_table(parts)
+    if dt.num_rows == 0:
+        return 0
+    agg = dt.group_by("node").aggregate([("d", "sum")])
+    nodes = agg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = agg["d_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    deg_ref = ray.put((nodes[order], degs[order]))
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, c)]
+        # lower (degree, id) endpoint emits the edge
+        a_first = (da < db) | ((da == db) & (a < c))
+        return pa.table({"x": pa.array(np.where(a_first, a, c)),
+                         "nbr": pa.array(np.where(a_first, c, a))})
+
+    oriented = ce.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [("x", "ascending"), ("nbr", "ascending")])
+        x = g["x"].to_numpy(zero_copy_only=False)
+        nb = g["nbr"].to_numpy(zero_copy_only=False)
+        n = len(x)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = x[1:] != x[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        outs_a, outs_b = [], []
+        for s, ln in zip(starts, lens):      # few segments per partition
+            if ln < 2:
+                continue
+            seg = nb[s:s + ln]
+            i, j = np.triu_indices(ln, k=1)
+            outs_a.append(seg[i])
+            outs_b.append(seg[j])
+        if not outs_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.concatenate(outs_a)
+        b2 = np.concatenate(outs_b)
+        return pa.table({"id_a": pa.array(np.minimum(a, b2)),
+                         "id_b": pa.array(np.maximum(a, b2))})
+
+    wedges.__name__ = "triangle_wedges"
+    wg = _group_partition(oriented, ["x"], num_partitions) \
+        .groupby(_GPART).map_groups(wedges, batch_format="pyarrow")
+    closed = semi_join(wg, ce, ["id_a", "id_b"])
+    return int(closed.count())

@@ -443,3 +443,28 @@ def test_personalized_pagerank(ray_session):
     assert r[0] == max(r.values())  # teleport seed dominates
     with pytest.raises(ValueError):
         pagerank(edges, personalization={99: 1.0})
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    import itertools
+
+    import ray
+    from datavec_ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n, m = 40, 180
+        u = rng.integers(0, n, m)
+        v = rng.integers(0, n, m)
+        t = pa.table({"src": pa.array(u, pa.int64()),
+                      "dst": pa.array(v, pa.int64())})
+        got = triangle_count(ray.data.from_arrow(t).repartition(4))
+        es = {(min(a, b), max(a, b)) for a, b in zip(u.tolist(), v.tolist())
+              if a != b}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+                  if b in adj[a] and c in adj[a] and c in adj[b])
+        assert got == exp, (trial, got, exp)
