@@ -1075,6 +1075,27 @@ def _q_embedding_pca(sf_dir: str):
     })
 
 
+def _q_expectations(sf_dir: str):
+    """Declarative data-validation suite over lineitem in ONE
+    aggregate pass (+ one exchange for the uniqueness rule): per-rule
+    violation counts and pass/fail — the ingest gate a 100 TB pipeline
+    runs before committing a batch (datavec_ray/expect.py)."""
+    from datavec_ray.expect import expect
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_returnflag",
+                "l_discount", "l_linestatus"])
+    return expect(ds, [
+        {"column": "l_orderkey", "check": "not_null"},
+        {"column": "l_quantity", "check": "between", "lo": 1, "hi": 50},
+        {"column": "l_returnflag", "check": "in_set",
+         "value": ["A", "N", "R"]},
+        {"column": "l_discount", "check": "max_le", "value": 0.08},
+        {"column": "l_linestatus", "check": "null_fraction_le", "value": 0.5},
+        {"column": "l_orderkey", "check": "unique"},
+    ])
+
+
 def _q_key_skew(sf_dir: str):
     """Partition-skew report on the CDC routing key: top-20 hottest
     conv_ids with count / share / cumulative share — the diagnostic
@@ -2774,6 +2795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "winsorize": _q_winsorize,
         "embedding_cov": _q_embedding_cov,
+        "expectations": _q_expectations,
         "embedding_pca": _q_embedding_pca,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
@@ -4211,6 +4233,58 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when role = prev then 1 else 0 end)
                         as bigint) as n_repeats
             from w group by conv_id order by conv_id""",
+        "expectations": """
+            select 'not_null' as rule, 'l_orderkey' as "column",
+                   cast(sum(case when l_orderkey is null then 1 else 0
+                            end) as bigint) as violations,
+                   cast(count(*) as bigint) as "rows",
+                   sum(case when l_orderkey is null then 1 else 0
+                       end) = 0 as passed
+            from lineitem
+            union all
+            select 'between', 'l_quantity',
+                   cast(sum(case when l_quantity is not null and
+                            (l_quantity < 1 or l_quantity > 50)
+                            then 1 else 0 end) as bigint),
+                   cast(count(*) as bigint),
+                   sum(case when l_quantity is not null and
+                       (l_quantity < 1 or l_quantity > 50)
+                       then 1 else 0 end) = 0
+            from lineitem
+            union all
+            select 'in_set', 'l_returnflag',
+                   cast(sum(case when l_returnflag is not null and
+                            l_returnflag not in ('A','N','R')
+                            then 1 else 0 end) as bigint),
+                   cast(count(*) as bigint),
+                   sum(case when l_returnflag is not null and
+                       l_returnflag not in ('A','N','R')
+                       then 1 else 0 end) = 0
+            from lineitem
+            union all
+            select 'max_le', 'l_discount',
+                   cast(sum(case when l_discount is not null and
+                            l_discount > 0.08 then 1 else 0 end)
+                        as bigint),
+                   cast(count(*) as bigint),
+                   sum(case when l_discount is not null and
+                       l_discount > 0.08 then 1 else 0 end) = 0
+            from lineitem
+            union all
+            select 'null_fraction_le', 'l_linestatus',
+                   cast(sum(case when l_linestatus is null then 1 else 0
+                            end) as bigint),
+                   cast(count(*) as bigint),
+                   (sum(case when l_linestatus is null then 1.0 else 0.0
+                        end) / count(*)) <= 0.5
+            from lineitem
+            union all
+            select 'unique', 'l_orderkey',
+                   cast(count(l_orderkey) - count(distinct l_orderkey)
+                        as bigint),
+                   cast(count(*) as bigint),
+                   count(l_orderkey) = count(distinct l_orderkey)
+            from lineitem""",
         "embedding_cov": " union all ".join(
             f"select cast({i} as bigint) as dim_a, "
             f"cast({j} as bigint) as dim_b, "
