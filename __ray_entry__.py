@@ -826,6 +826,38 @@ def _q_windowed_distinct(sf_dir: str):
     return win
 
 
+def _q_stream_join(sf_dir: str):
+    """Watermark-gated stream-stream interval join: user turns join
+    assistant turns of the same conversation within ±2 h event
+    time, both sides gated at arrival (30 min delay, 5 min allowed
+    lateness). One metadata-only watermark pass + one hash-bucket
+    co-partition (range_join)."""
+    from datavec_ray.cdc.watermark import stream_join
+
+    ds = _binlog_with_skewed_ts(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["lsn", "conv_id", "role", "ts_skew_ms"])
+
+    joined, _dropped = stream_join(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        side_col="role", left_value="user", right_value="assistant",
+        band_ms=7_200_000, delay_ms=1_800_000,
+        allowed_lateness_ms=300_000, keys=["conv_id"],
+        ts_col="ts_skew_ms", order_col="lsn")
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "l_lsn": b["lsn"],
+            "r_lsn": b["lsn_r"],
+            "l_ts": b["__ts_ms"],
+            "r_ts": b["__ts_ms_r"],
+        })
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
 def _q_hopping_stream(sf_dir: str):
     """Emit-on-watermark HOPPING windows (2 h wide, 1 h slide, 10 min
     allowed lateness) — each event lands in W/S overlapping windows;
@@ -2697,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "windowed_distinct": _q_windowed_distinct,
+        "stream_join": _q_stream_join,
         "txn_upsert": _q_txn_upsert,
         "hopping_stream": _q_hopping_stream,
         "session_stream": _q_session_stream,
@@ -3362,6 +3395,21 @@ def oracle_sql() -> dict[str, str]:
             where coalesce((tsk // 3600000 + 1) * 3600000 + 600000 > wm,
                            true)
             group by win, role""",
+        "stream_join": _BINLOG_CTE + """
+            , s as (select lsn, conv_id, role,
+                           ts_ms - (lsn % 16) * 600000 as tsk from e)
+            , wmk as (select *, max(tsk) over (order by lsn
+                        rows between unbounded preceding
+                        and 1 preceding) - 1800000 as wm
+                      from s)
+            , g as (select * from wmk
+                    where coalesce(tsk > wm - 300000, true))
+            select l.conv_id, l.lsn as l_lsn, r.lsn as r_lsn,
+                   l.tsk as l_ts, r.tsk as r_ts
+            from g l join g r on l.conv_id = r.conv_id
+            where l.role = 'user' and r.role = 'assistant'
+              and r.tsk between l.tsk - 7200000
+                            and l.tsk + 7200000""",
         "windowed_distinct": _BINLOG_CTE + """
             , s as (select lsn, role, conv_id,
                            ts_ms - (lsn % 16) * 600000 as tsk from e)

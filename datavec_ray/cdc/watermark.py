@@ -414,3 +414,64 @@ def session_stream(ds, gap_ms: int, delay_ms: int,
     sessions = sessionize(on_time, keys=list(keys), order_col="__ts_ms",
                           gap=gap_ms, tiebreak=order_col)
     return sessions.drop_columns(["__ts_ms"]), dropped
+
+
+def stream_join(ds, side_col: str, left_value, right_value,
+                band_ms: int, delay_ms: int,
+                allowed_lateness_ms: int = 0,
+                keys: Sequence[str] = ("conv_id",),
+                ts_col: str = "ts", order_col: str = "lsn",
+                suffix: str = "_r"):
+    """Watermark-gated stream-stream INTERVAL join (the Flink
+    two-stream primitive): one arrival stream carries both sides
+    (``side_col`` ∈ {left_value, right_value}); each event is gated at
+    ITS arrival (dropped to the side output iff its event time is at or
+    below ``watermark − allowed_lateness``, the moment an online engine
+    would have purged the matching state); accepted LEFT events join
+    accepted RIGHT events of the same key with event time within
+    ``± band_ms``. Returns ``(joined, dropped)``; the joined set equals
+    what an online engine with band-sized state retention would have
+    emitted in total.
+
+    Shape: one metadata-only watermark pass (shuffle-free on
+    lsn-contiguous blocks) → vectorized gate map → ONE hash-bucket
+    co-partition of both sides (`join.range_join`), per bucket two
+    searchsorted passes. Raw events cross the wire once.
+    """
+    import functools
+
+    from datavec_ray.join import range_join
+
+    tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
+                               order_col=order_col).materialize()
+    L = np.int64(allowed_lateness_ms)
+
+    def _gate(batch: pa.Table, drop: bool) -> pa.Table:
+        ts = np.asarray(_ts_ms(batch[ts_col]).combine_chunks())
+        wm = np.asarray(pc.cast(batch["wm_ms"], pa.int64()).combine_chunks())
+        late = ts <= wm - L
+        out = batch.filter(pa.array(late if drop else ~late))
+        if drop:
+            return out
+        keep_ts = np.asarray(_ts_ms(out[ts_col]).combine_chunks())
+        return out.drop_columns(["wm_ms", "is_late"]).append_column(
+            "__ts_ms", pa.array(keep_ts, pa.int64()))
+
+    on_time = tagged.map_batches(functools.partial(_gate, drop=False),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    dropped = tagged.map_batches(functools.partial(_gate, drop=True),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def side(batch: pa.Table, want) -> pa.Table:
+        return batch.filter(pc.equal(batch[side_col], want))
+
+    left = on_time.map_batches(functools.partial(side, want=left_value),
+                               batch_format="pyarrow")
+    right = on_time.map_batches(functools.partial(side, want=right_value),
+                                batch_format="pyarrow")
+    joined = range_join(left, right, on="__ts_ms", by=list(keys),
+                        lower=-int(band_ms), upper=int(band_ms),
+                        suffix=suffix)
+    return joined, dropped

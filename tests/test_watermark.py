@@ -217,3 +217,45 @@ def test_windowed_distinct_matches_exact(ray_session):
     exp = sorted((int(w), r, len(s)) for (w, r), s in seen.items())
     assert list(map(tuple, got[["win", "role", "n_distinct"]]
                     .itertuples(index=False))) == exp
+
+
+def test_stream_join_matches_online_simulation(ray_session):
+    """stream_join == the pair set an online band-state engine emits
+    (sequential simulation over arrival order)."""
+    import ray
+    from datavec_ray.cdc.watermark import stream_join
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(9)
+    n = 1500
+    lsn = np.arange(1, n + 1)
+    # epoch-ms event times (the watermark contract: ts >= 0)
+    ts = 10_000_000 + np.cumsum(rng.integers(0, 90_000, n)) \
+        - (lsn % 7) * 400_000
+    conv = np.array([f"c{int(x)}" for x in rng.integers(0, 25, n)])
+    role = np.where(rng.integers(0, 2, n) == 0, "user", "assistant")
+    t = pa.table({"lsn": pa.array(lsn, pa.int64()),
+                  "ts_ms": pa.array(ts, pa.int64()),
+                  "conv_id": pa.array(conv.tolist()),
+                  "role": pa.array(role.tolist())})
+    D, L, B = 1_000_000, 200_000, 900_000
+    joined, dropped = stream_join(
+        ray.data.from_arrow(t).repartition(5), side_col="role",
+        left_value="user", right_value="assistant", band_ms=B,
+        delay_ms=D, allowed_lateness_ms=L, keys=["conv_id"],
+        ts_col="ts_ms", order_col="lsn")
+    got = dataset_to_table(joined)
+    got_pairs = sorted(zip(got["lsn"].to_pylist(), got["lsn_r"].to_pylist()))
+
+    # online oracle: accept events whose ts > wm - L at arrival; pairs =
+    # accepted user x accepted assistant, same conv, |dt| <= B
+    wm, acc = -np.inf, []
+    for i in range(n):
+        if not (ts[i] <= wm - L):
+            acc.append(i)
+        wm = max(wm, ts[i] - D)
+    exp = sorted((int(lsn[i]), int(lsn[j]))
+                 for i in acc for j in acc
+                 if role[i] == "user" and role[j] == "assistant"
+                 and conv[i] == conv[j] and abs(int(ts[i]) - int(ts[j])) <= B)
+    assert got_pairs == exp
