@@ -1156,6 +1156,19 @@ def _q_winsorize(sf_dir: str):
                            lo=0.05, hi=0.95, out_col="price_w")
 
 
+def _q_quantile_bucket(sf_dir: str):
+    """Equi-depth discretization: l_extendedprice into 4 equal-
+    frequency buckets of its own return-flag group (thresholds =
+    exact per-group quantile_disc grid, broadcast back)."""
+    from datavec_ray.misc import quantile_bucket
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+    return quantile_bucket(ds, ["l_returnflag"], "l_extendedprice", 4,
+                           out_col="bucket")
+
+
 def _q_grouped_mode(sf_dir: str):
     """Most frequent tool per conversation (SQL mode(), deterministic
     smallest-value tie-break) — map-side (key,value) count combiner,
@@ -2827,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": _q_key_skew,
         "grouped_mode": _q_grouped_mode,
         "winsorize": _q_winsorize,
+        "quantile_bucket": _q_quantile_bucket,
         "embedding_cov": _q_embedding_cov,
         "expectations": _q_expectations,
         "embedding_pca": _q_embedding_pca,
@@ -4340,6 +4354,24 @@ def oracle_sql() -> dict[str, str]:
             f"from embeddings"
             for i in range(8) for j in range(i, 8)
         ) + " order by dim_a, dim_b",
+        "quantile_bucket": """
+            with q as (
+              select l_returnflag,
+                     quantile_disc(l_extendedprice, 0.25) as t1,
+                     quantile_disc(l_extendedprice, 0.50) as t2,
+                     quantile_disc(l_extendedprice, 0.75) as t3
+              from lineitem group by l_returnflag
+            )
+            select l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   cast((case when l.l_extendedprice >= q.t1 then 1
+                              else 0 end)
+                      + (case when l.l_extendedprice >= q.t2 then 1
+                              else 0 end)
+                      + (case when l.l_extendedprice >= q.t3 then 1
+                              else 0 end) as bigint) as bucket
+            from lineitem l join q using (l_returnflag)
+            order by l.l_orderkey, l.l_linenumber""",
         "winsorize": """
             with q as (
               select l_returnflag,

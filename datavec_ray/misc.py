@@ -1004,6 +1004,50 @@ def group_winsorize(ds, keys: Sequence[str], column: str,
     return joined.map_batches(clip, batch_format="pyarrow")
 
 
+def quantile_bucket(ds, keys: Sequence[str], column: str,
+                    n_buckets: int, out_col: Optional[str] = None,
+                    num_partitions: int = 32):
+    """Per-group equi-depth discretization: each value is assigned the
+    bucket 0..n-1 of ITS OWN key group's quantile grid — bucket =
+    number of interior thresholds (inverted-CDF ``quantile_disc(j/n)``,
+    j = 1..n-1) at or below the value. Deterministic under ties
+    (repeated thresholds collapse buckets, exactly as the SQL mirror
+    counts them); nulls stay null. The classic feature-discretization
+    step (equal-frequency binning).
+
+    Shape: exact grouped quantiles (ONE partial-row shuffle) →
+    groups-sized threshold table broadcast-joined back (the corpus
+    never shuffles) → one vectorized comparison-sum kernel.
+    """
+    from datavec_ray.join import JoinStep
+    from datavec_ray.util import dataset_to_table
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    out_col = out_col or f"{column}_bucket"
+    keys = list(keys)
+    qs = [j / n_buckets for j in range(1, n_buckets)]
+    names = [f"__qb{j}" for j in range(1, n_buckets)]
+    stats = dataset_to_table(grouped_quantile(
+        ds, keys, column, qs, names, num_partitions))
+    joined = JoinStep(stats, keys, join_type="LeftOuter",
+                      broadcast=True).apply_dataset(ds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = combine(b[column]).cast(pa.float64())
+        bucket = np.zeros(len(v), dtype=np.int64)
+        for nm in names:
+            ge = pc.fill_null(
+                pc.greater_equal(v, combine(b[nm])), False)
+            bucket += ge.to_numpy(zero_copy_only=False).astype(np.int64)
+        col = pc.if_else(pc.is_null(v), pa.scalar(None, pa.int64()),
+                         pa.array(bucket))
+        return b.drop_columns(names).append_column(
+            pa.field(out_col, pa.int64()), col)
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 def grouped_mode(ds, keys: Sequence[str], value_col: str,
                  out_col: str = "mode", num_partitions: int = 32):
     """Most frequent non-null ``value_col`` per key group (SQL

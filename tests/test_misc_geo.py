@@ -261,3 +261,23 @@ def test_group_winsorize_clips_per_group(ray_session):
     assert w[:10] == [1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0]
     # group b clamps within its OWN range, not a's
     assert w[10] == 101.0 and w[19] == 107.0
+
+
+def test_quantile_bucket_equal_frequency(ray_session):
+    import ray
+    from datavec_ray.misc import quantile_bucket
+
+    t = pa.table({
+        "k": ["a"] * 8 + ["b"] * 4,
+        "v": [1.0, 2, 3, 4, 5, 6, 7, 8, 100.0, 200, 300, None],
+    })
+    out = dataset_to_table(
+        quantile_bucket(ray.data.from_arrow(t), ["k"], "v", 4,
+                        out_col="b")).sort_by(
+        [("k", "ascending"), ("v", "ascending")])
+    b = out["b"].to_pylist()
+    # inverted-CDF thresholds (2.0, 4.0, 6.0): the boundary element
+    # joins the upper bucket, matching the quantile_disc SQL mirror
+    assert b[:8] == [0, 1, 1, 2, 2, 3, 3, 3]
+    # group b uses its OWN grid (100, 200, 300); the null stays null
+    assert b[8:11] == [1, 2, 3] and b[11] is None
