@@ -1182,6 +1182,33 @@ def _q_grouped_mode(sf_dir: str):
     return grouped_mode(ds, ["conv_id"], "tool")
 
 
+def _q_tool_cooccurrence(sf_dir: str):
+    """Market-basket association stats over tools per conversation:
+    pair counts + support + lift from distinct-membership combiners;
+    everything past the membership pass is bounded by the tool
+    vocabulary squared (ops.analytics.cooccurrence)."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.ops.analytics import cooccurrence
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+    return cooccurrence(ds, "conv_id", "tool")
+
+
+def _q_grouped_top_values(sf_dir: str):
+    """Top-3 most frequent tools per conversation (per-group heavy
+    hitters, deterministic ties) — (key,value) count combiner + one
+    partial-row shuffle + per-partition lexsort ranking."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import grouped_top_values
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+    return grouped_top_values(ds, ["conv_id"], "tool", 3)
+
+
 def _q_fuzzy_pairs(sf_dir: str):
     """Entity-resolution fuzzy duplicates: every customer-name pair
     within Levenshtein distance 1, found by SymSpell deletion-
@@ -2839,6 +2866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "key_skew": _q_key_skew,
         "grouped_mode": _q_grouped_mode,
+        "grouped_top_values": _q_grouped_top_values,
+        "tool_cooccurrence": _q_tool_cooccurrence,
         "winsorize": _q_winsorize,
         "quantile_bucket": _q_quantile_bucket,
         "embedding_cov": _q_embedding_cov,
@@ -4385,6 +4414,38 @@ def oracle_sql() -> dict[str, str]:
                        as price_w
             from lineitem l join q using (l_returnflag)
             order by l.l_orderkey, l.l_linenumber""",
+        "tool_cooccurrence": _BINLOG_CTE + """
+            , dt as (select distinct conv_id, tool from e
+                     where tool is not null),
+            n as (select cast(count(distinct conv_id) as bigint)
+                      as total from dt),
+            s as (select tool, cast(count(*) as bigint) as cnt
+                  from dt group by tool),
+            p as (select a.tool as tool_a, b.tool as tool_b,
+                         cast(count(*) as bigint) as n_ab
+                  from dt a join dt b on a.conv_id = b.conv_id
+                       and a.tool < b.tool
+                  group by a.tool, b.tool)
+            select p.tool_a, p.tool_b, p.n_ab,
+                   sa.cnt as n_a, sb.cnt as n_b,
+                   p.n_ab / (select total from n) as support,
+                   (p.n_ab * (select total from n))
+                       / (sa.cnt * sb.cnt) as lift
+            from p
+            join s sa on sa.tool = p.tool_a
+            join s sb on sb.tool = p.tool_b
+            order by tool_a, tool_b""",
+        "grouped_top_values": _BINLOG_CTE + """
+            , c as (
+              select conv_id, tool, cast(count(*) as bigint) as cnt
+              from e where tool is not null
+              group by conv_id, tool)
+            select conv_id, tool, cnt,
+                   cast(row_number() over (partition by conv_id
+                        order by cnt desc, tool asc) as bigint) as rk
+            from c
+            qualify rk <= 3
+            order by conv_id, rk""",
         "grouped_mode": _BINLOG_CTE + """
             , c as (
               select conv_id, tool, cast(count(*) as bigint) as cnt

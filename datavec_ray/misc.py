@@ -1048,6 +1048,69 @@ def quantile_bucket(ds, keys: Sequence[str], column: str,
     return joined.map_batches(assign, batch_format="pyarrow")
 
 
+def grouped_top_values(ds, keys: Sequence[str], value_col: str,
+                       n: int, num_partitions: int = 32):
+    """Top-``n`` most frequent non-null values per key group (SQL
+    ``QUALIFY row_number() OVER (PARTITION BY keys ORDER BY cnt DESC,
+    value ASC) <= n``) — the per-group heavy-hitters report (e.g. the
+    dominant tools per conversation, top languages per source).
+    Deterministic: ties broken by the smaller value. Output: keys +
+    value + cnt + rk (1-based rank).
+
+    Same scale shape as :func:`grouped_mode`: a map-side (key, value)
+    count combiner bounds the ONE shuffle by per-batch-distinct pairs;
+    the per-partition final merges counts and ranks every key segment
+    with one lexsort — no Python per group.
+    """
+    keys = list(keys)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = batch.replace_schema_metadata(None) \
+            .filter(pc.is_valid(batch[value_col]))
+        g = b.select(keys + [value_col]) \
+            .group_by(keys + [value_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "__cnt"])
+
+    def _final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in keys + [value_col]])
+        m = g.num_rows
+        if m == 0:
+            out = g.drop_columns(["__cnt"])
+            out = out.append_column(pa.field("cnt", pa.int64()),
+                                    pa.array([], pa.int64()))
+            return out.append_column(pa.field("rk", pa.int64()),
+                                     pa.array([], pa.int64()))
+        pair_starts = np.flatnonzero(_key_run_starts(g, keys + [value_col]))
+        cnt = np.add.reduceat(
+            combine(g["__cnt"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64), pair_starts)
+        u = g.take(pa.array(pair_starts, pa.int64()))
+        # rank within each key segment by (cnt desc, value-order asc):
+        # u is already value-sorted within key, so a stable argsort on
+        # -cnt within segments preserves the value tie-break
+        seg = np.flatnonzero(_key_run_starts(u, keys))
+        seg_id = np.cumsum(_key_run_starts(u, keys)) - 1
+        order = np.lexsort((-cnt, seg_id))     # stable: value order kept
+        sizes = np.diff(np.append(seg, len(cnt)))
+        rk = (np.arange(len(cnt), dtype=np.int64)
+              - np.repeat(seg, sizes))
+        keep_order = order[rk < n]
+        rk_kept = rk[rk < n] + 1
+        win = u.take(pa.array(keep_order, pa.int64())) \
+            .drop_columns(["__cnt"])
+        win = win.append_column(pa.field("cnt", pa.int64()),
+                                pa.array(cnt[keep_order]))
+        return win.append_column(pa.field("rk", pa.int64()),
+                                 pa.array(rk_kept))
+
+    _final.__name__ = "grouped_top_values"
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return _group_partition(partials, keys, num_partitions) \
+        .groupby(_GPART).map_groups(_final, batch_format="pyarrow")
+
+
 def grouped_mode(ds, keys: Sequence[str], value_col: str,
                  out_col: str = "mode", num_partitions: int = 32):
     """Most frequent non-null ``value_col`` per key group (SQL

@@ -369,3 +369,117 @@ def key_skew(ds, col: str, k: int = 20, capacity: int = 2000) -> pa.Table:
         "share": pa.array(share, pa.float64()),
         "cum_share": pa.array(np.cumsum(share), pa.float64()),
     })
+
+
+def cooccurrence(ds, group_col: str, item_col: str,
+                 num_partitions: int = 32) -> pa.Table:
+    """Item co-occurrence / association statistics: for every unordered
+    item pair (a < b), the number of groups containing BOTH, each
+    item's group count, and the derived support and lift — the
+    market-basket view of tool usage per conversation (or tags per
+    document). Nulls ignored.
+
+    Scale shape: a per-batch DISTINCT (group, item) combiner bounds
+    everything downstream by distinct memberships; ONE group-hash
+    shuffle co-locates each group's items; per partition the pair
+    explode runs segment-wise (groups are small sets) and collapses to
+    (a, b, cnt) partials — the exchange and the driver-side finalize
+    are bounded by the item-vocabulary squared, never by the corpus.
+    """
+    from datavec_ray.misc import _GPART, _group_partition, _key_run_starts
+    from datavec_ray.steps.base import combine
+    from datavec_ray.util import dataset_to_table
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        b = batch.replace_schema_metadata(None) \
+            .filter(pc.is_valid(batch[item_col]))
+        return b.select([group_col, item_col]) \
+            .group_by([group_col, item_col], use_threads=False) \
+            .aggregate([])
+
+    memb = ds.map_batches(_distinct, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(group_col, "ascending"), (item_col, "ascending")])
+        m = g.num_rows
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "item": pa.array([], pa.string()),
+                          "icnt": pa.array([], pa.int64()),
+                          "groups": pa.array([], pa.int64())})
+        if m == 0:
+            return empty
+        # cross-batch distinct within the partition
+        starts = np.flatnonzero(_key_run_starts(g, [group_col, item_col]))
+        u = g.take(pa.array(starts, pa.int64()))
+        items = combine(u[item_col])
+        seg = np.flatnonzero(_key_run_starts(u, [group_col]))
+        sizes = np.diff(np.append(seg, len(starts)))
+        outs_a, outs_b = [], []
+        for s, ln in zip(seg, sizes):
+            if ln >= 2:
+                i, j = np.triu_indices(ln, k=1)
+                sl = items.slice(s, ln)
+                outs_a.append(sl.take(pa.array(i)))
+                outs_b.append(sl.take(pa.array(j)))
+        if outs_a:
+            pt = pa.table({"a": pa.concat_arrays(outs_a),
+                           "b": pa.concat_arrays(outs_b)})
+            pc_tbl = pt.group_by(["a", "b"], use_threads=False) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["a", "b", "cnt"])
+        else:
+            pc_tbl = empty.select(["a", "b", "cnt"])
+        sing = pa.table({"item": items}).group_by(
+            ["item"], use_threads=False).aggregate([([], "count_all")]) \
+            .rename_columns(["item", "icnt"])
+        ng = pa.table({"groups": pa.array([len(seg)], pa.int64())})
+        # pad the three partial families into one schema
+        def pad(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name in ("a", "b", "item"):
+                cols[name] = (t[name] if name in t.column_names
+                              else pa.nulls(t.num_rows, pa.string()))
+            for name in ("cnt", "icnt", "groups"):
+                cols[name] = (t[name] if name in t.column_names
+                              else pa.nulls(t.num_rows, pa.int64()))
+            return pa.table(cols)
+        return pa.concat_tables([pad(pc_tbl), pad(sing), pad(ng)]) \
+            .select(["a", "b", "cnt", "item", "icnt", "groups"])
+
+    _pairs.__name__ = "cooccurrence_pairs"
+    partials = dataset_to_table(
+        _group_partition(memb, [group_col], num_partitions)
+        .groupby(_GPART).map_groups(_pairs, batch_format="pyarrow"))
+    total = int(pc.sum(partials["groups"]).as_py() or 0)
+    pt = partials.filter(pc.is_valid(partials["a"]))
+    pair = pt.group_by(["a", "b"], use_threads=False) \
+        .aggregate([("cnt", "sum")])
+    st = partials.filter(pc.is_valid(partials["item"]))
+    sing = st.group_by(["item"], use_threads=False) \
+        .aggregate([("icnt", "sum")])
+    it = sing["item"].to_pylist()
+    ic = dict(zip(it, sing["icnt_sum"].to_pylist()))
+    a = pair["a"].to_pylist()
+    b = pair["b"].to_pylist()
+    n_ab = np.asarray(pair["cnt_sum"].to_pylist(), dtype=np.int64)
+    n_a = np.asarray([ic[x] for x in a], dtype=np.int64)
+    n_b = np.asarray([ic[x] for x in b], dtype=np.int64)
+    order = np.lexsort((np.asarray(b, dtype=object),
+                        np.asarray(a, dtype=object)))
+    return pa.table({
+        "tool_a": pa.array(np.asarray(a, dtype=object)[order].tolist(),
+                           pa.string()),
+        "tool_b": pa.array(np.asarray(b, dtype=object)[order].tolist(),
+                           pa.string()),
+        "n_ab": pa.array(n_ab[order]),
+        "n_a": pa.array(n_a[order]),
+        "n_b": pa.array(n_b[order]),
+        "support": pa.array(n_ab[order] / total, pa.float64()),
+        # exact-int products, ONE float division — mirrors SQL's
+        # BIGINT*BIGINT / BIGINT*BIGINT → DOUBLE evaluation
+        "lift": pa.array((n_ab[order] * total) / (n_a[order] * n_b[order]),
+                         pa.float64()),
+    })

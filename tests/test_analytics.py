@@ -167,3 +167,23 @@ def test_key_skew_report(ray_session):
     assert out["cnt"].to_pylist() == [50, 30, 10]
     assert np.allclose(out["share"].to_numpy(), [0.5, 0.3, 0.1])
     assert np.allclose(out["cum_share"].to_numpy(), [0.5, 0.8, 0.9])
+
+
+def test_cooccurrence_counts_and_lift(ray_session):
+    import ray
+    from datavec_ray.ops.analytics import cooccurrence
+
+    t = pa.table({
+        "g": ["c1", "c1", "c1", "c2", "c2", "c3", "c3", "c1"],
+        "i": ["x", "y", "z", "x", "y", "x", None, "x"],  # dup (c1,x)
+    })
+    out = cooccurrence(ray.data.from_arrow(t).repartition(3), "g", "i")
+    rows = {(r["tool_a"], r["tool_b"]): r for r in out.to_pylist()}
+    # groups: c1={x,y,z}, c2={x,y}, c3={x}; total = 3 groups
+    assert rows[("x", "y")]["n_ab"] == 2
+    assert rows[("x", "y")]["n_a"] == 3 and rows[("x", "y")]["n_b"] == 2
+    assert abs(rows[("x", "y")]["support"] - 2 / 3) < 1e-12
+    assert abs(rows[("x", "y")]["lift"] - (2 * 3) / (3 * 2)) < 1e-12
+    assert rows[("x", "z")]["n_ab"] == 1
+    assert rows[("y", "z")]["n_ab"] == 1
+    assert len(rows) == 3
