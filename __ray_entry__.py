@@ -1294,6 +1294,30 @@ def _q_role_alternation(sf_dir: str):
                                   order_cols=["turn_idx", "lsn"])
 
 
+def _q_turn_offsets(sf_dir: str):
+    """SFT loss-mask prep: per-turn [start, end) character spans inside
+    the rendered conversation text (same format/order as
+    render_transcripts) + is_target for assistant turns. One key
+    shuffle + segmented exclusive cumsum (misc.turn_offsets)."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.misc import turn_offsets
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def inserts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["op"], "I")) \
+                .select(["conv_id", "turn_idx", "lsn", "role", "text"])
+
+    out = turn_offsets(ds.map_batches(inserts, batch_format="pyarrow"),
+                       order_cols=["turn_idx", "lsn"])
+    return out.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "lsn", "role",
+                            "start_off", "end_off", "is_target"]),
+        batch_format="pyarrow")
+
+
 def _q_quality_classifier(sf_dir: str):
     """fastText-class model-based quality scoring: label documents
     with the deterministic blocklist heuristic, train the distributed
@@ -2868,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "grouped_top_values": _q_grouped_top_values,
         "tool_cooccurrence": _q_tool_cooccurrence,
+        "turn_offsets": _q_turn_offsets,
         "winsorize": _q_winsorize,
         "quantile_bucket": _q_quantile_bucket,
         "embedding_cov": _q_embedding_cov,
@@ -4491,6 +4516,26 @@ def oracle_sql() -> dict[str, str]:
                        as tool
             from e
             order by conv_id, lsn""",
+        "turn_offsets": _BINLOG_CTE + """
+            , p as (
+              select conv_id, turn_idx, lsn, role,
+                     length(coalesce(role, '') || ': ' ||
+                            coalesce(text, '')) as plen
+              from e where op = 'I')
+            select conv_id, turn_idx, lsn, role,
+                   cast(coalesce(sum(plen + 1) over (
+                        partition by conv_id
+                        order by turn_idx, lsn
+                        rows between unbounded preceding
+                        and 1 preceding), 0) as bigint) as start_off,
+                   cast(coalesce(sum(plen + 1) over (
+                        partition by conv_id
+                        order by turn_idx, lsn
+                        rows between unbounded preceding
+                        and 1 preceding), 0) + plen as bigint)
+                       as end_off,
+                   coalesce(role = 'assistant', false) as is_target
+            from p""",
         "render_transcripts": _BINLOG_CTE + """
             select conv_id,
                    string_agg(role || ': ' || coalesce(text, ''), chr(10)

@@ -1217,6 +1217,63 @@ def render_conversations(ds, key: str = "conv_id",
         .groupby(_GPART).map_groups(render, batch_format="pyarrow")
 
 
+def turn_offsets(ds, key: str = "conv_id",
+                 order_cols: Sequence[str] = ("turn_idx",),
+                 role_col: str = "role", text_col: str = "text",
+                 role_sep: str = ": ", turn_sep: str = "\n",
+                 target_role: str = "assistant",
+                 num_partitions: int = 32):
+    """Loss-mask span offsets for SFT training prep: for every turn,
+    the [start_off, end_off) CHARACTER range its ``role: text`` part
+    occupies inside the conversation text `render_conversations`
+    assembles (same format, same order), plus ``is_target`` (the turns
+    whose spans train — typically the assistant's). A tokenizer
+    consumes the rendered text and these spans to build labels without
+    re-parsing. SQL: running ``sum(length(part) + len(sep))`` window.
+
+    Shape: ONE conversation-key shuffle; per partition one sort + one
+    vectorized length pass + a segmented exclusive cumsum.
+    """
+    sort_cols = [key] + list(order_cols)
+    sep_len = len(turn_sep)
+
+    def offs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        n = g.num_rows
+        if n == 0:
+            g = g.append_column(pa.field("start_off", pa.int64()),
+                                pa.array([], pa.int64()))
+            g = g.append_column(pa.field("end_off", pa.int64()),
+                                pa.array([], pa.int64()))
+            return g.append_column(pa.field("is_target", pa.bool_()),
+                                   pa.array([], pa.bool_()))
+        part = pc.binary_join_element_wise(
+            pc.fill_null(combine(g[role_col]).cast(pa.string()), ""),
+            pc.fill_null(combine(g[text_col]).cast(pa.string()), ""),
+            role_sep)
+        plen = pc.utf8_length(part).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = plen + sep_len
+        c = np.cumsum(total)
+        excl = c - total                       # chars before this part
+        seg_starts = np.flatnonzero(_key_run_starts(g, [key]))
+        lens = np.diff(np.append(seg_starts, n))
+        start = excl - np.repeat(excl[seg_starts], lens)
+        g = g.append_column(pa.field("start_off", pa.int64()),
+                            pa.array(start))
+        g = g.append_column(pa.field("end_off", pa.int64()),
+                            pa.array(start + plen))
+        return g.append_column(
+            pa.field("is_target", pa.bool_()),
+            pc.fill_null(pc.equal(combine(g[role_col]), target_role),
+                         False))
+
+    offs.__name__ = "turn_offsets"
+    return _group_partition(ds, [key], num_partitions) \
+        .groupby(_GPART).map_groups(offs, batch_format="pyarrow")
+
+
 def role_alternation_stats(ds, key: str = "conv_id",
                            order_cols: Sequence[str] = ("turn_idx",),
                            role_col: str = "role",

@@ -281,3 +281,27 @@ def test_quantile_bucket_equal_frequency(ray_session):
     assert b[:8] == [0, 1, 1, 2, 2, 3, 3, 3]
     # group b uses its OWN grid (100, 200, 300); the null stays null
     assert b[8:11] == [1, 2, 3] and b[11] is None
+
+
+def test_turn_offsets_slice_rendered_text(ray_session):
+    """Each turn's [start, end) span must slice exactly its 'role: text'
+    part out of the render_conversations output."""
+    import ray
+    from datavec_ray.misc import render_conversations, turn_offsets
+
+    t = pa.table({
+        "conv_id": ["c1"] * 3 + ["c2"] * 2,
+        "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+        "role": ["user", "assistant", "user", "user", "assistant"],
+        "text": ["hi", "hello there", "bye", "q?", None],
+    })
+    ds = ray.data.from_arrow(t)
+    rendered = {r["conv_id"]: r["rendered"] for r in dataset_to_table(
+        render_conversations(ds, order_cols=["turn_idx"])).to_pylist()}
+    offs = dataset_to_table(turn_offsets(ds, order_cols=["turn_idx"])) \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    for r in offs.to_pylist():
+        part = rendered[r["conv_id"]][r["start_off"]:r["end_off"]]
+        expect = f"{r['role']}: {r['text'] if r['text'] is not None else ''}"
+        assert part == expect, (r, part)
+        assert r["is_target"] == (r["role"] == "assistant")
