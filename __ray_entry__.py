@@ -1078,6 +1078,17 @@ def _q_ffill_tool(sf_dir: str):
                        value_cols=["role", "tool"])
 
 
+def _q_negative_samples(sf_dir: str):
+    """Contrastive-training negative sampling: 4 deterministic
+    splitmix-drawn non-self ids per embedding anchor — shuffle-free,
+    reproducible across engines (splitmix64 mirrored in SQL)."""
+    from datavec_ray.misc import negative_samples
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    n = 1 + int(ds.max("vec_id"))
+    return negative_samples(ds, "vec_id", n_items=n, k=4)
+
+
 def _q_embedding_cov(sf_dir: str):
     """Streaming covariance of the embedding column (first 8 dims as
     tidy entries) — ONE pass, (1+d+d²)-float partials merged by
@@ -2893,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_top_values": _q_grouped_top_values,
         "tool_cooccurrence": _q_tool_cooccurrence,
         "turn_offsets": _q_turn_offsets,
+        "negative_samples": _q_negative_samples,
         "winsorize": _q_winsorize,
         "quantile_bucket": _q_quantile_bucket,
         "embedding_cov": _q_embedding_cov,
@@ -3833,6 +3845,31 @@ def oracle_sql() -> dict[str, str]:
         # multiplies decomposed into 32-bit halves (hugeint mod 2^64),
         # matching datavec_ray.hll.hash64's integer fast path; the xor
         # constant is seed(7) * golden-ratio-odd mod 2^64.
+        "negative_samples": f"""
+            with s as (select vec_id,
+                         unnest(generate_series(0, 3)) as slot
+                       from embeddings),
+            nn as (select cast(max(vec_id) + 1 as hugeint) as n
+                   from embeddings),
+            h0 as (select vec_id, slot,
+                     cast(vec_id * 1000003 + slot as hugeint)
+                         % 18446744073709551616 as x
+                   from s),
+            h1 as (select vec_id, slot,
+                     {_splitmix_mul_sql('xor(x, x >> 30)', 0xBF58476D1CE4E5B9)} as x
+                   from h0),
+            h2 as (select vec_id, slot,
+                     {_splitmix_mul_sql('xor(x, x >> 27)', 0x94D049BB133111EB)} as x
+                   from h1),
+            h3 as (select vec_id, slot, xor(x, x >> 31) as x from h2),
+            r as (select vec_id, slot,
+                    x % (select n from nn) as neg0 from h3)
+            select vec_id as anchor, cast(slot as bigint) as slot,
+                   cast(case when neg0 = vec_id
+                        then (neg0 + 1) % (select n from nn)
+                        else neg0 end as bigint) as neg_id
+            from r
+            order by anchor, slot""",
         "hash_sample": f"""
             with h0 as (
               select doc_id, lang, n_chars,

@@ -1217,6 +1217,37 @@ def render_conversations(ds, key: str = "conv_id",
         .groupby(_GPART).map_groups(render, batch_format="pyarrow")
 
 
+def negative_samples(ds, id_col: str, n_items: int, k: int,
+                     seed: int = 0):
+    """Deterministic negative sampling for contrastive training: each
+    anchor row emits ``k`` rows (anchor, slot, neg_id) with ``neg_id =
+    splitmix64(anchor·1000003 + slot, seed) mod n_items``, bumped by
+    one (mod n) when it collides with the anchor. A pure function of
+    the data — reproducible across reruns, partitionings and engines
+    (the oracle reproduces splitmix64 in SQL) — so a resumed training
+    run regenerates identical pairs. Requires dense ids [0, n_items).
+    Shuffle-free: one flat map, k·rows output.
+    """
+    if k < 1 or n_items < 2:
+        raise ValueError("need k >= 1 and n_items >= 2")
+
+    def nm(batch: pa.Table) -> pa.Table:
+        a = combine(batch[id_col]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        A = np.repeat(a, k)
+        slot = np.tile(np.arange(k, dtype=np.int64), len(a))
+        with np.errstate(over="ignore"):
+            key = A * np.int64(1000003) + slot
+        u = hash64(key, seed)
+        neg = (u % np.uint64(n_items)).astype(np.int64)
+        neg = np.where(neg == A, (neg + 1) % n_items, neg)
+        return pa.table({"anchor": pa.array(A), "slot": pa.array(slot),
+                         "neg_id": pa.array(neg)})
+
+    nm.__name__ = "negative_samples"
+    return ds.map_batches(nm, batch_format="pyarrow")
+
+
 def turn_offsets(ds, key: str = "conv_id",
                  order_cols: Sequence[str] = ("turn_idx",),
                  role_col: str = "role", text_col: str = "text",

@@ -305,3 +305,21 @@ def test_turn_offsets_slice_rendered_text(ray_session):
         expect = f"{r['role']}: {r['text'] if r['text'] is not None else ''}"
         assert part == expect, (r, part)
         assert r["is_target"] == (r["role"] == "assistant")
+
+
+def test_negative_samples_deterministic_nonself(ray_session):
+    import ray
+    from datavec_ray.misc import negative_samples
+
+    t = pa.table({"id": pa.array(range(50), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    a = dataset_to_table(negative_samples(ds, "id", 50, 3)).sort_by(
+        [("anchor", "ascending"), ("slot", "ascending")])
+    b = dataset_to_table(negative_samples(
+        ray.data.from_arrow(t).repartition(7), "id", 50, 3)).sort_by(
+        [("anchor", "ascending"), ("slot", "ascending")])
+    assert a.equals(b)                      # partition-invariant
+    rows = a.to_pylist()
+    assert len(rows) == 150
+    assert all(r["neg_id"] != r["anchor"] for r in rows)
+    assert all(0 <= r["neg_id"] < 50 for r in rows)
