@@ -655,6 +655,52 @@ def _q_fuzzy_dedup(sf_dir: str):
         "c_custkey")
 
 
+def _q_patch_upsert(sf_dir: str):
+    """Debezium-style partial-update replay: updates are deterministic
+    sparse PATCHES (text dropped when lsn%3=0, tool when lsn%5=0 —
+    mirrored in the oracle CTE); each payload column takes its last
+    non-null value after the key's last delete. One key shuffle +
+    ffill-donor kernels (cdc.binlog.patch_upsert)."""
+    from datavec_ray.cdc.binlog import binlog_from_events, patch_upsert
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def sparsify(b: pa.Table) -> pa.Table:
+        lsn = b["lsn"]
+        m3 = pc.equal(pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3),
+                                                   pa.scalar(3, pa.int64()))),
+                      pa.scalar(0, pa.int64()))
+        m5 = pc.equal(pc.subtract(lsn, pc.multiply(pc.divide(lsn, 5),
+                                                   pa.scalar(5, pa.int64()))),
+                      pa.scalar(0, pa.int64()))
+        is_u = pc.equal(b["op"], "U")
+        text = pc.if_else(pc.and_(is_u, m3),
+                          pa.scalar(None, pa.string()), b["text"])
+        tool = pc.if_else(pc.and_(is_u, m5),
+                          pa.scalar(None, pa.string()), b["tool"])
+        b = b.set_column(b.schema.get_field_index("text"),
+                         pa.field("text", pa.string()), text)
+        return b.set_column(b.schema.get_field_index("tool"),
+                            pa.field("tool", pa.string()), tool)
+
+    out = patch_upsert(ds.map_batches(sparsify, batch_format="pyarrow"))
+
+    def to_ms(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            "role": b["role"],
+            "text": b["text"],
+            "tool": b["tool"],
+            "ts_ms": pc.cast(b["ts"], pa.int64()),
+            "lsn": b["lsn"],
+        })
+
+    return out.map_batches(to_ms, batch_format="pyarrow")
+
+
 def _q_cdc_topn_view(sf_dir: str):
     """Incrementally-maintained per-conversation leaderboard (the 2
     most recent live turns of every conversation): build from snapshot
@@ -1230,6 +1276,18 @@ def _q_fuzzy_pairs(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return fuzzy_dup_pairs(ds, text_col="c_name", id_col="c_custkey",
                            max_edits=1)
+
+
+def _q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation (corr(extendedprice, quantity)
+    per return flag) — combiner partial sums, one grouped Sum, narrow
+    finalize (ops.analytics.grouped_corr)."""
+    from datavec_ray.ops.analytics import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, ["l_returnflag"], "l_quantity",
+                        "l_extendedprice")
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -2905,6 +2963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_cooccurrence": _q_tool_cooccurrence,
         "turn_offsets": _q_turn_offsets,
         "negative_samples": _q_negative_samples,
+        "grouped_corr": _q_grouped_corr,
+        "patch_upsert": _q_patch_upsert,
         "winsorize": _q_winsorize,
         "quantile_bucket": _q_quantile_bucket,
         "embedding_cov": _q_embedding_cov,
@@ -3413,6 +3473,38 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from ev) t
             where rn = 1 and op <> 'D'""",
+        "patch_upsert": _BINLOG_CTE + """
+            , e2 as (
+              select lsn, op, conv_id, turn_idx, role,
+                     case when op = 'U' and lsn % 3 = 0 then null
+                          else text end as text,
+                     case when op = 'U' and lsn % 5 = 0 then null
+                          else tool end as tool,
+                     ts_ms
+              from e),
+            o as (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms, lsn) as rn from e2),
+            d as (select conv_id, turn_idx, max(rn) as last_d
+                  from o where op = 'D' group by conv_id, turn_idx),
+            live as (select o.* from o
+                     left join d using (conv_id, turn_idx)
+                     where o.op <> 'D'
+                       and o.rn > coalesce(d.last_d, 0)),
+            f as (select conv_id, turn_idx,
+                    last_value(role ignore nulls) over w as role,
+                    last_value(text ignore nulls) over w as text,
+                    last_value(tool ignore nulls) over w as tool,
+                    ts_ms, lsn,
+                    row_number() over (partition by conv_id, turn_idx
+                                       order by rn desc) as rk
+                  from live
+                  window w as (partition by conv_id, turn_idx
+                               order by rn
+                               rows between unbounded preceding
+                               and current row))
+            select conv_id, turn_idx, role, text, tool, ts_ms, lsn
+            from f where rk = 1""",
         "cdc_topn_view": _BINLOG_CTE + """
             , state as (
               select conv_id, turn_idx, role, text, tool, ts_ms
@@ -3845,6 +3937,12 @@ def oracle_sql() -> dict[str, str]:
         # multiplies decomposed into 32-bit halves (hugeint mod 2^64),
         # matching datavec_ray.hll.hash64's integer fast path; the xor
         # constant is seed(7) * golden-ratio-odd mod 2^64.
+        "grouped_corr": """
+            select l_returnflag, cast(count(*) as bigint) as n,
+                   round(corr(l_extendedprice, l_quantity), 6) as corr
+            from lineitem
+            group by l_returnflag
+            order by l_returnflag""",
         "negative_samples": f"""
             with s as (select vec_id,
                          unnest(generate_series(0, 3)) as slot

@@ -250,3 +250,75 @@ def scd2_history(ds, keys=("conv_id", "turn_idx"), order_col: str = "lsn",
     hist.__name__ = "scd2_history"
     return _group_partition(ds, keys, num_partitions) \
         .groupby(_GPART).map_groups(hist, batch_format="pyarrow")
+
+
+def patch_upsert(ds, keys=("conv_id", "turn_idx"),
+                 order_cols=("ts", "lsn"), op_col: str = "op",
+                 payload_cols=("role", "text", "tool"),
+                 ts_col: str = "ts", num_partitions: int = 32):
+    """Debezium-style PARTIAL-update replay: an update's null payload
+    column means "unchanged" (a patch), not "set to null". Final state
+    per key = the events after its last delete, with each payload
+    column taking its LAST NON-NULL value in ``order_cols`` order; a
+    key whose last event is a delete is absent. This is the
+    complementary merge semantic to the engine's full-image LWW
+    (``lww_compact_table``): sources that ship sparse column patches
+    (JDBC CDC, API diffs) replay correctly without re-reading old rows.
+
+    Shape: ONE key shuffle; per partition one sort, a segmented
+    last-delete scan, per payload column one ``maximum.accumulate``
+    donor pass (the ffill kernel), and a take of each key's last row.
+    """
+    from datavec_ray.misc import (_GPART, _group_partition,
+                                  _key_run_starts)
+    from datavec_ray.steps.base import combine
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
+
+    def patch(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in keys + order_cols])
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns([op_col])
+        idx = np.arange(n, dtype=np.int64)
+        starts_mask = _key_run_starts(g, keys)
+        seg_starts = np.flatnonzero(starts_mask)
+        lens = np.diff(np.append(seg_starts, n))
+        seg_lo = np.repeat(seg_starts, lens)
+        is_d = pc.equal(combine(g[op_col]), "D") \
+            .to_numpy(zero_copy_only=False)
+        last_d = np.maximum.reduceat(np.where(is_d, idx, -1), seg_starts)
+        keep = (idx > np.repeat(last_d, lens)) & ~is_d
+        kept = g.filter(pa.array(keep))
+        m = kept.num_rows
+        if m == 0:
+            return g.slice(0, 0).drop_columns([op_col])
+        k_starts_mask = _key_run_starts(kept, keys)
+        k_starts = np.flatnonzero(k_starts_mask)
+        k_lens = np.diff(np.append(k_starts, m))
+        k_lo = np.repeat(k_starts, k_lens)
+        kidx = np.arange(m, dtype=np.int64)
+        cols = {}
+        for c in keys + order_cols:
+            if c not in cols:
+                cols[c] = combine(kept[c])
+        for c in payload_cols:
+            arr = combine(kept[c])
+            valid = ~pc.is_null(arr).to_numpy(zero_copy_only=False)
+            lv = np.maximum.accumulate(np.where(valid, kidx, -1))
+            ok = lv >= k_lo
+            filled = arr.take(pa.array(np.where(ok, lv, 0)))
+            cols[c] = pc.if_else(pa.array(ok), filled,
+                                 pa.scalar(None, arr.type))
+        ends = pa.array(k_starts + k_lens - 1, pa.int64())
+        out_cols = {c: (cols[c].take(ends) if isinstance(cols[c], pa.Array)
+                        else cols[c].combine_chunks().take(ends))
+                    for c in keys + order_cols + payload_cols}
+        return pa.table(out_cols)
+
+    patch.__name__ = "patch_upsert"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(patch, batch_format="pyarrow")

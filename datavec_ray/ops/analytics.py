@@ -483,3 +483,56 @@ def cooccurrence(ds, group_col: str, item_col: str,
         "lift": pa.array((n_ab[order] * total) / (n_a[order] * n_b[order]),
                          pa.float64()),
     })
+
+
+def grouped_corr(ds, keys, x_col: str, y_col: str,
+                 round_digits: int | None = 6) -> "ray.data.Dataset":
+    """Per-group Pearson correlation — SQL ``corr(y, x) GROUP BY keys``
+    — with the same combiner discipline as `grouped_linreg`: per-batch
+    partial sums (n, Σx, Σy, Σxx, Σyy, Σxy) through one map-side-
+    combined grouped Sum, then a narrow finalize. Complete-case null
+    handling; zero-variance groups emit null (DuckDB likewise).
+    ``round_digits`` rounds the result (both engines' stable-vs-naive
+    summation differ in the last ulps; round-6 matches the oracle)."""
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+    names = ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        t = b.select(keys).filter(pa.array(ok))
+        x, y = x[ok], y[ok]
+        for name, v in zip(names, (np.ones(len(x)), x, y, x * x, y * y,
+                                   x * y)):
+            t = t.append_column(pa.field(name, pa.float64()),
+                                pa.array(v))
+        return t.group_by(keys).aggregate(
+            [(c, "sum") for c in names]).rename_columns(
+            keys + list(names))
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    summed = Reducer(keys, [[c, "Sum", c] for c in names]) \
+        .apply_dataset(part)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["__n"].to_numpy(zero_copy_only=False)
+        sx = b["__sx"].to_numpy(zero_copy_only=False)
+        sy = b["__sy"].to_numpy(zero_copy_only=False)
+        sxx = b["__sxx"].to_numpy(zero_copy_only=False)
+        syy = b["__syy"].to_numpy(zero_copy_only=False)
+        sxy = b["__sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            r = np.where(den > 0, (n * sxy - sx * sy) / den, np.nan)
+        if round_digits is not None:
+            r = np.round(r, round_digits)
+        out = b.select(keys)
+        out = out.append_column(pa.field("n", pa.int64()),
+                                pc.cast(pa.array(n), pa.int64()))
+        return out.append_column(pa.field("corr", pa.float64()),
+                                 pa.array(r, from_pandas=True))
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

@@ -509,3 +509,35 @@ def test_scd2_history_versions(ray_session):
     # v1 closed by v2, v2 closed by the DELETE at lsn 3, v4/v5 current
     assert out["valid_to"].to_pylist() == [2, 3, None, None]
     assert out["text"].to_pylist() == ["a", "b", "c", "x"]
+
+
+def test_patch_upsert_partial_updates(ray_session):
+    """Null payload columns in updates mean UNCHANGED; deletes reset."""
+    import ray
+    from datavec_ray.cdc.binlog import patch_upsert
+
+    t = pa.table({
+        "lsn": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "op": ["I", "U", "U", "D", "I", "U"],
+        "conv_id": ["c1"] * 4 + ["c1", "c1"],
+        "turn_idx": pa.array([0, 0, 0, 0, 0, 0], pa.int32()),
+        "role": ["user", None, None, None, "assistant", None],
+        "text": ["a", "b", None, None, "fresh", None],
+        "tool": [None, "t1", "t2", None, None, "t3"],
+        "ts": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    out = dataset_to_table(patch_upsert(
+        ray.data.from_arrow(t), order_cols=["ts", "lsn"]))
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    # delete at lsn 4 wiped the first lifetime; only lsn 5-6 survive
+    assert r["role"] == "assistant"
+    assert r["text"] == "fresh"      # U at 6 patched only tool
+    assert r["tool"] == "t3"
+    assert r["ts"] == 60 and r["lsn"] == 6
+
+    # key fully deleted -> absent
+    t2 = t.slice(0, 4)
+    out2 = dataset_to_table(patch_upsert(ray.data.from_arrow(t2),
+                                         order_cols=["ts", "lsn"]))
+    assert out2.num_rows == 0
