@@ -300,7 +300,8 @@ def windowed_distinct(ds, window_ms: int, delay_ms: int,
                       keys: Sequence[str] = ("role",),
                       ts_col: str = "ts", order_col: str = "lsn",
                       value_col: str = "conv_id",
-                      slide_ms: Optional[int] = None):
+                      slide_ms: Optional[int] = None,
+                      approx: bool = False, hll_p: int = 9):
     """Emit-on-watermark windowed EXACT distinct count (e.g. active
     conversations per hour) — same window / allowed-lateness contract
     as :func:`windowed_stream`, with aggregate
@@ -310,9 +311,12 @@ def windowed_distinct(ds, window_ms: int, delay_ms: int,
     (window, keys, value) TRIPLES — the exact-distinct floor: raw
     events never shuffle and repeated values collapse map-side — then
     ONE exchange on window and a final distinct+count per (window,
-    keys). (For approximate cardinality at unbounded value domains use
-    the Reducer's HLL CountUnique instead.) Returns
-    ``(windows, dropped)``.
+    keys). ``approx=True`` swaps the triples for FIXED 2^p-byte HLL
+    register partials per (window, keys) group (merge = element-wise
+    max), so the exchange is bounded by windows×keys regardless of the
+    value domain — the scale path when distinct values per window rival
+    the corpus; estimates use the same estimator as the Reducer's
+    CountUnique (``n_distinct`` float64). Returns ``(windows, dropped)``.
     """
     tagged = assign_watermarks(ds, delay_ms, ts_col=ts_col,
                                order_col=order_col).materialize()
@@ -336,34 +340,96 @@ def windowed_distinct(ds, window_ms: int, delay_ms: int,
         keep = ~((win * S + W + L) <= wm[idx])
         return idx, win, keep
 
-    def _combine(batch: pa.Table) -> pa.Table:
-        idx, win, keep = _assign(batch)
-        if not keep.any():
-            return pa.table(
-                {"win": pa.array([], pa.int64()),
-                 **{k: pa.array([], batch.schema.field(k).type)
-                    for k in keys},
-                 "__v": pa.array([], batch.schema.field(value_col).type)})
-        rows = batch.take(pa.array(idx[keep]))
-        gt = pa.table({"win": pa.array(win[keep], pa.int64()),
-                       **{k: rows[k] for k in keys},
-                       "__v": rows[value_col]})
-        return gt.group_by(["win"] + keys + ["__v"],
-                           use_threads=False).aggregate([])
+    if approx:
+        from datavec_ray.hll import hash64
+        from datavec_ray.misc import _key_run_starts
+        from datavec_ray.reduce import _hll_cardinality, _hll_fold
+        from datavec_ray.steps.base import combine as _cc
+        m = 1 << hll_p
 
-    partials = tagged.map_batches(_combine, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        def _regs_np(col) -> np.ndarray:
+            a = _cc(col) if isinstance(col, pa.ChunkedArray) else col
+            buf = a.buffers()[1]
+            return np.frombuffer(buf, np.uint8)[
+                a.offset * m:(a.offset + len(a)) * m].reshape(-1, m)
 
-    def _final(group: pa.Table) -> pa.Table:
-        d = group.group_by(["win"] + keys + ["__v"],
-                           use_threads=False).aggregate([])
-        agg = d.group_by(["win"] + keys, use_threads=False).aggregate(
-            [([], "count_all")])
-        return agg.rename_columns(["win"] + keys + ["n_distinct"])
+        def _regs_arr(regs: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.binary(m), len(regs),
+                [None, pa.py_buffer(regs.tobytes())])
 
-    _final.__name__ = "windowed_distinct"
-    windows = partials.groupby("win").map_groups(
-        _final, batch_format="pyarrow")
+        def _combine_hll(batch: pa.Table) -> pa.Table:
+            idx, win, keep = _assign(batch)
+            if not keep.any():
+                return pa.table(
+                    {"win": pa.array([], pa.int64()),
+                     **{k: pa.array([], batch.schema.field(k).type)
+                        for k in keys},
+                     "__regs": pa.array([], pa.binary(m))})
+            rows = batch.take(pa.array(idx[keep]))
+            h = hash64(_cc(rows[value_col]))
+            gt = pa.table({"win": pa.array(win[keep], pa.int64()),
+                           **{k: rows[k] for k in keys},
+                           "__h": pa.array(h)}).sort_by(
+                [("win", "ascending")]
+                + [(k, "ascending") for k in keys])
+            starts_mask = _key_run_starts(gt, ["win"] + keys)
+            gid = np.cumsum(starts_mask) - 1
+            regs = _hll_fold(
+                gid, _cc(gt["__h"]).to_numpy(zero_copy_only=False)
+                .astype(np.uint64), int(gid[-1]) + 1, hll_p)
+            u = gt.take(pa.array(np.flatnonzero(starts_mask), pa.int64()))
+            return pa.table({"win": u["win"],
+                             **{k: u[k] for k in keys},
+                             "__regs": _regs_arr(regs)})
+
+        partials = tagged.map_batches(_combine_hll, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+        def _final_hll(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("win", "ascending")]
+                              + [(k, "ascending") for k in keys])
+            starts = np.flatnonzero(_key_run_starts(g, ["win"] + keys))
+            regs = _regs_np(g["__regs"])
+            folded = np.maximum.reduceat(regs, starts, axis=0)
+            u = g.take(pa.array(starts, pa.int64()))
+            return pa.table({"win": u["win"],
+                             **{k: u[k] for k in keys},
+                             "n_distinct": pa.array(
+                                 _hll_cardinality(folded), pa.float64())})
+
+        _final_hll.__name__ = "windowed_distinct_hll"
+        windows = partials.groupby("win").map_groups(
+            _final_hll, batch_format="pyarrow")
+    else:
+        def _combine(batch: pa.Table) -> pa.Table:
+            idx, win, keep = _assign(batch)
+            if not keep.any():
+                return pa.table(
+                    {"win": pa.array([], pa.int64()),
+                     **{k: pa.array([], batch.schema.field(k).type)
+                        for k in keys},
+                     "__v": pa.array([], batch.schema.field(value_col).type)})
+            rows = batch.take(pa.array(idx[keep]))
+            gt = pa.table({"win": pa.array(win[keep], pa.int64()),
+                           **{k: rows[k] for k in keys},
+                           "__v": rows[value_col]})
+            return gt.group_by(["win"] + keys + ["__v"],
+                               use_threads=False).aggregate([])
+
+        partials = tagged.map_batches(_combine, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+        def _final(group: pa.Table) -> pa.Table:
+            d = group.group_by(["win"] + keys + ["__v"],
+                               use_threads=False).aggregate([])
+            agg = d.group_by(["win"] + keys, use_threads=False).aggregate(
+                [([], "count_all")])
+            return agg.rename_columns(["win"] + keys + ["n_distinct"])
+
+        _final.__name__ = "windowed_distinct"
+        windows = partials.groupby("win").map_groups(
+            _final, batch_format="pyarrow")
 
     def _dropped(batch: pa.Table) -> pa.Table:
         idx, win, keep = _assign(batch)

@@ -259,3 +259,35 @@ def test_stream_join_matches_online_simulation(ray_session):
                  if role[i] == "user" and role[j] == "assistant"
                  and conv[i] == conv[j] and abs(int(ts[i]) - int(ts[j])) <= B)
     assert got_pairs == exp
+
+
+def test_windowed_distinct_approx_tracks_exact(ray_session):
+    """HLL mode: same windows, estimates within HLL tolerance of the
+    exact counts (p=9 → ~4.6% standard error)."""
+    import ray
+    from datavec_ray.cdc.watermark import windowed_distinct
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    lsn = np.arange(1, n + 1)
+    ts = 10_000_000 + np.cumsum(rng.integers(0, 60_000, n))
+    conv = np.array([f"c{int(x)}" for x in rng.integers(0, 400, n)])
+    role = np.where(lsn % 2 == 0, "user", "assistant")
+    t = pa.table({"lsn": pa.array(lsn, pa.int64()),
+                  "ts_ms": pa.array(ts, pa.int64()),
+                  "role": pa.array(role.tolist()),
+                  "conv_id": pa.array(conv.tolist())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    kw = dict(window_ms=3_600_000, delay_ms=600_000,
+              allowed_lateness_ms=0, keys=["role"], ts_col="ts_ms",
+              value_col="conv_id")
+    exact, _ = windowed_distinct(ds, **kw)
+    approx, _ = windowed_distinct(ds, approx=True, **kw)
+    et = dataset_to_table(exact).to_pandas() \
+        .set_index(["win", "role"])["n_distinct"]
+    at = dataset_to_table(approx).to_pandas() \
+        .set_index(["win", "role"])["n_distinct"]
+    assert set(et.index) == set(at.index)
+    for k, v in et.items():
+        assert abs(at[k] - v) <= max(3, 0.15 * v), (k, at[k], v)
