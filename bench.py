@@ -34,7 +34,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "set_except", "pivot_agg", "window_rank", "decontaminate",
                  "cdc_aggview", "curation_export", "dedup_against",
                  "cdc_joinview", "repetition_signals", "windowed_stream",
-                 "fuzzy_pairs", "ffill_tool"]
+                 "fuzzy_pairs", "ffill_tool", "windowed_distinct",
+                 "patch_upsert"]
 
 
 def _sf_of(sf_dir: str) -> float:

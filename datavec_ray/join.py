@@ -668,8 +668,20 @@ class _RangeMerge:
             out = l[self.left_cols][:0].copy()
             for c in self.right_cols:
                 out[c] = df[c][:0]
-            return out.astype({c: t for c, t in self.restore.items()
-                               if c in out.columns})
+            out = out.astype({c: t for c, t in self.restore.items()
+                              if c in out.columns})
+            # empty pandas blocks with object columns trip Ray's
+            # size estimator (np.vectorize on 0 rows) — emit a TYPED
+            # empty Arrow table instead (object columns are strings
+            # here: the tagged union only carries key/on/value cols)
+            fields = []
+            for c in out.columns:
+                if out[c].dtype == object:
+                    fields.append(pa.field(c, pa.string()))
+                else:
+                    fields.append(pa.field(
+                        c, pa.from_numpy_dtype(out[c].dtype)))
+            return pa.schema(fields).empty_table()
 
         # shared key codes across both sides (vectorized multi-key combine)
         codes = None
