@@ -811,6 +811,114 @@ def _q_cdc_joinview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_changefeed(sf_dir: str):
+    """Row-level CHANGE FEED between two lake snapshots (Delta CDF /
+    Iceberg changelog semantics): ingest half the binlog (v1), the
+    rest (v2), then emit v1→v2 deltas — insert/update/delete per key,
+    new image + winning LSN — with NO shuffle (snapshot partitions
+    align). The oracle recomputes both LWW states in SQL and joins
+    them, so the positional partition diff is value-checked end to
+    end."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="changefeed_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                   checkpoint_name="v2")
+        feed = eng.time_travel().change_feed("v1", "v2")
+
+        def ts_to_ms(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ts")
+            return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                                t["ts"].cast(pa.int64())).rename_columns(
+                [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+        from datavec_ray.util import dataset_to_table
+        return dataset_to_table(
+            feed.map_batches(ts_to_ms, batch_format="pyarrow"))
+    finally:
+        eng.shutdown()
+
+
+def _q_cdc_timetravel(sf_dir: str):
+    """AS-OF read through the real lake: ingest v1 then v2, then read
+    the state AS OF the v1 watermark LSN — resolved from the manifest,
+    served from the v1 segment (hardlinked payloads), never touching
+    v2 files. Oracle = LWW over only the events at or below the
+    watermark."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="timetravel_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                   checkpoint_name="v2")
+        asof = eng.time_travel().read_state_as_of(cut)
+
+        def ts_to_ms(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ts")
+            return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                                t["ts"].cast(pa.int64())).rename_columns(
+                [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+        from datavec_ray.util import dataset_to_table
+        return dataset_to_table(
+            asof.map_batches(ts_to_ms, batch_format="pyarrow"))
+    finally:
+        eng.shutdown()
+
+
+def _q_edit_pairs(sf_dir: str):
+    """Edit-history mining over the transcript change stream: adjacent
+    (previous → current) version pairs of every (conv, turn) in LWW
+    order — the raw material for revision/preference training pairs.
+    One key-hash exchange after a map-side tombstone/column prune."""
+    from datavec_ray.cdc.binlog import binlog_from_events, edit_pairs
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    return edit_pairs(binlog)
+
+
+def _q_tree_paths(sf_dir: str):
+    """Message-TREE linearization (OpenAssistant-style branched
+    transcripts): every root→leaf branch becomes one path row, via
+    parallel pointer doubling — ceil(log2 depth) co-partition
+    exchanges, no driver-held parent map. The tree is synthesized
+    deterministically from events (node v's parent = 1 +
+    ((v*48271+11) mod (v-1)), a random recursive tree rooted at 1),
+    mirrored in a recursive CTE."""
+    from datavec_ray.ops.graph import tree_paths
+
+    def synth(b: pa.Table) -> pa.Table:
+        vn = b["event_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) + 1
+        par = 1 + (vn * 48271 + 11) % np.maximum(vn - 1, 1)
+        return pa.table({
+            "id": pa.array(vn),
+            "parent": pa.array(par, pa.int64(), mask=(vn == 1))})
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    return tree_paths(ds.map_batches(synth, batch_format="pyarrow"))
+
+
 def _binlog_with_skewed_ts(sf_dir: str):
     """Derived binlog + a deterministically OUT-OF-ORDER event-time
     column (``ts_skew_ms = ts_ms - (lsn % 16) * 600s``): arrival order
@@ -2852,6 +2960,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
+        "cdc_changefeed": _q_cdc_changefeed,
+        "cdc_timetravel": _q_cdc_timetravel,
+        "edit_pairs": _q_edit_pairs,
+        "tree_paths": _q_tree_paths,
         "scd2_history": _q_scd2_history,
         "triangle_count": _q_triangle_count,
         "fuzzy_dedup": _q_fuzzy_dedup,
@@ -3386,6 +3498,61 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_changefeed": _BINLOG_CTE + """
+            , s2 as (select * from (select *, row_number() over
+                       (partition by conv_id, turn_idx
+                        order by ts_ms desc, lsn desc) as rn
+                     from e) t where rn = 1),
+              s1 as (select * from (select *, row_number() over
+                       (partition by conv_id, turn_idx
+                        order by ts_ms desc, lsn desc) as rn
+                     from e where lsn <= (select max(lsn) // 2 from e)) t
+                     where rn = 1)
+            select s2.conv_id, s2.turn_idx,
+                   case when s2.op = 'D' then 'delete'
+                        when s1.lsn is not null and s1.op <> 'D'
+                             then 'update'
+                        else 'insert' end as change_type,
+                   s2.role, s2.text, s2.tool, s2.ts_ms, s2.lsn
+            from s2 left join s1
+              on s1.conv_id = s2.conv_id and s1.turn_idx = s2.turn_idx
+            where (s1.lsn is null or s1.lsn <> s2.lsn)
+              and (s2.op <> 'D'
+                   or (s1.lsn is not null and s1.op <> 'D'))""",
+        "cdc_timetravel": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e where lsn <= (select max(lsn) // 2 from e)) t
+            where rn = 1 and op <> 'D'""",
+        "edit_pairs": _BINLOG_CTE + """
+            select conv_id, turn_idx,
+                   lag(role) over w as prev_role, role,
+                   lag(text) over w as prev_text, text,
+                   lag(ts_ms) over w as prev_ts_ms, ts_ms, lsn
+            from e where op <> 'D'
+            window w as (partition by conv_id, turn_idx
+                         order by ts_ms, lsn)
+            qualify lag(lsn) over w is not null""",
+        "tree_paths": """
+            with recursive t as (
+              select event_id + 1 as id,
+                     case when event_id + 1 = 1 then null
+                          else 1 + (((event_id + 1) * 48271 + 11)
+                                    % (event_id + 1 - 1)) end as parent
+              from events),
+            walk as (
+              select id, cast(id as varchar) as path,
+                     cast(1 as bigint) as depth
+              from t where parent is null
+              union all
+              select c.id, w.path || '/' || cast(c.id as varchar),
+                     w.depth + 1
+              from walk w join t c on c.parent = w.id)
+            select w.id, w.depth, w.path from walk w
+            where w.id not in
+              (select parent from t where parent is not null)""",
         "cdc_aggview": _BINLOG_CTE + """
             select role, count(*) as n_turns,
                    cast(sum(turn_idx) as bigint) as sum_turn,

@@ -322,3 +322,69 @@ def patch_upsert(ds, keys=("conv_id", "turn_idx"),
     patch.__name__ = "patch_upsert"
     return _group_partition(ds, keys, num_partitions) \
         .groupby(_GPART).map_groups(patch, batch_format="pyarrow")
+
+
+def edit_pairs(ds, keys=("conv_id", "turn_idx"), order_cols=("ts", "lsn"),
+               op_col: str = "op", text_col: str = "text",
+               extra_cols=("role",), num_partitions: int = 32):
+    """Consecutive VERSION PAIRS per key from a change stream: for each
+    (conv_id, turn_idx), order its non-delete events by ``order_cols``
+    (the LWW application order — value ts, monotonic-LSN tiebreak) and
+    emit one row per adjacent (previous, current) version. This is the
+    edit-history-mining primitive of a transcript CDC lake: every
+    assistant-turn revision becomes an (old draft → new draft) example
+    for revision/preference training, with both timestamps kept so
+    downstream can filter by edit latency.
+
+    SQL mirror: ``LAG(text/ts/lsn) OVER (PARTITION BY key ORDER BY
+    ts, lsn)`` over ``op <> 'D'`` rows, keeping rows whose LAG exists.
+
+    Shape: tombstones and unused payload columns are dropped MAP-SIDE
+    (before any exchange — deletes carry null payloads and can never
+    pair), then ONE hash-partition shuffle on the key; per partition a
+    single lexsort + shifted-array pairing resolves every key at once
+    (no per-key Python, no per-key map_groups).
+    """
+    from datavec_ray.misc import (_GPART, _group_partition,
+                                  _key_run_starts)
+    from datavec_ray.steps.base import combine
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    extra_cols = [c for c in extra_cols if c]
+    need = keys + order_cols + [text_col] + extra_cols
+
+    def prune(batch: pa.Table) -> pa.Table:
+        live = batch.filter(
+            pc.fill_null(pc.not_equal(batch[op_col], "D"), True))
+        return live.select(need)
+
+    def pair(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys]
+            + [(c, "ascending") for c in order_cols])
+        n = g.num_rows
+        first = _key_run_starts(g, keys) if n else \
+            np.ones(0, dtype=bool)
+        cur = np.flatnonzero(~first)          # rows with a predecessor
+        prev = cur - 1
+        cur_i = pa.array(cur, pa.int64())
+        prev_i = pa.array(prev, pa.int64())
+        ts_c, lsn_c = order_cols[0], order_cols[-1]
+        ts_ms = combine(g[ts_c]).cast(pa.int64()) if n else \
+            pa.chunked_array([], pa.int64())
+        cols: dict = {k: g[k].take(cur_i) for k in keys}
+        for c in extra_cols:
+            cols[f"prev_{c}"] = g[c].take(prev_i)
+            cols[c] = g[c].take(cur_i)
+        cols[f"prev_{text_col}"] = g[text_col].take(prev_i)
+        cols[text_col] = g[text_col].take(cur_i)
+        cols["prev_ts_ms"] = ts_ms.take(prev_i)
+        cols["ts_ms"] = ts_ms.take(cur_i)
+        cols[lsn_c] = g[lsn_c].take(cur_i)
+        return pa.table(cols)
+
+    pair.__name__ = "edit_pairs"
+    live = ds.map_batches(prune, batch_format="pyarrow")
+    return _group_partition(live, keys, num_partitions) \
+        .groupby(_GPART).map_groups(pair, batch_format="pyarrow")

@@ -52,7 +52,19 @@ def hash64(values, seed: int = 0) -> np.ndarray:
             except ImportError:
                 pass
         values = (values.combine_chunks() if isinstance(values, pa.ChunkedArray)
-                  else values).to_numpy(zero_copy_only=False)
+                  else values)
+        # An int/bool array WITH nulls would to_numpy() into float64/
+        # object — the same integer would then hash differently in
+        # batches that happen to contain a null vs batches that don't,
+        # splitting key groups across hash partitions. Pin the dtype by
+        # filling nulls with 0 first; callers that need null-distinct
+        # semantics overwrite null positions afterwards (see
+        # setops._row_hash's _NULL_MARK).
+        if values.null_count and (pa.types.is_integer(typ)
+                                  or pa.types.is_boolean(typ)):
+            import pyarrow.compute as pc
+            values = pc.fill_null(values, 0)
+        values = values.to_numpy(zero_copy_only=False)
     arr = np.asarray(values)
     if arr.dtype.kind in "iufb":
         data = arr.astype(np.float64, copy=False).tobytes() if arr.dtype.kind == "f" \

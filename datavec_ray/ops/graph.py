@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from datavec_ray.steps.base import combine
 
@@ -386,3 +387,120 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         .groupby(_GPART).map_groups(wedges, batch_format="pyarrow")
     closed = semi_join(wg, ce, ["id_a", "id_b"])
     return int(closed.count())
+
+
+def tree_paths(ds, id_col: str = "id", parent_col: str = "parent",
+               label_col=None, sep: str = "/", leaves_only: bool = True,
+               num_partitions: int = 32, max_rounds: int = 64):
+    """Root-to-node paths over a FOREST (message trees: OpenAssistant /
+    branched-transcript layouts where each message points at its
+    parent) — linearizing every root→leaf branch into one training
+    conversation is the standard tree-flattening step before SFT
+    export.
+
+    Parallel POINTER DOUBLING (Wyllie-style path jumping): every node
+    carries (ancestor, prefix) where ``prefix`` is the label path from
+    just below that ancestor down to itself; one round joins each
+    node's state with its ancestor's state, doubling the span the
+    prefix covers. A forest of depth D resolves in ceil(log2 D)
+    co-partition hash exchanges — total traffic O(n·|path|·log D), no
+    per-node recursion, no driver-held parent map (the map IS the
+    distributed dataset). A node whose parent id never appears in the
+    input is treated as depth-1 child of a missing root (its path
+    starts at itself) — the robust choice for partially-exported trees.
+
+    Returns (id, depth, path): ``depth`` = number of nodes on the path,
+    ``path`` = sep-joined labels root→node. ``leaves_only=True`` keeps
+    only nodes that are nobody's parent (each full branch once).
+    SQL mirror: a recursive CTE walking roots downward.
+    """
+    import ray.data as rd
+
+    from datavec_ray.join import anti_join
+    from datavec_ray.misc import _GPART, _group_partition
+    from datavec_ray.steps.base import combine
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = combine(batch[id_col]).cast(pa.int64())
+        lab = (combine(batch[label_col]).cast(pa.string())
+               if label_col else ids.cast(pa.string()))
+        return pa.table({
+            "__id": ids,
+            "__anc": combine(batch[parent_col]).cast(pa.int64()),
+            "__pfx": lab,
+            "__dist": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    state = ds.map_batches(init, batch_format="pyarrow").materialize()
+
+    def jump(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART])
+        probe = g.filter(pc.equal(g["__side"], 0))
+        look = g.filter(pc.equal(g["__side"], 1))
+        look = pa.table({"__jid": look["__id"], "__anc2": look["__anc"],
+                         "__pfx2": look["__pfx"], "__dist2": look["__dist"]})
+        j = probe.select(["__id", "__anc", "__pfx", "__dist"]) \
+            .join(look, keys=["__anc"], right_keys=["__jid"],
+                  join_type="left outer")
+        hit = pc.is_valid(j["__dist2"])
+        pfx = pc.if_else(
+            hit,
+            pc.binary_join_element_wise(
+                pc.fill_null(j["__pfx2"], ""), j["__pfx"], sep),
+            j["__pfx"])
+        # unmatched parent id = missing root: resolve the node as-is
+        anc = pc.if_else(hit, j["__anc2"], pa.scalar(None, pa.int64()))
+        dist = pc.add(j["__dist"], pc.fill_null(j["__dist2"], 0))
+        return pa.table({"__id": j["__id"], "__anc": anc,
+                         "__pfx": pfx, "__dist": dist})
+
+    jump.__name__ = "tree_paths_jump"
+
+    def count_undone(batch: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.is_valid(batch["__anc"]).cast(pa.int64()))
+                .as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        # ONE output per block carrying probe rows (key = ancestor;
+        # resolved rows have a null key and pass through the join
+        # unchanged — Arrow null keys never match) and lookup rows
+        # (key = own id), so the round needs no Dataset.union diamond.
+        probe = pa.table({
+            "__id": batch["__id"], "__anc": batch["__anc"],
+            "__pfx": batch["__pfx"], "__dist": batch["__dist"],
+            "__side": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "__k": batch["__anc"]})
+        look = pa.table({
+            "__id": batch["__id"], "__anc": batch["__anc"],
+            "__pfx": batch["__pfx"], "__dist": batch["__dist"],
+            "__side": pa.array(np.ones(batch.num_rows, np.int8)),
+            "__k": batch["__id"]})
+        return pa.concat_tables([probe, look])
+
+    for _ in range(max_rounds):
+        undone = sum(r["n"] for r in
+                     state.map_batches(count_undone,
+                                       batch_format="pyarrow").take_all())
+        if undone == 0:
+            break
+        tagged = state.map_batches(both_sides, batch_format="pyarrow")
+        state = _group_partition(tagged, ["__k"], num_partitions) \
+            .groupby(_GPART).map_groups(jump, batch_format="pyarrow") \
+            .materialize()
+    else:
+        raise RuntimeError(
+            f"tree_paths: depth exceeds 2**{max_rounds} rounds "
+            "(cycle in parent pointers?)")
+
+    out = state.map_batches(
+        lambda b: pa.table({id_col: b["__id"], "depth": b["__dist"],
+                            "path": b["__pfx"]}),
+        batch_format="pyarrow")
+    if leaves_only:
+        parents = ds.map_batches(
+            lambda b: pa.table({"__p": combine(b[parent_col])
+                                .cast(pa.int64())}).drop_null(),
+            batch_format="pyarrow")
+        out = anti_join(out, parents, [id_col], right_keys=["__p"])
+    return out
