@@ -811,6 +811,47 @@ def _q_cdc_joinview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_delta_lake(sf_dir: str):
+    """LSM merge-on-read commit mode end to end: three replays into a
+    delta-mode lake (base + per-commit delta segments, write volume
+    proportional to each commit's CHANGED winners, not the state),
+    compact() folds the segments, and the merged read must equal the
+    same from-scratch LWW state the rewrite-mode lake produces —
+    oracle identical to cdc_upsert."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events").materialize()
+    hi = int(ds.max("event_id"))
+    c1, c2 = hi // 3, 2 * hi // 3
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="delta_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8, commit_mode="delta")
+    try:
+        eng.replay(binlog.filter(expr=f"lsn <= {c1}"),
+                   checkpoint_name="v1")
+        eng.replay(binlog.filter(expr=f"lsn > {c1} and lsn <= {c2}"),
+                   checkpoint_name="v2")
+        eng.compact()       # mid-stream compaction must be transparent
+        eng.replay(binlog.filter(expr=f"lsn > {c2}"),
+                   checkpoint_name="v3")
+        state = eng.read_lake_dataset()
+
+        def ts_to_ms(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ts")
+            return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                                t["ts"].cast(pa.int64())).rename_columns(
+                [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+        from datavec_ray.util import dataset_to_table
+        return dataset_to_table(
+            state.map_batches(ts_to_ms, batch_format="pyarrow"))
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_changefeed(sf_dir: str):
     """Row-level CHANGE FEED between two lake snapshots (Delta CDF /
     Iceberg changelog semantics): ingest half the binlog (v1), the
@@ -2960,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_aggview": _q_cdc_aggview,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
+        "cdc_delta_lake": _q_cdc_delta_lake,
         "cdc_changefeed": _q_cdc_changefeed,
         "cdc_timetravel": _q_cdc_timetravel,
         "edit_pairs": _q_edit_pairs,
@@ -3492,6 +3534,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value, count(*) as n
             from events group by 1, 2""",
         "cdc_upsert": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_delta_lake": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx

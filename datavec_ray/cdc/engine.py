@@ -718,10 +718,75 @@ class _Deliver:
         return pa.table({"routed": pa.array([group.num_rows], pa.int64())})
 
 
+def _delta_segment_files(dir_: str, pid: int) -> list[str]:
+    """Ordered [base?, delta...] merge-on-read segment files for one
+    partition of a delta-mode lake or checkpoint directory. Delta file
+    order does not affect correctness (LWW is order-independent); the
+    sort just makes listings deterministic."""
+    if not os.path.isdir(dir_):
+        return []
+    base = os.path.join(dir_, f"part-{pid:04d}.base.parquet")
+    out = [base] if os.path.exists(base) else []
+    pre = f"part-{pid:04d}.delta-"
+    out += sorted(os.path.join(dir_, f) for f in os.listdir(dir_)
+                  if f.startswith(pre) and f.endswith(".parquet"))
+    return out
+
+
+def merge_segments(files: Sequence[str], drop_tombstones: bool,
+                   columns: Optional[list[str]] = None,
+                   filters=None) -> pa.Table:
+    """Merge-on-read over LSM segment files: concat + one LWW
+    compaction. Segments carry full state rows (payload + ts + lsn +
+    op), so the (ts, lsn)-argmax across segments IS the live state —
+    no segment ordering or level metadata needed. ``filters`` may
+    restrict rows per segment BEFORE the merge only when they are on
+    the LWW key itself (e.g. conv_id IN (...)): key-filtering keeps
+    every version of a surviving key, so the argmax is unchanged."""
+    tabs = [pq.read_table(f, columns=columns, filters=filters)
+            for f in files]
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    if t.num_rows == 0:
+        return t
+    return lww_compact_table(t, drop_tombstones=drop_tombstones)
+
+
+def _compact_partition(lake_dir: str, pid: int) -> Optional[dict]:
+    """Fold one partition's LSM segments into a single base segment.
+    Tombstones are DROPPED here (bottom level): late-event suppression
+    flows through CHECKPOINT state, whose hardlinked segments keep
+    their tombstones on the old inodes — the live lake never feeds
+    future LWW merges. Crash-safe: the base write is atomic, and
+    re-merging the new base with a leftover not-yet-unlinked delta is
+    idempotent (duplicate winners tie to identical rows)."""
+    segs = _delta_segment_files(lake_dir, pid)
+    if len(segs) <= 1:
+        return None
+    state = sort_conv_turn(merge_segments(segs, drop_tombstones=True))
+    base = os.path.join(lake_dir, f"part-{pid:04d}.base.parquet")
+    tmp = f"{base}.tmp.{os.getpid()}"
+    pq.write_table(state, tmp)
+    os.replace(tmp, base)
+    for f in segs:
+        if not f.endswith(".base.parquet"):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return {"partition": pid, "segments_merged": len(segs),
+            "rows": state.num_rows}
+
+
 def read_checkpoint_partition(ckpt_dir: str, pid: int) -> Optional[pa.Table]:
     """Load one partition's checkpointed LWW state.
 
-    Two on-disk formats:
+    Three on-disk formats; the third is the delta (merge-on-read)
+    layout — hardlinks of every lake segment current at checkpoint
+    time (``part-XXXX.base.parquet`` + ``part-XXXX.delta-*.parquet``),
+    merged here with tombstones RETAINED (a checkpointed tombstone
+    must keep beating late out-of-order events in future merges).
+
+    The other two formats:
     - legacy full snapshot: one parquet with every state column;
     - sidecar (current): ``part-XXXX.parquet`` holds only the narrow
       key/meta columns (lsn, op, conv_id, turn_idx, ts) ordered
@@ -732,6 +797,9 @@ def read_checkpoint_partition(ckpt_dir: str, pid: int) -> Optional[pa.Table]:
       Reconstruction zips the live prefix with the payload rows and
       gives tombstones null payload (deletes carry none by contract).
     """
+    segs = _delta_segment_files(ckpt_dir, pid)
+    if segs:
+        return merge_segments(segs, drop_tombstones=False)
     path = os.path.join(ckpt_dir, f"part-{pid:04d}.parquet")
     if not os.path.exists(path):
         return None
@@ -768,7 +836,7 @@ def detect_num_partitions(lake_dir: str) -> int:
         for e in reversed(Manifest(mpath).entries):
             if e.get("layout"):
                 return int(e["layout"])
-    pids = [int(f[len("part-"):-len(".parquet")])
+    pids = [int(f[len("part-"):].split(".")[0])
             for f in os.listdir(lake_dir)
             if f.startswith("part-") and f.endswith(".parquet")]
     if not pids:
@@ -789,11 +857,18 @@ class _ReplayCompactCommit:
     while the partition LAYOUT (num_partitions) stays fixed."""
 
     def __init__(self, lake_dir: str, ckpt_dir: str,
-                 prior_ckpt_dir: Optional[str], turn_idx_type: str):
+                 prior_ckpt_dir: Optional[str], turn_idx_type: str,
+                 delta_mode: bool = False, seg_label: str = "seg"):
         self.lake_dir = lake_dir
         self.ckpt_dir = ckpt_dir
         self.prior_ckpt_dir = prior_ckpt_dir
         self.turn_idx_type = turn_idx_type
+        self.delta_mode = delta_mode
+        # delta segment name carries the checkpoint name, so a crashed
+        # replay's RERUN atomically overwrites the same file instead of
+        # stacking a second delta (idempotence by naming)
+        self.seg_label = "".join(
+            c if c.isalnum() or c in "-_" else "_" for c in seg_label)
         self.__name__ = "replay_compact_commit"
 
     @staticmethod
@@ -807,7 +882,8 @@ class _ReplayCompactCommit:
         ("partition", pa.int64()), ("file", pa.string()),
         ("rows", pa.int64()), ("events_applied", pa.int64()),
         ("stale_dropped", pa.int64()), ("deletes", pa.int64()),
-        ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64())])
+        ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64()),
+        ("delta_rows", pa.int64())])
 
     def carry_forward(self, pid: int) -> Optional[dict]:
         """No new events for this partition: the prior checkpoint state
@@ -817,6 +893,19 @@ class _ReplayCompactCommit:
         into the new checkpoint; the lake file is untouched."""
         if not self.prior_ckpt_dir:
             return None
+        prior_segs = _delta_segment_files(self.prior_ckpt_dir, pid)
+        if prior_segs:  # delta layout: hardlink every segment forward
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            for src in prior_segs:
+                self._link_or_copy(src, os.path.join(
+                    self.ckpt_dir, os.path.basename(src)))
+            state_rows = merge_segments(
+                prior_segs, drop_tombstones=False,
+                columns=["conv_id", "turn_idx", "ts", "lsn", "op"]).num_rows
+            return {"partition": pid, "file": f"part-{pid:04d}.base.parquet",
+                    "rows": -1, "events_applied": 0, "stale_dropped": 0,
+                    "deletes": 0, "lsn_lo": 0, "lsn_hi": 0,
+                    "carried_forward": True, "state_rows": state_rows}
         prior_path = os.path.join(self.prior_ckpt_dir,
                                   f"part-{pid:04d}.parquet")
         if not os.path.exists(prior_path):
@@ -827,18 +916,26 @@ class _ReplayCompactCommit:
             dst = os.path.join(self.ckpt_dir, f"part-{pid:04d}{suffix}")
             if not os.path.exists(src) or os.path.exists(dst):
                 continue
-            try:
-                os.link(src, dst)
-            except OSError:
-                tmp = f"{dst}.tmp.{os.getpid()}"
-                import shutil
-                shutil.copyfile(src, tmp)
-                os.replace(tmp, dst)
+            self._link_or_copy(src, dst, overwrite=False)
         md = pq.read_metadata(prior_path)
         return {"partition": pid, "file": f"part-{pid:04d}.parquet",
                 "rows": -1, "events_applied": 0, "stale_dropped": 0,
                 "deletes": 0, "lsn_lo": 0, "lsn_hi": 0,
                 "carried_forward": True, "state_rows": md.num_rows}
+
+    @staticmethod
+    def _link_or_copy(src: str, dst: str, overwrite: bool = True) -> None:
+        if os.path.exists(dst):
+            if not overwrite:
+                return
+            os.remove(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            import shutil
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -868,6 +965,7 @@ class _ReplayCompactCommit:
             # can exceed the max surviving lsn
             lsn_hi = max(lsn_hi, int(pc.max(tbl["__wm"]).as_py()))
             tbl = tbl.drop_columns(["__wm"])
+        n_prior = 0
         if self.prior_ckpt_dir:
             prior = read_checkpoint_partition(self.prior_ckpt_dir, pid)
             if prior is not None:
@@ -875,6 +973,7 @@ class _ReplayCompactCommit:
                 if prior.num_rows:
                     lsn_lo = min(lsn_lo, int(pc.min(prior["lsn"]).as_py()))
                     lsn_hi = max(lsn_hi, int(pc.max(prior["lsn"]).as_py()))
+                n_prior = prior.num_rows
                 tbl = pa.concat_tables([prior, tbl])
         n = tbl.num_rows
         # -- LWW argmax on key arrays (same order as lww_compact_table) --
@@ -908,6 +1007,9 @@ class _ReplayCompactCommit:
             .to_numpy(zero_copy_only=False)
         final_live = final[live_mask]
         deletes = len(final) - len(final_live)
+        if self.delta_mode:
+            return self._commit_delta(pid, tbl, final, live_mask, n_prior,
+                                      events, stale, lsn_lo, lsn_hi)
         # -- sidecar checkpoint: narrow columns, [live..., tombstones...] -
         sidecar_idx = np.concatenate([final_live, final[~live_mask]])
         sidecar = tbl.select(["lsn", "op", "conv_id", "turn_idx", "ts"]) \
@@ -954,6 +1056,72 @@ class _ReplayCompactCommit:
         return {"partition": pid, "file": fname, "rows": out.num_rows,
                 "events_applied": events, "stale_dropped": stale,
                 "deletes": deletes, "lsn_lo": lsn_lo, "lsn_hi": lsn_hi}
+
+    def _commit_delta(self, pid: int, tbl: pa.Table, final, live_mask,
+                      n_prior: int, events: int, stale: int,
+                      lsn_lo: int, lsn_hi: int) -> dict:
+        """LSM commit: instead of rewriting the partition's full lake
+        file, append ONE delta segment holding only the winners this
+        commit CHANGED (new inserts/updates and fresh tombstones) —
+        write volume is proportional to the delta, not the state, which
+        is what keeps a 100 TB lake's incremental refresh cheap. The
+        first commit of a partition (no segments yet) writes the full
+        state as the ``.base`` segment, which also bootstraps a legacy
+        rewrite-mode lake into delta mode. Readers merge-on-read
+        (merge_segments); CdcIngestEngine.compact() folds deltas back
+        into the base. The checkpoint is hardlinks of every CURRENT
+        segment (immutable inodes — a later compact() replaces lake
+        NAMES, never these links), so resume / time travel / change
+        feeds read the same state through read_checkpoint_partition
+        with no format-specific code."""
+        t_turn = pa.int64() if self.turn_idx_type == "int64" else pa.int32()
+        segs = _delta_segment_files(self.lake_dir, pid)
+        # prior-state rows sit at indices [0, n_prior): winners at or
+        # above that mark originate from THIS commit's events
+        sel = final if not segs else final[final >= n_prior]
+        rows = tbl.select(["conv_id", "turn_idx"] + PAYLOAD_COLS
+                          + ["ts", "lsn", "op"]) \
+            .take(pa.array(sel, type=pa.int64()))
+
+        def _plain(col):
+            return (col.cast(pa.string())
+                    if pa.types.is_dictionary(col.type) else col)
+
+        out = pa.table({
+            "conv_id": _plain(rows["conv_id"]),
+            "turn_idx": rows["turn_idx"].cast(t_turn),
+            "role": _plain(rows["role"]),
+            "text": rows["text"],
+            "tool": _plain(rows["tool"]),
+            "ts": rows["ts"].cast(pa.timestamp("ms")),
+            "lsn": rows["lsn"].cast(pa.int64()),
+            "op": _plain(rows["op"]),
+        })
+        if segs and out.num_rows == 0:      # all-stale commit: no segment
+            fname = os.path.basename(segs[-1])
+        else:
+            fname = (f"part-{pid:04d}.base.parquet" if not segs
+                     else f"part-{pid:04d}.delta-{self.seg_label}.parquet")
+            path = os.path.join(self.lake_dir, fname)
+            self._write_atomic(out, path)
+            if not segs:
+                # a legacy rewrite-mode lake file is subsumed by the
+                # base (prior checkpoints keep hardlinks to its inode)
+                legacy = os.path.join(self.lake_dir,
+                                      f"part-{pid:04d}.parquet")
+                if os.path.exists(legacy):
+                    os.remove(legacy)
+            segs = segs + [path]
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        for src in segs:
+            self._link_or_copy(src, os.path.join(
+                self.ckpt_dir, os.path.basename(src)))
+        n_live = int(live_mask.sum())
+        return {"partition": pid, "file": fname, "rows": n_live,
+                "events_applied": events, "stale_dropped": stale,
+                "deletes": len(final) - n_live,
+                "delta_rows": out.num_rows,
+                "lsn_lo": lsn_lo, "lsn_hi": lsn_hi}
 
 
 # ---------------------------------------------------------------------------
@@ -1139,9 +1307,15 @@ class CdcIngestEngine:
                  shard_spill_threshold_rows: int = 5_000_000,
                  dlq: bool = False,
                  compat_mode: Optional[str] = None,
-                 fence_writer: bool = True):
+                 fence_writer: bool = True,
+                 commit_mode: str = "rewrite"):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
+        if commit_mode not in ("rewrite", "delta"):
+            raise ValueError("commit_mode must be 'rewrite' (one full lake "
+                             "file per partition per commit) or 'delta' "
+                             "(LSM merge-on-read segments + compact())")
+        self.commit_mode = commit_mode
         if ingest_mode == "auto":
             ingest_mode = ("shuffle" if num_partitions >= self.AUTO_SHUFFLE_PARTITIONS
                            else "router")
@@ -1291,7 +1465,9 @@ class CdcIngestEngine:
             self._canonical.field("turn_idx").type) else "int32")
         commit_fn = _ReplayCompactCommit(
             self.lake_dir, os.path.join(self.ckpt_dir, checkpoint_name),
-            prior_dir, turn_t)
+            prior_dir, turn_t,
+            delta_mode=self.commit_mode == "delta",
+            seg_label=checkpoint_name)
         P = self.num_partitions
         split_task = ray.remote(_replay_split).options(num_returns=P + 1)
         commit_task = ray.remote(_replay_commit)
@@ -1453,6 +1629,12 @@ class CdcIngestEngine:
         router into the shards. Returns events routed."""
         import ray
         import ray.data as rd
+        if self.commit_mode == "delta":
+            raise NotImplementedError(
+                "commit_mode='delta' supports the batch replay() path "
+                "(the shard-actor ingest path flushes full snapshots); "
+                "use replay(), or open the engine with "
+                "commit_mode='rewrite' for low-latency actor ingest")
         if isinstance(ds, pa.Table):
             ds = rd.from_arrow(ds)
         seg_schema = ds.schema().base_schema
@@ -1652,14 +1834,70 @@ class CdcIngestEngine:
         """The production way to read the lake: a streaming
         ``ray.data.read_parquet`` Dataset over the committed partition
         files — no driver materialization, no global sort. Partitions
-        are internally sorted by (conv_id, turn_idx) at flush time."""
+        are internally sorted by (conv_id, turn_idx) at flush time.
+
+        Delta-mode (merge-on-read) partitions get ONE merge task each —
+        parallelism is the partition layout, exactly like the commit
+        stage — while rewrite-mode files stream through a plain parquet
+        read; a half-migrated lake unions both."""
         import ray.data as rd
-        files = sorted(os.path.join(self.lake_dir, f)
-                       for f in os.listdir(self.lake_dir)
-                       if f.endswith(".parquet"))
-        if not files:
+        names = [f for f in os.listdir(self.lake_dir)
+                 if f.endswith(".parquet")]
+        seg_pids = sorted({int(f[len("part-"):].split(".")[0])
+                           for f in names
+                           if ".base." in f or ".delta-" in f})
+        plain = sorted(os.path.join(self.lake_dir, f) for f in names
+                       if ".base." not in f and ".delta-" not in f)
+        parts = []
+        if plain:
+            parts.append(rd.read_parquet(plain))
+        if seg_pids:
+            lake_dir = self.lake_dir
+
+            def merge_read(batch: pa.Table) -> pa.Table:
+                tabs = []
+                for pid in batch["pid"].to_pylist():
+                    st = merge_segments(
+                        _delta_segment_files(lake_dir, pid),
+                        drop_tombstones=True)
+                    if st.num_rows:
+                        tabs.append(sort_conv_turn(st).drop_columns(
+                            ["lsn", "op"]))
+                if not tabs:
+                    return TRANSCRIPT_SCHEMA.empty_table()
+                return pa.concat_tables(tabs, promote_options="permissive")
+
+            merge_read.__name__ = "lake_merge_read"
+            parts.append(
+                rd.from_arrow(pa.table({"pid": pa.array(seg_pids,
+                                                        pa.int64())}))
+                .repartition(len(seg_pids))
+                .map_batches(merge_read, batch_format="pyarrow"))
+        if not parts:
             return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
-        return rd.read_parquet(files)
+        return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    def compact(self, partitions: Optional[Sequence[int]] = None) -> list[dict]:
+        """Fold every delta segment back into its partition's base
+        segment (delta/LSM lakes; rewrite-mode partitions are already
+        one file). One Ray task per partition — same parallelism unit
+        as the commit stage, so a 256-node cluster compacts 256
+        partitions at once. Returns one summary dict per partition
+        that actually had deltas to fold, and appends a ``compact``
+        manifest entry for each (the manifest stays the audit trail of
+        every lake mutation). Run it on whatever cadence read
+        amplification warrants — reads stay correct at any point
+        (merge-on-read), compaction only makes them cheaper."""
+        import ray
+        pids = (list(partitions) if partitions is not None
+                else list(range(self.num_partitions)))
+        task = ray.remote(_compact_partition)
+        results = [r for r in ray.get(
+            [task.remote(self.lake_dir, pid) for pid in pids])
+            if r is not None]
+        for r in results:
+            self._fenced_append(dict(r, type="compact"))
+        return results
 
     def lookup(self, conv_ids) -> pa.Table:
         """Serving-style POINT READS: hash each requested conv_id to its
@@ -1689,6 +1927,15 @@ class CdcIngestEngine:
                             pids.add(int((hh + np.uint64(s) * gold) % P))
         tables = []
         for pid in sorted(pids):
+            segs = _delta_segment_files(self.lake_dir, pid)
+            if segs:
+                # key filter pushed into EVERY segment read is LWW-safe
+                # (filtering on the key keeps all versions of a key)
+                t = merge_segments(segs, drop_tombstones=True,
+                                   filters=[("conv_id", "in", ids)])
+                if t.num_rows:
+                    tables.append(t.drop_columns(["lsn", "op"]))
+                continue
             path = os.path.join(self.lake_dir, f"part-{pid:04d}.parquet")
             if os.path.exists(path):
                 t = pq.read_table(path, filters=[("conv_id", "in", ids)])
@@ -1824,9 +2071,18 @@ class CdcIngestEngine:
         """TEST/ORACLE convenience ONLY — materializes + globally sorts the
         whole lake on the driver. Production readers use
         ``read_lake_dataset()``."""
-        files = sorted(f for f in os.listdir(self.lake_dir)
+        names = sorted(f for f in os.listdir(self.lake_dir)
                        if f.endswith(".parquet"))
-        tables = [pq.read_table(os.path.join(self.lake_dir, f)) for f in files]
+        tables = [pq.read_table(os.path.join(self.lake_dir, f))
+                  for f in names if ".base." not in f and ".delta-" not in f]
+        seg_pids = sorted({int(f[len("part-"):].split(".")[0])
+                           for f in names
+                           if ".base." in f or ".delta-" in f})
+        for pid in seg_pids:
+            st = merge_segments(_delta_segment_files(self.lake_dir, pid),
+                                drop_tombstones=True)
+            if st.num_rows:
+                tables.append(st.drop_columns(["lsn", "op"]))
         tables = [t for t in tables if t.num_rows]
         if not tables:
             return TRANSCRIPT_SCHEMA.empty_table()

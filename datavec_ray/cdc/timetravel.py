@@ -74,10 +74,13 @@ def _segment_dir(ckpt_dir: str, name: str) -> str:
 
 
 def _partition_ids(seg_dir: str) -> list[int]:
-    return sorted(int(f[len("part-"):-len(".parquet")])
-                  for f in os.listdir(seg_dir)
-                  if f.startswith("part-") and f.endswith(".parquet")
-                  and ".payload." not in f)
+    # handles both checkpoint layouts: rewrite-mode sidecars
+    # (part-XXXX.parquet) and delta-mode segment hardlinks
+    # (part-XXXX.base.parquet / part-XXXX.delta-*.parquet)
+    return sorted({int(f[len("part-"):].split(".")[0])
+                   for f in os.listdir(seg_dir)
+                   if f.startswith("part-") and f.endswith(".parquet")
+                   and ".payload." not in f})
 
 
 def _normalize_state(t: Optional[pa.Table]) -> pa.Table:

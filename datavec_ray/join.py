@@ -670,18 +670,7 @@ class _RangeMerge:
                 out[c] = df[c][:0]
             out = out.astype({c: t for c, t in self.restore.items()
                               if c in out.columns})
-            # empty pandas blocks with object columns trip Ray's
-            # size estimator (np.vectorize on 0 rows) — emit a TYPED
-            # empty Arrow table instead (object columns are strings
-            # here: the tagged union only carries key/on/value cols)
-            fields = []
-            for c in out.columns:
-                if out[c].dtype == object:
-                    fields.append(pa.field(c, pa.string()))
-                else:
-                    fields.append(pa.field(
-                        c, pa.from_numpy_dtype(out[c].dtype)))
-            return pa.schema(fields).empty_table()
+            return self._typed_empty(out)
 
         # shared key codes across both sides (vectorized multi-key combine)
         codes = None
@@ -728,8 +717,26 @@ class _RangeMerge:
         rsel = r.iloc[rs[ridx]].reset_index(drop=True)
         for c in self.right_cols:
             out[c] = rsel[c]
-        return out.astype({c: t for c, t in self.restore.items()
-                           if c in out.columns})
+        out = out.astype({c: t for c, t in self.restore.items()
+                          if c in out.columns})
+        if not len(out):        # non-empty sides but zero matches
+            return self._typed_empty(out)
+        return out
+
+    @staticmethod
+    def _typed_empty(out):
+        # empty pandas blocks with object columns trip Ray's size
+        # estimator (np.vectorize on 0 rows) — emit a TYPED empty
+        # Arrow table instead (object columns are strings here: the
+        # tagged union only carries key/on/value cols)
+        fields = []
+        for c in out.columns:
+            if out[c].dtype == object:
+                fields.append(pa.field(c, pa.string()))
+            else:
+                fields.append(pa.field(
+                    c, pa.from_numpy_dtype(out[c].dtype)))
+        return pa.schema(fields).empty_table()
 
     @staticmethod
     def _ordinal(s):
