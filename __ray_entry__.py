@@ -811,6 +811,47 @@ def _q_cdc_joinview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_preference_pairs(sf_dir: str):
+    """Preference-pair mining from the transcript edit history: every
+    (conv, turn) with >= 2 live versions pairs its first draft
+    (rejected) with its final LWW winner (chosen) — DPO-style training
+    pairs straight from the change stream. Map-side tombstone prune +
+    one key-hash exchange + run-boundary first/last gather."""
+    from datavec_ray.cdc.binlog import binlog_from_events, preference_pairs
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    return preference_pairs(binlog)
+
+
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup: the binlog's INSERT turns plus a
+    re-keyed duplicate copy of every conversation (id || '~dup') are
+    fingerprinted per conversation (ordered md5 over role/text turns)
+    and deduplicated to the min-id conversation per fingerprint — the
+    duplicates must all collapse away. One key exchange to assemble
+    fingerprints (vectorized turn concat, one md5 per conversation),
+    one tiny fingerprint exchange to resolve."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.ops.dedup import conversation_dedup
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]) \
+        .map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def turns_with_dups(b: pa.Table) -> pa.Table:
+        ins = b.filter(pc.equal(b["op"], "I")) \
+               .select(["conv_id", "turn_idx", "lsn", "role", "text"])
+        dup = ins.set_column(
+            0, "conv_id",
+            pc.binary_join_element_wise(ins["conv_id"], "~dup", ""))
+        return pa.concat_tables([ins, dup])
+
+    turns = ds.map_batches(turns_with_dups, batch_format="pyarrow")
+    return conversation_dedup(turns, key="conv_id",
+                              order_cols=("turn_idx", "lsn"))
+
+
 def _q_cdc_delta_lake(sf_dir: str):
     """LSM merge-on-read commit mode end to end: three replays into a
     delta-mode lake (base + per-commit delta segments, write volume
@@ -3003,6 +3044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_delta_lake": _q_cdc_delta_lake,
         "cdc_changefeed": _q_cdc_changefeed,
+        "preference_pairs": _q_preference_pairs,
+        "conv_dedup": _q_conv_dedup,
         "cdc_timetravel": _q_cdc_timetravel,
         "edit_pairs": _q_edit_pairs,
         "tree_paths": _q_tree_paths,
@@ -3575,6 +3618,43 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e where lsn <= (select max(lsn) // 2 from e)) t
             where rn = 1 and op <> 'D'""",
+        "preference_pairs": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, rejected, chosen,
+                   n_versions, lsn
+            from (
+              select conv_id, turn_idx,
+                     last_value(role) over w as role,
+                     first_value(text) over w as rejected,
+                     last_value(text) over w as chosen,
+                     count(*) over (partition by conv_id, turn_idx)
+                       as n_versions,
+                     last_value(lsn) over w as lsn,
+                     row_number() over (partition by conv_id, turn_idx
+                                        order by ts_ms, lsn) as rn
+              from e where op <> 'D'
+              window w as (partition by conv_id, turn_idx
+                           order by ts_ms, lsn
+                           rows between unbounded preceding
+                                    and unbounded following)) t
+            where rn = 1 and n_versions >= 2""",
+        "conv_dedup": _BINLOG_CTE + """
+            , t as (
+              select conv_id, turn_idx, lsn, role, text
+              from e where op = 'I'
+              union all
+              select conv_id || '~dup', turn_idx, lsn, role, text
+              from e where op = 'I'),
+            c as (
+              select conv_id,
+                     md5(string_agg(
+                           coalesce(role, '') || chr(31)
+                           || coalesce(text, ''), chr(30)
+                           order by turn_idx, lsn)) as content_hash,
+                     count(*) as n_turns
+              from t group by conv_id)
+            select conv_id, content_hash, n_turns from c
+            qualify row_number() over (partition by content_hash
+                                       order by conv_id) = 1""",
         "edit_pairs": _BINLOG_CTE + """
             select conv_id, turn_idx,
                    lag(role) over w as prev_role, role,

@@ -388,3 +388,62 @@ def edit_pairs(ds, keys=("conv_id", "turn_idx"), order_cols=("ts", "lsn"),
     live = ds.map_batches(prune, batch_format="pyarrow")
     return _group_partition(live, keys, num_partitions) \
         .groupby(_GPART).map_groups(pair, batch_format="pyarrow")
+
+
+def preference_pairs(ds, keys=("conv_id", "turn_idx"),
+                     order_cols=("ts", "lsn"), op_col: str = "op",
+                     text_col: str = "text", role_col: str = "role",
+                     num_partitions: int = 32):
+    """(rejected → chosen) PREFERENCE pairs from the edit history: every
+    key with >= 2 non-delete versions emits one row pairing its FIRST
+    draft (rejected) with its final LWW winner (chosen) — the raw
+    material for preference/DPO-style training mined straight from a
+    transcript change stream. Versions order by ``order_cols`` (value
+    ts, monotonic-LSN tiebreak), the same order replay applies them.
+
+    SQL mirror: first_value/last_value over (PARTITION BY key ORDER BY
+    ts, lsn ROWS UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) on
+    ``op <> 'D'`` rows, QUALIFY count(*) OVER key >= 2.
+
+    Shape: tombstones and unused columns drop MAP-SIDE, then ONE
+    key-hash exchange; per partition a single lexsort + run-boundary
+    scan pairs every key at once (first index gathered for the
+    rejected columns, last index for the chosen ones) — no per-key
+    Python, no window materialization.
+    """
+    from datavec_ray.misc import _GPART, _group_partition, _key_run_starts
+    from datavec_ray.steps.base import combine
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    need = keys + order_cols + [role_col, text_col]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        live = batch.filter(
+            pc.fill_null(pc.not_equal(batch[op_col], "D"), True))
+        return live.select(need)
+
+    def pair(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in keys + order_cols])
+        n = g.num_rows
+        first = _key_run_starts(g, keys) if n else np.ones(0, bool)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1      # last row of each run
+        multi = ends > starts                    # >= 2 versions
+        lo = pa.array(starts[multi], pa.int64())
+        hi = pa.array(ends[multi], pa.int64())
+        lsn_c = order_cols[-1]
+        cols: dict = {k: g[k].take(hi) for k in keys}
+        cols[role_col] = g[role_col].take(hi)
+        cols["rejected"] = g[text_col].take(lo)
+        cols["chosen"] = g[text_col].take(hi)
+        cols["n_versions"] = pa.array(ends[multi] - starts[multi] + 1,
+                                      pa.int64())
+        cols[lsn_c] = g[lsn_c].take(hi)
+        return pa.table(cols)
+
+    pair.__name__ = "preference_pairs"
+    live = ds.map_batches(prune, batch_format="pyarrow")
+    return _group_partition(live, keys, num_partitions) \
+        .groupby(_GPART).map_groups(pair, batch_format="pyarrow")

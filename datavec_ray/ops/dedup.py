@@ -1328,3 +1328,66 @@ def dedup_against(ds, ref_ds, text_col: str = "text",
         .select_columns(["__fp0", "__fp1"])
     out = anti_join(left, right, keys=["__fp0", "__fp1"], **join_kw)
     return out.drop_columns(["__fp0", "__fp1"])
+
+
+def conversation_dedup(ds, key: str = "conv_id",
+                       order_cols=("turn_idx",),
+                       role_col: str = "role", text_col: str = "text",
+                       num_partitions: int = 32):
+    """CONVERSATION-level exact dedup: fingerprint each conversation as
+    the md5 of its ordered turn contents (``role\\x1ftext`` per turn,
+    turns joined by ``\\x1e`` in ``order_cols`` order) and keep the
+    min-``key`` conversation per fingerprint — the transcript-native
+    counterpart of document exact_dedup (a re-imported conversation
+    with a fresh id is one fingerprint bucket, not a new corpus row).
+
+    Shape: ONE key-hash exchange; per partition one sort + vectorized
+    Arrow per-turn concat + polars Rust group-join reduce turns to ONE
+    row per conversation, and md5 runs on that already-reduced side
+    (one digest per conversation — the per-turn hot path stays
+    vectorized, and md5 keeps the fingerprint mirrorable as DuckDB's
+    ``md5()``). Stage 2 is a tiny (hash, key, n_turns) exchange —
+    min-key-per-fingerprint over one row per conversation.
+
+    Returns survivors: (key, content_hash, n_turns).
+    """
+    import hashlib
+
+    from datavec_ray.misc import _GPART, _group_partition, _key_run_starts
+
+    sort_cols = [key] + list(order_cols)
+
+    def fingerprint(group: pa.Table) -> pa.Table:
+        import polars as pl
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        part = pc.binary_join_element_wise(
+            pc.fill_null(combine(g[role_col]).cast(pa.string()), ""),
+            pc.fill_null(combine(g[text_col]).cast(pa.string()), ""),
+            "\x1f")
+        df = pl.DataFrame({key: pl.Series(combine(g[key])),
+                           "part": pl.Series(part)})
+        out = df.group_by(key, maintain_order=True).agg(
+            pl.col("part").str.join("\x1e").alias("__content"),
+            pl.len().alias("n_turns"))
+        t = out.to_arrow()
+        h = pa.array([hashlib.md5(s.encode()).hexdigest()
+                      for s in t["__content"].cast(pa.string()).to_pylist()],
+                     pa.string())
+        return pa.table({key: t[key].cast(pa.string()),
+                         "content_hash": h,
+                         "n_turns": t["n_turns"].cast(pa.int64())})
+
+    fingerprint.__name__ = "conv_fingerprint"
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [("content_hash", "ascending"), (key, "ascending")])
+        first = _key_run_starts(g, ["content_hash"])
+        return g.filter(pa.array(first))
+
+    keep_first.__name__ = "conv_keep_first"
+    fps = _group_partition(ds, [key], num_partitions) \
+        .groupby(_GPART).map_groups(fingerprint, batch_format="pyarrow")
+    return _group_partition(fps, ["content_hash"], num_partitions) \
+        .groupby(_GPART).map_groups(keep_first, batch_format="pyarrow")

@@ -193,3 +193,37 @@ def test_change_feed_vs_from_scratch_states(ray_session, tmp_path):
     assert set(feed["change_type"]) <= {"insert", "update", "delete"}
     assert (feed["change_type"] == "update").any()
     assert (feed["change_type"] == "delete").any()
+
+
+def test_preference_pairs_first_vs_last(ray_session):
+    from datavec_ray.cdc.binlog import preference_pairs
+
+    out = dataset_to_table(
+        preference_pairs(rd.from_arrow(_mini_binlog()).repartition(3),
+                         num_partitions=4)).to_pandas()
+    # only (c,0) has >=2 live versions; (ts,lsn) order: v1 .. v4
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], r["turn_idx"]) == ("c", 0)
+    assert r["rejected"] == "v1" and r["chosen"] == "v4"
+    assert r["n_versions"] == 4 and r["lsn"] == 7
+
+
+def test_conversation_dedup_collapses_copies(ray_session):
+    from datavec_ray.ops.dedup import conversation_dedup
+
+    turns = pa.table({
+        "conv_id": pa.array(["a", "a", "b", "b", "z", "q"]),
+        "turn_idx": pa.array([0, 1, 0, 1, 0, 0], pa.int32()),
+        "role": pa.array(["user", "asst", "user", "asst", "user", None]),
+        "text": pa.array(["hi", "yo", "hi", "yo", "hi", None]),
+    })
+    out = dataset_to_table(
+        conversation_dedup(rd.from_arrow(turns).repartition(3),
+                           num_partitions=4)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    # b duplicates a (same ordered content) -> only min id 'a' survives;
+    # z differs from a (1 turn) and q differs from z (null role/text)
+    assert list(out["conv_id"]) == ["a", "q", "z"]
+    assert list(out["n_turns"]) == [2, 1, 1]
+    assert out["content_hash"].nunique() == 3
