@@ -819,7 +819,8 @@ def _q_preference_pairs(sf_dir: str):
     one key-hash exchange + run-boundary first/last gather."""
     from datavec_ray.cdc.binlog import binlog_from_events, preference_pairs
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"])
     binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
     return preference_pairs(binlog)
 
@@ -864,7 +865,8 @@ def _q_cdc_delta_lake(sf_dir: str):
     from datavec_ray.cdc.binlog import binlog_from_events
     from datavec_ray.cdc.engine import CdcIngestEngine
 
-    ds = _read(sf_dir, "events").materialize()
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]).materialize()
     hi = int(ds.max("event_id"))
     c1, c2 = hi // 3, 2 * hi // 3
     binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
@@ -906,7 +908,8 @@ def _q_cdc_changefeed(sf_dir: str):
     from datavec_ray.cdc.binlog import binlog_from_events
     from datavec_ray.cdc.engine import CdcIngestEngine
 
-    ds = _read(sf_dir, "events").materialize()
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]).materialize()
     cut = int(ds.max("event_id")) // 2
     binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
     lake = tempfile.mkdtemp(prefix="changefeed_lake")
@@ -942,7 +945,8 @@ def _q_cdc_timetravel(sf_dir: str):
     from datavec_ray.cdc.binlog import binlog_from_events
     from datavec_ray.cdc.engine import CdcIngestEngine
 
-    ds = _read(sf_dir, "events").materialize()
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"]).materialize()
     cut = int(ds.max("event_id")) // 2
     binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
     lake = tempfile.mkdtemp(prefix="timetravel_lake")
@@ -974,7 +978,8 @@ def _q_edit_pairs(sf_dir: str):
     One key-hash exchange after a map-side tombstone/column prune."""
     from datavec_ray.cdc.binlog import binlog_from_events, edit_pairs
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"])
     binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
     return edit_pairs(binlog)
 

@@ -35,7 +35,9 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "cdc_aggview", "curation_export", "dedup_against",
                  "cdc_joinview", "repetition_signals", "windowed_stream",
                  "fuzzy_pairs", "ffill_tool", "windowed_distinct",
-                 "patch_upsert"]
+                 "patch_upsert", "cdc_delta_lake", "cdc_changefeed",
+                 "edit_pairs", "preference_pairs", "conv_dedup",
+                 "tree_paths"]
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -142,6 +144,56 @@ def run_headline(sf: float) -> dict:
             # delta" evidence
             "routed_rows": routed,
             "combine_ratio": round(routed / n_events, 4)}
+
+
+def run_incremental(sf: float) -> dict:
+    """Write amplification of a small tail refresh: bulk-replay ~98% of
+    the binlog, then time ONLY the refresh of the last ~2% in rewrite
+    mode (full per-partition lake rewrite) vs delta mode (one LSM delta
+    segment per partition). The bytes written by the refresh are the
+    100 TB argument: delta-mode write volume tracks the delta, not the
+    state."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    path = binlog_path(sf)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    # lsn is 1..n_events dense (synth binlog): cut at ~98%
+    n_events = sum(pq.read_metadata(f).num_rows for f in files)
+    cut = int(n_events * 0.98)
+    num_parts = int(os.environ.get("GRAFT_NUM_PARTS", "32"))
+    out: dict = {"tail_events": n_events - cut}
+    for mode in ("rewrite", "delta"):
+        lake = f"/tmp/datavec_ray_bench_inc_{mode}_{os.getpid()}"
+        shutil.rmtree(lake, ignore_errors=True)
+        eng = CdcIngestEngine(lake, num_partitions=num_parts,
+                              commit_mode=mode)
+        ds = rd.read_parquet(path)
+        eng.replay(ds.filter(expr=f"lsn <= {cut}"), checkpoint_name="bulk")
+        tail = ds.filter(expr=f"lsn > {cut}").materialize()
+        t_mark = time.time()
+        lineage = eng.replay(tail, checkpoint_name="refresh")
+        sec = time.time() - t_mark
+        written = sum(
+            os.path.getsize(os.path.join(lake, f))
+            for f in os.listdir(lake) if f.endswith(".parquet")
+            and os.path.getmtime(os.path.join(lake, f)) >= t_mark - 0.5)
+        out[mode] = {
+            "refresh_sec": round(sec, 3),
+            "lake_bytes_written": written,
+            "rows_shipped": sum(l.get("delta_rows") or l["rows"]
+                                for l in lineage),
+        }
+        eng.shutdown()
+        shutil.rmtree(lake, ignore_errors=True)
+    rw, dl = out["rewrite"], out["delta"]
+    out["write_amplification_x"] = round(
+        rw["lake_bytes_written"] / max(dl["lake_bytes_written"], 1), 1)
+    return out
 
 
 def run_sketch(sf: float) -> dict:
@@ -263,8 +315,10 @@ def main_once() -> dict:
         headline = second
     if stage == "headline":
         queries = {}
+        incremental = None
     else:
         queries = run_queries(SF_DIR)
+        incremental = run_incremental(sf)
     result = {
         "metric": "cdc_replay_upsert_sec",
         "value": headline["sec"],
@@ -277,6 +331,7 @@ def main_once() -> dict:
         "lake_rows": headline["lake_rows"],
         "routed_rows": headline.get("routed_rows"),
         "combine_ratio": headline.get("combine_ratio"),
+        "incremental_refresh": incremental,
     }
     ray.shutdown()
     return result
