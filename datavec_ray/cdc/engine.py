@@ -753,16 +753,19 @@ def merge_segments(files: Sequence[str], drop_tombstones: bool,
 
 def _compact_partition(lake_dir: str, pid: int) -> Optional[dict]:
     """Fold one partition's LSM segments into a single base segment.
-    Tombstones are DROPPED here (bottom level): late-event suppression
-    flows through CHECKPOINT state, whose hardlinked segments keep
-    their tombstones on the old inodes — the live lake never feeds
-    future LWW merges. Crash-safe: the base write is atomic, and
-    re-merging the new base with a leftover not-yet-unlinked delta is
-    idempotent (duplicate winners tie to identical rows)."""
+    Tombstones are RETAINED (narrow null-payload rows): the NEXT
+    checkpoint hardlinks the compacted base, so dropping them here
+    would erase them from the checkpoint chain and let a later stale
+    (older-ts) event resurrect a deleted key — the bug the
+    late-event test guards. This mirrors rewrite mode, whose sidecar
+    checkpoints also retain tombstones forever; live reads filter
+    ``op <> 'D'`` either way. Crash-safe: the base write is atomic,
+    and re-merging the new base with a leftover not-yet-unlinked
+    delta is idempotent (duplicate winners tie to identical rows)."""
     segs = _delta_segment_files(lake_dir, pid)
     if len(segs) <= 1:
         return None
-    state = sort_conv_turn(merge_segments(segs, drop_tombstones=True))
+    state = sort_conv_turn(merge_segments(segs, drop_tombstones=False))
     base = os.path.join(lake_dir, f"part-{pid:04d}.base.parquet")
     tmp = f"{base}.tmp.{os.getpid()}"
     pq.write_table(state, tmp)
@@ -1308,7 +1311,8 @@ class CdcIngestEngine:
                  dlq: bool = False,
                  compat_mode: Optional[str] = None,
                  fence_writer: bool = True,
-                 commit_mode: str = "rewrite"):
+                 commit_mode: str = "rewrite",
+                 auto_compact_segments: int = 0):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if commit_mode not in ("rewrite", "delta"):
@@ -1316,6 +1320,10 @@ class CdcIngestEngine:
                              "file per partition per commit) or 'delta' "
                              "(LSM merge-on-read segments + compact())")
         self.commit_mode = commit_mode
+        # delta mode: compact a partition automatically once it
+        # accumulates this many segments (0 = manual compact() only) —
+        # the classic LSM read-amplification cap for long tail runs
+        self.auto_compact_segments = auto_compact_segments
         if ingest_mode == "auto":
             ingest_mode = ("shuffle" if num_partitions >= self.AUTO_SHUFFLE_PARTITIONS
                            else "router")
@@ -1532,6 +1540,12 @@ class CdcIngestEngine:
                 continue  # crash-rerun of an already-committed partition
             self._fenced_append(l)
         self.events_seen += sum(l["events_applied"] for l in lineages)
+        if self.commit_mode == "delta" and self.auto_compact_segments:
+            over = [pid for pid in range(P)
+                    if len(_delta_segment_files(self.lake_dir, pid))
+                    >= self.auto_compact_segments]
+            if over:
+                self.compact(over)
         return lineages
 
     # -- layout evolution -------------------------------------------------
@@ -1761,6 +1775,27 @@ class CdcIngestEngine:
             idle = 0
             for f in new:
                 path = os.path.join(wal_dir, f)
+                if self.commit_mode == "delta":
+                    # the LSM path IS the tailing path: each WAL segment
+                    # commits one small delta per touched partition
+                    # (replay checkpoints + commits itself), instead of
+                    # rewriting every partition file per segment
+                    lin = self.replay(rd.read_parquet(path),
+                                      checkpoint_name=f"tail-{f}",
+                                      min_lsn_exclusive=wm)
+                    n = sum(l["events_applied"] for l in lin)
+                    wm = max(wm, _segment_max_lsn(path, default=wm))
+                    done.add(f)
+                    n_segments += 1
+                    n_events += n
+                    for e in reversed(self.manifest.entries):
+                        if e.get("type") == "checkpoint" \
+                                and e.get("name") == f"tail-{f}":
+                            e["segment"] = f
+                            break
+                    self._fenced_append({"type": "tail-progress",
+                                         "segment": f, "lsn_hi": wm})
+                    continue
                 n = self.ingest(rd.read_parquet(path), min_lsn_exclusive=wm)
                 wm = max(wm, _segment_max_lsn(path, default=wm))
                 done.add(f)

@@ -123,9 +123,10 @@ def test_delta_lookup_and_dataset_read(ray_session, binlog, oracle,
 def test_tombstone_survives_compaction_for_late_events(ray_session,
                                                        tmp_path):
     """A deleted key must NOT be resurrected by a LATE (older-ts) event
-    arriving after the tombstone was compacted out of the lake — the
-    checkpoint chain (which retains tombstones) is what future merges
-    build on."""
+    arriving after a compaction. Compaction retains tombstones exactly
+    because the NEXT checkpoint hardlinks the compacted base — dropping
+    them there would erase them from the checkpoint chain and let the
+    stale event win (a real bug the auto-compaction test caught)."""
     lake = str(tmp_path / "lake")
 
     def bl(lsns, ops, ts, texts):
@@ -197,3 +198,43 @@ def test_rewrite_lake_migrates_to_delta(ray_session, binlog, oracle,
     assert all(".base." in f or ".delta-" in f for f in files)
     assert eng2.read_lake().equals(oracle)
     eng2.shutdown()
+
+
+def test_tail_wal_in_delta_mode(ray_session, binlog, oracle, tmp_path):
+    """WAL tailing — the frequent-small-commit pattern LSM mode is FOR:
+    each segment lands as deltas, state matches the oracle, and a
+    restarted tailer skips finished segments."""
+    import pyarrow.parquet as pq
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    for i, seg in enumerate(split_segments(binlog, 4)):
+        pq.write_table(seg, str(wal / f"seg-{i:03d}.parquet"))
+    lake = str(tmp_path / "lake")
+    eng = CdcIngestEngine(lake, num_partitions=4, commit_mode="delta")
+    stats = eng.tail(str(wal), poll_interval=0.05, idle_rounds=2)
+    assert stats["segments"] == 4
+    assert stats["watermark"] == int(pc.max(binlog["lsn"]).as_py())
+    assert any(".delta-" in f for f in _lake_files(lake))
+    assert eng.read_lake().equals(oracle)
+    del eng  # crash; a fresh tailer must re-ingest nothing
+    eng2 = CdcIngestEngine(lake, num_partitions=4, commit_mode="delta")
+    stats2 = eng2.tail(str(wal), poll_interval=0.05, idle_rounds=2)
+    assert stats2["segments"] == 0
+    assert eng2.read_lake().equals(oracle)
+    eng2.shutdown()
+
+
+def test_auto_compaction_caps_segments(ray_session, binlog, oracle,
+                                       tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = CdcIngestEngine(lake, num_partitions=4, commit_mode="delta",
+                          auto_compact_segments=3)
+    for i, seg in enumerate(split_segments(binlog, 6)):
+        eng.replay(seg, checkpoint_name=f"v{i}")
+        for pid in range(4):
+            from datavec_ray.cdc.engine import _delta_segment_files
+            assert len(_delta_segment_files(lake, pid)) < 3 + 1
+    assert any(e.get("type") == "compact" for e in eng.manifest.entries)
+    assert eng.read_lake().equals(oracle)
+    eng.shutdown()
