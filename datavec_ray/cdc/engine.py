@@ -2030,6 +2030,12 @@ class CdcIngestEngine:
             "watermark": self.manifest.watermark(),
             "partition_watermark_min": min(vals) if vals else None,
             "partition_watermark_max": max(vals) if vals else None,
+            "compactions": sum(1 for e in self.manifest.entries
+                               if e.get("type") == "compact"),
+            "lake_segments": sum(
+                1 for f in os.listdir(self.lake_dir)
+                if f.endswith(".parquet")) if os.path.isdir(self.lake_dir)
+            else 0,
         }
 
     def delete_where(self, predicate, checkpoint_name: str = "delete") -> dict:
