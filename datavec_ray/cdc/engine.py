@@ -2056,25 +2056,41 @@ class CdcIngestEngine:
 
         import pyarrow.compute as _pc
 
-        files = sorted(
-            os.path.join(self.lake_dir, f)
-            for f in os.listdir(self.lake_dir)
-            if f.startswith("part-") and f.endswith(".parquet"))
+        names = [f for f in os.listdir(self.lake_dir)
+                 if f.startswith("part-") and f.endswith(".parquet")]
+        plain = sorted(os.path.join(self.lake_dir, f) for f in names
+                       if ".base." not in f and ".delta-" not in f)
+        seg_pids = sorted({int(f[len("part-"):].split(".")[0])
+                           for f in names
+                           if ".base." in f or ".delta-" in f})
         wm = self.manifest.watermark()
 
-        @ray.remote
-        def _matched_keys(path: str):
-            t = pq.read_table(path)
+        def _mask_keys(t: pa.Table):
             mask = predicate(t)
             if not isinstance(mask, pa.Array):
                 mask = pa.array(np.asarray(mask, dtype=bool))
             return t.select(["conv_id", "turn_idx", "ts"]).filter(mask)
 
-        # one task per partition file — only the narrow matched KEYS
+        @ray.remote
+        def _matched_keys(path: str):
+            return _mask_keys(pq.read_table(path))
+
+        @ray.remote
+        def _matched_keys_merged(lake_dir: str, pid: int):
+            # delta lake: the predicate must see the LIVE state, not
+            # raw segments (superseded versions / tombstones would
+            # match stale payloads)
+            t = merge_segments(_delta_segment_files(lake_dir, pid),
+                               drop_tombstones=True)
+            return _mask_keys(t.drop_columns(["lsn", "op"]))
+
+        # one task per partition — only the narrow matched KEYS
         # return to the driver (bounded by the erasure size, never the
         # lake), same per-file unit as the index builder
-        keys = [t for t in ray.get([_matched_keys.remote(p)
-                                    for p in files]) if t.num_rows]
+        refs = [_matched_keys.remote(p) for p in plain] + \
+            [_matched_keys_merged.remote(self.lake_dir, pid)
+             for pid in seg_pids]
+        keys = [t for t in ray.get(refs) if t.num_rows]
         if not keys:
             return {"deleted": 0, "watermark": wm}
         sel = pa.concat_tables(keys)

@@ -238,3 +238,30 @@ def test_auto_compaction_caps_segments(ray_session, binlog, oracle,
     assert any(e.get("type") == "compact" for e in eng.manifest.entries)
     assert eng.read_lake().equals(oracle)
     eng.shutdown()
+
+
+def test_delete_where_in_delta_mode(ray_session, binlog, oracle, tmp_path):
+    """GDPR-style predicate erasure over a delta lake: the predicate
+    must evaluate against the MERGED live state (raw delta segments
+    hold superseded payload versions that must not match), and the
+    tombstones land as ordinary delta commits visible to time travel."""
+    lake = str(tmp_path / "lake")
+    eng = CdcIngestEngine(lake, num_partitions=4, commit_mode="delta")
+    for i, seg in enumerate(split_segments(binlog, 3)):
+        eng.replay(seg, checkpoint_name=f"v{i}")
+    victims = sorted(set(oracle["conv_id"].to_pylist()))[:3]
+
+    def pred(t):
+        return pc.is_in(t["conv_id"], pa.array(set(victims)))
+
+    n_victim_rows = oracle.filter(
+        pc.is_in(oracle["conv_id"], pa.array(set(victims)))).num_rows
+    res = eng.delete_where(pred, checkpoint_name="gdpr")
+    assert res["deleted"] == n_victim_rows
+    got = eng.read_lake()
+    exp = oracle.filter(pc.invert(
+        pc.is_in(oracle["conv_id"], pa.array(set(victims)))))
+    assert got.equals(exp)
+    # erasure is idempotent on the live state
+    assert eng.delete_where(pred, checkpoint_name="gdpr2")["deleted"] == 0
+    eng.shutdown()
