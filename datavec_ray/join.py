@@ -731,11 +731,17 @@ class _RangeMerge:
         # tagged union only carries key/on/value cols)
         fields = []
         for c in out.columns:
-            if out[c].dtype == object:
+            dt = out[c].dtype
+            if dt == object:
                 fields.append(pa.field(c, pa.string()))
-            else:
-                fields.append(pa.field(
-                    c, pa.from_numpy_dtype(out[c].dtype)))
+                continue
+            try:
+                typ = pa.from_numpy_dtype(dt)
+            except TypeError:
+                # pandas extension dtype (e.g. nullable Int64 from the
+                # restore map) — infer from an empty typed array
+                typ = pa.Array.from_pandas(out[c].head(0)).type
+            fields.append(pa.field(c, typ))
         return pa.schema(fields).empty_table()
 
     @staticmethod

@@ -312,6 +312,26 @@ def test_range_join(ray_session):
     assert out["t_r"].tolist() == [90, 100]
 
 
+def test_range_join_empty_bucket_nullable_restore():
+    """A zero-match bucket whose restore map reinstates pandas nullable
+    dtypes (Int64) must still emit a typed empty Arrow table —
+    pa.from_numpy_dtype can't interpret extension dtypes (the
+    stream_join sf0.01 crash this regression pins)."""
+    import pandas as pd
+    from datavec_ray.join import _RangeMerge
+
+    out = pd.DataFrame({
+        "id": pd.array([], dtype="Int64"),
+        "k": pd.Series([], dtype=object),
+        "x": pd.Series([], dtype="float64"),
+    })
+    t = _RangeMerge._typed_empty(out)
+    assert t.num_rows == 0
+    assert t.schema.field("id").type == pa.int64()
+    assert t.schema.field("k").type == pa.string()
+    assert t.schema.field("x").type == pa.float64()
+
+
 def test_range_join_overflow_fallback(ray_session):
     """on-values spanning ~2^61 force the per-key-segment fallback."""
     import ray.data as rd
