@@ -2968,6 +2968,19 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, "text", "doc_id")
 
 
+def _q_bm25(sf_dir: str):
+    """Okapi BM25 lexical-retrieval scoring of every document against a
+    fixed query — the retrieval-based-filtering / hard-negative-mining
+    scorer. Two shuffle-free passes: tiny per-batch (N, sum_dl, df)
+    stat partials, then broadcast (query hashes, idf, avgdl) + one
+    vectorized tf-matrix scoring map. Oracle = the same plus-one idf
+    and tf saturation formula as SQL CTEs."""
+    from datavec_ray.ops.textstats import bm25_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_score(docs, ["hash", "join", "filter"], "text", "doc_id")
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based sessionization of flat events: per user ordered by
     (ts, event_id), a >30-minute silence starts a new session; each row
@@ -3141,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_source": _q_orc_source,
         "range_window": _q_range_window,
         "unigram_logprob": _q_unigram_logprob,
+        "bm25": _q_bm25,
         "sessionize": _q_sessionize,
         "rollup": _q_rollup,
         "json_extract": _q_json_extract,
@@ -4744,6 +4758,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(ln(c / tc)) / count(*) as logprob_per_token
             from flat join freq using (tok), tot
             group by doc_id order by doc_id""",
+        "bm25": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), stats as (
+              select count(*) as n, sum(len(w)) / count(*) as avgdl
+              from toks
+            ), q(term) as (values ('hash'), ('join'), ('filter')),
+            flat as (
+              select doc_id, unnest(w) as tok from toks
+            ), tf as (
+              select doc_id, tok as term, count(*)::double as tf
+              from flat join q on tok = term group by 1, 2
+            ), df as (
+              select term, count(distinct doc_id)::double as df
+              from flat join q on tok = term group by 1
+            ), dl as (
+              select doc_id, len(w)::double as dl from toks
+            )
+            select t.doc_id,
+                   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                             * tf * (1.2 + 1)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                         4) as bm25
+            from tf t join df using (term) join dl using (doc_id), stats
+            group by t.doc_id order by t.doc_id""",
         "sessionize": """
             with e as (
               select event_id, user_id,

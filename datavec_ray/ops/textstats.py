@@ -961,3 +961,103 @@ def hashing_vectorize(batch: pa.Table, text_col: str = "text",
     return pa.table({id_col: ids,
                      "bucket": pa.array(uniq % dim),
                      "weight": pa.array(w, pa.float64())})
+
+
+def bm25_score(ds, query_terms: Sequence[str], text_col: str = "text",
+               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 relevance of every document against a fixed query —
+    the lexical-retrieval scorer (Robertson & Zaragoza 2009) curation
+    pipelines use for retrieval-based filtering / hard-negative mining
+    alongside TF-IDF (``fit_tfidf_vocab``). idf uses the always-positive
+    "plus one" form ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape — two shuffle-free streaming passes, NO corpus shuffle:
+    1. corpus stats: per batch ONE ``_tokenize_flat`` + searchsorted
+       membership against the (tiny, sorted) query-hash array → one
+       partial row ``(n_docs, sum_dl, df_0..df_{Q-1})`` per batch; the
+       driver sums #blocks tiny rows (bytes per block, any scale).
+    2. scoring: (query hashes, idf vector, N, avgdl) ship once via
+       ``ray.put``; per batch one tokenize + searchsorted + bincount
+       over (doc, term) codes → vectorized BM25 over a D×Q tf matrix.
+
+    Emits ``(id_col, bm25)`` for documents matching >=1 query term,
+    rounded to 4 dp (mirrored in the driver's SQL oracle), sorted by id.
+    Token membership matches on hash64 — string-equal modulo negligible
+    collisions, the standing assumption of every gram op here.
+    """
+    import ray
+    import ray.data as rd
+
+    from datavec_ray.ops.dedup import _tokenize_flat
+    from datavec_ray.util import dataset_to_table
+
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    if not terms:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    qh = hash64(pa.array([t.lower() for t in terms], pa.string())) \
+        .astype(np.uint64)
+    qorder = np.argsort(qh)
+    qh_sorted = qh[qorder]
+    Q = len(terms)
+
+    def _hits(th: np.ndarray, offs: np.ndarray):
+        """(doc_idx, sorted-term_idx) of every query-term token."""
+        pos = np.searchsorted(qh_sorted, th)
+        pos_c = np.minimum(pos, Q - 1)
+        hit = qh_sorted[pos_c] == th
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        return doc_of[hit], pos_c[hit]
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        th, offs = _tokenize_flat(batch[text_col])
+        n = np.int64(len(offs) - 1)
+        sum_dl = np.int64(len(th))
+        doc_idx, term_idx = _hits(th, offs)
+        # distinct (doc, term) presence -> per-term df partial
+        pres = np.unique(doc_idx * Q + term_idx)
+        df = np.bincount((pres % Q).astype(np.int64), minlength=Q)
+        return pa.table({"n": pa.array([n]), "sum_dl": pa.array([sum_dl]),
+                         "df": pa.array([df.astype(np.int64)],
+                                        pa.list_(pa.int64()))})
+
+    parts = dataset_to_table(
+        ds.map_batches(_stats, batch_format="pyarrow"))
+    n_docs = int(pc.sum(parts["n"]).as_py() or 0)
+    if n_docs == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    sum_dl = int(pc.sum(parts["sum_dl"]).as_py() or 0)
+    df = np.zeros(Q, dtype=np.int64)
+    for row in parts["df"].to_pylist():
+        df += np.asarray(row, dtype=np.int64)
+    avgdl = sum_dl / n_docs
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    ref = ray.put((qh_sorted, idf, avgdl))
+
+    class _Score:
+        def __init__(self):
+            self.qh, self.idf, self.avgdl = ray.get(ref)
+            self.__name__ = "bm25"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            th, offs = _tokenize_flat(batch[text_col])
+            dl = np.diff(offs).astype(np.float64)
+            doc_idx, term_idx = _hits(th, offs)
+            if len(doc_idx) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "bm25": pa.array([], pa.float64())})
+            D = len(dl)
+            tf = np.bincount(doc_idx * Q + term_idx,
+                             minlength=D * Q).reshape(D, Q).astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * (dl / self.avgdl))[:, None]
+            score = ((self.idf * tf * (k1 + 1.0)) / denom).sum(axis=1)
+            matched = tf.any(axis=1)
+            ids = combine(batch[id_col]).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: pa.array(ids[matched]),
+                "bm25": pa.array(np.round(score[matched], 4), pa.float64())})
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=(1, 8)).sort(id_col)

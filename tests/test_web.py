@@ -272,3 +272,40 @@ def test_logreg_hashed_classifier(ray_session):
     acc = np.mean([(r["quality_score"] > 0.5) == (r["label"] == 1)
                    for r in scored])
     assert acc == 1.0                                # separable signal
+
+
+def test_bm25_parity_with_naive(ray_session):
+    """bm25_score == the naive per-doc Okapi formula (plus-one idf),
+    invariant to partitioning; empty docs count toward N and avgdl."""
+    import math
+
+    import ray.data as rd
+
+    from datavec_ray.ops.textstats import bm25_score
+    from datavec_ray.util import dataset_to_table
+
+    docs = ["the cat sat", "cat cat dog", "bird", "", "dog the dog cat"]
+    terms = ["cat", "dog"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)})).repartition(3)
+    out = dataset_to_table(bm25_score(ds, terms)).to_pandas()
+
+    toks = [d.lower().split() for d in docs]
+    n, avgdl = len(toks), sum(map(len, toks)) / len(toks)
+    ref = {}
+    for i, x in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = x.count(t)
+            if tf:
+                df = sum(t in y for y in toks)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(x) / avgdl))
+        if s > 0:
+            ref[i] = round(s, 4)
+    assert dict(zip(out["doc_id"], out["bm25"])) == ref
+    # duplicate query terms collapse; unknown terms contribute nothing
+    out2 = dataset_to_table(
+        bm25_score(ds, ["cat", "cat", "zzz", "dog"])).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["bm25"])) == ref
