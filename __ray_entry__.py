@@ -1161,6 +1161,53 @@ def _q_txn_upsert(sf_dir: str):
     return final.map_batches(ts_to_ms, batch_format="pyarrow")
 
 
+def _q_cdc_multitable(sf_dir: str):
+    """Cross-table transactional atomicity: one transactional binlog
+    whose events route to TWO lake tables (A = even turn_idx, B = odd);
+    a txn's events must become visible in BOTH tables or NEITHER.
+    Committed ids are collected ONCE (tiny column-pruned pass) and the
+    broadcast filter gates each table's stream; each table is LWW-
+    compacted independently. Output = union of both final states tagged
+    with ``tbl`` — the multi-table consistency contract of a
+    transactional CDC source (MySQL XID / Postgres commit records)."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import lww_compact_dataset
+    from datavec_ray.cdc.txn import txn_split
+
+    ds = _read(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        bl = binlog_from_events(b)
+        txn = pc.divide(bl["lsn"], 8)
+        return bl.append_column("txn_id", pc.cast(txn, pa.int64()))
+
+    binlog = ds.map_batches(prep, batch_format="pyarrow")
+    apply_ds, _pending, _n = txn_split(
+        binlog, txn_col="txn_id", op_col="tool", commit_op="signup",
+        drop_markers=False)
+
+    def _table(side: int):
+        def pick(t: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(t["turn_idx"], pa.scalar(1, pa.int32()))
+            return t.filter(pc.equal(par, pa.scalar(side, pa.int32())))
+
+        part = apply_ds.map_batches(
+            pick, batch_format="pyarrow").drop_columns(["txn_id"])
+        final = lww_compact_dataset(part, num_partitions=8)
+
+        def tag(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ts")
+            t = t.set_column(i, pa.field("ts_ms", pa.int64()),
+                             t["ts"].cast(pa.int64())).rename_columns(
+                [c if c != "ts" else "ts_ms" for c in t.column_names])
+            return t.append_column(
+                "tbl", pa.array(["A" if side == 0 else "B"] * len(t)))
+
+        return final.map_batches(tag, batch_format="pyarrow")
+
+    return _table(0).union(_table(1))
+
+
 def _q_regex_extract(sf_dir: str):
     """Named-capture-group regex extraction to new columns (RegexExtract
     step, Arrow extract_regex kernel — one vectorized pass)."""
@@ -3079,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct": _q_windowed_distinct,
         "stream_join": _q_stream_join,
         "txn_upsert": _q_txn_upsert,
+        "cdc_multitable": _q_cdc_multitable,
         "hopping_stream": _q_hopping_stream,
         "session_stream": _q_session_stream,
         "funnel": _q_funnel,
@@ -3855,6 +3903,17 @@ def oracle_sql() -> dict[str, str]:
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select t.*, row_number() over
                     (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from t join c using(txn_id)) x
+            where rn = 1 and op <> 'D'""",
+        "cdc_multitable": _BINLOG_CTE + """
+            , t as (select *, lsn // 8 as txn_id,
+                    case when turn_idx % 2 = 0 then 'A' else 'B' end as tbl
+                    from e),
+            c as (select distinct txn_id from t where tool = 'signup')
+            select tbl, conv_id, turn_idx, role, text, tool, ts_ms
+            from (select t.*, row_number() over
+                    (partition by tbl, conv_id, turn_idx
                      order by ts_ms desc, lsn desc) as rn
                   from t join c using(txn_id)) x
             where rn = 1 and op <> 'D'""",
