@@ -3085,6 +3085,63 @@ def _q_json_extract(sf_dir: str):
     return p.execute(ds)
 
 
+def _q_grouped_moments(sf_dir: str):
+    """Per-group skewness / excess kurtosis over integer-valued
+    l_quantity — exact power-sum partials combined in arbitrary
+    precision; the oracle mirrors the identical float expression over
+    HUGEINT sums, bit-exact (ops.analytics.grouped_moments)."""
+    from datavec_ray.ops.analytics import grouped_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_moments(ds, ["l_returnflag"], "l_quantity")
+
+
+def _q_grouped_entropy(sf_dir: str):
+    """Shannon entropy (log2) of the order-status distribution per
+    order priority — distinct-count combiner, one partial shuffle
+    (ops.analytics.grouped_entropy)."""
+    from datavec_ray.ops.analytics import grouped_entropy
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return grouped_entropy(ds, ["o_orderpriority"], "o_orderstatus")
+
+
+def _q_time_resample(sf_dir: str):
+    """Per-user daily-grid resampling of event values with linear
+    interpolation between bracketing observations — generate_series +
+    double ASOF-join oracle; duplicate timestamps reduce to MAX first
+    (misc.time_resample)."""
+    from datavec_ray.misc import time_resample
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .filter(expr="user_id < 50")
+    return time_resample(ds, ["user_id"], "ts", "value",
+                         step_ms=86_400_000, method="linear")
+
+
+def _q_mad_outliers(sf_dir: str):
+    """Per-event-type robust outlier counts via the Hampel identifier
+    (|x − median| > 3·MAD) — two exact grouped-median passes broadcast
+    back, corpus never shuffles (misc.mad_outliers)."""
+    from datavec_ray.misc import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return mad_outliers(ds, ["event_type"], "value", k=3.0, summary=True)
+
+
+def _q_compression_signal(sf_dir: str):
+    """zlib compression-ratio repetition signal per document (C4 /
+    Gopher-class quality gate) — rows-only: DEFLATE has no SQL
+    counterpart; parity vs direct zlib is pytest-checked
+    (ops.textstats.compression_signal)."""
+    from datavec_ray.ops.textstats import compression_signal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 500")
+    return compression_signal(ds).select_columns(
+        ["doc_id", "n_bytes", "n_compressed", "compress_ratio"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -3228,6 +3285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_offsets": _q_turn_offsets,
         "negative_samples": _q_negative_samples,
         "grouped_corr": _q_grouped_corr,
+        "grouped_moments": _q_grouped_moments,
+        "grouped_entropy": _q_grouped_entropy,
+        "time_resample": _q_time_resample,
+        "mad_outliers": _q_mad_outliers,
+        "compression_signal": _q_compression_signal,
         "patch_upsert": _q_patch_upsert,
         "winsorize": _q_winsorize,
         "quantile_bucket": _q_quantile_bucket,
@@ -4317,6 +4379,94 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by l_returnflag
             order by l_returnflag""",
+        "grouped_moments": """
+            with x as (
+              select l_returnflag as rf, cast(l_quantity as hugeint) as v
+              from lineitem where l_quantity is not null
+            ), s as (
+              select rf, cast(count(*) as hugeint) as n, sum(v) as s1,
+                     sum(v*v) as s2, sum(v*v*v) as s3, sum(v*v*v*v) as s4
+              from x group by rf
+            ), m as (
+              select rf, n,
+                cast(n*s2 - s1*s1 as double) / cast(n*n as double) as m2,
+                cast(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 as double)
+                    / cast(n*n*n as double) as m3,
+                cast(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                     - 3*s1*s1*s1*s1 as double)
+                    / cast(n*n*n*n as double) as m4
+              from s
+            )
+            select rf as l_returnflag, cast(n as bigint) as n,
+                   case when m2 = 0 then null
+                        else m3 / (m2 * sqrt(m2)) end as skew,
+                   case when m2 = 0 then null
+                        else m4 / (m2 * m2) - 3.0 end as kurt
+            from m order by 1""",
+        "grouped_entropy": """
+            with c as (
+              select o_orderpriority as pri, o_orderstatus as v,
+                     cast(count(*) as hugeint) as c
+              from orders where o_orderstatus is not null
+              group by 1, 2
+            )
+            select pri as o_orderpriority, cast(sum(c) as bigint) as n,
+                   round(log2(cast(sum(c) as double))
+                         - sum(cast(c as double)
+                               * log2(cast(c as double)))
+                           / cast(sum(c) as double), 6) as entropy
+            from c group by pri order by pri""",
+        "time_resample": """
+            with pts as (
+              select user_id, cast(epoch_ms(ts) as bigint) as t,
+                     max(value) as v
+              from events
+              where user_id < 50 and value is not null
+              group by 1, 2
+            ), rng as (
+              select user_id,
+                     ((min(t) + 86399999) // 86400000) * 86400000 as gmin,
+                     (max(t) // 86400000) * 86400000 as gmax
+              from pts group by 1
+            ), grid as (
+              select user_id,
+                     unnest(generate_series(gmin, gmax, 86400000)) as t
+              from rng where gmax >= gmin
+            ), prv as (
+              select g.user_id, g.t, p.t as pt, p.v as pv
+              from grid g asof join pts p
+                on g.user_id = p.user_id and g.t >= p.t
+            ), nxt as (
+              select g.user_id, g.t, p.t as nt, p.v as nv
+              from grid g asof join pts p
+                on g.user_id = p.user_id and g.t <= p.t
+            )
+            select p.user_id, p.t as ts_ms,
+                   case when n.nt = p.pt then p.pv
+                        else p.pv + (n.nv - p.pv)
+                             * (cast(p.t - p.pt as double)
+                                / cast(n.nt - p.pt as double)) end as value
+            from prv p join nxt n
+              on p.user_id = n.user_id and p.t = n.t
+            order by 1, 2""",
+        "mad_outliers": """
+            with med as (
+              select event_type, quantile_cont(value, 0.5) as median
+              from events group by 1
+            ), d as (
+              select e.event_type, e.value,
+                     abs(e.value - m.median) as ad, m.median
+              from events e join med m using (event_type)
+            ), md as (
+              select event_type, quantile_cont(ad, 0.5) as mad
+              from d group by 1
+            )
+            select d.event_type, cast(count(d.value) as bigint) as n,
+                   cast(sum(case when d.ad > 3.0 * md.mad then 1
+                                 else 0 end) as bigint) as n_outliers,
+                   max(d.median) as median, max(md.mad) as mad
+            from d join md using (event_type)
+            group by d.event_type order by d.event_type""",
         "negative_samples": f"""
             with s as (select vec_id,
                          unnest(generate_series(0, 3)) as slot

@@ -1468,3 +1468,204 @@ def rollup_agg(ds, keys: Sequence[str], aggs: Sequence[Sequence[str]],
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     return _group_partition(partials, ["__gset"] + keys, num_partitions) \
         .groupby(_GPART).map_groups(_final, batch_format="pyarrow")
+
+
+def time_resample(ds, keys: Sequence[str], ts_col: str, value_col: str,
+                  step_ms: int, method: str = "linear",
+                  out_ts_col: str = "ts_ms", num_partitions: int = 32):
+    """Per-key regular-grid time resampling with gap fill — the
+    missing-timestep repair stage of a sensor/metrics pipeline (SQL:
+    ``generate_series`` grid + two ASOF joins + linear interpolation).
+    For each key group, emits one row per grid point ``t = i·step_ms``
+    covering ``[ceil(min_ts/step)·step, floor(max_ts/step)·step]`` —
+    every grid point lies between two observations, so no extrapolation
+    policy is needed. ``method="linear"`` interpolates between the
+    bracketing observations; ``"locf"`` carries the last observation
+    forward. Duplicate timestamps within a key are first reduced to
+    MAX(value) (deterministic under any partitioning; mirror it in the
+    oracle).
+
+    Scale shape: one per-batch (keys, ts) MAX combiner bounds the
+    shuffle at per-batch-distinct observation rows; then ONE
+    hash-partition exchange and, per partition, one sort + ONE global
+    ``searchsorted`` pair over segment-biased EXACT int64 timestamps
+    (same discipline as ``range_window_agg``; per-segment fallback
+    beyond the 2^62 bias bound). The grid itself is materialized
+    directly from per-segment counts (repeat/cumsum), never a Python
+    loop per key.
+
+    Interpolation float-op order is fixed and mirrored in SQL —
+    ``pv + (nv − pv) · (double(t − pt) / double(nt − pt))`` over exact
+    int64 ms — so results are bit-identical to the DuckDB oracle."""
+    from datavec_ray.reduce import Reducer
+
+    if method not in ("linear", "locf"):
+        raise ValueError("method must be 'linear' or 'locf'")
+    keys = list(keys)
+    step = int(step_ms)
+    if step <= 0:
+        raise ValueError("step_ms must be positive")
+
+    def to_points(b: pa.Table) -> pa.Table:
+        t = b[ts_col]
+        if pa.types.is_timestamp(t.type):
+            t = pc.cast(pc.cast(t, pa.timestamp("ms"), safe=False),
+                        pa.int64())
+        else:
+            t = pc.cast(t, pa.int64())
+        tbl = b.select(keys)
+        tbl = tbl.append_column(pa.field("__t", pa.int64()), t)
+        tbl = tbl.append_column(pa.field("__v", pa.float64()),
+                                pc.cast(b[value_col], pa.float64()))
+        tbl = tbl.filter(pc.is_valid(tbl["__v"]))
+        return tbl.group_by(keys + ["__t"]).aggregate([("__v", "max")]) \
+            .rename_columns(keys + ["__t", "__v"])
+
+    pts = ds.map_batches(to_points, batch_format="pyarrow")
+    pts = Reducer(keys + ["__t"], [["__v", "Max", "__v"]]).apply_dataset(pts)
+
+    def resample(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys] + [("__t", "ascending")])
+        n = g.num_rows
+        empty = {k: pa.array([], g.schema.field(k).type) for k in keys}
+        empty[out_ts_col] = pa.array([], pa.int64())
+        empty[value_col] = pa.array([], pa.float64())
+        if n == 0:
+            return pa.table(empty)
+        t = g["__t"].to_numpy(zero_copy_only=False)
+        v = g["__v"].to_numpy(zero_copy_only=False)
+        run_starts = _key_run_starts(g.select(keys), keys)
+        starts = np.flatnonzero(run_starts)
+        ends = np.append(starts[1:], n)
+        tmin, tmax = t[starts], t[ends - 1]
+        gmin = -(-tmin // step) * step          # ceil to grid
+        gmax = (tmax // step) * step            # floor to grid
+        cnt = np.maximum((gmax - gmin) // step + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(empty)
+        seg_of_grid = np.repeat(np.arange(len(starts)), cnt)
+        offs = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt[:-1]))), cnt)
+        gt = np.repeat(gmin, cnt) + offs * step
+        # segment-biased exact int64 binary search (range_window_agg
+        # discipline); per-segment fallback beyond the bias bound
+        tshift = t - t.min()
+        span = int(tshift.max()) + 1
+        seg_of_pt = np.cumsum(run_starts) - 1
+        if len(starts) <= (2 ** 62) // max(span, 1):
+            tt = seg_of_pt * np.int64(span) + tshift
+            gg = seg_of_grid * np.int64(span) + (gt - t.min())
+            ip = np.searchsorted(tt, gg, side="right") - 1
+            inx = np.searchsorted(tt, gg, side="left")
+        else:
+            ip = np.empty(total, np.int64)
+            inx = np.empty(total, np.int64)
+            gb = np.concatenate(([0], np.cumsum(cnt)))
+            for si, (a, b) in enumerate(zip(starts, ends)):
+                lo, hi = gb[si], gb[si + 1]
+                ip[lo:hi] = a + np.searchsorted(
+                    t[a:b], gt[lo:hi], side="right") - 1
+                inx[lo:hi] = a + np.searchsorted(
+                    t[a:b], gt[lo:hi], side="left")
+        pt_, nt_ = t[ip], t[inx]
+        pv, nv = v[ip], v[inx]
+        if method == "locf":
+            val = pv
+        else:
+            same = nt_ == pt_
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = (gt - pt_).astype(np.float64) \
+                    / (nt_ - pt_).astype(np.float64)
+                val = np.where(same, pv, pv + (nv - pv) * frac)
+        cols = {k: combine(g[k]).take(pa.array(starts[seg_of_grid],
+                                               pa.int64()))
+                for k in keys}
+        cols[out_ts_col] = pa.array(gt)
+        cols[value_col] = pa.array(val)
+        return pa.table(cols)
+
+    resample.__name__ = "time_resample"
+    return _group_partition(pts, keys, num_partitions) \
+        .groupby(_GPART).map_groups(resample, batch_format="pyarrow")
+
+
+def mad_outliers(ds, keys: Sequence[str], column: str, k: float = 3.0,
+                 out_col: str = "is_outlier", summary: bool = False,
+                 num_partitions: int = 32):
+    """Per-group robust outlier detection by median absolute deviation:
+    a row is an outlier when ``|x − median(x)| > k · MAD`` with MAD =
+    ``median(|x − median(x)|)`` over the row's OWN key group — the
+    Hampel identifier, the robust companion to z-score trimming
+    (group_winsorize), insensitive to the very outliers it flags.
+    SQL mirror: DuckDB ``median``/``mad`` (exact: grouped_quantile
+    "linear" == quantile_cont).
+
+    Scale shape: two exact grouped-quantile passes (each ONE
+    partial-row shuffle bounded by the raw column — the exact-median
+    floor) each yielding a groups-sized stats table that is
+    BROADCAST-joined back; the corpus itself never shuffles. With
+    ``summary=True`` the per-row flags reduce to one (keys, n, median,
+    mad, n_outliers) row per group through the map-side-combined
+    grouped Sum.
+
+    Null values are never outliers and keep a null flag contribution
+    of 0 (mirrors ``CASE WHEN abs(x−m) > k·mad THEN 1 ELSE 0 END``)."""
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.util import dataset_to_table
+
+    keys = list(keys)
+    k = float(k)
+    med = dataset_to_table(grouped_quantile(
+        ds, keys, column, [0.5], ["__med"], num_partitions, "linear"))
+    withmed = JoinStep(med, keys, join_type="LeftOuter",
+                       broadcast=True).apply_dataset(ds)
+
+    def add_ad(b: pa.Table) -> pa.Table:
+        v = pc.cast(combine(b[column]), pa.float64())
+        return b.append_column(
+            pa.field("__ad", pa.float64()),
+            pc.abs(pc.subtract(v, combine(b["__med"]))))
+
+    withad = withmed.map_batches(add_ad, batch_format="pyarrow")
+    mad = dataset_to_table(grouped_quantile(
+        withad, keys, "__ad", [0.5], ["__mad"], num_partitions, "linear"))
+    flagged = JoinStep(mad, keys, join_type="LeftOuter",
+                       broadcast=True).apply_dataset(withad)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ad = b["__ad"].to_numpy(zero_copy_only=False)
+        md = b["__mad"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            out = ad > k * md              # NaN compares False
+        return b.append_column(pa.field(out_col, pa.bool_()),
+                               pa.array(out))
+
+    rows = flagged.map_batches(flag, batch_format="pyarrow")
+    if not summary:
+        return rows.drop_columns(["__ad"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(keys)
+        valid = pc.is_valid(pc.cast(combine(b[column]), pa.float64()))
+        t = t.append_column(pa.field("__n", pa.int64()),
+                            pc.cast(valid, pa.int64()))
+        t = t.append_column(
+            pa.field("__no", pa.int64()),
+            pc.cast(combine(b[out_col]), pa.int64()))
+        t = t.append_column(pa.field("median", pa.float64()),
+                            combine(b["__med"]))
+        t = t.append_column(pa.field("mad", pa.float64()),
+                            combine(b["__mad"]))
+        return t.group_by(keys).aggregate(
+            [("__n", "sum"), ("__no", "sum"), ("median", "max"),
+             ("mad", "max")]).rename_columns(
+            keys + ["__n", "__no", "median", "mad"])
+
+    part = rows.map_batches(partial, batch_format="pyarrow")
+    red = Reducer(keys, [["__n", "Sum", "n"], ["__no", "Sum", "n_outliers"],
+                         ["median", "Max", "median"],
+                         ["mad", "Max", "mad"]]).apply_dataset(part)
+    return red

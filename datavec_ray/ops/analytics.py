@@ -536,3 +536,134 @@ def grouped_corr(ds, keys, x_col: str, y_col: str,
                                  pa.array(r, from_pandas=True))
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_moments(ds, keys, x_col: str) -> "ray.data.Dataset":
+    """Per-group skewness and excess kurtosis for INTEGER-VALUED inputs
+    — the distribution-shape companion to ``grouped_linreg(exact=True)``
+    (reference counterpart: the analyze pass's mean/stdev moments,
+    datavec-api transform/analysis/AnalyzeSpark semantics extended to
+    3rd/4th order).
+
+    Cross-engine-exact by construction: each batch emits per-group raw
+    power sums (n, Σx, Σx², Σx³, Σx⁴) via one Arrow ``group_by`` (exact
+    in float64 for integer values with Σx⁴ < 2^53), the map-side-
+    combined grouped Sum merges them, and the finalize combines them in
+    ARBITRARY-PRECISION Python ints with a fixed float operation order:
+
+        m2 = float(n·S2 − S1²)            / n²      (population variance)
+        m3 = float(n²·S3 − 3n·S1·S2 + 2S1³)/ n³
+        m4 = float(n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴) / n⁴
+        skew = sqrt(n-ulp-exact) path:  m3 / (m2 · sqrt(m2))
+        kurt = m4 / (m2 · m2) − 3
+
+    The oracle mirrors EXACTLY these expressions over HUGEINT sums
+    (``m2*sqrt(m2)`` instead of ``pow(m2, 1.5)`` keeps both sides on
+    IEEE-exact multiply+sqrt), so results are bit-identical — no
+    dependence on either engine's streaming ``skewness()`` builtin.
+    Zero-variance groups emit null (matching a NULLIF(den,0) oracle).
+    Complete-case: null x rows are dropped."""
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+    names = ("__n", "__s1", "__s2", "__s3", "__s4")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        t = b.select(keys).filter(pa.array(ok))
+        x = x[ok]
+        x2 = x * x
+        for name, v in zip(names, (np.ones(len(x)), x, x2, x2 * x,
+                                   x2 * x2)):
+            t = t.append_column(pa.field(name, pa.float64()), pa.array(v))
+        return t.group_by(keys).aggregate(
+            [(c, "sum") for c in names]).rename_columns(keys + list(names))
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    summed = Reducer(keys, [[c, "Sum", c] for c in names]) \
+        .apply_dataset(part)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import math
+        cols = [b[c].to_numpy(zero_copy_only=False) for c in names]
+        out_n = np.zeros(b.num_rows, np.int64)
+        skew = np.full(b.num_rows, np.nan)
+        kurt = np.full(b.num_rows, np.nan)
+        for i in range(b.num_rows):
+            n = int(cols[0][i]); s1 = int(cols[1][i]); s2 = int(cols[2][i])
+            s3 = int(cols[3][i]); s4 = int(cols[4][i])
+            out_n[i] = n
+            if n == 0:
+                continue
+            num2 = n * s2 - s1 * s1
+            if num2 == 0:
+                continue                      # zero variance -> null
+            m2 = float(num2) / (n * n)
+            m3 = float(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3) \
+                / (n ** 3)
+            m4 = float(n ** 3 * s4 - 4 * n * n * s1 * s3
+                       + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4) / (n ** 4)
+            skew[i] = m3 / (m2 * math.sqrt(m2))
+            kurt[i] = m4 / (m2 * m2) - 3.0
+        out = b.select(keys)
+        out = out.append_column(pa.field("n", pa.int64()), pa.array(out_n))
+        out = out.append_column(pa.field("skew", pa.float64()),
+                                pa.array(skew, from_pandas=True))
+        return out.append_column(pa.field("kurt", pa.float64()),
+                                 pa.array(kurt, from_pandas=True))
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_entropy(ds, keys, value_col: str,
+                    out_col: str = "entropy") -> "ray.data.Dataset":
+    """Per-group Shannon entropy (log base 2) of the VALUE distribution
+    — SQL ``entropy(value) GROUP BY keys`` — with the distinct-count
+    combiner discipline: each batch pre-counts (keys, value) occurrences
+    via one Arrow ``group_by`` (the shuffle ships at most
+    per-batch-distinct (key, value) partial rows, never raw data), the
+    grouped Sum merges counts, and a per-key finalize computes
+
+        H = log2(N) − (Σ cᵥ·log2(cᵥ)) / N
+
+    which is algebraically −Σ p·log2 p but keeps all inputs exact
+    integers until one final division (the form DuckDB's ``entropy``
+    uses, so round-6 comparison is stable). Null values count as a
+    category of their own (DuckDB ``entropy`` ignores nulls — pass
+    ``drop_null=True`` via a filter upstream to mirror; the driver
+    query does)."""
+    from datavec_ray.misc import _key_run_starts
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [value_col])
+        t = t.append_column(pa.field("__c", pa.int64()),
+                            pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(keys + [value_col]).aggregate([("__c", "sum")]) \
+            .rename_columns(keys + [value_col, "__c"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    counts = Reducer(keys + [value_col], [["__c", "Sum", "__c"]]) \
+        .apply_dataset(part)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        # group = all (key, value, count) rows of one hash partition;
+        # one sort + run scan resolves every key at once
+        g = group.sort_by([(k, "ascending") for k in keys])
+        c = g["__c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        new_key = _key_run_starts(g.select(keys), keys)
+        starts = np.flatnonzero(new_key)
+        n_tot = np.add.reduceat(c, starts)
+        clogc = np.add.reduceat(c * np.log2(c), starts)
+        ent = np.log2(n_tot) - clogc / n_tot
+        out = g.select(keys).take(pa.array(starts, pa.int64()))
+        out = out.append_column(pa.field("n", pa.int64()),
+                                pa.array(n_tot.astype(np.int64)))
+        return out.append_column(pa.field(out_col, pa.float64()),
+                                 pa.array(np.round(ent, 6)))
+
+    return _group_partition(counts, keys, 32) \
+        .groupby(_GPART).map_groups(finalize, batch_format="pyarrow")

@@ -1,0 +1,167 @@
+"""Round-3 additions: grouped higher moments (skew/kurtosis),
+grouped Shannon entropy, regular-grid time resampling with linear
+interpolation, MAD (Hampel) outlier detection, and the zlib
+compression-ratio quality signal."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from datavec_ray.util import dataset_to_table
+
+
+def _moments_ref(x: np.ndarray) -> tuple[float, float]:
+    n = len(x)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    return m3 / m2 ** 1.5, m4 / m2 ** 2 - 3.0
+
+
+def test_grouped_moments_matches_numpy(ray_session):
+    from datavec_ray.ops.analytics import grouped_moments
+
+    rng = np.random.default_rng(7)
+    k = np.repeat(["a", "b", "c"], 400)
+    v = np.concatenate([
+        rng.integers(0, 50, 400),          # ~uniform: kurt ≈ -1.2
+        rng.integers(0, 5, 400) ** 3,      # right-skewed
+        np.full(400, 7),                   # zero variance -> null
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(5)
+    out = dataset_to_table(grouped_moments(ds, ["k"], "v")) \
+        .sort_by([("k", "ascending")])
+    assert out["n"].to_pylist() == [400, 400, 400]
+    for i, key in enumerate(["a", "b"]):
+        want_s, want_k = _moments_ref(v[k == key].astype(float))
+        assert abs(out["skew"][i].as_py() - want_s) < 1e-9
+        assert abs(out["kurt"][i].as_py() - want_k) < 1e-9
+    assert out["skew"][2].as_py() is None       # zero variance
+    assert out["kurt"][2].as_py() is None
+
+
+def test_grouped_moments_partition_invariant(ray_session):
+    from datavec_ray.ops.analytics import grouped_moments
+
+    rng = np.random.default_rng(11)
+    t = pa.table({"k": rng.integers(0, 4, 1000).astype(str),
+                  "v": rng.integers(-20, 20, 1000)})
+    a = dataset_to_table(grouped_moments(
+        rd.from_arrow(t).repartition(1), ["k"], "v")) \
+        .sort_by([("k", "ascending")])
+    b = dataset_to_table(grouped_moments(
+        rd.from_arrow(t).repartition(13), ["k"], "v")) \
+        .sort_by([("k", "ascending")])
+    # exact integer partials -> bit-identical under any partitioning
+    assert a.equals(b)
+
+
+def test_grouped_entropy_matches_scipy_formula(ray_session):
+    from datavec_ray.ops.analytics import grouped_entropy
+
+    vals = ["x"] * 50 + ["y"] * 30 + ["z"] * 20
+    t = pa.table({"k": ["g"] * 100, "v": vals})
+    out = dataset_to_table(grouped_entropy(
+        rd.from_arrow(t).repartition(7), ["k"], "v"))
+    p = np.array([0.5, 0.3, 0.2])
+    want = float(-(p * np.log2(p)).sum())
+    assert out["n"].to_pylist() == [100]
+    assert abs(out["entropy"][0].as_py() - want) < 1e-6
+    # uniform over 4 values -> exactly 2 bits
+    t2 = pa.table({"k": ["u"] * 8, "v": list("abcdabcd")})
+    out2 = dataset_to_table(grouped_entropy(rd.from_arrow(t2), ["k"], "v"))
+    assert abs(out2["entropy"][0].as_py() - 2.0) < 1e-12
+
+
+def test_time_resample_linear_and_locf(ray_session):
+    from datavec_ray.misc import time_resample
+
+    # key "a": points at t=5, 25 with v=10, 30 -> grid 10, 20 (step 10)
+    #   linear: v(10)=15, v(20)=25 ; locf: v=10, 10
+    # key "b": single point ON the grid -> emitted verbatim
+    t = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([5, 25, 40], pa.int64()),
+        "v": pa.array([10.0, 30.0, 7.0]),
+    })
+    lin = dataset_to_table(time_resample(
+        rd.from_arrow(t).repartition(3), ["k"], "ts", "v", step_ms=10)) \
+        .sort_by([("k", "ascending"), ("ts_ms", "ascending")])
+    assert lin["ts_ms"].to_pylist() == [10, 20, 40]
+    assert lin["v"].to_pylist() == [15.0, 25.0, 7.0]
+    locf = dataset_to_table(time_resample(
+        rd.from_arrow(t), ["k"], "ts", "v", step_ms=10, method="locf")) \
+        .sort_by([("k", "ascending"), ("ts_ms", "ascending")])
+    assert locf["v"].to_pylist() == [10.0, 10.0, 7.0]
+
+
+def test_time_resample_duplicate_ts_and_empty_grid(ray_session):
+    from datavec_ray.misc import time_resample
+
+    # duplicate timestamps reduce to MAX; a key whose span contains no
+    # grid point emits nothing
+    t = pa.table({
+        "k": ["a", "a", "a", "c", "c"],
+        "ts": pa.array([0, 0, 10, 12, 18], pa.int64()),
+        "v": pa.array([1.0, 5.0, 9.0, 2.0, 4.0]),
+    })
+    out = dataset_to_table(time_resample(
+        rd.from_arrow(t).repartition(2), ["k"], "ts", "v", step_ms=10)) \
+        .sort_by([("k", "ascending"), ("ts_ms", "ascending")])
+    assert out["k"].to_pylist() == ["a", "a"]      # c: span (12,18), no grid
+    assert out["ts_ms"].to_pylist() == [0, 10]
+    assert out["v"].to_pylist() == [5.0, 9.0]      # max at t=0, exact at 10
+
+
+def test_mad_outliers_flags_planted(ray_session):
+    from datavec_ray.misc import mad_outliers
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(100, 1, 500)
+    vals = np.concatenate([base, [500.0, -200.0]])
+    t = pa.table({"k": ["g"] * len(vals), "v": pa.array(vals)})
+    out = dataset_to_table(mad_outliers(
+        rd.from_arrow(t).repartition(4), ["k"], "v", k=5.0, summary=True))
+    assert out["n"].to_pylist() == [502]
+    assert out["n_outliers"].to_pylist() == [2]
+    med = float(np.median(vals))
+    assert abs(out["median"][0].as_py() - med) < 1e-9
+    mad = float(np.median(np.abs(vals - med)))
+    assert abs(out["mad"][0].as_py() - mad) < 1e-9
+    # row mode: exactly the two planted rows carry the flag
+    rows = dataset_to_table(mad_outliers(
+        rd.from_arrow(t), ["k"], "v", k=5.0))
+    flagged = rows.filter(rows["is_outlier"].combine_chunks())
+    assert sorted(flagged["v"].to_pylist()) == [-200.0, 500.0]
+
+
+def test_mad_outliers_nulls_never_flagged(ray_session):
+    from datavec_ray.misc import mad_outliers
+
+    t = pa.table({"k": ["g"] * 5,
+                  "v": pa.array([1.0, 2.0, 3.0, None, 100.0])})
+    out = dataset_to_table(mad_outliers(rd.from_arrow(t), ["k"], "v",
+                                        k=3.0, summary=True))
+    assert out["n"].to_pylist() == [4]            # null not counted
+    assert out["n_outliers"].to_pylist() == [1]   # only the 100
+
+
+def test_compression_signal_parity_with_zlib(ray_session):
+    from datavec_ray.ops.textstats import compression_signal
+
+    docs = ["a" * 1000,                       # trivially compressible
+            "the quick brown fox " * 30,      # templated
+            "", None]                         # empty + null
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = dataset_to_table(compression_signal(
+        rd.from_arrow(t).repartition(2))).sort_by([("doc_id", "ascending")])
+    for i, d in enumerate(docs):
+        raw = (d or "").encode()
+        assert out["n_bytes"][i].as_py() == len(raw)
+        assert out["n_compressed"][i].as_py() == len(zlib.compress(raw, 6))
+    r = out["compress_ratio"].to_pylist()
+    assert r[0] < 0.05 and r[1] < 0.2          # repetitive text compresses
+    assert r[2] == 0.0 and r[3] == 0.0          # empty/null -> 0
