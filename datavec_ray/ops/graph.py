@@ -437,6 +437,13 @@ def tree_paths(ds, id_col: str = "id", parent_col: str = "parent",
         g = group.drop_columns([_GPART])
         probe = g.filter(pc.equal(g["__side"], 0))
         look = g.filter(pc.equal(g["__side"], 1))
+        # resolved nodes (null ancestor) arrive ONLY as lookup rows;
+        # their lookup copy doubles as the state pass-through so they
+        # never ride the exchange under a null probe key (which would
+        # hash every resolved row into ONE partition — the skew that
+        # made late rounds single-worker sorts)
+        done = look.filter(pc.is_null(look["__anc"])) \
+            .select(["__id", "__anc", "__pfx", "__dist"])
         look = pa.table({"__jid": look["__id"], "__anc2": look["__anc"],
                          "__pfx2": look["__pfx"], "__dist2": look["__dist"]})
         j = probe.select(["__id", "__anc", "__pfx", "__dist"]) \
@@ -451,8 +458,9 @@ def tree_paths(ds, id_col: str = "id", parent_col: str = "parent",
         # unmatched parent id = missing root: resolve the node as-is
         anc = pc.if_else(hit, j["__anc2"], pa.scalar(None, pa.int64()))
         dist = pc.add(j["__dist"], pc.fill_null(j["__dist2"], 0))
-        return pa.table({"__id": j["__id"], "__anc": anc,
-                         "__pfx": pfx, "__dist": dist})
+        out = pa.table({"__id": j["__id"], "__anc": anc,
+                        "__pfx": pfx, "__dist": dist})
+        return pa.concat_tables([out, done]) if done.num_rows else out
 
     jump.__name__ = "tree_paths_jump"
 
@@ -462,15 +470,19 @@ def tree_paths(ds, id_col: str = "id", parent_col: str = "parent",
         return pa.table({"n": pa.array([n], pa.int64())})
 
     def both_sides(batch: pa.Table) -> pa.Table:
-        # ONE output per block carrying probe rows (key = ancestor;
-        # resolved rows have a null key and pass through the join
-        # unchanged — Arrow null keys never match) and lookup rows
-        # (key = own id), so the round needs no Dataset.union diamond.
+        # ONE output per block carrying probe rows (key = ancestor,
+        # UNRESOLVED nodes only — resolved nodes would all carry a null
+        # key and hash into a single partition) and lookup rows (key =
+        # own id, every node: descendants may still need a resolved
+        # ancestor's prefix), so the round needs no Dataset.union
+        # diamond. Resolved nodes re-enter the next state through their
+        # lookup copy (see jump).
+        probe = batch.filter(pc.is_valid(batch["__anc"]))
         probe = pa.table({
-            "__id": batch["__id"], "__anc": batch["__anc"],
-            "__pfx": batch["__pfx"], "__dist": batch["__dist"],
-            "__side": pa.array(np.zeros(batch.num_rows, np.int8)),
-            "__k": batch["__anc"]})
+            "__id": probe["__id"], "__anc": probe["__anc"],
+            "__pfx": probe["__pfx"], "__dist": probe["__dist"],
+            "__side": pa.array(np.zeros(probe.num_rows, np.int8)),
+            "__k": probe["__anc"]})
         look = pa.table({
             "__id": batch["__id"], "__anc": batch["__anc"],
             "__pfx": batch["__pfx"], "__dist": batch["__dist"],
