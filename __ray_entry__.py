@@ -3142,6 +3142,31 @@ def _q_compression_signal(sf_dir: str):
         ["doc_id", "n_bytes", "n_compressed", "compress_ratio"])
 
 
+def _q_jaccard_against(sf_dir: str):
+    """EXACT cross-corpus trigram Jaccard join (new docs vs existing
+    corpus) — the incremental-crawl near-dup gate; inverted index with
+    cross-side-only pair fan-out (ops.dedup.jaccard_against)."""
+    from datavec_ray.ops.dedup import jaccard_against
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = docs.filter(expr="doc_id < 300")
+    new = docs.filter(expr="doc_id >= 300")
+    return jaccard_against(new, ref, n=3, threshold=0.4)
+
+
+def _q_minhash_against(sf_dir: str):
+    """Cross-corpus MinHash+LSH near-dup candidates, exact-Jaccard
+    verified — the banded scale path whose exact counterpart
+    jaccard_against is oracle-checked (rows-only: engine-pinned
+    signature seeds; ops.dedup.minhash_against)."""
+    from datavec_ray.ops.dedup import minhash_against
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = docs.filter(expr="doc_id < 300")
+    new = docs.filter(expr="doc_id >= 300")
+    return minhash_against(new, ref, jaccard_threshold=0.7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -3286,6 +3311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "grouped_corr": _q_grouped_corr,
         "grouped_moments": _q_grouped_moments,
+        "jaccard_against": _q_jaccard_against,
+        "minhash_against": _q_minhash_against,
         "grouped_entropy": _q_grouped_entropy,
         "time_resample": _q_time_resample,
         "mad_outliers": _q_mad_outliers,
@@ -4379,6 +4406,38 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by l_returnflag
             order by l_returnflag""",
+        "jaccard_against": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') as w
+              from documents
+            ), grams as (
+              select distinct doc_id, g from (
+                select doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] as g
+                from toks, unnest(range(1, len(w) - 1)) as t(i)
+                where len(w) >= 3
+                union all
+                select doc_id, array_to_string(w, ' ') as g
+                from toks where len(w) > 0 and len(w) < 3
+              )
+            ), sizes as (
+              select doc_id, count(*) as sz from grams group by doc_id
+            ), inter as (
+              select a.doc_id as ref_id, b.doc_id as doc_id,
+                     count(*) as icnt
+              from grams a join grams b
+                on a.g = b.g and a.doc_id < 300 and b.doc_id >= 300
+              group by 1, 2
+            )
+            select ref_id, i.doc_id,
+                   round(icnt * 1.0 / (sa.sz + sb.sz - icnt), 6)
+                       as jaccard
+            from inter i
+            join sizes sa on ref_id = sa.doc_id
+            join sizes sb on i.doc_id = sb.doc_id
+            where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
+            order by ref_id, i.doc_id""",
         "grouped_moments": """
             with x as (
               select l_returnflag as rf, cast(l_quantity as hugeint) as v

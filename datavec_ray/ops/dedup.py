@@ -1391,3 +1391,237 @@ def conversation_dedup(ds, key: str = "conv_id",
         .groupby(_GPART).map_groups(fingerprint, batch_format="pyarrow")
     return _group_partition(fps, ["content_hash"], num_partitions) \
         .groupby(_GPART).map_groups(keep_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus NEAR-duplicate detection (new crawl vs existing lake) —
+# the near-dup counterpart of dedup_against (which is exact full-text):
+# jaccard_against computes the exact n-gram Jaccard join ACROSS the two
+# corpora (oracle-checkable), minhash_against is the LSH-banded scale
+# path with the same contract as minhash_lsh_pairs.
+# ---------------------------------------------------------------------------
+
+class _CrossGramPairs:
+    """Per-gram body: emit every (ref_id, new_id) CROSS-side pair
+    sharing this gram. Grams shared by more than ``max_df`` docs total
+    are stop-shingles (same rationale + logging as _GramPairs)."""
+
+    def __init__(self, max_df: int | None):
+        self.max_df = max_df
+        self.__name__ = "cross_gram_pairs"
+
+    def __call__(self, grp: pa.Table) -> pa.Table:
+        side = grp["side"].to_numpy(zero_copy_only=False)
+        did = grp["did"].to_numpy(zero_copy_only=False)
+        ref = np.unique(did[side == 0])
+        new = np.unique(did[side == 1])
+        if not len(ref) or not len(new):
+            return _EMPTY_PAIRS
+        if self.max_df and len(ref) + len(new) > self.max_df:
+            log.warning("dropping cross-corpus stop-shingle shared by "
+                        "%d docs (max_df=%d)", len(ref) + len(new),
+                        self.max_df)
+            return _EMPTY_PAIRS
+        a = np.repeat(ref, len(new))
+        b = np.tile(new, len(ref))
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+
+def jaccard_against(ds, ref_ds, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3,
+                    threshold: float = 0.5, max_df: int | None = None):
+    """EXACT cross-corpus word-n-gram Jaccard join: every (ref doc,
+    new doc) pair with Jaccard ≥ threshold — the incremental-crawl
+    near-dup gate ("is this new page a near-copy of something already
+    in the lake?"), the oracle-checkable counterpart of
+    ``minhash_against``. Same inverted-index shape as
+    ``ngram_jaccard_pairs`` but pairs are emitted ONLY across sides —
+    within-corpus duplicates are out of contract (run the single-corpus
+    op for those), which also cuts the per-gram pair fan-out from
+    O(df²) to O(df_ref · df_new).
+
+    Returns (ref_id, doc_id, jaccard) sorted, jaccard rounded to 6.
+    """
+    import ray.data as rd
+
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+
+    def _side(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                pa.field("side", pa.int8()),
+                pa.array(np.full(t.num_rows, tag, np.int8)))
+        f.__name__ = f"side_{tag}"
+        return f
+
+    grams_ref = ref_ds.map_batches(_DistinctGrams(text_col, id_col, n),
+                                   batch_format="pyarrow") \
+        .map_batches(_side(0), batch_format="pyarrow")
+    grams_new = ds.map_batches(_DistinctGrams(text_col, id_col, n),
+                               batch_format="pyarrow") \
+        .map_batches(_side(1), batch_format="pyarrow")
+    grams = grams_ref.union(grams_new).materialize()
+
+    sizes_ref = Reducer(["id_a"], [["sz_a", "Sum", "sz_a"]]).apply_dataset(
+        grams.map_batches(
+            lambda t: pa.table(
+                {"id_a": t.filter(pc.equal(t["side"], 0))["did"],
+                 "sz_a": pa.nulls(
+                     t.filter(pc.equal(t["side"], 0)).num_rows,
+                     pa.int64()).fill_null(1)}),
+            batch_format="pyarrow"))
+    sizes_new = Reducer(["id_b"], [["sz_b", "Sum", "sz_b"]]).apply_dataset(
+        grams.map_batches(
+            lambda t: pa.table(
+                {"id_b": t.filter(pc.equal(t["side"], 1))["did"],
+                 "sz_b": pa.nulls(
+                     t.filter(pc.equal(t["side"], 1)).num_rows,
+                     pa.int64()).fill_null(1)}),
+            batch_format="pyarrow"))
+
+    co = (_tag_bucket_partition(grams, ["g"])
+          .groupby("__bpart")
+          .map_groups(_PerBucket(_CrossGramPairs(max_df), ["g"],
+                                 _EMPTY_PAIRS),
+                      batch_format="pyarrow"))
+    cnt = Reducer(["id_a", "id_b"], [["id_a", "Count", "count()"]])
+    cnt._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                     ("id_b", pa.int64())])
+    pairs = cnt.apply_dataset(co)
+    from datavec_ray.util import dataset_to_table
+    j1 = JoinStep(dataset_to_table(sizes_ref), keys=["id_a"],
+                  broadcast=True)
+    j1._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("count()", pa.int64())])
+    j = j1.apply_dataset(pairs)
+    j2 = JoinStep(dataset_to_table(sizes_new), keys=["id_b"],
+                  broadcast=True)
+    j2._in_schema_hint = pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("count()", pa.int64()),
+                                    ("sz_a", pa.int64())])
+    j = j2.apply_dataset(j)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        inter = t["count()"].cast(pa.float64())
+        denom = pc.subtract(pc.add(t["sz_a"].cast(pa.float64()),
+                                   t["sz_b"].cast(pa.float64())), inter)
+        jac = pc.divide(inter, denom)
+        out = pa.table({"ref_id": t["id_a"], "doc_id": t["id_b"],
+                        "jaccard": pc.round(jac, 6)})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return (j.map_batches(_finish, batch_format="pyarrow")
+            .sort(["ref_id", "doc_id"]))
+
+
+def minhash_against(ds, ref_ds, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 128,
+                    num_bands: int = 32, shingle_k: int = 3,
+                    jaccard_threshold: float = 0.7,
+                    max_bucket: int = 256, verify: bool = True) -> pa.Table:
+    """Cross-corpus MinHash+LSH near-duplicate candidates: new docs
+    whose signature collides with an EXISTING-corpus doc in any band,
+    verified with exact shingle Jaccard (``verify=True``). The LSH
+    scale path whose exact counterpart is ``jaccard_against``.
+
+    Scale shape: both corpora stream through the SAME seeded sketcher
+    (signatures comparable by construction); one bucket exchange of
+    signature metadata; per bucket only REF × NEW pairs emit; exact
+    verification gathers shingle sketches for candidate ids only, per
+    side (the corpora never materialize).
+
+    Returns (ref_id, doc_id[, jaccard]) — one row per cross-corpus
+    near-dup pair, id-sorted.
+    """
+    import ray
+
+    from datavec_ray.util import dataset_to_table
+
+    sketcher_args = (text_col, id_col, num_hashes, num_bands, shingle_k)
+
+    def _side(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                pa.field("side", pa.int8()),
+                pa.array(np.full(t.num_rows, tag, np.int8)))
+        f.__name__ = f"side_{tag}"
+        return f
+
+    bands_ref = ref_ds.map_batches(_MinHashBands(*sketcher_args),
+                                   batch_format="pyarrow",
+                                   batch_size=4096) \
+        .map_batches(_side(0), batch_format="pyarrow")
+    bands_new = ds.map_batches(_MinHashBands(*sketcher_args),
+                               batch_format="pyarrow", batch_size=4096) \
+        .map_batches(_side(1), batch_format="pyarrow")
+
+    class _CrossBucket:
+        """Per (band, band_hash) bucket: REF × NEW pairs, capped like
+        _BucketPairs (an oversized bucket star-links to the smallest
+        ref id instead of exploding quadratically)."""
+
+        def __init__(self, cap: int):
+            self.cap = cap
+            self.__name__ = "cross_bucket_pairs"
+
+        def __call__(self, grp: pa.Table) -> pa.Table:
+            side = grp["side"].to_numpy(zero_copy_only=False)
+            did = grp["doc_id"].to_numpy(zero_copy_only=False)
+            ref = np.unique(did[side == 0])
+            new = np.unique(did[side == 1])
+            if not len(ref) or not len(new):
+                return _EMPTY_PAIRS
+            if len(ref) + len(new) > self.cap:
+                log.warning(
+                    "cross-corpus LSH bucket of %d docs exceeds "
+                    "max_bucket=%d: star-linking to min ref id",
+                    len(ref) + len(new), self.cap)
+                return pa.table({
+                    "id_a": pa.array(np.full(len(new), ref.min())),
+                    "id_b": pa.array(new)})
+            a = np.repeat(ref, len(new))
+            b = np.tile(new, len(ref))
+            return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs_ds = _tag_bucket_partition(bands_ref.union(bands_new),
+                                     ["band", "band_hash"]) \
+        .groupby("__bpart").map_groups(
+            _PerBucket(_CrossBucket(max_bucket), ["band", "band_hash"],
+                       _EMPTY_PAIRS),
+            batch_format="pyarrow")
+    ia, ib = _dedupe_pairs(dataset_to_table(pairs_ds))
+    if not verify:
+        return pa.table({"ref_id": pa.array(ia), "doc_id": pa.array(ib)})
+    empty_out = pa.table({"ref_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+    if len(ia) == 0:
+        return empty_out
+
+    def _sketches(side_ds, needed: np.ndarray) -> dict:
+        ref = ray.put(np.unique(needed))
+        sk = dataset_to_table(side_ds.map_batches(
+            _CandidateSketches, batch_format="pyarrow",
+            fn_constructor_args=(ref, text_col, id_col, shingle_k),
+            concurrency=(1, 8)))
+        return {int(i): np.asarray(s, dtype=np.uint64)
+                for i, s in zip(sk["doc_id"].to_pylist(),
+                                sk["shingles"].to_pylist())}
+
+    look_a = _sketches(ref_ds, ia)
+    look_b = _sketches(ds, ib)
+    empty = np.empty(0, dtype=np.uint64)
+    jac = np.empty(len(ia), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ia, ib)):
+        sa = look_a.get(int(x), empty)
+        sb = look_b.get(int(y), empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 0.0
+    keep = jac >= jaccard_threshold
+    return pa.table({"ref_id": pa.array(ia[keep]),
+                     "doc_id": pa.array(ib[keep]),
+                     "jaccard": pa.array(jac[keep])})

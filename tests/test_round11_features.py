@@ -165,3 +165,58 @@ def test_compression_signal_parity_with_zlib(ray_session):
     r = out["compress_ratio"].to_pylist()
     assert r[0] < 0.05 and r[1] < 0.2          # repetitive text compresses
     assert r[2] == 0.0 and r[3] == 0.0          # empty/null -> 0
+
+
+def _two_corpora():
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet green meadow")
+    ref = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            base,
+            "completely different reference text about distributed "
+            "systems and arrow tables flowing through object stores",
+            # within-ref near-dup of doc 0: must NOT appear (cross only)
+            base + " tonight",
+        ]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array([
+            base + " tomorrow",               # near-dup of ref 0 and 2
+            "a brand new page with entirely novel words nothing shared "
+            "with anything stored before in the lake at all honestly",
+        ]),
+    })
+    return ref, new
+
+
+def test_jaccard_against_cross_side_only(ray_session):
+    from datavec_ray.ops.dedup import jaccard_against
+
+    ref, new = _two_corpora()
+    out = dataset_to_table(jaccard_against(
+        rd.from_arrow(new), rd.from_arrow(ref), n=3, threshold=0.5))
+    pairs = list(zip(out["ref_id"].to_pylist(), out["doc_id"].to_pylist()))
+    assert pairs == [(0, 10), (2, 10)]
+    assert all(j > 0.8 for j in out["jaccard"].to_pylist())
+
+
+def test_minhash_against_matches_exact(ray_session):
+    from datavec_ray.ops.dedup import jaccard_against, minhash_against
+
+    ref, new = _two_corpora()
+    exact = dataset_to_table(jaccard_against(
+        rd.from_arrow(new), rd.from_arrow(ref), n=3, threshold=0.7))
+    approx = minhash_against(rd.from_arrow(new), rd.from_arrow(ref),
+                             shingle_k=3, jaccard_threshold=0.7)
+    want = set(zip(exact["ref_id"].to_pylist(),
+                   exact["doc_id"].to_pylist()))
+    got = set(zip(approx["ref_id"].to_pylist(),
+                  approx["doc_id"].to_pylist()))
+    assert got == want        # verified candidates == exact join
+    # unverified mode returns (ref_id, doc_id) candidates, a superset
+    cand = minhash_against(rd.from_arrow(new), rd.from_arrow(ref),
+                           shingle_k=3, verify=False)
+    assert want <= set(zip(cand["ref_id"].to_pylist(),
+                           cand["doc_id"].to_pylist()))
