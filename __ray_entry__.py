@@ -3142,6 +3142,59 @@ def _q_compression_signal(sf_dir: str):
         ["doc_id", "n_bytes", "n_compressed", "compress_ratio"])
 
 
+def _q_benford(sf_dir: str):
+    """Leading-significant-digit distribution vs Benford's law per
+    return flag — the fabricated-data forensic screen; (keys, digit)
+    count combiner, ≤ 9×groups partial rows cross the wire
+    (ops.analytics.benford_profile)."""
+    from datavec_ray.ops.analytics import benford_profile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return benford_profile(ds, ["l_returnflag"], "l_extendedprice")
+
+
+def _q_robust_scale(sf_dir: str):
+    """Within-group ROBUST scaling ((v − median)/IQR, quantile_cont
+    stats) — the outlier-insensitive normalizer; exact grouped
+    quantiles broadcast back, input never shuffled
+    (steps.normalize.group_normalize mode=Robust)."""
+    from datavec_ray.steps.normalize import group_normalize
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+    return group_normalize(li, ["l_suppkey"], ["l_quantity"],
+                           "Robust", suffix="_r")
+
+
+def _q_cdc_digest(sf_dir: str):
+    """Order-insensitive streaming digest of the replayed CDC final
+    state (Σ md5-low64 of canonically serialized rows mod 2⁶⁴) — the
+    at-scale "does the lake equal the oracle state" check that never
+    sorts or materializes the table; the oracle computes the identical
+    digest over its own LWW state in SQL (misc.table_digest)."""
+    import pandas as pd
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import lww_compact_dataset
+    from datavec_ray.misc import table_digest
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    final = lww_compact_dataset(binlog, num_partitions=16)
+
+    def ts_to_ms(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                            t["ts"].cast(pa.int64())).rename_columns(
+            [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+    d = table_digest(final.map_batches(ts_to_ms, batch_format="pyarrow"),
+                     ["conv_id", "turn_idx", "role", "text", "tool",
+                      "ts_ms"])
+    return pd.DataFrame([{"n": d["n"],
+                          "digest": np.uint64(d["digest"])}])
+
+
 def _q_jaccard_against(sf_dir: str):
     """EXACT cross-corpus trigram Jaccard join (new docs vs existing
     corpus) — the incremental-crawl near-dup gate; inverted index with
@@ -3311,6 +3364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "grouped_corr": _q_grouped_corr,
         "grouped_moments": _q_grouped_moments,
+        "cdc_digest": _q_cdc_digest,
+        "robust_scale": _q_robust_scale,
+        "benford": _q_benford,
         "jaccard_against": _q_jaccard_against,
         "minhash_against": _q_minhash_against,
         "grouped_entropy": _q_grouped_entropy,
@@ -4406,6 +4462,56 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by l_returnflag
             order by l_returnflag""",
+        "benford": """
+            with x as (
+              select l_returnflag as rf,
+                     cast(floor(abs(l_extendedprice)) as hugeint) as m
+              from lineitem
+              where l_extendedprice is not null
+                and floor(abs(l_extendedprice)) >= 1
+            ), c as (
+              select rf,
+                     cast(substr(cast(m as varchar), 1, 1) as bigint)
+                         as digit,
+                     cast(count(*) as bigint) as n
+              from x group by 1, 2
+            ), t as (
+              select rf, sum(n) as tot from c group by 1
+            )
+            select c.rf as l_returnflag, c.digit, c.n,
+                   round(cast(c.n as double) / cast(t.tot as double), 6)
+                       as share,
+                   round(log10(1 + 1.0 / c.digit), 6) as benford
+            from c join t on c.rf = t.rf
+            order by 1, 2""",
+        "robust_scale": """
+            select l_orderkey, l_linenumber, l_suppkey, l_quantity,
+                   (l_quantity - quantile_cont(l_quantity, 0.5) over w)
+                     / nullif(quantile_cont(l_quantity, 0.75) over w
+                              - quantile_cont(l_quantity, 0.25) over w, 0)
+                     as l_quantity_r
+            from lineitem window w as (partition by l_suppkey)""",
+        "cdc_digest": _BINLOG_CTE + """
+            , st as (
+              select conv_id, turn_idx, role, text, tool, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D'
+            ), ser as (
+              select coalesce(conv_id, chr(0)) || chr(31)
+                  || coalesce(cast(turn_idx as varchar), chr(0)) || chr(31)
+                  || coalesce(role, chr(0)) || chr(31)
+                  || coalesce(text, chr(0)) || chr(31)
+                  || coalesce(tool, chr(0)) || chr(31)
+                  || coalesce(cast(ts_ms as varchar), chr(0)) as s
+              from st
+            )
+            select cast(count(*) as bigint) as n,
+                   cast(sum(cast(md5_number_lower(s) as hugeint))
+                        % 18446744073709551616 as ubigint) as digest
+            from ser""",
         "jaccard_against": """
             with toks as (
               select doc_id,

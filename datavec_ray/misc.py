@@ -1669,3 +1669,75 @@ def mad_outliers(ds, keys: Sequence[str], column: str, k: float = 3.0,
                          ["median", "Max", "median"],
                          ["mad", "Max", "mad"]]).apply_dataset(part)
     return red
+
+
+def table_digest(ds, cols: Sequence[str], mode: str = "portable") -> dict:
+    """Order-insensitive whole-table digest — the streaming equality
+    check for CDC replay verification ("does the replayed lake equal
+    the oracle state?") that never materializes or sorts either table:
+    digest(T) = Σ_rows rowhash(serialized row) mod 2⁶⁴, so two tables
+    are equal (up to rowhash collisions, ≤ n²/2⁶⁵) iff counts and
+    digests match, under ANY partitioning and row order.
+
+    ``mode="portable"``: rowhash = low 64 bits of md5 over the
+    canonical serialization ``coalesce(col, chr(0)) ... joined by
+    chr(31)`` with ints/timestamps(ms) rendered in decimal — EXACTLY
+    mirrorable in SQL as ``sum(md5_number_lower(serialized)) %
+    18446744073709551616`` (md5 is per-row C work, the price of
+    cross-engine portability; contract covers int/string/timestamp
+    columns — floats have no canonical cross-engine decimal rendering).
+    ``mode="fast"``: rowhash = the engine's vectorized hash64 chain
+    (splitmix/polars) — no Python per row, for engine-to-engine lake
+    comparisons (not SQL-checkable).
+
+    Scale shape: one shuffle-free column-pruned pass; each block emits
+    ONE (count, partial-digest) row; the driver wrap-sums block
+    partials. Returns {"n": int, "digest": int}.
+    """
+    import hashlib
+
+    cols = list(cols)
+    if mode not in ("portable", "fast"):
+        raise ValueError("mode must be 'portable' or 'fast'")
+
+    def serialize(b: pa.Table) -> list:
+        parts = []
+        for c in cols:
+            col = combine(b[c])
+            t = col.type
+            if pa.types.is_timestamp(t):
+                col = pc.cast(pc.cast(col, pa.timestamp("ms"), safe=False),
+                              pa.int64())
+                t = col.type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                col = pc.cast(col, pa.string())
+            parts.append(pc.fill_null(col, "\x00"))
+        return pc.binary_join_element_wise(*parts, "\x1f") if len(parts) > 1 \
+            else parts[0]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.uint64())})
+        s = serialize(b)
+        if mode == "fast":
+            h = hash64(s)
+        else:
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(v.encode("utf-8")).digest()[8:16],
+                    "little")
+                 for v in s.to_pylist()),
+                np.uint64, len(s))
+        with np.errstate(over="ignore"):
+            d = np.uint64(np.add.reduce(h))    # wraps mod 2^64 by design
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "d": pa.array([d], pa.uint64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = 0
+    n = 0
+    for r in rows:
+        n += int(r["n"])
+        total = (total + int(r["d"])) % (1 << 64)
+    return {"n": n, "digest": total}

@@ -667,3 +667,73 @@ def grouped_entropy(ds, keys, value_col: str,
 
     return _group_partition(counts, keys, 32) \
         .groupby(_GPART).map_groups(finalize, batch_format="pyarrow")
+
+
+def benford_profile(ds, keys, x_col: str,
+                    num_partitions: int = 32) -> "ray.data.Dataset":
+    """Per-group leading-significant-digit distribution vs Benford's
+    law — the classic fabricated-/synthetic-data forensic (Benford
+    1938; Nigrini 2012): natural multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d). Emits one row per (keys, digit 1..9) with
+    the observed count, observed share, and the Benford expectation —
+    a screening report for value columns before they feed training
+    signals.
+
+    Contract: the digit is the first character of ``floor(abs(x))``
+    rendered in decimal (exact in both engines — no float log10
+    boundary ambiguity); rows with ``floor(abs(x)) = 0`` or null are
+    excluded. Scale shape: per-batch (keys, digit) count combiner →
+    map-side-combined grouped Sum → per-partition share finalize; the
+    shuffle carries ≤ 9 × groups partial rows."""
+    from datavec_ray.misc import _key_run_starts
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            mag = np.floor(np.abs(x))
+        ok = ~np.isnan(mag) & (mag >= 1)
+        t = b.select(keys).filter(pa.array(ok))
+        mag = mag[ok]
+        # leading digit without string round-trips: strip trailing
+        # decimal digits by repeated power-of-10 division (exact for
+        # magnitudes below 2^53)
+        d = mag
+        big = d >= 10
+        while big.any():
+            d = np.where(big, np.floor(d / 10.0), d)
+            big = d >= 10
+        t = t.append_column(pa.field("digit", pa.int64()),
+                            pa.array(d.astype(np.int64)))
+        t = t.append_column(pa.field("__c", pa.int64()),
+                            pa.array(np.ones(len(d), np.int64)))
+        return t.group_by(keys + ["digit"]).aggregate([("__c", "sum")]) \
+            .rename_columns(keys + ["digit", "__c"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    counts = Reducer(keys + ["digit"], [["__c", "Sum", "n"]]) \
+        .apply_dataset(part)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        from datavec_ray.misc import _GPART
+        g = group.drop_columns([_GPART]).sort_by(
+            [(k, "ascending") for k in keys] + [("digit", "ascending")])
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        new_key = _key_run_starts(g.select(keys), keys) if keys else \
+            np.concatenate(([True], np.zeros(g.num_rows - 1, bool)))
+        starts = np.flatnonzero(new_key)
+        tot = np.repeat(np.add.reduceat(n, starts),
+                        np.diff(np.append(starts, len(n))))
+        dig = g["digit"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = g.append_column(pa.field("share", pa.float64()),
+                              pa.array(np.round(n / tot, 6)))
+        return out.append_column(
+            pa.field("benford", pa.float64()),
+            pa.array(np.round(np.log10(1.0 + 1.0 / dig), 6)))
+
+    finalize.__name__ = "benford_profile"
+    from datavec_ray.misc import _GPART, _group_partition
+    return _group_partition(counts, keys, num_partitions) \
+        .groupby(_GPART).map_groups(finalize, batch_format="pyarrow")

@@ -112,6 +112,31 @@ class TransformPipeline:
             plan.append(("narrow", (run, self._schemas[len(self.steps)])))
         return plan
 
+    def explain(self) -> str:
+        """Human-readable physical plan: how the step list fuses into
+        narrow (single map_batches, zero exchanges) and wide (shuffle)
+        stages, with the statically-propagated schema after each stage
+        — the what-will-this-cost view (each 'wide' line is an
+        all-to-all exchange; reference counterpart: the DataAction
+        staging of TransformProcess, SURVEY §2.1)."""
+        lines = []
+        for i, (kind, payload) in enumerate(self._plan()):
+            if kind == "narrow":
+                steps, out_schema = payload
+                names = ", ".join(type(s).__name__ for s in steps)
+                lines.append(
+                    f"stage {i}: narrow map_batches [{names}] "
+                    f"-> ({', '.join(out_schema.arrow().names)})")
+            else:
+                step, in_schema = payload
+                lines.append(
+                    f"stage {i}: WIDE {type(step).__name__} (exchange) "
+                    f"<- ({', '.join(in_schema.arrow().names)})")
+        n_wide = sum(1 for k, _ in self._plan() if k == "wide")
+        lines.append(f"total: {len(self.steps)} steps, "
+                     f"{n_wide} exchange(s)")
+        return "\n".join(lines)
+
     def execute(self, ds, batch_size: Optional[int] = None):
         """Run over a ray.data.Dataset; returns a Dataset (lazy).
 

@@ -118,9 +118,11 @@ def group_normalize(ds, keys, columns, mode: str = "Standardize",
     """Within-group normalization — SQL
     ``(v - avg(v) OVER (PARTITION BY keys)) / stddev_samp(v) OVER ...``
     (``Standardize``), or min-max to [0,1] (``MinMax``), or mean
-    subtraction (``SubtractMean``). Appends ``{col}{suffix}`` float64
+    subtraction (``SubtractMean``), or the outlier-insensitive robust
+    scaler ``(v - median) / (q75 - q25)`` (``Robust``; SQL
+    ``quantile_cont`` stats). Appends ``{col}{suffix}`` float64
     columns; groups where the statistic is undefined (single row, or
-    zero range) yield NULL, matching SQL division-by-NULL.
+    zero range/IQR) yield NULL, matching SQL division-by-NULL.
 
     Scale shape: ONE small ``groupby().aggregate`` shuffle computes the
     per-group stats (combiner-backed builtin aggs), the stats table is
@@ -130,23 +132,38 @@ def group_normalize(ds, keys, columns, mode: str = "Standardize",
     import numpy as np
     import ray
 
-    if mode not in ("Standardize", "MinMax", "SubtractMean"):
+    if mode not in ("Standardize", "MinMax", "SubtractMean", "Robust"):
         raise ValueError(f"unsupported group_normalize mode {mode!r}")
     from ray.data.aggregate import Max, Mean, Min, Std
     keys, columns = list(keys), list(columns)
-    aggs = []
-    for c in columns:
-        if mode == "Standardize":
-            aggs += [Mean(c), Std(c, ddof=1)]
-        elif mode == "MinMax":
-            aggs += [Min(c), Max(c)]
-        else:
-            aggs += [Mean(c)]
-    stats = ds.groupby(keys).aggregate(*aggs)
-    stats_tbl = stats.to_arrow() if isinstance(stats, pa.Table) else None
-    if stats_tbl is None:
+    if mode == "Robust":
+        # exact per-group quantile stats (grouped_quantile ==
+        # quantile_cont), one partial-row shuffle per column, joined
+        # into one groups-sized stats table
+        from datavec_ray.misc import grouped_quantile
         from datavec_ray.util import dataset_to_table
-        stats_tbl = dataset_to_table(stats)
+        stats_tbl = None
+        for c in columns:
+            q = dataset_to_table(grouped_quantile(
+                ds, keys, c, [0.5, 0.25, 0.75],
+                [f"med({c})", f"q25({c})", f"q75({c})"],
+                interpolation="linear"))
+            stats_tbl = q if stats_tbl is None else \
+                stats_tbl.join(q, keys=keys, join_type="inner")
+    else:
+        aggs = []
+        for c in columns:
+            if mode == "Standardize":
+                aggs += [Mean(c), Std(c, ddof=1)]
+            elif mode == "MinMax":
+                aggs += [Min(c), Max(c)]
+            else:
+                aggs += [Mean(c)]
+        stats = ds.groupby(keys).aggregate(*aggs)
+        stats_tbl = stats.to_arrow() if isinstance(stats, pa.Table) else None
+        if stats_tbl is None:
+            from datavec_ray.util import dataset_to_table
+            stats_tbl = dataset_to_table(stats)
     ref = ray.put(stats_tbl)
 
     class _Apply:
@@ -172,12 +189,19 @@ def group_normalize(ds, keys, columns, mode: str = "Standardize",
                                      pa.scalar(None, pa.float64()), rng)
                     out = pc.divide(pc.subtract(v, pc.cast(lo, pa.float64())),
                                     rng)
+                elif mode == "Robust":
+                    med = j[f"med({c})"]
+                    iqr = pc.subtract(j[f"q75({c})"], j[f"q25({c})"])
+                    iqr = pc.if_else(pc.equal(iqr, 0.0),
+                                     pa.scalar(None, pa.float64()), iqr)
+                    out = pc.divide(pc.subtract(v, med), iqr)
                 else:
                     out = pc.subtract(v, j[f"mean({c})"])
                 j = j.append_column(pa.field(c + suffix, pa.float64()),
                                     combine(out))
             drop = [n for n in j.column_names
-                    if n.startswith(("mean(", "std(", "min(", "max("))]
+                    if n.startswith(("mean(", "std(", "min(", "max(",
+                                     "med(", "q25(", "q75("))]
             return j.drop_columns(drop)
 
     return ds.map_batches(_Apply, batch_format="pyarrow",

@@ -220,3 +220,110 @@ def test_minhash_against_matches_exact(ray_session):
                            shingle_k=3, verify=False)
     assert want <= set(zip(cand["ref_id"].to_pylist(),
                            cand["doc_id"].to_pylist()))
+
+
+def test_table_digest_portable_matches_duckdb(ray_session):
+    import duckdb
+
+    from datavec_ray.misc import table_digest
+
+    t = pa.table({
+        "k": pa.array(["a", "b", None, "d"], pa.string()),
+        "i": pa.array([1, -7, 3, None], pa.int64()),
+        "s": pa.array(["x", None, "z z", ""], pa.string()),
+    })
+    got = table_digest(rd.from_arrow(t).repartition(3), ["k", "i", "s"])
+    want = duckdb.sql("""
+        with ser as (
+          select coalesce(k, chr(0)) || chr(31)
+              || coalesce(cast(i as varchar), chr(0)) || chr(31)
+              || coalesce(s, chr(0)) as s
+          from t
+        )
+        select cast(count(*) as bigint) n,
+               cast(sum(cast(md5_number_lower(s) as hugeint))
+                    % 18446744073709551616 as ubigint) d
+        from ser""").fetchone()
+    assert got["n"] == want[0]
+    assert got["digest"] == int(want[1])
+
+
+def test_table_digest_order_and_partition_invariant(ray_session):
+    from datavec_ray.misc import table_digest
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(2000, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids),
+                  "v": pa.array(rng.integers(0, 100, 2000))})
+    perm = rng.permutation(2000)
+    t_shuf = t.take(pa.array(perm, pa.int64()))
+    for mode in ("portable", "fast"):
+        a = table_digest(rd.from_arrow(t).repartition(1), ["id", "v"], mode)
+        b = table_digest(rd.from_arrow(t_shuf).repartition(17),
+                         ["id", "v"], mode)
+        assert a == b, mode
+        # a single changed cell must change the digest
+        t2 = t.set_column(1, "v", pa.array(
+            np.where(ids == 137, 999, t["v"].to_numpy()), pa.int64()))
+        c = table_digest(rd.from_arrow(t2), ["id", "v"], mode)
+        assert c["digest"] != a["digest"], mode
+
+
+def test_benford_profile_digits_and_shares(ray_session):
+    from datavec_ray.ops.analytics import benford_profile
+
+    # 30x leading-1 (10..19, 100..119 subset), 10x leading-2, 5x 9xx;
+    # plus excluded rows: 0.4 (floor 0), null, -0 -> magnitude 0
+    vals = ([float(v) for v in range(10, 20)] * 3
+            + [2.0, 25.0, 299.0, 21.5, 2e3] * 2
+            + [900.0, 91.0, 9.9, 95.0, 999999.0]
+            + [0.4, None, 0.0])
+    t = pa.table({"k": ["g"] * len(vals),
+                  "v": pa.array(vals, pa.float64())})
+    out = dataset_to_table(benford_profile(
+        rd.from_arrow(t).repartition(4), ["k"], "v")) \
+        .sort_by([("digit", "ascending")])
+    assert out["digit"].to_pylist() == [1, 2, 9]
+    assert out["n"].to_pylist() == [30, 10, 5]
+    assert out["share"].to_pylist() == [
+        round(30 / 45, 6), round(10 / 45, 6), round(5 / 45, 6)]
+    import math
+    for d, b in zip(out["digit"].to_pylist(), out["benford"].to_pylist()):
+        assert abs(b - round(math.log10(1 + 1 / d), 6)) < 1e-12
+
+
+def test_pipeline_explain_reports_stages():
+    from datavec_ray import Schema, TransformPipeline
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps.column import KeepColumns
+    from datavec_ray.steps.math import DoubleMathOp
+
+    sch = Schema.builder().add_string("k").add_double("v").build()
+    p = TransformPipeline(sch)
+    p.add(DoubleMathOp("v", "Multiply", 2.0))
+    p.add(KeepColumns(["k", "v"]))
+    p.add(Reducer(["k"], [["v", "Sum", "s"]]))
+    text = p.explain()
+    assert "narrow map_batches [DoubleMathOp, KeepColumns]" in text
+    assert "WIDE Reducer (exchange)" in text
+    assert "1 exchange(s)" in text
+
+
+def test_group_normalize_robust_mode(ray_session):
+    from datavec_ray.steps.normalize import group_normalize
+
+    v = np.array([1.0, 2.0, 3.0, 4.0, 100.0])   # outlier-heavy group
+    t = pa.table({"k": ["g"] * 5, "v": pa.array(v)})
+    out = dataset_to_table(group_normalize(
+        rd.from_arrow(t).repartition(2), ["k"], ["v"], "Robust")) \
+        .sort_by([("v", "ascending")])
+    med = np.median(v)
+    q25, q75 = np.quantile(v, 0.25), np.quantile(v, 0.75)
+    want = (np.sort(v) - med) / (q75 - q25)
+    got = np.array(out["v_norm"].to_pylist())
+    assert np.allclose(got, want, atol=1e-9)
+    # zero-IQR group -> null
+    t2 = pa.table({"k": ["z"] * 4, "v": pa.array([7.0] * 4)})
+    out2 = dataset_to_table(group_normalize(
+        rd.from_arrow(t2), ["k"], ["v"], "Robust"))
+    assert all(x is None for x in out2["v_norm"].to_pylist())
