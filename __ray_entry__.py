@@ -2491,6 +2491,23 @@ def _q_media_pipeline(sf_dir: str):
                                   "height", "phash"])
 
 
+def _q_audio_mfcc(sf_dir: str):
+    """Audio featurization: synthetic media table's REAL WAV payloads →
+    actor-pool MFCC stage (batched rfft → mel filterbank → DCT-II,
+    per-clip mean/std pooling) — the ASR-data clip embedding; rows-only
+    (DSP has no SQL counterpart; known-signal pytest covers parity)."""
+    import ray.data as rd
+
+    from datavec_ray.ops.multimodal import AudioMFCC, synth_media_table
+
+    media = synth_media_table(200, seed=3)
+    audio = rd.from_arrow(media).filter(expr="media_type == 'audio'")
+    feat = audio.map_batches(AudioMFCC, batch_format="pyarrow",
+                             batch_size=32, concurrency=2)
+    return feat.select_columns(["media_id", "sample_rate",
+                                "mfcc_mean", "mfcc_std"])
+
+
 def _q_jdbc_source(sf_dir: str):
     """JDBC source (JDBCRecordReader parity → ray.data.read_sql over a
     DB-API connection): the nation table loaded into sqlite once per
@@ -3142,6 +3159,31 @@ def _q_compression_signal(sf_dir: str):
         ["doc_id", "n_bytes", "n_compressed", "compress_ratio"])
 
 
+def _q_cdc_lineage(sf_dir: str):
+    """Per-partition lineage metrics of an exactly-once replay — the
+    north rule's audit record (source LSN range, rows applied, stale
+    dupes dropped, tombstones) emitted by the engine per committed
+    partition; rows-only (engine metrics, no SQL counterpart — the
+    STATE they describe is oracle-checked by cdc_upsert/cdc_digest)."""
+    import tempfile
+
+    import pandas as pd
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(dir="/tmp") as lake:
+        eng = CdcIngestEngine(lake, num_partitions=16)
+        lineage = eng.replay(binlog, checkpoint_name="lineage")
+        eng.shutdown()
+    df = pd.DataFrame(lineage)[
+        ["partition", "rows", "events_applied", "stale_dropped",
+         "deletes", "lsn_lo", "lsn_hi"]]
+    return df.sort_values("partition").reset_index(drop=True)
+
+
 def _q_benford(sf_dir: str):
     """Leading-significant-digit distribution vs Benford's law per
     return flag — the fabricated-data forensic screen; (keys, digit)
@@ -3303,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_exact": _q_ivf_exact,
         "geo_distance": _q_geo_distance,
         "media_pipeline": _q_media_pipeline,
+        "audio_mfcc": _q_audio_mfcc,
         "jdbc_source": _q_jdbc_source,
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
@@ -3367,6 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_digest": _q_cdc_digest,
         "robust_scale": _q_robust_scale,
         "benford": _q_benford,
+        "cdc_lineage": _q_cdc_lineage,
         "jaccard_against": _q_jaccard_against,
         "minhash_against": _q_minhash_against,
         "grouped_entropy": _q_grouped_entropy,

@@ -436,6 +436,82 @@ class AudioSpectrogram:
                                    pa.array(peak_hz))
 
 
+class AudioMFCC(AudioSpectrogram):
+    """Actor-pool stage: audio bytes → MFCCs (Davis & Mermelstein 1980,
+    HTK mel scale) — the classic compact speech/audio feature the
+    spectrogram stage feeds in a real ASR-data pipeline. Per clip:
+    fixed Hann frames → batched ``rfft`` power spectra → ``n_mels``
+    triangular mel filters → ``log`` → orthonormal DCT-II →
+    first ``n_mfcc`` coefficients, pooled to per-clip mean and stdev
+    vectors (``mfcc_mean``/``mfcc_std``, each ``n_mfcc`` floats — the
+    standard clip-level embedding for similarity/dedup over audio).
+    All numpy matmuls over the whole batch; the mel filterbank and DCT
+    basis build ONCE per actor (__init__)."""
+
+    def __init__(self, n_frames: int = 8, frame_len: int = 512,
+                 n_mels: int = 26, n_mfcc: int = 13,
+                 deterministic_fake: bool = True):
+        super().__init__(n_frames=n_frames, n_bins=n_mels,
+                         frame_len=frame_len,
+                         deterministic_fake=deterministic_fake)
+        self.n_mels, self.n_mfcc = n_mels, n_mfcc
+        # DCT-II with orthonormal scaling (rows = coefficients)
+        k = np.arange(n_mels, dtype=np.float64)
+        c = np.arange(n_mfcc, dtype=np.float64)[:, None]
+        self.dct = np.cos(np.pi * c * (2 * k + 1) / (2 * n_mels)) \
+            * np.sqrt(2.0 / n_mels)
+        self.dct[0] /= np.sqrt(2.0)
+        self._fb_cache: dict[int, np.ndarray] = {}
+        self.__name__ = "audio_mfcc"
+
+    def _mel_fb(self, rate: int) -> np.ndarray:
+        """(n_mels, frame_len//2+1) triangular filterbank, HTK mel."""
+        fb = self._fb_cache.get(rate)
+        if fb is not None:
+            return fb
+        n_fft = self.frame_len
+        mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+        imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+        pts = imel(np.linspace(mel(0.0), mel(rate / 2.0),
+                               self.n_mels + 2))
+        bins = np.floor((n_fft + 1) * pts / rate).astype(np.int64)
+        fb = np.zeros((self.n_mels, n_fft // 2 + 1))
+        for m in range(1, self.n_mels + 1):
+            lo, mid, hi = bins[m - 1], bins[m], bins[m + 1]
+            if mid > lo:
+                fb[m - 1, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+            if hi > mid:
+                fb[m - 1, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+        self._fb_cache[rate] = fb
+        return fb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        payloads = combine(batch["payload"]).to_pylist()
+        srs = [s or 16000 for s in
+               combine(batch["sample_rate"]).to_pylist()]
+        n = len(payloads)
+        frames = np.empty((n, self.n_frames, self.frame_len), np.float64)
+        for i, (p, sr) in enumerate(zip(payloads, srs)):
+            frames[i] = self._frames_of(self._decode(p, sr))
+        spec = np.abs(np.fft.rfft(frames * self.window, axis=2)) ** 2
+        mean = np.empty((n, self.n_mfcc), np.float64)
+        std = np.empty((n, self.n_mfcc), np.float64)
+        for rate in set(srs):                      # batched per rate
+            idx = np.fromiter((i for i, s in enumerate(srs) if s == rate),
+                              np.int64)
+            mels = np.log(spec[idx] @ self._mel_fb(rate).T + 1e-10)
+            mf = mels @ self.dct.T                 # (k, frames, n_mfcc)
+            mean[idx] = mf.mean(axis=1)
+            std[idx] = mf.std(axis=1)
+        for name, mat in (("mfcc_mean", mean), ("mfcc_std", std)):
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float32).ravel()), self.n_mfcc) \
+                .cast(pa.list_(pa.float32()))
+            batch = batch.append_column(
+                pa.field(name, pa.list_(pa.float32())), arr)
+        return batch
+
+
 def video_phash_pairs(ds, id_col: str = "media_id", n_frames: int = 4,
                       grid: int = 8, min_shared: int = 2,
                       num_partitions: int = 32,

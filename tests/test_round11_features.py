@@ -327,3 +327,35 @@ def test_group_normalize_robust_mode(ray_session):
     out2 = dataset_to_table(group_normalize(
         rd.from_arrow(t2), ["k"], ["v"], "Robust"))
     assert all(x is None for x in out2["v_norm"].to_pylist())
+
+
+def test_audio_mfcc_known_signal(ray_session):
+    from datavec_ray.ops.codecs import encode_wav
+    from datavec_ray.ops.multimodal import AudioMFCC
+
+    rate = 16000
+    t = np.arange(rate, dtype=np.float64) / rate
+    tone = np.sin(2 * np.pi * 440.0 * t)            # pure A4
+    noise = np.random.default_rng(0).normal(0, 0.5, rate)
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_wav(tone, rate),
+                             encode_wav(noise, rate)], pa.binary()),
+        "sample_rate": pa.array([rate, rate], pa.int64()),
+    })
+    out = dataset_to_table(
+        rd.from_arrow(tbl).map_batches(AudioMFCC, batch_format="pyarrow",
+                                       concurrency=1))
+    assert out["mfcc_mean"].type == pa.list_(pa.float32())
+    m = np.array(out["mfcc_mean"].to_pylist())
+    s = np.array(out["mfcc_std"].to_pylist())
+    assert m.shape == (2, 13) and s.shape == (2, 13)
+    # a stationary tone has near-zero frame-to-frame variation; noise
+    # spreads energy -> clearly different embeddings, stable tone
+    assert np.abs(s[0, 1:]).max() < np.abs(s[1, 1:]).max()
+    assert np.linalg.norm(m[0] - m[1]) > 1.0
+    # determinism across runs
+    out2 = dataset_to_table(
+        rd.from_arrow(tbl).map_batches(AudioMFCC, batch_format="pyarrow",
+                                       concurrency=1))
+    assert np.allclose(m, np.array(out2["mfcc_mean"].to_pylist()))
