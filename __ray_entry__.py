@@ -3159,6 +3159,61 @@ def _q_compression_signal(sf_dir: str):
         ["doc_id", "n_bytes", "n_compressed", "compress_ratio"])
 
 
+def _q_cdc_copart_join(sf_dir: str):
+    """SHUFFLE-FREE join of two co-partitioned CDC lakes (current state
+    ⋈ half-replay snapshot on the shared routing key): both lakes hash
+    conv_id with the same partitioner, so partition i joins partition i
+    in one local task — zero exchange, parallelism = layout
+    (cdc.engine.copartitioned_lake_join). Oracle: the two LWW states
+    joined in SQL."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import (CdcIngestEngine,
+                                        copartitioned_lake_join)
+    from datavec_ray.util import dataset_to_table
+
+    cut = int(_read(sf_dir, "events", ["event_id"]).max("event_id")) // 2
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(dir="/tmp") as la, \
+            tempfile.TemporaryDirectory(dir="/tmp") as lb:
+        ea = CdcIngestEngine(la, num_partitions=8)
+        ea.replay(binlog, checkpoint_name="v2")
+        eb = CdcIngestEngine(lb, num_partitions=8)
+        eb.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                  checkpoint_name="v1")
+        out = copartitioned_lake_join(ea, eb,
+                                      on=["conv_id", "turn_idx"])
+        tbl = dataset_to_table(out.map_batches(
+            lambda b: b.select(["conv_id", "turn_idx", "text",
+                                "text_r"]),
+            batch_format="pyarrow"))
+        ea.shutdown()
+        eb.shutdown()
+    return tbl
+
+
+def _q_skew_join(sf_dir: str):
+    """Skew-aware join: events joined with a per-user profile on the
+    Zipf-headed user_id — the exact heavy-hitter pass routes hot keys
+    through a broadcast map-side join (no straggler partition), cold
+    keys through the ordinary shuffle; result set provably equals the
+    plain JOIN (join.skew_join)."""
+    from datavec_ray.join import skew_join
+    from datavec_ray.reduce import Reducer
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    prof = Reducer(["user_id"], [["value", "Sum", "user_value"],
+                                 ["value", "Count", "user_events"]]) \
+        .apply_dataset(_read(sf_dir, "events", ["user_id", "value"]))
+    out = skew_join(ev, prof, ["user_id"], hot_share=0.005)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_type", "value",
+                            "user_value", "user_events"]),
+        batch_format="pyarrow")
+
+
 def _q_cdc_lineage(sf_dir: str):
     """Per-partition lineage metrics of an exactly-once replay — the
     north rule's audit record (source LSN range, rows applied, stale
@@ -3411,6 +3466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale": _q_robust_scale,
         "benford": _q_benford,
         "cdc_lineage": _q_cdc_lineage,
+        "skew_join": _q_skew_join,
+        "cdc_copart_join": _q_cdc_copart_join,
         "jaccard_against": _q_jaccard_against,
         "minhash_against": _q_minhash_against,
         "grouped_entropy": _q_grouped_entropy,
@@ -4506,6 +4563,35 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             group by l_returnflag
             order by l_returnflag""",
+        "cdc_copart_join": _BINLOG_CTE + """
+            , v2 as (
+              select conv_id, turn_idx, text
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D'
+            ), v1 as (
+              select conv_id, turn_idx, text
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e
+                    where lsn <= (select max(lsn) // 2 from e)) t
+              where rn = 1 and op <> 'D'
+            )
+            select v2.conv_id, v2.turn_idx, v2.text,
+                   v1.text as text_r
+            from v2 join v1 using (conv_id, turn_idx)""",
+        "skew_join": """
+            with prof as (
+              select user_id, sum(value) as user_value,
+                     cast(count(value) as bigint) as user_events
+              from events group by 1
+            )
+            select e.user_id, e.event_type, e.value,
+                   p.user_value, p.user_events
+            from events e join prof p using (user_id)""",
         "benford": """
             with x as (
               select l_returnflag as rf,

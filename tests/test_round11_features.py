@@ -359,3 +359,72 @@ def test_audio_mfcc_known_signal(ray_session):
         rd.from_arrow(tbl).map_batches(AudioMFCC, batch_format="pyarrow",
                                        concurrency=1))
     assert np.allclose(m, np.array(out2["mfcc_mean"].to_pylist()))
+
+
+def test_skew_join_hot_path_equals_plain_join(ray_session):
+    from datavec_ray.join import JoinStep, skew_join
+
+    rng = np.random.default_rng(9)
+    # one Zipf-head key (60% of rows) + a cold tail
+    k = np.concatenate([np.zeros(600, np.int64),
+                        rng.integers(1, 50, 400)])
+    left = pa.table({"k": pa.array(k),
+                     "x": pa.array(np.arange(1000, dtype=np.int64))})
+    right = pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                      "lbl": pa.array([f"u{i}" for i in range(50)])})
+    got = dataset_to_table(skew_join(
+        rd.from_arrow(left).repartition(4), rd.from_arrow(right),
+        ["k"], hot_share=0.1)).sort_by(
+        [("x", "ascending")])
+    want = dataset_to_table(JoinStep(right, ["k"]).apply_dataset(
+        rd.from_arrow(left))).sort_by([("x", "ascending")])
+    assert got.select(["k", "x", "lbl"]).equals(
+        want.select(["k", "x", "lbl"]))
+    # left-outer keeps unmatched left rows (key 49 removed from right)
+    r2 = right.slice(0, 49)
+    lo = dataset_to_table(skew_join(
+        rd.from_arrow(left), rd.from_arrow(r2), ["k"],
+        join_type="LeftOuter", hot_share=0.1))
+    assert lo.num_rows == 1000
+    nulls = lo.filter(lo["lbl"].combine_chunks().is_null())
+    assert set(nulls["k"].to_pylist()) == {49}
+
+
+def test_copartitioned_lake_join(ray_session, tmp_path):
+    import pytest
+
+    from datavec_ray.cdc.binlog import synth_binlog
+    from datavec_ray.cdc.engine import (CdcIngestEngine,
+                                        copartitioned_lake_join)
+
+    binlog = synth_binlog(3000, num_convs=40, seed=11)
+    ea = CdcIngestEngine(str(tmp_path / "a"), num_partitions=4)
+    ea.replay(rd.from_arrow(binlog), checkpoint_name="x")
+    eb = CdcIngestEngine(str(tmp_path / "b"), num_partitions=4)
+    half = binlog.filter(
+        pa.compute.less_equal(binlog["lsn"], 1500))
+    eb.replay(rd.from_arrow(half), checkpoint_name="x")
+
+    out = dataset_to_table(copartitioned_lake_join(
+        ea, eb, on=["conv_id", "turn_idx"]))
+    # oracle: plain pyarrow join of the two full states
+    sa = dataset_to_table(ea.read_lake_dataset())
+    sb = dataset_to_table(eb.read_lake_dataset())
+    want = sa.join(sb, keys=["conv_id", "turn_idx"], join_type="inner",
+                   right_suffix="_r")
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert out.num_rows == want.num_rows
+    assert out.sort_by(key).select(["conv_id", "turn_idx", "text",
+                                    "text_r"]).equals(
+        want.sort_by(key).select(["conv_id", "turn_idx", "text",
+                                  "text_r"]))
+    # misaligned layouts refuse
+    ec = CdcIngestEngine(str(tmp_path / "c"), num_partitions=8)
+    with pytest.raises(ValueError, match="not co-partitioned"):
+        copartitioned_lake_join(ea, ec)
+    es = CdcIngestEngine(str(tmp_path / "s"), num_partitions=4,
+                         salt_turns=3, hot_convs=["conv-1"])
+    with pytest.raises(ValueError, match="unsalted"):
+        copartitioned_lake_join(ea, es)
+    for e in (ea, eb, ec, es):
+        e.shutdown()
