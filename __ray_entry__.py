@@ -2355,6 +2355,50 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_query(idx, q, k=10, nprobe=4)
 
 
+def _q_ivf_upsert(sf_dir: str):
+    """Incremental vector-index maintenance (the vector-lake path):
+    build the centroid-partitioned IVF index, apply a CHANGE batch
+    (10 vectors moved, 5 deleted, 5 inserted) as versioned upsert
+    files + a ledger — no rebuild — then query; superseded/deleted
+    copies can never surface. Rows-only (engine-pinned geometry; the
+    exact-equivalence and compaction invariants are pytest-asserted)
+    (ops.similarity.ivf_upsert / ivf_query_live / ivf_compact)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from datavec_ray.ops.similarity import (ivf_build, ivf_query_live,
+                                            ivf_upsert)
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    vecs = [np.asarray(v, dtype=np.float64)
+            for v in emb["embedding"].to_pylist()]
+    idx = f"/tmp/datavec_ray_ivf_upsert_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ivf_build(ds, idx, num_centroids=8, sample_frac=0.5)
+    dim = len(vecs[0])
+    moved = [list(-v) for v in vecs[:10]]            # flip 10 vectors
+    new_ids = [100000 + i for i in range(5)]
+    delta = pa.table({
+        "vec_id": pa.array(list(range(10)) + list(range(10, 15))
+                           + new_ids, pa.int64()),
+        "embedding": pa.array(
+            moved + [None] * 5
+            + [list(vecs[i] * 0.5 + 0.1) for i in range(5)],
+            pa.list_(pa.float64())),
+    })
+    ivf_upsert(idx, delta)
+    q = np.stack(vecs[:5])
+    out = ivf_query_live(idx, q, k=10, nprobe=4)
+    from datavec_ray.util import dataset_to_table
+    tbl = dataset_to_table(out).sort_by(
+        [("query_id", "ascending"), ("cosine", "descending"),
+         ("match_id", "ascending")])
+    shutil.rmtree(idx, ignore_errors=True)
+    return tbl
+
+
 def _q_pq_topk(sf_dir: str):
     """Product-quantization ANN (the memory path: m uint8 codes per
     vector, ADC lookup-table scoring — corpus pass reads 8 bytes/row
@@ -3395,6 +3439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_windows": _q_context_windows,
         "bpe_subwords": _q_bpe_subwords,
         "ivf_topk": _q_ivf_topk,
+        "ivf_upsert": _q_ivf_upsert,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "ivf_exact": _q_ivf_exact,

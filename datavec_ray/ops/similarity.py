@@ -819,3 +819,244 @@ def pca_transform(ds, model: dict, vec_col: str = "embedding",
 
     _project.__name__ = "pca_project"
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF maintenance: LSM-style vector upserts over the physical
+# centroid-partitioned index (the "vector lake" path — embeddings change
+# through CDC, the ANN index follows without a rebuild)
+# ---------------------------------------------------------------------------
+
+_LEDGER = "_ledger.parquet"
+
+
+def _read_ivf_ledger(index_dir: str):
+    """(sorted ids, latest ver per id, deleted flag) or None."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, _LEDGER)
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ver = t["ver"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dele = t["deleted"].to_numpy(zero_copy_only=False).astype(bool)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], ver[order], dele[order]
+
+
+def ivf_upsert(index_dir: str, delta: pa.Table,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Apply a CHANGE batch to a physical IVF index without rebuilding
+    — the vector-lake counterpart of the CDC lake's delta commit. A
+    delta row with a vector upserts (insert or replace; the vector may
+    MOVE to a different centroid), a null vector deletes. Mechanism:
+
+    - upserted vectors are assigned to the FIXED centroid geometry and
+      appended as one versioned ``upsert-<ver>`` file per affected
+      centroid directory (delta-proportional writes; heavy drift
+      eventually warrants an ``ivf_build`` rebuild — the metrics report
+      mean assignment distance so the caller can tell),
+    - a ledger (id → latest ver, deleted flag) records every changed
+      id; queries treat an index row as live iff its id is absent from
+      the ledger or carries the ledger's latest version — so a stale
+      copy in the vector's OLD centroid can never surface, even when
+      only the old centroid is probed,
+    - ``ivf_compact`` folds upsert files + ledger back into plain base
+      partitions (read amplification bounded the LSM way).
+
+    The delta is delta-sized by contract (a change batch, not a bulk
+    load); ledger size is bounded by ids changed since the last
+    compact. Returns metrics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    led = _read_ivf_ledger(index_dir)
+    ver = int(led[1].max()) + 1 if led is not None else 1
+
+    null_vec = pc.is_null(delta[vec_col])
+    dels = delta.filter(null_vec)
+    ups = delta.filter(pc.invert(null_vec))
+    mean_dist = None
+    affected: list[int] = []
+    if ups.num_rows:
+        m = _matrix(ups[vec_col])
+        assign = _assign_centroids(m, cents)
+        mn = _normalize(m)
+        mean_dist = float(
+            1.0 - (mn * _normalize(cents)[assign]).sum(axis=1).mean())
+        ids = combine(ups[id_col]).cast(pa.int64())
+        for c in np.unique(assign):
+            rmask = assign == c
+            sub = pa.table({
+                id_col: ids.filter(pa.array(rmask)),
+                vec_col: combine(ups[vec_col]).filter(pa.array(rmask)),
+                "ver": pa.array(np.full(int(rmask.sum()), ver, np.int64)),
+            })
+            d = os.path.join(index_dir, f"cent={int(c)}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"upsert-{ver:08d}.parquet")
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, path)
+            affected.append(int(c))
+    # merge the ledger: latest ver per id wins
+    new_ids = np.concatenate([
+        combine(ups[id_col]).to_numpy(zero_copy_only=False).astype(
+            np.int64) if ups.num_rows else np.empty(0, np.int64),
+        combine(dels[id_col]).to_numpy(zero_copy_only=False).astype(
+            np.int64) if dels.num_rows else np.empty(0, np.int64)])
+    new_del = np.concatenate([np.zeros(ups.num_rows, bool),
+                              np.ones(dels.num_rows, bool)])
+    if led is not None:
+        keep = ~np.isin(led[0], new_ids)
+        all_ids = np.concatenate([led[0][keep], new_ids])
+        all_ver = np.concatenate([led[1][keep],
+                                  np.full(len(new_ids), ver, np.int64)])
+        all_del = np.concatenate([led[2][keep], new_del])
+    else:
+        all_ids = new_ids
+        all_ver = np.full(len(new_ids), ver, np.int64)
+        all_del = new_del
+    path = os.path.join(index_dir, _LEDGER)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table({"vec_id": pa.array(all_ids),
+                             "ver": pa.array(all_ver),
+                             "deleted": pa.array(all_del)}), tmp)
+    os.replace(tmp, path)
+    return {"ver": ver, "upserts": ups.num_rows, "deletes": dels.num_rows,
+            "affected_centroids": sorted(set(affected)),
+            "ledger_ids": len(all_ids),
+            "mean_assign_dist": mean_dist}
+
+
+def _ivf_live_filter(index_dir: str, id_col: str):
+    """Batch filter dropping rows superseded or deleted per the ledger.
+    Returns None when no ledger exists (pure base index)."""
+    led = _read_ivf_ledger(index_dir)
+    if led is None or len(led[0]) == 0:
+        return None
+    lid, lver, ldel = led
+
+    def live(b: pa.Table) -> pa.Table:
+        ids = combine(b[id_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ver = (b["ver"].to_numpy(zero_copy_only=False).astype(np.int64)
+               if "ver" in b.column_names
+               else np.zeros(len(ids), np.int64))
+        pos = np.minimum(np.searchsorted(lid, ids), len(lid) - 1)
+        hit = lid[pos] == ids
+        ok = ~hit | ((ver == lver[pos]) & ~ldel[pos])
+        out = b.filter(pa.array(ok))
+        return out.drop_columns(["ver"]) if "ver" in out.column_names \
+            else out
+
+    live.__name__ = "ivf_live_filter"
+    return live
+
+
+def ivf_query_live(index_dir: str, queries: np.ndarray, k: int = 10,
+                   nprobe: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """``ivf_query`` over an index with pending upserts: probed BASE
+    files and versioned upsert files are read separately (upserts carry
+    their ver column), the broadcast ledger filter drops superseded /
+    deleted rows, then the ordinary probe-masked scoring runs."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ncents = _normalize(cents)
+    probe = np.argsort(-(q @ ncents.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for c in probe.reshape(-1)})
+    base_paths, up_paths = [], []
+    for c in needed:
+        d = os.path.join(index_dir, f"cent={c}")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            (up_paths if f.startswith("upsert-") else base_paths).append(
+                os.path.join(d, f))
+    parts = []
+    if base_paths:
+        parts.append(rd.read_parquet(base_paths,
+                                     columns=[id_col, vec_col]))
+    if up_paths:
+        parts.append(rd.read_parquet(up_paths,
+                                     columns=[id_col, vec_col, "ver"]))
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "match_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    flt = _ivf_live_filter(index_dir, id_col)
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    refs = (ray.put(cents), ray.put(q), ray.put(probe))
+    per_batch = ds.map_batches(
+        _ProbeTopK, batch_format="pyarrow",
+        fn_constructor_args=(*refs, vec_col, id_col, k),
+        concurrency=(1, 8))
+    return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
+                                                    batch_format="pyarrow")
+
+
+def ivf_compact(index_dir: str, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> dict:
+    """Fold upsert files + ledger back into plain base partitions: per
+    centroid, read every file, keep live rows (ledger-latest version,
+    tombstones dropped), write ONE base file, remove the rest; the
+    ledger is deleted last (idempotent on crash — re-running re-folds
+    the same state)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    flt = _ivf_live_filter(index_dir, id_col)
+    folded = rows = 0
+    for name in sorted(os.listdir(index_dir)):
+        d = os.path.join(index_dir, name)
+        if not (name.startswith("cent=") and os.path.isdir(d)):
+            continue
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if not files or (len(files) == 1
+                         and not os.path.basename(files[0])
+                         .startswith("upsert-")):
+            continue
+        tabs = []
+        for f in files:
+            t = pq.read_table(f)
+            if "ver" not in t.column_names:
+                t = t.append_column(
+                    "ver", pa.array(np.zeros(t.num_rows, np.int64)))
+            tabs.append(t.select([id_col, vec_col, "ver"]))
+        merged = pa.concat_tables(tabs)
+        live = flt(merged) if flt is not None else \
+            merged.drop_columns(["ver"])
+        base = os.path.join(d, "base-0.parquet")
+        tmp = f"{base}.tmp.{os.getpid()}"
+        pq.write_table(live.sort_by([(id_col, "ascending")]), tmp)
+        os.replace(tmp, base)
+        for f in files:
+            if os.path.abspath(f) != os.path.abspath(base):
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+        folded += 1
+        rows += live.num_rows
+    led_path = os.path.join(index_dir, _LEDGER)
+    if os.path.exists(led_path):
+        os.remove(led_path)
+    return {"centroids_folded": folded, "live_rows": rows}

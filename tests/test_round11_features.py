@@ -428,3 +428,79 @@ def test_copartitioned_lake_join(ray_session, tmp_path):
         copartitioned_lake_join(ea, es)
     for e in (ea, eb, ec, es):
         e.shutdown()
+
+
+def test_ivf_upsert_delete_move_and_compact(ray_session, tmp_path):
+    import os
+
+    from datavec_ray.ops.similarity import (ivf_build, ivf_compact,
+                                            ivf_query_live, ivf_upsert)
+
+    rng = np.random.default_rng(21)
+    dim, n = 8, 300
+    base = rng.normal(0, 1, (n, dim))
+    base[:150] += 6.0          # two well-separated blobs
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(base))})
+    idx = str(tmp_path / "ivf")
+    ivf_build(rd.from_arrow(tbl), idx, num_centroids=6, sample_frac=1.0)
+
+    moved = base[170] + 6.0     # vec 170 moves into the other blob
+    newv = rng.normal(0, 1, dim) + 6.0
+    delta = pa.table({
+        "vec_id": pa.array([170, 5, 999], pa.int64()),
+        "embedding": pa.array([list(moved), None, list(newv)],
+                              pa.list_(pa.float64())),
+    })
+    m = ivf_upsert(idx, delta)
+    assert m["upserts"] == 2 and m["deletes"] == 1 and m["ver"] == 1
+
+    # probe everything -> must equal brute force over the NEW corpus
+    updated = {i: v for i, v in zip(ids, base)}
+    updated[170] = moved
+    del updated[5]
+    updated[999] = newv
+    q = np.stack([moved, base[5]])
+    got = dataset_to_table(ivf_query_live(idx, q, k=3, nprobe=6)) \
+        .sort_by([("query_id", "ascending"), ("cosine", "descending")])
+    all_ids = np.array(sorted(updated), dtype=np.int64)
+    mat = np.stack([updated[i] for i in all_ids])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for qi in range(2):
+        cos = mn @ qn[qi]
+        want = all_ids[np.argsort(-cos)][:3].tolist()
+        sub = got.filter(pa.compute.equal(got["query_id"], qi))
+        assert sub["match_id"].to_pylist() == want, qi
+    assert 5 not in got["match_id"].to_pylist()        # deleted
+    # a query AT the inserted vector finds it first
+    res_new = dataset_to_table(ivf_query_live(idx, np.stack([newv]),
+                                              k=1, nprobe=6))
+    assert res_new["match_id"].to_pylist() == [999]
+
+    # the moved vector's STALE copy may share a probed centroid with
+    # queries at its old location, but the ledger suppresses it: the
+    # old-location query must rank 170 by its NEW (far) vector or not
+    # return it at all among close matches
+    old_q = np.stack([base[170]])
+    res_old = dataset_to_table(ivf_query_live(idx, old_q, k=5, nprobe=6))
+    if 170 in res_old["match_id"].to_pylist():
+        i = res_old["match_id"].to_pylist().index(170)
+        new_cos = float(
+            (moved / np.linalg.norm(moved))
+            @ (base[170] / np.linalg.norm(base[170])))
+        assert abs(res_old["cosine"][i].as_py() - new_cos) < 1e-9
+
+    # compact folds everything back; results unchanged, ledger gone
+    c = ivf_compact(idx)
+    assert c["centroids_folded"] >= 1
+    assert not os.path.exists(os.path.join(idx, "_ledger.parquet"))
+    got2 = dataset_to_table(ivf_query_live(idx, q, k=3, nprobe=6)) \
+        .sort_by([("query_id", "ascending"), ("cosine", "descending")])
+    assert got2.equals(got)
+    for d in os.listdir(idx):
+        p = os.path.join(idx, d)
+        if d.startswith("cent=") and os.path.isdir(p):
+            assert len([f for f in os.listdir(p)
+                        if f.endswith(".parquet")]) == 1
