@@ -3283,6 +3283,34 @@ def _q_cdc_lineage(sf_dir: str):
     return df.sort_values("partition").reset_index(drop=True)
 
 
+def _q_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key over (o_custkey, o_orderkey) —
+    the multi-dim data-layout key that makes min/max file stats prune
+    range predicates on EITHER column after a sort-by-zkey write;
+    exact bit interleave mirrored term-for-term in SQL
+    (misc.zorder_key)."""
+    from datavec_ray.misc import zorder_key
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return zorder_key(ds, ["o_custkey", "o_orderkey"], bits=12)
+
+
+def _q_cube(sf_dir: str):
+    """Full CUBE report in ONE pass — all 2^k grouping sets of
+    (lang, source) through the same map-side multi-set combiner as
+    rollup_agg; the shuffle moves |sets|×distinct-keys partial rows
+    (misc.rollup_agg with explicit sets). Oracle = GROUP BY CUBE."""
+    from datavec_ray.misc import rollup_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source",
+                                       "n_chars"])
+    return rollup_agg(docs, ["lang", "source"],
+                      [("n_chars", "Count", "n_docs"),
+                       ("n_chars", "Sum", "sum_chars")],
+                      sets=[["lang", "source"], ["lang"], ["source"],
+                            []])
+
+
 def _q_benford(sf_dir: str):
     """Leading-significant-digit distribution vs Benford's law per
     return flag — the fabricated-data forensic screen; (keys, digit)
@@ -3510,6 +3538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_digest": _q_cdc_digest,
         "robust_scale": _q_robust_scale,
         "benford": _q_benford,
+        "cube": _q_cube,
+        "zorder": _q_zorder,
         "cdc_lineage": _q_cdc_lineage,
         "skew_join": _q_skew_join,
         "cdc_copart_join": _q_cdc_copart_join,
@@ -4637,6 +4667,17 @@ def oracle_sql() -> dict[str, str]:
             select e.user_id, e.event_type, e.value,
                    p.user_value, p.user_events
             from events e join prof p using (user_id)""",
+        "zorder": """
+            select o_orderkey, o_custkey,
+                   cast(((o_custkey // 1) % 2) * 1 + ((o_orderkey // 1) % 2) * 2 + ((o_custkey // 2) % 2) * 4 + ((o_orderkey // 2) % 2) * 8 + ((o_custkey // 4) % 2) * 16 + ((o_orderkey // 4) % 2) * 32 + ((o_custkey // 8) % 2) * 64 + ((o_orderkey // 8) % 2) * 128 + ((o_custkey // 16) % 2) * 256 + ((o_orderkey // 16) % 2) * 512 + ((o_custkey // 32) % 2) * 1024 + ((o_orderkey // 32) % 2) * 2048 + ((o_custkey // 64) % 2) * 4096 + ((o_orderkey // 64) % 2) * 8192 + ((o_custkey // 128) % 2) * 16384 + ((o_orderkey // 128) % 2) * 32768 + ((o_custkey // 256) % 2) * 65536 + ((o_orderkey // 256) % 2) * 131072 + ((o_custkey // 512) % 2) * 262144 + ((o_orderkey // 512) % 2) * 524288 + ((o_custkey // 1024) % 2) * 1048576 + ((o_orderkey // 1024) % 2) * 2097152 + ((o_custkey // 2048) % 2) * 4194304 + ((o_orderkey // 2048) % 2) * 8388608 as bigint) as zkey
+            from orders""",
+        "cube": """
+            select lang, source,
+                   count(n_chars) as n_docs,
+                   cast(sum(n_chars) as bigint) as sum_chars
+            from documents
+            group by cube(lang, source)
+            order by lang nulls last, source nulls last""",
         "benford": """
             with x as (
               select l_returnflag as rf,

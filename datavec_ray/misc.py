@@ -1741,3 +1741,41 @@ def table_digest(ds, cols: Sequence[str], mode: str = "portable") -> dict:
         n += int(r["n"])
         total = (total + int(r["d"])) % (1 << 64)
     return {"n": n, "digest": total}
+
+
+def zorder_key(ds, cols: Sequence[str], bits: int = 16,
+               out_col: str = "zkey"):
+    """Morton / Z-order interleaving of the LOW ``bits`` bits of k
+    integer columns — the multi-dimensional clustering key: sorting by
+    it before a partitioned write co-locates rows close in EVERY listed
+    dimension, so min/max file statistics prune multi-column range
+    predicates (the Delta/Iceberg OPTIMIZE ZORDER layout trick; hash
+    partitioning cannot give this). Pre-bucket continuous values
+    upstream (``quantile_bucket`` composes) — the contract is exact bit
+    arithmetic on non-negative ints, mirrorable in SQL term for term.
+
+    Bit j of column i lands at position ``j·k + i``; requires
+    ``bits·k ≤ 62``. One vectorized shift/mask pass per batch, no
+    shuffle."""
+    cols = list(cols)
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds int64 capacity")
+
+    def zk(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, np.int64)
+        for i, c in enumerate(cols):
+            v = combine(b[c]).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if (v < 0).any():
+                raise ValueError(f"zorder_key column {c!r} has negative "
+                                 "values; shift/bucket upstream")
+            for j in range(bits):
+                z |= ((v >> j) & 1) << (j * k + i)
+        return b.append_column(pa.field(out_col, pa.int64()),
+                               pa.array(z))
+
+    zk.__name__ = "zorder_key"
+    return ds.map_batches(zk, batch_format="pyarrow")
