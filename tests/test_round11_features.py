@@ -537,3 +537,60 @@ def test_zorder_key_locality(ray_session):
             rd.from_arrow(pa.table({"a": pa.array([-1], pa.int64()),
                                     "b": pa.array([0], pa.int64())})),
             ["a", "b"]))
+
+
+def test_time_resample_matches_bruteforce_random(ray_session):
+    from datavec_ray.misc import time_resample
+
+    for seed in (1, 2, 3, 4, 5):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 120))
+        keys = rng.integers(0, 6, n).astype(np.int64)
+        ts = rng.integers(0, 500, n).astype(np.int64)
+        vs = np.round(rng.normal(0, 10, n), 3)
+        step = int(rng.choice([7, 10, 25]))
+        t = pa.table({"k": pa.array(keys), "ts": pa.array(ts),
+                      "v": pa.array(vs)})
+        got = dataset_to_table(time_resample(
+            rd.from_arrow(t).repartition(3), ["k"], "ts", "v", step)) \
+            .sort_by([("k", "ascending"), ("ts_ms", "ascending")])
+        # brute-force reference: per key, dedup ts by max, grid, interp
+        want_rows = []
+        for k in np.unique(keys):
+            pts = {}
+            for tt, vv in zip(ts[keys == k], vs[keys == k]):
+                pts[tt] = max(pts.get(tt, -np.inf), vv)
+            st_, en = min(pts), max(pts)
+            g0 = -(-st_ // step) * step
+            tlist = sorted(pts)
+            for gt in range(g0, en + 1, step):
+                import bisect
+                i = bisect.bisect_right(tlist, gt) - 1
+                j = bisect.bisect_left(tlist, gt)
+                pt_, nt_ = tlist[i], tlist[j]
+                if pt_ == nt_:
+                    val = pts[pt_]
+                else:
+                    val = pts[pt_] + (pts[nt_] - pts[pt_]) * (
+                        float(gt - pt_) / float(nt_ - pt_))
+                want_rows.append((int(k), gt, val))
+        want_rows.sort()
+        assert got["k"].to_pylist() == [r[0] for r in want_rows], seed
+        assert got["ts_ms"].to_pylist() == [r[1] for r in want_rows], seed
+        assert np.allclose(got["v"].to_pylist(),
+                           [r[2] for r in want_rows], atol=1e-12), seed
+
+
+def test_table_digest_additive_over_union(ray_session):
+    from datavec_ray.misc import table_digest
+
+    a = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "s": pa.array(["x", "y", "z"])})
+    b = pa.table({"id": pa.array([4, 5], pa.int64()),
+                  "s": pa.array(["u", None])})
+    da = table_digest(rd.from_arrow(a), ["id", "s"])
+    db = table_digest(rd.from_arrow(b), ["id", "s"])
+    dab = table_digest(rd.from_arrow(pa.concat_tables([a, b])),
+                       ["id", "s"])
+    assert dab["n"] == da["n"] + db["n"]
+    assert dab["digest"] == (da["digest"] + db["digest"]) % (1 << 64)
