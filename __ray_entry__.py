@@ -456,6 +456,38 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_renderview(sf_dir: str):
+    """Incrementally-maintained SFT render export: build the rendered
+    per-conversation training table from snapshot v1, then ADVANCE it
+    with the v1→v2 retract feed — only conversations the delta touched
+    re-render; the oracle re-renders the full LWW state from scratch
+    (cdc.aggview.RenderView)."""
+    import tempfile
+
+    from datavec_ray.cdc.aggview import RenderView
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    cut = int(_read(sf_dir, "events", ["event_id"]).max("event_id")) // 2
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(dir="/tmp") as lake:
+        eng = CdcIngestEngine(lake, num_partitions=8)
+        try:
+            eng.replay(binlog.filter(expr=f"lsn <= {cut}"),
+                       checkpoint_name="v1")
+            eng.replay(binlog.filter(expr=f"lsn > {cut}"),
+                       checkpoint_name="v2")
+            tt = eng.time_travel()
+            view = RenderView()
+            state = view.build(tt.read_state_at("v1"))
+            state = view.advance(state, tt.retract_feed("v1", "v2"),
+                                 tt.read_state_at("v2"))
+            return state
+        finally:
+            eng.shutdown()
+
+
 def _q_cdc_evolve(sf_dir: str):
     """Schema evolution through the REAL ingest path, driver-checked:
     segment 1 arrives WITHOUT the tool column, segment 2 arrives with
@@ -3409,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
+        "cdc_renderview": _q_cdc_renderview,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_delta_lake": _q_cdc_delta_lake,
@@ -4070,6 +4103,20 @@ def oracle_sql() -> dict[str, str]:
             select w.id, w.depth, w.path from walk w
             where w.id not in
               (select parent from t where parent is not null)""",
+        "cdc_renderview": _BINLOG_CTE + """
+            , st as (
+              select conv_id, turn_idx, role, text
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D'
+            )
+            select conv_id,
+                   string_agg(role || ': ' || coalesce(text, ''),
+                              chr(10) order by turn_idx) as rendered,
+                   cast(count(*) as bigint) as n_turns
+            from st group by conv_id order by conv_id""",
         "cdc_aggview": _BINLOG_CTE + """
             select role, count(*) as n_turns,
                    cast(sum(turn_idx) as bigint) as sum_turn,

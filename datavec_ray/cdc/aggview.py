@@ -321,3 +321,35 @@ class AggView:
                     pc.divide(s, c.cast(pa.float64())))
         return pa.table(cols).sort_by(
             [(k, "ascending") for k in self.keys])
+
+
+class RenderView(RecomputeAggView):
+    """Incrementally maintained SFT RENDER export — the materialized
+    "one training text per conversation" table (misc.render_conversations
+    format) kept current over the CDC lake: ``advance`` re-renders ONLY
+    conversations named in the retract feed and carries every other
+    rendered row forward untouched. This closes the loop the north
+    star implies: transcript edits flow binlog → lake → re-rendered
+    training rows with work proportional to the delta, not the corpus
+    (a full re-render of a 100 TB lake per refresh is exactly the job
+    this avoids). A conversation's rendered text is a pure function of
+    its own live rows, so the affected-group splice is exact."""
+
+    def __init__(self, key: str = "conv_id",
+                 order_cols: Sequence[str] = ("turn_idx",),
+                 role_col: str = "role", text_col: str = "text",
+                 role_sep: str = ": ", turn_sep: str = "\n",
+                 num_partitions: int = 32):
+        super().__init__([key], specs=[], num_partitions=num_partitions)
+        self.order_cols = list(order_cols)
+        self.role_col, self.text_col = role_col, text_col
+        self.role_sep, self.turn_sep = role_sep, turn_sep
+
+    def _compute(self, ds) -> pa.Table:
+        from datavec_ray.misc import render_conversations
+        from datavec_ray.util import dataset_to_table
+
+        return dataset_to_table(render_conversations(
+            ds, self.keys[0], self.order_cols, self.role_col,
+            self.text_col, self.role_sep, self.turn_sep,
+            num_partitions=self.num_partitions))

@@ -594,3 +594,29 @@ def test_table_digest_additive_over_union(ray_session):
                        ["id", "s"])
     assert dab["n"] == da["n"] + db["n"]
     assert dab["digest"] == (da["digest"] + db["digest"]) % (1 << 64)
+
+
+def test_render_view_advance_equals_rebuild(ray_session, tmp_path):
+    from datavec_ray.cdc.aggview import RenderView
+    from datavec_ray.cdc.binlog import synth_binlog
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    binlog = synth_binlog(2000, num_convs=25, seed=13)
+    eng = CdcIngestEngine(str(tmp_path / "lake"), num_partitions=4)
+    try:
+        eng.replay(rd.from_arrow(binlog.filter(
+            pa.compute.less_equal(binlog["lsn"], 1000))),
+            checkpoint_name="v1")
+        eng.replay(rd.from_arrow(binlog.filter(
+            pa.compute.greater(binlog["lsn"], 1000))),
+            checkpoint_name="v2")
+        tt = eng.time_travel()
+        view = RenderView()
+        v1 = view.build(tt.read_state_at("v1"))
+        advanced = view.advance(v1, tt.retract_feed("v1", "v2"),
+                                tt.read_state_at("v2"))
+        rebuilt = view.build(tt.read_state_at("v2"))
+        assert advanced.equals(rebuilt)
+        assert not advanced.equals(v1)      # the delta changed things
+    finally:
+        eng.shutdown()
