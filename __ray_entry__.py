@@ -2141,6 +2141,40 @@ def _q_doc_quality(sf_dir: str):
                                "stopword_frac", "keep"])
 
 
+def _q_quality_blend(sf_dir: str):
+    """Multi-signal curation scorecard: Gopher signals → corpus-wide
+    percentile rank per signal (three window_rank passes over the
+    doc-count-sized signal table, the corpus never re-shuffles) →
+    fixed-weight blend ``pr(distinct) + pr(stopword) + (1 −
+    pr(top_word))`` — the composite ranking step that orders a corpus
+    for budgeted selection. Oracle: percent_rank() windows over the
+    same signal CTE."""
+    from datavec_ray.misc import window_rank
+    from datavec_ray.ops.textstats import quality_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sig = ds.map_batches(quality_signals, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.select(["doc_id", "top_word_frac",
+                                "distinct_frac", "stopword_frac"])
+            .append_column(pa.field("__g", pa.int8()),
+                           pa.array(np.zeros(b.num_rows, np.int8))),
+            batch_format="pyarrow")
+    for col, out in (("distinct_frac", "pr_d"), ("stopword_frac", "pr_s"),
+                     ("top_word_frac", "pr_t")):
+        sig = window_rank(sig, ["__g"], col, specs={out: "percent_rank"})
+
+    def blend(b: pa.Table) -> pa.Table:
+        score = pc.add(
+            pc.add(b["pr_d"], b["pr_s"]),
+            pc.subtract(pa.scalar(1.0, pa.float64()), b["pr_t"]))
+        return pa.table({"doc_id": b["doc_id"], "pr_d": b["pr_d"],
+                         "pr_s": b["pr_s"], "pr_t": b["pr_t"],
+                         "score": score})
+
+    return sig.map_batches(blend, batch_format="pyarrow")
+
+
 def _q_cosine_pairs(sf_dir: str):
     """EXACT cosine similarity self-join over the embedding column —
     the oracle-checkable op that embedding_neardup's LSH bucketing
@@ -3487,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "doc_quality": _q_doc_quality,
+        "quality_blend": _q_quality_blend,
         "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
@@ -4597,6 +4632,39 @@ def oracle_sql() -> dict[str, str]:
             from clicks c join purch p on c.user_id = p.user_id
               and p.ts between c.ts - interval 24 hours and c.ts
             order by c.event_id, ts_r""",
+        "quality_blend": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') as w
+              from documents
+            ), flat as (
+              select doc_id, unnest(w) as word from toks
+            ), freq as (
+              select doc_id, word, count(*) as c from flat group by 1, 2
+            ), sig0 as (
+              select doc_id,
+                     max(c) * 1.0 / sum(c) as top_word_frac,
+                     count(*) * 1.0 / sum(c) as distinct_frac,
+                     sum(case when word in
+                       ('the','a','and','of','to','in','is')
+                       then c else 0 end) * 1.0 / sum(c) as stopword_frac
+              from freq group by doc_id
+            ), sig as (
+              select d.doc_id,
+                     round(coalesce(s.top_word_frac, 0.0), 6) as pt,
+                     round(coalesce(s.distinct_frac, 0.0), 6) as pd,
+                     round(coalesce(s.stopword_frac, 0.0), 6) as ps
+              from documents d left join sig0 s using (doc_id)
+            ), pr as (
+              select doc_id,
+                     percent_rank() over (order by pd) as pr_d,
+                     percent_rank() over (order by ps) as pr_s,
+                     percent_rank() over (order by pt) as pr_t
+              from sig
+            )
+            select doc_id, pr_d, pr_s, pr_t,
+                   pr_d + pr_s + (1.0 - pr_t) as score
+            from pr order by doc_id""",
         "doc_quality": """
             with toks as (
               select doc_id,

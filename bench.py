@@ -37,7 +37,9 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "fuzzy_pairs", "ffill_tool", "windowed_distinct",
                  "patch_upsert", "cdc_delta_lake", "cdc_changefeed",
                  "edit_pairs", "preference_pairs", "conv_dedup",
-                 "tree_paths"]
+                 "tree_paths", "cdc_digest", "skew_join",
+                 "cdc_copart_join", "cdc_renderview", "time_resample",
+                 "jaccard_against", "grouped_moments"]
 
 
 def _sf_of(sf_dir: str) -> float:
