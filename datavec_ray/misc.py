@@ -1599,78 +1599,75 @@ def mad_outliers(ds, keys: Sequence[str], column: str, k: float = 3.0,
     ``median(|x − median(x)|)`` over the row's OWN key group — the
     Hampel identifier, the robust companion to z-score trimming
     (group_winsorize), insensitive to the very outliers it flags.
-    SQL mirror: DuckDB ``median``/``mad`` (exact: grouped_quantile
-    "linear" == quantile_cont).
+    SQL mirror: DuckDB ``quantile_cont`` median/MAD.
 
-    Scale shape: two exact grouped-quantile passes (each ONE
-    partial-row shuffle bounded by the raw column — the exact-median
-    floor) each yielding a groups-sized stats table that is
-    BROADCAST-joined back; the corpus itself never shuffles. With
-    ``summary=True`` the per-row flags reduce to one (keys, n, median,
-    mad, n_outliers) row per group through the map-side-combined
-    grouped Sum.
+    Scale shape: ONE hash-partition exchange (the exact-median floor —
+    raw values must co-locate per key once); within a partition a
+    single sort resolves EVERY group's median, |x−median| re-sorts
+    once more segment-locally, and flags/summaries emit in place — no
+    second shuffle, no broadcast joins (the first version spent two
+    quantile exchanges plus two joins on the same answer).
 
-    Null values are never outliers and keep a null flag contribution
-    of 0 (mirrors ``CASE WHEN abs(x−m) > k·mad THEN 1 ELSE 0 END``)."""
-    from datavec_ray.join import JoinStep
-    from datavec_ray.reduce import Reducer
-    from datavec_ray.util import dataset_to_table
-
+    Null values are never outliers and contribute 0 to the flag count
+    (mirrors ``CASE WHEN abs(x−m) > k·mad THEN 1 ELSE 0 END``)."""
     keys = list(keys)
     k = float(k)
-    med = dataset_to_table(grouped_quantile(
-        ds, keys, column, [0.5], ["__med"], num_partitions, "linear"))
-    withmed = JoinStep(med, keys, join_type="LeftOuter",
-                       broadcast=True).apply_dataset(ds)
 
-    def add_ad(b: pa.Table) -> pa.Table:
-        v = pc.cast(combine(b[column]), pa.float64())
-        return b.append_column(
-            pa.field("__ad", pa.float64()),
-            pc.abs(pc.subtract(v, combine(b["__med"]))))
+    def _med_of_sorted(vals: np.ndarray, starts: np.ndarray,
+                       counts: np.ndarray) -> np.ndarray:
+        """Per-segment quantile_cont(0.5) over segment-sorted values
+        (NaNs sorted last; counts = valid values per segment)."""
+        m = counts
+        h = 0.5 * np.maximum(m - 1, 0)
+        lo = np.floor(h).astype(np.int64)
+        frac = h - lo
+        hi = np.minimum(lo + 1, np.maximum(m - 1, 0))
+        med = vals[starts + lo] * (1.0 - frac) + vals[starts + hi] * frac
+        med[m == 0] = np.nan
+        return med
 
-    withad = withmed.map_batches(add_ad, batch_format="pyarrow")
-    mad = dataset_to_table(grouped_quantile(
-        withad, keys, "__ad", [0.5], ["__mad"], num_partitions, "linear"))
-    flagged = JoinStep(mad, keys, join_type="LeftOuter",
-                       broadcast=True).apply_dataset(withad)
-
-    def flag(b: pa.Table) -> pa.Table:
-        ad = b["__ad"].to_numpy(zero_copy_only=False)
-        md = b["__mad"].to_numpy(zero_copy_only=False)
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(kk, "ascending") for kk in keys] + [(column, "ascending")])
+        n = g.num_rows
+        vals = combine(g[column]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        run_starts = _key_run_starts(g.select(keys), keys)
+        starts = np.flatnonzero(run_starts)
+        sizes = np.diff(np.append(starts, n))
+        valid = np.add.reduceat((~np.isnan(vals)).astype(np.int64),
+                                starts) if n else np.zeros(0, np.int64)
+        med_seg = _med_of_sorted(vals, starts, valid)
+        seg = np.cumsum(run_starts) - 1
+        med = med_seg[seg] if n else np.empty(0)
         with np.errstate(invalid="ignore"):
-            out = ad > k * md              # NaN compares False
-        return b.append_column(pa.field(out_col, pa.bool_()),
-                               pa.array(out))
+            ad = np.abs(vals - med)
+        # per-segment sort of ad (NaNs last) via one biased argsort
+        order = np.lexsort((ad, seg)) if n else np.empty(0, np.int64)
+        mad_seg = _med_of_sorted(ad[order], starts, valid)
+        mad = mad_seg[seg] if n else np.empty(0)
+        with np.errstate(invalid="ignore"):
+            flag = ad > k * mad                 # NaN compares False
+        if not summary:
+            out = g.append_column(pa.field("__med", pa.float64()),
+                                  pa.array(med, from_pandas=True))
+            out = out.append_column(pa.field("__mad", pa.float64()),
+                                    pa.array(mad, from_pandas=True))
+            return out.append_column(pa.field(out_col, pa.bool_()),
+                                     pa.array(flag))
+        n_out = np.add.reduceat(flag.astype(np.int64), starts) if n \
+            else np.zeros(0, np.int64)
+        cols = {kk: combine(g[kk]).take(pa.array(starts, pa.int64()))
+                for kk in keys}
+        cols["n"] = pa.array(valid)
+        cols["n_outliers"] = pa.array(n_out)
+        cols["median"] = pa.array(med_seg, pa.float64(), from_pandas=True)
+        cols["mad"] = pa.array(mad_seg, pa.float64(), from_pandas=True)
+        return pa.table(cols)
 
-    rows = flagged.map_batches(flag, batch_format="pyarrow")
-    if not summary:
-        return rows.drop_columns(["__ad"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = b.select(keys)
-        valid = pc.is_valid(pc.cast(combine(b[column]), pa.float64()))
-        t = t.append_column(pa.field("__n", pa.int64()),
-                            pc.cast(valid, pa.int64()))
-        t = t.append_column(
-            pa.field("__no", pa.int64()),
-            pc.cast(combine(b[out_col]), pa.int64()))
-        t = t.append_column(pa.field("median", pa.float64()),
-                            combine(b["__med"]))
-        t = t.append_column(pa.field("mad", pa.float64()),
-                            combine(b["__mad"]))
-        return t.group_by(keys).aggregate(
-            [("__n", "sum"), ("__no", "sum"), ("median", "max"),
-             ("mad", "max")]).rename_columns(
-            keys + ["__n", "__no", "median", "mad"])
-
-    part = rows.map_batches(partial, batch_format="pyarrow")
-    red = Reducer(keys, [["__n", "Sum", "n"], ["__no", "Sum", "n_outliers"],
-                         ["median", "Max", "median"],
-                         ["mad", "Max", "mad"]]).apply_dataset(part)
-    return red
-
-
+    per_partition.__name__ = "mad_outliers"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(per_partition, batch_format="pyarrow")
 def table_digest(ds, cols: Sequence[str], mode: str = "portable") -> dict:
     """Order-insensitive whole-table digest — the streaming equality
     check for CDC replay verification ("does the replayed lake equal
