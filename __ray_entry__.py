@@ -456,6 +456,21 @@ def _q_cdc_aggview(sf_dir: str):
         eng.shutdown()
 
 
+def _q_role_transitions(sf_dir: str):
+    """Markov role-transition matrix over the replayed transcript
+    state (who speaks after whom): one key exchange, per-partition
+    shifted-pair scan + in-partition combine, ≤ states² partial rows
+    (misc.transition_counts). Oracle: lag() window + GROUP BY."""
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import lww_compact_dataset
+    from datavec_ray.misc import transition_counts
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    final = lww_compact_dataset(binlog, num_partitions=16)
+    return transition_counts(final, ["conv_id"], "turn_idx", "role")
+
+
 def _q_cdc_renderview(sf_dir: str):
     """Incrementally-maintained SFT render export: build the rendered
     per-conversation training table from snapshot v1, then ADVANCE it
@@ -3476,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert": _q_cdc_upsert,
         "cdc_aggview": _q_cdc_aggview,
         "cdc_renderview": _q_cdc_renderview,
+        "role_transitions": _q_role_transitions,
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_delta_lake": _q_cdc_delta_lake,
@@ -4138,6 +4154,23 @@ def oracle_sql() -> dict[str, str]:
             select w.id, w.depth, w.path from walk w
             where w.id not in
               (select parent from t where parent is not null)""",
+        "role_transitions": _BINLOG_CTE + """
+            , st as (
+              select conv_id, turn_idx, role
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D'
+            ), pairs as (
+              select lag(role) over (partition by conv_id
+                                     order by turn_idx) as from_state,
+                     role as to_state
+              from st
+            )
+            select from_state, to_state, cast(count(*) as bigint) as n
+            from pairs where from_state is not null
+            group by 1, 2 order by 1, 2""",
         "cdc_renderview": _BINLOG_CTE + """
             , st as (
               select conv_id, turn_idx, role, text

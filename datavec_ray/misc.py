@@ -1776,3 +1776,53 @@ def zorder_key(ds, cols: Sequence[str], bits: int = 16,
 
     zk.__name__ = "zorder_key"
     return ds.map_batches(zk, batch_format="pyarrow")
+
+
+def transition_counts(ds, keys: Sequence[str], order_col: str,
+                      state_col: str, tiebreak: Optional[str] = None,
+                      num_partitions: int = 32):
+    """Global Markov TRANSITION MATRIX of a state column over ordered
+    key groups: one row per (from_state, to_state) with the count of
+    adjacent occurrences across all groups — conversation role-flow /
+    tool-flow analysis (who speaks after whom, which tool follows
+    which). SQL: ``lag(state) OVER (PARTITION BY keys ORDER BY
+    order_col)`` then GROUP BY.
+
+    Scale shape: ONE hash-partition exchange on the keys; per partition
+    one sort + a shifted-array pair scan over ALL groups at once, then
+    an in-partition Arrow ``group_by`` combine — only (from, to, n)
+    partials (≤ states² per partition) reach the tiny final Sum."""
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        n = g.num_rows
+        empty = pa.table({"from_state": pa.array([], pa.string()),
+                          "to_state": pa.array([], pa.string()),
+                          "__c": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        st = combine(g[state_col]).cast(pa.string())
+        same_key = ~_key_run_starts(g.select(keys), keys)   # row i pairs
+        # with row i-1 iff same key group
+        mask = same_key[1:]
+        if not mask.any():
+            return empty
+        frm = st.slice(0, n - 1).filter(pa.array(mask))
+        to = st.slice(1).filter(pa.array(mask))
+        t = pa.table({"from_state": frm, "to_state": to})
+        t = t.append_column(pa.field("__c", pa.int64()),
+                            pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(["from_state", "to_state"]).aggregate(
+            [("__c", "sum")]).rename_columns(
+            ["from_state", "to_state", "__c"])
+
+    per_partition.__name__ = "transition_counts"
+    partials = _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(per_partition, batch_format="pyarrow")
+    return Reducer(["from_state", "to_state"],
+                   [["__c", "Sum", "n"]]).apply_dataset(partials)

@@ -620,3 +620,31 @@ def test_render_view_advance_equals_rebuild(ray_session, tmp_path):
         assert not advanced.equals(v1)      # the delta changed things
     finally:
         eng.shutdown()
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    from datavec_ray.misc import transition_counts
+
+    rng = np.random.default_rng(17)
+    conv = rng.integers(0, 8, 200).astype(str)
+    turn = np.zeros(200, np.int64)
+    for c in np.unique(conv):            # unique turn order per conv
+        m = conv == c
+        turn[m] = np.arange(m.sum())
+    role = rng.choice(["user", "assistant", "tool"], 200)
+    t = pa.table({"conv_id": conv, "turn_idx": pa.array(turn),
+                  "role": pa.array(role)})
+    out = dataset_to_table(transition_counts(
+        rd.from_arrow(t).repartition(5), ["conv_id"], "turn_idx",
+        "role")).sort_by([("from_state", "ascending"),
+                          ("to_state", "ascending")])
+    import pandas as pd
+    df = pd.DataFrame({"c": conv, "t": turn, "r": role}) \
+        .sort_values(["c", "t"])
+    prev = df.groupby("c")["r"].shift()
+    want = pd.DataFrame({"f": prev, "to": df["r"]}).dropna() \
+        .value_counts().sort_index()
+    assert out["n"].to_pylist() == want.values.tolist()
+    assert list(zip(out["from_state"].to_pylist(),
+                    out["to_state"].to_pylist())) \
+        == [tuple(i) for i in want.index]
