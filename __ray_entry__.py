@@ -3227,6 +3227,17 @@ def _q_json_extract(sf_dir: str):
     return p.execute(ds)
 
 
+def _q_grouped_geomean(sf_dir: str):
+    """Per-group geometric + harmonic means of l_quantity — the
+    rate/ratio aggregates (one (n, Σln, Σ1/x) combiner pass)
+    (ops.analytics.grouped_multiplicative_means)."""
+    from datavec_ray.ops.analytics import grouped_multiplicative_means
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_multiplicative_means(ds, ["l_returnflag"],
+                                        "l_quantity")
+
+
 def _q_grouped_moments(sf_dir: str):
     """Per-group skewness / excess kurtosis over integer-valued
     l_quantity — exact power-sum partials combined in arbitrary
@@ -3619,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "grouped_corr": _q_grouped_corr,
         "grouped_moments": _q_grouped_moments,
+        "grouped_geomean": _q_grouped_geomean,
         "cdc_digest": _q_cdc_digest,
         "robust_scale": _q_robust_scale,
         "benford": _q_benford,
@@ -4908,6 +4920,21 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on i.doc_id = sb.doc_id
             where icnt * 1.0 / (sa.sz + sb.sz - icnt) >= 0.4
             order by ref_id, i.doc_id""",
+        "grouped_geomean": """
+            select l_returnflag,
+                   cast(count(l_quantity) as bigint) as n,
+                   case when count(l_quantity)
+                          = count(case when l_quantity > 0 then 1 end)
+                        then round(exp(sum(case when l_quantity > 0
+                                          then ln(l_quantity) end)
+                                       / count(l_quantity)), 6) end
+                       as geomean,
+                   case when count(l_quantity)
+                          = count(case when l_quantity > 0 then 1 end)
+                        then round(count(l_quantity)
+                                   / sum(1.0 / l_quantity), 6) end
+                       as harmean
+            from lineitem group by 1 order by 1""",
         "grouped_moments": """
             with x as (
               select l_returnflag as rf, cast(l_quantity as hugeint) as v

@@ -737,3 +737,62 @@ def benford_profile(ds, keys, x_col: str,
     from datavec_ray.misc import _GPART, _group_partition
     return _group_partition(counts, keys, num_partitions) \
         .groupby(_GPART).map_groups(finalize, batch_format="pyarrow")
+
+
+def grouped_multiplicative_means(ds, keys, x_col: str,
+                                 round_digits: int = 6):
+    """Per-group GEOMETRIC and HARMONIC means — the rate/ratio
+    aggregates the arithmetic ReduceOps family lacks (geomean for
+    multiplicative quantities, harmonic for rates): one combiner pass
+    emits per-group (n, Σln x, Σ1/x) partials via Arrow ``group_by``,
+    the map-side-combined grouped Sum merges them, and a narrow
+    finalize computes ``exp(Σln/n)`` and ``n/Σ(1/x)``. Complete-case;
+    non-positive x yields null geomean (ln undefined; mirrors SQL
+    CASE), zero x yields null harmonic. Values round to
+    ``round_digits`` (cross-engine libm ulps, same convention as
+    grouped_corr)."""
+    from datavec_ray.reduce import Reducer
+
+    keys = list(keys)
+    names = ("__n", "__sln", "__sinv", "__npos")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        t = b.select(keys).filter(pa.array(ok))
+        x = x[ok]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ln = np.where(x > 0, np.log(np.maximum(x, 1e-300)), 0.0)
+            inv = np.where(x != 0, 1.0 / np.where(x == 0, 1.0, x), 0.0)
+        pos = (x > 0).astype(np.float64)
+        for name, v in zip(names, (np.ones(len(x)), ln, inv, pos)):
+            t = t.append_column(pa.field(name, pa.float64()),
+                                pa.array(v))
+        return t.group_by(keys).aggregate(
+            [(c, "sum") for c in names]).rename_columns(
+            keys + list(names))
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    summed = Reducer(keys, [[c, "Sum", c] for c in names]) \
+        .apply_dataset(part)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["__n"].to_numpy(zero_copy_only=False)
+        sln = b["__sln"].to_numpy(zero_copy_only=False)
+        sinv = b["__sinv"].to_numpy(zero_copy_only=False)
+        npos = b["__npos"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            geo = np.where((n > 0) & (npos == n), np.exp(sln / n), np.nan)
+            har = np.where((n > 0) & (npos == n) & (sinv != 0),
+                           n / sinv, np.nan)
+        out = b.select(keys)
+        out = out.append_column(pa.field("n", pa.int64()),
+                                pc.cast(pa.array(n), pa.int64()))
+        out = out.append_column(
+            pa.field("geomean", pa.float64()),
+            pa.array(np.round(geo, round_digits), from_pandas=True))
+        return out.append_column(
+            pa.field("harmean", pa.float64()),
+            pa.array(np.round(har, round_digits), from_pandas=True))
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
