@@ -648,3 +648,33 @@ def test_transition_counts_matches_pandas(ray_session):
     assert list(zip(out["from_state"].to_pylist(),
                     out["to_state"].to_pylist())) \
         == [tuple(i) for i in want.index]
+
+
+def test_copartitioned_join_delta_mode_lakes(ray_session, tmp_path):
+    from datavec_ray.cdc.binlog import synth_binlog
+    from datavec_ray.cdc.engine import (CdcIngestEngine,
+                                        copartitioned_lake_join)
+
+    binlog = synth_binlog(1500, num_convs=20, seed=5)
+    # lake A: LSM delta commits across two replays; lake B: rewrite mode
+    ea = CdcIngestEngine(str(tmp_path / "da"), num_partitions=4,
+                         commit_mode="delta")
+    ea.replay(rd.from_arrow(binlog.filter(
+        pa.compute.less_equal(binlog["lsn"], 700))), checkpoint_name="a1")
+    ea.replay(rd.from_arrow(binlog.filter(
+        pa.compute.greater(binlog["lsn"], 700))), checkpoint_name="a2")
+    eb = CdcIngestEngine(str(tmp_path / "db"), num_partitions=4)
+    eb.replay(rd.from_arrow(binlog), checkpoint_name="b")
+
+    out = dataset_to_table(copartitioned_lake_join(
+        ea, eb, on=["conv_id", "turn_idx"]))
+    # both lakes hold the SAME final state -> inner join is a full
+    # match and text == text_r everywhere
+    sb = dataset_to_table(eb.read_lake_dataset())
+    assert out.num_rows == sb.num_rows
+    eq = pa.compute.equal(
+        pa.compute.fill_null(out["text"].combine_chunks(), ""),
+        pa.compute.fill_null(out["text_r"].combine_chunks(), ""))
+    assert pa.compute.all(eq).as_py()
+    ea.shutdown()
+    eb.shutdown()
