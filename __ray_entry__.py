@@ -3330,6 +3330,19 @@ def _q_cdc_copart_join(sf_dir: str):
     return tbl
 
 
+def _q_cross_join(sf_dir: str):
+    """Cartesian grid expansion (nation × region): broadcast right
+    side, map-side row repetition, no shuffle; hard-capped right rows
+    (join.cross_join). Oracle = CROSS JOIN."""
+    from datavec_ray.join import cross_join
+    from datavec_ray.util import dataset_to_table
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    region = dataset_to_table(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    return cross_join(nation, region)
+
+
 def _q_skew_join(sf_dir: str):
     """Skew-aware join: events joined with a per-user profile on the
     Zipf-headed user_id — the exact heavy-hitter pass routes hot keys
@@ -3638,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder": _q_zorder,
         "cdc_lineage": _q_cdc_lineage,
         "skew_join": _q_skew_join,
+        "cross_join": _q_cross_join,
         "cdc_copart_join": _q_cdc_copart_join,
         "jaccard_against": _q_jaccard_against,
         "minhash_against": _q_minhash_against,
@@ -4818,6 +4832,9 @@ def oracle_sql() -> dict[str, str]:
             select v2.conv_id, v2.turn_idx, v2.text,
                    v1.text as text_r
             from v2 join v1 using (conv_id, turn_idx)""",
+        "cross_join": """
+            select n_nationkey, n_name, r_regionkey, r_name
+            from nation cross join region""",
         "skew_join": """
             with prof as (
               select user_id, sum(value) as user_value,

@@ -855,3 +855,56 @@ def skew_join(ds, right, keys: Sequence[str],
         num_partitions=num_partitions).apply_dataset(
         ds.map_batches(_split(False), batch_format="pyarrow"))
     return hot_join.union(cold_join)
+
+
+def cross_join(ds, right, max_right_rows: int = 100_000,
+               right_suffix: str = "_r"):
+    """Cartesian product — the grid-expansion join (parameter sweeps,
+    date scaffolds, small-dimension crosses). The right side is
+    broadcast once via ``ray.put`` and each left batch emits
+    ``batch × right`` rows map-side — no shuffle; output size is
+    ``|left| · |right|``, so the right side is hard-capped at
+    ``max_right_rows`` (a Cartesian with a BIG right side is a design
+    error at any scale, not a tuning problem). Column collisions on
+    the right take ``right_suffix``."""
+    import ray
+
+    from datavec_ray.util import dataset_to_table
+
+    r = right if isinstance(right, pa.Table) else dataset_to_table(right)
+    if r.num_rows > max_right_rows:
+        raise ValueError(
+            f"cross_join right side has {r.num_rows} rows "
+            f"(max_right_rows={max_right_rows}); a large Cartesian "
+            "side should be an equi/range join instead")
+    ref = ray.put(r)
+
+    class _Cross:
+        def __init__(self):
+            self.right = ray.get(ref)
+            self.__name__ = "cross_join"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n, m = batch.num_rows, self.right.num_rows
+            if n == 0 or m == 0:
+                cols = {c: batch[c].slice(0, 0)
+                        for c in batch.column_names}
+                for c in self.right.column_names:
+                    name = c if c not in batch.column_names \
+                        else c + right_suffix
+                    cols[name] = self.right[c].slice(0, 0)
+                return pa.table(cols)
+            left_idx = np.repeat(np.arange(n, dtype=np.int64), m)
+            right_idx = np.tile(np.arange(m, dtype=np.int64), n)
+            out = batch.take(pa.array(left_idx))
+            r_taken = self.right.take(pa.array(right_idx))
+            for c in self.right.column_names:
+                name = c if c not in batch.column_names \
+                    else c + right_suffix
+                out = out.append_column(
+                    pa.field(name, r_taken.schema.field(c).type),
+                    r_taken[c])
+            return out
+
+    return ds.map_batches(_Cross, batch_format="pyarrow",
+                          concurrency=(1, 8), batch_size=8192)

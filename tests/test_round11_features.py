@@ -678,3 +678,21 @@ def test_copartitioned_join_delta_mode_lakes(ray_session, tmp_path):
     assert pa.compute.all(eq).as_py()
     ea.shutdown()
     eb.shutdown()
+
+
+def test_cross_join_collisions_and_cap(ray_session):
+    import pytest
+
+    from datavec_ray.join import cross_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "x": pa.array(["a", "b"])})
+    right = pa.table({"k": pa.array([10, 20, 30], pa.int64()),
+                      "y": pa.array(["p", "q", "r"])})
+    out = dataset_to_table(cross_join(rd.from_arrow(left), right)) \
+        .sort_by([("k", "ascending"), ("k_r", "ascending")])
+    assert out.num_rows == 6
+    assert out.column_names == ["k", "x", "k_r", "y"]   # collision suffix
+    assert out["k_r"].to_pylist() == [10, 20, 30, 10, 20, 30]
+    with pytest.raises(ValueError, match="max_right_rows"):
+        cross_join(rd.from_arrow(left), right, max_right_rows=2)
