@@ -2156,6 +2156,74 @@ def _q_doc_quality(sf_dir: str):
                                "stopword_frac", "keep"])
 
 
+def _q_lang_id(sf_dir: str):
+    """Marker-frequency language ID per document — the same vectorized
+    kernel text_stats uses (script-range counts + per-language marker
+    substring counts, first-language tie-break), now value-checked: the
+    oracle rebuilds the identical decision from the SAME marker
+    constants in SQL (ops.textstats.TextStats._lang_batch)."""
+    from datavec_ray.ops.textstats import TextStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ts = TextStats("text")
+
+    def lid(b: pa.Table) -> pa.Table:
+        from datavec_ray.steps.base import combine as _c
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_id": ts._lang_batch(_c(b["text"]))})
+
+    lid.__name__ = "lang_id"
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def _lang_id_oracle() -> str:
+    """SQL mirror of TextStats._lang_batch generated from the SAME
+    marker constants (shared verbatim, like PII_PATTERNS)."""
+    from datavec_ray.ops.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+
+    def cnt(lang: str) -> str:
+        terms = [
+            f"(length(padded) - length(replace(padded, '{m}', '')))"
+            f" // {len(m)}"
+            for m in sorted(_LANG_MARKERS[lang])]
+        return " + ".join(terms)
+
+    counts = ",\n                     ".join(
+        f"({cnt(l)}) as c_{l}" for l in langs)
+    # first max wins: the >= chain in declaration order
+    best_cases = []
+    for i, l in enumerate(langs):
+        conds = [f"c_{l} >= c_{o}" for o in langs[i + 1:]]
+        cond = " and ".join(conds) if conds else "true"
+        best_cases.append(f"when {cond} then '{l}'")
+    best = "case " + " ".join(best_cases) + " end"
+    greatest = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    return f"""
+            with base as (
+              select doc_id,
+                     ' ' || lower(substr(coalesce(text, ''), 1, 1000))
+                         || ' ' as padded,
+                     substr(coalesce(text, ''), 1, 200) as head
+              from documents
+            ), c as (
+              select doc_id, padded, head,
+                     {counts},
+                     len(regexp_extract_all(head, '[一-鿿぀-ヿ]'))
+                         as cjk,
+                     len(regexp_extract_all(head, '[Ѐ-ӿ]')) as cyr,
+                     cast(length(head) as double) as hlen
+              from base
+            )
+            select doc_id,
+                   case when cjk > hlen * 0.2 then 'cjk'
+                        when cyr > hlen * 0.2 then 'ru'
+                        when {greatest} = 0 then 'unknown'
+                        else {best} end as lang_id
+            from c order by doc_id"""
+
+
 def _q_quality_blend(sf_dir: str):
     """Multi-signal curation scorecard: Gopher signals → corpus-wide
     percentile rank per signal (three window_rank passes over the
@@ -3562,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "doc_quality": _q_doc_quality,
         "quality_blend": _q_quality_blend,
+        "lang_id": _q_lang_id,
         "cosine_pairs": _q_cosine_pairs,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
@@ -4691,6 +4760,7 @@ def oracle_sql() -> dict[str, str]:
             from clicks c join purch p on c.user_id = p.user_id
               and p.ts between c.ts - interval 24 hours and c.ts
             order by c.event_id, ts_r""",
+        "lang_id": _lang_id_oracle(),
         "quality_blend": """
             with toks as (
               select doc_id,
