@@ -3562,6 +3562,283 @@ def _q_minhash_against(sf_dir: str):
     return minhash_against(new, ref, jaccard_threshold=0.7)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H composed analytics (multi-join + aggregate + top-k pipelines)
+# ---------------------------------------------------------------------------
+#
+# Classic TPC-H shapes adapted to the testdata's column subset. These
+# exercise COMPOSITION — join chains with auto broadcast-vs-shuffle
+# decisions, map-side combiner aggregation, integer-exact money math
+# (cents*(100-disc_pct) in int64 so the parallel sum is bit-equal to
+# the sequential oracle at any scale), and deterministic distributed
+# top-k via CalculateSortedRank over the still-integer sort key.
+
+def _add_revenue_units(t: pa.Table) -> pa.Table:
+    """price*(1-discount) in EXACT integer 'units' (cents × pct):
+    px_cents * (100 - disc_pct). Drops the float source columns."""
+    px = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0),
+                 pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0), 0),
+                   pa.int64())
+    units = pc.multiply(px, pc.subtract(pa.scalar(100, pa.int64()), disc))
+    t = t.append_column(pa.field("units", pa.int64()), units)
+    return t.drop_columns(["l_extendedprice", "l_discount"])
+
+
+def _units_step():
+    from datavec_ray.steps import LambdaStep
+    return LambdaStep(
+        _add_revenue_units,
+        lambda s: s.without_columns(["l_extendedprice", "l_discount"])
+        .with_column("units", pa.int64()),
+        "revenue_units")
+
+
+def _finalize_revenue(t: pa.Table) -> pa.Table:
+    i = t.schema.get_field_index("revenue_units")
+    return t.set_column(
+        i, pa.field("revenue", pa.float64()),
+        pc.round(pc.divide(pc.cast(t["revenue_units"], pa.float64()),
+                           10000.0), 4)).rename_columns(
+        [c if c != "revenue_units" else "revenue" for c in t.column_names])
+
+
+def _revenue_step():
+    from datavec_ray.steps import LambdaStep
+    return LambdaStep(
+        _finalize_revenue,
+        lambda s: s.without_columns(["revenue_units"])
+        .with_column("revenue", pa.float64()),
+        "revenue_out")
+
+
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority): customer ⋈ orders ⋈ lineitem,
+    grouped revenue per urgent order, deterministic top 10. The
+    orders⋈customer side is built once (filter + broadcast hash join)
+    and joined to the lineitem spine with the auto broadcast/shuffle
+    decision; top-k ranks the INTEGER revenue so ties are exact."""
+    import datetime
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.rank import CalculateSortedRank
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import (ConditionFilter, KeepColumns, LongMathOp,
+                                   RemoveColumns)
+
+    cutoff = datetime.datetime(1998, 7, 1)
+
+    def right():
+        ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        orders = _read(sf_dir, "orders", ocols)
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        cp = TransformPipeline(_schema_of(sf_dir, "customer").select(
+            ["c_custkey", "c_mktsegment"]))
+        cp.add(ConditionFilter(ColumnCondition(
+            "c_mktsegment", "NotEqual", "BUILDING")))
+        op = TransformPipeline(_schema_of(sf_dir, "orders").select(ocols))
+        op.add(ConditionFilter(ColumnCondition(
+            "o_orderdate", "GreaterOrEqual", cutoff)))
+        op.add(JoinStep(lambda: cp.execute(cust), ["o_custkey"],
+                        ["c_custkey"], "Inner"))
+        op.add(KeepColumns(["o_orderkey", "o_orderdate", "o_orderpriority"]))
+        return op.execute(orders)
+
+    cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    li = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(ConditionFilter(ColumnCondition("l_shipdate", "LessOrEqual",
+                                          cutoff)))
+    p.add(RemoveColumns(["l_shipdate"]))
+    p.add(_units_step())
+    p.add(JoinStep(right, ["l_orderkey"], ["o_orderkey"], "Inner"))
+    p.add(Reducer(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                  [["units", "Sum", "revenue_units"]]))
+    # deterministic top 10: rank ascending on (-revenue, date, orderkey)
+    p.add(LongMathOp("revenue_units", "Multiply", -1))
+    p.add(CalculateSortedRank(["revenue_units", "o_orderdate", "l_orderkey"],
+                              "rk"))
+    p.add(ConditionFilter(ColumnCondition("rk", "GreaterOrEqual", 10)))
+    p.add(LongMathOp("revenue_units", "Multiply", -1))
+    p.add(_revenue_step())
+    p.add(KeepColumns(["l_orderkey", "revenue", "o_orderdate",
+                       "o_orderpriority"]))
+    return p.execute(li)
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier volume): 6-table join — lineitem spine,
+    one-year orders, customer/supplier nation equality, ASIA region —
+    grouped revenue per nation. region⋈nation folds into one tiny
+    broadcast side; the nationkey equality is a column-vs-column
+    subtract + filter (int32-exact)."""
+    import datetime
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import BooleanCondition, ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import (ConditionFilter, IntegerColumnsMathOp,
+                                   KeepColumns)
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def orders_year():
+        ocols = ["o_orderkey", "o_custkey", "o_orderdate"]
+        orders = _read(sf_dir, "orders", ocols)
+        op = TransformPipeline(_schema_of(sf_dir, "orders").select(ocols))
+        op.add(ConditionFilter(BooleanCondition("OR", [
+            ColumnCondition("o_orderdate", "LessThan", lo),
+            ColumnCondition("o_orderdate", "GreaterOrEqual", hi)])))
+        op.add(KeepColumns(["o_orderkey", "o_custkey"]))
+        return op.execute(orders)
+
+    def asia_nations():
+        from datavec_ray.util import dataset_to_table
+        nation = dataset_to_table(
+            _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+        region = dataset_to_table(
+            _read(sf_dir, "region", ["r_regionkey", "r_name"]))
+        asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+        keep = pc.is_in(nation["n_regionkey"], value_set=asia["r_regionkey"]
+                        .combine_chunks())
+        return nation.filter(keep).select(["n_nationkey", "n_name"])
+
+    cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    li = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(_units_step())
+    p.add(JoinStep(orders_year, ["l_orderkey"], ["o_orderkey"], "Inner"))
+    p.add(JoinStep(lambda: _read(sf_dir, "customer",
+                                 ["c_custkey", "c_nationkey"]),
+                   ["o_custkey"], ["c_custkey"], "Inner"))
+    p.add(JoinStep(lambda: _read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_nationkey"]),
+                   ["l_suppkey"], ["s_suppkey"], "Inner"))
+    p.add(IntegerColumnsMathOp("nk_diff", "Subtract",
+                               ["c_nationkey", "s_nationkey"]))
+    p.add(ConditionFilter(ColumnCondition("nk_diff", "NotEqual", 0)))
+    p.add(JoinStep(asia_nations, ["s_nationkey"], ["n_nationkey"], "Inner"))
+    p.add(Reducer(["n_name"], [["units", "Sum", "revenue_units"]]))
+    p.add(_revenue_step())
+    p.add(KeepColumns(["n_name", "revenue"]))
+    return p.execute(li)
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): revenue of 'R' lineitems in
+    one quarter grouped by customer BEFORE the customer join (aggregate
+    early, ship 1 row per customer into the join), top 20 by integer
+    revenue with custkey tiebreak."""
+    import datetime
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import BooleanCondition, ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.rank import CalculateSortedRank
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import (ConditionFilter, KeepColumns, LongMathOp,
+                                   RemoveColumns)
+
+    lo = datetime.datetime(1998, 1, 1)
+    hi = datetime.datetime(1998, 4, 1)
+
+    def orders_quarter():
+        ocols = ["o_orderkey", "o_custkey", "o_orderdate"]
+        orders = _read(sf_dir, "orders", ocols)
+        op = TransformPipeline(_schema_of(sf_dir, "orders").select(ocols))
+        op.add(ConditionFilter(BooleanCondition("OR", [
+            ColumnCondition("o_orderdate", "LessThan", lo),
+            ColumnCondition("o_orderdate", "GreaterOrEqual", hi)])))
+        op.add(KeepColumns(["o_orderkey", "o_custkey"]))
+        return op.execute(orders)
+
+    def cust_nation():
+        ccols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+        cust = _read(sf_dir, "customer", ccols)
+        cp = TransformPipeline(_schema_of(sf_dir, "customer").select(ccols))
+        cp.add(JoinStep(lambda: _read(sf_dir, "nation",
+                                      ["n_nationkey", "n_name"]),
+                        ["c_nationkey"], ["n_nationkey"], "Inner"))
+        cp.add(KeepColumns(["c_custkey", "c_name", "c_acctbal", "n_name"]))
+        return cp.execute(cust)
+
+    cols = ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    li = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(ConditionFilter(ColumnCondition("l_returnflag", "NotEqual", "R")))
+    p.add(RemoveColumns(["l_returnflag"]))
+    p.add(_units_step())
+    p.add(JoinStep(orders_quarter, ["l_orderkey"], ["o_orderkey"], "Inner"))
+    p.add(Reducer(["o_custkey"], [["units", "Sum", "revenue_units"]]))
+    p.add(JoinStep(cust_nation, ["o_custkey"], ["c_custkey"], "Inner"))
+    # the hash join coalesces the key pair under the left name
+    from datavec_ray.steps import RenameColumns
+    p.add(RenameColumns({"o_custkey": "c_custkey"}))
+    p.add(LongMathOp("revenue_units", "Multiply", -1))
+    p.add(CalculateSortedRank(["revenue_units", "c_custkey"], "rk"))
+    p.add(ConditionFilter(ColumnCondition("rk", "GreaterOrEqual", 20)))
+    p.add(LongMathOp("revenue_units", "Multiply", -1))
+    p.add(_revenue_step())
+    p.add(KeepColumns(["c_custkey", "c_name", "c_acctbal", "n_name",
+                       "revenue"]))
+    return p.execute(li)
+
+
+def _promo_gate(t: pa.Table) -> pa.Table:
+    promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), t["units"],
+                       pa.scalar(0, pa.int64()))
+    return t.append_column(pa.field("promo_units", pa.int64()), promo)
+
+
+def _promo_share(t: pa.Table) -> pa.Table:
+    share = pc.round(pc.divide(
+        pc.multiply(pa.scalar(100.0),
+                    pc.cast(t["promo_total"], pa.float64())),
+        pc.cast(t["total"], pa.float64())), 6)
+    return pa.table({"promo_share": share})
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): one-month lineitems ⋈ part
+    (broadcast), promo revenue share as a ratio of two EXACT integer
+    sums — a global two-sum reduce expressed through the grouped
+    combiner on a constant key."""
+    import datetime
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import BooleanCondition, ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import (AddConstantColumn, ConditionFilter,
+                                   KeepColumns, LambdaStep, RemoveColumns)
+
+    lo = datetime.datetime(1998, 9, 1)
+    hi = datetime.datetime(1998, 10, 1)
+
+    cols = ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    li = _read(sf_dir, "lineitem", cols)
+    p = TransformPipeline(_schema_of(sf_dir, "lineitem").select(cols))
+    p.add(ConditionFilter(BooleanCondition("OR", [
+        ColumnCondition("l_shipdate", "LessThan", lo),
+        ColumnCondition("l_shipdate", "GreaterOrEqual", hi)])))
+    p.add(RemoveColumns(["l_shipdate"]))
+    p.add(_units_step())
+    p.add(JoinStep(lambda: _read(sf_dir, "part", ["p_partkey", "p_type"]),
+                   ["l_partkey"], ["p_partkey"], "Inner"))
+    p.add(LambdaStep(_promo_gate,
+                     lambda s: s.with_column("promo_units", pa.int64()),
+                     "promo_gate"))
+    p.add(AddConstantColumn("g", "Integer", 1))
+    p.add(Reducer(["g"], [["promo_units", "Sum", "promo_total"],
+                          ["units", "Sum", "total"]]))
+    p.add(LambdaStep(
+        _promo_share,
+        lambda s: s.select([]).with_column("promo_share", pa.float64()),
+        "promo_share"))
+    p.add(KeepColumns(["promo_share"]))
+    return p.execute(li)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -3736,6 +4013,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "pairwise_corr": _q_pairwise_corr,
         "grouped_linreg": _q_grouped_linreg,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
     }
 
 
@@ -5987,6 +6268,71 @@ def oracle_sql() -> dict[str, str]:
             from events
             group by event_type
             order by event_type""",
+        "tpch_q3": """
+            with rev as (
+              select l_orderkey, o_orderdate, o_orderpriority,
+                     sum(cast(round(l_extendedprice * 100, 0) as bigint)
+                         * (100 - cast(round(l_discount * 100, 0) as bigint)))
+                       as units
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              where c_mktsegment = 'BUILDING'
+                and o_orderdate < timestamp '1998-07-01'
+                and l_shipdate > timestamp '1998-07-01'
+              group by 1, 2, 3)
+            select l_orderkey, round(units / 10000.0, 4) as revenue,
+                   o_orderdate, o_orderpriority
+            from rev
+            qualify row_number() over
+                (order by units desc, o_orderdate, l_orderkey) <= 10""",
+        "tpch_q5": """
+            select n_name,
+                   round(sum(cast(round(l_extendedprice * 100, 0) as bigint)
+                         * (100 - cast(round(l_discount * 100, 0) as bigint)))
+                         / 10000.0, 4) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'ASIA'
+              and c_nationkey = s_nationkey
+              and o_orderdate >= timestamp '1997-01-01'
+              and o_orderdate < timestamp '1998-01-01'
+            group by 1""",
+        "tpch_q10": """
+            with rev as (
+              select o_custkey,
+                     sum(cast(round(l_extendedprice * 100, 0) as bigint)
+                         * (100 - cast(round(l_discount * 100, 0) as bigint)))
+                       as units
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              where l_returnflag = 'R'
+                and o_orderdate >= timestamp '1998-01-01'
+                and o_orderdate < timestamp '1998-04-01'
+              group by 1)
+            select c_custkey, c_name, c_acctbal, n_name,
+                   round(units / 10000.0, 4) as revenue
+            from rev
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            qualify row_number() over (order by units desc, c_custkey) <= 20""",
+        "tpch_q14": """
+            select round((100.0 * cast(sum(case when p_type = 'PROMO'
+                                               then units else 0 end)
+                                       as double))
+                         / cast(sum(units) as double), 6) as promo_share
+            from (select l_partkey,
+                         cast(round(l_extendedprice * 100, 0) as bigint)
+                         * (100 - cast(round(l_discount * 100, 0) as bigint))
+                           as units
+                  from lineitem
+                  where l_shipdate >= timestamp '1998-09-01'
+                    and l_shipdate < timestamp '1998-10-01') li
+            join part on l_partkey = p_partkey""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.
