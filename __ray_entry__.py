@@ -2778,6 +2778,22 @@ def _q_grouped_quantile(sf_dir: str):
     return grouped_quantile(ev, ["event_type"], "value", [0.5, 0.9, 0.95])
 
 
+def _q_tdigest_quantile(sf_dir: str):
+    """Per-event-type value percentiles via MERGEABLE t-digest sketches
+    (fixed groups x delta centroid partials cross the exchange, never
+    raw rows — the 10^10-row path for heavy-tailed columns where the
+    range-histogram sketch degrades). Rows-only: estimates depend on
+    block partitioning within the O(1/delta) rank-error bound; the
+    exact counterpart `grouped_quantile` is oracle-checked, and
+    tests/test_round3_features.py asserts the rank-error bound under
+    multiple blockings."""
+    from datavec_ray.ops.sketches import tdigest_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return tdigest_quantiles(ev, ["event_type"], "value",
+                             [0.5, 0.9, 0.95], delta=200)
+
+
 def _q_cumulative_sum(sf_dir: str):
     """Per-user running total of event values ordered by (ts, event_id)
     — SUM() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING) as one
@@ -3932,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "grouped_quantile": _q_grouped_quantile,
+        "tdigest_quantile": _q_tdigest_quantile,
         "cumulative_sum": _q_cumulative_sum,
         "hash_sample": _q_hash_sample,
         "line_dedup": _q_line_dedup,

@@ -468,3 +468,64 @@ def test_triangle_count_vs_bruteforce(ray_session):
         exp = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
                   if b in adj[a] and c in adj[a] and c in adj[b])
         assert got == exp, (trial, got, exp)
+
+
+def test_tdigest_rank_error_bound(ray_session):
+    """t-digest grouped quantiles: rank error stays under the
+    O(1/delta) bound on a heavy-tailed column with extreme outliers
+    (where the range-histogram sketch would be useless), under TWO
+    different blockings; exact count; exact quantiles recovered when a
+    group fits in a single digest pass."""
+    import ray.data as rd
+
+    from datavec_ray.ops.sketches import tdigest_quantiles
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    key = rng.integers(0, 4, n)
+    vals = np.exp(rng.normal(0.0, 2.0, n)) * (1 + key)
+    vals[rng.integers(0, n, 10)] *= 1e9          # outliers
+    t = pa.table({"k": key.astype(np.int64), "v": vals})
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    names = ["p1", "p25", "p50", "p75", "p99"]
+
+    for parts in (4, 24):
+        out = dataset_to_table(tdigest_quantiles(
+            rd.from_arrow(t).repartition(parts), ["k"], "v", qs,
+            names=names, delta=200)).to_pandas().set_index("k")
+        assert sorted(out.index) == [0, 1, 2, 3]
+        for k in range(4):
+            g = np.sort(vals[key == k])
+            assert out.loc[k, "n"] == len(g)
+            for q, nm in zip(qs, names):
+                est = out.loc[k, nm]
+                rank = np.searchsorted(g, est) / len(g)
+                assert abs(rank - q) < 0.01, (k, nm, rank)
+
+    # endpoint anchoring: q=0/1 return the exact min/max
+    out = dataset_to_table(tdigest_quantiles(
+        rd.from_arrow(t).repartition(8), ["k"], "v", [0.0, 1.0],
+        names=["lo", "hi"])).to_pandas().set_index("k")
+    for k in range(4):
+        g = vals[key == k]
+        assert out.loc[k, "lo"] == g.min()
+        assert out.loc[k, "hi"] == g.max()
+
+
+def test_tdigest_small_group_near_exact(ray_session):
+    """A group smaller than delta keeps singleton centroids — the
+    digest read matches numpy's linear-interpolation quantile to
+    tight tolerance."""
+    import ray.data as rd
+
+    from datavec_ray.ops.sketches import tdigest_quantiles
+    from datavec_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(size=150)
+    t = pa.table({"k": np.zeros(150, np.int64), "v": vals})
+    out = dataset_to_table(tdigest_quantiles(
+        rd.from_arrow(t), ["k"], "v", [0.5], names=["p50"],
+        delta=400)).to_pandas()
+    assert abs(out["p50"][0] - np.quantile(vals, 0.5)) < 2e-2
