@@ -419,6 +419,67 @@ def _q_cdc_upsert(sf_dir: str):
     return final.map_batches(ts_to_ms, batch_format="pyarrow")
 
 
+def _q_cdc_merge(sf_dir: str):
+    """ANSI-MERGE conditional upsert against a replayed lake: build the
+    lake from the full binlog, then MERGE a deterministic changeset —
+    WHEN MATCHED AND turn_idx%5=0 DELETE, WHEN MATCHED AND target
+    role='assistant' UPDATE, WHEN NOT MATCHED AND turn_idx%3=0 INSERT —
+    through the engine's one-exchange merge + exactly-once replay.
+    Source ts embeds event_id so duplicate-key source rows resolve by
+    LWW to exactly the SQL mirror's row_number()=1 pick."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="merge_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog, checkpoint_name="base")
+
+        def to_src(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            keep = eid % 7 == 0
+            t = t.filter(pa.array(keep))
+            eid = eid[keep]
+            ts_ms = pc.cast(t["ts"], pa.timestamp("ms"), safe=False) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            props = pc.fill_null(pc.cast(t["props"], pa.string()), "")
+            return pa.table({
+                "conv_id": pc.binary_join_element_wise(
+                    "conv-", pc.cast(t["user_id"], pa.string()), ""),
+                "turn_idx": pa.array((eid % 23).astype(np.int32)),
+                "role": pa.array(["merged"] * len(eid), pa.string()),
+                "text": pc.binary_join_element_wise("m:", props, ""),
+                "tool": pa.array(["merge"] * len(eid), pa.string()),
+                "ts": pa.array(ts_ms + 31536000000 + eid).cast(
+                    pa.timestamp("ms")),
+            })
+
+        src = _read(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "props"]) \
+            .map_batches(to_src, batch_format="pyarrow")
+        eng.merge_into(
+            src,
+            when_matched_delete=lambda s, t: (
+                s["turn_idx"].to_numpy(zero_copy_only=False) % 5 == 0),
+            when_matched_update=lambda s, t: pc.equal(t["role"],
+                                                      "assistant"),
+            when_not_matched_insert=lambda s: (
+                s["turn_idx"].to_numpy(zero_copy_only=False) % 3 == 0),
+        )
+        final = eng.read_lake()
+    finally:
+        eng.shutdown()
+    i = final.schema.get_field_index("ts")
+    return final.set_column(
+        i, pa.field("ts_ms", pa.int64()),
+        final["ts"].cast(pa.int64()))
+
+
 def _q_cdc_aggview(sf_dir: str):
     """Incrementally-maintained grouped aggregate over the CDC lake:
     ingest the first half of the binlog (snapshot v1), build the view,
@@ -3874,6 +3935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_split": _q_session_split,
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
+        "cdc_merge": _q_cdc_merge,
         "cdc_aggview": _q_cdc_aggview,
         "cdc_renderview": _q_cdc_renderview,
         "role_transitions": _q_role_transitions,
@@ -4448,6 +4510,55 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_merge": _BINLOG_CTE + """
+            , lake as (
+              select conv_id, turn_idx, role, text, tool, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D'
+            ), src0 as (
+              select 'conv-' || cast(user_id as varchar) as conv_id,
+                     cast(event_id % 23 as int) as turn_idx,
+                     'merged' as role,
+                     'm:' || coalesce(cast(props as varchar), '') as text,
+                     'merge' as tool,
+                     epoch_ms(date_trunc('milliseconds', ts))
+                       + 31536000000 + event_id as ts_ms
+              from events where event_id % 7 = 0
+            ), src as (
+              select conv_id, turn_idx, role, text, tool, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc) as rn from src0) t
+              where rn = 1
+            ), touched as (
+              select s.conv_id, s.turn_idx
+              from src s join lake l
+                using (conv_id, turn_idx)
+              where s.turn_idx % 5 = 0 or l.role = 'assistant'
+            ), mupd as (
+              select s.*
+              from src s join lake l using (conv_id, turn_idx)
+              where s.turn_idx % 5 <> 0 and l.role = 'assistant'
+            ), mins as (
+              select s.*
+              from src s
+              where s.turn_idx % 3 = 0
+                and not exists (select 1 from lake l
+                                where l.conv_id = s.conv_id
+                                  and l.turn_idx = s.turn_idx)
+            )
+            select l.conv_id, l.turn_idx, l.role, l.text, l.tool, l.ts_ms
+            from lake l
+            where not exists (select 1 from touched d
+                              where d.conv_id = l.conv_id
+                                and d.turn_idx = l.turn_idx)
+            union all
+            select conv_id, turn_idx, role, text, tool, ts_ms from mupd
+            union all
+            select conv_id, turn_idx, role, text, tool, ts_ms from mins""",
         "cdc_delta_lake": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over

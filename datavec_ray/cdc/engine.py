@@ -2108,6 +2108,155 @@ class CdcIngestEngine:
         self.replay(tomb, checkpoint_name=checkpoint_name)
         return {"deleted": n, "watermark": self.manifest.watermark()}
 
+    def merge_into(self, source, when_matched_update=True,
+                   when_matched_delete=None,
+                   when_not_matched_insert=True,
+                   checkpoint_name: str = "merge") -> dict:
+        """ANSI-``MERGE``-shaped conditional upsert of a source
+        changeset into the lake (reference parity: DataVec has no MERGE;
+        this is the CDC-lake generalization of its conditional
+        replace/filter steps, `transform/condition/*` — the SQL MERGE
+        semantics over last-writer-wins state):
+
+            WHEN MATCHED [AND when_matched_delete]  THEN DELETE
+            WHEN MATCHED [AND when_matched_update]  THEN UPDATE (full
+                payload from the source row)
+            WHEN NOT MATCHED [AND when_not_matched_insert] THEN INSERT
+
+        Each clause is ``None``/``False`` (absent), ``True``
+        (unconditional), or a vectorized predicate: matched clauses get
+        ``fn(src: pa.Table, tgt: pa.Table) -> bool mask`` over
+        row-ALIGNED matched pairs (tgt = the live lake row), the insert
+        clause gets ``fn(src)``. DELETE is evaluated before UPDATE
+        (fixed clause order, as in SQL MERGE). Source rows whose key
+        matches no clause are no-ops.
+
+        Plan: ONE hash exchange routes source rows with the engine's
+        own partitioner (salt-aware); one task per touched partition
+        reads that partition's LIVE state (merge-on-read for LSM
+        layouts), left-joins source→target on (conv_id, turn_idx),
+        evaluates the clauses vectorized, and emits D / U / I change
+        events with collision-free strided LSNs
+        (``watermark + 1 + i*P + pid`` — unique across partitions with
+        no coordination). The events then REPLAY through the normal
+        exactly-once commit path, so a merge is crash-resumable and
+        visible to time travel / change feeds / incremental views like
+        any other change batch. Work and memory are bounded by the
+        CHANGESET size, never the lake. Duplicate source keys resolve
+        through replay's LWW (ts, then lsn). Returns
+        {updated, deleted, inserted, watermark}."""
+        import ray.data as rd
+
+        if isinstance(source, pa.Table):
+            source = rd.from_arrow(source)
+        wm = self.manifest.watermark()
+        P = self.num_partitions
+        lake_dir = self.lake_dir
+        salt_turns = self.salt_turns
+        hot = frozenset(self.hot_convs) if getattr(self, "hot_convs", None) \
+            else None
+        upd, dele, ins = when_matched_update, when_matched_delete, \
+            when_not_matched_insert
+
+        def _tag(batch: pa.Table) -> pa.Table:
+            pid = assign_partitions(batch["conv_id"], batch["turn_idx"],
+                                    P, salt_turns, hot)
+            return batch.replace_schema_metadata(None).append_column(
+                pa.field("__pid", pa.int64()), pa.array(pid))
+
+        def _events(src_pd, op: str, lsn: np.ndarray) -> pa.Table:
+            n = len(src_pd)
+            none = pa.nulls(n, pa.string())
+            payload = (lambda c: pa.array(src_pd[c], pa.string(),
+                                          from_pandas=True))
+            return pa.table({
+                "lsn": pa.array(lsn, pa.int64()),
+                "op": pa.array([op] * n, pa.string()),
+                "conv_id": pa.array(src_pd["conv_id"], pa.string(),
+                                    from_pandas=True),
+                "turn_idx": pa.array(src_pd["turn_idx"], pa.int32(),
+                                     from_pandas=True),
+                "role": none if op == "D" else payload("role"),
+                "text": none if op == "D" else payload("text"),
+                "tool": none if op == "D" else payload("tool"),
+                "ts": pa.array(src_pd["ts"], pa.timestamp("ms"),
+                               from_pandas=True),
+            })
+
+        def _empty_events() -> pa.Table:
+            return _events(__import__("pandas").DataFrame(
+                {c: [] for c in ("conv_id", "turn_idx", "role", "text",
+                                 "tool", "ts")}), "U",
+                np.zeros(0, np.int64))
+
+        def _mask(clause, *tabs) -> np.ndarray:
+            n = tabs[0].num_rows
+            if clause is True:
+                return np.ones(n, dtype=bool)
+            if not clause:
+                return np.zeros(n, dtype=bool)
+            m = clause(*tabs)
+            if isinstance(m, (pa.Array, pa.ChunkedArray)):
+                m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+            return np.asarray(m, dtype=bool)
+
+        def merge_group(group: pa.Table) -> pa.Table:
+            import pandas as pd
+            if group.num_rows == 0:
+                return _empty_events()
+            pid = int(group["__pid"][0].as_py())
+            src = group.drop_columns(["__pid"]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending"),
+                 ("ts", "ascending")])
+            live = _read_lake_partition(lake_dir, pid)
+            sp = src.to_pandas()
+            lp = live.select(
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"]) \
+                .to_pandas()
+            j = sp.merge(lp, on=["conv_id", "turn_idx"], how="left",
+                         suffixes=("", "__t"), indicator=True)
+            matched = (j["_merge"] == "both").to_numpy()
+            src_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            jm = j[matched]
+            src_m = pa.Table.from_pandas(jm[src_cols],
+                                         preserve_index=False)
+            tgt_m = pa.Table.from_pandas(
+                jm[["conv_id", "turn_idx"]].join(
+                    jm[[c + "__t" for c in src_cols[2:]]].rename(
+                        columns=lambda c: c[:-3])),
+                preserve_index=False)
+            del_m = _mask(dele, src_m, tgt_m)
+            upd_m = _mask(upd, src_m, tgt_m) & ~del_m
+            ju = j[~matched]
+            src_u = pa.Table.from_pandas(ju[src_cols],
+                                         preserve_index=False)
+            ins_m = _mask(ins, src_u)
+            parts, n_out = [], 0
+            for frame, op in ((jm[del_m], "D"), (jm[upd_m], "U"),
+                              (ju[ins_m], "I")):
+                if len(frame) == 0:
+                    continue
+                lsn = wm + 1 + (n_out + np.arange(len(frame),
+                                                  dtype=np.int64)) * P + pid
+                parts.append(_events(frame, op, lsn))
+                n_out += len(frame)
+            return pa.concat_tables(parts) if parts else _empty_events()
+
+        merge_group.__name__ = "merge_into"
+        events = source.map_batches(_tag, batch_format="pyarrow") \
+            .groupby("__pid") \
+            .map_groups(merge_group, batch_format="pyarrow") \
+            .materialize()      # bounded by the changeset; executed ONCE
+        from datavec_ray.util import dataset_to_table
+        ops = dataset_to_table(events.groupby("op").count())
+        cnt = dict(zip(ops["op"].to_pylist(),
+                       ops["count()"].to_pylist())) if ops.num_rows else {}
+        if events.count():
+            self.replay(events, checkpoint_name=checkpoint_name)
+        return {"updated": cnt.get("U", 0), "deleted": cnt.get("D", 0),
+                "inserted": cnt.get("I", 0),
+                "watermark": self.manifest.watermark()}
+
     def secondary_index(self, columns, fp: float = 0.01):
         """Bloom-sidecar lookup index for NON-key columns (role, tool,
         ...) — see ``datavec_ray.cdc.index.SecondaryIndex``. Build is

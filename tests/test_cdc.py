@@ -541,3 +541,113 @@ def test_patch_upsert_partial_updates(ray_session):
     out2 = dataset_to_table(patch_upsert(ray.data.from_arrow(t2),
                                          order_cols=["ts", "lsn"]))
     assert out2.num_rows == 0
+
+
+def test_merge_into_clause_semantics(ray_session, binlog, tmp_path):
+    """MERGE INTO: delete takes precedence over update; update pulls
+    the full source payload; unmatched rows insert only when the
+    insert clause passes; untouched lake rows survive verbatim."""
+    import pandas as pd
+
+    eng = CdcIngestEngine(str(tmp_path / "mlake"), num_partitions=4)
+    eng.replay(binlog, checkpoint_name="base")
+    lake0 = eng.read_lake().to_pandas()
+
+    # source: half existing keys, half new keys; ts strictly newer
+    ex = lake0.head(40)[["conv_id", "turn_idx"]].reset_index(drop=True)
+    new = pd.DataFrame({
+        "conv_id": [f"conv-x{i}" for i in range(30)],
+        "turn_idx": np.arange(30, dtype=np.int32),
+    })
+    src = pd.concat([ex, new], ignore_index=True)
+    n = len(src)
+    src["role"] = "merged"
+    src["text"] = [f"m{i}" for i in range(n)]
+    src["tool"] = "merge"
+    src["ts"] = pd.Timestamp("2031-01-01") + pd.to_timedelta(
+        np.arange(n), unit="s")
+    src_tbl = pa.Table.from_pandas(src, preserve_index=False)
+
+    res = eng.merge_into(
+        src_tbl,
+        when_matched_delete=lambda s, t: (
+            s["turn_idx"].to_numpy(zero_copy_only=False) % 2 == 0),
+        when_matched_update=True,
+        when_not_matched_insert=lambda s: (
+            s["turn_idx"].to_numpy(zero_copy_only=False) % 3 == 0),
+    )
+    lake1 = eng.read_lake().to_pandas()
+
+    key0 = set(zip(lake0.conv_id, lake0.turn_idx))
+    matched = src[[tuple(r) in key0
+                   for r in zip(src.conv_id, src.turn_idx)]]
+    deleted = matched[matched.turn_idx % 2 == 0]
+    updated = matched[matched.turn_idx % 2 != 0]
+    unmatched = src[[tuple(r) not in key0
+                     for r in zip(src.conv_id, src.turn_idx)]]
+    inserted = unmatched[unmatched.turn_idx % 3 == 0]
+    assert res["deleted"] == len(deleted)
+    assert res["updated"] == len(updated)
+    assert res["inserted"] == len(inserted)
+
+    key1 = set(zip(lake1.conv_id, lake1.turn_idx))
+    for r in zip(deleted.conv_id, deleted.turn_idx):
+        assert tuple(r) not in key1
+    lk = lake1.set_index(["conv_id", "turn_idx"])
+    for cid, ti, txt in zip(updated.conv_id, updated.turn_idx,
+                            updated.text):
+        assert lk.loc[(cid, ti), "text"] == txt
+        assert lk.loc[(cid, ti), "role"] == "merged"
+    for cid, ti, txt in zip(inserted.conv_id, inserted.turn_idx,
+                            inserted.text):
+        assert lk.loc[(cid, ti), "text"] == txt
+    skipped = unmatched[unmatched.turn_idx % 3 != 0]
+    for r in zip(skipped.conv_id, skipped.turn_idx):
+        assert tuple(r) not in key1
+    # untouched rows identical
+    touched = set(zip(matched.conv_id, matched.turn_idx))
+    rest0 = lake0[[tuple(r) not in touched
+                   for r in zip(lake0.conv_id, lake0.turn_idx)]]
+    rest1 = lake1[[tuple(r) in
+                   set(zip(rest0.conv_id, rest0.turn_idx))
+                   for r in zip(lake1.conv_id, lake1.turn_idx)]]
+    s0 = rest0.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s1 = rest1.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s0, s1)
+    eng.shutdown()
+
+
+def test_merge_into_target_condition_and_noop(ray_session, binlog,
+                                              tmp_path):
+    """Matched clauses can condition on the TARGET row; a merge whose
+    clauses match nothing leaves the lake bit-identical and advances
+    nothing."""
+    eng = CdcIngestEngine(str(tmp_path / "mlake2"), num_partitions=4)
+    eng.replay(binlog, checkpoint_name="base")
+    lake0 = eng.read_lake()
+    src = lake0.select(["conv_id", "turn_idx", "role", "text",
+                        "tool", "ts"]).slice(0, 50)
+    import pandas as pd
+    sp = src.to_pandas()
+    sp["ts"] = pd.Timestamp("2031-01-01")
+    sp["text"] = "redacted"
+    res = eng.merge_into(
+        pa.Table.from_pandas(sp, preserve_index=False),
+        when_matched_update=lambda s, t: pc.equal(t["role"], "assistant"),
+        when_not_matched_insert=False,
+    )
+    lake1 = eng.read_lake().to_pandas()
+    n_asst = int((src.to_pandas().role == "assistant").sum())
+    assert res["updated"] == n_asst
+    assert res["inserted"] == res["deleted"] == 0
+    red = lake1[lake1.text == "redacted"]
+    assert len(red) == n_asst
+    assert (red.role == "assistant").all()
+
+    wm = eng.manifest.watermark()
+    res2 = eng.merge_into(
+        pa.Table.from_pandas(sp.head(0), preserve_index=False),
+        when_matched_update=True)
+    assert res2 == {"updated": 0, "deleted": 0, "inserted": 0,
+                    "watermark": wm}
+    eng.shutdown()
