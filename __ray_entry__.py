@@ -480,6 +480,50 @@ def _q_cdc_merge(sf_dir: str):
         final["ts"].cast(pa.int64()))
 
 
+def _q_cdc_replicate(sf_dir: str):
+    """Lake→lake CDC replication: replay the first half of the binlog
+    into a source lake (snapshot v1), replicate the full change feed
+    into a cross-layout mirror, replay the second half (v2), then
+    incrementally catch the mirror up — the catch-up ships only the
+    v1→v2 delta through the mirror's exactly-once replay path. The
+    mirror's final state must equal the full-binlog LWW oracle."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events")
+    cut = int(_read(sf_dir, "events", ["event_id"]).max("event_id")) // 2
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+
+    def _half(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less_equal(t["lsn"], cut) if lo \
+                else pc.greater(t["lsn"], cut)
+            return t.filter(m)
+        f.__name__ = "binlog_v1" if lo else "binlog_v2"
+        return f
+
+    src = CdcIngestEngine(tempfile.mkdtemp(prefix="repl_src"),
+                          num_partitions=8)
+    mir = CdcIngestEngine(tempfile.mkdtemp(prefix="repl_mir"),
+                          num_partitions=5)
+    try:
+        src.replay(binlog.map_batches(_half(True), batch_format="pyarrow"),
+                   checkpoint_name="v1")
+        src.replicate_to(mir)
+        src.replay(binlog.map_batches(_half(False), batch_format="pyarrow"),
+                   checkpoint_name="v2")
+        src.replicate_to(mir)
+        final = mir.read_lake()
+    finally:
+        src.shutdown()
+        mir.shutdown()
+    i = final.schema.get_field_index("ts")
+    return final.set_column(i, pa.field("ts_ms", pa.int64()),
+                            final["ts"].cast(pa.int64()))
+
+
 def _q_cdc_aggview(sf_dir: str):
     """Incrementally-maintained grouped aggregate over the CDC lake:
     ingest the first half of the binlog (snapshot v1), build the view,
@@ -3936,6 +3980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
         "cdc_merge": _q_cdc_merge,
+        "cdc_replicate": _q_cdc_replicate,
         "cdc_aggview": _q_cdc_aggview,
         "cdc_renderview": _q_cdc_renderview,
         "role_transitions": _q_role_transitions,
@@ -4504,6 +4549,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value, count(*) as n
             from events group by 1, 2""",
         "cdc_upsert": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_replicate": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx

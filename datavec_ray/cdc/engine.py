@@ -2257,6 +2257,91 @@ class CdcIngestEngine:
                 "inserted": cnt.get("I", 0),
                 "watermark": self.manifest.watermark()}
 
+    def replicate_to(self, target: "CdcIngestEngine",
+                     upto: Optional[str] = None,
+                     checkpoint_prefix: str = "repl") -> dict:
+        """Incremental lake→lake replication (CDC fan-out): ship the
+        row-level change feed between the mirror's last-replicated
+        source snapshot and the newest (or ``upto``) source snapshot
+        into a DOWNSTREAM mirror lake, through the mirror's normal
+        exactly-once replay path.
+
+        The mirror records its replication position as a
+        ``{"type": "replication", "source": ..., "snapshot": ...}``
+        manifest entry, so catch-up is resumable: re-running after a
+        crash between the mirror's commit and the position append
+        replays the same feed, whose LSNs are all <= the mirror's
+        watermark, so the replay is a filtered no-op (idempotent).
+        Change-feed LSNs are the SOURCE's, so the mirror's watermark
+        tracks source progress directly; the mirror must be dedicated
+        to this source (no interleaved direct ingest with its own LSN
+        space). Source and mirror may use DIFFERENT partition layouts
+        — events re-route through the mirror's own partitioner.
+
+        Cost is proportional to the CHANGESET (one aligned
+        partition-diff task per source partition, then one replay of
+        the delta), never the lake. Snapshots consumed by a mirror
+        must not be pruned on the source until replicated past
+        (``ValueError`` otherwise — rebuild the mirror from scratch).
+        Returns {from, to, events, watermark, noop}."""
+        tt = self.time_travel()
+        vs = [v for v in tt.versions() if v["available"]]
+        if not vs:
+            raise ValueError("source lake has no committed snapshots")
+        names = [v["name"] for v in vs]
+        to_name = names[-1] if upto is None else upto
+        if to_name not in names:
+            raise ValueError(f"snapshot {to_name!r} not available on source")
+        src_id = os.path.abspath(self.lake_dir)
+        last = None
+        for e in target.manifest.entries:
+            if e.get("type") == "replication" and e.get("source") == src_id:
+                last = e
+        from_name = last["snapshot"] if last else None
+        if from_name == to_name:
+            return {"from": from_name, "to": to_name, "events": 0,
+                    "noop": True,
+                    "watermark": target.manifest.watermark()}
+        if from_name is not None:
+            if from_name not in names:
+                raise ValueError(
+                    f"last replicated snapshot {from_name!r} was pruned "
+                    "on the source; rebuild the mirror from scratch")
+            if names.index(from_name) > names.index(to_name):
+                raise ValueError(
+                    f"upto={to_name!r} is older than the mirror's "
+                    f"replicated position {from_name!r}")
+        # lake contract turn type from the target segment's state files
+        # (footer read only) — the feed widens turn_idx to int64
+        seg_dir = os.path.join(self.ckpt_dir, to_name)
+        state_files = sorted(f for f in os.listdir(seg_dir)
+                             if f.endswith(".parquet"))
+        turn_t = pq.read_schema(
+            os.path.join(seg_dir, state_files[0])).field("turn_idx").type \
+            if state_files else pa.int32()
+
+        def to_binlog(b: pa.Table) -> pa.Table:
+            ct = b["change_type"]
+            op = pc.if_else(pc.equal(ct, "delete"), "D",
+                            pc.if_else(pc.equal(ct, "update"), "U", "I"))
+            return pa.table({
+                "lsn": b["lsn"], "op": op, "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(turn_t),
+                "role": b["role"], "text": b["text"], "tool": b["tool"],
+                "ts": b["ts"]})
+
+        feed = tt.change_feed(from_name, to_name) \
+            .map_batches(to_binlog, batch_format="pyarrow")
+        lineage = target.replay(
+            feed, checkpoint_name=f"{checkpoint_prefix}-{to_name}")
+        n = sum(e.get("events_applied", 0) for e in lineage)
+        target._fenced_append({
+            "type": "replication", "source": src_id, "snapshot": to_name,
+            "from": from_name, "events_applied": n,
+            "lsn_hi": target.manifest.watermark()})
+        return {"from": from_name, "to": to_name, "events": n,
+                "noop": False, "watermark": target.manifest.watermark()}
+
     def secondary_index(self, columns, fp: float = 0.01):
         """Bloom-sidecar lookup index for NON-key columns (role, tool,
         ...) — see ``datavec_ray.cdc.index.SecondaryIndex``. Build is

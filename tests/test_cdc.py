@@ -651,3 +651,68 @@ def test_merge_into_target_condition_and_noop(ray_session, binlog,
     assert res2 == {"updated": 0, "deleted": 0, "inserted": 0,
                     "watermark": wm}
     eng.shutdown()
+
+
+def test_replicate_to_incremental_mirror(ray_session, binlog, tmp_path):
+    """Lake→lake replication: a cross-layout mirror (different
+    num_partitions) converges to the source's live state after the
+    initial full feed and again after an incremental catch-up; a
+    repeat catch-up is a no-op; crash-replayed catch-up (position
+    entry lost) is idempotent."""
+    src = CdcIngestEngine(str(tmp_path / "src"), num_partitions=8)
+    mir = CdcIngestEngine(str(tmp_path / "mir"), num_partitions=3)
+    try:
+        src.replay(binlog.slice(0, 4000), checkpoint_name="v1")
+        r1 = src.replicate_to(mir)
+        assert r1["from"] is None and r1["to"] == "v1" and not r1["noop"]
+        assert mir.read_lake().equals(src.read_lake())
+
+        src.replay(binlog.slice(4000), checkpoint_name="v2")
+        r2 = src.replicate_to(mir)
+        assert r2["from"] == "v1" and r2["to"] == "v2"
+        assert mir.read_lake().equals(src.read_lake())
+        # incremental: the catch-up shipped only the delta, not the lake
+        assert 0 < r2["events"] < mir.read_lake().num_rows
+
+        # repeat catch-up: no-op, nothing re-applied
+        r3 = src.replicate_to(mir)
+        assert r3["noop"] and r3["events"] == 0
+        assert mir.read_lake().equals(src.read_lake())
+
+        # crash between mirror commit and position append: drop the
+        # replication entries and catch up again — the replayed feed is
+        # entirely below the mirror's watermark, so state is unchanged
+        mir.manifest.entries = [e for e in mir.manifest.entries
+                                if e.get("type") != "replication"]
+        before = mir.read_lake()
+        r4 = src.replicate_to(mir)
+        assert r4["from"] is None and r4["to"] == "v2" and r4["events"] == 0
+        assert mir.read_lake().equals(before)
+    finally:
+        src.shutdown()
+        mir.shutdown()
+
+
+def test_replicate_to_guards(ray_session, binlog, tmp_path):
+    """Pruned-on-source position and stale ``upto`` raise instead of
+    silently corrupting the mirror."""
+    import pytest as _pytest
+    src = CdcIngestEngine(str(tmp_path / "src2"), num_partitions=4)
+    mir = CdcIngestEngine(str(tmp_path / "mir2"), num_partitions=4)
+    try:
+        src.replay(binlog.slice(0, 2000), checkpoint_name="v1")
+        src.replicate_to(mir)
+        src.replay(binlog.slice(2000, 2000), checkpoint_name="v2")
+        src.replay(binlog.slice(4000, 2000), checkpoint_name="v3")
+        # re-requesting the current position is a harmless no-op ...
+        assert src.replicate_to(mir, upto="v1")["noop"]
+        src.replicate_to(mir, upto="v2")
+        # ... but a position strictly behind the mirror raises
+        with _pytest.raises(ValueError, match="older than"):
+            src.replicate_to(mir, upto="v1")
+        src.time_travel().prune_versions(keep_last=1)  # drops v1, v2
+        with _pytest.raises(ValueError, match="pruned"):
+            src.replicate_to(mir)
+    finally:
+        src.shutdown()
+        mir.shutdown()
