@@ -39,7 +39,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "edit_pairs", "preference_pairs", "conv_dedup",
                  "tree_paths", "cdc_digest", "skew_join",
                  "cdc_copart_join", "cdc_renderview", "time_resample",
-                 "jaccard_against", "grouped_moments", "cdc_merge"]
+                 "jaccard_against", "grouped_moments", "cdc_merge",
+                 "cdc_replicate"]
 
 
 def _sf_of(sf_dir: str) -> float:

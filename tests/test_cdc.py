@@ -716,3 +716,35 @@ def test_replicate_to_guards(ray_session, binlog, tmp_path):
     finally:
         src.shutdown()
         mir.shutdown()
+
+
+def test_merge_into_delta_mode_parity(ray_session, binlog, tmp_path):
+    """merge_into evaluates clauses against MERGED live state in
+    delta (LSM) commit mode — final lake equals the rewrite-mode run
+    of the identical operations."""
+    import pandas as pd
+
+    outs = []
+    for mode in ("rewrite", "delta"):
+        eng = CdcIngestEngine(str(tmp_path / f"m_{mode}"),
+                              num_partitions=4, commit_mode=mode)
+        eng.replay(binlog.slice(0, 3000), checkpoint_name="v1")
+        eng.replay(binlog.slice(3000, 3000), checkpoint_name="v2")
+        lake = eng.read_lake().to_pandas()
+        src = lake.head(60)[["conv_id", "turn_idx"]].copy()
+        src["role"] = "merged"
+        src["text"] = "patched"
+        src["tool"] = "merge"
+        src["ts"] = pd.Timestamp("2031-06-01")
+        eng.merge_into(
+            pa.Table.from_pandas(src, preserve_index=False),
+            when_matched_delete=lambda s, t: pc.equal(t["role"], "user"),
+            when_matched_update=True,
+            when_not_matched_insert=False,
+        )
+        outs.append(eng.read_lake())
+        eng.shutdown()
+    assert outs[0].equals(outs[1])
+    # and the merge actually did something in both modes
+    roles = outs[0]["role"].to_pylist()
+    assert "merged" in roles
