@@ -1865,11 +1865,17 @@ class CdcIngestEngine:
             shutil.rmtree(self.shard_spill_dir, ignore_errors=True)
 
     # -- read back --------------------------------------------------------
-    def read_lake_dataset(self):
+    def read_lake_dataset(self, columns: Optional[list[str]] = None):
         """The production way to read the lake: a streaming
         ``ray.data.read_parquet`` Dataset over the committed partition
         files — no driver materialization, no global sort. Partitions
         are internally sorted by (conv_id, turn_idx) at flush time.
+
+        ``columns`` prunes the scan: rewrite-mode files read only
+        those columns off disk (parquet column pruning); delta-mode
+        merge tasks read the requested columns plus the LWW
+        resolution set (conv_id, turn_idx, ts, lsn, op) — a 2-column
+        analytics pass over a wide lake never ships the wide payload.
 
         Delta-mode (merge-on-read) partitions get ONE merge task each —
         parallelism is the partition layout, exactly like the commit
@@ -1885,21 +1891,30 @@ class CdcIngestEngine:
                        if ".base." not in f and ".delta-" not in f)
         parts = []
         if plain:
-            parts.append(rd.read_parquet(plain))
+            parts.append(rd.read_parquet(plain, columns=columns))
         if seg_pids:
             lake_dir = self.lake_dir
+            lww_cols = ["conv_id", "turn_idx", "ts", "lsn", "op"]
+            seg_cols = (lww_cols + [c for c in columns
+                                    if c not in lww_cols]
+                        if columns is not None else None)
+            out_cols = columns
 
             def merge_read(batch: pa.Table) -> pa.Table:
                 tabs = []
                 for pid in batch["pid"].to_pylist():
                     st = merge_segments(
                         _delta_segment_files(lake_dir, pid),
-                        drop_tombstones=True)
+                        drop_tombstones=True, columns=seg_cols)
                     if st.num_rows:
-                        tabs.append(sort_conv_turn(st).drop_columns(
-                            ["lsn", "op"]))
+                        st = sort_conv_turn(st).drop_columns(["lsn", "op"])
+                        if out_cols is not None:
+                            st = st.select(out_cols)
+                        tabs.append(st)
                 if not tabs:
-                    return TRANSCRIPT_SCHEMA.empty_table()
+                    empty = TRANSCRIPT_SCHEMA.empty_table()
+                    return empty.select(out_cols) if out_cols is not None \
+                        else empty
                 return pa.concat_tables(tabs, promote_options="permissive")
 
             merge_read.__name__ = "lake_merge_read"
@@ -1909,7 +1924,9 @@ class CdcIngestEngine:
                 .repartition(len(seg_pids))
                 .map_batches(merge_read, batch_format="pyarrow"))
         if not parts:
-            return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+            empty = TRANSCRIPT_SCHEMA.empty_table()
+            return rd.from_arrow(empty.select(columns)
+                                 if columns is not None else empty)
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     def compact(self, partitions: Optional[Sequence[int]] = None) -> list[dict]:
@@ -1933,6 +1950,59 @@ class CdcIngestEngine:
         for r in results:
             self._fenced_append(dict(r, type="compact"))
         return results
+
+    def vacuum(self, prune_keep_last: Optional[int] = None,
+               gc_spill: bool = True) -> dict:
+        """Lake housekeeping. Removes crash-orphaned atomic-write temp
+        files (``*.tmp*`` left by a writer killed between write and
+        rename — every committed file is written tmp-then-rename, so a
+        surviving tmp is garbage by construction), optionally prunes
+        old checkpoint versions (``TimeTravel.prune_versions``), and
+        clears shard spill files. Never touches committed data: those
+        are manifest-governed, idempotently named, and never carry a
+        tmp suffix. Run from the CURRENT fenced writer only — any
+        other writer's in-flight tmp files belong to a zombie this
+        writer has already fenced out. Returns
+        {tmp_removed, versions_pruned, spill_files_removed}."""
+        if self.fence_writer and \
+                self.manifest.reload_max_epoch() > self.writer_epoch:
+            raise WriterFencedError(
+                f"writer epoch {self.writer_epoch} fenced: refusing to "
+                "vacuum a lake a newer writer owns")
+        tmp_removed = 0
+        for root in (self.lake_dir, self.ckpt_dir):
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _dirs, files in os.walk(root):
+                if self.shard_spill_dir and \
+                        os.path.abspath(dirpath).startswith(
+                            os.path.abspath(self.shard_spill_dir)):
+                    continue  # spill handled separately below
+                for f in files:
+                    if ".tmp" in f:
+                        try:
+                            os.remove(os.path.join(dirpath, f))
+                            tmp_removed += 1
+                        except FileNotFoundError:
+                            pass
+        pruned: list[str] = []
+        if prune_keep_last is not None:
+            pruned = self.time_travel().prune_versions(prune_keep_last)
+        spill_removed = 0
+        # spill files back LIVE shard-actor state — only collectible
+        # when this engine never instantiated its shard pool (replay-
+        # only lakes) ; live pools clean up in shutdown(gc_spill=True)
+        if gc_spill and self._shards is None and self.shard_spill_dir \
+                and os.path.isdir(self.shard_spill_dir):
+            for dirpath, _dirs, files in os.walk(self.shard_spill_dir):
+                for f in files:
+                    try:
+                        os.remove(os.path.join(dirpath, f))
+                        spill_removed += 1
+                    except FileNotFoundError:
+                        pass
+        return {"tmp_removed": tmp_removed, "versions_pruned": pruned,
+                "spill_files_removed": spill_removed}
 
     def lookup(self, conv_ids) -> pa.Table:
         """Serving-style POINT READS: hash each requested conv_id to its

@@ -748,3 +748,56 @@ def test_merge_into_delta_mode_parity(ray_session, binlog, tmp_path):
     # and the merge actually did something in both modes
     roles = outs[0]["role"].to_pylist()
     assert "merged" in roles
+
+
+def test_read_lake_dataset_column_pruning(ray_session, binlog, tmp_path):
+    """columns= prunes the lake scan in BOTH commit modes and matches
+    the unpruned read's projection."""
+    for mode in ("rewrite", "delta"):
+        eng = CdcIngestEngine(str(tmp_path / f"prune_{mode}"),
+                              num_partitions=4, commit_mode=mode)
+        eng.replay(binlog.slice(0, 3000), checkpoint_name="v1")
+        eng.replay(binlog.slice(3000, 2000), checkpoint_name="v2")
+        full = dataset_to_table(eng.read_lake_dataset())
+        slim = dataset_to_table(
+            eng.read_lake_dataset(columns=["conv_id", "text"]))
+        assert slim.column_names == ["conv_id", "text"]
+        key = [("conv_id", "ascending"), ("text", "ascending")]
+        assert slim.sort_by(key).equals(
+            full.select(["conv_id", "text"]).sort_by(key))
+        eng.shutdown()
+
+
+def test_vacuum_and_chained_replication(ray_session, binlog, tmp_path):
+    """vacuum removes crash-orphaned tmp files but never committed
+    data; replication CHAINS (source → mirror → second-tier mirror)
+    because a mirror's snapshots are first-class."""
+    src = CdcIngestEngine(str(tmp_path / "c_src"), num_partitions=4)
+    mid = CdcIngestEngine(str(tmp_path / "c_mid"), num_partitions=3)
+    leaf = CdcIngestEngine(str(tmp_path / "c_leaf"), num_partitions=2)
+    try:
+        src.replay(binlog.slice(0, 4000), checkpoint_name="v1")
+        src.replicate_to(mid)
+        mid.replicate_to(leaf)
+        assert leaf.read_lake().equals(src.read_lake())
+
+        src.replay(binlog.slice(4000), checkpoint_name="v2")
+        src.replicate_to(mid)
+        r = mid.replicate_to(leaf)
+        assert not r["noop"]
+        assert leaf.read_lake().equals(src.read_lake())
+
+        # orphaned tmp files (simulated crash mid-write) are vacuumed
+        orphan = os.path.join(src.lake_dir, "part-0001.parquet.tmp.999")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        before = src.read_lake()
+        res = src.vacuum(prune_keep_last=1)
+        assert res["tmp_removed"] >= 1
+        assert not os.path.exists(orphan)
+        assert res["versions_pruned"] == ["v1"]
+        assert src.read_lake().equals(before)
+    finally:
+        src.shutdown()
+        mid.shutdown()
+        leaf.shutdown()
