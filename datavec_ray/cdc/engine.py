@@ -472,18 +472,42 @@ class Manifest:
         self.entries: list[dict] = []
         if os.path.exists(path):
             with open(path) as f:
-                self.entries = [json.loads(line) for line in f if line.strip()]
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        self.entries.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        # torn write from a crash mid-append — the entry
+                        # never durably committed (fsync hadn't returned),
+                        # so dropping it is the correct recovery; append()
+                        # newline-guards so later entries stay parseable
+                        continue
 
     def append(self, entry: dict) -> None:
+        """O(1) durable append (write one line + fsync) — the manifest
+        is the per-commit hot path of a 10^10-event run, so it must not
+        rewrite its whole history each time. A crash mid-append leaves
+        at most one torn line, which load skips; before appending after
+        such a crash the file is re-terminated with a newline so the
+        new entry starts on its own line."""
         self.entries.append(entry)
-        tmp = self.path + ".tmp"
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        with open(tmp, "w") as f:
-            for e in self.entries:
-                f.write(json.dumps(e) + "\n")
+        needs_nl = False
+        try:
+            if os.path.getsize(self.path) > 0:
+                with open(self.path, "rb") as rf:
+                    rf.seek(-1, os.SEEK_END)
+                    needs_nl = rf.read(1) != b"\n"
+        except OSError:
+            pass
+        with open(self.path, "a") as f:
+            if needs_nl:
+                f.write("\n")
+            f.write(json.dumps(entry) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, self.path)
 
     def max_epoch(self) -> int:
         """Highest writer epoch ever opened on this lake (0 if none)."""
@@ -1759,7 +1783,8 @@ class CdcIngestEngine:
 
         wm = self.resume_from_checkpoint()
         done = {e.get("segment") for e in self.manifest.entries
-                if e.get("type") == "checkpoint" and e.get("segment")}
+                if e.get("type") in ("checkpoint", "tail-progress")
+                and e.get("segment")}
         idle = 0
         n_segments = 0
         n_events = 0

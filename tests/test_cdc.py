@@ -801,3 +801,24 @@ def test_vacuum_and_chained_replication(ray_session, binlog, tmp_path):
         src.shutdown()
         mid.shutdown()
         leaf.shutdown()
+
+
+def test_manifest_append_only_crash_tolerance(tmp_path):
+    """Manifest appends are O(1) (no history rewrite); a torn trailing
+    line from a crash mid-append is dropped on load and later appends
+    stay parseable."""
+    from datavec_ray.cdc.engine import Manifest
+    p = str(tmp_path / "m" / "_manifest.jsonl")
+    m = Manifest(p)
+    m.append({"type": "commit", "partition": 0, "lsn_hi": 5})
+    m.append({"type": "checkpoint", "name": "v1", "lsn_hi": 5})
+    with open(p, "a") as f:        # crash mid-append: no newline
+        f.write('{"type": "com')
+    m2 = Manifest(p)
+    assert len(m2.entries) == 2
+    assert m2.watermark() == 5
+    m2.append({"type": "commit", "partition": 1, "lsn_hi": 9})
+    m3 = Manifest(p)
+    assert [e["lsn_hi"] for e in m3.entries
+            if e.get("type") == "commit"] == [5, 9]
+    assert m3.watermark() == 9
