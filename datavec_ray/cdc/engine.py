@@ -470,20 +470,28 @@ class Manifest:
     def __init__(self, path: str):
         self.path = path
         self.entries: list[dict] = []
-        if os.path.exists(path):
-            with open(path) as f:
+        self.reload()
+
+    def reload(self) -> None:
+        """Re-read the manifest file (cross-process readers — e.g. a
+        replication follower polling another writer's lake). The file
+        is the source of truth: every append is durably written."""
+        entries: list[dict] = []
+        if os.path.exists(self.path):
+            with open(self.path) as f:
                 for line in f:
                     line = line.strip()
                     if not line:
                         continue
                     try:
-                        self.entries.append(json.loads(line))
+                        entries.append(json.loads(line))
                     except json.JSONDecodeError:
                         # torn write from a crash mid-append — the entry
                         # never durably committed (fsync hadn't returned),
                         # so dropping it is the correct recovery; append()
                         # newline-guards so later entries stay parseable
                         continue
+        self.entries = entries
 
     def append(self, entry: dict) -> None:
         """O(1) durable append (write one line + fsync) — the manifest
@@ -2436,6 +2444,38 @@ class CdcIngestEngine:
             "lsn_hi": target.manifest.watermark()})
         return {"from": from_name, "to": to_name, "events": n,
                 "noop": False, "watermark": target.manifest.watermark()}
+
+    def follow_into(self, target: "CdcIngestEngine",
+                    poll_interval: float = 0.5,
+                    idle_rounds: int = 3) -> dict:
+        """Continuous replication: poll this lake for new committed
+        snapshots and ``replicate_to`` each into the mirror, until
+        ``idle_rounds`` consecutive polls find nothing new (mirrors
+        ``tail``'s idle contract). Each hop is the same exactly-once
+        catch-up as a manual replicate_to, so a killed follower
+        resumes from the mirror's recorded position. Returns
+        {hops, events, watermark}."""
+        idle = hops = events = 0
+        while idle < idle_rounds:
+            # the follower may run in a different process than the
+            # source's writer — the manifest FILE is the source of truth
+            self.manifest.reload()
+            try:
+                r = self.replicate_to(target)
+            except ValueError:
+                # no committed snapshots yet — keep polling
+                time.sleep(poll_interval)
+                idle += 1
+                continue
+            if r["noop"]:
+                idle += 1
+                time.sleep(poll_interval)
+            else:
+                idle = 0
+                hops += 1
+                events += r["events"]
+        return {"hops": hops, "events": events,
+                "watermark": target.manifest.watermark()}
 
     def secondary_index(self, columns, fp: float = 0.01):
         """Bloom-sidecar lookup index for NON-key columns (role, tool,

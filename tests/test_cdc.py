@@ -822,3 +822,30 @@ def test_manifest_append_only_crash_tolerance(tmp_path):
     assert [e["lsn_hi"] for e in m3.entries
             if e.get("type") == "commit"] == [5, 9]
     assert m3.watermark() == 9
+
+
+def test_follow_into_continuous_replication(ray_session, binlog, tmp_path):
+    """A follower polls the source lake and replicates each new
+    snapshot as it commits; the mirror converges to the source's
+    final state and records one position entry per hop."""
+    import threading
+
+    src = CdcIngestEngine(str(tmp_path / "f_src"), num_partitions=4)
+    mir = CdcIngestEngine(str(tmp_path / "f_mir"), num_partitions=4)
+    try:
+        def writer():
+            for i, lo in enumerate(range(0, 8000, 2000)):
+                src.replay(binlog.slice(lo, 2000),
+                           checkpoint_name=f"v{i + 1}")
+
+        t = threading.Thread(target=writer)
+        t.start()
+        res = src.follow_into(mir, poll_interval=0.5, idle_rounds=10)
+        t.join()
+        # the follower may batch several snapshots into one hop, but
+        # must have caught everything by the time it went idle
+        assert 1 <= res["hops"] <= 4
+        assert mir.read_lake().equals(src.read_lake())
+    finally:
+        src.shutdown()
+        mir.shutdown()
