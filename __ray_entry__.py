@@ -1047,6 +1047,51 @@ def _q_cdc_delta_lake(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_zonemap(sf_dir: str):
+    """OPTIMIZE + zonemap data skipping end to end: replay the binlog,
+    re-cluster every partition by ts with small row groups
+    (``optimize``), then answer a ts-range scan through
+    ``scan_where`` — footer-stats sidecar picks candidate files/row
+    groups on the driver, the exact predicate filters every row read.
+    The bounds are integer-ms quartiles of the event stream, mirrored
+    term for term in SQL; the result must equal the LWW state WHERE
+    ts BETWEEN bounds regardless of how much was skipped."""
+    import tempfile
+
+    import pandas as pd
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"])
+    binlog = ds.map_batches(binlog_from_events,
+                            batch_format="pyarrow").materialize()
+    mn = int(pd.Timestamp(binlog.min("ts")).value // 1_000_000)
+    mx = int(pd.Timestamp(binlog.max("ts")).value // 1_000_000)
+    lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+    lake = tempfile.mkdtemp(prefix="zonemap_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog, checkpoint_name="v1")
+        eng.optimize(cluster_by=["ts"], row_group_rows=2048)
+        hits = eng.scan_where(
+            [("ts", "between", (pd.Timestamp(lo, unit="ms"),
+                                pd.Timestamp(hi, unit="ms")))])
+
+        def ts_to_ms(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ts")
+            return t.set_column(i, pa.field("ts_ms", pa.int64()),
+                                t["ts"].cast(pa.int64())).rename_columns(
+                [c if c != "ts" else "ts_ms" for c in t.column_names])
+
+        from datavec_ray.util import dataset_to_table
+        return dataset_to_table(
+            hits.map_batches(ts_to_ms, batch_format="pyarrow"))
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_changefeed(sf_dir: str):
     """Row-level CHANGE FEED between two lake snapshots (Delta CDF /
     Iceberg changelog semantics): ingest half the binlog (v1), the
@@ -3987,6 +4032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_joinview": _q_cdc_joinview,
         "cdc_topn_view": _q_cdc_topn_view,
         "cdc_delta_lake": _q_cdc_delta_lake,
+        "cdc_zonemap": _q_cdc_zonemap,
         "cdc_changefeed": _q_cdc_changefeed,
         "preference_pairs": _q_preference_pairs,
         "conv_dedup": _q_conv_dedup,
@@ -4618,6 +4664,16 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_zonemap": _BINLOG_CTE + """
+            , bounds as (select min(ts_ms) as mn, max(ts_ms) as mx from e)
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t, bounds
+            where rn = 1 and op <> 'D'
+              and ts_ms between mn + (mx - mn) // 4
+                            and mn + (mx - mn) // 2""",
         "cdc_changefeed": _BINLOG_CTE + """
             , s2 as (select * from (select *, row_number() over
                        (partition by conv_id, turn_idx

@@ -812,6 +812,69 @@ def _compact_partition(lake_dir: str, pid: int) -> Optional[dict]:
             "rows": state.num_rows}
 
 
+def _filter_table(tbl: pa.Table, filters) -> pa.Table:
+    """Exact conjunctive row filter for scan_where's merge-on-read path
+    (same (col, op, value) spec the zonemap skipping consumes); null
+    comparisons are false, matching SQL WHERE."""
+    mask = None
+    for col, op, val in filters:
+        c = tbl[col]
+        if op in ("==", "="):
+            m = pc.equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "between":
+            m = pc.and_kleene(pc.greater_equal(c, val[0]),
+                              pc.less_equal(c, val[1]))
+        elif op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val)))
+        else:
+            raise ValueError(f"unknown filter op {op!r}")
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return tbl.filter(pc.fill_null(mask, False))
+
+
+def _optimize_partition(lake_dir: str, pid: int, cluster_by: list[str],
+                        row_group_rows: int) -> Optional[dict]:
+    """Rewrite one partition clustered by ``cluster_by`` (see
+    CdcIngestEngine.optimize). Rewrite-mode: re-sort the single live
+    file. Delta-mode: compact-with-sort (tombstones RETAINED, same
+    contract as _compact_partition — arrow sort_by puts their null
+    payloads wherever the cluster column says; they carry real
+    ts/turn_idx so clustering still applies)."""
+    segs = _delta_segment_files(lake_dir, pid)
+    plain = os.path.join(lake_dir, f"part-{pid:04d}.parquet")
+    if segs:
+        state = merge_segments(segs, drop_tombstones=False)
+        target = os.path.join(lake_dir, f"part-{pid:04d}.base.parquet")
+    elif os.path.exists(plain):
+        state = pq.read_table(plain)
+        target = plain
+    else:
+        return None
+    keys = [(c, "ascending") for c in cluster_by] + \
+        [(c, "ascending") for c in ("conv_id", "turn_idx")
+         if c not in cluster_by and c in state.column_names]
+    state = state.sort_by(keys)
+    tmp = f"{target}.tmp.{os.getpid()}"
+    pq.write_table(state, tmp, row_group_size=row_group_rows)
+    os.replace(tmp, target)
+    for f in segs:
+        if not f.endswith(".base.parquet"):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return {"partition": pid, "rows": state.num_rows,
+            "segments_merged": max(len(segs), 1)}
+
+
 def read_checkpoint_partition(ckpt_dir: str, pid: int) -> Optional[pa.Table]:
     """Load one partition's checkpointed LWW state.
 
@@ -2484,6 +2547,139 @@ class CdcIngestEngine:
         Bloom-candidate partitions."""
         from datavec_ray.cdc.index import SecondaryIndex
         return SecondaryIndex(self, columns, fp=fp)
+
+    def zonemaps(self, columns) -> "ZoneMapIndex":
+        """Min/max (zonemap) statistics sidecar over the lake's data
+        files — footer-only build, per-file freshness signatures. See
+        ``datavec_ray.cdc.index.ZoneMapIndex`` and ``scan_where``.
+        Instances are cached per column set."""
+        from datavec_ray.cdc.index import ZoneMapIndex
+        key = tuple(sorted(columns))
+        cache = getattr(self, "_zonemap_cache", None)
+        if cache is None:
+            cache = self._zonemap_cache = {}
+        if key not in cache:
+            cache[key] = ZoneMapIndex(self, sorted(columns))
+        return cache[key]
+
+    def scan_where(self, filters, columns: Optional[list[str]] = None,
+                   check_fresh: bool = True):
+        """Data-skipping range scan of the live lake: a streaming
+        Dataset of the rows matching ``filters`` (a conjunction of
+        ``(col, op, value)`` with op in ==/=/</<=/>/>=/between/in),
+        reading ONLY files whose zonemap stats intersect the predicate.
+        After ``optimize(cluster_by=[col])`` the stats are tight on
+        that column and a narrow range touches a small fraction of
+        row groups; the exact filter is always applied to every row
+        read, so results are identical to a full scan either way.
+        The skipping decision is recorded in ``self.last_scan_report``.
+
+        Rewrite-mode candidate files stream through one
+        ``read_parquet`` with the predicate pushed into the fragment
+        scan (row-group pruning + row filtering inside the read);
+        delta-mode candidate partitions get one merge-on-read task
+        each, filtered post-merge (an LWW winner's stats live in SOME
+        segment, so non-candidate partitions are provably empty for
+        the predicate)."""
+        import ray.data as rd
+
+        zm = self.zonemaps([c for c, _, _ in filters])
+        if check_fresh or not zm._files:
+            zm.refresh()
+        cand = zm.candidates(filters)
+        self.last_scan_report = cand["report"]
+        parts = []
+        if cand["plain"]:
+            import pyarrow.dataset as pads
+            expr = None
+            for col, op, val in filters:
+                f = pads.field(col)
+                e = {"==": lambda: f == val, "=": lambda: f == val,
+                     "<": lambda: f < val, "<=": lambda: f <= val,
+                     ">": lambda: f > val, ">=": lambda: f >= val,
+                     "between": lambda: (f >= val[0]) & (f <= val[1]),
+                     "in": lambda: f.isin(list(val))}[op]()
+                expr = e if expr is None else expr & e
+            paths = [os.path.join(self.lake_dir, f)
+                     for f in sorted(cand["plain"])]
+            ds = rd.read_parquet(paths, columns=columns, filter=expr)
+            parts.append(ds)
+        if cand["delta_pids"]:
+            lake_dir = self.lake_dir
+            lww_cols = ["conv_id", "turn_idx", "ts", "lsn", "op"]
+            seg_cols = (lww_cols + [c for c in (columns or [])
+                                    if c not in lww_cols]
+                        + [c for c, _, _ in filters
+                           if c not in lww_cols and c not in (columns or [])]
+                        if columns is not None else None)
+            out_cols = columns
+            flts = list(filters)
+
+            def merge_scan(batch: pa.Table) -> pa.Table:
+                tabs = []
+                for pid in batch["pid"].to_pylist():
+                    st = merge_segments(
+                        _delta_segment_files(lake_dir, pid),
+                        drop_tombstones=True, columns=seg_cols)
+                    if st.num_rows:
+                        st = _filter_table(st, flts)
+                    if st.num_rows:
+                        st = sort_conv_turn(st).drop_columns(["lsn", "op"])
+                        if out_cols is not None:
+                            st = st.select(out_cols)
+                        tabs.append(st)
+                if not tabs:
+                    empty = TRANSCRIPT_SCHEMA.empty_table()
+                    return empty.select(out_cols) if out_cols is not None \
+                        else empty
+                return pa.concat_tables(tabs, promote_options="permissive")
+
+            merge_scan.__name__ = "lake_merge_scan"
+            pids = cand["delta_pids"]
+            parts.append(
+                rd.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+                .repartition(len(pids))
+                .map_batches(merge_scan, batch_format="pyarrow"))
+        if not parts:
+            empty = TRANSCRIPT_SCHEMA.empty_table()
+            return rd.from_arrow(empty.select(columns)
+                                 if columns is not None else empty)
+        return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    def optimize(self, cluster_by, partitions: Optional[Sequence[int]] = None,
+                 row_group_rows: int = 131_072) -> list[dict]:
+        """OPTIMIZE: re-cluster each partition's data file(s) sorted by
+        ``cluster_by`` (ties broken by (conv_id, turn_idx)) and written
+        with ``row_group_rows``-row row groups, so zonemap / parquet
+        statistics on those columns become tight per row group and
+        range scans (``scan_where``) skip most of the lake. Delta-mode
+        partitions are compacted into one clustered base in the same
+        pass. Row CONTENT is untouched (reads are order-insensitive:
+        every consumer re-sorts or hash-joins), writes are atomic
+        tmp-then-rename (new inode — checkpoint hardlinks keep their
+        old payloads), and each rewritten partition appends an
+        ``optimize`` manifest audit entry. One Ray task per partition,
+        the lake's usual parallelism unit. Multi-column clustering is
+        lexicographic; for multi-dimensional range predicates compute a
+        Z-order key upstream (``misc.zorder_key``) and cluster the
+        table that carries it."""
+        import ray
+        if self.fence_writer and \
+                self.manifest.reload_max_epoch() > self.writer_epoch:
+            raise WriterFencedError(
+                f"writer epoch {self.writer_epoch} fenced: refusing to "
+                "optimize a lake a newer writer owns")
+        cluster_by = list(cluster_by)
+        pids = (list(partitions) if partitions is not None
+                else list(range(self.num_partitions)))
+        task = ray.remote(_optimize_partition)
+        results = [r for r in ray.get(
+            [task.remote(self.lake_dir, pid, cluster_by, row_group_rows)
+             for pid in pids]) if r is not None]
+        for r in results:
+            self._fenced_append(dict(r, type="optimize",
+                                     cluster_by=",".join(cluster_by)))
+        return results
 
     def time_travel(self):
         """Snapshot history / as-of reads / change feed over the retained

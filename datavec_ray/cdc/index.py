@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -259,3 +259,261 @@ class SecondaryIndex:
         out = pa.concat_tables(tables, promote_options="permissive")
         return out.sort_by([("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Zonemap (min/max) statistics index — file + row-group data skipping
+# ---------------------------------------------------------------------------
+
+_ZONE_OPS = ("==", "=", "<", "<=", ">", ">=", "between", "in")
+# parquet writers may truncate long binary statistics; a truncated max
+# UNDERSTATES the real max and could wrongly skip a file. Lake strings
+# (conv ids, roles, tools) are short; anything at/over this length is
+# treated as "no stats" (file stays a candidate — never wrong, only slower).
+_STR_STAT_TRUST_LEN = 60
+
+
+def _zone_norm(v):
+    """Normalize a statistic / filter literal into a JSON-portable,
+    mutually comparable primitive: timestamps → epoch ms int. Returns
+    None for values we refuse to prune on."""
+    import datetime
+
+    import pandas as pd
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        return float(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, np.datetime64)):
+        return int(pd.Timestamp(v).value // 1_000_000)
+    if isinstance(v, str):
+        return v if len(v) < _STR_STAT_TRUST_LEN else None
+    return None
+
+
+def _zone_comparable(a, b) -> bool:
+    num = (int, float, bool)
+    return (isinstance(a, num) and isinstance(b, num)) or \
+        (isinstance(a, str) and isinstance(b, str))
+
+
+def _zone_intersects(mn, mx, op: str, val) -> bool:
+    """May rows in [mn, mx] satisfy ``col op val``? Conservative: any
+    missing/incomparable stat → True (candidate)."""
+    if mn is None or mx is None:
+        return True
+    if op == "in":
+        vals = [_zone_norm(v) for v in val]
+        return any(v is None or not _zone_comparable(mn, v)
+                   or (mn <= v <= mx) for v in vals)
+    if op == "between":
+        lo, hi = (_zone_norm(val[0]), _zone_norm(val[1]))
+        ok_lo = lo is None or not _zone_comparable(mx, lo) or lo <= mx
+        ok_hi = hi is None or not _zone_comparable(mn, hi) or hi >= mn
+        return ok_lo and ok_hi
+    v = _zone_norm(val)
+    if v is None or not _zone_comparable(mn, v):
+        return True
+    if op in ("==", "="):
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    raise ValueError(f"unknown zonemap filter op {op!r}")
+
+
+def _footer_zones(path: str, columns: list[str]) -> list[dict]:
+    """Per-row-group {col: [min, max]} stats from the parquet FOOTER
+    only — no data pages are read. Stats a writer did not record (or
+    long strings we refuse to trust, see _STR_STAT_TRUST_LEN) come
+    back as [None, None] = unprunable."""
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).path: i
+                   for i in range(md.num_columns)}
+    out = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        zones = {"__rows": g.num_rows}
+        for c in columns:
+            mn = mx = None
+            ci = name_to_idx.get(c)
+            if ci is not None:
+                st = g.column(ci).statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = _zone_norm(st.min), _zone_norm(st.max)
+                    if mn is None or mx is None:
+                        mn = mx = None
+            zones[c] = [mn, mx]
+        out.append(zones)
+    return out
+
+
+class ZoneMapIndex:
+    """File- and row-group-level min/max (zonemap) statistics over the
+    lake's committed data files — the Delta/Iceberg "stats in the
+    transaction log" data-skipping design. Build reads only parquet
+    FOOTERS (one tiny Ray task per file, zero data pages); scans
+    consult the sidecar on the driver and read ONLY files whose stats
+    intersect the predicate, with the exact filter still applied to
+    every row that is read (skipping is an optimization, never a
+    semantics change).
+
+    Freshness is per-file (size, mtime_ns) signatures, so ANY lake
+    mutation — commit, compact, ``optimize`` clustering — re-indexes
+    exactly the files it touched.
+
+    Delta-mode (merge-on-read) partitions skip at PARTITION granularity:
+    a partition is a candidate iff any of its segments intersects —
+    sound for LWW because a winning row physically lives in some
+    segment, so stats over all segments bound every winner.
+
+    No reference counterpart (DataVec has no lake); parquet row-group
+    pruning inside one file is the closest standard machinery — this
+    sidecar lifts it to the file/partition level so the driver never
+    opens non-candidate files at all, the part that matters at 100 TB.
+    """
+
+    def __init__(self, engine, columns: Sequence[str]):
+        self.engine = engine
+        self.columns = list(columns)
+        self.index_dir = os.path.join(engine.lake_dir, "_index")
+        # fname -> {"sig": [size, mtime_ns], "pid": int, "delta": bool,
+        #           "row_groups": [ {col: [mn,mx], "__rows": n} ]}
+        self._files: dict[str, dict] = {}
+        self.last_report: dict = {}
+
+    # -- build / persist ---------------------------------------------------
+
+    def _data_files(self) -> list[str]:
+        lake = self.engine.lake_dir
+        if not os.path.isdir(lake):
+            return []
+        return sorted(f for f in os.listdir(lake)
+                      if f.startswith("part-") and f.endswith(".parquet"))
+
+    @staticmethod
+    def _sig(path: str) -> list[int]:
+        st = os.stat(path)
+        return [st.st_size, st.st_mtime_ns]
+
+    def build(self, only_files: Optional[Sequence[str]] = None) -> dict:
+        import ray
+
+        lake = self.engine.lake_dir
+        cols = self.columns
+        names = list(only_files) if only_files is not None \
+            else self._data_files()
+        if only_files is None:
+            self._files.clear()
+
+        footer = ray.remote(num_cpus=0.25)(_footer_zones)
+        zones = ray.get([footer.remote(os.path.join(lake, f), cols)
+                         for f in names]) if names else []
+        for f, z in zip(names, zones):
+            self._files[f] = {
+                "sig": self._sig(os.path.join(lake, f)),
+                "pid": int(f[len("part-"):].split(".")[0]),
+                "delta": ".base." in f or ".delta-" in f,
+                "row_groups": z,
+            }
+        self._persist()
+        return {"files": len(names), "columns": cols}
+
+    def _persist(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        payload = {"columns": self.columns, "files": self._files}
+        tmp = os.path.join(self.index_dir, "zonemaps.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(self.index_dir, "zonemaps.json"))
+
+    def load(self) -> bool:
+        path = os.path.join(self.index_dir, "zonemaps.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            payload = json.load(f)
+        if payload.get("columns") != self.columns:
+            return False
+        self._files = payload["files"]
+        return True
+
+    def refresh(self) -> None:
+        """Index new files, re-index changed ones (signature mismatch),
+        forget deleted ones — cost proportional to the mutation, the
+        same incremental discipline as SecondaryIndex.refresh."""
+        if not self._files:
+            self.load()
+        lake = self.engine.lake_dir
+        current = self._data_files()
+        cur = set(current)
+        stale = [f for f in current
+                 if self._files.get(f, {}).get("sig")
+                 != self._sig(os.path.join(lake, f))]
+        gone = [f for f in self._files if f not in cur]
+        for f in gone:
+            del self._files[f]
+        if stale:
+            self.build(only_files=stale)
+        elif gone:
+            self._persist()
+
+    # -- skipping ----------------------------------------------------------
+
+    def _check_filters(self, filters) -> list[tuple]:
+        out = []
+        for flt in filters:
+            col, op, val = flt
+            if op not in _ZONE_OPS:
+                raise ValueError(f"unknown zonemap filter op {op!r}")
+            if col not in self.columns:
+                raise KeyError(f"column {col!r} is not zonemap-indexed "
+                               f"(indexed: {self.columns})")
+            out.append((col, op, val))
+        return out
+
+    def candidates(self, filters) -> dict:
+        """Driver-side skipping decision. Returns
+        {"plain": {fname: [candidate rg indices]},
+         "delta_pids": [pid...], "report": {...}} — a plain (rewrite-
+        mode) file is read iff any row group intersects every filter;
+        a delta partition is read iff any of its segments does."""
+        filters = self._check_filters(filters)
+        plain: dict[str, list[int]] = {}
+        delta_pids: set[int] = set()
+        rg_total = rg_cand = 0
+        for fname, info in sorted(self._files.items()):
+            cand_rgs = []
+            for i, zones in enumerate(info["row_groups"]):
+                rg_total += 1
+                ok = all(_zone_intersects(zones[c][0], zones[c][1], op, v)
+                         for c, op, v in filters)
+                if ok:
+                    cand_rgs.append(i)
+            rg_cand += len(cand_rgs)
+            if not cand_rgs:
+                continue
+            if info["delta"]:
+                delta_pids.add(info["pid"])
+            else:
+                plain[fname] = cand_rgs
+        report = {
+            "files_total": len(self._files),
+            "files_scanned": len(plain) + sum(
+                1 for f, i in self._files.items()
+                if i["delta"] and i["pid"] in delta_pids),
+            "row_groups_total": rg_total,
+            "row_groups_candidate": rg_cand,
+        }
+        self.last_report = report
+        return {"plain": plain, "delta_pids": sorted(delta_pids),
+                "report": report}
