@@ -1542,6 +1542,30 @@ def _q_render_transcripts(sf_dir: str):
                                 order_cols=["turn_idx", "lsn"])
 
 
+def _q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing: per supplier, merge
+    overlapping/touching [ship_day, ship_day + qty] spans into islands
+    (min start, max end, interval count). One key-hash exchange + a
+    rank-space segment-biased vectorized island scan per partition —
+    mirrored in SQL by the classic max-over-preceding-rows window."""
+    from datavec_ray.misc import merge_intervals
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                                    "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["l_shipdate"].cast(pa.int64()),
+                        86_400_000_000)
+        return pa.table({
+            "suppkey": t["l_suppkey"],
+            "s_day": day,
+            "e_day": pc.add(day, t["l_quantity"].cast(pa.int64())),
+        })
+
+    iv = ds.map_batches(prep, batch_format="pyarrow")
+    return merge_intervals(iv, ["suppkey"], "s_day", "e_day", min_gap=0)
+
+
 def _q_ffill_tool(sf_dir: str):
     """LOCF gap repair over the binlog: D tombstones carry null
     role/tool; forward-fill both per conversation in lsn order so every
@@ -4150,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "role_alternation": _q_role_alternation,
         "ffill_tool": _q_ffill_tool,
+        "merge_intervals": _q_merge_intervals,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "key_skew": _q_key_skew,
         "grouped_mode": _q_grouped_mode,
@@ -6351,6 +6376,24 @@ def oracle_sql() -> dict[str, str]:
             join customer c2 on c1.c_custkey < c2.c_custkey
             where levenshtein(c1.c_name, c2.c_name) <= 1
             order by id_a, id_b""",
+        "merge_intervals": """
+            with iv as (
+              select l_suppkey as suppkey,
+                     epoch_ms(l_shipdate) // 86400000 as s_day,
+                     epoch_ms(l_shipdate) // 86400000
+                       + cast(l_quantity as bigint) as e_day
+              from lineitem),
+            m as (select *, max(e_day) over
+                    (partition by suppkey order by s_day, e_day
+                     rows between unbounded preceding and 1 preceding)
+                    as pmax from iv),
+            g as (select *, sum(case when pmax is null or s_day > pmax
+                                     then 1 else 0 end) over
+                    (partition by suppkey order by s_day, e_day
+                     rows unbounded preceding) as isl from m)
+            select suppkey, min(s_day) as s_day, max(e_day) as e_day,
+                   count(*) as n
+            from g group by suppkey, isl""",
         "ffill_tool": _BINLOG_CTE + """
             select conv_id, lsn, op,
                    last_value(role ignore nulls) over (

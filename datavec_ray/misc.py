@@ -1826,3 +1826,75 @@ def transition_counts(ds, keys: Sequence[str], order_col: str,
         .groupby(_GPART).map_groups(per_partition, batch_format="pyarrow")
     return Reducer(["from_state", "to_state"],
                    [["__c", "Sum", "n"]]).apply_dataset(partials)
+
+
+def merge_intervals(ds, keys: Sequence[str], start_col: str, end_col: str,
+                    min_gap: int = 0, count_col: str = "n",
+                    num_partitions: int = 32):
+    """Coalesce overlapping/adjacent intervals per key group — the
+    gaps-and-islands operator: within each ``keys`` group, intervals
+    sorted by (start, end) merge while ``start <= max(prior ends) +
+    min_gap``; each island emits (keys, min start, max end, interval
+    count). Touching intervals (start == prior end) merge; rows with a
+    null start or end are dropped (SQL comparison semantics). Classic
+    uses: availability/visit-span consolidation, duplicated-substring
+    span unions (composes with substring_dedup), retention-window
+    planning. SQL mirror: ``max(end) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` + a windowed island counter.
+
+    Scale shape: ONE key-hash exchange (`_group_partition` — per-
+    partition calls, never per key), then per partition one sort + one
+    vectorized island scan over ALL groups at once: per-segment running
+    max is computed exactly via RANK-space segment biasing (start and
+    gap-shifted end values are mapped to their sorted-union ranks, so
+    ``seg_id * (n_ranks+1)`` never overflows int64 regardless of the
+    raw value range — the lesson of range_window_agg's float-bias bug),
+    and island aggregates are ``np.maximum.reduceat`` / take gathers.
+    No reference counterpart (DataVec has no interval algebra).
+    """
+    keys = list(keys)
+
+    def mi(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([_GPART])
+        ok = pc.and_(pc.is_valid(g[start_col]), pc.is_valid(g[end_col]))
+        g = g.filter(ok).sort_by(
+            [(c, "ascending") for c in keys + [start_col, end_col]])
+        n = g.num_rows
+        out_fields = keys + [start_col, end_col, count_col]
+        s_arr = combine(g[start_col]) if n else None
+        e_arr = combine(g[end_col]) if n else None
+        if n == 0:
+            sch = pa.schema(
+                [group.schema.field(k) for k in keys]
+                + [group.schema.field(start_col),
+                   group.schema.field(end_col),
+                   pa.field(count_col, pa.int64())])
+            return sch.empty_table()
+        s = s_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = e_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e2 = e + int(min_gap)
+        # rank space: comparisons preserved, segment bias can't overflow
+        uniq, inv = np.unique(np.concatenate([s, e2]), return_inverse=True)
+        rs, re = inv[:n], inv[n:]
+        seg_id = np.cumsum(_key_run_starts(g, keys)) - 1
+        bias = seg_id * np.int64(len(uniq) + 1)
+        cm = np.maximum.accumulate(re + bias)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = cm[:-1]
+        new_island = (seg_id != np.concatenate(([-1], seg_id[:-1]))) | \
+            ((rs + bias) > prev)
+        starts_idx = np.flatnonzero(new_island)
+        island_of = np.cumsum(new_island) - 1
+        counts = np.bincount(island_of, minlength=len(starts_idx))
+        take = pa.array(starts_idx, pa.int64())
+        e_max = np.maximum.reduceat(e, starts_idx)
+        cols = {k: combine(g[k]).take(take) for k in keys}
+        cols[start_col] = s_arr.take(take)
+        cols[end_col] = pa.array(e_max).cast(e_arr.type)
+        cols[count_col] = pa.array(counts.astype(np.int64))
+        return pa.table({f: cols[f] for f in out_fields})
+
+    mi.__name__ = "merge_intervals"
+    return _group_partition(ds, keys, num_partitions) \
+        .groupby(_GPART).map_groups(mi, batch_format="pyarrow")
