@@ -772,6 +772,43 @@ def _q_cdc_dlq(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_expectations(sf_dir: str):
+    """Ingest-time expectations (Delta-Live-Tables "expect or
+    quarantine"): declarative row-level rules — turn_idx <= 12, role in
+    the transcript enum — evaluated vectorized in the same DLQ split as
+    structural validation; failing events never reach LWW state. Final
+    lake must equal the SQL LWW over only the passing events."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "props"])
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="expect_lake")
+    eng = CdcIngestEngine(
+        lake, num_partitions=8,
+        expectations=[
+            {"column": "turn_idx", "check": "max_le", "value": 12},
+            {"column": "role", "check": "in_set",
+             "value": ["user", "assistant"]},
+        ])
+    try:
+        eng.replay(binlog, checkpoint_name="v1")
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_scd2_history(sf_dir: str):
     """SCD Type-2 change history of the binlog: every I/U event as a
     version row with [valid_from, valid_to) LSN range (D closes the
@@ -4070,6 +4107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_resume": _q_cdc_resume,
         "cdc_salted": _q_cdc_salted,
         "cdc_dlq": _q_cdc_dlq,
+        "cdc_expectations": _q_cdc_expectations,
         "late_events": _q_late_events,
         "windowed_stream": _q_windowed_stream,
         "windowed_distinct": _q_windowed_distinct,
@@ -4886,6 +4924,16 @@ def oracle_sql() -> dict[str, str]:
                     (partition by conv_id, turn_idx
                      order by ts_ms desc, lsn desc) as rn
                   from e where lsn % 97 <> 0) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_expectations": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e
+                  where turn_idx <= 12
+                    and (role is null
+                         or role in ('user', 'assistant'))) t
             where rn = 1 and op <> 'D'""",
         "cdc_resume": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms

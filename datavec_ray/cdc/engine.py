@@ -580,7 +580,7 @@ class _Router:
     def __init__(self, handles, num_partitions: int, schema: pa.Schema,
                  salt_turns: int, hot_convs: Optional[frozenset],
                  min_lsn_exclusive: int, window: int = 0,
-                 dlq_dir: Optional[str] = None):
+                 dlq_dir: Optional[str] = None, expectations=None):
         self.handles = handles
         self.num_partitions = num_partitions
         self.schema = schema
@@ -589,6 +589,7 @@ class _Router:
         self.min_lsn = min_lsn_exclusive
         self.window = window or max(8, 4 * num_partitions)
         self.dlq_dir = dlq_dir
+        self.expectations = expectations
         self.pending: list = []
 
     _ACK_SCHEMA = pa.schema([("pid", pa.int32()), ("msgs", pa.int64()),
@@ -599,7 +600,7 @@ class _Router:
         if self.min_lsn:
             batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
         if self.dlq_dir is not None:
-            batch, bad = split_invalid_events(batch)
+            batch, bad = split_invalid_events(batch, self.expectations)
             if bad.num_rows:
                 _write_dlq(bad, self.dlq_dir)
         batch = normalize_to_schema(batch, self.schema)
@@ -652,12 +653,50 @@ def detect_hot_convs(ds, sample_frac: float = 0.02,
 _VALID_OPS = pa.array(["I", "U", "D"])
 
 
-def split_invalid_events(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+def _expectation_masks(batch: pa.Table, expectations) -> list[tuple]:
+    """Row-level violation masks for ingest-time expectations (the
+    Delta-Live-Tables "expect or quarantine" gate). Rule schema matches
+    datavec_ray.expect's inline checks — not_null / min_ge / max_le /
+    between / in_set — evaluated vectorized per batch; value checks
+    skip nulls (add an explicit not_null rule to reject them), matching
+    expect()'s suite semantics. Reasons are ``expect:<check>:<column>``.
+    Rules on columns an event doesn't carry yet (pre-evolution) pass."""
+    out = []
+    for r in expectations:
+        col_name, check = r["column"], r["check"]
+        if col_name not in batch.column_names:
+            continue
+        col = batch[col_name]
+        if check == "not_null":
+            m = pc.is_null(col)
+        elif check == "min_ge":
+            m = pc.fill_null(pc.less(col, r["value"]), False)
+        elif check == "max_le":
+            m = pc.fill_null(pc.greater(col, r["value"]), False)
+        elif check == "between":
+            m = pc.fill_null(pc.or_(pc.less(col, r["lo"]),
+                                    pc.greater(col, r["hi"])), False)
+        elif check == "in_set":
+            m = pc.and_(pc.is_valid(col), pc.invert(pc.fill_null(
+                pc.is_in(col, value_set=pa.array(r["value"])), False)))
+        else:
+            raise ValueError(
+                f"unsupported ingest expectation check {check!r} "
+                "(row-level checks: not_null, min_ge, max_le, between, "
+                "in_set; suite-level checks belong in expect())")
+        out.append((f"expect:{check}:{col_name}", m))
+    return out
+
+
+def split_invalid_events(batch: pa.Table,
+                         expectations=None) -> tuple[pa.Table, pa.Table]:
     """(valid rows, invalid rows + ``reason``). An event is invalid when
     any of lsn / conv_id / turn_idx / ts is null or op is not I/U/D —
     such rows route fine but the LWW state could never resolve them;
-    shipping them silently poisons merges. Vectorized masks; the reason
-    records the FIRST failing rule."""
+    shipping them silently poisons merges. ``expectations`` adds
+    user-declared row-level rules (see _expectation_masks) evaluated in
+    the same vectorized pass, quarantining semantic garbage alongside
+    structural garbage. The reason records the FIRST failing rule."""
     import numpy as np
     n = batch.num_rows
     rules = [("null_lsn", pc.is_null(batch["lsn"])),
@@ -666,6 +705,8 @@ def split_invalid_events(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
              ("null_ts", pc.is_null(batch["ts"])),
              ("bad_op", pc.invert(pc.fill_null(
                  pc.is_in(batch["op"], value_set=_VALID_OPS), False)))]
+    if expectations:
+        rules += _expectation_masks(batch, expectations)
     masks = [r.to_numpy(zero_copy_only=False) for _, r in rules]
     bad = np.logical_or.reduce(masks)
     if not bad.any():
@@ -705,7 +746,7 @@ class _PrepareShuffle:
     def __init__(self, num_partitions: int, schema: pa.Schema, salt_turns: int,
                  hot_convs: Optional[frozenset], min_lsn_exclusive: int,
                  carry_watermark: bool = False,
-                 dlq_dir: Optional[str] = None):
+                 dlq_dir: Optional[str] = None, expectations=None):
         self.num_partitions = num_partitions
         self.schema = schema
         self.salt_turns = salt_turns
@@ -713,12 +754,13 @@ class _PrepareShuffle:
         self.min_lsn = min_lsn_exclusive
         self.carry_watermark = carry_watermark
         self.dlq_dir = dlq_dir
+        self.expectations = expectations
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.min_lsn:
             batch = batch.filter(pc.greater(batch["lsn"], self.min_lsn))
         if self.dlq_dir is not None:
-            batch, bad = split_invalid_events(batch)
+            batch, bad = split_invalid_events(batch, self.expectations)
             if bad.num_rows:
                 _write_dlq(bad, self.dlq_dir)
         batch = normalize_to_schema(batch, self.schema)
@@ -1404,6 +1446,7 @@ class CdcIngestEngine:
                  shard_spill: bool = True,
                  shard_spill_threshold_rows: int = 5_000_000,
                  dlq: bool = False,
+                 expectations: Optional[Sequence[dict]] = None,
                  compat_mode: Optional[str] = None,
                  fence_writer: bool = True,
                  commit_mode: str = "rewrite",
@@ -1425,7 +1468,11 @@ class CdcIngestEngine:
         # dead-letter queue: malformed events (null keys / bad op) are
         # split out in the split/prepare stage and written idempotently
         # under <lake>/_dlq instead of poisoning LWW state
-        self.dlq_dir = os.path.join(lake_dir, "_dlq") if dlq else None
+        # ingest-time expectations quarantine rows to the DLQ, so
+        # declaring any implies dlq=True
+        self.expectations = list(expectations) if expectations else None
+        self.dlq_dir = (os.path.join(lake_dir, "_dlq")
+                        if (dlq or self.expectations) else None)
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.salt_turns = salt_turns
@@ -1561,7 +1608,8 @@ class CdcIngestEngine:
         prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                self.salt_turns, self.hot_convs,
                                min_lsn_exclusive, carry_watermark=True,
-                               dlq_dir=self.dlq_dir)
+                               dlq_dir=self.dlq_dir,
+                               expectations=self.expectations)
         # captured HERE (driver) so workers see it via the serialized prep
         prep.exchange_lz4 = os.environ.get("DATAVEC_EXCHANGE_LZ4") == "1"
         turn_t = ("int64" if pa.types.is_int64(
@@ -1753,7 +1801,8 @@ class CdcIngestEngine:
         if self.ingest_mode == "router":
             router = _Router(self.shards, self.num_partitions, self._canonical,
                              self.salt_turns, self.hot_convs, min_lsn_exclusive,
-                             dlq_dir=self.dlq_dir)
+                             dlq_dir=self.dlq_dir,
+                             expectations=self.expectations)
             # large batches: the router pre-compacts vectorized and fans
             # out, so per-call overhead (actor RPC per partition) must be
             # amortized
@@ -1784,7 +1833,8 @@ class CdcIngestEngine:
             # (SparkTransformExecutor.java:252-290).
             prep = _PrepareShuffle(self.num_partitions, self._canonical,
                                    self.salt_turns, self.hot_convs,
-                                   min_lsn_exclusive, dlq_dir=self.dlq_dir)
+                                   min_lsn_exclusive, dlq_dir=self.dlq_dir,
+                                   expectations=self.expectations)
             deliver = _Deliver(self.shards)
             acks = (ds.map_batches(prep, batch_format="pyarrow",
                                    batch_size=self.router_batch_size)
