@@ -40,7 +40,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "tree_paths", "cdc_digest", "skew_join",
                  "cdc_copart_join", "cdc_renderview", "time_resample",
                  "jaccard_against", "grouped_moments", "cdc_merge",
-                 "cdc_replicate"]
+                 "cdc_replicate", "cdc_zonemap", "cdc_expectations",
+                 "merge_intervals"]
 
 
 def _sf_of(sf_dir: str) -> float:

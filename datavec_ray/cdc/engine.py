@@ -882,8 +882,42 @@ def _filter_table(tbl: pa.Table, filters) -> pa.Table:
     return tbl.filter(pc.fill_null(mask, False))
 
 
+def _zorder_take(state: pa.Table, cluster_by: list[str]) -> pa.Table:
+    """Reorder rows along a Z-order (Morton) curve over ``cluster_by``:
+    each column is RANK-quantized to 16 bits within this partition
+    (exact values don't matter — layout only; rank quantization is
+    distribution-proof, no global coordination, no overflow), bits are
+    interleaved, rows take()n in curve order. Nulls sort to the end.
+    Row-group min/max then bound every listed dimension, so zonemaps
+    prune MULTI-column range predicates — the OPTIMIZE ZORDER layout
+    (cf. misc.zorder_key for the exact SQL-mirrorable key operator)."""
+    n = state.num_rows
+    code = np.zeros(n, dtype=np.uint64)
+    null_any = np.zeros(n, dtype=bool)
+    k = len(cluster_by)
+    for i, c in enumerate(cluster_by):
+        col = state[c].combine_chunks()
+        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+            col = col.cast(pa.int64())
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        _, inv = np.unique(vals, return_inverse=True)
+        # scale ranks into 16 bits
+        hi = max(int(inv.max()), 1)
+        q = (inv.astype(np.uint64) * 65535 // hi).astype(np.uint64)
+        spread = np.zeros(n, dtype=np.uint64)
+        for b in range(16):
+            spread |= ((q >> np.uint64(b)) & np.uint64(1)) << \
+                np.uint64(b * k)
+        code |= spread << np.uint64(i)
+        null_any |= null_mask
+    order = np.lexsort((code, null_any))
+    return state.take(pa.array(order, pa.int64()))
+
+
 def _optimize_partition(lake_dir: str, pid: int, cluster_by: list[str],
-                        row_group_rows: int) -> Optional[dict]:
+                        row_group_rows: int,
+                        zorder: bool = False) -> Optional[dict]:
     """Rewrite one partition clustered by ``cluster_by`` (see
     CdcIngestEngine.optimize). Rewrite-mode: re-sort the single live
     file. Delta-mode: compact-with-sort (tombstones RETAINED, same
@@ -900,10 +934,13 @@ def _optimize_partition(lake_dir: str, pid: int, cluster_by: list[str],
         target = plain
     else:
         return None
-    keys = [(c, "ascending") for c in cluster_by] + \
-        [(c, "ascending") for c in ("conv_id", "turn_idx")
-         if c not in cluster_by and c in state.column_names]
-    state = state.sort_by(keys)
+    if zorder and len(cluster_by) >= 2:
+        state = _zorder_take(state, cluster_by)
+    else:
+        keys = [(c, "ascending") for c in cluster_by] + \
+            [(c, "ascending") for c in ("conv_id", "turn_idx")
+             if c not in cluster_by and c in state.column_names]
+        state = state.sort_by(keys)
     tmp = f"{target}.tmp.{os.getpid()}"
     pq.write_table(state, tmp, row_group_size=row_group_rows)
     os.replace(tmp, target)
@@ -2697,7 +2734,8 @@ class CdcIngestEngine:
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     def optimize(self, cluster_by, partitions: Optional[Sequence[int]] = None,
-                 row_group_rows: int = 131_072) -> list[dict]:
+                 row_group_rows: int = 131_072,
+                 zorder: bool = False) -> list[dict]:
         """OPTIMIZE: re-cluster each partition's data file(s) sorted by
         ``cluster_by`` (ties broken by (conv_id, turn_idx)) and written
         with ``row_group_rows``-row row groups, so zonemap / parquet
@@ -2710,9 +2748,11 @@ class CdcIngestEngine:
         old payloads), and each rewritten partition appends an
         ``optimize`` manifest audit entry. One Ray task per partition,
         the lake's usual parallelism unit. Multi-column clustering is
-        lexicographic; for multi-dimensional range predicates compute a
-        Z-order key upstream (``misc.zorder_key``) and cluster the
-        table that carries it."""
+        lexicographic by default; ``zorder=True`` lays rows along a
+        Morton curve over ALL listed columns (rank-quantized to 16 bits
+        per dimension, layout-only) so zonemaps prune MULTI-column
+        range predicates — the OPTIMIZE ZORDER trade: slightly looser
+        stats on the first column, bounded stats on every column."""
         import ray
         if self.fence_writer and \
                 self.manifest.reload_max_epoch() > self.writer_epoch:
@@ -2724,8 +2764,8 @@ class CdcIngestEngine:
                 else list(range(self.num_partitions)))
         task = ray.remote(_optimize_partition)
         results = [r for r in ray.get(
-            [task.remote(self.lake_dir, pid, cluster_by, row_group_rows)
-             for pid in pids]) if r is not None]
+            [task.remote(self.lake_dir, pid, cluster_by, row_group_rows,
+                         zorder) for pid in pids]) if r is not None]
         for r in results:
             self._fenced_append(dict(r, type="optimize",
                                      cluster_by=",".join(cluster_by)))

@@ -183,3 +183,32 @@ def test_zonemap_persists_and_reloads(ray_session, binlog, tmp_path):
     assert zm2.load()
     assert zm2._files == zm._files
     eng.shutdown()
+
+
+def test_zorder_optimize_prunes_multicolumn_predicates(ray_session, tmp_path):
+    """OPTIMIZE ZORDER: on a 2-D range predicate the Morton layout must
+    (a) return exactly the full-scan rows and (b) touch fewer candidate
+    row groups than lexicographic clustering, whose second column's
+    stats span everything."""
+    b = synth_binlog(80_000, seed=5)
+    orc = replay_oracle(b)
+    mn, mx = pc.min(orc["ts"]).as_py(), pc.max(orc["ts"]).as_py()
+    lo, hi = mn + (mx - mn) / 4, mn + (mx - mn) * 3 / 8
+    flt = [("ts", "between", (lo, hi)), ("turn_idx", "between", (3, 4))]
+    want = orc.filter(pc.and_(
+        pc.and_(pc.greater_equal(orc["ts"], lo),
+                pc.less_equal(orc["ts"], hi)),
+        pc.and_(pc.greater_equal(orc["turn_idx"], 3),
+                pc.less_equal(orc["turn_idx"], 4))))
+    cands = {}
+    for zo in (False, True):
+        lake = str(tmp_path / ("z" if zo else "lex"))
+        eng = CdcIngestEngine(lake, num_partitions=4)
+        eng.replay(b, checkpoint_name="v")
+        eng.optimize(cluster_by=["ts", "turn_idx"], row_group_rows=64,
+                     zorder=zo)
+        got = eng.scan_where(flt)
+        assert got.count() == want.num_rows
+        cands[zo] = eng.last_scan_report["row_groups_candidate"]
+        eng.shutdown()
+    assert cands[True] < cands[False]
