@@ -694,6 +694,56 @@ def _q_cdc_resume(sf_dir: str):
         eng2.shutdown()
 
 
+def _q_cdc_wap(sf_dir: str):
+    """Write-audit-publish staged commits through the real engine
+    (cdc/wap.py — the Iceberg WAP pattern): replay the first half
+    directly, then (a) stage a POISONED second half, fail its audit,
+    abort — the lake must be untouched; (b) stage the clean second
+    half, pass the audit, publish atomically. Final state must equal
+    the one-shot LWW oracle over the full binlog — i.e. the aborted
+    stage is invisible and the published one is exactly-once."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    seg1 = binlog.filter(pc.less_equal(binlog["lsn"], cut))
+    seg2 = binlog.filter(pc.greater(binlog["lsn"], cut))
+    poisoned = seg2.set_column(
+        seg2.schema.get_field_index("turn_idx"), "turn_idx",
+        pc.subtract(pa.scalar(-1, pa.int32()), seg2["turn_idx"]))
+    rule = [{"column": "turn_idx", "check": "min_ge", "value": 0}]
+    lake = tempfile.mkdtemp(prefix="wap_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(seg1, checkpoint_name="v1")
+        bad = eng.stage("bad")
+        bad.replay(poisoned)
+        bad.audit(rule)
+        assert bad.audit_passed is False
+        bad.abort()                      # lake untouched
+        good = eng.stage("good")
+        good.replay(seg2)
+        good.audit(rule)
+        good.publish(require_audit=True)
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_salted(sf_dir: str):
     """Skew handling through the real engine, driver-checked: the 4
     hottest conversations (by event count) are salted over 3
@@ -4105,6 +4155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup": _q_fuzzy_dedup,
         "cdc_evolve": _q_cdc_evolve,
         "cdc_resume": _q_cdc_resume,
+        "cdc_wap": _q_cdc_wap,
         "cdc_salted": _q_cdc_salted,
         "cdc_dlq": _q_cdc_dlq,
         "cdc_expectations": _q_cdc_expectations,
@@ -4936,6 +4987,13 @@ def oracle_sql() -> dict[str, str]:
                          or role in ('user', 'assistant'))) t
             where rn = 1 and op <> 'D'""",
         "cdc_resume": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_wap": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx

@@ -14,3 +14,4 @@ from datavec_ray.cdc.watermark import (assign_watermarks,
                                        route_late_events, session_stream,
                                        windowed_stream)
 from datavec_ray.cdc.txn import txn_split, committed_txns, synth_txn_binlog
+from datavec_ray.cdc.wap import StagedCommit, StageConflictError

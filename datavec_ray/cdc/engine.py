@@ -1599,6 +1599,24 @@ class CdcIngestEngine:
     # map waves per CPU at bench scale.
     REPLAY_SPLIT_ROWS = 500_000
 
+    def _evolve_canonical(self, seg_schema: pa.Schema) -> pa.Schema:
+        """Registry-evolve an incoming segment schema, then guarantee the
+        lake contract: the core transcript payload columns always exist
+        in committed state — an early segment missing e.g. `tool` is
+        null-backfilled (matching the shard-actor path's transcript
+        normalize), so the commit stage can rely on PAYLOAD_COLS
+        unconditionally."""
+        import ray
+        evolved = ray.get(self.registry.evolve.remote(
+            seg_schema.serialize().to_pybytes()))
+        canon = pa.ipc.read_schema(pa.BufferReader(evolved))
+        missing = [f for f in BINLOG_SCHEMA if f.name not in canon.names]
+        if missing:
+            evolved = ray.get(self.registry.evolve.remote(pa.schema(
+                list(canon) + missing).serialize().to_pybytes()))
+            canon = pa.ipc.read_schema(pa.BufferReader(evolved))
+        return canon
+
     def replay(self, ds, checkpoint_name: str = "replay",
                min_lsn_exclusive: Optional[int] = None,
                merge_prior: bool = True,
@@ -1634,9 +1652,7 @@ class CdcIngestEngine:
         if isinstance(ds, pa.Table):
             ds = rd.from_arrow(ds)
         seg_schema = ds.schema().base_schema
-        evolved = ray.get(self.registry.evolve.remote(
-            seg_schema.serialize().to_pybytes()))
-        self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
+        self._canonical = self._evolve_canonical(seg_schema)
         cp = self.manifest.last_checkpoint()
         if min_lsn_exclusive is None:
             min_lsn_exclusive = (cp.get("lsn_hi") or 0) if cp else 0
@@ -1832,9 +1848,7 @@ class CdcIngestEngine:
         if isinstance(ds, pa.Table):
             ds = rd.from_arrow(ds)
         seg_schema = ds.schema().base_schema
-        evolved = ray.get(self.registry.evolve.remote(
-            seg_schema.serialize().to_pybytes()))
-        self._canonical = pa.ipc.read_schema(pa.BufferReader(evolved))
+        self._canonical = self._evolve_canonical(seg_schema)
         if self.ingest_mode == "router":
             router = _Router(self.shards, self.num_partitions, self._canonical,
                              self.salt_turns, self.hot_convs, min_lsn_exclusive,
@@ -2509,6 +2523,15 @@ class CdcIngestEngine:
         return {"updated": cnt.get("U", 0), "deleted": cnt.get("D", 0),
                 "inserted": cnt.get("I", 0),
                 "watermark": self.manifest.watermark()}
+
+    def stage(self, name: str):
+        """Open a write-audit-publish staged commit: replay into an
+        isolated staging area seeded (by hardlink) with this lake's
+        current state, validate the staged table, then ``publish()``
+        atomically or ``abort()`` without ever mutating the live lake.
+        See :class:`datavec_ray.cdc.wap.StagedCommit`."""
+        from datavec_ray.cdc.wap import StagedCommit
+        return StagedCommit(self, name)
 
     def replicate_to(self, target: "CdcIngestEngine",
                      upto: Optional[str] = None,
