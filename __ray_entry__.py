@@ -744,6 +744,54 @@ def _q_cdc_wap(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_autosalt(sf_dir: str):
+    """AUTO skew handling end to end: a quarter of all events are
+    concentrated into one synthetic hot conversation; the engine opens
+    with auto_salt=True, detects it from the first segment's sampled
+    key distribution, records the salt layout durably in the manifest,
+    and every later replay routes with the same layout. Oracle = LWW
+    over the identically-skewed binlog (salting must not change state,
+    only its physical spread)."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+
+    def skew(b: pa.Table) -> pa.Table:
+        hot = pc.equal(pc.bit_wise_and(b["lsn"], 3), 0)
+        conv = pc.if_else(hot, pa.scalar("conv-hot"), b["conv_id"])
+        return b.set_column(b.schema.get_field_index("conv_id"),
+                            "conv_id", conv)
+
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow")
+          .map_batches(skew, batch_format="pyarrow"))
+    lake = tempfile.mkdtemp(prefix="autosalt_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8, auto_salt=True)
+    try:
+        eng.replay(binlog.filter(pc.less_equal(binlog["lsn"], cut)),
+                   checkpoint_name="v1")
+        assert eng.hot_convs and "conv-hot" in eng.hot_convs \
+            and eng.salt_turns > 1, "auto-salt detection did not fire"
+        eng.replay(binlog.filter(pc.greater(binlog["lsn"], cut)),
+                   checkpoint_name="v2")
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_salted(sf_dir: str):
     """Skew handling through the real engine, driver-checked: the 4
     hottest conversations (by event count) are salted over 3
@@ -4156,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_evolve": _q_cdc_evolve,
         "cdc_resume": _q_cdc_resume,
         "cdc_wap": _q_cdc_wap,
+        "cdc_autosalt": _q_cdc_autosalt,
         "cdc_salted": _q_cdc_salted,
         "cdc_dlq": _q_cdc_dlq,
         "cdc_expectations": _q_cdc_expectations,
@@ -4999,6 +5048,18 @@ def oracle_sql() -> dict[str, str]:
                     (partition by conv_id, turn_idx
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_autosalt": _BINLOG_CTE + """
+            , s as (select lsn, op,
+                      case when lsn % 4 = 0 then 'conv-hot'
+                           else conv_id end as conv_id,
+                      turn_idx, role, text, tool, ts_ms
+                    from e)
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from s) t
             where rn = 1 and op <> 'D'""",
         "cdc_evolve": _BINLOG_CTE + """
             , ev as (

@@ -625,18 +625,24 @@ class _Router:
                          "rows": pa.array(rows, pa.int64())})
 
 
-def detect_hot_convs(ds, sample_frac: float = 0.02,
+def detect_hot_convs(ds, sample_frac: Optional[float] = 0.02,
                      hot_multiple: float = 20.0, max_hot: int = 64,
                      seed: int = 7) -> list[str]:
     """Sample-based hot-conversation detection for salting (the skew
     handling the north rule requires explicitly): sample the binlog,
     count events per conv_id, return convs whose sampled share exceeds
     ``hot_multiple``x the mean — candidates for `salt_turns` spreading.
-    One cheap pass over a sample; no full shuffle."""
+    One cheap pass over a sample; no full shuffle. ``sample_frac=None``
+    picks the fraction adaptively so at least ~50k rows (or the whole
+    segment, if smaller) are sampled — a 2% sample of a small segment
+    is too noisy for the 20x threshold."""
     import pyarrow as pa
 
     from datavec_ray.util import dataset_to_table
 
+    if sample_frac is None:
+        n = ds.count()
+        sample_frac = min(1.0, max(0.02, 50_000 / max(1, n)))
     sampled = dataset_to_table(
         ds.select_columns(["conv_id"]).random_sample(sample_frac, seed=seed))
     if sampled.num_rows == 0:
@@ -1487,7 +1493,8 @@ class CdcIngestEngine:
                  compat_mode: Optional[str] = None,
                  fence_writer: bool = True,
                  commit_mode: str = "rewrite",
-                 auto_compact_segments: int = 0):
+                 auto_compact_segments: int = 0,
+                 auto_salt: bool = False):
         if ingest_mode not in ("shuffle", "router", "auto"):
             raise ValueError("ingest_mode must be 'shuffle', 'router' or 'auto'")
         if commit_mode not in ("rewrite", "delta"):
@@ -1518,6 +1525,22 @@ class CdcIngestEngine:
         self.router_batch_size = router_batch_size
         self.ingest_mode = ingest_mode
         self.manifest = Manifest(os.path.join(lake_dir, "_manifest.jsonl"))
+        # Salting is part of the lake's PHYSICAL LAYOUT: a key's owning
+        # partition depends on the hot set, so the set must be identical
+        # across every replay/ingest/lookup for the lake's lifetime (a
+        # moved key would leave its stale prior version in the old
+        # partition). The manifest's last `salt` entry is therefore the
+        # source of truth; ctor args only apply to a lake with no
+        # recorded salt config. auto_salt=True detects hot conversations
+        # from the FIRST replayed segment and records them durably;
+        # changing the set later requires resalt() (a layout migration).
+        self.auto_salt = auto_salt
+        salt_cfg = next((e for e in reversed(self.manifest.entries)
+                         if e.get("type") == "salt"), None)
+        if salt_cfg is not None:
+            self.salt_turns = int(salt_cfg["salt_turns"])
+            self.hot_convs = (frozenset(salt_cfg["hot_convs"])
+                              if salt_cfg["hot_convs"] else None)
         # writer-epoch fencing: each engine OPEN takes epoch = max+1 and
         # records it; every state-mutating manifest append first
         # re-reads the file and refuses (WriterFencedError) if a newer
@@ -1654,6 +1677,19 @@ class CdcIngestEngine:
         seg_schema = ds.schema().base_schema
         self._canonical = self._evolve_canonical(seg_schema)
         cp = self.manifest.last_checkpoint()
+        if self.auto_salt and not self.hot_convs and cp is None:
+            # first segment of a fresh lake: detect hot conversations by
+            # one cheap sampled pass and durably record the salt layout
+            # (it must stay identical for the lake's lifetime)
+            hot = detect_hot_convs(ds, sample_frac=None)
+            if hot:
+                if self.salt_turns <= 1:
+                    self.salt_turns = min(3, self.num_partitions)
+                self.hot_convs = frozenset(hot)
+            self._fenced_append({
+                "type": "salt", "salt_turns": self.salt_turns,
+                "hot_convs": sorted(self.hot_convs or []),
+                "auto": True})
         if min_lsn_exclusive is None:
             min_lsn_exclusive = (cp.get("lsn_hi") or 0) if cp else 0
         prior_dir = os.path.join(self.ckpt_dir, cp["name"]) \
@@ -1811,6 +1847,50 @@ class CdcIngestEngine:
         self._fenced_append({"type": "repartition", "from": old_p,
                               "to": self.num_partitions,
                               "name": checkpoint_name, "lsn_hi": wm})
+        return lineages
+
+    def resalt(self, hot_convs: Optional[Sequence[str]],
+               salt_turns: int = 3,
+               checkpoint_name: str = "resalt") -> list[dict]:
+        """Change the lake's hot-conversation salting — a PHYSICAL
+        layout migration, because a key's owning partition depends on
+        the hot set (see the ctor comment). Same mechanism as
+        ``repartition()``: the latest checkpoint's full state replays
+        through the ordinary exchange under the NEW salt config with
+        prior-state merging disabled and the watermark floored, then a
+        durable ``salt`` manifest entry records the new layout for
+        every future writer/reader of this lake."""
+        import ray
+        import ray.data as rd
+        new_hot = frozenset(hot_convs) if hot_convs else None
+        cp = self.manifest.last_checkpoint()
+        if cp is None:                    # empty lake: config-only change
+            self.hot_convs = new_hot
+            self.salt_turns = int(salt_turns) if new_hot else 1
+            self._fenced_append({
+                "type": "salt", "salt_turns": self.salt_turns,
+                "hot_convs": sorted(self.hot_convs or []), "auto": False})
+            return []
+        prior_dir = os.path.join(self.ckpt_dir, cp["name"])
+        old_pids = sorted(
+            int(f[len("part-"):-len(".parquet")])
+            for f in os.listdir(prior_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+            and ".payload." not in f)
+        wm = self.manifest.watermark()
+        task = ray.remote(read_checkpoint_partition)
+        refs = [task.remote(prior_dir, pid) for pid in old_pids]
+        state_ds = rd.from_arrow_refs(refs)
+        self.hot_convs = new_hot
+        self.salt_turns = int(salt_turns) if new_hot else 1
+        self.shards = None                # new routing → new pool
+        lineages = self.replay(state_ds, checkpoint_name=checkpoint_name,
+                               min_lsn_exclusive=0, merge_prior=False,
+                               watermark_floor=wm)
+        self._fenced_append({
+            "type": "salt", "salt_turns": self.salt_turns,
+            "hot_convs": sorted(self.hot_convs or []), "auto": False,
+            "name": checkpoint_name, "lsn_hi": wm})
         return lineages
 
     # -- resume ---------------------------------------------------------
