@@ -4164,6 +4164,39 @@ def _q_tpch_q14(sf_dir: str):
     return p.execute(li)
 
 
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): HAVING over a grouped sum —
+    lineitem reduces to per-order quantity through the map-side
+    combiner, the small qualifying set (sum > 180) broadcast-joins back
+    to orders, then customer. The composition the reference expresses
+    as reduce → filter-on-aggregate → two joins; integer-exact sums."""
+    from datavec_ray import TransformPipeline
+    from datavec_ray.conditions import ColumnCondition
+    from datavec_ray.join import JoinStep
+    from datavec_ray.reduce import Reducer
+    from datavec_ray.steps import (ConditionFilter, ConvertToLong,
+                                   KeepColumns)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    lp = TransformPipeline(_schema_of(sf_dir, "lineitem").select(
+        ["l_orderkey", "l_quantity"]))
+    lp.add(ConvertToLong("l_quantity"))
+    lp.add(Reducer(["l_orderkey"], [["l_quantity", "Sum", "sum_qty"]]))
+    lp.add(ConditionFilter(ColumnCondition("sum_qty", "LessOrEqual", 180)))
+
+    ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    orders = _read(sf_dir, "orders", ocols)
+    p = TransformPipeline(_schema_of(sf_dir, "orders").select(ocols))
+    p.add(JoinStep(lambda: lp.execute(li), ["o_orderkey"],
+                   ["l_orderkey"], "Inner"))
+    p.add(JoinStep(lambda: _read(sf_dir, "customer",
+                                 ["c_custkey", "c_name"]),
+                   ["o_custkey"], ["c_custkey"], "Inner"))
+    p.add(KeepColumns(["c_name", "o_custkey", "o_orderkey",
+                       "o_orderdate", "o_totalprice", "sum_qty"]))
+    return p.execute(orders)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_agg": _q_groupby_agg,
@@ -4350,6 +4383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
     }
 
 
@@ -6779,6 +6813,16 @@ def oracle_sql() -> dict[str, str]:
                   where l_shipdate >= timestamp '1998-09-01'
                     and l_shipdate < timestamp '1998-10-01') li
             join part on l_partkey = p_partkey""",
+        "tpch_q18": """
+            select c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            from (select l_orderkey,
+                         cast(sum(cast(l_quantity as bigint)) as bigint)
+                           as sum_qty
+                  from lineitem group by l_orderkey
+                  having sum(cast(l_quantity as bigint)) > 180) big
+            join orders on o_orderkey = l_orderkey
+            join customer on c_custkey = o_custkey""",
         # text_stats / minhash_neardup / simhash_neardup / embedding_neardup /
         # hll_distinct: non-SQL-expressible (model scoring, sketches,
         # approximations) — rows-only driver check by design.
