@@ -744,6 +744,53 @@ def _q_cdc_wap(sf_dir: str):
         eng.shutdown()
 
 
+def _q_jdbc_mirror(sf_dir: str):
+    """Incremental JDBC mirror end to end: replay half the binlog,
+    mirror into sqlite (initial full sync), replay the rest, mirror
+    again (ships ONLY the change feed — upserts + key deletes), read
+    the DB table back. Oracle = the same LWW state; the external
+    mirror must equal the lake exactly after the two catch-ups."""
+    import sqlite3
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.sources import sqlite_connection
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    work = tempfile.mkdtemp(prefix="jdbc_mirror")
+    lake, db = f"{work}/lake", f"{work}/mirror.db"
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog.filter(pc.less_equal(binlog["lsn"], cut)),
+                   checkpoint_name="v1")
+        eng.mirror_to_jdbc(sqlite_connection(db), "mirror")
+        eng.replay(binlog.filter(pc.greater(binlog["lsn"], cut)),
+                   checkpoint_name="v2")
+        r = eng.mirror_to_jdbc(sqlite_connection(db), "mirror")
+        assert not r["noop"] and r["from"] == "v1"
+        con = sqlite3.connect(db)
+        rows = con.execute(
+            "SELECT conv_id, turn_idx, role, text, tool, ts_ms "
+            "FROM mirror").fetchall()
+        con.close()
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        return pa.table({
+            "conv_id": pa.array(cols[0], pa.string()),
+            "turn_idx": pa.array(cols[1], pa.int32()),
+            "role": pa.array(cols[2], pa.string()),
+            "text": pa.array(cols[3], pa.string()),
+            "tool": pa.array(cols[4], pa.string()),
+            "ts_ms": pa.array(cols[5], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_cdc_autosalt(sf_dir: str):
     """AUTO skew handling end to end: a quarter of all events are
     concentrated into one synthetic hot conversation; the engine opens
@@ -4238,6 +4285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_resume": _q_cdc_resume,
         "cdc_wap": _q_cdc_wap,
         "cdc_autosalt": _q_cdc_autosalt,
+        "jdbc_mirror": _q_jdbc_mirror,
         "cdc_salted": _q_cdc_salted,
         "cdc_dlq": _q_cdc_dlq,
         "cdc_expectations": _q_cdc_expectations,
@@ -5077,6 +5125,13 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'""",
         "cdc_wap": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "jdbc_mirror": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx

@@ -117,22 +117,33 @@ def synth_binlog(num_events: int, num_convs: int = 0, seed: int = 42,
     import pyarrow.compute as pc
 
     role = _ROLES[turn_idx % 2 + (rng.random(n) < 0.05) * 2]
-    w1 = pa.array(_WORDS[rng.integers(0, len(_WORDS), n)], pa.string())
-    w2 = pa.array(_WORDS[rng.integers(0, len(_WORDS), n)], pa.string())
+    w1_i = rng.integers(0, len(_WORDS), n)
+    w2_i = rng.integers(0, len(_WORDS), n)
+    tool_i = rng.integers(0, len(_TOOLS), n)
     # string assembly with Arrow kernels — 12M+ rows in seconds, no
-    # per-row Python and no slow numpy-unicode ops
-    conv_s = pc.cast(pa.array(conv_idx), pa.string())
-    turn_s = pc.cast(pa.array(turn_idx), pa.string())
-    lsn_s = pc.cast(pa.array(lsn), pa.string())
-    text = pc.binary_join_element_wise(
-        w1, w2,
-        pc.binary_join_element_wise("c", conv_s, ""),
-        pc.binary_join_element_wise("t", turn_s, ""),
-        pc.binary_join_element_wise("v", lsn_s, ""),
-        " ")
-    tool = pa.array(_TOOLS[rng.integers(0, len(_TOOLS), n)], pa.string())
-    conv = pc.binary_join_element_wise(
-        "conv-", pc.utf8_lpad(conv_s, 8, "0"), "")
+    # per-row Python and no slow numpy-unicode ops. Assembled in slices
+    # of <=16M rows: a single text array would overflow 32-bit utf8
+    # offsets (2 GiB) around ~50M rows.
+    text_chunks, conv_chunks, tool_chunks = [], [], []
+    STEP = 16_000_000
+    for lo in range(0, n, STEP):
+        hi = min(n, lo + STEP)
+        conv_s = pc.cast(pa.array(conv_idx[lo:hi]), pa.string())
+        turn_s = pc.cast(pa.array(turn_idx[lo:hi]), pa.string())
+        lsn_s = pc.cast(pa.array(lsn[lo:hi]), pa.string())
+        text_chunks.append(pc.binary_join_element_wise(
+            pa.array(_WORDS[w1_i[lo:hi]], pa.string()),
+            pa.array(_WORDS[w2_i[lo:hi]], pa.string()),
+            pc.binary_join_element_wise("c", conv_s, ""),
+            pc.binary_join_element_wise("t", turn_s, ""),
+            pc.binary_join_element_wise("v", lsn_s, ""),
+            " "))
+        conv_chunks.append(pc.binary_join_element_wise(
+            "conv-", pc.utf8_lpad(conv_s, 8, "0"), ""))
+        tool_chunks.append(pa.array(_TOOLS[tool_i[lo:hi]], pa.string()))
+    text = pa.chunked_array(text_chunks)
+    conv = pa.chunked_array(conv_chunks)
+    tool = pa.chunked_array(tool_chunks)
 
     not_d = pa.array(op != "D")
     null_s = pa.scalar(None, pa.string())

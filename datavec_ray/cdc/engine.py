@@ -2604,6 +2604,17 @@ class CdcIngestEngine:
                 "inserted": cnt.get("I", 0),
                 "watermark": self.manifest.watermark()}
 
+    def mirror_to_jdbc(self, connection_factory, table: str,
+                       upto: Optional[str] = None,
+                       upsert_sql: Optional[str] = None) -> dict:
+        """Incrementally materialize the lake into an external DB-API
+        table via the change feed (idempotent key upserts/deletes; the
+        mirror position lives in the target DB). See
+        :func:`datavec_ray.cdc.jdbc_mirror.mirror_to_jdbc`."""
+        from datavec_ray.cdc.jdbc_mirror import mirror_to_jdbc
+        return mirror_to_jdbc(self, connection_factory, table,
+                              upto=upto, upsert_sql=upsert_sql)
+
     def stage(self, name: str):
         """Open a write-audit-publish staged commit: replay into an
         isolated staging area seeded (by hardlink) with this lake's
