@@ -744,6 +744,45 @@ def _q_cdc_wap(sf_dir: str):
         eng.shutdown()
 
 
+def _q_cdc_repartition(sf_dir: str):
+    """Online partition-layout evolution through the real engine: replay
+    half the binlog at 4 partitions, repartition the live lake to 8
+    (full state re-splits through the ordinary exchange, watermark
+    floored, old layout files dropped), replay the rest at the new
+    layout. Final state must equal the one-shot LWW oracle — layout is
+    physical only."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.util import dataset_to_table
+
+    ds = _read(sf_dir, "events").materialize()
+    cut = int(ds.max("event_id")) // 2
+    binlog = dataset_to_table(
+        ds.map_batches(binlog_from_events, batch_format="pyarrow"))
+    lake = tempfile.mkdtemp(prefix="repart_lake")
+    eng = CdcIngestEngine(lake, num_partitions=4)
+    try:
+        eng.replay(binlog.filter(pc.less_equal(binlog["lsn"], cut)),
+                   checkpoint_name="v1")
+        eng.repartition(8, checkpoint_name="r8")
+        assert eng.num_partitions == 8
+        eng.replay(binlog.filter(pc.greater(binlog["lsn"], cut)),
+                   checkpoint_name="v2")
+        out = eng.read_lake()
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": pc.cast(out["turn_idx"], pa.int32()),
+            "role": out["role"],
+            "text": out["text"],
+            "tool": out["tool"],
+            "ts_ms": pc.cast(out["ts"], pa.int64()),
+        })
+    finally:
+        eng.shutdown()
+
+
 def _q_jdbc_mirror(sf_dir: str):
     """Incremental JDBC mirror end to end: replay half the binlog,
     mirror into sqlite (initial full sync), replay the rest, mirror
@@ -4286,6 +4325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_wap": _q_cdc_wap,
         "cdc_autosalt": _q_cdc_autosalt,
         "jdbc_mirror": _q_jdbc_mirror,
+        "cdc_repartition": _q_cdc_repartition,
         "cdc_salted": _q_cdc_salted,
         "cdc_dlq": _q_cdc_dlq,
         "cdc_expectations": _q_cdc_expectations,
@@ -5132,6 +5172,13 @@ def oracle_sql() -> dict[str, str]:
                   from e) t
             where rn = 1 and op <> 'D'""",
         "jdbc_mirror": _BINLOG_CTE + """
+            select conv_id, turn_idx, role, text, tool, ts_ms
+            from (select *, row_number() over
+                    (partition by conv_id, turn_idx
+                     order by ts_ms desc, lsn desc) as rn
+                  from e) t
+            where rn = 1 and op <> 'D'""",
+        "cdc_repartition": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
                     (partition by conv_id, turn_idx
