@@ -2229,7 +2229,8 @@ class CdcIngestEngine:
         return results
 
     def vacuum(self, prune_keep_last: Optional[int] = None,
-               gc_spill: bool = True) -> dict:
+               gc_spill: bool = True,
+               drop_stages: bool = False) -> dict:
         """Lake housekeeping. Removes crash-orphaned atomic-write temp
         files (``*.tmp*`` left by a writer killed between write and
         rename — every committed file is written tmp-then-rename, so a
@@ -2278,8 +2279,27 @@ class CdcIngestEngine:
                         spill_removed += 1
                     except FileNotFoundError:
                         pass
+        stages_removed: list[str] = []
+        if drop_stages:
+            # abandoned WAP staging areas. Safe by the WAP ordering:
+            # anything a publish durably committed already lives in the
+            # main lake + manifest (a published stage's leftover dir is
+            # pure garbage from a crash before cleanup); an unpublished
+            # stage is by definition not reader-visible, so dropping it
+            # discards only staged-but-never-published work. Opt-in
+            # because a LIVE producer may still intend to publish.
+            if os.path.isdir(self.lake_dir):
+                for d in sorted(os.listdir(self.lake_dir)):
+                    if not d.startswith("_stage_"):
+                        continue
+                    full = os.path.join(self.lake_dir, d)
+                    if os.path.isdir(full):
+                        import shutil
+                        shutil.rmtree(full, ignore_errors=True)
+                        stages_removed.append(d[len("_stage_"):])
         return {"tmp_removed": tmp_removed, "versions_pruned": pruned,
-                "spill_files_removed": spill_removed}
+                "spill_files_removed": spill_removed,
+                "stages_removed": stages_removed}
 
     def lookup(self, conv_ids) -> pa.Table:
         """Serving-style POINT READS: hash each requested conv_id to its

@@ -167,3 +167,19 @@ def test_multi_segment_stage_and_metrics(ray_session, binlog, oracle,
     assert m["checkpoints"] >= 4 and m["watermark"] == \
         int(pc.max(binlog["lsn"]).as_py())
     eng.shutdown()
+
+
+def test_vacuum_drops_abandoned_stage(ray_session, binlog, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = CdcIngestEngine(lake, num_partitions=4)
+    seg1, seg2 = split_segments(binlog, 2)
+    eng.replay(seg1, checkpoint_name="v1")
+    st = eng.stage("orphan")
+    st.replay(seg2)
+    # producer "crashes" here — neither publish nor abort
+    before = eng.read_lake()
+    res = eng.vacuum(drop_stages=True)
+    assert res["stages_removed"] == ["orphan"]
+    assert not os.path.isdir(os.path.join(lake, "_stage_orphan"))
+    assert eng.read_lake().equals(before)   # live lake untouched
+    eng.shutdown()
