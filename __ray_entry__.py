@@ -4250,6 +4250,53 @@ def _q_tpch_q14(sf_dir: str):
     return p.execute(li)
 
 
+_SQL_GROUPBY = """select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sq, avg(l_discount) as ad,
+                   count(*) as n
+            from lineitem
+            where l_quantity between 5 and 45
+              and l_returnflag in ('A', 'N')
+            group by l_returnflag, l_linestatus
+            having n > 10
+            order by l_returnflag asc, l_linestatus asc"""
+
+_SQL_JOIN = """select n_name, o_orderpriority, count(*) as n,
+                   sum(o_totalprice) as total
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            where o_orderpriority like '1%' or o_orderpriority like '2%'
+            group by n_name, o_orderpriority"""
+
+
+def _q_sql_groupby(sf_dir: str):
+    """SQL frontend end to end (datavec_ray/sql.py): the statement is
+    parsed and planned onto map_batches + the combiner-backed Reducer;
+    the ORACLE IS THE SAME SQL STRING run by DuckDB — the strongest
+    possible parity check for a query surface."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_GROUPBY, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_discount"]),
+    })
+
+
+def _q_sql_join(sf_dir: str):
+    """SQL frontend: two INNER joins (auto broadcast) + OR'd LIKE
+    predicates + grouped aggregates, planned onto JoinStep + Reducer.
+    Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_JOIN, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_custkey", "o_orderpriority", "o_totalprice"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
 def _q_tpch_q18(sf_dir: str):
     """TPC-H Q18 (large-volume customers): HAVING over a grouped sum —
     lineitem reduces to per-order quantity through the map-side
@@ -4472,6 +4519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
+        "sql_groupby": _q_sql_groupby,
+        "sql_join": _q_sql_join,
     }
 
 
@@ -6915,6 +6964,8 @@ def oracle_sql() -> dict[str, str]:
                   where l_shipdate >= timestamp '1998-09-01'
                     and l_shipdate < timestamp '1998-10-01') li
             join part on l_partkey = p_partkey""",
+        "sql_groupby": _SQL_GROUPBY,
+        "sql_join": _SQL_JOIN,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

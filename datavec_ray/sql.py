@@ -1,0 +1,588 @@
+"""Minimal SQL frontend: compile a strict SELECT subset onto the
+Ray-Data operator library.
+
+The reference exposes its pipeline only programmatically
+(``TransformProcess`` builder, ``transform/TransformProcess.java:62``);
+this module adds the query surface a lakehouse user expects on top of
+the SAME operators — nothing here executes SQL, it PARSES SQL and
+plans it onto the existing vectorized steps:
+
+    WHERE / projection  → one fused ``map_batches`` (pyarrow.compute)
+    GROUP BY aggregates → ``reduce.Reducer`` (map-side combiner)
+    HAVING              → post-reduce ``map_batches`` filter
+    JOIN ... ON         → ``join.JoinStep`` (auto broadcast/shuffle)
+    ORDER BY / LIMIT    → ``Dataset.sort`` / ``Dataset.limit``
+
+Supported grammar (anything else raises ``SqlError`` loudly — a silent
+wrong answer is worse than no answer):
+
+    SELECT [DISTINCT] item [, item ...]
+    FROM name [INNER|LEFT JOIN name ON a = b [AND c = d ...]]*
+    [WHERE expr] [GROUP BY col [, col ...]] [HAVING expr]
+    [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
+
+    item  := * | expr [AS alias] | agg
+    agg   := SUM|MIN|MAX|AVG|COUNT ( [DISTINCT] expr | * ) [AS alias]
+    expr  := arithmetic (+ - * /) over columns/literals, comparisons,
+             AND/OR/NOT, IN (...), BETWEEN, LIKE, IS [NOT] NULL;
+             literals: numbers, 'strings', TIMESTAMP 'iso', NULL
+
+Correctness is self-oracle-checking by construction: every compiled
+query's DuckDB twin is the query string itself (see the ``sql_*``
+driver queries and tests/test_sql.py, which run a battery of
+statements against both engines and compare values).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class SqlError(ValueError):
+    """Unsupported or malformed SQL (this frontend is a strict subset)."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<ts>TIMESTAMP\s+'[^']*')
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>\d+\.\d*|\.\d+|\d+)
+    | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)
+    | (?P<op><>|<=|>=|!=|=|<|>|\(|\)|,|\*|\+|-|/)
+    )""", re.X | re.I)
+
+_KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
+             "order", "limit", "join", "inner", "left", "on", "as", "and",
+             "or", "not", "in", "between", "like", "is", "null", "asc",
+             "desc", "sum", "min", "max", "avg", "count"}
+
+
+def _tokenize(sql: str) -> list[tuple[str, Any]]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m or m.end() == pos:
+            rest = sql[pos:].strip()
+            if not rest:
+                break
+            raise SqlError(f"cannot tokenize at: {rest[:30]!r}")
+        pos = m.end()
+        if m.group("ts"):
+            iso = m.group("ts").split("'", 1)[1][:-1]
+            out.append(("lit_ts", iso))
+        elif m.group("str"):
+            out.append(("lit_str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num"):
+            t = m.group("num")
+            out.append(("lit_num", float(t) if "." in t else int(t)))
+        elif m.group("name"):
+            w = m.group("name")
+            out.append(("kw", w.lower()) if w.lower() in _KEYWORDS
+                       and "." not in w else ("name", w))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("eof", None))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent) — AST as nested tuples
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {"sum": "Sum", "min": "Min", "max": "Max", "avg": "Mean",
+              "count": "Count"}
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_kw(self, *words):
+        k, v = self.next()
+        if k != "kw" or v not in words:
+            raise SqlError(f"expected {'/'.join(words).upper()}, got {v!r}")
+        return v
+
+    def accept_kw(self, *words) -> Optional[str]:
+        k, v = self.peek()
+        if k == "kw" and v in words:
+            self.i += 1
+            return v
+        return None
+
+    def accept_op(self, *ops) -> Optional[str]:
+        k, v = self.peek()
+        if k == "op" and v in ops:
+            self.i += 1
+            return v
+        return None
+
+    # -- statement ---------------------------------------------------------
+    def parse(self) -> dict:
+        self.expect_kw("select")
+        distinct = bool(self.accept_kw("distinct"))
+        items = [self._select_item()]
+        while self.accept_op(","):
+            items.append(self._select_item())
+        self.expect_kw("from")
+        k, table = self.next()
+        if k != "name":
+            raise SqlError("expected table name after FROM")
+        joins = []
+        while True:
+            how = "Inner"
+            if self.accept_kw("left"):
+                how = "LeftOuter"
+                self.expect_kw("join")
+            elif self.accept_kw("inner"):
+                self.expect_kw("join")
+            elif not self.accept_kw("join"):
+                break
+            k, right = self.next()
+            if k != "name":
+                raise SqlError("expected table name after JOIN")
+            self.expect_kw("on")
+            lks, rks = [], []
+            while True:
+                a = self._name()
+                if not self.accept_op("="):
+                    raise SqlError("JOIN ON supports equi-keys only")
+                b = self._name()
+                lks.append(a)
+                rks.append(b)
+                if not self.accept_kw("and"):
+                    break
+            joins.append((right, lks, rks, how))
+        where = self._expr() if self.accept_kw("where") else None
+        group = []
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group.append(self._name())
+            while self.accept_op(","):
+                group.append(self._name())
+        having = self._expr() if self.accept_kw("having") else None
+        order = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                c = self._name()
+                d = self.accept_kw("asc", "desc") or "asc"
+                order.append((c, d == "desc"))
+                if not self.accept_op(","):
+                    break
+        limit = None
+        if self.accept_kw("limit"):
+            k, v = self.next()
+            if k != "lit_num" or not isinstance(v, int):
+                raise SqlError("LIMIT needs an integer")
+            limit = v
+        if self.peek()[0] != "eof":
+            raise SqlError(f"trailing input at {self.peek()!r}")
+        return {"items": items, "distinct": distinct, "table": table,
+                "joins": joins, "where": where, "group": group,
+                "having": having, "order": order, "limit": limit}
+
+    def _name(self) -> str:
+        k, v = self.next()
+        if k != "name":
+            raise SqlError(f"expected column name, got {v!r}")
+        return v.split(".")[-1]     # qualified names → plain column
+
+    def _select_item(self):
+        if self.accept_op("*"):
+            return ("star", None, None)
+        k, v = self.peek()
+        if k == "kw" and v in _AGG_FUNCS:
+            self.i += 1
+            self._expect_paren("(")
+            distinct = bool(self.accept_kw("distinct"))
+            if self.accept_op("*"):
+                if v != "count":
+                    raise SqlError(f"{v.upper()}(*) is not supported")
+                arg = ("star",)
+            else:
+                arg = self._expr()
+            self._expect_paren(")")
+            alias = self._alias() or f"{v}_{len(self.toks)}_{self.i}"
+            return ("agg", (_AGG_FUNCS[v], arg, distinct), alias)
+        e = self._expr()
+        alias = self._alias()
+        if alias is None:
+            if e[0] == "col":
+                alias = e[1]
+            else:
+                raise SqlError("computed select items need AS alias")
+        return ("expr", e, alias)
+
+    def _alias(self) -> Optional[str]:
+        if self.accept_kw("as"):
+            k, v = self.next()
+            if k != "name":
+                raise SqlError("expected alias after AS")
+            return v
+        return None
+
+    def _expect_paren(self, p):
+        if not self.accept_op(p):
+            raise SqlError(f"expected {p!r}")
+
+    # -- expressions ---------------------------------------------------------
+    def _expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self.accept_kw("or"):
+            e = ("or", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._not()
+        while self.accept_kw("and"):
+            e = ("and", e, self._not())
+        return e
+
+    def _not(self):
+        if self.accept_kw("not"):
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        e = self._addsub()
+        if self.accept_kw("is"):
+            neg = bool(self.accept_kw("not"))
+            self.expect_kw("null")
+            return ("isnull", e, neg)
+        if self.accept_kw("in"):
+            self._expect_paren("(")
+            lits = [self._literal()]
+            while self.accept_op(","):
+                lits.append(self._literal())
+            self._expect_paren(")")
+            return ("in", e, lits)
+        if self.accept_kw("between"):
+            lo = self._addsub()
+            self.expect_kw("and")
+            hi = self._addsub()
+            return ("and", ("bin", ">=", e, lo), ("bin", "<=", e, hi))
+        if self.accept_kw("like"):
+            k, v = self.next()
+            if k != "lit_str":
+                raise SqlError("LIKE needs a string literal")
+            return ("like", e, v)
+        op = self.accept_op("=", "<>", "!=", "<", "<=", ">", ">=")
+        if op:
+            return ("bin", {"!=": "<>"}.get(op, op), e, self._addsub())
+        return e
+
+    def _addsub(self):
+        e = self._muldiv()
+        while True:
+            op = self.accept_op("+", "-")
+            if not op:
+                return e
+            e = ("arith", op, e, self._muldiv())
+
+    def _muldiv(self):
+        e = self._unary()
+        while True:
+            op = self.accept_op("*", "/")
+            if not op:
+                return e
+            e = ("arith", op, e, self._unary())
+
+    def _unary(self):
+        if self.accept_op("-"):
+            return ("arith", "-", ("lit", 0), self._unary())
+        if self.accept_op("("):
+            e = self._expr()
+            self._expect_paren(")")
+            return e
+        return self._atom()
+
+    def _atom(self):
+        k, v = self.next()
+        if k == "name":
+            return ("col", v.split(".")[-1])
+        if k == "lit_num" or k == "lit_str":
+            return ("lit", v)
+        if k == "lit_ts":
+            import datetime
+            return ("lit", datetime.datetime.fromisoformat(v))
+        if k == "kw" and v == "null":
+            return ("lit", None)
+        raise SqlError(f"unexpected token {v!r} in expression")
+
+    def _literal(self):
+        e = self._atom()
+        if e[0] != "lit":
+            raise SqlError("expected a literal")
+        return e
+
+
+# ---------------------------------------------------------------------------
+# Expression compiler: AST → fn(pa.Table) -> pa.Array
+# ---------------------------------------------------------------------------
+
+_CMP = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,
+        "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
+
+
+def _eval(ast, t: pa.Table):
+    kind = ast[0]
+    if kind == "col":
+        if ast[1] not in t.column_names:
+            raise SqlError(f"unknown column {ast[1]!r}")
+        return t[ast[1]]
+    if kind == "lit":
+        return pa.scalar(ast[1])
+    if kind == "bin":
+        return _CMP[ast[1]](_eval(ast[2], t), _eval(ast[3], t))
+    if kind == "arith":
+        if ast[1] == "/":
+            return pc.divide(pc.cast(_eval(ast[2], t), pa.float64()),
+                             pc.cast(_eval(ast[3], t), pa.float64()))
+        return _ARITH[ast[1]](_eval(ast[2], t), _eval(ast[3], t))
+    if kind == "and":
+        return pc.and_kleene(_eval(ast[1], t), _eval(ast[2], t))
+    if kind == "or":
+        return pc.or_kleene(_eval(ast[1], t), _eval(ast[2], t))
+    if kind == "not":
+        return pc.invert(_eval(ast[1], t))
+    if kind == "isnull":
+        v = pc.is_null(_eval(ast[1], t))
+        return pc.invert(v) if ast[2] else v
+    if kind == "in":
+        vals = [l[1] for l in ast[2]]
+        return pc.is_in(_eval(ast[1], t), value_set=pa.array(vals))
+    if kind == "like":
+        return pc.match_like(_eval(ast[1], t), ast[2])
+    if kind == "valid_int":
+        return pc.cast(pc.is_valid(_eval(ast[1], t)), pa.int64())
+    raise SqlError(f"cannot evaluate node {kind!r}")
+
+
+def _filter_fn(ast, name: str):
+    def fn(t: pa.Table) -> pa.Table:
+        mask = _eval(ast, t)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return t.filter(pc.fill_null(mask, False))
+    fn.__name__ = name
+    return fn
+
+
+def _rewrite_ast(ast, keymap: dict):
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "col":
+        return ("col", keymap.get(ast[1], ast[1]))
+    return tuple(_rewrite_ast(x, keymap) if isinstance(x, tuple)
+                 else ([_rewrite_ast(y, keymap) for y in x]
+                       if isinstance(x, list) else x) for x in ast)
+
+
+def _rewrite_cols(q: dict, keymap: dict) -> dict:
+    """Resolve references to INNER-join right keys (coalesced away by
+    the physical join) to their left-key columns, everywhere a column
+    can appear. Select-item ALIASES keep the user's names."""
+    out = dict(q)
+    out["where"] = _rewrite_ast(q["where"], keymap) if q["where"] else None
+    # HAVING and ORDER BY reference OUTPUT names (aliases), not input
+    # columns — they run after the reduce / projection, unrewritten
+    out["group"] = [keymap.get(g, g) for g in q["group"]]
+    items = []
+    for kind, e, a in q["items"]:
+        if kind == "agg":
+            op, arg, distinct = e
+            arg = arg if arg == ("star",) else _rewrite_ast(arg, keymap)
+            items.append((kind, (op, arg, distinct), a))
+        elif kind == "expr":
+            items.append((kind, _rewrite_ast(e, keymap), a))
+        else:
+            items.append((kind, e, a))
+    out["items"] = items
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Planner / executor
+# ---------------------------------------------------------------------------
+
+def sql(query: str, tables: dict):
+    """Compile + execute: returns a ``ray.data.Dataset``. ``tables``
+    maps FROM/JOIN names to Datasets (column names must be unique
+    across joined tables — this subset has no qualifier scoping)."""
+    q = _Parser(query).parse()
+
+    def _as_arrow(d):
+        # pandas-backed datasets report PandasBlockSchema, which the
+        # join/reduce schema probes can't use — normalize to Arrow
+        # blocks (zero work for already-Arrow datasets at execution)
+        import pandas as pd
+        if isinstance(d, (pa.Table, pd.DataFrame)):
+            import ray.data as rd
+            d = rd.from_arrow(d if isinstance(d, pa.Table)
+                              else pa.Table.from_pandas(d))
+            return d
+        sch = d.schema(fetch_if_missing=False)
+        if sch is not None and not isinstance(
+                getattr(sch, "base_schema", None), pa.Schema):
+            ident = lambda t: t                       # noqa: E731
+            d = d.map_batches(ident, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        return d
+
+    if q["table"] not in tables:
+        raise SqlError(f"unknown table {q['table']!r}")
+    tables = {k: _as_arrow(v) for k, v in tables.items()}
+    ds = tables[q["table"]]
+
+    from datavec_ray.join import JoinStep
+    keymap: dict[str, str] = {}
+    for right, lks, rks, how in q["joins"]:
+        if right not in tables:
+            raise SqlError(f"unknown table {right!r}")
+        ds = JoinStep(tables[right], lks, rks, how).apply_dataset(ds)
+        for lk, rk in zip(lks, rks):
+            if rk != lk:
+                # the executed join coalesces the right key into the
+                # left key column; on INNER joins they are equal by
+                # definition, so references to the right key resolve
+                # to the left key. (On LEFT joins the right key is
+                # null on non-matches — coalescing would lie, so a
+                # reference to it fails at eval with unknown column.)
+                if how == "Inner":
+                    keymap[rk] = lk
+    if keymap:
+        q = _rewrite_cols(q, keymap)
+
+    if q["where"] is not None:
+        ds = ds.map_batches(_filter_fn(q["where"], "sql_where"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    agg_items = [(e, a) for kind, e, a in q["items"] if kind == "agg"]
+    plain = [(e, a) for kind, e, a in q["items"] if kind == "expr"]
+    star = any(kind == "star" for kind, _, _ in q["items"])
+
+    if agg_items or q["group"]:
+        if star:
+            raise SqlError("SELECT * cannot mix with GROUP BY/aggregates")
+        ds = _grouped(ds, q, agg_items, plain)
+    elif not star:
+        names = [a for _, a in plain]
+        exprs = [e for e, _ in plain]
+
+        def project(t: pa.Table) -> pa.Table:
+            cols = []
+            for e in exprs:
+                v = _eval(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.nulls(t.num_rows, v.type).fill_null(v)
+                cols.append(v)
+            return pa.table(dict(zip(names, cols)))
+        project.__name__ = "sql_project"
+        ds = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    if q["distinct"]:
+        from datavec_ray.ops.setops import distinct_rows
+        ds = distinct_rows(ds)
+    if q["order"]:
+        ds = ds.sort([c for c, _ in q["order"]],
+                     descending=[d for _, d in q["order"]])
+    if q["limit"] is not None:
+        ds = ds.limit(q["limit"])
+    return ds
+
+
+def _grouped(ds, q, agg_items, plain):
+    from datavec_ray.reduce import Reducer
+    group = list(q["group"])
+    # non-agg select items under GROUP BY must be the group keys
+    for e, a in plain:
+        if e[0] != "col" or e[1] not in group:
+            raise SqlError(
+                f"select item {a!r} is neither an aggregate nor a "
+                "GROUP BY key")
+    # pre-compute aggregate input expressions as columns
+    pre, specs = [], []
+    for idx, ((op, arg, distinct), alias) in enumerate(agg_items):
+        if distinct:
+            if op != "Count":
+                raise SqlError("DISTINCT only with COUNT")
+            op = "CountUniqueExact"
+        if arg == ("star",):
+            col = "__star"
+            pre.append((col, ("lit", 1)))
+            op = "Sum" if op == "Count" else op      # COUNT(*) = Σ1
+        elif op == "Count":
+            # SQL COUNT(expr) counts NON-NULL values (the reference's
+            # Count ReduceOp counts rows) → sum of the validity bitmap
+            col = f"__agg{idx}"
+            pre.append((col, ("valid_int", arg)))
+            op = "Sum"
+        elif arg[0] == "col":
+            col = arg[1]
+        else:
+            col = f"__agg{idx}"
+            pre.append((col, arg))
+        specs.append([col, op, alias])
+
+    keep = group + [c for c, _ in pre] + \
+        [s[0] for s in specs if not s[0].startswith("__")]
+    seen = set()
+    keep = [c for c in keep if not (c in seen or seen.add(c))]
+    synthetic = not group
+    if synthetic:
+        group = ["__g"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in keep:
+            cols[c] = _eval(("col", c), t) if c in t.column_names else None
+        for c, e in pre:
+            v = _eval(e, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.nulls(t.num_rows, v.type).fill_null(v)
+            cols[c] = v
+        if synthetic:
+            cols["__g"] = pa.nulls(t.num_rows, pa.int32()).fill_null(0)
+        missing = [c for c, v in cols.items() if v is None]
+        if missing:
+            raise SqlError(f"unknown column(s) {missing}")
+        return pa.table(cols)
+    prep.__name__ = "sql_agg_prep"
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = Reducer(group, specs).apply_dataset(ds)
+    if q["having"] is not None:
+        ds = ds.map_batches(_filter_fn(q["having"], "sql_having"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    # declared select order: selected group keys (under their aliases —
+    # a join-key rewrite can make alias != physical column) then aggs
+    picks = [(e[1], a) for e, a in plain] + \
+        [(a, a) for _, a in agg_items]
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({alias: t[col] for col, alias in picks})
+    final.__name__ = "sql_agg_final"
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)

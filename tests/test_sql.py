@@ -1,0 +1,137 @@
+"""SQL frontend (datavec_ray/sql.py): every statement runs through BOTH
+the Ray-Data compilation and DuckDB on identical tables; values must
+match. The frontend is a strict subset — unsupported syntax must raise
+SqlError, never silently misplan."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from datavec_ray.sql import SqlError, sql
+from datavec_ray.util import dataset_to_table
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(3)
+    n = 5000
+    sales = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "region": rng.choice(["east", "west", "north", None], n,
+                             p=[.4, .3, .2, .1]),
+        "qty": rng.integers(1, 50, n).astype(np.int64),
+        "price": np.round(rng.uniform(0.5, 99.5, n), 2),
+        "note": rng.choice(["promo", "bulk", "retail"], n),
+    })
+    sales.loc[rng.random(n) < 0.05, "qty"] = None
+    regions = pd.DataFrame({
+        "rname": ["east", "west", "north", "south"],
+        "mgr": ["ann", "bo", "cy", "di"],
+        "target": [100, 200, 300, 400],
+    })
+    return {"sales": sales, "regions": regions}
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session, frames):
+    import ray.data as rd
+    return {k: rd.from_pandas(v).repartition(4) for k, v in frames.items()}
+
+
+@pytest.fixture(scope="module")
+def ddb(frames):
+    con = duckdb.connect()
+    for k, v in frames.items():
+        con.register(k, v)
+    return con
+
+
+def _match(name, ray_ds, sql_df, sort=True):
+    got = dataset_to_table(ray_ds).to_pandas()
+    want = sql_df
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: {got.columns} vs {want.columns}"
+    got, want = got[sorted(got.columns)], want[sorted(got.columns)]
+    if sort and len(got.columns):
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float),
+                               rtol=1e-9, equal_nan=True), f"{name}:{c}"
+        else:
+            assert (g.fillna("\0").astype(str).values
+                    == w.fillna("\0").astype(str).values).all(), \
+                f"{name}:{c}"
+
+
+BATTERY = [
+    "select region, qty, price from sales where qty > 25 and price < 50",
+    "select id, qty * price as amount from sales where region = 'east'",
+    "select * from sales where region is null",
+    "select * from sales where region is not null and note <> 'bulk'",
+    "select id from sales where qty between 10 and 20",
+    "select id, note from sales where note in ('promo', 'bulk')",
+    "select id from sales where note like 'pro%'",
+    "select distinct region, note from sales",
+    "select region, sum(qty) as total_qty, count(*) as n from sales "
+    "group by region",
+    "select region, count(qty) as n_qty, avg(price) as avg_price "
+    "from sales group by region",
+    "select region, min(price) as lo, max(price) as hi from sales "
+    "where qty > 5 group by region having min(price) >= 0",
+    "select sum(qty * price) as revenue from sales",
+    "select count(*) as n, count(region) as n_region from sales",
+    "select count(distinct note) as kinds from sales",
+    "select region, sum(qty) as s from sales group by region "
+    "having sum(qty) > 100 order by s desc",
+    "select note, count(*) as n from sales where qty is not null "
+    "group by note order by n desc, note asc limit 2",
+    "select rname, mgr, qty from sales join regions on region = rname "
+    "where qty > 40",
+    "select mgr, sum(qty) as s from sales join regions on region = rname "
+    "group by mgr",
+    "select id, price from sales where (qty > 45 or qty < 3) "
+    "and not note = 'bulk'",
+    "select id, price / qty as unit from sales where qty > 0 "
+    "and region = 'west'",
+    "select region, note, sum(price) as s from sales group by region, note",
+    "select id from sales order by id desc limit 5",
+]
+
+
+@pytest.mark.parametrize("stmt", BATTERY)
+def test_battery_matches_duckdb(tables, ddb, stmt):
+    # HAVING on aggregate expressions: the frontend requires the alias
+    ray_stmt = stmt
+    if "having min(price)" in stmt:
+        ray_stmt = stmt.replace("having min(price) >= 0", "having lo >= 0")
+    if "having sum(qty)" in stmt:
+        ray_stmt = stmt.replace("having sum(qty) > 100", "having s > 100")
+    _match(stmt, sql(ray_stmt, tables), ddb.sql(stmt).df())
+
+
+@pytest.mark.parametrize("stmt", [
+    "select id from sales, regions",                  # implicit cross join
+    "update sales set qty = 1",                       # not a SELECT
+    "select qty + 1 from sales",                      # computed needs alias
+    "select region, sum(qty) as s from sales",        # bare col w/o group
+    "select id from sales join regions on region < rname",  # theta join
+    "select sum(distinct qty) as s from sales",       # distinct non-count
+])
+def test_unsupported_raises(tables, stmt):
+    with pytest.raises(SqlError):
+        ds = sql(stmt, tables)
+        dataset_to_table(ds)
+
+
+def test_left_join_matches(tables, ddb):
+    stmt = ("select rname, mgr, target from regions "
+            "left join sales on rname = region where target > 150")
+    _match(stmt, sql(stmt, tables), ddb.sql(
+        "select rname, mgr, target from regions "
+        "left join sales on rname = region where target > 150").df())
