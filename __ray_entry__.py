@@ -4269,6 +4269,35 @@ _SQL_JOIN = """select n_name, o_orderpriority, count(*) as n,
             group by n_name, o_orderpriority"""
 
 
+_SQL_CASE = """select bucket, status, count(*) as n,
+                   min(o_totalprice) as lo, max(o_totalprice) as hi,
+                   avg(prio_len) as avg_len
+            from (select case when o_totalprice > 200000 then 'big'
+                              when o_totalprice > 50000 then 'mid'
+                              else 'small' end as bucket,
+                         lower(o_orderstatus) as status,
+                         o_totalprice,
+                         length(o_orderpriority) as prio_len
+                  from orders
+                  where o_orderstatus in ('O', 'F')) t
+            group by bucket, status
+            order by bucket asc, status asc"""
+
+
+def _q_sql_case(sf_dir: str):
+    """SQL frontend: CASE WHEN, scalar functions (lower/length),
+    and a derived-table subquery, planned onto fused map_batches
+    projections + the combiner Reducer. Oracle = the identical SQL
+    string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_CASE, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_totalprice", "o_orderstatus",
+                         "o_orderpriority"]),
+    })
+
+
 def _q_sql_groupby(sf_dir: str):
     """SQL frontend end to end (datavec_ray/sql.py): the statement is
     parsed and planned onto map_batches + the combiner-backed Reducer;
@@ -4521,6 +4550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": _q_tpch_q18,
         "sql_groupby": _q_sql_groupby,
         "sql_join": _q_sql_join,
+        "sql_case": _q_sql_case,
     }
 
 
@@ -6966,6 +6996,7 @@ def oracle_sql() -> dict[str, str]:
             join part on l_partkey = p_partkey""",
         "sql_groupby": _SQL_GROUPBY,
         "sql_join": _SQL_JOIN,
+        "sql_case": _SQL_CASE,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

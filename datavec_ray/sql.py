@@ -62,7 +62,11 @@ _TOKEN_RE = re.compile(r"""
 _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "order", "limit", "join", "inner", "left", "on", "as", "and",
              "or", "not", "in", "between", "like", "is", "null", "asc",
-             "desc", "sum", "min", "max", "avg", "count"}
+             "desc", "sum", "min", "max", "avg", "count",
+             "case", "when", "then", "else", "end",
+             "round", "abs", "lower", "upper", "length", "coalesce"}
+
+_SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce"}
 
 
 def _tokenize(sql: str) -> list[tuple[str, Any]]:
@@ -136,15 +140,34 @@ class _Parser:
 
     # -- statement ---------------------------------------------------------
     def parse(self) -> dict:
+        q = self._select()
+        if self.peek()[0] != "eof":
+            raise SqlError(f"trailing input at {self.peek()!r}")
+        return q
+
+    def _table_ref(self):
+        """A FROM/JOIN table: a registered name, or a parenthesized
+        derived-table subquery ``( SELECT ... ) [AS] alias``."""
+        if self.accept_op("("):
+            sub = self._select()
+            self._expect_paren(")")
+            self.accept_kw("as")
+            if self.peek()[0] == "name":      # alias is cosmetic here
+                self.next()
+            return ("sub", sub)
+        k, v = self.next()
+        if k != "name":
+            raise SqlError("expected table name or ( SELECT ... )")
+        return ("name", v)
+
+    def _select(self) -> dict:
         self.expect_kw("select")
         distinct = bool(self.accept_kw("distinct"))
         items = [self._select_item()]
         while self.accept_op(","):
             items.append(self._select_item())
         self.expect_kw("from")
-        k, table = self.next()
-        if k != "name":
-            raise SqlError("expected table name after FROM")
+        table = self._table_ref()
         joins = []
         while True:
             how = "Inner"
@@ -155,9 +178,7 @@ class _Parser:
                 self.expect_kw("join")
             elif not self.accept_kw("join"):
                 break
-            k, right = self.next()
-            if k != "name":
-                raise SqlError("expected table name after JOIN")
+            right = self._table_ref()
             self.expect_kw("on")
             lks, rks = [], []
             while True:
@@ -193,8 +214,6 @@ class _Parser:
             if k != "lit_num" or not isinstance(v, int):
                 raise SqlError("LIMIT needs an integer")
             limit = v
-        if self.peek()[0] != "eof":
-            raise SqlError(f"trailing input at {self.peek()!r}")
         return {"items": items, "distinct": distinct, "table": table,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "order": order, "limit": limit}
@@ -328,6 +347,24 @@ class _Parser:
             return ("lit", datetime.datetime.fromisoformat(v))
         if k == "kw" and v == "null":
             return ("lit", None)
+        if k == "kw" and v in _SCALAR_FUNCS:
+            self._expect_paren("(")
+            args = [self._expr()]
+            while self.accept_op(","):
+                args.append(self._expr())
+            self._expect_paren(")")
+            return ("func", v, args)
+        if k == "kw" and v == "case":
+            whens = []
+            while self.accept_kw("when"):
+                cond = self._expr()
+                self.expect_kw("then")
+                whens.append((cond, self._expr()))
+            if not whens:
+                raise SqlError("CASE needs at least one WHEN")
+            other = self._expr() if self.accept_kw("else") else ("lit", None)
+            self.expect_kw("end")
+            return ("case", whens, other)
         raise SqlError(f"unexpected token {v!r} in expression")
 
     def _literal(self):
@@ -377,6 +414,36 @@ def _eval(ast, t: pa.Table):
         return pc.match_like(_eval(ast[1], t), ast[2])
     if kind == "valid_int":
         return pc.cast(pc.is_valid(_eval(ast[1], t)), pa.int64())
+    if kind == "func":
+        name, args = ast[1], [_eval(a, t) for a in ast[2]]
+        if name == "round":
+            nd = 0
+            if len(args) == 2:
+                nd = args[1].as_py() if isinstance(args[1], pa.Scalar) \
+                    else args[1]
+            # SQL ROUND is half-away-from-zero (DuckDB/ANSI), not
+            # Arrow's default banker's rounding
+            return pc.round(pc.cast(args[0], pa.float64()),
+                            ndigits=int(nd),
+                            round_mode="half_towards_infinity")
+        if name == "abs":
+            return pc.abs(args[0])
+        if name == "lower":
+            return pc.utf8_lower(args[0])
+        if name == "upper":
+            return pc.utf8_upper(args[0])
+        if name == "length":
+            return pc.cast(pc.utf8_length(args[0]), pa.int64())
+        if name == "coalesce":
+            return pc.coalesce(*args)
+        raise SqlError(f"unknown function {name!r}")
+    if kind == "case":
+        # evaluate as nested if_else, first matching WHEN wins
+        out = _eval(ast[2], t)
+        for cond, val in reversed(ast[1]):
+            c = pc.fill_null(_eval(cond, t), False)
+            out = pc.if_else(c, _eval(val, t), out)
+        return out
     raise SqlError(f"cannot evaluate node {kind!r}")
 
 
@@ -427,41 +494,51 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
 # Planner / executor
 # ---------------------------------------------------------------------------
 
+def _as_arrow(d):
+    """Normalize any table-ish input to an Arrow-blocked Dataset —
+    pandas-backed datasets report PandasBlockSchema, which the
+    join/reduce schema probes can't use (zero work for already-Arrow
+    datasets at execution)."""
+    import pandas as pd
+    if isinstance(d, (pa.Table, pd.DataFrame)):
+        import ray.data as rd
+        return rd.from_arrow(d if isinstance(d, pa.Table)
+                             else pa.Table.from_pandas(d))
+    sch = d.schema(fetch_if_missing=False)
+    if sch is not None and not isinstance(
+            getattr(sch, "base_schema", None), pa.Schema):
+        ident = lambda t: t                       # noqa: E731
+        d = d.map_batches(ident, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return d
+
+
+def _resolve_table(spec, tables):
+    kind, v = spec
+    if kind == "sub":
+        return _exec(v, tables)       # derived table: plan recursively
+    if v not in tables:
+        raise SqlError(f"unknown table {v!r}")
+    return tables[v]
+
+
 def sql(query: str, tables: dict):
     """Compile + execute: returns a ``ray.data.Dataset``. ``tables``
     maps FROM/JOIN names to Datasets (column names must be unique
     across joined tables — this subset has no qualifier scoping)."""
     q = _Parser(query).parse()
-
-    def _as_arrow(d):
-        # pandas-backed datasets report PandasBlockSchema, which the
-        # join/reduce schema probes can't use — normalize to Arrow
-        # blocks (zero work for already-Arrow datasets at execution)
-        import pandas as pd
-        if isinstance(d, (pa.Table, pd.DataFrame)):
-            import ray.data as rd
-            d = rd.from_arrow(d if isinstance(d, pa.Table)
-                              else pa.Table.from_pandas(d))
-            return d
-        sch = d.schema(fetch_if_missing=False)
-        if sch is not None and not isinstance(
-                getattr(sch, "base_schema", None), pa.Schema):
-            ident = lambda t: t                       # noqa: E731
-            d = d.map_batches(ident, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        return d
-
-    if q["table"] not in tables:
-        raise SqlError(f"unknown table {q['table']!r}")
     tables = {k: _as_arrow(v) for k, v in tables.items()}
-    ds = tables[q["table"]]
+    return _exec(q, tables)
+
+
+def _exec(q: dict, tables: dict):
+    ds = _resolve_table(q["table"], tables)
 
     from datavec_ray.join import JoinStep
     keymap: dict[str, str] = {}
     for right, lks, rks, how in q["joins"]:
-        if right not in tables:
-            raise SqlError(f"unknown table {right!r}")
-        ds = JoinStep(tables[right], lks, rks, how).apply_dataset(ds)
+        ds = JoinStep(_resolve_table(right, tables),
+                      lks, rks, how).apply_dataset(ds)
         for lk, rk in zip(lks, rks):
             if rk != lk:
                 # the executed join coalesces the right key into the
@@ -514,15 +591,37 @@ def sql(query: str, tables: dict):
     return ds
 
 
+def _cols_in(ast) -> set:
+    """Column names referenced anywhere in an expression AST."""
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, tuple):
+            if len(n) == 2 and n[0] == "col" and isinstance(n[1], str):
+                out.add(n[1])
+            elif n and isinstance(n[0], str):
+                for x in n[1:]:
+                    walk(x)
+            else:                      # untagged pair, e.g. CASE (cond, val)
+                for x in n:
+                    walk(x)
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+    walk(ast)
+    return out
+
+
 def _grouped(ds, q, agg_items, plain):
     from datavec_ray.reduce import Reducer
     group = list(q["group"])
-    # non-agg select items under GROUP BY must be the group keys
+    # non-agg select items under GROUP BY must be expressions over the
+    # group keys only (evaluated post-aggregation on the grouped rows)
     for e, a in plain:
-        if e[0] != "col" or e[1] not in group:
+        if not _cols_in(e) <= set(group):
             raise SqlError(
-                f"select item {a!r} is neither an aggregate nor a "
-                "GROUP BY key")
+                f"select item {a!r} is neither an aggregate nor an "
+                "expression over GROUP BY keys")
     # pre-compute aggregate input expressions as columns
     pre, specs = [], []
     for idx, ((op, arg, distinct), alias) in enumerate(agg_items):
@@ -576,13 +675,19 @@ def _grouped(ds, q, agg_items, plain):
     if q["having"] is not None:
         ds = ds.map_batches(_filter_fn(q["having"], "sql_having"),
                             batch_format="pyarrow", zero_copy_batch=True)
-    # declared select order: selected group keys (under their aliases —
+    # declared select order: group-key expressions (under their aliases —
     # a join-key rewrite can make alias != physical column) then aggs
-    picks = [(e[1], a) for e, a in plain] + \
-        [(a, a) for _, a in agg_items]
 
     def final(t: pa.Table) -> pa.Table:
-        return pa.table({alias: t[col] for col, alias in picks})
+        cols = {}
+        for e, alias in plain:
+            v = _eval(e, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.nulls(t.num_rows, v.type).fill_null(v)
+            cols[alias] = v
+        for _, alias in agg_items:
+            cols[alias] = t[alias]
+        return pa.table(cols)
     final.__name__ = "sql_agg_final"
     return ds.map_batches(final, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -101,6 +101,20 @@ BATTERY = [
     "and region = 'west'",
     "select region, note, sum(price) as s from sales group by region, note",
     "select id from sales order by id desc limit 5",
+    "select id, case when qty > 25 then 'big' when qty > 10 then 'mid' "
+    "else 'small' end as bucket from sales where qty is not null",
+    "select region, sum(case when note = 'promo' then qty else 0 end) "
+    "as promo_qty from sales where qty is not null group by region",
+    "select id, round(price, 1) as p1, abs(qty - 25) as d from sales "
+    "where qty is not null",
+    "select upper(note) as u, lower(note) as l, length(note) as n "
+    "from sales limit 50",
+    "select coalesce(region, 'unknown') as r, count(*) as n from sales "
+    "group by region",
+    "select r, n from (select region as r, count(*) as n from sales "
+    "group by region) t where n > 100",
+    "select note, sum(amount) as s from (select note, qty * price as "
+    "amount from sales where qty is not null) t group by note",
 ]
 
 
