@@ -4284,6 +4284,46 @@ _SQL_CASE = """select bucket, status, count(*) as n,
             order by bucket asc, status asc"""
 
 
+_SQL_WINDOW = """select o_orderkey, status, rk
+            from (select o_orderkey, lower(o_orderstatus) as status,
+                         rank() over (partition by o_orderstatus
+                                      order by o_totalprice desc) as rk
+                  from orders) t
+            where rk <= 10
+            order by status asc, rk asc"""
+
+_SQL_UNION = """select 'big' as seg, o_orderkey as k from orders
+            where o_totalprice > 400000
+            union all
+            select 'small' as seg, o_orderkey as k from orders
+            where o_totalprice < 2000
+            order by seg asc, k asc"""
+
+
+def _q_sql_window(sf_dir: str):
+    """SQL frontend: RANK() OVER (PARTITION BY ... ORDER BY ... DESC)
+    inside a derived table with an outer rank filter (the QUALIFY
+    pattern), planned onto misc.window_rank — one hash-partition
+    shuffle, vectorized run-boundary ranking. Oracle = the identical
+    SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_WINDOW, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus", "o_totalprice"]),
+    })
+
+
+def _q_sql_union(sf_dir: str):
+    """SQL frontend: UNION ALL of two filtered projections with a
+    trailing union-scoped ORDER BY, planned onto Dataset.union.
+    Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return sql(_SQL_UNION, {"orders": orders})
+
+
 def _q_sql_case(sf_dir: str):
     """SQL frontend: CASE WHEN, scalar functions (lower/length),
     and a derived-table subquery, planned onto fused map_batches
@@ -4551,6 +4591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_groupby": _q_sql_groupby,
         "sql_join": _q_sql_join,
         "sql_case": _q_sql_case,
+        "sql_window": _q_sql_window,
+        "sql_union": _q_sql_union,
     }
 
 
@@ -6997,6 +7039,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_groupby": _SQL_GROUPBY,
         "sql_join": _SQL_JOIN,
         "sql_case": _SQL_CASE,
+        "sql_window": _SQL_WINDOW,
+        "sql_union": _SQL_UNION,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -11,20 +11,29 @@ plans it onto the existing vectorized steps:
     GROUP BY aggregates → ``reduce.Reducer`` (map-side combiner)
     HAVING              → post-reduce ``map_batches`` filter
     JOIN ... ON         → ``join.JoinStep`` (auto broadcast/shuffle)
+    window functions    → ``misc.window_rank`` (one hash shuffle, all
+                          window items of a SELECT share it)
+    UNION [ALL]         → ``Dataset.union`` (+ ``setops.distinct_rows``)
     ORDER BY / LIMIT    → ``Dataset.sort`` / ``Dataset.limit``
 
 Supported grammar (anything else raises ``SqlError`` loudly — a silent
 wrong answer is worse than no answer):
 
-    SELECT [DISTINCT] item [, item ...]
-    FROM name [INNER|LEFT JOIN name ON a = b [AND c = d ...]]*
-    [WHERE expr] [GROUP BY col [, col ...]] [HAVING expr]
-    [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
+    query := SELECT [DISTINCT] item [, item ...]
+             FROM table [INNER|LEFT JOIN table ON a = b [AND c = d ...]]*
+             [WHERE expr] [GROUP BY col [, col ...]] [HAVING expr]
+             [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
+             [UNION [ALL] query]
 
-    item  := * | expr [AS alias] | agg
+    table := name | ( query ) [AS] alias
+    item  := * | expr [AS alias] | agg | win
     agg   := SUM|MIN|MAX|AVG|COUNT ( [DISTINCT] expr | * ) [AS alias]
+    win   := ROW_NUMBER|RANK|DENSE_RANK|PERCENT_RANK|CUME_DIST () |
+             NTILE (n) OVER ( [PARTITION BY col, ...]
+             ORDER BY col [DESC] [, tiebreak ...] ) AS alias
     expr  := arithmetic (+ - * /) over columns/literals, comparisons,
-             AND/OR/NOT, IN (...), BETWEEN, LIKE, IS [NOT] NULL;
+             AND/OR/NOT, IN (...), BETWEEN, LIKE, IS [NOT] NULL,
+             CASE WHEN ... END, ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE;
              literals: numbers, 'strings', TIMESTAMP 'iso', NULL
 
 Correctness is self-oracle-checking by construction: every compiled
@@ -64,9 +73,15 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "or", "not", "in", "between", "like", "is", "null", "asc",
              "desc", "sum", "min", "max", "avg", "count",
              "case", "when", "then", "else", "end",
-             "round", "abs", "lower", "upper", "length", "coalesce"}
+             "round", "abs", "lower", "upper", "length", "coalesce",
+             "union", "all"}
 
 _SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce"}
+
+# window functions are NOT keywords (a column may be named "rank");
+# they are recognized as name tokens immediately followed by "("
+_WIN_FUNCS = {"row_number", "rank", "dense_rank", "percent_rank",
+              "cume_dist", "ntile"}
 
 
 def _tokenize(sql: str) -> list[tuple[str, Any]]:
@@ -140,16 +155,35 @@ class _Parser:
 
     # -- statement ---------------------------------------------------------
     def parse(self) -> dict:
-        q = self._select()
+        q = self._query()
         if self.peek()[0] != "eof":
             raise SqlError(f"trailing input at {self.peek()!r}")
         return q
+
+    def _query(self) -> dict:
+        """A SELECT, possibly chained with UNION [ALL] (left-assoc).
+        A trailing ORDER BY/LIMIT — parsed inside the LAST branch —
+        applies to the whole union (matching standard SQL scoping), so
+        it is hoisted onto the union node; earlier branches must not
+        carry one."""
+        node = self._select()
+        while self.accept_kw("union"):
+            dedup = not self.accept_kw("all")
+            if node["order"] or node["limit"] is not None:
+                raise SqlError(
+                    "ORDER BY/LIMIT only after the last UNION branch")
+            right = self._select()
+            node = {"setop": "distinct" if dedup else "all",
+                    "left": node, "right": right,
+                    "order": right["order"], "limit": right["limit"]}
+            right["order"], right["limit"] = [], None
+        return node
 
     def _table_ref(self):
         """A FROM/JOIN table: a registered name, or a parenthesized
         derived-table subquery ``( SELECT ... ) [AS] alias``."""
         if self.accept_op("("):
-            sub = self._select()
+            sub = self._query()
             self._expect_paren(")")
             self.accept_kw("as")
             if self.peek()[0] == "name":      # alias is cosmetic here
@@ -228,6 +262,10 @@ class _Parser:
         if self.accept_op("*"):
             return ("star", None, None)
         k, v = self.peek()
+        if k == "name" and v.lower() in _WIN_FUNCS \
+                and self.toks[self.i + 1] == ("op", "("):
+            self.i += 1
+            return self._window_item(v.lower())
         if k == "kw" and v in _AGG_FUNCS:
             self.i += 1
             self._expect_paren("(")
@@ -249,6 +287,44 @@ class _Parser:
             else:
                 raise SqlError("computed select items need AS alias")
         return ("expr", e, alias)
+
+    def _window_item(self, method: str):
+        self._expect_paren("(")
+        buckets = None
+        if method == "ntile":
+            k, v = self.next()
+            if k != "lit_num" or not isinstance(v, int):
+                raise SqlError("NTILE needs an integer bucket count")
+            buckets = v
+        self._expect_paren(")")
+        k, v = self.next()
+        if not (k == "name" and v.lower() == "over"):
+            raise SqlError("window function needs OVER (...)")
+        self._expect_paren("(")
+        part = []
+        k, v = self.peek()
+        if k == "name" and v.lower() == "partition":
+            self.next()
+            self.expect_kw("by")
+            part.append(self._name())
+            while self.accept_op(","):
+                part.append(self._name())
+        order = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                c = self._name()
+                desc = bool(self.accept_kw("desc"))
+                if not desc:
+                    self.accept_kw("asc")
+                order.append((c, desc))
+                if not self.accept_op(","):
+                    break
+        self._expect_paren(")")
+        alias = self._alias()
+        if alias is None:
+            raise SqlError("window select items need AS alias")
+        return ("win", (method, buckets, part, order), alias)
 
     def _alias(self) -> Optional[str]:
         if self.accept_kw("as"):
@@ -484,6 +560,12 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
             items.append((kind, (op, arg, distinct), a))
         elif kind == "expr":
             items.append((kind, _rewrite_ast(e, keymap), a))
+        elif kind == "win":
+            method, buckets, part, order = e
+            items.append((kind, (method, buckets,
+                                 [keymap.get(c, c) for c in part],
+                                 [(keymap.get(c, c), d) for c, d in order]),
+                          a))
         else:
             items.append((kind, e, a))
     out["items"] = items
@@ -531,7 +613,36 @@ def sql(query: str, tables: dict):
     return _exec(q, tables)
 
 
+def _out_names(q: dict):
+    """Declared output column names of a query node, or None when not
+    statically known (SELECT *)."""
+    if "setop" in q:
+        return _out_names(q["left"])
+    if any(kind == "star" for kind, _, _ in q["items"]):
+        return None
+    return [a for _, _, a in q["items"]]
+
+
 def _exec(q: dict, tables: dict):
+    if "setop" in q:
+        left = _exec(q["left"], tables)
+        right = _exec(q["right"], tables)
+        ln, rn = _out_names(q["left"]), _out_names(q["right"])
+        if ln is not None and rn is not None and ln != rn:
+            raise SqlError(
+                f"UNION branches must declare the same columns "
+                f"({ln} vs {rn})")
+        ds = left.union(right)
+        if q["setop"] == "distinct":
+            from datavec_ray.ops.setops import distinct_rows
+            ds = distinct_rows(ds)
+        if q["order"]:
+            ds = ds.sort([c for c, _ in q["order"]],
+                         descending=[d for _, d in q["order"]])
+        if q["limit"] is not None:
+            ds = ds.limit(q["limit"])
+        return ds
+
     ds = _resolve_table(q["table"], tables)
 
     from datavec_ray.join import JoinStep
@@ -558,9 +669,17 @@ def _exec(q: dict, tables: dict):
 
     agg_items = [(e, a) for kind, e, a in q["items"] if kind == "agg"]
     plain = [(e, a) for kind, e, a in q["items"] if kind == "expr"]
+    wins = [(e, a) for kind, e, a in q["items"] if kind == "win"]
     star = any(kind == "star" for kind, _, _ in q["items"])
 
-    if agg_items or q["group"]:
+    if wins:
+        if agg_items or q["group"]:
+            raise SqlError(
+                "window functions cannot mix with GROUP BY/aggregates")
+        if star:
+            raise SqlError("SELECT * cannot mix with window functions")
+        ds = _windowed(ds, q, wins)
+    elif agg_items or q["group"]:
         if star:
             raise SqlError("SELECT * cannot mix with GROUP BY/aggregates")
         ds = _grouped(ds, q, agg_items, plain)
@@ -589,6 +708,73 @@ def _exec(q: dict, tables: dict):
     if q["limit"] is not None:
         ds = ds.limit(q["limit"])
     return ds
+
+
+def _windowed(ds, q, wins):
+    """Plan the window items of a SELECT onto ONE ``misc.window_rank``
+    call (one hash-partition shuffle computes every window column), then
+    project the declared select order."""
+    from datavec_ray.misc import window_rank
+    overs = {(tuple(p), tuple(o)) for (m, b, p, o), _ in wins}
+    if len(overs) != 1:
+        raise SqlError("all window functions in one SELECT must share "
+                       "one OVER clause")
+    _, _, part, order = wins[0][0]
+    if not order:
+        raise SqlError("OVER needs ORDER BY")
+    order_col, descending = order[0]
+    tiebreak = []
+    for c, d in order[1:]:
+        if d:
+            raise SqlError("only the first OVER ORDER BY key may be DESC")
+        tiebreak.append(c)
+    specs, buckets = {}, None
+    for (m, b, _, _), a in wins:
+        if m in ("row_number", "ntile") and len(order) < 2:
+            raise SqlError(f"{m} needs tiebreak ORDER BY keys for a "
+                           "deterministic total order")
+        if m not in ("row_number", "ntile") and len(order) > 1:
+            # extra ORDER BY keys are positional tiebreaks; value-tied
+            # functions rank the COMPOSITE value in SQL — planning that
+            # onto a single-value run scan would silently disagree
+            raise SqlError(f"{m} supports exactly one OVER ORDER BY key "
+                           "(extra keys are row_number/ntile tiebreaks)")
+        specs[a] = m
+        if m == "ntile":
+            if buckets is not None and b != buckets:
+                raise SqlError("multiple NTILE bucket counts in one query")
+            buckets = b
+    keys = list(part)
+    if not keys:
+        # partition-less OVER: a single global window — inherently one
+        # sorter, same as any SQL engine's serial fallback
+        def add_g(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__wg", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+        add_g.__name__ = "sql_win_global"
+        ds = ds.map_batches(add_g, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        keys = ["__wg"]
+    ds = window_rank(ds, keys, order_col, descending=descending,
+                     tiebreak=tiebreak or None, specs=specs,
+                     ntile_buckets=buckets if buckets else 4)
+
+    items = [(kind, e, a) for kind, e, a in q["items"] if kind != "star"]
+
+    def final(t: pa.Table) -> pa.Table:
+        cols = {}
+        for kind, e, a in items:
+            if kind == "win":
+                cols[a] = t[a]
+            else:
+                v = _eval(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.nulls(t.num_rows, v.type).fill_null(v)
+                cols[a] = v
+        return pa.table(cols)
+    final.__name__ = "sql_win_final"
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _cols_in(ast) -> set:

@@ -115,6 +115,30 @@ BATTERY = [
     "group by region) t where n > 100",
     "select note, sum(amount) as s from (select note, qty * price as "
     "amount from sales where qty is not null) t group by note",
+    # window functions (one shared OVER clause per SELECT)
+    "select id, rank() over (partition by region order by qty) as rk "
+    "from sales where qty is not null and region is not null",
+    "select id, row_number() over (partition by note order by price, id) "
+    "as rn, ntile(7) over (partition by note order by price, id) as nt "
+    "from sales",
+    "select id, dense_rank() over (partition by note order by price) as dr "
+    "from sales",
+    "select id, percent_rank() over (partition by region order by qty) "
+    "as pr, cume_dist() over (partition by region order by qty) as cd "
+    "from sales where qty is not null and region is not null",
+    "select id, ntile(4) over (partition by note order by price, id) "
+    "as bucket from sales",
+    "select id, rank() over (partition by region order by qty desc) as rk "
+    "from sales where qty is not null and region is not null",
+    "select id, row_number() over (order by price, id) as rn from sales "
+    "limit 4000",
+    # UNION / UNION ALL (trailing ORDER BY/LIMIT scopes to the union)
+    "select note as k, qty as v from sales where qty > 45 union all "
+    "select region as k, qty as v from sales where qty < 3",
+    "select region from sales where qty > 40 union "
+    "select region from sales where qty < 10",
+    "select note as k from sales where qty > 48 union all "
+    "select note as k from sales where qty < 2 order by k asc limit 20",
 ]
 
 
@@ -136,6 +160,23 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "select region, sum(qty) as s from sales",        # bare col w/o group
     "select id from sales join regions on region < rname",  # theta join
     "select sum(distinct qty) as s from sales",       # distinct non-count
+    # value-tied window fn with composite ORDER BY (composite-value
+    # ranking is not planned — must refuse, not silently misrank)
+    "select dense_rank() over (partition by note order by price, id) "
+    "as dr from sales",
+    # row_number without a deterministic total order
+    "select row_number() over (partition by note order by price) as rn "
+    "from sales",
+    # window fns in one SELECT with different OVER clauses
+    "select rank() over (partition by note order by price) as a, "
+    "rank() over (partition by region order by price) as b from sales",
+    # window fn mixed with aggregates
+    "select note, rank() over (partition by note order by price) as r, "
+    "sum(qty) as s from sales group by note",
+    # UNION branches with mismatched columns
+    "select id, qty from sales union all select qty from sales",
+    # ORDER BY before a later UNION branch
+    "select id from sales order by id union all select id from sales",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
