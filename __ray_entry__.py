@@ -419,6 +419,36 @@ def _q_cdc_upsert(sf_dir: str):
     return final.map_batches(ts_to_ms, batch_format="pyarrow")
 
 
+_SQL_LAKE = """select role, count(*) as n, min(turn_idx) as lo,
+                   max(turn_idx) as hi, count(distinct conv_id) as convs,
+                   avg(length(text)) as avg_len
+            from lake
+            group by role
+            order by role asc"""
+
+
+def _q_cdc_sql(sf_dir: str):
+    """The two flagship surfaces composed: replay the binlog into an
+    exactly-once lake (CdcIngestEngine), then query the lake through
+    the SQL frontend — the statement plans onto read_lake_dataset
+    (projection pushdown) + the combiner Reducer. Oracle = the LWW
+    binlog CTE feeding the IDENTICAL aggregation SQL in DuckDB."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+    from datavec_ray.sql import sql
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="sql_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    eng.replay(binlog, checkpoint_name="base")
+    table = eng.read_lake_dataset(
+        columns=["conv_id", "turn_idx", "role", "text"])
+    return sql(_SQL_LAKE, {"lake": table})
+
+
 def _q_cdc_merge(sf_dir: str):
     """ANSI-MERGE conditional upsert against a replayed lake: build the
     lake from the full binlog, then MERGE a deterministic changeset —
@@ -4418,6 +4448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_split": _q_session_split,
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
+        "cdc_sql": _q_cdc_sql,
         "cdc_merge": _q_cdc_merge,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_aggview": _q_cdc_aggview,
@@ -5007,6 +5038,15 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_sql": _BINLOG_CTE.rstrip() + """
+            , lake as (
+              select conv_id, turn_idx, role, text
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D')
+            """ + _SQL_LAKE,
         "cdc_replicate": _BINLOG_CTE + """
             select conv_id, turn_idx, role, text, tool, ts_ms
             from (select *, row_number() over
