@@ -4354,6 +4354,25 @@ def _q_sql_union(sf_dir: str):
     return sql(_SQL_UNION, {"orders": orders})
 
 
+_SQL_CUBE = """select lang, source, count(*) as n, min(n_chars) as lo,
+                   max(n_chars) as hi, avg(n_chars) as ac
+            from documents
+            group by cube (lang, source)"""
+
+
+def _q_sql_cube(sf_dir: str):
+    """SQL frontend: GROUP BY CUBE planned onto misc.rollup_agg — all
+    2^k grouping sets in ONE map-side-combined pass (AVG as an exact
+    int Sum/Count pair divided post-aggregation). Oracle = the
+    identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_CUBE, {
+        "documents": _read(sf_dir, "documents",
+                           ["lang", "source", "n_chars"]),
+    })
+
+
 def _q_sql_case(sf_dir: str):
     """SQL frontend: CASE WHEN, scalar functions (lower/length),
     and a derived-table subquery, planned onto fused map_batches
@@ -4624,6 +4643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_case": _q_sql_case,
         "sql_window": _q_sql_window,
         "sql_union": _q_sql_union,
+        "sql_cube": _q_sql_cube,
     }
 
 
@@ -7081,6 +7101,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_case": _SQL_CASE,
         "sql_window": _SQL_WINDOW,
         "sql_union": _SQL_UNION,
+        "sql_cube": _SQL_CUBE,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -9,6 +9,9 @@ plans it onto the existing vectorized steps:
 
     WHERE / projection  → one fused ``map_batches`` (pyarrow.compute)
     GROUP BY aggregates → ``reduce.Reducer`` (map-side combiner)
+    CUBE / ROLLUP       → ``misc.rollup_agg`` (all grouping sets in ONE
+                          combiner pass; NULL keys refused — they would
+                          fold into the super-aggregate rows)
     HAVING              → post-reduce ``map_batches`` filter
     JOIN ... ON         → ``join.JoinStep`` (auto broadcast/shuffle)
     window functions    → ``misc.window_rank`` (one hash shuffle, all
@@ -21,7 +24,9 @@ wrong answer is worse than no answer):
 
     query := SELECT [DISTINCT] item [, item ...]
              FROM table [INNER|LEFT JOIN table ON a = b [AND c = d ...]]*
-             [WHERE expr] [GROUP BY col [, col ...]] [HAVING expr]
+             [WHERE expr]
+             [GROUP BY col [, col ...] | CUBE (cols) | ROLLUP (cols)]
+             [HAVING expr] [QUALIFY expr]
              [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
              [UNION [ALL] query]
 
@@ -226,13 +231,28 @@ class _Parser:
                     break
             joins.append((right, lks, rks, how))
         where = self._expr() if self.accept_kw("where") else None
-        group = []
+        group, group_mode = [], "plain"
         if self.accept_kw("group"):
             self.expect_kw("by")
-            group.append(self._name())
-            while self.accept_op(","):
+            k, v = self.peek()
+            if k == "name" and v.lower() in ("cube", "rollup"):
+                self.next()
+                group_mode = v.lower()
+                self._expect_paren("(")
                 group.append(self._name())
+                while self.accept_op(","):
+                    group.append(self._name())
+                self._expect_paren(")")
+            else:
+                group.append(self._name())
+                while self.accept_op(","):
+                    group.append(self._name())
         having = self._expr() if self.accept_kw("having") else None
+        qualify = None
+        k, v = self.peek()
+        if k == "name" and v.lower() == "qualify":
+            self.next()
+            qualify = self._expr()
         order = []
         if self.accept_kw("order"):
             self.expect_kw("by")
@@ -250,7 +270,8 @@ class _Parser:
             limit = v
         return {"items": items, "distinct": distinct, "table": table,
                 "joins": joins, "where": where, "group": group,
-                "having": having, "order": order, "limit": limit}
+                "group_mode": group_mode, "having": having,
+                "qualify": qualify, "order": order, "limit": limit}
 
     def _name(self) -> str:
         k, v = self.next()
@@ -549,6 +570,9 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
     can appear. Select-item ALIASES keep the user's names."""
     out = dict(q)
     out["where"] = _rewrite_ast(q["where"], keymap) if q["where"] else None
+    # QUALIFY runs pre-projection (input columns + window aliases)
+    out["qualify"] = _rewrite_ast(q["qualify"], keymap) \
+        if q.get("qualify") is not None else None
     # HAVING and ORDER BY reference OUTPUT names (aliases), not input
     # columns — they run after the reduce / projection, unrewritten
     out["group"] = [keymap.get(g, g) for g in q["group"]]
@@ -672,6 +696,8 @@ def _exec(q: dict, tables: dict):
     wins = [(e, a) for kind, e, a in q["items"] if kind == "win"]
     star = any(kind == "star" for kind, _, _ in q["items"])
 
+    if q.get("qualify") is not None and not wins:
+        raise SqlError("QUALIFY needs window functions in the SELECT")
     if wins:
         if agg_items or q["group"]:
             raise SqlError(
@@ -758,6 +784,10 @@ def _windowed(ds, q, wins):
     ds = window_rank(ds, keys, order_col, descending=descending,
                      tiebreak=tiebreak or None, specs=specs,
                      ntile_buckets=buckets if buckets else 4)
+    if q.get("qualify") is not None:
+        # pre-projection: input columns AND window aliases in scope
+        ds = ds.map_batches(_filter_fn(q["qualify"], "sql_qualify"),
+                            batch_format="pyarrow", zero_copy_batch=True)
 
     items = [(kind, e, a) for kind, e, a in q["items"] if kind != "star"]
 
@@ -801,6 +831,7 @@ def _cols_in(ast) -> set:
 def _grouped(ds, q, agg_items, plain):
     from datavec_ray.reduce import Reducer
     group = list(q["group"])
+    mode = q.get("group_mode", "plain")
     # non-agg select items under GROUP BY must be expressions over the
     # group keys only (evaluated post-aggregation on the grouped rows)
     for e, a in plain:
@@ -854,10 +885,54 @@ def _grouped(ds, q, agg_items, plain):
         missing = [c for c, v in cols.items() if v is None]
         if missing:
             raise SqlError(f"unknown column(s) {missing}")
+        if mode != "plain":
+            # rollup_agg merges null keys with rolled-up NULLs — a data
+            # NULL in a CUBE/ROLLUP key would silently fold into the
+            # super-aggregate row, so refuse it outright
+            for g in q["group"]:
+                if cols[g].null_count:
+                    raise SqlError(
+                        f"CUBE/ROLLUP key {g!r} contains NULLs (they "
+                        "would merge with the super-aggregate rows)")
         return pa.table(cols)
     prep.__name__ = "sql_agg_prep"
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    ds = Reducer(group, specs).apply_dataset(ds)
+    mean_div = {}
+    if mode == "plain":
+        ds = Reducer(group, specs).apply_dataset(ds)
+    else:
+        from itertools import combinations
+
+        from datavec_ray.misc import rollup_agg
+        aggs = []
+        for col, op, alias in specs:
+            if op == "Mean":
+                # AVG under grouping sets = exact Sum/Count pair,
+                # divided once post-aggregation (matching SQL's
+                # sum/count double division)
+                aggs.append((col, "Sum", f"__s_{alias}"))
+                aggs.append((col, "Count", f"__c_{alias}"))
+                mean_div[alias] = (f"__s_{alias}", f"__c_{alias}")
+            elif op in ("Sum", "Count", "Min", "Max"):
+                aggs.append((col, op, alias))
+            else:
+                raise SqlError(
+                    f"{op} is not supported with GROUP BY CUBE/ROLLUP")
+        sets = None if mode == "rollup" else \
+            [list(c) for r in range(len(group), -1, -1)
+             for c in combinations(group, r)]
+        ds = rollup_agg(ds, group, aggs, sets=sets)
+        if mean_div:
+            def div_means(t: pa.Table) -> pa.Table:
+                for alias, (s, c) in mean_div.items():
+                    t = t.append_column(
+                        alias, pc.divide(pc.cast(t[s], pa.float64()),
+                                         pc.cast(t[c], pa.float64())))
+                return t.drop_columns(
+                    [x for p in mean_div.values() for x in p])
+            div_means.__name__ = "sql_cube_avg"
+            ds = ds.map_batches(div_means, batch_format="pyarrow",
+                                zero_copy_batch=True)
     if q["having"] is not None:
         ds = ds.map_batches(_filter_fn(q["having"], "sql_having"),
                             batch_format="pyarrow", zero_copy_batch=True)

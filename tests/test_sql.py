@@ -132,6 +132,20 @@ BATTERY = [
     "from sales where qty is not null and region is not null",
     "select id, row_number() over (order by price, id) as rn from sales "
     "limit 4000",
+    # GROUP BY CUBE / ROLLUP (one rollup_agg combiner pass)
+    "select region, note, count(*) as n, sum(qty) as s from sales "
+    "where region is not null and qty is not null "
+    "group by cube (region, note)",
+    "select note, region, count(*) as n from sales "
+    "where region is not null group by rollup (note, region)",
+    "select note, avg(price) as ap, min(price) as lo, count(qty) as nq "
+    "from sales group by cube (note)",
+    # QUALIFY (window filter, pre-projection scope)
+    "select id, rank() over (partition by region order by qty) as rk "
+    "from sales where qty is not null and region is not null "
+    "qualify rk <= 3",
+    "select id, note, row_number() over (partition by note "
+    "order by price, id) as rn from sales qualify rn = 1",
     # UNION / UNION ALL (trailing ORDER BY/LIMIT scopes to the union)
     "select note as k, qty as v from sales where qty > 45 union all "
     "select region as k, qty as v from sales where qty < 3",
@@ -177,11 +191,24 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "select id, qty from sales union all select qty from sales",
     # ORDER BY before a later UNION branch
     "select id from sales order by id union all select id from sales",
+    # QUALIFY without a window function
+    "select id from sales qualify id > 3",
+    # COUNT(DISTINCT) under CUBE
+    "select note, count(distinct region) as n from sales "
+    "group by cube (note)",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
         ds = sql(stmt, tables)
         dataset_to_table(ds)
+
+
+def test_cube_null_key_refused(tables):
+    # raised inside the map task, so Ray wraps it — match the message
+    with pytest.raises(Exception, match="contains NULLs"):
+        dataset_to_table(sql(
+            "select region, count(*) as n from sales "
+            "group by cube (region)", tables))
 
 
 def test_left_join_matches(tables, ddb):
