@@ -4360,6 +4360,29 @@ _SQL_CUBE = """select lang, source, count(*) as n, min(n_chars) as lo,
             group by cube (lang, source)"""
 
 
+_SQL_FILTER = """select l_returnflag, count(*) as n,
+                   count(*) filter (where l_quantity > 25) as heavy,
+                   min(l_extendedprice) filter (where l_discount = 0)
+                     as lo_nodisc
+            from lineitem
+            group by l_returnflag
+            order by l_returnflag asc"""
+
+
+def _q_sql_filter(sf_dir: str):
+    """SQL frontend: aggregate FILTER (WHERE ...) clauses — gated
+    inputs null-masked map-side (CASE WHEN c THEN x END), so the
+    conditional aggregates ride the SAME combiner exchange as the
+    unconditional ones. Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_FILTER, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_returnflag", "l_quantity", "l_extendedprice",
+                           "l_discount"]),
+    })
+
+
 def _q_sql_cube(sf_dir: str):
     """SQL frontend: GROUP BY CUBE planned onto misc.rollup_agg — all
     2^k grouping sets in ONE map-side-combined pass (AVG as an exact
@@ -4644,6 +4667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_window": _q_sql_window,
         "sql_union": _q_sql_union,
         "sql_cube": _q_sql_cube,
+        "sql_filter": _q_sql_filter,
     }
 
 
@@ -7102,6 +7126,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_window": _SQL_WINDOW,
         "sql_union": _SQL_UNION,
         "sql_cube": _SQL_CUBE,
+        "sql_filter": _SQL_FILTER,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -32,7 +32,8 @@ wrong answer is worse than no answer):
 
     table := name | ( query ) [AS] alias
     item  := * | expr [AS alias] | agg | win
-    agg   := SUM|MIN|MAX|AVG|COUNT ( [DISTINCT] expr | * ) [AS alias]
+    agg   := SUM|MIN|MAX|AVG|COUNT ( [DISTINCT] expr | * )
+             [FILTER ( WHERE expr )] [AS alias]
     win   := ROW_NUMBER|RANK|DENSE_RANK|PERCENT_RANK|CUME_DIST () |
              NTILE (n) OVER ( [PARTITION BY col, ...]
              ORDER BY col [DESC] [, tiebreak ...] ) AS alias
@@ -298,8 +299,16 @@ class _Parser:
             else:
                 arg = self._expr()
             self._expect_paren(")")
+            filt = None
+            k2, v2 = self.peek()
+            if k2 == "name" and v2.lower() == "filter":
+                self.next()
+                self._expect_paren("(")
+                self.expect_kw("where")
+                filt = self._expr()
+                self._expect_paren(")")
             alias = self._alias() or f"{v}_{len(self.toks)}_{self.i}"
-            return ("agg", (_AGG_FUNCS[v], arg, distinct), alias)
+            return ("agg", (_AGG_FUNCS[v], arg, distinct, filt), alias)
         e = self._expr()
         alias = self._alias()
         if alias is None:
@@ -579,9 +588,10 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
     items = []
     for kind, e, a in q["items"]:
         if kind == "agg":
-            op, arg, distinct = e
+            op, arg, distinct, filt = e
             arg = arg if arg == ("star",) else _rewrite_ast(arg, keymap)
-            items.append((kind, (op, arg, distinct), a))
+            filt = _rewrite_ast(filt, keymap) if filt is not None else None
+            items.append((kind, (op, arg, distinct, filt), a))
         elif kind == "expr":
             items.append((kind, _rewrite_ast(e, keymap), a))
         elif kind == "win":
@@ -841,7 +851,14 @@ def _grouped(ds, q, agg_items, plain):
                 "expression over GROUP BY keys")
     # pre-compute aggregate input expressions as columns
     pre, specs = [], []
-    for idx, ((op, arg, distinct), alias) in enumerate(agg_items):
+    for idx, ((op, arg, distinct, filt), alias) in enumerate(agg_items):
+        if filt is not None:
+            # FILTER (WHERE c): null-mask the aggregate input — SQL
+            # aggregates skip NULLs, so gating = CASE WHEN c THEN x END
+            if distinct:
+                raise SqlError("FILTER with DISTINCT is not supported")
+            base = ("lit", 1) if arg == ("star",) else arg
+            arg = ("case", [(filt, base)], ("lit", None))
         if distinct:
             if op != "Count":
                 raise SqlError("DISTINCT only with COUNT")

@@ -132,6 +132,13 @@ BATTERY = [
     "from sales where qty is not null and region is not null",
     "select id, row_number() over (order by price, id) as rn from sales "
     "limit 4000",
+    # aggregate FILTER clause (null-masked combiner inputs)
+    "select region, sum(qty) filter (where note = 'promo') as promo, "
+    "count(*) filter (where qty > 25) as big, "
+    "count(qty) filter (where note = 'bulk') as nb "
+    "from sales where region is not null group by region",
+    "select count(*) filter (where qty is null) as missing, "
+    "min(price) filter (where note = 'retail') as lo from sales",
     # GROUP BY CUBE / ROLLUP (one rollup_agg combiner pass)
     "select region, note, count(*) as n, sum(qty) as s from sales "
     "where region is not null and qty is not null "
@@ -196,6 +203,9 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # COUNT(DISTINCT) under CUBE
     "select note, count(distinct region) as n from sales "
     "group by cube (note)",
+    # FILTER with DISTINCT
+    "select count(distinct region) filter (where qty > 5) as x "
+    "from sales",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
