@@ -4357,7 +4357,8 @@ def _q_sql_union(sf_dir: str):
 _SQL_CUBE = """select lang, source, count(*) as n, min(n_chars) as lo,
                    max(n_chars) as hi, avg(n_chars) as ac
             from documents
-            group by cube (lang, source)"""
+            group by cube (lang, source)
+            order by lang asc, source desc"""
 
 
 _SQL_FILTER = """select l_returnflag, count(*) as n,

@@ -647,6 +647,43 @@ def sql(query: str, tables: dict):
     return _exec(q, tables)
 
 
+def _null_safe_sort(ds, order):
+    """ORDER BY with SQL null semantics (NULLS LAST, DuckDB's default).
+    Ray's range-partitioned sort compares raw values and chokes on None
+    vs value, so each key is lifted to an (is_null, filled) pair —
+    null flag ascending puts null rows last for ASC and DESC alike."""
+    cols = [c for c, _ in order]
+    desc = [d for _, d in order]
+    flags = [f"__n{i}" for i in range(len(cols))]
+    fills = [f"__s{i}" for i in range(len(cols))]
+
+    def lift(t: pa.Table) -> pa.Table:
+        for i, c in enumerate(cols):
+            a = t[c]
+            t = t.append_column(flags[i], pc.is_null(a))
+            try:
+                filled = pc.fill_null(a, pa.scalar(
+                    "" if pa.types.is_string(a.type)
+                    or pa.types.is_large_string(a.type)
+                    else False if pa.types.is_boolean(a.type)
+                    else 0).cast(a.type))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                filled = a                   # unfillable type: raw column
+            t = t.append_column(fills[i], filled)
+        return t
+    lift.__name__ = "sql_sort_keys"
+    keys = [k for pair in zip(flags, fills) for k in pair]
+    dirs = [d for dd in desc for d in (False, dd)]
+    ds = ds.map_batches(lift, batch_format="pyarrow",
+                        zero_copy_batch=True).sort(keys, descending=dirs)
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns(flags + fills)
+    drop.__name__ = "sql_sort_drop"
+    return ds.map_batches(drop, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _out_names(q: dict):
     """Declared output column names of a query node, or None when not
     statically known (SELECT *)."""
@@ -671,8 +708,7 @@ def _exec(q: dict, tables: dict):
             from datavec_ray.ops.setops import distinct_rows
             ds = distinct_rows(ds)
         if q["order"]:
-            ds = ds.sort([c for c, _ in q["order"]],
-                         descending=[d for _, d in q["order"]])
+            ds = _null_safe_sort(ds, q["order"])
         if q["limit"] is not None:
             ds = ds.limit(q["limit"])
         return ds
@@ -739,8 +775,7 @@ def _exec(q: dict, tables: dict):
         from datavec_ray.ops.setops import distinct_rows
         ds = distinct_rows(ds)
     if q["order"]:
-        ds = ds.sort([c for c, _ in q["order"]],
-                     descending=[d for _, d in q["order"]])
+        ds = _null_safe_sort(ds, q["order"])
     if q["limit"] is not None:
         ds = ds.limit(q["limit"])
     return ds

@@ -132,6 +132,9 @@ BATTERY = [
     "from sales where qty is not null and region is not null",
     "select id, row_number() over (order by price, id) as rn from sales "
     "limit 4000",
+    # ORDER BY over null-containing keys (NULLS LAST both directions)
+    "select region, qty from sales order by region asc, qty desc "
+    "limit 4800",
     # aggregate FILTER clause (null-masked combiner inputs)
     "select region, sum(qty) filter (where note = 'promo') as promo, "
     "count(*) filter (where qty > 25) as big, "
