@@ -4361,6 +4361,30 @@ _SQL_CUBE = """select lang, source, count(*) as n, min(n_chars) as lo,
             order by lang asc, source desc"""
 
 
+_SQL_INSUB = """select o_orderpriority, count(*) as n,
+                   min(o_totalprice) as lo, max(o_totalprice) as hi
+            from orders
+            where o_custkey in (select c_custkey from customer
+                                where c_acctbal > 5000)
+              and o_orderpriority not like '3%'
+            group by o_orderpriority
+            order by o_orderpriority asc"""
+
+
+def _q_sql_insub(sf_dir: str):
+    """SQL frontend: IN (SELECT ...) planned as a broadcast semi-join
+    (the subquery's DISTINCT value set rides ONE ray.put; the probe
+    side streams shuffle-free with SQL three-valued IN semantics),
+    plus NOT LIKE. Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_INSUB, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_custkey", "o_orderpriority", "o_totalprice"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4669,6 +4693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_union": _q_sql_union,
         "sql_cube": _q_sql_cube,
         "sql_filter": _q_sql_filter,
+        "sql_insub": _q_sql_insub,
     }
 
 
@@ -7128,6 +7153,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_union": _SQL_UNION,
         "sql_cube": _SQL_CUBE,
         "sql_filter": _SQL_FILTER,
+        "sql_insub": _SQL_INSUB,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -38,7 +38,8 @@ wrong answer is worse than no answer):
              NTILE (n) OVER ( [PARTITION BY col, ...]
              ORDER BY col [DESC] [, tiebreak ...] ) AS alias
     expr  := arithmetic (+ - * /) over columns/literals, comparisons,
-             AND/OR/NOT, IN (...), BETWEEN, LIKE, IS [NOT] NULL,
+             AND/OR/NOT, [NOT] IN ( literals | SELECT ... ),
+             [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
              CASE WHEN ... END, ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE;
              literals: numbers, 'strings', TIMESTAMP 'iso', NULL
 
@@ -395,23 +396,31 @@ class _Parser:
             neg = bool(self.accept_kw("not"))
             self.expect_kw("null")
             return ("isnull", e, neg)
+        neg = bool(self.accept_kw("not"))       # x NOT IN/BETWEEN/LIKE y
         if self.accept_kw("in"):
             self._expect_paren("(")
+            if self.peek() == ("kw", "select"):
+                sub = self._query()
+                self._expect_paren(")")
+                return ("insub", e, sub, neg)
             lits = [self._literal()]
             while self.accept_op(","):
                 lits.append(self._literal())
             self._expect_paren(")")
-            return ("in", e, lits)
+            return ("not", ("in", e, lits)) if neg else ("in", e, lits)
         if self.accept_kw("between"):
             lo = self._addsub()
             self.expect_kw("and")
             hi = self._addsub()
-            return ("and", ("bin", ">=", e, lo), ("bin", "<=", e, hi))
+            b = ("and", ("bin", ">=", e, lo), ("bin", "<=", e, hi))
+            return ("not", b) if neg else b
         if self.accept_kw("like"):
             k, v = self.next()
             if k != "lit_str":
                 raise SqlError("LIKE needs a string literal")
-            return ("like", e, v)
+            return ("not", ("like", e, v)) if neg else ("like", e, v)
+        if neg:
+            raise SqlError("NOT here must precede IN/BETWEEN/LIKE")
         op = self.accept_op("=", "<>", "!=", "<", "<=", ">", ">=")
         if op:
             return ("bin", {"!=": "<>"}.get(op, op), e, self._addsub())
@@ -518,6 +527,32 @@ def _eval(ast, t: pa.Table):
         return pc.is_in(_eval(ast[1], t), value_set=pa.array(vals))
     if kind == "like":
         return pc.match_like(_eval(ast[1], t), ast[2])
+    if kind == "inset":
+        # bound IN-subquery: broadcast value set + SQL three-valued
+        # logic (NULL probe → NULL; set containing NULL → non-match
+        # is NULL, not FALSE — so NOT IN over a null-bearing set
+        # keeps zero rows, exactly as ANSI/DuckDB)
+        _, e, ref, has_null, neg = ast
+        vals = ref
+        if not isinstance(vals, pa.Array):
+            import ray
+            vals = ray.get(vals)
+        x = _eval(e, t)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        vs = vals
+        if vals.type != x.type:
+            try:
+                vs = vals.cast(x.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError):
+                pass
+        r = pc.is_in(x, value_set=vs)
+        nb = pa.scalar(None, pa.bool_())
+        if has_null:
+            r = pc.if_else(r, pa.scalar(True), nb)
+        r = pc.if_else(pc.is_valid(x), r, nb)
+        return pc.invert(r) if neg else r
     if kind == "valid_int":
         return pc.cast(pc.is_valid(_eval(ast[1], t)), pa.int64())
     if kind == "func":
@@ -600,6 +635,67 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
                                  [keymap.get(c, c) for c in part],
                                  [(keymap.get(c, c), d) for c, d in order]),
                           a))
+        else:
+            items.append((kind, e, a))
+    out["items"] = items
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IN (SELECT ...) binding — broadcast semi-join
+# ---------------------------------------------------------------------------
+
+_INSUB_CAP = 4_000_000
+
+
+def _bind_insub(ast, tables):
+    """Execute each ``IN (SELECT ...)`` subquery and replace its node
+    with an ``inset`` carrying the DISTINCT value set behind a single
+    ``ray.put`` — the classic broadcast semi-join: the subquery side
+    must be small (≤ ``_INSUB_CAP`` values; bigger sides belong in an
+    explicit ``join.semi_join``), the probe side streams, no shuffle."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "insub":
+        _, e, subq, neg = ast
+        e = _bind_insub(e, tables)
+        from datavec_ray.util import dataset_to_table
+        sub = dataset_to_table(_exec(subq, tables))
+        if sub.num_columns != 1:
+            raise SqlError("IN (SELECT ...) must produce exactly one "
+                           f"column, got {sub.column_names}")
+        if sub.num_rows > _INSUB_CAP:
+            raise SqlError(
+                f"IN-subquery produced {sub.num_rows} rows "
+                f"(cap {_INSUB_CAP}); use join.semi_join for large sides")
+        col = sub.column(0).combine_chunks()
+        has_null = col.null_count > 0
+        vals = pc.unique(col.drop_null())
+        import ray
+        ref = ray.put(vals) if ray.is_initialized() else vals
+        return ("inset", e, ref, has_null, neg)
+    return tuple(_bind_insub(x, tables) if isinstance(x, tuple)
+                 else ([_bind_insub(y, tables) for y in x]
+                       if isinstance(x, list) else x) for x in ast)
+
+
+def _bind_q_insub(q: dict, tables: dict) -> dict:
+    """Bind IN-subqueries everywhere an expression can appear in one
+    SELECT node (WHERE / HAVING / QUALIFY / select items / agg args)."""
+    def b(ast):
+        return _bind_insub(ast, tables) if ast is not None else None
+    out = dict(q)
+    out["where"] = b(q["where"])
+    out["having"] = b(q["having"])
+    out["qualify"] = b(q.get("qualify"))
+    items = []
+    for kind, e, a in q["items"]:
+        if kind == "agg":
+            op, arg, distinct, filt = e
+            arg = arg if arg == ("star",) else b(arg)
+            items.append((kind, (op, arg, distinct, b(filt)), a))
+        elif kind == "expr":
+            items.append((kind, b(e), a))
         else:
             items.append((kind, e, a))
     out["items"] = items
@@ -732,6 +828,7 @@ def _exec(q: dict, tables: dict):
                     keymap[rk] = lk
     if keymap:
         q = _rewrite_cols(q, keymap)
+    q = _bind_q_insub(q, tables)
 
     if q["where"] is not None:
         ds = ds.map_batches(_filter_fn(q["where"], "sql_where"),
@@ -948,10 +1045,45 @@ def _grouped(ds, q, agg_items, plain):
                         "would merge with the super-aggregate rows)")
         return pa.table(cols)
     prep.__name__ = "sql_agg_prep"
+    # Ray cannot infer the schema of a constructed-table map over a
+    # zero-row input (an all-filtering WHERE), so compute prep's output
+    # schema statically by running it over a typed empty table and hand
+    # it to the Reducer as a hint (also validates columns at plan time)
+    hint = None
+    in_sch = ds.schema(fetch_if_missing=True)
+    base_sch = getattr(in_sch, "base_schema", in_sch)
+    if isinstance(base_sch, pa.Schema):
+        hint = prep(base_sch.empty_table()).schema
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     mean_div = {}
     if mode == "plain":
-        ds = Reducer(group, specs).apply_dataset(ds)
+        red = Reducer(group, specs)
+        if hint is not None:
+            red._in_schema_hint = hint
+        ds = red.apply_dataset(ds)
+        if synthetic and hint is not None:
+            # global aggregate: SQL returns exactly ONE row even over
+            # zero input rows (COUNT = 0, SUM/MIN/MAX/AVG = NULL). The
+            # reduce of an empty input has zero groups, so materialize
+            # the (≤1-row) result and synthesize the identity row
+            from datavec_ray.schema import Schema as _DvSchema
+            from datavec_ray.util import dataset_to_table
+            import ray.data as rd
+            out_sch = red.output_schema(_DvSchema(hint)).arrow()
+            counts = {alias for (op, arg, _, _), alias in agg_items
+                      if op == "Count" or arg == ("star",)}
+            tbl = dataset_to_table(ds)
+            if tbl.num_rows == 0:
+                cols = {}
+                for f in out_sch:
+                    if f.name in counts:
+                        cols[f.name] = pa.array([0], f.type)
+                    elif f.name == "__g":
+                        cols[f.name] = pa.array([0], f.type)
+                    else:
+                        cols[f.name] = pa.nulls(1, f.type)
+                tbl = pa.table(cols)
+            ds = rd.from_arrow(tbl)
     else:
         from itertools import combinations
 

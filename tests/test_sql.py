@@ -163,6 +163,24 @@ BATTERY = [
     "select region from sales where qty < 10",
     "select note as k from sales where qty > 48 union all "
     "select note as k from sales where qty < 2 order by k asc limit 20",
+    # negated membership / range / pattern predicates
+    "select id, note from sales where note not in ('promo', 'bulk')",
+    "select id from sales where qty not between 5 and 45",
+    "select id from sales where note not like 'pro%'",
+    # IN (SELECT ...): broadcast semi-join with SQL three-valued logic
+    "select id, region from sales where region in "
+    "(select rname from regions where target > 150)",
+    "select count(*) as n from sales where region not in "
+    "(select rname from regions where target > 250)",
+    # probe side contains NULLs (NULL IN ... is NULL → row dropped)
+    "select region, count(*) as n from sales where region in "
+    "(select rname from regions) group by region",
+    # subquery side contains NULLs: NOT IN must keep ZERO rows
+    "select count(*) as n from sales where note not in "
+    "(select region from sales where qty > 48)",
+    # IN-subquery over an aggregating subquery
+    "select id, note from sales where qty in "
+    "(select max(qty) as m from sales group by note)",
 ]
 
 
@@ -209,6 +227,10 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # FILTER with DISTINCT
     "select count(distinct region) filter (where qty > 5) as x "
     "from sales",
+    # IN-subquery must produce exactly one column
+    "select id from sales where region in (select rname, mgr from regions)",
+    # dangling NOT before a comparison
+    "select id from sales where qty not > 5",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
