@@ -127,6 +127,17 @@ _AGG_FUNCS = {"sum": "Sum", "min": "Min", "max": "Max", "avg": "Mean",
               "count": "Count"}
 
 
+def _has_aggref(ast) -> bool:
+    """True when an expression AST contains an aggregate call."""
+    if isinstance(ast, tuple):
+        if ast and ast[0] == "aggref":
+            return True
+        return any(_has_aggref(x) for x in ast)
+    if isinstance(ast, list):
+        return any(_has_aggref(x) for x in ast)
+    return False
+
+
 class _Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
@@ -289,29 +300,18 @@ class _Parser:
                 and self.toks[self.i + 1] == ("op", "("):
             self.i += 1
             return self._window_item(v.lower())
-        if k == "kw" and v in _AGG_FUNCS:
-            self.i += 1
-            self._expect_paren("(")
-            distinct = bool(self.accept_kw("distinct"))
-            if self.accept_op("*"):
-                if v != "count":
-                    raise SqlError(f"{v.upper()}(*) is not supported")
-                arg = ("star",)
-            else:
-                arg = self._expr()
-            self._expect_paren(")")
-            filt = None
-            k2, v2 = self.peek()
-            if k2 == "name" and v2.lower() == "filter":
-                self.next()
-                self._expect_paren("(")
-                self.expect_kw("where")
-                filt = self._expr()
-                self._expect_paren(")")
-            alias = self._alias() or f"{v}_{len(self.toks)}_{self.i}"
-            return ("agg", (_AGG_FUNCS[v], arg, distinct, filt), alias)
         e = self._expr()
         alias = self._alias()
+        if e[0] == "aggref":
+            # a bare aggregate: SUM(x) [AS alias]
+            return ("agg", e[1],
+                    alias or f"agg_{len(self.toks)}_{self.i}")
+        if _has_aggref(e):
+            # an expression OVER aggregates, e.g. sum(a)/count(*) —
+            # evaluated post-reduce on hidden aggregate columns
+            if alias is None:
+                raise SqlError("computed select items need AS alias")
+            return ("aggexpr", e, alias)
         if alias is None:
             if e[0] == "col":
                 alias = e[1]
@@ -462,6 +462,28 @@ class _Parser:
             return ("lit", datetime.datetime.fromisoformat(v))
         if k == "kw" and v == "null":
             return ("lit", None)
+        if k == "kw" and v in _AGG_FUNCS:
+            # aggregate call as an EXPRESSION node (select items and
+            # HAVING); the grouped planner interns each distinct
+            # (op, arg, distinct, filter) as one reduce output column
+            self._expect_paren("(")
+            distinct = bool(self.accept_kw("distinct"))
+            if self.accept_op("*"):
+                if v != "count":
+                    raise SqlError(f"{v.upper()}(*) is not supported")
+                arg = ("star",)
+            else:
+                arg = self._expr()
+            self._expect_paren(")")
+            filt = None
+            k2, v2 = self.peek()
+            if k2 == "name" and v2.lower() == "filter":
+                self.next()
+                self._expect_paren("(")
+                self.expect_kw("where")
+                filt = self._expr()
+                self._expect_paren(")")
+            return ("aggref", (_AGG_FUNCS[v], arg, distinct, filt))
         if k == "kw" and v in _SCALAR_FUNCS:
             self._expect_paren("(")
             args = [self._expr()]
@@ -578,6 +600,9 @@ def _eval(ast, t: pa.Table):
         if name == "coalesce":
             return pc.coalesce(*args)
         raise SqlError(f"unknown function {name!r}")
+    if kind == "aggref":
+        raise SqlError("aggregates are only allowed in SELECT items "
+                       "and HAVING")
     if kind == "case":
         # evaluate as nested if_else, first matching WHEN wins
         out = _eval(ast[2], t)
@@ -627,7 +652,7 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
             arg = arg if arg == ("star",) else _rewrite_ast(arg, keymap)
             filt = _rewrite_ast(filt, keymap) if filt is not None else None
             items.append((kind, (op, arg, distinct, filt), a))
-        elif kind == "expr":
+        elif kind in ("expr", "aggexpr"):
             items.append((kind, _rewrite_ast(e, keymap), a))
         elif kind == "win":
             method, buckets, part, order = e
@@ -694,7 +719,7 @@ def _bind_q_insub(q: dict, tables: dict) -> dict:
             op, arg, distinct, filt = e
             arg = arg if arg == ("star",) else b(arg)
             items.append((kind, (op, arg, distinct, b(filt)), a))
-        elif kind == "expr":
+        elif kind in ("expr", "aggexpr"):
             items.append((kind, b(e), a))
         else:
             items.append((kind, e, a))
@@ -831,27 +856,35 @@ def _exec(q: dict, tables: dict):
     q = _bind_q_insub(q, tables)
 
     if q["where"] is not None:
+        if _has_aggref(q["where"]):
+            raise SqlError("aggregates are not allowed in WHERE")
         ds = ds.map_batches(_filter_fn(q["where"], "sql_where"),
                             batch_format="pyarrow", zero_copy_batch=True)
 
     agg_items = [(e, a) for kind, e, a in q["items"] if kind == "agg"]
+    aggexprs = [(e, a) for kind, e, a in q["items"] if kind == "aggexpr"]
     plain = [(e, a) for kind, e, a in q["items"] if kind == "expr"]
     wins = [(e, a) for kind, e, a in q["items"] if kind == "win"]
     star = any(kind == "star" for kind, _, _ in q["items"])
 
-    if q.get("qualify") is not None and not wins:
-        raise SqlError("QUALIFY needs window functions in the SELECT")
+    if q.get("qualify") is not None:
+        if not wins:
+            raise SqlError("QUALIFY needs window functions in the SELECT")
+        if _has_aggref(q["qualify"]):
+            raise SqlError("aggregates are not allowed in QUALIFY")
     if wins:
-        if agg_items or q["group"]:
+        if agg_items or aggexprs or q["group"]:
             raise SqlError(
                 "window functions cannot mix with GROUP BY/aggregates")
         if star:
             raise SqlError("SELECT * cannot mix with window functions")
         ds = _windowed(ds, q, wins)
-    elif agg_items or q["group"]:
+    elif agg_items or aggexprs or q["group"]:
         if star:
             raise SqlError("SELECT * cannot mix with GROUP BY/aggregates")
-        ds = _grouped(ds, q, agg_items, plain)
+        ds = _grouped(ds, q, agg_items, aggexprs, plain)
+    elif q["having"] is not None:
+        raise SqlError("HAVING needs GROUP BY or aggregates")
     elif not star:
         names = [a for _, a in plain]
         exprs = [e for e, _ in plain]
@@ -970,7 +1003,7 @@ def _cols_in(ast) -> set:
     return out
 
 
-def _grouped(ds, q, agg_items, plain):
+def _grouped(ds, q, agg_items, aggexprs, plain):
     from datavec_ray.reduce import Reducer
     group = list(q["group"])
     mode = q.get("group_mode", "plain")
@@ -981,9 +1014,36 @@ def _grouped(ds, q, agg_items, plain):
             raise SqlError(
                 f"select item {a!r} is neither an aggregate nor an "
                 "expression over GROUP BY keys")
+    # intern every aggregate call — bare items keep their alias; aggs
+    # embedded in expressions (aggexpr items, HAVING) get a hidden
+    # reduce column, substituted into the expression as a col ref
+    all_aggs = list(agg_items)
+
+    def intern(spec) -> str:
+        for s, a in all_aggs:
+            if s == spec:
+                return a
+        a = f"__h{len(all_aggs)}"
+        all_aggs.append((spec, a))
+        return a
+
+    def subst(ast):
+        if isinstance(ast, tuple):
+            if ast and ast[0] == "aggref":
+                return ("col", intern(ast[1]))
+            return tuple(subst(x) for x in ast)
+        if isinstance(ast, list):
+            return [subst(x) for x in ast]
+        return ast
+
+    aggexprs = [(subst(e), a) for e, a in aggexprs]
+    having = subst(q["having"]) if q["having"] is not None else None
     # pre-compute aggregate input expressions as columns
     pre, specs = [], []
-    for idx, ((op, arg, distinct, filt), alias) in enumerate(agg_items):
+    count_aliases = set()
+    for idx, ((op, arg, distinct, filt), alias) in enumerate(all_aggs):
+        if op == "Count":
+            count_aliases.add(alias)
         if filt is not None:
             # FILTER (WHERE c): null-mask the aggregate input — SQL
             # aggregates skip NULLs, so gating = CASE WHEN c THEN x END
@@ -1070,13 +1130,11 @@ def _grouped(ds, q, agg_items, plain):
             from datavec_ray.util import dataset_to_table
             import ray.data as rd
             out_sch = red.output_schema(_DvSchema(hint)).arrow()
-            counts = {alias for (op, arg, _, _), alias in agg_items
-                      if op == "Count" or arg == ("star",)}
             tbl = dataset_to_table(ds)
             if tbl.num_rows == 0:
                 cols = {}
                 for f in out_sch:
-                    if f.name in counts:
+                    if f.name in count_aliases:
                         cols[f.name] = pa.array([0], f.type)
                     elif f.name == "__g":
                         cols[f.name] = pa.array([0], f.type)
@@ -1117,21 +1175,33 @@ def _grouped(ds, q, agg_items, plain):
             div_means.__name__ = "sql_cube_avg"
             ds = ds.map_batches(div_means, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    if q["having"] is not None:
-        ds = ds.map_batches(_filter_fn(q["having"], "sql_having"),
+    if having is not None:
+        ds = ds.map_batches(_filter_fn(having, "sql_having"),
                             batch_format="pyarrow", zero_copy_batch=True)
-    # declared select order: group-key expressions (under their aliases —
-    # a join-key rewrite can make alias != physical column) then aggs
+    # project the DECLARED select order: group-key expressions (under
+    # their aliases — a join-key rewrite can make alias != physical
+    # column), bare aggregates by alias, aggregate expressions over
+    # hidden reduce columns; hidden columns are dropped here
+    aggexpr_map = {a: e for e, a in aggexprs}
+    out_items = []
+    for kind, e, a in q["items"]:
+        if kind == "agg":
+            out_items.append(("take", None, a))
+        elif kind == "aggexpr":
+            out_items.append(("eval", aggexpr_map[a], a))
+        elif kind == "expr":
+            out_items.append(("eval", e, a))
 
     def final(t: pa.Table) -> pa.Table:
         cols = {}
-        for e, alias in plain:
-            v = _eval(e, t)
-            if isinstance(v, pa.Scalar):
-                v = pa.nulls(t.num_rows, v.type).fill_null(v)
-            cols[alias] = v
-        for _, alias in agg_items:
-            cols[alias] = t[alias]
+        for how, e, alias in out_items:
+            if how == "take":
+                cols[alias] = t[alias]
+            else:
+                v = _eval(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.nulls(t.num_rows, v.type).fill_null(v)
+                cols[alias] = v
         return pa.table(cols)
     final.__name__ = "sql_agg_final"
     return ds.map_batches(final, batch_format="pyarrow",

@@ -181,18 +181,23 @@ BATTERY = [
     # IN-subquery over an aggregating subquery
     "select id, note from sales where qty in "
     "(select max(qty) as m from sales group by note)",
+    # aggregate expressions: HAVING over raw aggregates, computed items
+    "select region, avg(price) as ap from sales group by region "
+    "having avg(price) > 45 and count(*) > 50",
+    "select note, sum(qty * price) / sum(qty) as wavg from sales "
+    "where qty is not null group by note",
+    "select max(price) - min(price) as spread, "
+    "count(*) - count(qty) as missing from sales",
+    "select region, count(*) as n from sales group by region "
+    "having sum(qty) > 100 and max(price) < 100",
+    "select note, round(sum(price) / count(*), 2) as avg2 from sales "
+    "group by note having count(distinct region) >= 2",
 ]
 
 
 @pytest.mark.parametrize("stmt", BATTERY)
 def test_battery_matches_duckdb(tables, ddb, stmt):
-    # HAVING on aggregate expressions: the frontend requires the alias
-    ray_stmt = stmt
-    if "having min(price)" in stmt:
-        ray_stmt = stmt.replace("having min(price) >= 0", "having lo >= 0")
-    if "having sum(qty)" in stmt:
-        ray_stmt = stmt.replace("having sum(qty) > 100", "having s > 100")
-    _match(stmt, sql(ray_stmt, tables), ddb.sql(stmt).df())
+    _match(stmt, sql(stmt, tables), ddb.sql(stmt).df())
 
 
 @pytest.mark.parametrize("stmt", [
@@ -231,6 +236,10 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "select id from sales where region in (select rname, mgr from regions)",
     # dangling NOT before a comparison
     "select id from sales where qty not > 5",
+    # aggregates outside SELECT/HAVING scope
+    "select id from sales where sum(qty) > 5",
+    "select sum(qty) + 1 from sales",            # computed needs alias
+    "select id from sales having count(*) > 1",  # HAVING w/o grouping
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
