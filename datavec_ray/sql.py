@@ -40,6 +40,9 @@ wrong answer is worse than no answer):
     expr  := arithmetic (+ - * /) over columns/literals, comparisons,
              AND/OR/NOT, [NOT] IN ( literals | SELECT ... ),
              [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
+             ( SELECT ... ) scalar subqueries, [NOT] EXISTS ( SELECT ),
+             (subqueries must be uncorrelated — IN plans as a broadcast
+             semi-join, scalar/EXISTS fold to literals at plan time),
              CASE WHEN ... END, ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE;
              literals: numbers, 'strings', TIMESTAMP 'iso', NULL
 
@@ -446,6 +449,10 @@ class _Parser:
         if self.accept_op("-"):
             return ("arith", "-", ("lit", 0), self._unary())
         if self.accept_op("("):
+            if self.peek() == ("kw", "select"):
+                sub = self._query()
+                self._expect_paren(")")
+                return ("scalarsub", sub)
             e = self._expr()
             self._expect_paren(")")
             return e
@@ -454,6 +461,12 @@ class _Parser:
     def _atom(self):
         k, v = self.next()
         if k == "name":
+            if v.lower() == "exists" and self.peek() == ("op", "(") \
+                    and self.toks[self.i + 1] == ("kw", "select"):
+                self.next()
+                sub = self._query()
+                self._expect_paren(")")
+                return ("existssub", sub)
             return ("col", v.split(".")[-1])
         if k == "lit_num" or k == "lit_str":
             return ("lit", v)
@@ -616,6 +629,8 @@ def _eval(ast, t: pa.Table):
 def _filter_fn(ast, name: str):
     def fn(t: pa.Table) -> pa.Table:
         mask = _eval(ast, t)
+        if isinstance(mask, pa.Scalar):     # constant predicate (EXISTS)
+            mask = pa.array([mask.as_py()] * t.num_rows, pa.bool_())
         if isinstance(mask, pa.ChunkedArray):
             mask = mask.combine_chunks()
         return t.filter(pc.fill_null(mask, False))
@@ -681,6 +696,25 @@ def _bind_insub(ast, tables):
     explicit ``join.semi_join``), the probe side streams, no shuffle."""
     if not isinstance(ast, tuple):
         return ast
+    if ast[0] == "scalarsub":
+        # uncorrelated scalar subquery → a literal (0 rows → NULL,
+        # >1 rows is an error, exactly as ANSI)
+        from datavec_ray.util import dataset_to_table
+        sub = dataset_to_table(_exec(ast[1], tables))
+        if sub.num_columns != 1:
+            raise SqlError("scalar subquery must produce one column, "
+                           f"got {sub.column_names}")
+        if sub.num_rows > 1:
+            raise SqlError(
+                f"scalar subquery produced {sub.num_rows} rows")
+        v = sub.column(0)[0].as_py() if sub.num_rows else None
+        return ("lit", v)
+    if ast[0] == "existssub":
+        # uncorrelated EXISTS → a boolean literal; only probe for the
+        # FIRST row (limit(1) stops the subquery's streaming executor
+        # as soon as any block arrives)
+        n = _exec(ast[1], tables).limit(1).count()
+        return ("lit", n > 0)
     if ast[0] == "insub":
         _, e, subq, neg = ast
         e = _bind_insub(e, tables)

@@ -181,6 +181,15 @@ BATTERY = [
     # IN-subquery over an aggregating subquery
     "select id, note from sales where qty in "
     "(select max(qty) as m from sales group by note)",
+    # scalar subqueries and [NOT] EXISTS (uncorrelated, fold to literals)
+    "select id, price from sales where price > "
+    "(select avg(price) as a from sales) and qty > 40",
+    "select id, qty - (select max(target) as m from regions) as gap "
+    "from sales where qty > 45",
+    "select count(*) as n from sales where exists "
+    "(select rname from regions where target > 350)",
+    "select count(*) as n from sales where not exists "
+    "(select rname from regions where target > 999) and qty > 25",
     # aggregate expressions: HAVING over raw aggregates, computed items
     "select region, avg(price) as ap from sales group by region "
     "having avg(price) > 45 and count(*) > 50",
@@ -240,6 +249,10 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "select id from sales where sum(qty) > 5",
     "select sum(qty) + 1 from sales",            # computed needs alias
     "select id from sales having count(*) > 1",  # HAVING w/o grouping
+    # scalar subquery with more than one row
+    "select id from sales where qty > (select qty from sales)",
+    # scalar subquery with more than one column
+    "select id from sales where qty > (select qty, price from sales)",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
