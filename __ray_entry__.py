@@ -449,6 +449,45 @@ def _q_cdc_sql(sf_dir: str):
     return sql(_SQL_LAKE, {"lake": table})
 
 
+def _q_cdc_stats(sf_dir: str):
+    """Metadata-only table statistics over the replayed lake:
+    ``CdcIngestEngine.table_stats`` answers count/min/max/null-count
+    from parquet FOOTERS only for rewrite-mode partitions (sound
+    because a committed partition file IS the live state — tombstones
+    dropped at commit), with an exact pruned-scan fallback for the
+    string column. The 100-TB shape: counting the lake reads only
+    footers. Oracle = the same statistics from the LWW state in SQL."""
+    import tempfile
+
+    from datavec_ray.cdc.binlog import binlog_from_events
+    from datavec_ray.cdc.engine import CdcIngestEngine
+
+    ds = _read(sf_dir, "events")
+    binlog = ds.map_batches(binlog_from_events, batch_format="pyarrow")
+    lake = tempfile.mkdtemp(prefix="stats_lake")
+    eng = CdcIngestEngine(lake, num_partitions=8)
+    try:
+        eng.replay(binlog, checkpoint_name="base")
+        st = eng.table_stats(["ts", "turn_idx", "tool"])
+    finally:
+        eng.shutdown()
+
+    def ms(v):
+        return pa.scalar(v, pa.timestamp("ms")).cast(pa.int64()).as_py()
+
+    c = st["columns"]
+    return pa.table({
+        "n_rows": pa.array([st["rows"]], pa.int64()),
+        "ts_lo": pa.array([ms(c["ts"]["min"])], pa.int64()),
+        "ts_hi": pa.array([ms(c["ts"]["max"])], pa.int64()),
+        "turn_lo": pa.array([c["turn_idx"]["min"]], pa.int64()),
+        "turn_hi": pa.array([c["turn_idx"]["max"]], pa.int64()),
+        "tool_nulls": pa.array([c["tool"]["null_count"]], pa.int64()),
+        "tool_lo": pa.array([c["tool"]["min"]], pa.string()),
+        "tool_hi": pa.array([c["tool"]["max"]], pa.string()),
+    })
+
+
 def _q_cdc_merge(sf_dir: str):
     """ANSI-MERGE conditional upsert against a replayed lake: build the
     lake from the full binlog, then MERGE a deterministic changeset —
@@ -4516,6 +4555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "cdc_upsert": _q_cdc_upsert,
         "cdc_sql": _q_cdc_sql,
+        "cdc_stats": _q_cdc_stats,
         "cdc_merge": _q_cdc_merge,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_aggview": _q_cdc_aggview,
@@ -5108,6 +5148,22 @@ def oracle_sql() -> dict[str, str]:
                      order by ts_ms desc, lsn desc) as rn
                   from e) t
             where rn = 1 and op <> 'D'""",
+        "cdc_stats": _BINLOG_CTE.rstrip() + """
+            , state as (
+              select conv_id, turn_idx, tool, ts_ms
+              from (select *, row_number() over
+                      (partition by conv_id, turn_idx
+                       order by ts_ms desc, lsn desc) as rn
+                    from e) t
+              where rn = 1 and op <> 'D')
+            select cast(count(*) as bigint) as n_rows,
+                   min(ts_ms) as ts_lo, max(ts_ms) as ts_hi,
+                   cast(min(turn_idx) as bigint) as turn_lo,
+                   cast(max(turn_idx) as bigint) as turn_hi,
+                   cast(count(*) filter (where tool is null) as bigint)
+                     as tool_nulls,
+                   min(tool) as tool_lo, max(tool) as tool_hi
+            from state""",
         "cdc_sql": _BINLOG_CTE.rstrip() + """
             , lake as (
               select conv_id, turn_idx, role, text

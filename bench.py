@@ -41,7 +41,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "cdc_copart_join", "cdc_renderview", "time_resample",
                  "jaccard_against", "grouped_moments", "cdc_merge",
                  "cdc_replicate", "cdc_zonemap", "cdc_expectations",
-                 "merge_intervals", "cdc_wap", "cdc_autosalt", "tpch_q18"]
+                 "merge_intervals", "cdc_wap", "cdc_autosalt", "tpch_q18",
+                 "cdc_stats", "sql_insub"]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -831,6 +831,97 @@ def merge_segments(files: Sequence[str], drop_tombstones: bool,
     return lww_compact_table(t, drop_tombstones=drop_tombstones)
 
 
+_FOOTER_STAT_TYPES = (pa.types.is_integer, pa.types.is_floating,
+                      pa.types.is_boolean, pa.types.is_temporal,
+                      pa.types.is_decimal)
+
+
+def _footer_stats(paths: Sequence[str], cols: Sequence[str]) -> dict:
+    """Exact statistics for a batch of rewrite-mode lake files from
+    parquet FOOTERS only — zero data pages read. min/max is trusted
+    only for numeric/temporal/boolean/decimal columns (parquet may
+    TRUNCATE string min/max, which would be silently wrong); columns
+    whose footer stats are absent or untrustworthy are reported in
+    ``fallback`` and recomputed by the caller with a pruned scan."""
+    out = {"rows": 0, "bytes": 0, "files": len(paths),
+           "cols": {c: {"min": None, "max": None, "null_count": 0}
+                    for c in cols},
+           "fallback": set()}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        out["rows"] += md.num_rows
+        out["bytes"] += os.path.getsize(p)
+        if not cols:
+            continue
+        sch = md.schema.to_arrow_schema()
+        for c in cols:
+            idx = sch.get_field_index(c)
+            if idx < 0:
+                raise KeyError(f"column {c!r} not in lake file {p}")
+            acc = out["cols"][c]
+            trusted = any(f(sch.field(idx).type)
+                          for f in _FOOTER_STAT_TYPES)
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(idx)
+                st = cc.statistics
+                if st is None or st.null_count is None:
+                    out["fallback"].add(c)
+                    continue
+                acc["null_count"] += st.null_count
+                if st.has_min_max:
+                    if not trusted:
+                        out["fallback"].add(c)
+                        continue
+                    lo, hi = st.min, st.max
+                    acc["min"] = lo if acc["min"] is None \
+                        else min(acc["min"], lo)
+                    acc["max"] = hi if acc["max"] is None \
+                        else max(acc["max"], hi)
+                elif st.num_values:
+                    # non-null values exist but no min/max recorded
+                    out["fallback"].add(c)
+    return out
+
+
+def _delta_stats(lake_dir: str, pid: int, cols: Sequence[str]) -> dict:
+    """Exact statistics for one DELTA-mode partition: merge-on-read
+    (column-pruned to the LWW key set + requested columns), then
+    direct min/max/null_count — footer stats cannot be trusted here
+    because base/delta rows overlap and tombstones hide rows."""
+    lww = ["conv_id", "turn_idx", "ts", "lsn", "op"]
+    seg_cols = lww + [c for c in cols if c not in lww]
+    t = merge_segments(_delta_segment_files(lake_dir, pid),
+                       drop_tombstones=True, columns=seg_cols)
+    out = {"rows": t.num_rows, "bytes": 0, "files": 0,
+           "cols": {}, "fallback": set()}
+    for c in cols:
+        col = t[c]
+        mm = pc.min_max(col)
+        out["cols"][c] = {"min": mm["min"].as_py(),
+                          "max": mm["max"].as_py(),
+                          "null_count": col.null_count}
+    return out
+
+
+def _merge_stats(parts: Sequence[dict], cols: Sequence[str]) -> dict:
+    total = {"rows": 0, "bytes": 0, "files": 0,
+             "cols": {c: {"min": None, "max": None, "null_count": 0}
+                      for c in cols},
+             "fallback": set()}
+    for p in parts:
+        total["rows"] += p["rows"]
+        total["bytes"] += p["bytes"]
+        total["files"] += p["files"]
+        total["fallback"] |= set(p["fallback"])
+        for c, acc in p["cols"].items():
+            t = total["cols"][c]
+            t["null_count"] += acc["null_count"]
+            for k, f in (("min", min), ("max", max)):
+                if acc[k] is not None:
+                    t[k] = acc[k] if t[k] is None else f(t[k], acc[k])
+    return total
+
+
 def _compact_partition(lake_dir: str, pid: int) -> Optional[dict]:
     """Fold one partition's LSM segments into a single base segment.
     Tombstones are RETAINED (narrow null-payload rows): the NEXT
@@ -2205,6 +2296,95 @@ class CdcIngestEngine:
             return rd.from_arrow(empty.select(columns)
                                  if columns is not None else empty)
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    def table_stats(self, columns: Optional[Sequence[str]] = None,
+                    files_per_task: int = 64) -> dict:
+        """Exact table statistics — row count and per-column
+        min/max/null_count — computed from parquet FOOTERS only for
+        rewrite-mode partitions: ``count(*)`` / ``min`` / ``max`` over
+        a 100 TB lake answers in seconds because only metadata leaves
+        storage. Sound because a committed rewrite-mode partition file
+        IS the live state (tombstones physically dropped at commit,
+        ``commit_partition``).
+
+        Three escape hatches keep the answer EXACT, never approximate:
+        delta-mode partitions (base/delta rows overlap, tombstones
+        hide rows) take a column-pruned merge-on-read task each;
+        string/binary columns fall back to a pruned scan (parquet may
+        truncate string min/max in footers); and any row group with
+        missing statistics triggers the same scan fallback. The
+        ``footer_only`` flag in the result reports whether any data
+        pages were read.
+
+        Footer reads fan out as Ray tasks (``files_per_task`` footers
+        per task) so a 64k-file lake scans its metadata in parallel.
+        """
+        import ray
+
+        cols = list(columns or [])
+        names = [f for f in os.listdir(self.lake_dir)
+                 if f.endswith(".parquet") and f.startswith("part-")]
+        plain = sorted(os.path.join(self.lake_dir, f) for f in names
+                       if ".base." not in f and ".delta-" not in f)
+        seg_pids = sorted({int(f[len("part-"):].split(".")[0])
+                           for f in names
+                           if ".base." in f or ".delta-" in f})
+        parts: list[dict] = []
+        tasks = []
+        if plain:
+            foot = ray.remote(_footer_stats)
+            tasks += [foot.remote(plain[i:i + files_per_task], cols)
+                      for i in range(0, len(plain), files_per_task)]
+        if seg_pids:
+            delta = ray.remote(_delta_stats)
+            tasks += [delta.remote(self.lake_dir, pid, cols)
+                      for pid in seg_pids]
+        if tasks:
+            parts = ray.get(tasks)
+        total = _merge_stats(parts, cols)
+        fallback = sorted(total.pop("fallback"))
+        if fallback and plain:
+            # pruned re-scan of ONLY the untrusted columns over ONLY
+            # the rewrite-mode files; per-batch partials, driver merge
+            import ray.data as rd
+
+            def _partial(t: pa.Table) -> pa.Table:
+                row = {}
+                for c in fallback:
+                    mm = pc.min_max(t[c])
+                    row[f"{c}__min"] = [mm["min"].as_py()]
+                    row[f"{c}__max"] = [mm["max"].as_py()]
+                    row[f"{c}__nulls"] = [t[c].null_count]
+                return pa.table(row)
+            _partial.__name__ = "stats_fallback_partial"
+            small = rd.read_parquet(plain, columns=fallback).map_batches(
+                _partial, batch_format="pyarrow").take_all()
+            for c in fallback:
+                acc = {"min": None, "max": None, "null_count": 0}
+                for r in small:
+                    acc["null_count"] += r[f"{c}__nulls"]
+                    for k, f in (("min", min), ("max", max)):
+                        v = r[f"{c}__{k}"]
+                        if v is not None:
+                            acc[k] = v if acc[k] is None else f(acc[k], v)
+                # delta partitions already contributed exact values
+                d = total["cols"][c]
+                acc["null_count"] += sum(
+                    p["cols"][c]["null_count"] for p in parts
+                    if c not in p["fallback"] and p["files"] == 0)
+                for k, f in (("min", min), ("max", max)):
+                    dv = None
+                    for p in parts:
+                        if p["files"] == 0 and p["cols"][c][k] is not None:
+                            pv = p["cols"][c][k]
+                            dv = pv if dv is None else f(dv, pv)
+                    if dv is not None:
+                        acc[k] = dv if acc[k] is None else f(acc[k], dv)
+                total["cols"][c] = acc
+        return {"rows": total["rows"], "files": total["files"],
+                "bytes": total["bytes"],
+                "footer_only": not fallback and not seg_pids,
+                "columns": total["cols"]}
 
     def compact(self, partitions: Optional[Sequence[int]] = None) -> list[dict]:
         """Fold every delta segment back into its partition's base

@@ -1,0 +1,87 @@
+"""table_stats: exact lake statistics from parquet footers only
+(rewrite mode), merge-on-read tasks for delta partitions, pruned-scan
+fallback for string columns — every number must equal a direct
+computation over read_lake()."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from datavec_ray.cdc import CdcIngestEngine, synth_binlog
+from datavec_ray.cdc.binlog import split_segments
+
+
+@pytest.fixture(scope="module")
+def binlog():
+    return synth_binlog(5000, seed=33)
+
+
+def _direct(state: pa.Table, cols):
+    out = {"rows": state.num_rows, "columns": {}}
+    for c in cols:
+        mm = pc.min_max(state[c])
+        out["columns"][c] = {"min": mm["min"].as_py(),
+                             "max": mm["max"].as_py(),
+                             "null_count": state[c].null_count}
+    return out
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "delta"])
+def test_table_stats_matches_direct(ray_session, binlog, tmp_path, mode):
+    eng = CdcIngestEngine(str(tmp_path / mode), num_partitions=4,
+                          commit_mode=mode)
+    for i, seg in enumerate(split_segments(binlog, 2)):
+        eng.replay(seg, checkpoint_name=f"v{i}")
+    state = eng.read_lake()
+    cols = ["ts", "turn_idx", "tool"]
+    got = eng.table_stats(cols)
+    want = _direct(state, cols)
+    assert got["rows"] == want["rows"]
+    for c in ("ts", "turn_idx"):
+        assert got["columns"][c] == want["columns"][c], c
+    # tool is a string column: min/max must come from the exact
+    # fallback scan (footer string stats may be truncated), and still
+    # equal the direct computation
+    assert got["columns"]["tool"] == want["columns"]["tool"]
+    if mode == "rewrite":
+        # numeric-only stats over a rewrite lake touch footers only
+        assert eng.table_stats(["ts", "turn_idx"])["footer_only"]
+        assert not got["footer_only"]          # tool forced a scan
+    else:
+        assert not got["footer_only"]          # merge-on-read partitions
+    assert got["files"] >= (4 if mode == "rewrite" else 0)
+    eng.shutdown()
+
+
+def test_table_stats_rowcount_only(ray_session, binlog, tmp_path):
+    eng = CdcIngestEngine(str(tmp_path / "cnt"), num_partitions=4)
+    eng.replay(binlog, checkpoint_name="v0")
+    got = eng.table_stats()
+    assert got["rows"] == eng.read_lake().num_rows
+    assert got["footer_only"] and got["columns"] == {}
+    assert got["bytes"] > 0
+    eng.shutdown()
+
+
+def test_table_stats_counts_only_live_rows(ray_session, tmp_path):
+    # deletes must not be counted: tombstones are dropped at commit
+    # (rewrite) / suppressed by merge-on-read (delta)
+    rows = pa.table({
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "op": ["I", "I", "D", "I"],
+        "conv_id": ["a", "b", "a", "c"],
+        "turn_idx": pa.array([0, 0, 0, 0], pa.int32()),
+        "role": ["user"] * 4,
+        "text": ["x", "y", "z", "w"],
+        "tool": [None, "t", None, None],
+        "ts": pa.array([10, 20, 30, 40], pa.timestamp("ms")),
+    })
+    import ray.data as rd
+    for mode in ("rewrite", "delta"):
+        eng = CdcIngestEngine(str(tmp_path / f"del_{mode}"),
+                              num_partitions=2, commit_mode=mode)
+        eng.replay(rd.from_arrow(rows), checkpoint_name="v0")
+        st = eng.table_stats(["turn_idx"])
+        assert st["rows"] == 2                  # conv a deleted
+        assert st["columns"]["turn_idx"]["null_count"] == 0
+        eng.shutdown()
