@@ -4424,6 +4424,29 @@ def _q_sql_insub(sf_dir: str):
     })
 
 
+_SQL_OUTERJOIN = """select o_orderkey, c_custkey, o_totalprice, c_acctbal
+            from (select o_orderkey, o_custkey, o_totalprice from orders
+                  where o_totalprice > 150000) a
+            full outer join (select c_custkey, c_acctbal from customer
+                             where c_acctbal > 5000) b
+            on o_custkey = c_custkey"""
+
+
+def _q_sql_outerjoin(sf_dir: str):
+    """SQL frontend: FULL OUTER JOIN with exact ANSI key semantics —
+    planned onto the bucket co-partition join (ONE hash exchange,
+    per-bucket pyarrow join with coalesce_keys=False so BOTH key
+    columns survive: left key NULL on right-only rows and vice versa).
+    Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_OUTERJOIN, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4734,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_cube": _q_sql_cube,
         "sql_filter": _q_sql_filter,
         "sql_insub": _q_sql_insub,
+        "sql_outerjoin": _q_sql_outerjoin,
     }
 
 
@@ -7210,6 +7234,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_cube": _SQL_CUBE,
         "sql_filter": _SQL_FILTER,
         "sql_insub": _SQL_INSUB,
+        "sql_outerjoin": _SQL_OUTERJOIN,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -66,11 +66,25 @@ class JoinStep(WideStep):
                  join_type: str = "Inner",
                  broadcast: Optional[bool] = None,
                  num_partitions: int = 32,
-                 strategy: str = "ray"):
+                 strategy: str = "ray",
+                 keep_right_keys: bool = False):
         if join_type not in JOIN_TYPES:
             raise ValueError(f"join_type must be one of {sorted(JOIN_TYPES)}")
         if strategy not in ("bucket", "ray"):
             raise ValueError("strategy must be 'bucket' or 'ray'")
+        if keep_right_keys:
+            # exact ANSI outer-join key semantics: right keys survive
+            # as their own columns (left key NULL on right-only rows,
+            # right key NULL on left-only rows) — only the bucket path
+            # can express this (pyarrow coalesce_keys=False per bucket)
+            if strategy != "bucket":
+                raise ValueError("keep_right_keys requires strategy='bucket'")
+            clash = [rk for lk, rk in zip(keys, right_keys or keys)
+                     if rk == lk]
+            if clash:
+                raise ValueError(
+                    f"keep_right_keys needs distinct key names, got {clash} "
+                    "on both sides (rename one side first)")
         self.right = right
         self.keys = list(keys)
         self.right_keys = list(right_keys) if right_keys else list(keys)
@@ -78,6 +92,7 @@ class JoinStep(WideStep):
         self.broadcast = broadcast
         self.num_partitions = num_partitions
         self.strategy = strategy
+        self.keep_right_keys = keep_right_keys
 
     # -- helpers -------------------------------------------------------------
     def _resolved_right(self):
@@ -143,9 +158,21 @@ class JoinStep(WideStep):
             out = self._bucket_shuffle_join(ds)
             if out is not None:
                 return out
+            if self.keep_right_keys:
+                raise ValueError(
+                    "keep_right_keys join needs a statically known left "
+                    "schema (Dataset.join would coalesce the keys away)")
         right_ds = self._right_dataset()
+        # Dataset.join runs a pool of hash-shuffle aggregator actors
+        # sized by num_partitions; on a session with fewer CPUs than
+        # the configured partition count the pool oversubscribes badly
+        # (observed: a 4-CPU test session crawling on a 32-partition
+        # join of 2k rows), so cap partitions at the cluster's CPUs
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+        nparts = max(2, min(self.num_partitions, cpus))
         return ds.join(right_ds, join_type=JOIN_TYPES[self.join_type],
-                       num_partitions=self.num_partitions,
+                       num_partitions=nparts,
                        on=tuple(self.keys), right_on=tuple(self.right_keys),
                        right_suffix="_r")
 
@@ -218,11 +245,23 @@ class JoinStep(WideStep):
 
         rv_names = [f.name for f in right_val_fields]
 
+        keep = self.keep_right_keys
+        rks = list(self.right_keys)
+
         def _bucket_join(group: pa.Table) -> pa.Table:
             side = group["__side"].to_numpy(zero_copy_only=False)
             l = group.filter(pa.array(side == 0)).select(left_names)
             r = group.filter(pa.array(side == 1)).select(keys + rv_names)
-            return l.join(r, keys=keys, join_type=how_pa)
+            if not keep:
+                return l.join(r, keys=keys, join_type=how_pa)
+            # ANSI key semantics: keep both sides' keys; the right
+            # keys come back suffixed and are renamed to their
+            # original right-side names
+            out = l.join(r, keys=keys, join_type=how_pa,
+                         coalesce_keys=False, right_suffix="__rk")
+            ren = {f"{lk}__rk": rk for lk, rk in zip(keys, rks)}
+            return out.rename_columns(
+                [ren.get(n, n) for n in out.column_names])
 
         _bucket_join.__name__ = "equi_bucket_join"
         union = ds.map_batches(_tag_left, batch_format="pyarrow").union(
@@ -277,7 +316,8 @@ class JoinStep(WideStep):
         return {"cls": "JoinStep", "keys": self.keys, "right_keys": self.right_keys,
                 "join_type": self.join_type, "broadcast": self.broadcast,
                 "num_partitions": self.num_partitions,
-                "strategy": self.strategy}
+                "strategy": self.strategy,
+                "keep_right_keys": self.keep_right_keys}
 
 
 @register("step")

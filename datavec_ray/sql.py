@@ -23,7 +23,8 @@ Supported grammar (anything else raises ``SqlError`` loudly — a silent
 wrong answer is worse than no answer):
 
     query := SELECT [DISTINCT] item [, item ...]
-             FROM table [INNER|LEFT JOIN table ON a = b [AND c = d ...]]*
+             FROM table [INNER|LEFT|RIGHT|FULL [OUTER] JOIN table
+                         ON a = b [AND c = d ...]]*
              [WHERE expr]
              [GROUP BY col [, col ...] | CUBE (cols) | ROLLUP (cols)]
              [HAVING expr] [QUALIFY expr]
@@ -79,7 +80,8 @@ _TOKEN_RE = re.compile(r"""
     )""", re.X | re.I)
 
 _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
-             "order", "limit", "join", "inner", "left", "on", "as", "and",
+             "order", "limit", "join", "inner", "left", "right", "full",
+             "outer", "on", "as", "and",
              "or", "not", "in", "between", "like", "is", "null", "asc",
              "desc", "sum", "min", "max", "avg", "count",
              "case", "when", "then", "else", "end",
@@ -228,6 +230,15 @@ class _Parser:
             how = "Inner"
             if self.accept_kw("left"):
                 how = "LeftOuter"
+                self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.accept_kw("right"):
+                how = "RightOuter"
+                self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.accept_kw("full"):
+                how = "FullOuter"
+                self.accept_kw("outer")
                 self.expect_kw("join")
             elif self.accept_kw("inner"):
                 self.expect_kw("join")
@@ -873,6 +884,20 @@ def _exec(q: dict, tables: dict):
     from datavec_ray.join import JoinStep
     keymap: dict[str, str] = {}
     for right, lks, rks, how in q["joins"]:
+        if how in ("RightOuter", "FullOuter"):
+            # exact ANSI key semantics need BOTH key columns (left key
+            # NULL on right-only rows and vice versa) — the bucket
+            # co-partition join keeps them (coalesce_keys=False per
+            # bucket); the coalesced Dataset.join column would silently
+            # lie for one side's key
+            try:
+                step = JoinStep(_resolve_table(right, tables), lks, rks,
+                                how, strategy="bucket",
+                                keep_right_keys=True)
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            ds = step.apply_dataset(ds)
+            continue
         ds = JoinStep(_resolve_table(right, tables),
                       lks, rks, how).apply_dataset(ds)
         for lk, rk in zip(lks, rks):

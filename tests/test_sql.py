@@ -274,3 +274,18 @@ def test_left_join_matches(tables, ddb):
     _match(stmt, sql(stmt, tables), ddb.sql(
         "select rname, mgr, target from regions "
         "left join sales on rname = region where target > 150").df())
+
+
+@pytest.mark.parametrize("stmt", [
+    # RIGHT JOIN: unmatched sales rows survive with null region cols
+    "select rname, mgr, qty from sales right join regions "
+    "on region = rname where qty > 47",
+    "select rname, target, count(*) as n from sales "
+    "right outer join regions on region = rname "
+    "group by rname, target",
+    # FULL JOIN keeps both sides' unmatched rows
+    "select rname, mgr, qty from sales full outer join regions "
+    "on region = rname where qty > 47 or qty is null",
+])
+def test_right_full_join_matches(tables, ddb, stmt):
+    _match(stmt, sql(stmt, tables), ddb.sql(stmt).df())
