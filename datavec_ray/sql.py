@@ -33,8 +33,10 @@ wrong answer is worse than no answer):
 
     table := name | ( query ) [AS] alias
     item  := * | expr [AS alias] | agg | win
-    agg   := SUM|MIN|MAX|AVG|COUNT ( [DISTINCT] expr | * )
-             [FILTER ( WHERE expr )] [AS alias]
+    agg   := SUM|MIN|MAX|AVG|COUNT|STDDEV[_SAMP|_POP]|VARIANCE|
+             VAR_SAMP|VAR_POP ( [DISTINCT] expr | * )
+             [FILTER ( WHERE expr )] [AS alias] — also usable inside
+             expressions (sum(a)/count(*)) and HAVING
     win   := ROW_NUMBER|RANK|DENSE_RANK|PERCENT_RANK|CUME_DIST () |
              NTILE (n) OVER ( [PARTITION BY col, ...]
              ORDER BY col [DESC] [, tiebreak ...] ) AS alias
@@ -44,7 +46,9 @@ wrong answer is worse than no answer):
              ( SELECT ... ) scalar subqueries, [NOT] EXISTS ( SELECT ),
              (subqueries must be uncorrelated — IN plans as a broadcast
              semi-join, scalar/EXISTS fold to literals at plan time),
-             CASE WHEN ... END, ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE;
+             CASE WHEN ... END, CAST (expr AS type),
+             ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE/SUBSTR/TRIM/
+             LTRIM/RTRIM/REPLACE;
              literals: numbers, 'strings', TIMESTAMP 'iso', NULL
 
 Correctness is self-oracle-checking by construction: every compiled
@@ -86,9 +90,26 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "desc", "sum", "min", "max", "avg", "count",
              "case", "when", "then", "else", "end",
              "round", "abs", "lower", "upper", "length", "coalesce",
+             "substr", "substring", "trim", "ltrim", "rtrim", "replace",
+             "cast", "stddev", "stddev_samp", "stddev_pop", "variance",
+             "var_samp", "var_pop",
              "union", "all"}
 
-_SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce"}
+_SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce",
+                 "substr", "substring", "trim", "ltrim", "rtrim",
+                 "replace"}
+
+# CAST target → (arrow type, DuckDB name); float→int casts ROUND
+# half-away-from-zero first (DuckDB), Arrow alone would refuse/truncate
+_CAST_TYPES = {
+    "tinyint": pa.int8(), "smallint": pa.int16(),
+    "int": pa.int32(), "integer": pa.int32(), "bigint": pa.int64(),
+    "hugeint": pa.int64(),
+    "real": pa.float32(), "float": pa.float32(),
+    "double": pa.float64(),
+    "varchar": pa.string(), "text": pa.string(), "string": pa.string(),
+    "boolean": pa.bool_(), "bool": pa.bool_(),
+}
 
 # window functions are NOT keywords (a column may be named "rank");
 # they are recognized as name tokens immediately followed by "("
@@ -129,7 +150,11 @@ def _tokenize(sql: str) -> list[tuple[str, Any]]:
 # ---------------------------------------------------------------------------
 
 _AGG_FUNCS = {"sum": "Sum", "min": "Min", "max": "Max", "avg": "Mean",
-              "count": "Count"}
+              "count": "Count",
+              "stddev": "Stdev", "stddev_samp": "Stdev",
+              "stddev_pop": "UncorrectedStdDev",
+              "variance": "Variance", "var_samp": "Variance",
+              "var_pop": "PopulationVariance"}
 
 
 def _has_aggref(ast) -> bool:
@@ -486,6 +511,17 @@ class _Parser:
             return ("lit", datetime.datetime.fromisoformat(v))
         if k == "kw" and v == "null":
             return ("lit", None)
+        if k == "kw" and v == "cast":
+            self._expect_paren("(")
+            e = self._expr()
+            self.expect_kw("as")
+            tk, tv = self.next()
+            if tk not in ("name", "kw") or str(tv).lower() not in \
+                    _CAST_TYPES:
+                raise SqlError(f"unsupported CAST target {tv!r} "
+                               f"(one of {sorted(_CAST_TYPES)})")
+            self._expect_paren(")")
+            return ("cast", e, str(tv).lower())
         if k == "kw" and v in _AGG_FUNCS:
             # aggregate call as an EXPRESSION node (select items and
             # HAVING); the grouped planner interns each distinct
@@ -623,7 +659,47 @@ def _eval(ast, t: pa.Table):
             return pc.cast(pc.utf8_length(args[0]), pa.int64())
         if name == "coalesce":
             return pc.coalesce(*args)
+        if name in ("substr", "substring"):
+            # 1-based SQL substring; optional length
+            start = args[1].as_py() if isinstance(args[1], pa.Scalar) \
+                else args[1]
+            if not isinstance(start, int) or start < 1:
+                raise SqlError("SUBSTR start must be a positive integer")
+            stop = None
+            if len(args) == 3:
+                ln = args[2].as_py() if isinstance(args[2], pa.Scalar) \
+                    else args[2]
+                if not isinstance(ln, int) or ln < 0:
+                    raise SqlError("SUBSTR length must be a non-negative "
+                                   "integer")
+                stop = start - 1 + ln
+            return pc.utf8_slice_codeunits(args[0], start - 1, stop)
+        if name == "trim":
+            return pc.utf8_trim_whitespace(args[0])
+        if name == "ltrim":
+            return pc.utf8_ltrim_whitespace(args[0])
+        if name == "rtrim":
+            return pc.utf8_rtrim_whitespace(args[0])
+        if name == "replace":
+            pat = args[1].as_py() if isinstance(args[1], pa.Scalar) else None
+            rep = args[2].as_py() if isinstance(args[2], pa.Scalar) else None
+            if pat is None or rep is None:
+                raise SqlError("REPLACE needs literal pattern/replacement")
+            return pc.replace_substring(args[0], pattern=pat,
+                                        replacement=rep)
         raise SqlError(f"unknown function {name!r}")
+    if kind == "cast":
+        v = _eval(ast[1], t)
+        typ = _CAST_TYPES[ast[2]]
+        src = v.type if not isinstance(v, pa.Scalar) else v.type
+        if pa.types.is_floating(src) and pa.types.is_integer(typ):
+            # SQL float→int casts ROUND — DuckDB's DOUBLE→INT uses C
+            # nearbyint, i.e. half-to-even (its DECIMAL casts round
+            # half-away, but this frontend's numeric literals are
+            # float64); Arrow alone would refuse non-integral values
+            v = pc.round(v, ndigits=0, round_mode="half_to_even")
+            return pc.cast(v, typ, safe=False)
+        return pc.cast(v, typ)
     if kind == "aggref":
         raise SqlError("aggregates are only allowed in SELECT items "
                        "and HAVING")

@@ -181,6 +181,20 @@ BATTERY = [
     # IN-subquery over an aggregating subquery
     "select id, note from sales where qty in "
     "(select max(qty) as m from sales group by note)",
+    # CAST (float->int rounds half away from zero, DuckDB semantics)
+    "select id, cast(price as integer) as p, cast(qty as double) as qd, "
+    "cast(id as varchar) as sid from sales where qty is not null",
+    "select cast(sum(qty) as double) / count(*) as mean_qty from sales",
+    # string functions
+    "select id, substr(note, 2) as tail, substr(note, 1, 3) as head3, "
+    "replace(note, 'o', '0') as r0 from sales limit 200",
+    "select trim(' x ') as t, ltrim(' x ') as l, rtrim(' x ') as r "
+    "from sales limit 1",
+    # stddev / variance family (combiner-backed Chan merge)
+    "select region, stddev(price) as sd, var_pop(qty) as vp, "
+    "stddev_pop(price) as sp, var_samp(price) as vs from sales "
+    "where qty is not null group by region",
+    "select variance(price) as v from sales having count(*) > 10",
     # scalar subqueries and [NOT] EXISTS (uncorrelated, fold to literals)
     "select id, price from sales where price > "
     "(select avg(price) as a from sales) and qty > 40",
