@@ -4447,6 +4447,32 @@ def _q_sql_outerjoin(sf_dir: str):
     })
 
 
+_SQL_EXISTS = """select o_orderpriority, count(*) as n from orders
+            where exists (select c_custkey from customer
+                          where c_custkey = o_custkey
+                            and c_acctbal > 7000)
+              and not exists (select n_nationkey from nation
+                              where n_nationkey = o_orderkey)
+            group by o_orderpriority
+            order by o_orderpriority asc"""
+
+
+def _q_sql_exists(sf_dir: str):
+    """SQL frontend: CORRELATED EXISTS / NOT EXISTS decorrelated onto
+    SemiJoinStep (semi / anti join — broadcast DISTINCT keys for small
+    inner sides, Bloom-capable bucket shuffle for large), with inner
+    predicates pushed below the join and the inner scan pruned to the
+    key columns. Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_EXISTS, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderpriority"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4758,6 +4784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_filter": _q_sql_filter,
         "sql_insub": _q_sql_insub,
         "sql_outerjoin": _q_sql_outerjoin,
+        "sql_exists": _q_sql_exists,
     }
 
 
@@ -7235,6 +7262,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_filter": _SQL_FILTER,
         "sql_insub": _SQL_INSUB,
         "sql_outerjoin": _SQL_OUTERJOIN,
+        "sql_exists": _SQL_EXISTS,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

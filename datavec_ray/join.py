@@ -414,8 +414,39 @@ class SemiJoinStep(WideStep):
             class _BcastSemi:
                 def __init__(self):
                     self.rk = ray.get(rk_ref)
+                    self._aligned = False
+                    self._left_casts: dict[str, pa.DataType] = {}
+
+                def _align(self, batch: pa.Table) -> None:
+                    """Key types may legitimately differ (SQL compares
+                    int/float numerically — e.g. a NaN-nullable float64
+                    probe against an int64 set). Cast the small right
+                    side to the left types when lossless; otherwise
+                    cast the left key per batch (int → float64)."""
+                    rk = self.rk
+                    for lk, rkname in zip(keys, right_keys):
+                        lt = batch.schema.field(lk).type
+                        i = rk.schema.get_field_index(rkname)
+                        rt = rk.schema.field(i).type
+                        if lt.equals(rt):
+                            continue
+                        try:
+                            rk = rk.set_column(
+                                i, pa.field(rkname, lt),
+                                rk[rkname].cast(lt))
+                        except (pa.ArrowInvalid,
+                                pa.ArrowNotImplementedError):
+                            self._left_casts[lk] = rt
+                    self.rk = rk
+                    self._aligned = True
 
                 def __call__(self, batch: pa.Table) -> pa.Table:
+                    if not self._aligned:
+                        self._align(batch)
+                    for lk, rt in self._left_casts.items():
+                        i = batch.schema.get_field_index(lk)
+                        batch = batch.set_column(
+                            i, pa.field(lk, rt), batch[lk].cast(rt))
                     return batch.join(self.rk, keys=keys,
                                       right_keys=right_keys, join_type=how)
 

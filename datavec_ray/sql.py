@@ -43,9 +43,12 @@ wrong answer is worse than no answer):
     expr  := arithmetic (+ - * /) over columns/literals, comparisons,
              AND/OR/NOT, [NOT] IN ( literals | SELECT ... ),
              [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
-             ( SELECT ... ) scalar subqueries, [NOT] EXISTS ( SELECT ),
-             (subqueries must be uncorrelated — IN plans as a broadcast
-             semi-join, scalar/EXISTS fold to literals at plan time),
+             ( SELECT ... ) scalar subqueries, [NOT] EXISTS ( SELECT );
+             uncorrelated IN plans as a broadcast semi-join and
+             scalar/EXISTS fold to literals at plan time; CORRELATED
+             [NOT] EXISTS / IN (equality correlation, as a top-level
+             WHERE conjunct) decorrelate onto SemiJoinStep — SQL
+             EXISTS ≡ semi join, NOT EXISTS ≡ anti join,
              CASE WHEN ... END, CAST (expr AS type),
              ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE/SUBSTR/TRIM/
              LTRIM/RTRIM/REPLACE;
@@ -769,6 +772,138 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Correlated [NOT] EXISTS / IN — decorrelated to semi / anti joins
+# ---------------------------------------------------------------------------
+
+def _conjuncts(ast) -> list:
+    if isinstance(ast, tuple) and ast[0] == "and":
+        return _conjuncts(ast[1]) + _conjuncts(ast[2])
+    return [ast]
+
+
+def _re_and(conjs: list):
+    out = None
+    for c in conjs:
+        out = c if out is None else ("and", out, c)
+    return out
+
+
+def _plan_correlated(subq: dict, tables: dict, probe):
+    """If ``subq`` is a CORRELATED single-table subquery (its WHERE has
+    equality conjuncts between an inner column and an OUTER column),
+    return ``(outer_keys, inner_keys, inner_ds)`` for a semi/anti join;
+    return None when it is uncorrelated (the broadcast binder handles
+    it). ``probe`` is the IN probe expression (None for EXISTS) — it
+    becomes one more key pair against the subquery's select item."""
+    if subq.get("setop") or subq["joins"] or subq["group"] or \
+            subq["having"] is not None or subq.get("qualify") is not None \
+            or subq["limit"] is not None or subq["order"]:
+        return None
+    kind, tname = subq["table"]
+    if kind != "name" or tname not in tables:
+        return None
+    inner_ds = tables[tname]
+    sch = inner_ds.schema(fetch_if_missing=True)
+    base = getattr(sch, "base_schema", sch)
+    inner_cols = set(base.names if isinstance(base, pa.Schema)
+                     else sch.names)
+    conjs = _conjuncts(subq["where"]) if subq["where"] is not None else []
+    outer_keys, inner_keys, inner_preds = [], [], []
+    correlated = False
+    for c in conjs:
+        cols = _cols_in(c)
+        if cols <= inner_cols:
+            inner_preds.append(c)
+            continue
+        correlated = True
+        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+                and c[2][0] == "col" and c[3][0] == "col":
+            a, b = c[2][1], c[3][1]
+            if a in inner_cols and b not in inner_cols:
+                inner_keys.append(a)
+                outer_keys.append(b)
+                continue
+            if b in inner_cols and a not in inner_cols:
+                inner_keys.append(b)
+                outer_keys.append(a)
+                continue
+        raise SqlError(
+            "correlated subqueries support only equality conjuncts "
+            f"between one inner and one outer column, got: {c!r}")
+    if not correlated:
+        return None
+    if inner_preds:
+        inner_ds = inner_ds.map_batches(
+            _filter_fn(_re_and(inner_preds), "sql_corr_inner"),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if probe is not None:
+        if probe[0] != "col":
+            raise SqlError("correlated IN needs a plain column probe")
+        items = subq["items"]
+        if len(items) != 1 or items[0][0] != "expr" \
+                or not _cols_in(items[0][1]) <= inner_cols:
+            raise SqlError("correlated IN subquery must select exactly "
+                           "one expression over its own table")
+        e_in = items[0][1]
+        outer_keys.append(probe[1])
+        if e_in[0] == "col":
+            inner_keys.append(e_in[1])
+        else:
+            def _add_inval(t: pa.Table, _e=e_in) -> pa.Table:
+                v = _eval(_e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.nulls(t.num_rows, v.type).fill_null(v)
+                return t.append_column("__inval", v)
+            _add_inval.__name__ = "sql_corr_inval"
+            inner_ds = inner_ds.map_batches(
+                _add_inval, batch_format="pyarrow", zero_copy_batch=True)
+            inner_keys.append("__inval")
+    # the join consumes only the key columns — prune the inner scan
+    keep = list(dict.fromkeys(inner_keys))
+    inner_ds = inner_ds.select_columns(keep)
+    return outer_keys, inner_keys, inner_ds
+
+
+def _decorrelate_where(q: dict, ds, tables: dict):
+    """Split TOP-LEVEL WHERE conjuncts that are correlated [NOT]
+    EXISTS / IN subqueries into SemiJoinStep applications (SQL EXISTS
+    ≡ semi join, NOT EXISTS ≡ anti join — Bloom-prefilter-capable,
+    broadcast when the inner side is small). Remaining conjuncts stay
+    in WHERE; uncorrelated subqueries fall through to the broadcast
+    binder."""
+    if q["where"] is None:
+        return q, ds
+    from datavec_ray.join import SemiJoinStep
+    rest = []
+    for c in _conjuncts(q["where"]):
+        neg, node = False, c
+        if isinstance(node, tuple) and node[0] == "not" \
+                and isinstance(node[1], tuple) \
+                and node[1][0] == "existssub":
+            neg, node = True, node[1]
+        plan = None
+        probe = None
+        if isinstance(node, tuple) and node[0] == "existssub":
+            plan = _plan_correlated(node[1], tables, None)
+        elif isinstance(node, tuple) and node[0] == "insub":
+            _, probe, subq, in_neg = node
+            plan = _plan_correlated(subq, tables, probe)
+            if plan is not None and in_neg:
+                raise SqlError(
+                    "correlated NOT IN is ambiguous under SQL NULL "
+                    "semantics — write NOT EXISTS instead")
+        if plan is None:
+            rest.append(c)
+            continue
+        outer_keys, inner_keys, inner_ds = plan
+        ds = SemiJoinStep(inner_ds, outer_keys, inner_keys,
+                          anti=neg).apply_dataset(ds)
+    out = dict(q)
+    out["where"] = _re_and(rest)
+    return out, ds
+
+
+# ---------------------------------------------------------------------------
 # IN (SELECT ...) binding — broadcast semi-join
 # ---------------------------------------------------------------------------
 
@@ -988,6 +1123,7 @@ def _exec(q: dict, tables: dict):
                     keymap[rk] = lk
     if keymap:
         q = _rewrite_cols(q, keymap)
+    q, ds = _decorrelate_where(q, ds, tables)
     q = _bind_q_insub(q, tables)
 
     if q["where"] is not None:

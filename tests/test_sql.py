@@ -204,6 +204,17 @@ BATTERY = [
     "(select rname from regions where target > 350)",
     "select count(*) as n from sales where not exists "
     "(select rname from regions where target > 999) and qty > 25",
+    # CORRELATED [NOT] EXISTS / IN → semi / anti joins
+    "select id, region, qty from sales where exists "
+    "(select rname from regions where rname = region and target > 150) "
+    "and qty > 45",
+    "select count(*) as n from sales where not exists "
+    "(select rname from regions where rname = region)",
+    "select region, count(*) as n from sales where exists "
+    "(select rname from regions where region = rname) group by region",
+    "select id from sales where qty in "
+    "(select cast(target / 10 as bigint) as t from regions "
+    "where rname = region)",
     # aggregate expressions: HAVING over raw aggregates, computed items
     "select region, avg(price) as ap from sales group by region "
     "having avg(price) > 45 and count(*) > 50",
@@ -267,6 +278,12 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "select id from sales where qty > (select qty from sales)",
     # scalar subquery with more than one column
     "select id from sales where qty > (select qty, price from sales)",
+    # correlated NOT IN (ambiguous under SQL null semantics)
+    "select id from sales where qty not in "
+    "(select target from regions where rname = region)",
+    # non-equality correlation
+    "select id from sales where exists "
+    "(select rname from regions where target > qty)",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
