@@ -4473,6 +4473,29 @@ def _q_sql_exists(sf_dir: str):
     })
 
 
+_SQL_LAG = """select event_id,
+                   lag(value) over (partition by user_id
+                                    order by ts, event_id) as prev_value,
+                   lead(event_type, 2) over (partition by user_id
+                                    order by ts, event_id) as next2_type
+            from events"""
+
+
+def _q_sql_lag(sf_dir: str):
+    """SQL frontend: LAG / LEAD planned onto the SAME single
+    hash-partition exchange as the rank family (misc.window_rank
+    positional-shift specs — one sorted run scan, one clamped
+    vectorized gather per function). Oracle = the identical SQL
+    string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_LAG, {
+        "events": _read(sf_dir, "events",
+                        ["event_id", "user_id", "ts", "value",
+                         "event_type"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4785,6 +4808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_insub": _q_sql_insub,
         "sql_outerjoin": _q_sql_outerjoin,
         "sql_exists": _q_sql_exists,
+        "sql_lag": _q_sql_lag,
     }
 
 
@@ -7263,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_insub": _SQL_INSUB,
         "sql_outerjoin": _SQL_OUTERJOIN,
         "sql_exists": _SQL_EXISTS,
+        "sql_lag": _SQL_LAG,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

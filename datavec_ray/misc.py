@@ -503,14 +503,19 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
     once."""
     specs = dict(specs) if specs else {rank_col: method}
     for m in specs.values():
-        if m not in _RANK_METHODS:
+        if isinstance(m, tuple):
+            # positional shift: ("lag"|"lead", src_col, offset)
+            if len(m) != 3 or m[0] not in ("lag", "lead") \
+                    or not isinstance(m[2], int) or m[2] < 0:
+                raise ValueError(f"bad lag/lead spec {m!r}")
+        elif m not in _RANK_METHODS:
             raise ValueError(f"unknown rank method {m!r}")
     keys = list(keys)
     tiebreak = list(tiebreak) if tiebreak else []
-    if any(m in ("row_number", "ntile") for m in specs.values()) \
-            and not tiebreak:
-        raise ValueError("row_number/ntile need tiebreak columns to be "
-                         "deterministic")
+    if any(isinstance(m, tuple) or m in ("row_number", "ntile")
+           for m in specs.values()) and not tiebreak:
+        raise ValueError("row_number/ntile/lag/lead need tiebreak columns "
+                         "to be deterministic")
 
     def _rank(group: pa.Table) -> pa.Table:
         g = group.drop_columns([_GPART]).sort_by(
@@ -541,6 +546,21 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
             return new_val
 
         for col, m in specs.items():
+            if isinstance(m, tuple):
+                # lag/lead: per-row shifted gather clamped to the key
+                # segment (one vectorized take over the sorted run)
+                kind, src_col, off = m
+                shift = off if kind == "lag" else -off
+                idx = pos - np.int64(shift)
+                grp_end = grp_start + grp_n - 1
+                ok = (idx >= grp_start) & (idx <= grp_end)
+                v = combine(g[src_col])
+                taken = v.take(pa.array(np.where(ok, idx, 0),
+                                        type=pa.int64()))
+                vals = pc.if_else(pa.array(ok), taken,
+                                  pa.nulls(1, v.type)[0])
+                g = g.append_column(pa.field(col, v.type), vals)
+                continue
             if m == "row_number":
                 r = pos - grp_start + 1
             elif m == "ntile":

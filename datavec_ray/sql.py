@@ -38,7 +38,8 @@ wrong answer is worse than no answer):
              [FILTER ( WHERE expr )] [AS alias] — also usable inside
              expressions (sum(a)/count(*)) and HAVING
     win   := ROW_NUMBER|RANK|DENSE_RANK|PERCENT_RANK|CUME_DIST () |
-             NTILE (n) OVER ( [PARTITION BY col, ...]
+             NTILE (n) | LAG|LEAD (col [, offset])
+             OVER ( [PARTITION BY col, ...]
              ORDER BY col [DESC] [, tiebreak ...] ) AS alias
     expr  := arithmetic (+ - * /) over columns/literals, comparisons,
              AND/OR/NOT, [NOT] IN ( literals | SELECT ... ),
@@ -117,7 +118,7 @@ _CAST_TYPES = {
 # window functions are NOT keywords (a column may be named "rank");
 # they are recognized as name tokens immediately followed by "("
 _WIN_FUNCS = {"row_number", "rank", "dense_rank", "percent_rank",
-              "cume_dist", "ntile"}
+              "cume_dist", "ntile", "lag", "lead"}
 
 
 def _tokenize(sql: str) -> list[tuple[str, Any]]:
@@ -364,11 +365,22 @@ class _Parser:
     def _window_item(self, method: str):
         self._expect_paren("(")
         buckets = None
+        shift = None
         if method == "ntile":
             k, v = self.next()
             if k != "lit_num" or not isinstance(v, int):
                 raise SqlError("NTILE needs an integer bucket count")
             buckets = v
+        elif method in ("lag", "lead"):
+            src_col = self._name()
+            off = 1
+            if self.accept_op(","):
+                k, v = self.next()
+                if k != "lit_num" or not isinstance(v, int) or v < 0:
+                    raise SqlError("LAG/LEAD offset must be a "
+                                   "non-negative integer")
+                off = v
+            shift = (src_col, off)
         self._expect_paren(")")
         k, v = self.next()
         if not (k == "name" and v.lower() == "over"):
@@ -397,7 +409,7 @@ class _Parser:
         alias = self._alias()
         if alias is None:
             raise SqlError("window select items need AS alias")
-        return ("win", (method, buckets, part, order), alias)
+        return ("win", (method, buckets, part, order, shift), alias)
 
     def _alias(self) -> Optional[str]:
         if self.accept_kw("as"):
@@ -760,10 +772,13 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
         elif kind in ("expr", "aggexpr"):
             items.append((kind, _rewrite_ast(e, keymap), a))
         elif kind == "win":
-            method, buckets, part, order = e
+            method, buckets, part, order, shift = e
+            if shift is not None:
+                shift = (keymap.get(shift[0], shift[0]), shift[1])
             items.append((kind, (method, buckets,
                                  [keymap.get(c, c) for c in part],
-                                 [(keymap.get(c, c), d) for c, d in order]),
+                                 [(keymap.get(c, c), d) for c, d in order],
+                                 shift),
                           a))
         else:
             items.append((kind, e, a))
@@ -1187,11 +1202,11 @@ def _windowed(ds, q, wins):
     call (one hash-partition shuffle computes every window column), then
     project the declared select order."""
     from datavec_ray.misc import window_rank
-    overs = {(tuple(p), tuple(o)) for (m, b, p, o), _ in wins}
+    overs = {(tuple(p), tuple(o)) for (m, b, p, o, s), _ in wins}
     if len(overs) != 1:
         raise SqlError("all window functions in one SELECT must share "
                        "one OVER clause")
-    _, _, part, order = wins[0][0]
+    _, _, part, order, _ = wins[0][0]
     if not order:
         raise SqlError("OVER needs ORDER BY")
     order_col, descending = order[0]
@@ -1200,17 +1215,23 @@ def _windowed(ds, q, wins):
         if d:
             raise SqlError("only the first OVER ORDER BY key may be DESC")
         tiebreak.append(c)
+    # positional functions need a deterministic TOTAL order (tiebreak
+    # keys); value-tied rank functions take exactly one ORDER BY key
+    _POSITIONAL = ("row_number", "ntile", "lag", "lead")
     specs, buckets = {}, None
-    for (m, b, _, _), a in wins:
-        if m in ("row_number", "ntile") and len(order) < 2:
+    for (m, b, _, _, shift), a in wins:
+        if m in _POSITIONAL and len(order) < 2:
             raise SqlError(f"{m} needs tiebreak ORDER BY keys for a "
                            "deterministic total order")
-        if m not in ("row_number", "ntile") and len(order) > 1:
+        if m not in _POSITIONAL and len(order) > 1:
             # extra ORDER BY keys are positional tiebreaks; value-tied
             # functions rank the COMPOSITE value in SQL — planning that
             # onto a single-value run scan would silently disagree
             raise SqlError(f"{m} supports exactly one OVER ORDER BY key "
-                           "(extra keys are row_number/ntile tiebreaks)")
+                           "(extra keys are positional tiebreaks)")
+        if m in ("lag", "lead"):
+            specs[a] = (m, shift[0], shift[1])
+            continue
         specs[a] = m
         if m == "ntile":
             if buckets is not None and b != buckets:

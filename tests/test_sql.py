@@ -132,6 +132,14 @@ BATTERY = [
     "from sales where qty is not null and region is not null",
     "select id, row_number() over (order by price, id) as rn from sales "
     "limit 4000",
+    # LAG / LEAD (positional shift within the key segment)
+    "select id, lag(price) over (partition by note order by price, id) "
+    "as lp, lead(price, 2) over (partition by note order by price, id) "
+    "as l2 from sales",
+    "select id, lag(qty, 3) over (order by id, price) as lq from sales "
+    "limit 4000",
+    "select id, lead(note) over (partition by region order by qty, id) "
+    "as nn from sales where region is not null and qty is not null",
     # ORDER BY over null-containing keys (NULLS LAST both directions)
     "select region, qty from sales order by region asc, qty desc "
     "limit 4800",
@@ -247,6 +255,9 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "as dr from sales",
     # row_number without a deterministic total order
     "select row_number() over (partition by note order by price) as rn "
+    "from sales",
+    # lag without a deterministic total order
+    "select lag(price) over (partition by note order by price) as lp "
     "from sales",
     # window fns in one SELECT with different OVER clauses
     "select rank() over (partition by note order by price) as a, "
