@@ -52,7 +52,8 @@ wrong answer is worse than no answer):
              EXISTS ≡ semi join, NOT EXISTS ≡ anti join,
              CASE WHEN ... END, CAST (expr AS type),
              ROUND/ABS/LOWER/UPPER/LENGTH/COALESCE/SUBSTR/TRIM/
-             LTRIM/RTRIM/REPLACE;
+             LTRIM/RTRIM/REPLACE, EPOCH_MS/DATE_TRUNC('unit', ts)/
+             YEAR/MONTH/DAY/HOUR/MINUTE/SECOND;
              literals: numbers, 'strings', TIMESTAMP 'iso', NULL
 
 Correctness is self-oracle-checking by construction: every compiled
@@ -97,11 +98,14 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "substr", "substring", "trim", "ltrim", "rtrim", "replace",
              "cast", "stddev", "stddev_samp", "stddev_pop", "variance",
              "var_samp", "var_pop",
+             "epoch_ms", "date_trunc", "year", "month", "day", "hour",
+             "minute", "second",
              "union", "all"}
 
 _SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce",
                  "substr", "substring", "trim", "ltrim", "rtrim",
-                 "replace"}
+                 "replace", "epoch_ms", "date_trunc", "year", "month",
+                 "day", "hour", "minute", "second"}
 
 # CAST target → (arrow type, DuckDB name); float→int casts ROUND
 # half-away-from-zero first (DuckDB), Arrow alone would refuse/truncate
@@ -702,6 +706,23 @@ def _eval(ast, t: pa.Table):
                 raise SqlError("REPLACE needs literal pattern/replacement")
             return pc.replace_substring(args[0], pattern=pat,
                                         replacement=rep)
+        if name == "epoch_ms":
+            # DuckDB: BIGINT milliseconds since epoch
+            return pc.cast(pc.cast(args[0], pa.timestamp("ms")),
+                           pa.int64())
+        if name == "date_trunc":
+            unit = args[0].as_py() if isinstance(args[0], pa.Scalar) \
+                else None
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second", "millisecond"):
+                raise SqlError(f"unsupported date_trunc unit {unit!r}")
+            if unit == "week":
+                # ISO weeks start Monday (DuckDB semantics)
+                return pc.floor_temporal(args[1], unit="week",
+                                         week_starts_monday=True)
+            return pc.floor_temporal(args[1], unit=unit)
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            return pc.cast(getattr(pc, name)(args[0]), pa.int64())
         raise SqlError(f"unknown function {name!r}")
     if kind == "cast":
         v = _eval(ast[1], t)

@@ -24,6 +24,8 @@ def frames():
         "qty": rng.integers(1, 50, n).astype(np.int64),
         "price": np.round(rng.uniform(0.5, 99.5, n), 2),
         "note": rng.choice(["promo", "bulk", "retail"], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 90 * 24 * 3600, n), unit="s"),
     })
     sales.loc[rng.random(n) < 0.05, "qty"] = None
     regions = pd.DataFrame({
@@ -140,6 +142,13 @@ BATTERY = [
     "limit 4000",
     "select id, lead(note) over (partition by region order by qty, id) "
     "as nn from sales where region is not null and qty is not null",
+    # time functions
+    "select id, epoch_ms(ts) as ms, year(ts) as y, month(ts) as m, "
+    "day(ts) as d, hour(ts) as h from sales limit 300",
+    "select d, count(*) as n from (select date_trunc('day', ts) as d "
+    "from sales) t group by d order by n desc, d asc limit 10",
+    "select w, min(ts) as first_ts from (select date_trunc('week', ts) "
+    "as w, ts from sales) t group by w",
     # ORDER BY over null-containing keys (NULLS LAST both directions)
     "select region, qty from sales order by region asc, qty desc "
     "limit 4800",
