@@ -4496,6 +4496,31 @@ def _q_sql_lag(sf_dir: str):
     })
 
 
+_SQL_WINAGG = """select event_id,
+                   sum(value) over (partition by user_id
+                     order by ts, event_id
+                     rows between unbounded preceding and current row)
+                     as run_value,
+                   count(*) over (partition by user_id
+                     order by ts, event_id
+                     rows between unbounded preceding and current row)
+                     as run_n
+            from events"""
+
+
+def _q_sql_winagg(sf_dir: str):
+    """SQL frontend: running windowed aggregates (ROWS UNBOUNDED
+    PRECEDING) planned onto window_rank's segment-reset cumulative
+    scans — ONE hash exchange for every window item of the SELECT.
+    Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_WINAGG, {
+        "events": _read(sf_dir, "events",
+                        ["event_id", "user_id", "ts", "value"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4809,6 +4834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_outerjoin": _q_sql_outerjoin,
         "sql_exists": _q_sql_exists,
         "sql_lag": _q_sql_lag,
+        "sql_winagg": _q_sql_winagg,
     }
 
 
@@ -7288,6 +7314,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_outerjoin": _SQL_OUTERJOIN,
         "sql_exists": _SQL_EXISTS,
         "sql_lag": _SQL_LAG,
+        "sql_winagg": _SQL_WINAGG,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -504,18 +504,30 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
     specs = dict(specs) if specs else {rank_col: method}
     for m in specs.values():
         if isinstance(m, tuple):
-            # positional shift: ("lag"|"lead", src_col, offset)
-            if len(m) != 3 or m[0] not in ("lag", "lead") \
-                    or not isinstance(m[2], int) or m[2] < 0:
-                raise ValueError(f"bad lag/lead spec {m!r}")
+            # ("lag"|"lead", src_col, offset) positional shift, or
+            # ("wtotal"|"wrun", op, src_col|"*") windowed aggregate
+            if m[0] in ("lag", "lead"):
+                if len(m) != 3 or not isinstance(m[2], int) or m[2] < 0:
+                    raise ValueError(f"bad lag/lead spec {m!r}")
+            elif m[0] in ("wtotal", "wrun"):
+                ops = ("Sum", "Mean", "Min", "Max", "Count")
+                if len(m) != 3 or m[1] not in ops:
+                    raise ValueError(f"bad window-aggregate spec {m!r}")
+                if m[0] == "wrun" and m[1] in ("Min", "Max"):
+                    raise ValueError(
+                        "running Min/Max window frames are not supported")
+            else:
+                raise ValueError(f"unknown window spec {m!r}")
         elif m not in _RANK_METHODS:
             raise ValueError(f"unknown rank method {m!r}")
     keys = list(keys)
     tiebreak = list(tiebreak) if tiebreak else []
-    if any(isinstance(m, tuple) or m in ("row_number", "ntile")
+    _needs_order = ("lag", "lead", "wrun")
+    if any((isinstance(m, tuple) and m[0] in _needs_order)
+           or m in ("row_number", "ntile")
            for m in specs.values()) and not tiebreak:
-        raise ValueError("row_number/ntile/lag/lead need tiebreak columns "
-                         "to be deterministic")
+        raise ValueError("row_number/ntile/lag/lead/running aggregates "
+                         "need tiebreak columns to be deterministic")
 
     def _rank(group: pa.Table) -> pa.Table:
         g = group.drop_columns([_GPART]).sort_by(
@@ -546,6 +558,97 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
             return new_val
 
         for col, m in specs.items():
+            if isinstance(m, tuple) and m[0] in ("wtotal", "wrun"):
+                # windowed aggregate: per-segment reduceat (totals) or
+                # segment-reset cumulative scan (running frames), SQL
+                # null semantics (aggregates skip NULLs; an all-null
+                # window yields NULL; COUNT never does)
+                kind, op2, src_col = m
+                if n == 0:
+                    et = pa.float64() if op2 == "Mean" or (
+                        src_col != "*" and op2 != "Count"
+                        and pa.types.is_floating(
+                            g.schema.field(src_col).type)) else pa.int64()
+                    g = g.append_column(pa.field(col, et),
+                                        pa.array([], et))
+                    continue
+                if src_col == "*":
+                    valid = np.ones(n, dtype=bool)
+                    vals = np.ones(n, dtype=np.int64)
+                    vtype = pa.int64()
+                else:
+                    v = combine(g[src_col])
+                    vtype = v.type
+                    valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+                    if op2 != "Count":
+                        if not (pa.types.is_integer(vtype)
+                                or pa.types.is_floating(vtype)
+                                or pa.types.is_boolean(vtype)):
+                            raise ValueError(
+                                f"window {op2} needs a numeric column, "
+                                f"got {vtype}")
+                        vals = pc.fill_null(v, 0).cast(
+                            pa.float64() if pa.types.is_floating(vtype)
+                            else pa.int64()).to_numpy(zero_copy_only=False)
+                contrib = np.where(valid, 1, 0).astype(np.int64)
+                if kind == "wtotal":
+                    cnt = np.repeat(np.add.reduceat(contrib, starts)
+                                    if n else contrib, sizes)
+                    if op2 == "Count":
+                        r, otype, mask0 = cnt, pa.int64(), None
+                    elif op2 in ("Min", "Max"):
+                        if np.issubdtype(vals.dtype, np.floating):
+                            sent = np.inf if op2 == "Min" else -np.inf
+                        else:
+                            info = np.iinfo(np.int64)
+                            sent = info.max if op2 == "Min" else info.min
+                        arr = np.where(valid, vals, sent)
+                        f = np.minimum if op2 == "Min" else np.maximum
+                        r = np.repeat(f.reduceat(arr, starts), sizes)
+                        otype, mask0 = (pa.float64()
+                                        if np.issubdtype(vals.dtype,
+                                                         np.floating)
+                                        else pa.int64()), cnt == 0
+                    else:
+                        s = np.repeat(np.add.reduceat(
+                            np.where(valid, vals, 0), starts), sizes)
+                        if op2 == "Mean":
+                            r = s.astype(np.float64) / np.maximum(cnt, 1)
+                            otype = pa.float64()
+                        else:
+                            r, otype = s, (pa.float64() if
+                                           np.issubdtype(vals.dtype,
+                                                         np.floating)
+                                           else pa.int64())
+                        mask0 = cnt == 0
+                else:                      # wrun: unbounded-preceding
+                    ccnt = np.cumsum(contrib)
+                    rcnt = ccnt - np.repeat(
+                        ccnt[starts] - contrib[starts], sizes)
+                    if op2 == "Count":
+                        r, otype, mask0 = rcnt, pa.int64(), None
+                    else:
+                        c2 = np.where(valid, vals, 0)
+                        cs = np.cumsum(c2)
+                        rs = cs - np.repeat(cs[starts] - c2[starts], sizes)
+                        if op2 == "Mean":
+                            r = rs.astype(np.float64) / np.maximum(rcnt, 1)
+                            otype = pa.float64()
+                        else:
+                            r, otype = rs, (pa.float64() if
+                                            np.issubdtype(vals.dtype,
+                                                          np.floating)
+                                            else pa.int64())
+                        mask0 = rcnt == 0
+                arr_out = pa.array(r.astype(
+                    np.float64 if otype == pa.float64() else np.int64))
+                if otype == pa.float64() and arr_out.type != pa.float64():
+                    arr_out = arr_out.cast(pa.float64())
+                if mask0 is not None and mask0.any():
+                    arr_out = pc.if_else(pa.array(~mask0), arr_out,
+                                         pa.nulls(1, arr_out.type)[0])
+                g = g.append_column(pa.field(col, arr_out.type), arr_out)
+                continue
             if isinstance(m, tuple):
                 # lag/lead: per-row shifted gather clamped to the key
                 # segment (one vectorized take over the sorted run)

@@ -348,6 +348,14 @@ class _Parser:
             self.i += 1
             return self._window_item(v.lower())
         e = self._expr()
+        if e[0] == "aggref":
+            k2, v2 = self.peek()
+            if k2 == "name" and v2.lower() == "over":
+                # windowed aggregate: SUM(x) OVER (...) — totals
+                # (PARTITION BY only) or running frames (ROWS
+                # UNBOUNDED PRECEDING)
+                self.next()
+                return self._windowed_agg_item(e[1])
         alias = self._alias()
         if e[0] == "aggref":
             # a bare aggregate: SUM(x) [AS alias]
@@ -389,6 +397,16 @@ class _Parser:
         k, v = self.next()
         if not (k == "name" and v.lower() == "over"):
             raise SqlError("window function needs OVER (...)")
+        part, order, _ = self._over_clause(allow_frame=False)
+        alias = self._alias()
+        if alias is None:
+            raise SqlError("window select items need AS alias")
+        return ("win", (method, buckets, part, order, shift), alias)
+
+    def _over_clause(self, allow_frame: bool):
+        """Parse ``( [PARTITION BY ...] [ORDER BY ...] [frame] )``.
+        The only supported frame is ROWS UNBOUNDED PRECEDING (running
+        aggregates); rank/lag items take no frame."""
         self._expect_paren("(")
         part = []
         k, v = self.peek()
@@ -409,11 +427,64 @@ class _Parser:
                 order.append((c, desc))
                 if not self.accept_op(","):
                     break
+        frame = None
+        k, v = self.peek()
+        if k == "name" and v.lower() == "rows":
+            if not allow_frame:
+                raise SqlError("frames are only supported on windowed "
+                               "aggregates")
+            self.next()
+
+            def _words(*ws):
+                for w in ws:
+                    if self._name().lower() != w:
+                        raise SqlError(
+                            "only ROWS [BETWEEN] UNBOUNDED PRECEDING "
+                            "[AND CURRENT ROW] frames are supported")
+            if self.accept_kw("between"):
+                _words("unbounded", "preceding")
+                self.expect_kw("and")
+                _words("current", "row")
+            else:
+                _words("unbounded", "preceding")
+            frame = "rows_upc"
         self._expect_paren(")")
+        return part, order, frame
+
+    def _windowed_agg_item(self, spec):
+        """``agg(col) OVER (...)`` — a per-partition total (no ORDER
+        BY) or a running aggregate (ORDER BY + an explicit ROWS
+        UNBOUNDED PRECEDING frame; the SQL *default* RANGE frame
+        includes value peers, which this planner refuses rather than
+        silently misplanning)."""
+        op, arg, distinct, filt = spec
+        if distinct or filt is not None:
+            raise SqlError("windowed aggregates support neither "
+                           "DISTINCT nor FILTER")
+        if arg == ("star",):
+            src = "*"
+        elif arg[0] == "col":
+            src = arg[1]
+        else:
+            raise SqlError("windowed aggregates take a plain column "
+                           "or *")
+        part, order, frame = self._over_clause(allow_frame=True)
+        if order and frame is None:
+            raise SqlError(
+                "windowed aggregate with ORDER BY needs an explicit "
+                "ROWS UNBOUNDED PRECEDING frame (the SQL default RANGE "
+                "frame ranks value PEERS together — not planned)")
+        if frame is not None and not order:
+            raise SqlError("a window frame needs ORDER BY")
+        kind = "wrun" if order else "wtotal"
+        if op not in ("Sum", "Mean", "Min", "Max", "Count"):
+            raise SqlError(f"{op} is not supported as a window function")
+        if kind == "wrun" and op in ("Min", "Max"):
+            raise SqlError("running MIN/MAX frames are not supported")
         alias = self._alias()
         if alias is None:
             raise SqlError("window select items need AS alias")
-        return ("win", (method, buckets, part, order, shift), alias)
+        return ("win", ((kind, op, src), None, part, order, None), alias)
 
     def _alias(self) -> Optional[str]:
         if self.accept_kw("as"):
@@ -796,6 +867,9 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
             method, buckets, part, order, shift = e
             if shift is not None:
                 shift = (keymap.get(shift[0], shift[0]), shift[1])
+            if isinstance(method, tuple) and method[2] != "*":
+                method = (method[0], method[1],
+                          keymap.get(method[2], method[2]))
             items.append((kind, (method, buckets,
                                  [keymap.get(c, c) for c in part],
                                  [(keymap.get(c, c), d) for c, d in order],
@@ -1228,9 +1302,15 @@ def _windowed(ds, q, wins):
         raise SqlError("all window functions in one SELECT must share "
                        "one OVER clause")
     _, _, part, order, _ = wins[0][0]
-    if not order:
-        raise SqlError("OVER needs ORDER BY")
-    order_col, descending = order[0]
+    methods = [m for (m, b, p, o, s), _ in wins]
+    if not order and not all(isinstance(m, tuple) and m[0] == "wtotal"
+                             for m in methods):
+        raise SqlError("OVER needs ORDER BY (only partition-total "
+                       "aggregates may omit it)")
+    if order:
+        order_col, descending = order[0]
+    else:
+        order_col, descending = None, False   # wtotal-only: any order
     tiebreak = []
     for c, d in order[1:]:
         if d:
@@ -1241,6 +1321,12 @@ def _windowed(ds, q, wins):
     _POSITIONAL = ("row_number", "ntile", "lag", "lead")
     specs, buckets = {}, None
     for (m, b, _, _, shift), a in wins:
+        if isinstance(m, tuple):              # (wtotal|wrun, op, src)
+            if m[0] == "wrun" and len(order) < 2:
+                raise SqlError("running aggregates need tiebreak ORDER "
+                               "BY keys for a deterministic frame")
+            specs[a] = m
+            continue
         if m in _POSITIONAL and len(order) < 2:
             raise SqlError(f"{m} needs tiebreak ORDER BY keys for a "
                            "deterministic total order")
@@ -1269,6 +1355,8 @@ def _windowed(ds, q, wins):
         ds = ds.map_batches(add_g, batch_format="pyarrow",
                             zero_copy_batch=True)
         keys = ["__wg"]
+    if order_col is None:          # wtotal-only: order-insensitive
+        order_col = keys[0]
     ds = window_rank(ds, keys, order_col, descending=descending,
                      tiebreak=tiebreak or None, specs=specs,
                      ntile_buckets=buckets if buckets else 4)

@@ -142,6 +142,18 @@ BATTERY = [
     "limit 4000",
     "select id, lead(note) over (partition by region order by qty, id) "
     "as nn from sales where region is not null and qty is not null",
+    # windowed aggregates: partition totals + running frames
+    "select id, sum(qty) over (partition by region) as rtot, "
+    "count(*) over (partition by region) as rn from sales",
+    "select id, avg(price) over (partition by note) as ap, "
+    "min(price) over (partition by note) as lo, "
+    "max(qty) over (partition by note) as hi from sales",
+    "select id, sum(price) over (partition by note order by price, id "
+    "rows between unbounded preceding and current row) as run from sales",
+    "select id, count(qty) over (partition by region order by id, price "
+    "rows unbounded preceding) as rc, avg(qty) over (partition by region "
+    "order by id, price rows unbounded preceding) as ra from sales",
+    "select id, sum(qty) over () as tot from sales where qty is not null",
     # time functions
     "select id, epoch_ms(ts) as ms, year(ts) as y, month(ts) as m, "
     "day(ts) as d, hour(ts) as h from sales limit 300",
@@ -268,6 +280,13 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # lag without a deterministic total order
     "select lag(price) over (partition by note order by price) as lp "
     "from sales",
+    # windowed aggregate with ORDER BY but no explicit frame (the SQL
+    # default RANGE frame includes peers — must refuse, not misplan)
+    "select sum(qty) over (partition by note order by price, id) as s "
+    "from sales",
+    # running min is not supported
+    "select min(price) over (partition by note order by price, id "
+    "rows unbounded preceding) as m from sales",
     # window fns in one SELECT with different OVER clauses
     "select rank() over (partition by note order by price) as a, "
     "rank() over (partition by region order by price) as b from sales",
