@@ -4521,6 +4521,27 @@ def _q_sql_winagg(sf_dir: str):
     })
 
 
+_SQL_GROUPEXPR = """select date_trunc('day', ts) as d, count(*) as n,
+                   min(value) as lo, max(value) as hi,
+                   count(distinct user_id) as users
+            from events
+            group by date_trunc('day', ts)
+            order by d asc"""
+
+
+def _q_sql_groupexpr(sf_dir: str):
+    """SQL frontend: GROUP BY over an expression (date_trunc) — the
+    computed key becomes a hidden column evaluated map-side, riding
+    the SAME combiner exchange as the aggregates; matching select
+    subtrees are substituted to reference it. Oracle = the identical
+    SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_GROUPEXPR, {
+        "events": _read(sf_dir, "events", ["ts", "value", "user_id"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4835,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_exists": _q_sql_exists,
         "sql_lag": _q_sql_lag,
         "sql_winagg": _q_sql_winagg,
+        "sql_groupexpr": _q_sql_groupexpr,
     }
 
 
@@ -7315,6 +7337,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_exists": _SQL_EXISTS,
         "sql_lag": _SQL_LAG,
         "sql_winagg": _SQL_WINAGG,
+        "sql_groupexpr": _SQL_GROUPEXPR,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -26,7 +26,7 @@ wrong answer is worse than no answer):
              FROM table [INNER|LEFT|RIGHT|FULL [OUTER] JOIN table
                          ON a = b [AND c = d ...]]*
              [WHERE expr]
-             [GROUP BY col [, col ...] | CUBE (cols) | ROLLUP (cols)]
+             [GROUP BY expr [, expr ...] | CUBE (cols) | ROLLUP (cols)]
              [HAVING expr] [QUALIFY expr]
              [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
              [UNION [ALL] query]
@@ -304,9 +304,18 @@ class _Parser:
                     group.append(self._name())
                 self._expect_paren(")")
             else:
-                group.append(self._name())
+                # plain GROUP BY accepts full expressions (e.g.
+                # date_trunc('day', ts)); non-column exprs become
+                # hidden computed key columns in the grouped planner
+                def _gitem():
+                    e = self._expr()
+                    if _has_aggref(e):
+                        raise SqlError("aggregates cannot be GROUP BY "
+                                       "keys")
+                    return e[1] if e[0] == "col" else e
+                group.append(_gitem())
                 while self.accept_op(","):
-                    group.append(self._name())
+                    group.append(_gitem())
         having = self._expr() if self.accept_kw("having") else None
         qualify = None
         k, v = self.peek()
@@ -853,7 +862,8 @@ def _rewrite_cols(q: dict, keymap: dict) -> dict:
         if q.get("qualify") is not None else None
     # HAVING and ORDER BY reference OUTPUT names (aliases), not input
     # columns — they run after the reduce / projection, unrewritten
-    out["group"] = [keymap.get(g, g) for g in q["group"]]
+    out["group"] = [keymap.get(g, g) if isinstance(g, str)
+                    else _rewrite_ast(g, keymap) for g in q["group"]]
     items = []
     for kind, e, a in q["items"]:
         if kind == "agg":
@@ -1406,8 +1416,36 @@ def _cols_in(ast) -> set:
 
 def _grouped(ds, q, agg_items, aggexprs, plain):
     from datavec_ray.reduce import Reducer
-    group = list(q["group"])
     mode = q.get("group_mode", "plain")
+    # GROUP BY items may be full expressions (date_trunc('day', ts));
+    # each non-column expr becomes a hidden computed key column, and
+    # every matching subtree in select items / HAVING references it
+    gexpr_map: list = []
+    group: list = []
+    for gi in q["group"]:
+        if isinstance(gi, str):
+            group.append(gi)
+        else:
+            h = f"__gx{len(gexpr_map)}"
+            gexpr_map.append((gi, h))
+            group.append(h)
+
+    def subst_g(ast):
+        if not isinstance(ast, (tuple, list)) or not gexpr_map:
+            return ast
+        for gi, h in gexpr_map:
+            if ast == gi:
+                return ("col", h)
+        if isinstance(ast, list):
+            return [subst_g(x) for x in ast]
+        return tuple(subst_g(x) for x in ast)
+
+    if gexpr_map:
+        plain = [(subst_g(e), a) for e, a in plain]
+        aggexprs = [(subst_g(e), a) for e, a in aggexprs]
+        agg_items = [((op, arg if arg == ("star",) else subst_g(arg),
+                       d, subst_g(filt) if filt is not None else None), a)
+                     for (op, arg, d, filt), a in agg_items]
     # non-agg select items under GROUP BY must be expressions over the
     # group keys only (evaluated post-aggregation on the grouped rows)
     for e, a in plain:
@@ -1438,9 +1476,10 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
         return ast
 
     aggexprs = [(subst(e), a) for e, a in aggexprs]
-    having = subst(q["having"]) if q["having"] is not None else None
-    # pre-compute aggregate input expressions as columns
-    pre, specs = [], []
+    having = subst(subst_g(q["having"])) if q["having"] is not None \
+        else None
+    # pre-compute computed group keys + aggregate input expressions
+    pre, specs = [(h, gi) for gi, h in gexpr_map], []
     count_aliases = set()
     for idx, ((op, arg, distinct, filt), alias) in enumerate(all_aggs):
         if op == "Count":
@@ -1584,6 +1623,7 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
     # column), bare aggregates by alias, aggregate expressions over
     # hidden reduce columns; hidden columns are dropped here
     aggexpr_map = {a: e for e, a in aggexprs}
+    plain_map = {a: e for e, a in plain}
     out_items = []
     for kind, e, a in q["items"]:
         if kind == "agg":
@@ -1591,7 +1631,7 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
         elif kind == "aggexpr":
             out_items.append(("eval", aggexpr_map[a], a))
         elif kind == "expr":
-            out_items.append(("eval", e, a))
+            out_items.append(("eval", plain_map[a], a))
 
     def final(t: pa.Table) -> pa.Table:
         cols = {}

@@ -154,6 +154,14 @@ BATTERY = [
     "rows unbounded preceding) as rc, avg(qty) over (partition by region "
     "order by id, price rows unbounded preceding) as ra from sales",
     "select id, sum(qty) over () as tot from sales where qty is not null",
+    # GROUP BY expressions (hidden computed key columns)
+    "select date_trunc('day', ts) as d, count(*) as n, min(price) as lo "
+    "from sales group by date_trunc('day', ts) "
+    "order by n desc, d asc limit 7",
+    "select year(ts) as y, month(ts) as m, sum(qty) as s from sales "
+    "where qty is not null group by year(ts), month(ts)",
+    "select qty / 10 as decile, count(*) as n from sales "
+    "where qty is not null group by qty / 10 having count(*) > 100",
     # time functions
     "select id, epoch_ms(ts) as ms, year(ts) as y, month(ts) as m, "
     "day(ts) as d, hour(ts) as h from sales limit 300",
