@@ -2297,6 +2297,21 @@ class CdcIngestEngine:
                                  if columns is not None else empty)
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
+    def sql(self, statement: str,
+            columns: Optional[Sequence[str]] = None,
+            tables: Optional[dict] = None):
+        """Query the lake through the SQL frontend: the live LWW state
+        is registered as table ``lake`` (column-pruned via
+        ``columns`` — pass the referenced columns so rewrite-mode
+        partitions read only those off disk), plus any extra
+        ``tables``. Returns the planned ``ray.data.Dataset``."""
+        from datavec_ray.sql import sql as _sql
+        t = {"lake": self.read_lake_dataset(
+            list(columns) if columns is not None else None)}
+        if tables:
+            t.update(tables)
+        return _sql(statement, t)
+
     def table_stats(self, columns: Optional[Sequence[str]] = None,
                     files_per_task: int = 64) -> dict:
         """Exact table statistics — row count and per-column

@@ -22,7 +22,8 @@ plans it onto the existing vectorized steps:
 Supported grammar (anything else raises ``SqlError`` loudly — a silent
 wrong answer is worse than no answer):
 
-    query := SELECT [DISTINCT] item [, item ...]
+    query := [WITH name AS ( query ) [, ...]]
+             SELECT [DISTINCT] item [, item ...]
              FROM table [INNER|LEFT|RIGHT|FULL [OUTER] JOIN table
                          ON a = b [AND c = d ...]]*
              [WHERE expr]
@@ -100,7 +101,7 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "var_samp", "var_pop",
              "epoch_ms", "date_trunc", "year", "month", "day", "hour",
              "minute", "second",
-             "union", "all"}
+             "with", "union", "all"}
 
 _SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce",
                  "substr", "substring", "trim", "ltrim", "rtrim",
@@ -211,7 +212,23 @@ class _Parser:
 
     # -- statement ---------------------------------------------------------
     def parse(self) -> dict:
+        ctes = []
+        if self.accept_kw("with"):
+            k, v = self.peek()
+            if k == "name" and v.lower() == "recursive":
+                raise SqlError("recursive CTEs are not supported "
+                               "(see ops.graph for iterative closures)")
+            while True:
+                nm = self._name()
+                self.expect_kw("as")
+                self._expect_paren("(")
+                ctes.append((nm, self._query()))
+                self._expect_paren(")")
+                if not self.accept_op(","):
+                    break
         q = self._query()
+        if ctes:
+            q["ctes"] = ctes
         if self.peek()[0] != "eof":
             raise SqlError(f"trailing input at {self.peek()!r}")
         return q
@@ -1192,6 +1209,15 @@ def _out_names(q: dict):
 
 
 def _exec(q: dict, tables: dict):
+    if q.get("ctes"):
+        # WITH name AS (...): each CTE plans into a Dataset visible to
+        # later CTEs and the main query (a CTE referenced twice
+        # re-executes its plan — Datasets are lazy; materialize
+        # upstream if that matters)
+        tables = dict(tables)
+        for nm, sub in q["ctes"]:
+            tables[nm] = _exec(sub, tables)
+        q = {k: v for k, v in q.items() if k != "ctes"}
     if "setop" in q:
         left = _exec(q["left"], tables)
         right = _exec(q["right"], tables)

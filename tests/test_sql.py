@@ -154,6 +154,17 @@ BATTERY = [
     "rows unbounded preceding) as rc, avg(qty) over (partition by region "
     "order by id, price rows unbounded preceding) as ra from sales",
     "select id, sum(qty) over () as tot from sales where qty is not null",
+    # CTEs (WITH ... AS) — planned as named derived tables
+    "with big as (select region, qty from sales where qty > 40) "
+    "select region, count(*) as n from big group by region",
+    "with r as (select rname from regions where target > 150), "
+    "s as (select id, region from sales where qty > 45) "
+    "select s.id, s.region from s join r on region = rname",
+    "with a as (select qty from sales where qty is not null), "
+    "b as (select qty * 2 as q2 from a) select max(q2) as m from b",
+    "with u as (select note as k from sales where qty > 48 union all "
+    "select region as k from sales where qty < 2) "
+    "select k, count(*) as n from u where k is not null group by k",
     # GROUP BY expressions (hidden computed key columns)
     "select date_trunc('day', ts) as d, count(*) as n, min(price) as lo "
     "from sales group by date_trunc('day', ts) "
@@ -331,6 +342,8 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # non-equality correlation
     "select id from sales where exists "
     "(select rname from regions where target > qty)",
+    # recursive CTEs
+    "with recursive t as (select 1 as x) select x from t",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):

@@ -85,3 +85,23 @@ def test_table_stats_counts_only_live_rows(ray_session, tmp_path):
         assert st["rows"] == 2                  # conv a deleted
         assert st["columns"]["turn_idx"]["null_count"] == 0
         eng.shutdown()
+
+
+def test_engine_sql_over_lake(ray_session, binlog, tmp_path):
+    import duckdb
+    from datavec_ray.util import dataset_to_table
+    eng = CdcIngestEngine(str(tmp_path / "sqllake"), num_partitions=4)
+    eng.replay(binlog, checkpoint_name="v0")
+    stmt = ("select role, count(*) as n, min(turn_idx) as lo from lake "
+            "where role is not null group by role order by role asc")
+    got = dataset_to_table(eng.sql(
+        stmt, columns=["role", "turn_idx"])).to_pandas()
+    con = duckdb.connect()
+    con.register("lake", eng.read_lake().to_pandas())
+    want = con.sql(stmt).df()
+    assert got.shape == want.shape
+    assert (got["role"].values == want["role"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["lo"].astype(int).values
+            == want["lo"].astype(int).values).all()
+    eng.shutdown()
