@@ -30,7 +30,7 @@ wrong answer is worse than no answer):
              [GROUP BY expr [, expr ...] | CUBE (cols) | ROLLUP (cols)]
              [HAVING expr] [QUALIFY expr]
              [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
-             [UNION [ALL] query]
+             [UNION [ALL] | INTERSECT | EXCEPT query]
 
     table := name | ( query ) [AS] alias
     item  := * | expr [AS alias] | agg | win
@@ -101,7 +101,7 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "var_samp", "var_pop",
              "epoch_ms", "date_trunc", "year", "month", "day", "hour",
              "minute", "second",
-             "with", "union", "all"}
+             "with", "union", "intersect", "except", "all"}
 
 _SCALAR_FUNCS = {"round", "abs", "lower", "upper", "length", "coalesce",
                  "substr", "substring", "trim", "ltrim", "rtrim",
@@ -240,13 +240,20 @@ class _Parser:
         it is hoisted onto the union node; earlier branches must not
         carry one."""
         node = self._select()
-        while self.accept_kw("union"):
-            dedup = not self.accept_kw("all")
+        while True:
+            op = self.accept_kw("union", "intersect", "except")
+            if not op:
+                break
+            if op == "union":
+                op = "all" if self.accept_kw("all") else "distinct"
+            elif self.accept_kw("all"):
+                raise SqlError(f"{op.upper()} ALL is not supported "
+                               "(DISTINCT set semantics only)")
             if node["order"] or node["limit"] is not None:
                 raise SqlError(
-                    "ORDER BY/LIMIT only after the last UNION branch")
+                    "ORDER BY/LIMIT only after the last set-op branch")
             right = self._select()
-            node = {"setop": "distinct" if dedup else "all",
+            node = {"setop": op,
                     "left": node, "right": right,
                     "order": right["order"], "limit": right["limit"]}
             right["order"], right["limit"] = [], None
@@ -1226,10 +1233,15 @@ def _exec(q: dict, tables: dict):
             raise SqlError(
                 f"UNION branches must declare the same columns "
                 f"({ln} vs {rn})")
-        ds = left.union(right)
-        if q["setop"] == "distinct":
-            from datavec_ray.ops.setops import distinct_rows
-            ds = distinct_rows(ds)
+        if q["setop"] in ("intersect", "except"):
+            from datavec_ray.ops.setops import except_rows, intersect_rows
+            f = intersect_rows if q["setop"] == "intersect" else except_rows
+            ds = f(left, right)
+        else:
+            ds = left.union(right)
+            if q["setop"] == "distinct":
+                from datavec_ray.ops.setops import distinct_rows
+                ds = distinct_rows(ds)
         if q["order"]:
             ds = _null_safe_sort(ds, q["order"])
         if q["limit"] is not None:

@@ -154,6 +154,14 @@ BATTERY = [
     "rows unbounded preceding) as rc, avg(qty) over (partition by region "
     "order by id, price rows unbounded preceding) as ra from sales",
     "select id, sum(qty) over () as tot from sales where qty is not null",
+    # INTERSECT / EXCEPT (DISTINCT set semantics)
+    "select region from sales where qty > 30 intersect "
+    "select rname as region from regions",
+    "select note as k from sales except "
+    "select region as k from sales where region is not null",
+    "select region from sales where qty > 45 except "
+    "select rname as region from regions where target > 150 "
+    "order by region asc",
     # CTEs (WITH ... AS) — planned as named derived tables
     "with big as (select region, qty from sales where qty > 40) "
     "select region, count(*) as n from big group by region",
@@ -344,6 +352,8 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "(select rname from regions where target > qty)",
     # recursive CTEs
     "with recursive t as (select 1 as x) select x from t",
+    # INTERSECT/EXCEPT ALL (bag semantics not supported)
+    "select id from sales intersect all select id from sales",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
