@@ -4542,6 +4542,38 @@ def _q_sql_groupexpr(sf_dir: str):
     })
 
 
+_SQL_TPCH_Q1 = """select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     as sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) as sum_charge,
+                   round(sum(l_quantity) / count(*), 6) as avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) as avg_price,
+                   round(sum(l_discount) / count(*), 6) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag asc, l_linestatus asc"""
+
+
+def _q_sql_tpch_q1(sf_dir: str):
+    """TPC-H Q1 run ENTIRELY through the SQL frontend: parsed and
+    planned onto the combiner Reducer (aggregate expressions for the
+    averages), one pruned scan. Oracle = the identical SQL string in
+    DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q1, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount", "l_tax",
+                           "l_shipdate"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4857,6 +4889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_lag": _q_sql_lag,
         "sql_winagg": _q_sql_winagg,
         "sql_groupexpr": _q_sql_groupexpr,
+        "sql_tpch_q1": _q_sql_tpch_q1,
     }
 
 
@@ -7338,6 +7371,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_lag": _SQL_LAG,
         "sql_winagg": _SQL_WINAGG,
         "sql_groupexpr": _SQL_GROUPEXPR,
+        "sql_tpch_q1": _SQL_TPCH_Q1,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty
