@@ -1463,22 +1463,28 @@ def jaccard_against(ds, ref_ds, text_col: str = "text",
         .map_batches(_side(1), batch_format="pyarrow")
     grams = grams_ref.union(grams_new).materialize()
 
-    sizes_ref = Reducer(["id_a"], [["sz_a", "Sum", "sz_a"]]).apply_dataset(
-        grams.map_batches(
-            lambda t: pa.table(
-                {"id_a": t.filter(pc.equal(t["side"], 0))["did"],
-                 "sz_a": pa.nulls(
-                     t.filter(pc.equal(t["side"], 0)).num_rows,
-                     pa.int64()).fill_null(1)}),
-            batch_format="pyarrow"))
-    sizes_new = Reducer(["id_b"], [["sz_b", "Sum", "sz_b"]]).apply_dataset(
-        grams.map_batches(
-            lambda t: pa.table(
-                {"id_b": t.filter(pc.equal(t["side"], 1))["did"],
-                 "sz_b": pa.nulls(
-                     t.filter(pc.equal(t["side"], 1)).num_rows,
-                     pa.int64()).fill_null(1)}),
-            batch_format="pyarrow"))
+    # ONE combiner pass counts both sides' distinct-gram set sizes
+    # (keyed (did, side)); split into the two broadcast tables after —
+    # halves the exchanges of the former per-side passes
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table({"did": t["did"], "side": t["side"],
+                         "sz": pa.nulls(t.num_rows,
+                                        pa.int64()).fill_null(1)})
+    _ones.__name__ = "gram_ones"
+    sizes_red = Reducer(["did", "side"], [["sz", "Sum", "sz"]])
+    sizes_red._in_schema_hint = pa.schema(
+        [("did", pa.int64()), ("side", pa.int8()), ("sz", pa.int64())])
+    from datavec_ray.util import dataset_to_table
+    sizes_all = dataset_to_table(sizes_red.apply_dataset(
+        grams.map_batches(_ones, batch_format="pyarrow")))
+    ref_mask = pc.equal(sizes_all["side"], 0)
+    sizes_ref = pa.table(
+        {"id_a": sizes_all.filter(ref_mask)["did"],
+         "sz_a": sizes_all.filter(ref_mask)["sz"]})
+    inv = pc.invert(ref_mask)
+    sizes_new = pa.table(
+        {"id_b": sizes_all.filter(inv)["did"],
+         "sz_b": sizes_all.filter(inv)["sz"]})
 
     co = (_tag_bucket_partition(grams, ["g"])
           .groupby("__bpart")
@@ -1489,14 +1495,13 @@ def jaccard_against(ds, ref_ds, text_col: str = "text",
     cnt._in_schema_hint = pa.schema([("id_a", pa.int64()),
                                      ("id_b", pa.int64())])
     pairs = cnt.apply_dataset(co)
-    from datavec_ray.util import dataset_to_table
-    j1 = JoinStep(dataset_to_table(sizes_ref), keys=["id_a"],
+    j1 = JoinStep(sizes_ref, keys=["id_a"],
                   broadcast=True)
     j1._in_schema_hint = pa.schema([("id_a", pa.int64()),
                                     ("id_b", pa.int64()),
                                     ("count()", pa.int64())])
     j = j1.apply_dataset(pairs)
-    j2 = JoinStep(dataset_to_table(sizes_new), keys=["id_b"],
+    j2 = JoinStep(sizes_new, keys=["id_b"],
                   broadcast=True)
     j2._in_schema_hint = pa.schema([("id_a", pa.int64()),
                                     ("id_b", pa.int64()),
@@ -1513,8 +1518,15 @@ def jaccard_against(ds, ref_ds, text_col: str = "text",
                         "jaccard": pc.round(jac, 6)})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
+    def _sort_local(t: pa.Table) -> pa.Table:
+        return t.sort_by([("ref_id", "ascending"),
+                          ("doc_id", "ascending")])
+    _sort_local.__name__ = "pair_sort"
+    # the thresholded pair set is SMALL — one-block local sort beats
+    # Ray's range-partitioned sort floor (same lesson as decontaminate)
     return (j.map_batches(_finish, batch_format="pyarrow")
-            .sort(["ref_id", "doc_id"]))
+            .repartition(1).map_batches(_sort_local,
+                                        batch_format="pyarrow"))
 
 
 def minhash_against(ds, ref_ds, text_col: str = "text",
