@@ -169,8 +169,12 @@ class JoinStep(WideStep):
         # (observed: a 4-CPU test session crawling on a 32-partition
         # join of 2k rows), so cap partitions at the cluster's CPUs
         import ray
-        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
-        nparts = max(2, min(self.num_partitions, cpus))
+
+        from datavec_ray.config import partitions_override
+        nparts = partitions_override(self.num_partitions)
+        if nparts == 32:       # library default: size to the session
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+            nparts = max(2, min(32, cpus))
         return ds.join(right_ds, join_type=JOIN_TYPES[self.join_type],
                        num_partitions=nparts,
                        on=tuple(self.keys), right_on=tuple(self.right_keys),
@@ -196,7 +200,8 @@ class JoinStep(WideStep):
         if schema is None:
             return None
         keys, right_keys = self.keys, self.right_keys
-        nb = self.num_partitions
+        from datavec_ray.config import partitions_override
+        nb = partitions_override(self.num_partitions)
         how_pa = {"Inner": "inner", "LeftOuter": "left outer",
                   "RightOuter": "right outer",
                   "FullOuter": "full outer"}[self.join_type]

@@ -131,8 +131,14 @@ def _group_partition(ds, keys: Sequence[str], num_partitions: int):
     co-locates whole key groups AND calls the per-group logic once per
     PARTITION (P calls total), never once per key — at 100 TB a per-key
     ``map_groups`` is millions of Python invocations; the partition form
-    is the engine-wide discipline (see exact_dedup, setops)."""
+    is the engine-wide discipline (see exact_dedup, setops).
+
+    ``DATAVEC_NUM_PARTITIONS`` replaces the library-default partition
+    count here (the shared chokepoint of every hash-partition groupby)
+    for cluster-scale runs; see ``datavec_ray.config``."""
+    from datavec_ray.config import partitions_override
     from datavec_ray.ops.setops import _row_hash
+    num_partitions = partitions_override(num_partitions)
 
     keys = list(keys)
 

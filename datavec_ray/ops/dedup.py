@@ -261,6 +261,9 @@ def _pair_indices(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _tag_bucket_partition(ds, cols, num_partitions: int = 64):
+    from datavec_ray.config import partitions_override
+    num_partitions = partitions_override(num_partitions,
+                                         library_default=64)
     """Tag rows with ``hash(bucket key) % P``: ONE ``groupby(__bpart)``
     co-locates whole buckets while invoking the per-bucket logic once
     per PARTITION — at corpus scale a per-bucket ``map_groups`` is one

@@ -115,6 +115,8 @@ class _Resolve:
 
 
 def _tagged(ds, columns, side, num_partitions):
+    from datavec_ray.config import partitions_override
+    num_partitions = partitions_override(num_partitions)
     return ds.map_batches(_TagHashDistinct(columns, side, num_partitions),
                           batch_format="pyarrow")
 

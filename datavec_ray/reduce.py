@@ -533,7 +533,8 @@ class Reducer(WideStep):
         out_types = {out: _out_type(op, schema.field(col).type)
                      for col, op, out in specs}
         key_types = {k: schema.field(k).type for k in keys}
-        P = self.num_partitions or 32
+        from datavec_ray.config import partitions_default
+        P = self.num_partitions or partitions_default()
 
         def _grp(group: pa.Table) -> pa.Table:
             g = group.drop_columns([_GPART]).sort_by(
@@ -681,7 +682,8 @@ class Reducer(WideStep):
         specs = [tuple(s) for s in self.specs]
         out_types = {out: _out_type(op, in_types[col] if col else pa.int64())
                      for col, op, out in specs}
-        P = self.num_partitions or 32
+        from datavec_ray.config import partitions_default
+        P = self.num_partitions or partitions_default()
 
         def _partial(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
