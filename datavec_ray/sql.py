@@ -98,7 +98,7 @@ _KEYWORDS = {"select", "distinct", "from", "where", "group", "by", "having",
              "round", "abs", "lower", "upper", "length", "coalesce",
              "substr", "substring", "trim", "ltrim", "rtrim", "replace",
              "cast", "stddev", "stddev_samp", "stddev_pop", "variance",
-             "var_samp", "var_pop",
+             "var_samp", "var_pop", "approx_count_distinct",
              "epoch_ms", "date_trunc", "year", "month", "day", "hour",
              "minute", "second",
              "with", "union", "intersect", "except", "all"}
@@ -163,7 +163,11 @@ _AGG_FUNCS = {"sum": "Sum", "min": "Min", "max": "Max", "avg": "Mean",
               "stddev": "Stdev", "stddev_samp": "Stdev",
               "stddev_pop": "UncorrectedStdDev",
               "variance": "Variance", "var_samp": "Variance",
-              "var_pop": "PopulationVariance"}
+              "var_pop": "PopulationVariance",
+              # HLL sketch (512-byte mergeable register partials);
+              # estimates differ from DuckDB's sketch — tolerance-test
+              # coverage, not string-identical oracle
+              "approx_count_distinct": "CountUnique"}
 
 
 def _has_aggref(ast) -> bool:

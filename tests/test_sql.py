@@ -390,3 +390,17 @@ def test_left_join_matches(tables, ddb):
 ])
 def test_right_full_join_matches(tables, ddb, stmt):
     _match(stmt, sql(stmt, tables), ddb.sql(stmt).df())
+
+
+def test_approx_count_distinct(tables):
+    # HLL estimate: within the p=9 register error bound of the truth
+    got = dataset_to_table(sql(
+        "select region, approx_count_distinct(id) as ad, "
+        "count(*) as n from sales group by region", tables)).to_pandas()
+    want = dataset_to_table(sql(
+        "select region, count(distinct id) as d from sales "
+        "group by region", tables)).to_pandas()
+    g = got.sort_values("region", na_position="last").reset_index(drop=True)
+    w = want.sort_values("region", na_position="last").reset_index(drop=True)
+    for ad, d in zip(g["ad"], w["d"]):
+        assert abs(ad - d) / max(d, 1) < 0.12, (ad, d)
