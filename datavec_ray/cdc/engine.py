@@ -854,12 +854,21 @@ def _footer_stats(paths: Sequence[str], cols: Sequence[str]) -> dict:
         if not cols:
             continue
         sch = md.schema.to_arrow_schema()
+        # parquet row-group column chunks are indexed by LEAF position
+        # (path_in_schema), which diverges from the Arrow field index
+        # once any nested column exists — resolve by path, and send
+        # nested/absent columns to the exact scan fallback
+        leaf_idx = {md.schema.column(i).path: i
+                    for i in range(md.num_columns)}
         for c in cols:
-            idx = sch.get_field_index(c)
-            if idx < 0:
-                raise KeyError(f"column {c!r} not in lake file {p}")
+            if c not in leaf_idx:
+                if sch.get_field_index(c) < 0:
+                    raise KeyError(f"column {c!r} not in lake file {p}")
+                out["fallback"].add(c)      # nested column: scan it
+                continue
+            idx = leaf_idx[c]
             acc = out["cols"][c]
-            trusted = any(f(sch.field(idx).type)
+            trusted = any(f(sch.field(c).type)
                           for f in _FOOTER_STAT_TYPES)
             for rg in range(md.num_row_groups):
                 cc = md.row_group(rg).column(idx)

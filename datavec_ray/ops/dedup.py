@@ -261,14 +261,14 @@ def _pair_indices(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _tag_bucket_partition(ds, cols, num_partitions: int = 64):
-    from datavec_ray.config import partitions_override
-    num_partitions = partitions_override(num_partitions,
-                                         library_default=64)
     """Tag rows with ``hash(bucket key) % P``: ONE ``groupby(__bpart)``
     co-locates whole buckets while invoking the per-bucket logic once
     per PARTITION — at corpus scale a per-bucket ``map_groups`` is one
     Ray group dispatch per LSH bucket (millions); the partition form
     replaces that with an in-process numpy segment scan."""
+    from datavec_ray.config import partitions_override
+    num_partitions = partitions_override(num_partitions,
+                                         library_default=64)
     def tag(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for c in cols:

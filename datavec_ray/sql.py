@@ -243,21 +243,39 @@ class _Parser:
         applies to the whole union (matching standard SQL scoping), so
         it is hoisted onto the union node; earlier branches must not
         carry one."""
-        node = self._select()
+        node = self._intersect_term()
         while True:
-            op = self.accept_kw("union", "intersect", "except")
+            op = self.accept_kw("union", "except")
             if not op:
                 break
             if op == "union":
                 op = "all" if self.accept_kw("all") else "distinct"
             elif self.accept_kw("all"):
-                raise SqlError(f"{op.upper()} ALL is not supported "
+                raise SqlError("EXCEPT ALL is not supported "
+                               "(DISTINCT set semantics only)")
+            if node["order"] or node["limit"] is not None:
+                raise SqlError(
+                    "ORDER BY/LIMIT only after the last set-op branch")
+            right = self._intersect_term()
+            node = {"setop": op,
+                    "left": node, "right": right,
+                    "order": right["order"], "limit": right["limit"]}
+            right["order"], right["limit"] = [], None
+        return node
+
+    def _intersect_term(self) -> dict:
+        """INTERSECT binds TIGHTER than UNION/EXCEPT (ANSI precedence,
+        matched by DuckDB — the declared oracle)."""
+        node = self._select()
+        while self.accept_kw("intersect"):
+            if self.accept_kw("all"):
+                raise SqlError("INTERSECT ALL is not supported "
                                "(DISTINCT set semantics only)")
             if node["order"] or node["limit"] is not None:
                 raise SqlError(
                     "ORDER BY/LIMIT only after the last set-op branch")
             right = self._select()
-            node = {"setop": op,
+            node = {"setop": "intersect",
                     "left": node, "right": right,
                     "order": right["order"], "limit": right["limit"]}
             right["order"], right["limit"] = [], None
@@ -573,7 +591,7 @@ class _Parser:
             while self.accept_op(","):
                 lits.append(self._literal())
             self._expect_paren(")")
-            return ("not", ("in", e, lits)) if neg else ("in", e, lits)
+            return ("inlit", e, lits, neg)
         if self.accept_kw("between"):
             lo = self._addsub()
             self.expect_kw("and")
@@ -704,6 +722,29 @@ class _Parser:
 
 _CMP = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,
         "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+
+def _in_3vl(x, vals: pa.Array, has_null: bool, neg: bool):
+    """ANSI three-valued IN: NULL probe → NULL; a NULL in the value
+    set makes every non-match NULL (so NOT IN keeps nothing)."""
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    vs = vals
+    if len(vals) and vals.type != x.type:
+        try:
+            vs = vals.cast(x.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError):
+            pass
+    if len(vs) == 0:
+        r = pc.and_(pc.is_valid(x), pa.scalar(False))
+    else:
+        r = pc.is_in(x, value_set=vs)
+    nb = pa.scalar(None, pa.bool_())
+    if has_null:
+        r = pc.if_else(r, pa.scalar(True), nb)
+    r = pc.if_else(pc.is_valid(x), r, nb)
+    return pc.invert(r) if neg else r
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
 
 
@@ -734,6 +775,12 @@ def _eval(ast, t: pa.Table):
     if kind == "in":
         vals = [l[1] for l in ast[2]]
         return pc.is_in(_eval(ast[1], t), value_set=pa.array(vals))
+    if kind == "inlit":
+        _, e, lits, neg = ast
+        pyvals = [l[1] for l in lits]
+        nonnull = [v for v in pyvals if v is not None]
+        return _in_3vl(_eval(e, t), pa.array(nonnull),
+                       any(v is None for v in pyvals), neg)
     if kind == "like":
         return pc.match_like(_eval(ast[1], t), ast[2])
     if kind == "inset":
@@ -746,22 +793,7 @@ def _eval(ast, t: pa.Table):
         if not isinstance(vals, pa.Array):
             import ray
             vals = ray.get(vals)
-        x = _eval(e, t)
-        if isinstance(x, pa.ChunkedArray):
-            x = x.combine_chunks()
-        vs = vals
-        if vals.type != x.type:
-            try:
-                vs = vals.cast(x.type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                    pa.ArrowTypeError):
-                pass
-        r = pc.is_in(x, value_set=vs)
-        nb = pa.scalar(None, pa.bool_())
-        if has_null:
-            r = pc.if_else(r, pa.scalar(True), nb)
-        r = pc.if_else(pc.is_valid(x), r, nb)
-        return pc.invert(r) if neg else r
+        return _in_3vl(_eval(e, t), vals, has_null, neg)
     if kind == "valid_int":
         return pc.cast(pc.is_valid(_eval(ast[1], t)), pa.int64())
     if kind == "func":
@@ -815,8 +847,13 @@ def _eval(ast, t: pa.Table):
             return pc.replace_substring(args[0], pattern=pat,
                                         replacement=rep)
         if name == "epoch_ms":
-            # DuckDB: BIGINT milliseconds since epoch
-            return pc.cast(pc.cast(args[0], pa.timestamp("ms")),
+            # DuckDB: BIGINT milliseconds since epoch, sub-ms
+            # components TRUNCATED (Arrow's safe cast would raise)
+            v = args[0]
+            typ = v.type
+            if pa.types.is_timestamp(typ) and typ.unit != "ms":
+                v = pc.floor_temporal(v, unit="millisecond")
+            return pc.cast(pc.cast(v, pa.timestamp("ms"), safe=False),
                            pa.int64())
         if name == "date_trunc":
             unit = args[0].as_py() if isinstance(args[0], pa.Scalar) \
@@ -959,6 +996,19 @@ def _plan_correlated(subq: dict, tables: dict, probe):
     outer_keys, inner_keys, inner_preds = [], [], []
     correlated = False
     for c in conjs:
+        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+                and c[2][0] == "col" and c[3][0] == "col" \
+                and c[2][1] == c[3][1] and c[2][1] in inner_cols:
+            # qualifiers are stripped at parse time, so `o.k = u.k`
+            # arrives as `k = k` — indistinguishable from an inner
+            # tautology. A silent uncorrelated plan would be WRONG for
+            # the most common way correlated subqueries are written,
+            # so refuse loudly.
+            raise SqlError(
+                f"ambiguous predicate {c[2][1]} = {c[2][1]} in a "
+                "subquery: this frontend strips qualifiers, so a "
+                "correlation on a same-named column cannot be told "
+                "from an inner tautology — rename one side's column")
         cols = _cols_in(c)
         if cols <= inner_cols:
             inner_preds.append(c)
@@ -980,6 +1030,14 @@ def _plan_correlated(subq: dict, tables: dict, probe):
             f"between one inner and one outer column, got: {c!r}")
     if not correlated:
         return None
+    if probe is None and any(k != "expr" for k, _, _ in subq["items"]):
+        # EXISTS over a correlated AGGREGATE subquery: a global
+        # aggregate yields one row even over zero matches, so EXISTS
+        # is always TRUE in SQL — a semi join would silently drop rows
+        raise SqlError(
+            "correlated EXISTS over an aggregate subquery is always "
+            "TRUE in SQL (a global aggregate returns one row even "
+            "over zero matches) — drop the EXISTS or use IN")
     if inner_preds:
         inner_ds = inner_ds.map_batches(
             _filter_fn(_re_and(inner_preds), "sql_corr_inner"),
@@ -1309,6 +1367,9 @@ def _exec(q: dict, tables: dict):
         if agg_items or aggexprs or q["group"]:
             raise SqlError(
                 "window functions cannot mix with GROUP BY/aggregates")
+        if q["having"] is not None:
+            raise SqlError("HAVING cannot apply to a windowed SELECT "
+                           "(use QUALIFY for window filters)")
         if star:
             raise SqlError("SELECT * cannot mix with window functions")
         ds = _windowed(ds, q, wins)
@@ -1524,7 +1585,7 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
     pre, specs = [(h, gi) for gi, h in gexpr_map], []
     count_aliases = set()
     for idx, ((op, arg, distinct, filt), alias) in enumerate(all_aggs):
-        if op == "Count":
+        if op in ("Count", "CountUnique"):
             count_aliases.add(alias)
         if filt is not None:
             # FILTER (WHERE c): null-mask the aggregate input — SQL
@@ -1606,24 +1667,40 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
         if synthetic and hint is not None:
             # global aggregate: SQL returns exactly ONE row even over
             # zero input rows (COUNT = 0, SUM/MIN/MAX/AVG = NULL). The
-            # reduce of an empty input has zero groups, so materialize
-            # the (≤1-row) result and synthesize the identity row
+            # reduce of an empty input yields zero BLOCKS — no map
+            # task would ever run to synthesize the identity row — so
+            # union a tagged sentinel identity row and resolve LAZILY
+            # in one task (the plan stays unexecuted until consumed)
             from datavec_ray.schema import Schema as _DvSchema
-            from datavec_ray.util import dataset_to_table
             import ray.data as rd
             out_sch = red.output_schema(_DvSchema(hint)).arrow()
-            tbl = dataset_to_table(ds)
-            if tbl.num_rows == 0:
-                cols = {}
-                for f in out_sch:
-                    if f.name in count_aliases:
-                        cols[f.name] = pa.array([0], f.type)
-                    elif f.name == "__g":
-                        cols[f.name] = pa.array([0], f.type)
-                    else:
-                        cols[f.name] = pa.nulls(1, f.type)
-                tbl = pa.table(cols)
-            ds = rd.from_arrow(tbl)
+            names = list(out_sch.names)
+            cols = {}
+            for f in out_sch:
+                if f.name in count_aliases or f.name == "__g":
+                    cols[f.name] = pa.array([0], f.type)
+                else:
+                    cols[f.name] = pa.nulls(1, f.type)
+            sent = pa.table(cols).append_column(
+                "__sent", pa.array([1], pa.int8()))
+
+            def _tag_real(t: pa.Table) -> pa.Table:
+                t = t.select(names)
+                return t.append_column(
+                    "__sent", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+            _tag_real.__name__ = "sql_gagg_tag"
+
+            def _resolve(t: pa.Table) -> pa.Table:
+                real = t.filter(pc.equal(t["__sent"], 0))
+                pick = real if real.num_rows else \
+                    t.filter(pc.equal(t["__sent"], 1))
+                return pick.drop_columns(["__sent"])
+            _resolve.__name__ = "sql_gagg_resolve"
+            ds = (ds.map_batches(_tag_real, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                  .union(rd.from_arrow(sent))
+                  .repartition(1)
+                  .map_batches(_resolve, batch_format="pyarrow"))
     else:
         from itertools import combinations
 

@@ -25,7 +25,8 @@ def frames():
         "price": np.round(rng.uniform(0.5, 99.5, n), 2),
         "note": rng.choice(["promo", "bulk", "retail"], n),
         "ts": pd.Timestamp("2024-01-01")
-        + pd.to_timedelta(rng.integers(0, 90 * 24 * 3600, n), unit="s"),
+        + pd.to_timedelta(rng.integers(0, 90 * 24 * 3600, n), unit="s")
+        + pd.to_timedelta(rng.integers(0, 1_000_000, n), unit="us"),
     })
     sales.loc[rng.random(n) < 0.05, "qty"] = None
     regions = pd.DataFrame({
@@ -219,6 +220,19 @@ BATTERY = [
     "select region from sales where qty < 10",
     "select note as k from sales where qty > 48 union all "
     "select note as k from sales where qty < 2 order by k asc limit 20",
+    # three-valued IN over literal lists (NULL probe / NULL in set)
+    "select count(*) as n from sales where region not in ('east')",
+    "select count(*) as n from sales where region in ('east', null)",
+    "select id from sales where region not in ('east', 'west') "
+    "and qty > 40",
+    # INTERSECT binds tighter than UNION (ANSI precedence)
+    "select region from sales where qty > 45 union "
+    "select region from sales where qty < 3 intersect "
+    "select rname as region from regions where target < 250",
+    # uncorrelated EXISTS over an aggregate subquery: one row even
+    # over zero matches, so EXISTS is TRUE
+    "select count(*) as n from sales where exists "
+    "(select max(target) as m from regions where target > 9999)",
     # negated membership / range / pattern predicates
     "select id, note from sales where note not in ('promo', 'bulk')",
     "select id from sales where qty not between 5 and 45",
@@ -354,6 +368,16 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "with recursive t as (select 1 as x) select x from t",
     # INTERSECT/EXCEPT ALL (bag semantics not supported)
     "select id from sales intersect all select id from sales",
+    # same-named correlation column: qualifiers are stripped, so this
+    # is ambiguous — must refuse, never silently plan uncorrelated
+    "select id from sales where exists "
+    "(select region from salesdup where region = region)",
+    # correlated EXISTS over an aggregate subquery (always TRUE in SQL)
+    "select id from sales where exists "
+    "(select max(target) as m from regions where rname = region)",
+    # HAVING on a windowed SELECT (QUALIFY is the window filter)
+    "select id, rank() over (partition by note order by price) as rk "
+    "from sales having id > 3",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
@@ -390,6 +414,37 @@ def test_left_join_matches(tables, ddb):
 ])
 def test_right_full_join_matches(tables, ddb, stmt):
     _match(stmt, sql(stmt, tables), ddb.sql(stmt).df())
+
+
+def test_unsupported_salesdup(tables, frames):
+    # the same-name-correlation must-raise needs a second table whose
+    # column names overlap sales'
+    import ray.data as rd
+    t2 = dict(tables)
+    t2["salesdup"] = rd.from_pandas(frames["sales"][["region"]])
+    with pytest.raises(SqlError, match="ambiguous"):
+        sql("select id from sales where exists "
+            "(select region from salesdup where region = region)", t2)
+
+
+def test_global_agg_stays_lazy(tables):
+    # a global aggregate must return an UNEXECUTED plan (regression:
+    # the zero-row identity synthesis used to materialize eagerly)
+    ds = sql("select count(*) as n, sum(qty) as s from sales", tables)
+    import ray.data
+    assert isinstance(ds, ray.data.Dataset)
+    stats_before = ds._plan.has_computed_output() \
+        if hasattr(ds, "_plan") else False
+    assert not stats_before
+    out = dataset_to_table(ds).to_pandas()
+    assert out["n"][0] == 5000
+
+
+def test_approx_count_distinct_empty_is_zero(tables):
+    got = dataset_to_table(sql(
+        "select approx_count_distinct(id) as ad, count(*) as n "
+        "from sales where qty > 9999", tables)).to_pandas()
+    assert len(got) == 1 and got["ad"][0] == 0 and got["n"][0] == 0
 
 
 def test_approx_count_distinct(tables):

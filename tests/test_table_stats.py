@@ -105,3 +105,25 @@ def test_engine_sql_over_lake(ray_session, binlog, tmp_path):
     assert (got["lo"].astype(int).values
             == want["lo"].astype(int).values).all()
     eng.shutdown()
+
+
+def test_footer_stats_nested_leaf_indexing(tmp_path):
+    # parquet row-group chunks are indexed by LEAF position: a struct
+    # column between two flat ones must not shift min/max attribution
+    # (regression: arrow field index was used as the leaf index)
+    import pyarrow.parquet as pq
+
+    from datavec_ray.cdc.engine import _footer_stats
+    t = pa.table({
+        "a": pa.array([1, 2, None], pa.int64()),
+        "s": pa.array([{"x": 1, "y": "u"}, {"x": 2, "y": "v"}, None],
+                      pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        "b": pa.array([10.5, 20.5, 30.5], pa.float64()),
+    })
+    p = str(tmp_path / "part-0000.parquet")
+    pq.write_table(t, p)
+    st = _footer_stats([p], ["a", "b", "s"])
+    assert st["cols"]["b"] == {"min": 10.5, "max": 30.5, "null_count": 0}
+    assert st["cols"]["a"]["min"] == 1 and st["cols"]["a"]["max"] == 2
+    assert st["cols"]["a"]["null_count"] == 1
+    assert "s" in st["fallback"]          # nested: exact scan fallback
