@@ -29,7 +29,8 @@ wrong answer is worse than no answer):
              [WHERE expr]
              [GROUP BY expr [, expr ...] | CUBE (cols) | ROLLUP (cols)]
              [HAVING expr] [QUALIFY expr]
-             [ORDER BY col [ASC|DESC] [, ...]] [LIMIT n]
+             [ORDER BY expr [ASC|DESC] [, ...]] [LIMIT n]
+             (ORDER BY expressions evaluate over OUTPUT columns)
              [UNION [ALL] | INTERSECT | EXCEPT query]
 
     table := name | ( query ) [AS] alias
@@ -372,7 +373,13 @@ class _Parser:
         if self.accept_kw("order"):
             self.expect_kw("by")
             while True:
-                c = self._name()
+                # a plain name, or an expression over OUTPUT columns
+                # (SQL scoping: ORDER BY runs after the projection)
+                e = self._expr()
+                if _has_aggref(e):
+                    raise SqlError("ORDER BY aggregates by their "
+                                   "select-item alias")
+                c = e[1] if e[0] == "col" else e
                 d = self.accept_kw("asc", "desc") or "asc"
                 order.append((c, d == "desc"))
                 if not self.accept_op(","):
@@ -1242,7 +1249,14 @@ def _null_safe_sort(ds, order):
 
     def lift(t: pa.Table) -> pa.Table:
         for i, c in enumerate(cols):
-            a = t[c]
+            if isinstance(c, tuple):        # ORDER BY expression
+                a = _eval(c, t)
+                if isinstance(a, pa.Scalar):
+                    a = pa.nulls(t.num_rows, a.type).fill_null(a)
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+            else:
+                a = t[c]
             t = t.append_column(flags[i], pc.is_null(a))
             try:
                 filled = pc.fill_null(a, pa.scalar(

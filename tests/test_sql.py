@@ -189,6 +189,13 @@ BATTERY = [
     "from sales) t group by d order by n desc, d asc limit 10",
     "select w, min(ts) as first_ts from (select date_trunc('week', ts) "
     "as w, ts from sales) t group by w",
+    # ORDER BY expressions (evaluated over output columns)
+    "select region, count(*) as n from sales group by region "
+    "order by n / 2 desc, region asc",
+    "select id, note from sales where qty > 46 "
+    "order by lower(note) asc, id desc",
+    "select id, qty, price from sales where qty is not null and qty > 44 "
+    "order by qty * price desc, id asc limit 200",
     # ORDER BY over null-containing keys (NULLS LAST both directions)
     "select region, qty from sales order by region asc, qty desc "
     "limit 4800",
