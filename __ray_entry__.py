@@ -4574,6 +4574,30 @@ def _q_sql_tpch_q1(sf_dir: str):
     })
 
 
+_SQL_TPCH_Q6 = """select round(sum(l_extendedprice * l_discount), 2)
+                     as revenue,
+                   count(*) as n
+            from lineitem
+            where l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              and l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24"""
+
+
+def _q_sql_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change) through the SQL frontend:
+    one pruned scan -> fused vectorized filter -> global aggregate
+    (identity-row machinery covers an empty match set). Oracle = the
+    identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q6, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_extendedprice", "l_discount", "l_quantity",
+                           "l_shipdate"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -4890,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_winagg": _q_sql_winagg,
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
+        "sql_tpch_q6": _q_sql_tpch_q6,
     }
 
 
@@ -7372,6 +7397,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_winagg": _SQL_WINAGG,
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
+        "sql_tpch_q6": _SQL_TPCH_Q6,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty
