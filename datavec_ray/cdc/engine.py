@@ -899,9 +899,13 @@ def _delta_stats(lake_dir: str, pid: int, cols: Sequence[str]) -> dict:
     because base/delta rows overlap and tombstones hide rows."""
     lww = ["conv_id", "turn_idx", "ts", "lsn", "op"]
     seg_cols = lww + [c for c in cols if c not in lww]
-    t = merge_segments(_delta_segment_files(lake_dir, pid),
-                       drop_tombstones=True, columns=seg_cols)
-    out = {"rows": t.num_rows, "bytes": 0, "files": 0,
+    segs = _delta_segment_files(lake_dir, pid)
+    t = merge_segments(segs, drop_tombstones=True, columns=seg_cols)
+    # bytes = on-disk size of the partition's segment files; files
+    # stays 0 as the delta-partition marker (rewrite partitions
+    # count their parquet files there)
+    nbytes = sum(os.path.getsize(f) for f in segs if os.path.exists(f))
+    out = {"rows": t.num_rows, "bytes": nbytes, "files": 0,
            "cols": {}, "fallback": set()}
     for c in cols:
         col = t[c]

@@ -511,24 +511,30 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
     for m in specs.values():
         if isinstance(m, tuple):
             # ("lag"|"lead", src_col, offset) positional shift, or
-            # ("wtotal"|"wrun", op, src_col|"*") windowed aggregate
+            # ("wtotal"|"wrun"|"wrange", op, src_col|"*") windowed
+            # aggregate (totals / running ROWS frame / running RANGE
+            # frame incl. value peers), or ("wrows", op, src, k) —
+            # bounded sliding ROWS k PRECEDING .. CURRENT ROW frame
+            ops = ("Sum", "Mean", "Min", "Max", "Count")
             if m[0] in ("lag", "lead"):
                 if len(m) != 3 or not isinstance(m[2], int) or m[2] < 0:
                     raise ValueError(f"bad lag/lead spec {m!r}")
-            elif m[0] in ("wtotal", "wrun"):
-                ops = ("Sum", "Mean", "Min", "Max", "Count")
+            elif m[0] in ("wtotal", "wrun", "wrange"):
                 if len(m) != 3 or m[1] not in ops:
                     raise ValueError(f"bad window-aggregate spec {m!r}")
-                if m[0] == "wrun" and m[1] in ("Min", "Max"):
-                    raise ValueError(
-                        "running Min/Max window frames are not supported")
+            elif m[0] == "wrows":
+                if (len(m) != 4 or m[1] not in ops
+                        or not isinstance(m[3], int) or m[3] < 0):
+                    raise ValueError(f"bad sliding-window spec {m!r}")
             else:
                 raise ValueError(f"unknown window spec {m!r}")
         elif m not in _RANK_METHODS:
             raise ValueError(f"unknown rank method {m!r}")
     keys = list(keys)
     tiebreak = list(tiebreak) if tiebreak else []
-    _needs_order = ("lag", "lead", "wrun")
+    # wrange is deliberately absent: the RANGE-peers frame is
+    # deterministic without a total order (peers share one value)
+    _needs_order = ("lag", "lead", "wrun", "wrows")
     if any((isinstance(m, tuple) and m[0] in _needs_order)
            or m in ("row_number", "ntile")
            for m in specs.values()) and not tiebreak:
@@ -564,12 +570,16 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
             return new_val
 
         for col, m in specs.items():
-            if isinstance(m, tuple) and m[0] in ("wtotal", "wrun"):
-                # windowed aggregate: per-segment reduceat (totals) or
-                # segment-reset cumulative scan (running frames), SQL
-                # null semantics (aggregates skip NULLs; an all-null
-                # window yields NULL; COUNT never does)
-                kind, op2, src_col = m
+            if isinstance(m, tuple) and m[0] in ("wtotal", "wrun",
+                                                 "wrange", "wrows"):
+                # windowed aggregate: per-segment reduceat (totals),
+                # segment-reset cumulative scan (running ROWS frame),
+                # peer-run propagation (RANGE frame), or bounded
+                # prefix-sum differences (sliding ROWS k PRECEDING) —
+                # SQL null semantics (aggregates skip NULLs; an
+                # all-null window yields NULL; COUNT never does)
+                kind, op2, src_col = m[0], m[1], m[2]
+                kprec = m[3] if len(m) > 3 else 0
                 if n == 0:
                     et = pa.float64() if op2 == "Mean" or (
                         src_col != "*" and op2 != "Count"
@@ -627,25 +637,82 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                                                          np.floating)
                                            else pa.int64())
                         mask0 = cnt == 0
-                else:                      # wrun: unbounded-preceding
+                else:
+                    # running / sliding frames over segment-sorted rows
                     ccnt = np.cumsum(contrib)
-                    rcnt = ccnt - np.repeat(
-                        ccnt[starts] - contrib[starts], sizes)
+                    if kind == "wrows":
+                        # bounded frame: prefix-sum difference between
+                        # the row and max(segment start, pos - k)
+                        lo = np.maximum(grp_start, pos - np.int64(kprec))
+                        base_c = np.where(lo > 0,
+                                          ccnt[np.maximum(lo - 1, 0)], 0)
+                        rcnt = ccnt - base_c
+                    else:
+                        rcnt = ccnt - np.repeat(
+                            ccnt[starts] - contrib[starts], sizes)
+                    src_float = (op2 != "Count"
+                                 and np.issubdtype(vals.dtype, np.floating))
                     if op2 == "Count":
                         r, otype, mask0 = rcnt, pa.int64(), None
-                    else:
+                    elif op2 in ("Min", "Max"):
+                        # segment-reset cummin/cummax (running) or
+                        # per-segment rolling min/max (bounded frame):
+                        # pandas Cython kernels over ALL groups at once;
+                        # NaN marks nulls (skipped), ffill restores the
+                        # SQL "min over preceding non-nulls" at null rows
+                        import pandas as pd
+                        seg_id = np.cumsum(new_grp) - 1
+                        fv = pd.Series(np.where(
+                            valid, vals.astype(np.float64), np.nan))
+                        gb = fv.groupby(seg_id)
+                        if kind == "wrows":
+                            r = gb.rolling(kprec + 1, min_periods=1) \
+                                .agg("min" if op2 == "Min" else "max") \
+                                .to_numpy()
+                        else:
+                            r = (gb.cummin() if op2 == "Min"
+                                 else gb.cummax()).groupby(seg_id) \
+                                .ffill().to_numpy()
+                        otype = pa.float64() if src_float else pa.int64()
+                        mask0 = rcnt == 0
+                        if otype == pa.int64():
+                            # exact for |v| < 2^53 (float64 mantissa)
+                            r = np.where(mask0, 0, r).astype(np.int64)
+                    else:                  # Sum / Mean
                         c2 = np.where(valid, vals, 0)
                         cs = np.cumsum(c2)
-                        rs = cs - np.repeat(cs[starts] - c2[starts], sizes)
+                        if kind == "wrows":
+                            base_s = np.where(lo > 0,
+                                              cs[np.maximum(lo - 1, 0)], 0)
+                            rs = cs - base_s
+                        else:
+                            rs = cs - np.repeat(cs[starts] - c2[starts],
+                                                sizes)
+                        if kind == "wrange":
+                            # default RANGE frame: value PEERS share the
+                            # frame — every row takes the running value
+                            # at the END of its peer run
+                            new_peer = value_runs()
+                            pstarts = np.flatnonzero(new_peer)
+                            psizes = np.diff(np.append(pstarts, n))
+                            pends = pstarts + psizes - 1
+                            rs = np.repeat(rs[pends], psizes)
+                            rcnt = np.repeat(rcnt[pends], psizes)
                         if op2 == "Mean":
                             r = rs.astype(np.float64) / np.maximum(rcnt, 1)
                             otype = pa.float64()
                         else:
-                            r, otype = rs, (pa.float64() if
-                                            np.issubdtype(vals.dtype,
-                                                          np.floating)
+                            r, otype = rs, (pa.float64() if src_float
                                             else pa.int64())
                         mask0 = rcnt == 0
+                    if kind == "wrange" and op2 in ("Min", "Max", "Count"):
+                        new_peer = value_runs()
+                        pstarts = np.flatnonzero(new_peer)
+                        psizes = np.diff(np.append(pstarts, n))
+                        pends = pstarts + psizes - 1
+                        r = np.repeat(r[pends], psizes)
+                        if mask0 is not None:
+                            mask0 = np.repeat(mask0[pends], psizes)
                 arr_out = pa.array(r.astype(
                     np.float64 if otype == pa.float64() else np.int64))
                 if otype == pa.float64() and arr_out.type != pa.float64():

@@ -1126,10 +1126,14 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
         return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                        "n_hits": pa.array([], pa.int64())}))
     bench_ref = ray.put(uniq)                         # sorted unique int64
+    # max_restarts=0: the constructor args carry an ObjectRef, which
+    # lives in the object store — a restart after that ref is lost
+    # would fail anyway (ray#53727), so disable actor restart and let
+    # the stage's task-level retry resubmit cleanly instead
     return ds.map_batches(_ContamCount, batch_format="pyarrow",
                           fn_constructor_args=(bench_ref, text_col,
                                                id_col, n),
-                          concurrency=(1, 8))
+                          concurrency=(1, 8), max_restarts=0)
 
 
 # ---------------------------------------------------------------------------

@@ -108,7 +108,8 @@ class _CosinePairs:
 
 
 def cosine_pairs_exact(ds, threshold: float = 0.35,
-                       vec_col: str = "embedding", id_col: str = "vec_id"):
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       max_corpus_rows: int = 2_000_000):
     """EXACT cosine similarity self-join: every unordered pair of rows
     with cosine >= threshold. This is the op the LSH-bucketed
     ``embedding_cosine_pairs`` near-dup approximates — and its oracle.
@@ -126,6 +127,13 @@ def cosine_pairs_exact(ds, threshold: float = 0.35,
 
     corpus = dataset_to_table(
         ds.select_columns([id_col, vec_col]).materialize())
+    if corpus.num_rows > max_corpus_rows:
+        raise ValueError(
+            f"cosine_pairs_exact broadcasts the whole normalized corpus "
+            f"to every task; {corpus.num_rows} rows exceeds "
+            f"max_corpus_rows={max_corpus_rows}. Use the bucketed "
+            f"embedding_cosine_pairs (LSH) or ivf_topk for large "
+            f"corpora — exact all-pairs is inherently quadratic.")
     ids = combine(corpus[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
     mat = _normalize(_matrix(corpus[vec_col]))
     ref = ray.put((ids, mat))

@@ -69,6 +69,7 @@ from __future__ import annotations
 import re
 from typing import Any, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -444,6 +445,8 @@ class _Parser:
             k, v = self.next()
             if k != "lit_num" or not isinstance(v, int):
                 raise SqlError("NTILE needs an integer bucket count")
+            if v < 1:
+                raise SqlError(f"NTILE bucket count must be >= 1, got {v}")
             buckets = v
         elif method in ("lag", "lead"):
             src_col = self._name()
@@ -491,34 +494,51 @@ class _Parser:
                     break
         frame = None
         k, v = self.peek()
-        if k == "name" and v.lower() == "rows":
+        if k == "name" and v.lower() in ("rows", "range"):
             if not allow_frame:
                 raise SqlError("frames are only supported on windowed "
                                "aggregates")
+            is_range = v.lower() == "range"
             self.next()
 
             def _words(*ws):
                 for w in ws:
                     if self._name().lower() != w:
                         raise SqlError(
-                            "only ROWS [BETWEEN] UNBOUNDED PRECEDING "
-                            "[AND CURRENT ROW] frames are supported")
-            if self.accept_kw("between"):
+                            "only ROWS [BETWEEN] UNBOUNDED|<k> PRECEDING "
+                            "[AND CURRENT ROW] and RANGE [BETWEEN] "
+                            "UNBOUNDED PRECEDING [AND CURRENT ROW] "
+                            "frames are supported")
+
+            def _lower_bound():
+                k2, v2 = self.peek()
+                if k2 == "lit_num" and isinstance(v2, int):
+                    if is_range:
+                        raise SqlError("RANGE <k> PRECEDING frames are "
+                                       "not supported (use "
+                                       "misc.range_window_agg)")
+                    self.next()
+                    if v2 < 0:
+                        raise SqlError("frame offset must be >= 0")
+                    _words("preceding")
+                    return ("rows_kpc", v2)
                 _words("unbounded", "preceding")
+                return "range_upc" if is_range else "rows_upc"
+            if self.accept_kw("between"):
+                frame = _lower_bound()
                 self.expect_kw("and")
                 _words("current", "row")
             else:
-                _words("unbounded", "preceding")
-            frame = "rows_upc"
+                frame = _lower_bound()
         self._expect_paren(")")
         return part, order, frame
 
     def _windowed_agg_item(self, spec):
         """``agg(col) OVER (...)`` — a per-partition total (no ORDER
-        BY) or a running aggregate (ORDER BY + an explicit ROWS
-        UNBOUNDED PRECEDING frame; the SQL *default* RANGE frame
-        includes value peers, which this planner refuses rather than
-        silently misplanning)."""
+        BY), a running aggregate (ORDER BY + ROWS UNBOUNDED PRECEDING
+        or the SQL *default* RANGE-peers frame — running values shared
+        across value peers, exactly as ANSI), or a bounded sliding
+        frame (ROWS BETWEEN k PRECEDING AND CURRENT ROW)."""
         op, arg, distinct, filt = spec
         if distinct or filt is not None:
             raise SqlError("windowed aggregates support neither "
@@ -531,22 +551,24 @@ class _Parser:
             raise SqlError("windowed aggregates take a plain column "
                            "or *")
         part, order, frame = self._over_clause(allow_frame=True)
-        if order and frame is None:
-            raise SqlError(
-                "windowed aggregate with ORDER BY needs an explicit "
-                "ROWS UNBOUNDED PRECEDING frame (the SQL default RANGE "
-                "frame ranks value PEERS together — not planned)")
         if frame is not None and not order:
             raise SqlError("a window frame needs ORDER BY")
-        kind = "wrun" if order else "wtotal"
         if op not in ("Sum", "Mean", "Min", "Max", "Count"):
             raise SqlError(f"{op} is not supported as a window function")
-        if kind == "wrun" and op in ("Min", "Max"):
-            raise SqlError("running MIN/MAX frames are not supported")
+        if not order:
+            m = ("wtotal", op, src)
+        elif frame is None or frame == "range_upc":
+            # SQL default: RANGE BETWEEN UNBOUNDED PRECEDING AND
+            # CURRENT ROW — running values shared across value peers
+            m = ("wrange", op, src)
+        elif frame == "rows_upc":
+            m = ("wrun", op, src)
+        else:                                   # ("rows_kpc", k)
+            m = ("wrows", op, src, frame[1])
         alias = self._alias()
         if alias is None:
             raise SqlError("window select items need AS alias")
-        return ("win", ((kind, op, src), None, part, order, None), alias)
+        return ("win", (m, None, part, order, None), alias)
 
     def _alias(self) -> Optional[str]:
         if self.accept_kw("as"):
@@ -744,6 +766,11 @@ def _in_3vl(x, vals: pa.Array, has_null: bool, neg: bool):
                 pa.ArrowTypeError):
             pass
     if len(vs) == 0:
+        if not has_null:
+            # ANSI: IN over the empty set is FALSE (NOT IN is TRUE)
+            # for EVERY probe, including NULL — no validity gate
+            r = pa.array(np.zeros(len(x), dtype=bool))
+            return pc.invert(r) if neg else r
         r = pc.and_(pc.is_valid(x), pa.scalar(False))
     else:
         r = pc.is_in(x, value_set=vs)
@@ -1137,8 +1164,14 @@ def _bind_insub(ast, tables):
         from datavec_ray.util import dataset_to_table
         sub = dataset_to_table(_exec(ast[1], tables))
         if sub.num_columns != 1:
+            # a zero-row result can lose its schema entirely
+            # (dataset_to_table of an empty plan has no columns) —
+            # validate shape against the declared output names instead
+            names = _out_names(ast[1]) if sub.num_rows == 0 else None
+            if sub.num_rows == 0 and (names is None or len(names) == 1):
+                return ("lit", None)
             raise SqlError("scalar subquery must produce one column, "
-                           f"got {sub.column_names}")
+                           f"got {sub.column_names or names}")
         if sub.num_rows > 1:
             raise SqlError(
                 f"scalar subquery produced {sub.num_rows} rows")
@@ -1156,8 +1189,15 @@ def _bind_insub(ast, tables):
         from datavec_ray.util import dataset_to_table
         sub = dataset_to_table(_exec(subq, tables))
         if sub.num_columns != 1:
+            # zero-row subquery: the materialized table has no schema;
+            # ANSI still treats the empty set as IN=FALSE / NOT IN=TRUE,
+            # so validate single-column shape via the declared output
+            # names and bind an empty value set
+            names = _out_names(subq) if sub.num_rows == 0 else None
+            if sub.num_rows == 0 and (names is None or len(names) == 1):
+                return ("inset", e, pa.array([], pa.null()), False, neg)
             raise SqlError("IN (SELECT ...) must produce exactly one "
-                           f"column, got {sub.column_names}")
+                           f"column, got {sub.column_names or names}")
         if sub.num_rows > _INSUB_CAP:
             raise SqlError(
                 f"IN-subquery produced {sub.num_rows} rows "
@@ -1339,9 +1379,12 @@ def _exec(q: dict, tables: dict):
                 step = JoinStep(_resolve_table(right, tables), lks, rks,
                                 how, strategy="bucket",
                                 keep_right_keys=True)
+                ds = step.apply_dataset(ds)
             except ValueError as e:
+                # apply_dataset raises the same schema-shape ValueError
+                # as the constructor when the left side's schema is not
+                # statically known — surface both as plan-time SqlError
                 raise SqlError(str(e)) from e
-            ds = step.apply_dataset(ds)
             continue
         ds = JoinStep(_resolve_table(right, tables),
                       lks, rks, how).apply_dataset(ds)
@@ -1448,10 +1491,16 @@ def _windowed(ds, q, wins):
     _POSITIONAL = ("row_number", "ntile", "lag", "lead")
     specs, buckets = {}, None
     for (m, b, _, _, shift), a in wins:
-        if isinstance(m, tuple):              # (wtotal|wrun, op, src)
-            if m[0] == "wrun" and len(order) < 2:
-                raise SqlError("running aggregates need tiebreak ORDER "
-                               "BY keys for a deterministic frame")
+        if isinstance(m, tuple):    # (wtotal|wrun|wrange[|wrows], ...)
+            if m[0] in ("wrun", "wrows") and len(order) < 2:
+                raise SqlError("running/sliding ROWS frames need "
+                               "tiebreak ORDER BY keys for a "
+                               "deterministic frame")
+            if m[0] == "wrange" and len(order) > 1:
+                # peers are defined by the COMPOSITE order value in
+                # SQL; the single-value run scan can't plan that
+                raise SqlError("the default RANGE frame supports "
+                               "exactly one OVER ORDER BY key")
             specs[a] = m
             continue
         if m in _POSITIONAL and len(order) < 2:
@@ -1486,7 +1535,7 @@ def _windowed(ds, q, wins):
         order_col = keys[0]
     ds = window_rank(ds, keys, order_col, descending=descending,
                      tiebreak=tiebreak or None, specs=specs,
-                     ntile_buckets=buckets if buckets else 4)
+                     ntile_buckets=buckets if buckets is not None else 4)
     if q.get("qualify") is not None:
         # pre-projection: input columns AND window aliases in scope
         ds = ds.map_batches(_filter_fn(q["qualify"], "sql_qualify"),

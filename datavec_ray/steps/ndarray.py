@@ -97,8 +97,10 @@ class NDArrayColumnsMathOp(Step):
     def apply(self, table: pa.Table) -> pa.Table:
         a, offsets, vtype = _as_matrix(table[self.columns[0]])
         b, _, _ = _as_matrix(table[self.columns[1]])
-        out = {"Add": a + b, "Subtract": a - b, "Multiply": a * b,
-               "Divide": a / b}[self.op]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # 0/0 → nan, x/0 → inf by design (Java broadcast-div parity)
+            out = {"Add": a + b, "Subtract": a - b, "Multiply": a * b,
+                   "Divide": a / b}[self.op]
         return table.append_column(
             pa.field(self.new_column, pa.list_(vtype)),
             _rebuild(out.astype(a.dtype, copy=False), offsets, vtype))

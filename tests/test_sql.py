@@ -155,6 +155,38 @@ BATTERY = [
     "rows unbounded preceding) as rc, avg(qty) over (partition by region "
     "order by id, price rows unbounded preceding) as ra from sales",
     "select id, sum(qty) over () as tot from sales where qty is not null",
+    # default RANGE-peers frame (ORDER BY, no explicit frame): running
+    # values shared across value peers, exactly as ANSI
+    "select id, sum(qty) over (partition by note order by price) as s "
+    "from sales",
+    "select id, count(qty) over (partition by region order by qty) as c, "
+    "avg(qty) over (partition by region order by qty) as a from sales "
+    "where region is not null",
+    "select id, sum(qty) over (order by price) as s from sales",
+    "select id, min(price) over (partition by note order by qty) as lo, "
+    "max(price) over (partition by note order by qty) as hi from sales "
+    "where qty is not null",
+    # explicit RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    "select id, sum(qty) over (partition by note order by price "
+    "range between unbounded preceding and current row) as s from sales",
+    # running MIN/MAX over a ROWS frame
+    "select id, min(price) over (partition by note order by price, id "
+    "rows unbounded preceding) as m from sales",
+    "select id, max(qty) over (partition by region order by id, price "
+    "rows unbounded preceding) as mx from sales where region is not null",
+    # bounded sliding frames: ROWS BETWEEN k PRECEDING AND CURRENT ROW
+    "select id, sum(qty) over (partition by note order by price, id "
+    "rows between 3 preceding and current row) as s3, "
+    "avg(price) over (partition by note order by price, id "
+    "rows between 3 preceding and current row) as v3 from sales",
+    "select id, min(price) over (partition by region order by id, price "
+    "rows between 10 preceding and current row) as lo10, "
+    "count(qty) over (partition by region order by id, price "
+    "rows between 10 preceding and current row) as n10 from sales "
+    "where region is not null",
+    "select id, sum(price) over (order by id, price "
+    "rows between 0 preceding and current row) as w_cur from sales "
+    "limit 3000",
     # INTERSECT / EXCEPT (DISTINCT set semantics)
     "select region from sales where qty > 30 intersect "
     "select rname as region from regions",
@@ -303,6 +335,17 @@ BATTERY = [
     "having sum(qty) > 100 and max(price) < 100",
     "select note, round(sum(price) / count(*), 2) as avg2 from sales "
     "group by note having count(distinct region) >= 2",
+    # [NOT] IN over an EMPTY subquery result: ANSI IN = FALSE /
+    # NOT IN = TRUE regardless of the probe (incl. NULL probes)
+    "select count(*) as n from sales where id not in "
+    "(select target from regions where target > 100000)",
+    "select count(*) as n from sales where id in "
+    "(select target from regions where target > 100000)",
+    "select count(*) as n from sales where qty not in "
+    "(select target from regions where target > 100000)",
+    # scalar subquery over zero rows folds to NULL
+    "select count(*) as n from sales where price > "
+    "(select target from regions where target > 100000)",
 ]
 
 
@@ -328,13 +371,16 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # lag without a deterministic total order
     "select lag(price) over (partition by note order by price) as lp "
     "from sales",
-    # windowed aggregate with ORDER BY but no explicit frame (the SQL
-    # default RANGE frame includes peers — must refuse, not misplan)
+    # default RANGE frame with composite ORDER BY (peers are defined
+    # by the composite value — must refuse, not misplan)
     "select sum(qty) over (partition by note order by price, id) as s "
     "from sales",
-    # running min is not supported
-    "select min(price) over (partition by note order by price, id "
-    "rows unbounded preceding) as m from sales",
+    # RANGE <k> PRECEDING frames are not planned
+    "select sum(qty) over (partition by note order by price "
+    "range between 5 preceding and current row) as s from sales",
+    # negative frame offsets
+    "select sum(qty) over (partition by note order by price, id "
+    "rows between -1 preceding and current row) as s from sales",
     # window fns in one SELECT with different OVER clauses
     "select rank() over (partition by note order by price) as a, "
     "rank() over (partition by region order by price) as b from sales",
@@ -385,6 +431,9 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # HAVING on a windowed SELECT (QUALIFY is the window filter)
     "select id, rank() over (partition by note order by price) as rk "
     "from sales having id > 3",
+    # NTILE bucket count must be >= 1 (DuckDB raises; never coerce)
+    "select ntile(0) over (partition by note order by price, id) as nt "
+    "from sales",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):

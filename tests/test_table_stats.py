@@ -50,6 +50,9 @@ def test_table_stats_matches_direct(ray_session, binlog, tmp_path, mode):
     else:
         assert not got["footer_only"]          # merge-on-read partitions
     assert got["files"] >= (4 if mode == "rewrite" else 0)
+    # delta partitions must still report on-disk bytes (sum of their
+    # segment-file sizes), not undercount the lake to zero
+    assert got["bytes"] > 0
     eng.shutdown()
 
 
