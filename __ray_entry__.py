@@ -4521,6 +4521,84 @@ def _q_sql_winagg(sf_dir: str):
     })
 
 
+_SQL_FRAMES = """select event_id,
+                   sum(value) over (partition by user_id
+                     order by ts, event_id
+                     rows between 9 preceding and current row)
+                     as win_sum,
+                   min(value) over (partition by user_id
+                     order by ts, event_id
+                     rows between 9 preceding and current row)
+                     as win_min,
+                   count(value) over (partition by user_id
+                     order by ts, event_id
+                     rows between 9 preceding and current row)
+                     as win_n
+            from events"""
+
+
+def _q_sql_frames(sf_dir: str):
+    """SQL frontend: bounded sliding frames (ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW) — sum/count via clamped prefix-sum differences,
+    min via pandas per-segment rolling kernels, all planned onto ONE
+    window_rank exchange. Oracle = the identical SQL string in
+    DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_FRAMES, {
+        "events": _read(sf_dir, "events", ["event_id", "user_id",
+                                           "ts", "value"]),
+    })
+
+
+_SQL_RANGE_FRAME = """select event_id,
+                   sum(value) over (partition by user_id order by ts)
+                     as run_sum,
+                   count(value) over (partition by user_id order by ts)
+                     as run_n
+            from events"""
+
+
+def _q_sql_range_frame(sf_dir: str):
+    """SQL frontend: the SQL *default* RANGE-peers frame (ORDER BY
+    with no explicit frame) — running values shared across value
+    peers, deterministic even under ts ties, planned as a cumulative
+    scan + peer-run-end propagation. Oracle = the identical SQL
+    string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_RANGE_FRAME, {
+        "events": _read(sf_dir, "events", ["event_id", "user_id",
+                                           "ts", "value"]),
+    })
+
+
+_SQL_TPCH_Q17 = """select round(sum(l_extendedprice) / 7.0, 2)
+                     as avg_yearly
+            from part join lineitem on p_partkey = l_partkey
+            where p_brand = 'Brand#23' and p_size < 15
+              and l_quantity < (select 0.2 * avg(l_quantity) as thr
+                                from lineitem
+                                where l_partkey = p_partkey)"""
+
+
+def _q_sql_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue) through the SQL
+    frontend: the correlated scalar subquery decorrelates to a
+    per-partkey grouped AVG (one combiner exchange) left-joined back
+    to the probe side — no per-row re-execution. Oracle = the
+    identical SQL string in DuckDB. (p_container is absent from the
+    synthetic part table; p_size < 15 stands in as the second part
+    filter.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q17, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_quantity", "l_extendedprice"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    })
+
+
 _SQL_GROUPEXPR = """select date_trunc('day', ts) as d, count(*) as n,
                    min(value) as lo, max(value) as hi,
                    count(distinct user_id) as users
@@ -4912,6 +4990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_exists": _q_sql_exists,
         "sql_lag": _q_sql_lag,
         "sql_winagg": _q_sql_winagg,
+        "sql_frames": _q_sql_frames,
+        "sql_range_frame": _q_sql_range_frame,
+        "sql_tpch_q17": _q_sql_tpch_q17,
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
         "sql_tpch_q6": _q_sql_tpch_q6,
@@ -7395,6 +7476,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_exists": _SQL_EXISTS,
         "sql_lag": _SQL_LAG,
         "sql_winagg": _SQL_WINAGG,
+        "sql_frames": _SQL_FRAMES,
+        "sql_range_frame": _SQL_RANGE_FRAME,
+        "sql_tpch_q17": _SQL_TPCH_Q17,
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
         "sql_tpch_q6": _SQL_TPCH_Q6,

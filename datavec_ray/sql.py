@@ -1014,54 +1014,11 @@ def _plan_correlated(subq: dict, tables: dict, probe):
     return None when it is uncorrelated (the broadcast binder handles
     it). ``probe`` is the IN probe expression (None for EXISTS) — it
     becomes one more key pair against the subquery's select item."""
-    if subq.get("setop") or subq["joins"] or subq["group"] or \
-            subq["having"] is not None or subq.get("qualify") is not None \
-            or subq["limit"] is not None or subq["order"]:
+    split = _corr_conjunct_split(subq, tables)
+    if split is None:
         return None
-    kind, tname = subq["table"]
-    if kind != "name" or tname not in tables:
-        return None
-    inner_ds = tables[tname]
-    sch = inner_ds.schema(fetch_if_missing=True)
-    base = getattr(sch, "base_schema", sch)
-    inner_cols = set(base.names if isinstance(base, pa.Schema)
-                     else sch.names)
-    conjs = _conjuncts(subq["where"]) if subq["where"] is not None else []
-    outer_keys, inner_keys, inner_preds = [], [], []
-    correlated = False
-    for c in conjs:
-        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
-                and c[2][0] == "col" and c[3][0] == "col" \
-                and c[2][1] == c[3][1] and c[2][1] in inner_cols:
-            # qualifiers are stripped at parse time, so `o.k = u.k`
-            # arrives as `k = k` — indistinguishable from an inner
-            # tautology. A silent uncorrelated plan would be WRONG for
-            # the most common way correlated subqueries are written,
-            # so refuse loudly.
-            raise SqlError(
-                f"ambiguous predicate {c[2][1]} = {c[2][1]} in a "
-                "subquery: this frontend strips qualifiers, so a "
-                "correlation on a same-named column cannot be told "
-                "from an inner tautology — rename one side's column")
-        cols = _cols_in(c)
-        if cols <= inner_cols:
-            inner_preds.append(c)
-            continue
-        correlated = True
-        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
-                and c[2][0] == "col" and c[3][0] == "col":
-            a, b = c[2][1], c[3][1]
-            if a in inner_cols and b not in inner_cols:
-                inner_keys.append(a)
-                outer_keys.append(b)
-                continue
-            if b in inner_cols and a not in inner_cols:
-                inner_keys.append(b)
-                outer_keys.append(a)
-                continue
-        raise SqlError(
-            "correlated subqueries support only equality conjuncts "
-            f"between one inner and one outer column, got: {c!r}")
+    inner_ds, inner_cols, outer_keys, inner_keys, inner_preds, \
+        correlated = split
     if not correlated:
         return None
     if probe is None and any(k != "expr" for k, _, _ in subq["items"]):
@@ -1104,17 +1061,162 @@ def _plan_correlated(subq: dict, tables: dict, probe):
     return outer_keys, inner_keys, inner_ds
 
 
-def _decorrelate_where(q: dict, ds, tables: dict):
+def _corr_conjunct_split(subq: dict, tables: dict):
+    """Shared conjunct walk for correlated-subquery planners: classify
+    the subquery's WHERE conjuncts into pure-inner predicates and
+    equality correlation key pairs. Returns ``(inner_ds, inner_cols,
+    outer_keys, inner_keys, inner_preds, correlated)`` or None when the
+    subquery shape can't decorrelate (set ops / joins / grouping /
+    limits) or the table is unknown."""
+    if subq.get("setop") or subq["joins"] or subq["group"] or \
+            subq["having"] is not None or subq.get("qualify") is not None \
+            or subq["limit"] is not None or subq["order"] \
+            or subq.get("ctes"):
+        return None
+    kind, tname = subq["table"]
+    if kind != "name" or tname not in tables:
+        return None
+    inner_ds = tables[tname]
+    sch = inner_ds.schema(fetch_if_missing=True)
+    base = getattr(sch, "base_schema", sch)
+    inner_cols = set(base.names if isinstance(base, pa.Schema)
+                     else sch.names)
+    conjs = _conjuncts(subq["where"]) if subq["where"] is not None else []
+    outer_keys, inner_keys, inner_preds = [], [], []
+    correlated = False
+    for c in conjs:
+        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+                and c[2][0] == "col" and c[3][0] == "col" \
+                and c[2][1] == c[3][1] and c[2][1] in inner_cols:
+            raise SqlError(
+                f"ambiguous predicate {c[2][1]} = {c[2][1]} in a "
+                "subquery: this frontend strips qualifiers, so a "
+                "correlation on a same-named column cannot be told "
+                "from an inner tautology — rename one side's column")
+        cols = _cols_in(c)
+        if cols <= inner_cols:
+            inner_preds.append(c)
+            continue
+        correlated = True
+        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+                and c[2][0] == "col" and c[3][0] == "col":
+            a, b = c[2][1], c[3][1]
+            if a in inner_cols and b not in inner_cols:
+                inner_keys.append(a)
+                outer_keys.append(b)
+                continue
+            if b in inner_cols and a not in inner_cols:
+                inner_keys.append(b)
+                outer_keys.append(a)
+                continue
+        raise SqlError(
+            "correlated subqueries support only equality conjuncts "
+            f"between one inner and one outer column, got: {c!r}")
+    return inner_ds, inner_cols, outer_keys, inner_keys, inner_preds, \
+        correlated
+
+
+def _agg_uses_count(item) -> bool:
+    """True when an ('agg', spec, a) / ('aggexpr', e, a) select item
+    computes any COUNT — which is 0 over zero matched rows in SQL, but
+    a grouped decorrelation yields NO row (NULL after the left join),
+    so such subqueries must be refused rather than silently misplanned."""
+    kind, e, _ = item
+    if kind == "agg":
+        return e[0] in ("Count", "CountUnique")
+
+    def walk(ast):
+        if isinstance(ast, tuple):
+            if ast[0] == "aggref" and ast[1][0] in ("Count", "CountUnique"):
+                return True
+            return any(walk(x) for x in ast)
+        if isinstance(ast, list):
+            return any(walk(x) for x in ast)
+        return False
+    return walk(e)
+
+
+def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
+    """If ``subq`` is a CORRELATED single-table scalar AGGREGATE
+    subquery, decorrelate it: run the inner aggregate GROUPED by its
+    correlation keys (one combiner exchange over the pruned inner
+    scan), and return ``(outer_keys, join_keys, val_col, agg_ds)`` for
+    a left join back to the outer side. Returns None when
+    uncorrelated (the broadcast binder folds those to literals)."""
+    split = _corr_conjunct_split(subq, tables)
+    if split is None:
+        return None
+    _, inner_cols, outer_keys, inner_keys, inner_preds, correlated = split
+    if not correlated:
+        return None
+    items = subq["items"]
+    if len(items) != 1 or items[0][0] not in ("agg", "aggexpr"):
+        raise SqlError(
+            "correlated scalar subqueries must select exactly one "
+            "aggregate (decorrelated to a grouped aggregate + join)")
+    if _agg_uses_count(items[0]):
+        raise SqlError(
+            "correlated scalar COUNT subqueries are not decorrelated "
+            "(COUNT over zero matches is 0, not NULL — rewrite as an "
+            "explicit LEFT JOIN + COALESCE)")
+    if not _cols_in(items[0][1]) <= inner_cols:
+        raise SqlError("correlated scalar subqueries may aggregate "
+                       "only the inner table's columns")
+    val_col = f"__sc{idx}"
+    keys = list(dict.fromkeys(inner_keys))
+    sub2 = dict(subq)
+    sub2["where"] = _re_and(inner_preds)
+    sub2["group"] = list(keys)
+    sub2["items"] = [("expr", ("col", k), k) for k in keys] \
+        + [(items[0][0], items[0][1], val_col)]
+    agg_ds = _exec(sub2, tables)
+    # hidden join-key names: the inner keys may collide with outer
+    # columns of the same name (e.g. both sides carry l_partkey)
+    join_keys = [f"__sck{idx}_{j}" for j in range(len(keys))]
+
+    def rn(t: pa.Table, _k=tuple(keys), _jk=tuple(join_keys)) -> pa.Table:
+        return t.rename_columns(
+            [dict(zip(_k, _jk)).get(c, c) for c in t.column_names])
+    rn.__name__ = "sql_corr_scalar_keys"
+    agg_ds = agg_ds.map_batches(rn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # outer keys aligned to the DEDUPED inner key order
+    k2outer = {}
+    for ik, ok in zip(inner_keys, outer_keys):
+        k2outer.setdefault(ik, ok)
+    return [k2outer[k] for k in keys], join_keys, val_col, agg_ds
+
+
+def _scalarsub_nodes(ast):
+    if isinstance(ast, tuple):
+        if ast[0] == "scalarsub":
+            yield ast
+            return
+        for x in ast:
+            yield from _scalarsub_nodes(x)
+    elif isinstance(ast, list):
+        for x in ast:
+            yield from _scalarsub_nodes(x)
+
+
+def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
     """Split TOP-LEVEL WHERE conjuncts that are correlated [NOT]
     EXISTS / IN subqueries into SemiJoinStep applications (SQL EXISTS
     ≡ semi join, NOT EXISTS ≡ anti join — Bloom-prefilter-capable,
-    broadcast when the inner side is small). Remaining conjuncts stay
-    in WHERE; uncorrelated subqueries fall through to the broadcast
-    binder."""
+    broadcast when the inner side is small), and correlated scalar
+    AGGREGATE comparisons into grouped-aggregate left joins (TPC-H
+    Q17-style ``x < (SELECT agg(...) WHERE k = outer_k)``). Remaining
+    conjuncts stay in WHERE; uncorrelated subqueries fall through to
+    the broadcast binder."""
     if q["where"] is None:
         return q, ds
-    from datavec_ray.join import SemiJoinStep
+    from datavec_ray.join import JoinStep, SemiJoinStep
+    # subquery dicts escape the join-key rewrite (_rewrite_ast does
+    # not descend into them), so correlation references to an INNER
+    # join's coalesced right key must be resolved here
+    keymap = keymap or {}
     rest = []
+    n_scalar = 0
     for c in _conjuncts(q["where"]):
         neg, node = False, c
         if isinstance(node, tuple) and node[0] == "not" \
@@ -1132,12 +1234,51 @@ def _decorrelate_where(q: dict, ds, tables: dict):
                 raise SqlError(
                     "correlated NOT IN is ambiguous under SQL NULL "
                     "semantics — write NOT EXISTS instead")
+        elif isinstance(node, tuple) and node[0] == "bin":
+            # x CMP (SELECT agg(...) WHERE k = outer_k): decorrelate
+            # the scalar side to a grouped aggregate + left join; the
+            # comparison then references the joined value column
+            # (NULL on unmatched rows → UNKNOWN → dropped, as ANSI)
+            sides = [node[2], node[3]]
+            sc = [i for i, s in enumerate(sides)
+                  if isinstance(s, tuple) and s[0] == "scalarsub"]
+            if len(sc) == 1:
+                sp = _plan_corr_scalar(sides[sc[0]][1], tables, n_scalar)
+                if sp is not None:
+                    okeys, jkeys, val_col, agg_ds = sp
+                    okeys = [keymap.get(k, k) for k in okeys]
+                    n_scalar += 1
+                    if any(kind == "star" for kind, _, _ in q["items"]):
+                        raise SqlError(
+                            "correlated scalar subqueries cannot mix "
+                            "with SELECT * (the decorrelation join "
+                            "adds hidden columns)")
+                    ds = JoinStep(agg_ds, okeys, jkeys, "LeftOuter") \
+                        .apply_dataset(ds)
+                    sides[sc[0]] = ("col", val_col)
+                    rest.append(("bin", node[1], sides[0], sides[1]))
+                    continue
+            elif len(sc) == 2:
+                raise SqlError("a comparison between two correlated "
+                               "scalar subqueries is not planned")
         if plan is None:
             rest.append(c)
             continue
         outer_keys, inner_keys, inner_ds = plan
+        outer_keys = [keymap.get(k, k) for k in outer_keys]
         ds = SemiJoinStep(inner_ds, outer_keys, inner_keys,
                           anti=neg).apply_dataset(ds)
+    # any correlated scalar subquery still buried deeper in the tree
+    # (not one side of a top-level comparison) would reach the
+    # uncorrelated binder and crash on an unknown column — refuse now
+    # with an actionable message instead
+    for c in rest:
+        for sub in _scalarsub_nodes(c):
+            split = _corr_conjunct_split(sub[1], tables)
+            if split is not None and split[5]:
+                raise SqlError(
+                    "correlated scalar subqueries are supported only "
+                    "as one side of a top-level WHERE comparison")
     out = dict(q)
     out["where"] = _re_and(rest)
     return out, ds
@@ -1400,7 +1541,7 @@ def _exec(q: dict, tables: dict):
                     keymap[rk] = lk
     if keymap:
         q = _rewrite_cols(q, keymap)
-    q, ds = _decorrelate_where(q, ds, tables)
+    q, ds = _decorrelate_where(q, ds, tables, keymap)
     q = _bind_q_insub(q, tables)
 
     if q["where"] is not None:

@@ -346,6 +346,19 @@ BATTERY = [
     # scalar subquery over zero rows folds to NULL
     "select count(*) as n from sales where price > "
     "(select target from regions where target > 100000)",
+    # CORRELATED scalar AGGREGATE subqueries (TPC-H Q17 shape):
+    # decorrelated to a grouped aggregate + left join; unmatched
+    # outer rows compare against NULL and drop, exactly as ANSI
+    "select id, qty, region from sales where qty < "
+    "(select max(target) as m from regions where rname = region)",
+    "select id, region from sales where price * 5 > "
+    "(select avg(target) as a from regions where rname = region) "
+    "and qty > 40",
+    "select id, region from sales where price > "
+    "(select 0.25 * max(target) as t from regions where rname = region)",
+    "select region, count(*) as n from sales where qty < "
+    "(select max(target) as m from regions where rname = region) "
+    "group by region",
 ]
 
 
@@ -434,6 +447,17 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # NTILE bucket count must be >= 1 (DuckDB raises; never coerce)
     "select ntile(0) over (partition by note order by price, id) as nt "
     "from sales",
+    # correlated scalar subquery must select an aggregate (a plain
+    # expression can return >1 row per outer row — not planned)
+    "select id from sales where qty > "
+    "(select target as t from regions where rname = region)",
+    # correlated scalar COUNT (0 over zero matches, not NULL)
+    "select id from sales where qty > "
+    "(select count(*) as c from regions where rname = region)",
+    # correlated scalar subquery buried inside arithmetic (only a
+    # direct comparison side decorrelates)
+    "select id from sales where qty + "
+    "(select max(target) as m from regions where rname = region) > 100",
 ])
 def test_unsupported_raises(tables, stmt):
     with pytest.raises(SqlError):
