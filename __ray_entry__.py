@@ -3522,6 +3522,46 @@ def _q_chunk_words(sf_dir: str):
     return chunk_words(docs, "text", ["doc_id"], chunk=32, overlap=8)
 
 
+def _q_sentences(sf_dir: str):
+    """Rule-based sentence splitting with an abbreviation guard —
+    the tokenizer-family step the reference delegates to UIMA's
+    sentence annotator (datavec-data-nlp PosUimaTokenizer.java),
+    reimplemented as row-local vectorized Arrow kernels. Oracle
+    mirrors the replace → regexp_split → trim → strip → restore chain
+    term-for-term (SENT_ABBREVS / SENT_SPLIT_RE shared verbatim)."""
+    from datavec_ray.ops.textstats import split_sentences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return split_sentences(docs)
+
+
+def _sentences_sql() -> str:
+    from datavec_ray.ops.textstats import SENT_ABBREVS, SENT_SPLIT_RE
+    expr = "text"
+    for a in SENT_ABBREVS:
+        rep = a.replace(".", "' || chr(1) || '")
+        expr = f"replace({expr}, '{a}', '{rep}')"
+    return f"""
+        with r0 as (select doc_id, {expr} as t from documents),
+        sp as (select doc_id,
+                unnest(regexp_split_to_array(t, '{SENT_SPLIT_RE}'))
+                  as piece,
+                generate_subscripts(
+                  regexp_split_to_array(t, '{SENT_SPLIT_RE}'), 1) as pidx
+               from r0),
+        cl as (select doc_id, pidx,
+                replace(regexp_replace(
+                    trim(piece, ' ' || chr(9) || chr(13) || chr(10)),
+                    '[.!?]+$', ''), chr(1), '.') as sentence
+               from sp)
+        select doc_id,
+               row_number() over (partition by doc_id
+                                  order by pidx) - 1 as sent_idx,
+               sentence
+        from cl where sentence <> ''
+    """
+
+
 def _q_corpus_mix(sf_dir: str):
     """Deterministic corpus mixing: keep ALL English documents and a 30%
     content-hash sample of everything else — the fixed-ratio
@@ -4911,6 +4951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "group_normalize": _q_group_normalize,
         "chunk_words": _q_chunk_words,
+        "sentences": _q_sentences,
         "corpus_mix": _q_corpus_mix,
         "pack_shards": _q_pack_shards,
         "decontaminate": _q_decontaminate,
@@ -6881,6 +6922,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 32-word chunks advancing by 24; W words -> ceil(W/24) chunks
         # (W=0 still gives one chunk: split('') = [''], len 1)
+        "sentences": _sentences_sql(),
         "chunk_words": """
             with words as (
               select doc_id, string_split(text, ' ') as w from documents),

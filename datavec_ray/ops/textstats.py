@@ -422,6 +422,67 @@ def chunk_words(ds, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)
     return ds.map_batches(_chunk, batch_format="pyarrow")
 
 
+# Abbreviations whose trailing dot must NOT end a sentence. Fixed
+# order — the SQL oracle mirrors the replacement chain term-for-term
+# (each dot temporarily becomes \x01, restored after the split).
+SENT_ABBREVS = ("Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "vs.",
+                "etc.", "e.g.", "i.e.", "No.", "U.S.")
+SENT_SPLIT_RE = r"[.!?]+[ \t\r\n]+"
+_SENT_WS = " \t\r\n"
+
+
+def split_sentences(ds, text_col: str = "text",
+                    id_cols: Sequence[str] = ("doc_id",),
+                    out_col: str = "sentence",
+                    idx_col: str = "sent_idx"):
+    """Rule-based sentence splitting: break each document at runs of
+    ``.!?`` followed by whitespace, with an abbreviation guard
+    (``Mr. Smith`` stays one sentence). Output: one row per non-empty
+    sentence with the id columns, a 0-based ``idx_col`` and the
+    sentence text (terminal punctuation stripped, abbreviation dots
+    kept). Composes with ``chunk_words`` / ``context_windows`` for
+    sentence-aware packing — the rule-based counterpart of the
+    reference's UIMA sentence annotator (datavec-data-nlp
+    PosUimaTokenizer.java), whose external models stay out of scope.
+
+    Narrow (row-local, no shuffle) and vectorized: chained RE2-free
+    substring replacements for the abbreviation guard, ONE
+    split_pattern_regex per batch, flat-array cleanup kernels, and a
+    segmented cumcount for the per-document ordinals. Every kernel is
+    mirrored term-for-term in the SQL oracle (replace → regexp_split →
+    trim → strip-terminal-punctuation → restore dots → drop empties)."""
+    id_cols = list(id_cols)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(combine(batch[text_col]), "")
+        for a in SENT_ABBREVS:
+            txt = pc.replace_substring(
+                txt, pattern=a, replacement=a.replace(".", "\x01"))
+        parts = pc.split_pattern_regex(txt, SENT_SPLIT_RE)
+        off = parts.offsets.to_numpy(zero_copy_only=False)
+        flat = pc.utf8_trim(parts.values, characters=_SENT_WS)
+        flat = pc.replace_substring_regex(flat, pattern=r"[.!?]+$",
+                                          replacement="")
+        flat = pc.replace_substring(flat, pattern="\x01", replacement=".")
+        keep = pc.not_equal(pc.fill_null(flat, ""), "") \
+            .to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(off) - 1), np.diff(off))
+        kidx = np.flatnonzero(keep)
+        kd = doc_of[kidx]
+        pos = np.arange(len(kd), dtype=np.int64)
+        new_doc = np.ones(len(kd), dtype=bool)
+        if len(kd) > 1:
+            new_doc[1:] = kd[1:] != kd[:-1]
+        first = np.maximum.accumulate(np.where(new_doc, pos, 0))
+        cols = {c: combine(batch[c]).take(pa.array(kd, pa.int64()))
+                for c in id_cols}
+        cols[idx_col] = pa.array(pos - first, pa.int64())
+        cols[out_col] = flat.take(pa.array(kidx, pa.int64()))
+        return pa.table(cols)
+
+    return ds.map_batches(_split, batch_format="pyarrow")
+
+
 def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Unigram language-model scoring: per document, the mean natural
     log-probability per token under the corpus's OWN unigram

@@ -291,3 +291,25 @@ def test_context_label_retriever(ray_session):
     assert list(out["label"]) == ["NONE", "X", "none"]
     assert list(out["span_text"]) == ["a", "b c", "d"]
     assert out["stripped"].iloc[0] == "a b c d"
+
+
+def test_split_sentences_rules(ray_session):
+    """Sentence splitting: punctuation-run breaks, abbreviation guard
+    (Dr./Mr./e.g. dots never end a sentence), terminal punctuation
+    stripped, empties dropped, 0-based per-doc ordinals."""
+    from datavec_ray.ops.textstats import split_sentences
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["Hello world. Dr. Smith met Mr. Jones! Was it fun? Yes.",
+                 "One sentence only",
+                 "Ends abruptly... e.g. this stays.   Next!  ",
+                 ""]})
+    out = dataset_to_table(split_sentences(rd.from_arrow(t))) \
+        .to_pandas().sort_values(["doc_id", "sent_idx"])
+    got = list(zip(out.doc_id, out.sent_idx, out.sentence))
+    assert got == [
+        (1, 0, "Hello world"), (1, 1, "Dr. Smith met Mr. Jones"),
+        (1, 2, "Was it fun"), (1, 3, "Yes"),
+        (2, 0, "One sentence only"),
+        (3, 0, "Ends abruptly"), (3, 1, "e.g. this stays"),
+        (3, 2, "Next")]
