@@ -1002,20 +1002,38 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 30,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def decode_video(data: bytes) -> tuple[np.ndarray, int]:
+def _luma_frame(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded frame to a 2-D uint8 luma plane (BT.601
+    weights for RGB input) — shared by the native decoders and any
+    external-decoder output."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+               + 0.114 * img[:, :, 2])
+    return img.astype(np.uint8)
+
+
+def decode_video(data: bytes, external=None) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes → (uint8 luma frames (n, h, w), fps).
 
     Y4M, AVI/MJPEG, MP4/MJPEG and Matroska/webm (MJPEG or uncompressed
     samples) decode for real; compressed bitstream codecs (AVC/VP8/
-    VP9/AV1) inside mp4/webm need a native decoder and raise."""
+    VP9/AV1) inside mp4/webm need a native decoder and raise — UNLESS
+    ``external`` is given: a user-supplied
+    ``decode(codec_id: str, sample: bytes) -> ndarray`` callable
+    (e.g. an ffmpeg/PyAV wrapper in a real deployment) that the
+    MP4/Matroska demuxers feed one compressed sample at a time;
+    its return may be (h, w) luma or (h, w, 3) RGB, normalized here.
+    Reference parity: CodecRecordReader.java:56 delegates the same
+    boundary to JCodec."""
     if data[:9] == Y4M_MAGIC:
         return decode_y4m(data)
     if data[:4] == AVI_MAGIC and data[8:12] == b"AVI ":
         return decode_avi(data)
     if data[4:8] == b"ftyp":
-        return decode_mp4_mjpeg(data)
+        return decode_mp4_mjpeg(data, external=external)
     if data[:4] == MKV_MAGIC:
-        return decode_mkv(data)
+        return decode_mkv(data, external=external)
     raise NotImplementedError(
         f"unrecognized video container (magic {data[:4]!r}); this "
         "container decodes Y4M, AVI/MJPEG, MP4/MJPEG and Matroska/webm "
@@ -1457,11 +1475,13 @@ def _mp4_find(data: bytes, pos: int, end: int, path: list[bytes]):
     return None
 
 
-def decode_mp4_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
+def decode_mp4_mjpeg(data: bytes, external=None) -> tuple[np.ndarray, int]:
     """MP4 bytes → (uint8 luma frames (n, h, w), fps) when the video
     track's samples are motion-JPEG. Walks moov→trak→mdia→minf→stbl,
     reads stsz/stsc/stco(+co64) sample tables, decodes each sample with
-    :func:`decode_jpeg`. Non-MJPEG codecs raise NotImplementedError."""
+    :func:`decode_jpeg`. Non-MJPEG codecs raise NotImplementedError
+    unless ``external(codec_id, sample) -> ndarray`` is supplied — the
+    demux stays pure-stdlib, the bitstream decode plugs in."""
     if data[4:8] != b"ftyp":
         raise ValueError("not an MP4 (no ftyp)")
     n = len(data)
@@ -1484,10 +1504,16 @@ def decode_mp4_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
             # codec check: first stsd sample entry fourcc
             db, _ = boxes[b"stsd"]
             codec = data[db + 12:db + 16]
-            if codec not in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+            if codec in (b"jpeg", b"mjpa", b"mjpb", b"MJPG"):
+                dec = decode_jpeg
+            elif external is not None:
+                cid = codec.decode("ascii", "replace")
+                dec = (lambda p, _c=cid: external(_c, p))
+            else:
                 raise NotImplementedError(
                     f"MP4 video codec {codec!r}: only motion-JPEG "
-                    "samples decode without a native codec")
+                    "samples decode without a native codec (pass "
+                    "external=decode(codec_id, sample) to plug one in)")
             # sample sizes
             zb, _ = boxes[b"stsz"]
             fixed = int.from_bytes(data[zb + 4:zb + 8], "big")
@@ -1537,11 +1563,7 @@ def decode_mp4_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
                     if si >= len(sizes):
                         break
                     payload = data[pos:pos + sizes[si]]
-                    img = decode_jpeg(payload)
-                    if img.ndim == 3:
-                        img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
-                               + 0.114 * img[:, :, 2]).astype(np.uint8)
-                    frames.append(img)
+                    frames.append(_luma_frame(dec(payload)))
                     pos += sizes[si]
                     si += 1
             if not frames:
@@ -1725,7 +1747,7 @@ def _mkv_block_frames(data: bytes, body: int, end: int):
     return track, rel_ts, frames
 
 
-def decode_mkv(data: bytes) -> tuple[np.ndarray, int]:
+def decode_mkv(data: bytes, external=None) -> tuple[np.ndarray, int]:
     """Matroska/webm bytes → (uint8 luma frames (n, h, w), fps).
 
     Real EBML demux: Segment → Info (TimestampScale) / Tracks (codec,
@@ -1733,7 +1755,9 @@ def decode_mkv(data: bytes) -> tuple[np.ndarray, int]:
     modes). Sample payloads decode when the track codec is
     ``V_MJPEG`` (per-frame baseline/progressive JPEG) or
     ``V_UNCOMPRESSED`` (raw luma or RGB24 raster); VP8/VP9/AV1 raise
-    NotImplementedError — same boundary as AVC in MP4."""
+    NotImplementedError — same boundary as AVC in MP4 — unless
+    ``external(codec_id, sample) -> ndarray`` is supplied (the EBML
+    demux feeds it one block payload at a time)."""
     if data[:4] != MKV_MAGIC:
         raise ValueError("not an EBML/Matroska stream")
     seg = None
@@ -1821,10 +1845,13 @@ def decode_mkv(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     f"V_UNCOMPRESSED payload of {len(raw)} bytes does not "
                     f"match {w}x{h} luma or RGB24 raster")
+        elif external is not None:
+            img = _luma_frame(external(codec, payload))
         else:
             raise NotImplementedError(
                 f"Matroska video codec {codec!r}: only V_MJPEG and "
-                "V_UNCOMPRESSED samples decode without a native codec")
+                "V_UNCOMPRESSED samples decode without a native codec "
+                "(pass external=decode(codec_id, sample) to plug one in)")
         frames.append(img)
     # fps from tick deltas (ticks are timescale ns each)
     ts = np.array([t for t, _ in stamped], np.int64)

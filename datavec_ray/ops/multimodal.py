@@ -672,11 +672,18 @@ class VideoFrameSample:
     evenly-sampled frames, grayscale luma plane resized to a
     ``feat``-long vector (sqrt(feat) grid). Codecs needing a native
     decoder (AVC/VP8/VP9/AV1 bitstreams) fall back to a content-seeded
-    fake when ``deterministic_fake`` else raise."""
+    fake when ``deterministic_fake`` else raise — OR decode for real
+    through a user-supplied ``external_decoder(codec_id, sample) ->
+    ndarray`` (an ffmpeg/PyAV wrapper in a real deployment): the
+    pure-stdlib MP4/Matroska demuxers feed it one compressed sample at
+    a time, and the callable ships to every actor of the pool (pickled
+    once at pool construction, not per batch)."""
 
     def __init__(self, n_frames: int = 4, feat: int = 16,
-                 deterministic_fake: bool = True):
+                 deterministic_fake: bool = True,
+                 external_decoder=None):
         self.n_frames, self.feat, self.fake = n_frames, feat, deterministic_fake
+        self.external = external_decoder
         self.side = int(np.sqrt(feat))
         if self.side * self.side != feat:
             raise ValueError("feat must be a perfect square (grid resize)")
@@ -684,7 +691,8 @@ class VideoFrameSample:
     def _frames(self, payload: bytes) -> np.ndarray:
         """(n_frames, feat) float32 in [0, 1]."""
         try:
-            frames, _fps = codecs.decode_video(payload)
+            frames, _fps = codecs.decode_video(payload,
+                                               external=self.external)
         except Exception as e:  # noqa: BLE001
             if not self.fake:
                 raise NotImplementedError(

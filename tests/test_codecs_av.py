@@ -281,3 +281,77 @@ def test_mkv_vp9_codec_raises():
     mkv = C.encode_mkv_mjpeg(frames, fps=10).replace(b"V_MJPEG", b"V_VP9\x00\x00")
     with pytest.raises(NotImplementedError, match="V_MJPEG"):
         C.decode_mkv(mkv)
+
+
+def test_mp4_external_decoder_hook():
+    """The MP4 demux feeds non-MJPEG samples to a user-supplied
+    decode(codec_id, sample) callable instead of raising — the
+    pure-stdlib demux / pluggable-bitstream boundary
+    (CodecRecordReader.java:56 delegates the same split to JCodec)."""
+    frames = _checker_frames(3, 16, 16)
+    mp4 = bytearray(C.encode_mp4_mjpeg(frames, fps=10, quality=95))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))    # sample entry fourcc
+    mp4[i:i + 4] = b"avc1"
+    seen = []
+
+    def fake_decoder(codec_id, sample):
+        seen.append(codec_id)
+        return C.decode_jpeg(sample)            # payloads are still JPEG
+
+    back, fps = C.decode_video(bytes(mp4), external=fake_decoder)
+    assert fps == 10 and back.shape == frames.shape
+    assert seen == ["avc1"] * 3
+    rms = float(np.sqrt(np.mean((back.astype(float) - frames) ** 2)))
+    assert rms < 8.0, rms
+    # without the hook the boundary still raises
+    with pytest.raises(NotImplementedError, match="motion-JPEG"):
+        C.decode_mp4_mjpeg(bytes(mp4))
+
+
+def test_mkv_external_decoder_hook():
+    frames = _checker_frames(2, 16, 16)
+    mkv = bytearray(C.encode_mkv_mjpeg(frames, fps=25, quality=95))
+    i = mkv.find(b"V_MJPEG")
+    mkv[i:i + 7] = b"V_MPEG1"                   # same length, unknown codec
+    seen = []
+
+    def fake_decoder(codec_id, sample):
+        seen.append(codec_id)
+        return C.decode_jpeg(sample)
+
+    back, _fps = C.decode_mkv(bytes(mkv), external=fake_decoder)
+    assert back.shape == frames.shape and seen == ["V_MPEG1"] * 2
+    with pytest.raises(NotImplementedError, match="V_MJPEG"):
+        C.decode_mkv(bytes(mkv))
+
+
+def test_video_frame_sample_external_decoder(ray_session):
+    """external_decoder ships into the actor pool and decodes a
+    'compressed' payload for real instead of the deterministic fake."""
+    import ray.data as rd
+
+    from datavec_ray.ops.multimodal import VideoFrameSample
+    from datavec_ray.util import dataset_to_table
+    frames = _checker_frames(4, 16, 16)
+    mp4 = bytearray(C.encode_mp4_mjpeg(frames, fps=10, quality=95))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[i:i + 4] = b"avc1"
+    t = pa.table({"media_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([bytes(mp4)], pa.binary())})
+
+    def fake_decoder(codec_id, sample):
+        assert codec_id == "avc1"
+        return C.decode_jpeg(sample)
+
+    got = dataset_to_table(rd.from_arrow(t).map_batches(
+        VideoFrameSample(n_frames=2, feat=16, deterministic_fake=False,
+                         external_decoder=fake_decoder),
+        batch_format="pyarrow", concurrency=1)).to_pandas()
+    assert len(got) == 2 and set(got.media_id) == {7}
+    # real decode: first sampled frame matches the source frame's grid
+    side = 4
+    ys = np.linspace(0, 15, side).astype(int)
+    want = frames[0][ys][:, ys].astype(np.float32).ravel() / 255.0
+    gotv = np.array(list(got.frame_feat[got.frame_idx == 0])[0],
+                    np.float32)
+    assert np.allclose(gotv, want, atol=0.15)
