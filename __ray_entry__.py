@@ -1649,17 +1649,20 @@ def _q_txn_upsert(sf_dir: str):
 
 
 def _q_cdc_multitable(sf_dir: str):
-    """Cross-table transactional atomicity: one transactional binlog
-    whose events route to TWO lake tables (A = even turn_idx, B = odd);
-    a txn's events must become visible in BOTH tables or NEITHER.
-    Committed ids are collected ONCE (tiny column-pruned pass) and the
-    broadcast filter gates each table's stream; each table is LWW-
-    compacted independently. Output = union of both final states tagged
-    with ``tbl`` — the multi-table consistency contract of a
-    transactional CDC source (MySQL XID / Postgres commit records)."""
+    """Cross-table transactional atomicity THROUGH THE ENGINE API:
+    one transactional binlog whose events route to TWO lake tables
+    (A = even turn_idx, B = odd) replays via
+    ``CdcIngestEngine.replay_tables`` — per-table engines + manifests,
+    ONE shared committed-txn gate over the union of both streams, WAP
+    staged writes and a coordinator journal (crash between tables →
+    neither visible; tested in test_multitable.py). Output = union of
+    both final lake states tagged with ``tbl`` — the multi-table
+    consistency contract of a transactional CDC source (MySQL XID /
+    Postgres commit records)."""
+    import tempfile
+
     from datavec_ray.cdc.binlog import binlog_from_events
-    from datavec_ray.cdc.engine import lww_compact_dataset
-    from datavec_ray.cdc.txn import txn_split
+    from datavec_ray.cdc.engine import CdcIngestEngine
 
     ds = _read(sf_dir, "events")
 
@@ -1669,30 +1672,36 @@ def _q_cdc_multitable(sf_dir: str):
         return bl.append_column("txn_id", pc.cast(txn, pa.int64()))
 
     binlog = ds.map_batches(prep, batch_format="pyarrow")
-    apply_ds, _pending, _n = txn_split(
-        binlog, txn_col="txn_id", op_col="tool", commit_op="signup",
-        drop_markers=False)
 
-    def _table(side: int):
-        def pick(t: pa.Table) -> pa.Table:
+    def pick(side: int):
+        def f(t: pa.Table, _s=side) -> pa.Table:
             par = pc.bit_wise_and(t["turn_idx"], pa.scalar(1, pa.int32()))
-            return t.filter(pc.equal(par, pa.scalar(side, pa.int32())))
+            return t.filter(pc.equal(par, pa.scalar(_s, pa.int32())))
+        f.__name__ = f"route_tbl_{side}"
+        return f
 
-        part = apply_ds.map_batches(
-            pick, batch_format="pyarrow").drop_columns(["txn_id"])
-        final = lww_compact_dataset(part, num_partitions=8)
+    base = tempfile.mkdtemp(prefix="dv_multitable_")
+    out = CdcIngestEngine.replay_tables(
+        base, {"A": binlog.map_batches(pick(0), batch_format="pyarrow"),
+               "B": binlog.map_batches(pick(1), batch_format="pyarrow")},
+        txn_col="txn_id", op_col="tool", commit_op="signup",
+        drop_markers=False, num_partitions=8)
 
-        def tag(t: pa.Table) -> pa.Table:
+    def _table(name: str):
+        eng = out["engines"][name]
+        final = eng.read_lake_dataset(
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+        def tag(t: pa.Table, _n=name) -> pa.Table:
             i = t.schema.get_field_index("ts")
             t = t.set_column(i, pa.field("ts_ms", pa.int64()),
                              t["ts"].cast(pa.int64())).rename_columns(
                 [c if c != "ts" else "ts_ms" for c in t.column_names])
-            return t.append_column(
-                "tbl", pa.array(["A" if side == 0 else "B"] * len(t)))
+            return t.append_column("tbl", pa.array([_n] * len(t)))
 
         return final.map_batches(tag, batch_format="pyarrow")
 
-    return _table(0).union(_table(1))
+    return _table("A").union(_table("B"))
 
 
 def _q_regex_extract(sf_dir: str):

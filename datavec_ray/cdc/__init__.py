@@ -15,3 +15,5 @@ from datavec_ray.cdc.watermark import (assign_watermarks,
                                        windowed_stream)
 from datavec_ray.cdc.txn import txn_split, committed_txns, synth_txn_binlog
 from datavec_ray.cdc.wap import StagedCommit, StageConflictError
+from datavec_ray.cdc.multitable import (replay_tables, recover_tables,
+                                        open_table_engines)

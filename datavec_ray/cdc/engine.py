@@ -2852,6 +2852,16 @@ class CdcIngestEngine:
         from datavec_ray.cdc.wap import StagedCommit
         return StagedCommit(self, name)
 
+    @staticmethod
+    def replay_tables(base_dir: str, tables: dict, **kw) -> dict:
+        """Atomic MULTI-TABLE transactional replay: one engine + lake
+        per table under ``base_dir``, a shared committed-txn gate
+        (``txn_col=...``), WAP-staged writes and a coordinator journal
+        so a crash between tables leaves either ALL tables advanced or
+        NONE visible. See :mod:`datavec_ray.cdc.multitable`."""
+        from datavec_ray.cdc.multitable import replay_tables
+        return replay_tables(base_dir, tables, **kw)
+
     def replicate_to(self, target: "CdcIngestEngine",
                      upto: Optional[str] = None,
                      checkpoint_prefix: str = "repl") -> dict:
