@@ -42,7 +42,8 @@ BENCH_QUERIES = ["groupby_agg", "join_shuffle", "cdc_upsert", "exact_dedup",
                  "jaccard_against", "grouped_moments", "cdc_merge",
                  "cdc_replicate", "cdc_zonemap", "cdc_expectations",
                  "merge_intervals", "cdc_wap", "cdc_autosalt", "tpch_q18",
-                 "cdc_stats", "sql_insub"]
+                 "cdc_stats", "sql_insub", "sql_frames", "sql_tpch_q17",
+                 "sentences", "cdc_multitable"]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -91,15 +91,58 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
     return res
 
 
+def run_oracle_subprocess(sql: str, sf_dir: str, timeout: float):
+    """Evaluate one DuckDB oracle in a forked child with a hard time
+    budget (some oracles are intentionally quadratic — brute-force
+    levenshtein / exact cosine cross joins — and at 10x data their
+    cost is a DuckDB artifact, not an engine property). Returns the
+    DataFrame, or None on timeout."""
+    import multiprocessing as mp
+    import tempfile
+
+    out_path = tempfile.mktemp(suffix=".parquet", prefix="oracle_")
+
+    def child():
+        code = 0
+        try:
+            con2 = duckdb.connect()
+            for t in ("region nation customer supplier part orders lineitem "
+                      "events documents embeddings").split():
+                con2.sql(f"create view {t} as select * from "
+                         f"read_parquet('{sf_dir}/{t}.parquet')")
+            con2.sql(f"copy ({sql}) to '{out_path}' (format parquet)")
+        except BaseException:
+            code = 1
+        finally:
+            # the fork inherits the parent's Ray driver state — skip
+            # Python/Ray atexit teardown entirely
+            os._exit(code)
+
+    p = mp.get_context("fork").Process(target=child)
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join(5)
+        return None
+    if p.exitcode != 0 or not os.path.exists(out_path):
+        raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
+    df = pd.read_parquet(out_path)
+    os.remove(out_path)
+    return df
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
         else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    oracle_timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import logging
@@ -135,7 +178,19 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            sql_res = con.sql(oracles[name]).df()
+            if oracle_timeout > 0:
+                sql_res = run_oracle_subprocess(oracles[name], sf_dir,
+                                                oracle_timeout)
+                if sql_res is None:
+                    results.append({"query": name, "ray_rows": len(ray_res),
+                                    "oracle_timeout": True,
+                                    "sec": round(time.time() - t0, 2)})
+                    print(f"{name}: ORACLE TIMEOUT (>{oracle_timeout}s "
+                          f"DuckDB-side; ray={len(ray_res)} rows in "
+                          f"{time.time()-t0:.1f}s)")
+                    continue
+            else:
+                sql_res = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             results.append({"query": name, "error": f"sql: {e}"})
             print(f"{name}: SQL ERROR {e}")
