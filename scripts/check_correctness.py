@@ -21,12 +21,22 @@ def normalize(df: pd.DataFrame, round_floats: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     sort_keys = {}
     for c in df.columns:
+        if df[c].dtype.kind == "O" and len(df) and all(
+                isinstance(v, (pd.Timestamp, __import__("datetime").date))
+                or v is None for v in df[c].head(50)):
+            # parquet-roundtripped DATE/TIMESTAMP columns come back as
+            # object dtype — coerce to datetime64 so both sides compare
+            # on the same representation
+            df[c] = pd.to_datetime(df[c])
         if df[c].dtype.kind == "f":
             sort_keys[c] = df[c].round(6)
             if round_floats:
                 df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("int64")
+            # canonical unit first: a parquet-roundtripped side may be
+            # ns where the other is us — raw int64 views would differ
+            # by 1000x
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
     # sort rows by the ROUNDED float keys (+ raw others) so both sides
     # order identically even when raw floats differ at the last ulp
     key_df = df.copy()
@@ -77,6 +87,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
             av, bv = a[c].values, b[c].values
             if a[c].dtype.kind == "f":
                 eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+                if not eq.all():
+                    # distinguish real value bugs from accumulation-
+                    # order ULP noise: a sum of ~1e9-magnitude doubles
+                    # carries ~1e-12 relative error on EITHER engine,
+                    # which crosses the absolute round(6) boundary at
+                    # big SF — annotate, don't fail
+                    d = np.abs(av - bv)
+                    rel = d / np.maximum(np.abs(bv), 1.0)
+                    if np.nanmax(rel) < 1e-9:
+                        res.setdefault("float_ulp_cols", []).append(c)
+                        continue
             else:
                 eq = (a[c].fillna("\0null").astype(str).values
                       == b[c].fillna("\0null").astype(str).values)
@@ -171,12 +192,14 @@ def main():
             results.append({"query": name, "error": f"ray: {e}"})
             print(f"{name}: RAY ERROR {e}")
             continue
+        ray_sec = round(time.time() - t0, 2)
         if name not in oracles:
             results.append({"query": name, "ray_rows": len(ray_res),
-                            "rows_only": True})
+                            "rows_only": True, "ray_sec": ray_sec})
             print(f"{name}: rows-only ({len(ray_res)} rows) "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[ray {ray_sec}s]")
             continue
+        t_or = time.time()
         try:
             if oracle_timeout > 0:
                 sql_res = run_oracle_subprocess(oracles[name], sf_dir,
@@ -184,10 +207,10 @@ def main():
                 if sql_res is None:
                     results.append({"query": name, "ray_rows": len(ray_res),
                                     "oracle_timeout": True,
-                                    "sec": round(time.time() - t0, 2)})
+                                    "ray_sec": ray_sec})
                     print(f"{name}: ORACLE TIMEOUT (>{oracle_timeout}s "
                           f"DuckDB-side; ray={len(ray_res)} rows in "
-                          f"{time.time()-t0:.1f}s)")
+                          f"{ray_sec}s)")
                     continue
             else:
                 sql_res = con.sql(oracles[name]).df()
@@ -197,6 +220,8 @@ def main():
             continue
         r = compare(name, ray_res, sql_res)
         r["sec"] = round(time.time() - t0, 2)
+        r["ray_sec"] = ray_sec
+        r["oracle_sec"] = round(time.time() - t_or, 2)
         results.append(r)
         if r.get("values_match") and r.get("exact_match"):
             status = "OK"
@@ -205,7 +230,8 @@ def main():
         else:
             status = "MISMATCH"
         print(f"{name}: {status} rows={r['ray_rows']}/{r['sql_rows']} "
-              f"cols={r['cols_match']} [{r['sec']}s]")
+              f"cols={r['cols_match']} [ray {ray_sec}s / oracle "
+              f"{r['oracle_sec']}s]")
     bad = [r for r in results
            if not (r.get("values_match", True) and r.get("exact_match", True))
            or "error" in r]
