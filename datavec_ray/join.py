@@ -455,8 +455,12 @@ class SemiJoinStep(WideStep):
                     return batch.join(self.rk, keys=keys,
                                       right_keys=right_keys, join_type=how)
 
+            # max_restarts=0: the closure carries an ObjectRef (the
+            # broadcast key set) in the object store — a restart after
+            # that ref is lost would fail anyway (ray#53727); let the
+            # stage's task-level retry resubmit instead
             return ds.map_batches(_BcastSemi, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+                                  concurrency=(1, 8), max_restarts=0)
         return self._shuffle_semi(ds)
 
     def _shuffle_semi(self, ds):

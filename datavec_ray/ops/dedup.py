@@ -469,7 +469,7 @@ def minhash_lsh_pairs(ds, verify: bool = True,
     sk = dataset_to_table(
         ds.map_batches(_CandidateSketches, batch_format="pyarrow",
                        fn_constructor_args=(ref, text_col, id_col, shingle_k),
-                       concurrency=(1, 8)))
+                       concurrency=(1, 8), max_restarts=0))
     lookup = {int(i): np.asarray(s, dtype=np.uint64)
               for i, s in zip(sk["doc_id"].to_pylist(),
                               sk["shingles"].to_pylist())}
@@ -1625,7 +1625,7 @@ def minhash_against(ds, ref_ds, text_col: str = "text",
         sk = dataset_to_table(side_ds.map_batches(
             _CandidateSketches, batch_format="pyarrow",
             fn_constructor_args=(ref, text_col, id_col, shingle_k),
-            concurrency=(1, 8)))
+            concurrency=(1, 8), max_restarts=0))
         return {int(i): np.asarray(s, dtype=np.uint64)
                 for i, s in zip(sk["doc_id"].to_pylist(),
                                 sk["shingles"].to_pylist())}

@@ -656,7 +656,7 @@ def object_detection_records(media_ds, boxes: pa.Table,
     ref = ray.put(boxes)
     with_boxes = media_ds.map_batches(
         AttachBoxes, batch_format="pyarrow",
-        fn_constructor_args=(ref, id_col), concurrency=(1, 4))
+        fn_constructor_args=(ref, id_col), concurrency=(1, 4), max_restarts=0)
     decoded = with_boxes.map_batches(
         ImageDecodeResize(target_h, target_w, deterministic_fake),
         batch_format="pyarrow", batch_size=64)

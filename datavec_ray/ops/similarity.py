@@ -140,7 +140,7 @@ def cosine_pairs_exact(ds, threshold: float = 0.35,
     return ds.map_batches(
         _CosinePairs, batch_format="pyarrow",
         fn_constructor_args=(ref, threshold, vec_col, id_col),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +257,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
     per_batch = ds.map_batches(
         _ProbeTopK, batch_format="pyarrow",
         fn_constructor_args=(*refs, vec_col, id_col, k),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
 
@@ -321,7 +321,7 @@ def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10,
     per_batch = ds.map_batches(
         _ProbeTopK, batch_format="pyarrow",
         fn_constructor_args=(*refs, vec_col, id_col, k),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
 
@@ -380,7 +380,7 @@ def kmeans_fit(ds, vec_col: str = "embedding", k: int = 8, iters: int = 5,
         parts = dataset_to_table(
             ds.map_batches(_KMeansPartial, batch_format="pyarrow",
                            fn_constructor_args=(ref, vec_col),
-                           concurrency=(1, 8)))
+                           concurrency=(1, 8), max_restarts=0))
         sums = _matrix(parts["vsum"])
         cl = parts["cluster"].to_numpy(zero_copy_only=False)
         n = parts["n"].to_numpy(zero_copy_only=False)
@@ -727,7 +727,7 @@ def ivfpq_query(index_dir: str, queries: np.ndarray, k: int = 10,
     per_batch = ds.map_batches(
         _IVFPQScore, batch_format="pyarrow",
         fn_constructor_args=(*refs, id_col, k),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
 
@@ -1014,7 +1014,7 @@ def ivf_query_live(index_dir: str, queries: np.ndarray, k: int = 10,
     per_batch = ds.map_batches(
         _ProbeTopK, batch_format="pyarrow",
         fn_constructor_args=(*refs, vec_col, id_col, k),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
 
