@@ -1178,8 +1178,12 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
         return t.rename_columns(
             [dict(zip(_k, _jk)).get(c, c) for c in t.column_names])
     rn.__name__ = "sql_corr_scalar_keys"
+    # materialize: the result is one row per correlation-key group (a
+    # grouped aggregate — small by construction), and the join's
+    # broadcast-size probe + broadcast pickup would otherwise execute
+    # the whole aggregate plan twice
     agg_ds = agg_ds.map_batches(rn, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                zero_copy_batch=True).materialize()
     # outer keys aligned to the DEDUPED inner key order
     k2outer = {}
     for ik, ok in zip(inner_keys, outer_keys):
