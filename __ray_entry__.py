@@ -4648,6 +4648,144 @@ def _q_sql_tpch_q17(sf_dir: str):
     })
 
 
+_SQL_TPCH_Q3 = """with rev as (
+  select l_orderkey, o_orderdate, o_orderpriority,
+         sum(cast(round(l_extendedprice * 100, 0) as bigint)
+             * (100 - cast(round(l_discount * 100, 0) as bigint)))
+           as units
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  where c_mktsegment = 'BUILDING'
+    and o_orderdate < timestamp '1998-07-01'
+    and l_shipdate > timestamp '1998-07-01'
+  group by l_orderkey, o_orderdate, o_orderpriority)
+select l_orderkey, round(units / 10000.0, 4) as revenue,
+       o_orderdate, o_orderpriority,
+       row_number() over (order by units desc, o_orderdate, l_orderkey)
+         as rn
+from rev
+qualify rn <= 10"""
+
+
+def _q_sql_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority) ENTIRELY through the SQL frontend:
+    CTE → two-join chain → grouped fixed-point revenue (integer-exact,
+    the same idiom as the hand-built tpch_q3) → global-window
+    row_number + QUALIFY top-10. Oracle = the identical string in
+    DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q3, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"]),
+        "customer": _read(sf_dir, "customer",
+                          ["c_custkey", "c_mktsegment"]),
+    })
+
+
+_SQL_TPCH_Q4 = """select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1997-01-01'
+  and o_orderdate < timestamp '1998-01-01'
+  and exists (select l_orderkey from lineitem
+              where l_orderkey = o_orderkey and l_quantity > 30)
+group by o_orderpriority
+order by o_orderpriority asc"""
+
+
+def _q_sql_tpch_q4(sf_dir: str):
+    """TPC-H Q4 (order-priority checking) through the frontend: the
+    correlated EXISTS decorrelates onto SemiJoinStep (inner predicate
+    pushed below, inner scan pruned to keys). The synthetic lineitem
+    has no commit/receipt dates; l_quantity > 30 stands in as the
+    inner filter. Oracle = the identical string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q4, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_quantity"]),
+    })
+
+
+_SQL_TPCH_Q5 = """select n_name,
+       round(sum(cast(round(l_extendedprice * 100, 0) as bigint)
+             * (100 - cast(round(l_discount * 100, 0) as bigint)))
+             / 10000.0, 4) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and c_nationkey = s_nationkey
+  and o_orderdate >= timestamp '1997-01-01'
+  and o_orderdate < timestamp '1998-01-01'
+group by n_name"""
+
+
+def _q_sql_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume) through the frontend: a
+    SIX-table join chain (auto broadcast for the small dimensions) +
+    the non-key equality c_nationkey = s_nationkey as a fused filter +
+    integer-exact grouped revenue. Oracle = the identical string in
+    DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q5, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]),
+        "customer": _read(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]),
+        "supplier": _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]),
+        "nation": _read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]),
+        "region": _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+    })
+
+
+_SQL_TPCH_Q22 = """select c_nationkey, count(*) as numcust,
+       round(sum(c_acctbal), 2) as totacctbal
+from customer
+where c_acctbal > (select avg(c_acctbal) as a from customer
+                   where c_acctbal > 0.0)
+  and not exists (select o_custkey from orders
+                  where o_custkey = c_custkey
+                    and o_totalprice > 400000)
+group by c_nationkey
+order by c_nationkey asc"""
+
+
+def _q_sql_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity) through the frontend:
+    uncorrelated scalar AVG folds to a literal, correlated NOT EXISTS
+    decorrelates to an anti join with the inner predicate pushed
+    below; grouped balance totals per nation (the synthetic c_name
+    carries no country code — c_nationkey plays that role, and
+    "has no order above 400k" stands in for "has no orders" since
+    every synthetic customer has orders). Oracle = the identical
+    string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q22, {
+        "customer": _read(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey", "c_acctbal"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_custkey", "o_totalprice"]),
+    })
+
+
 _SQL_GROUPEXPR = """select date_trunc('day', ts) as d, count(*) as n,
                    min(value) as lo, max(value) as hi,
                    count(distinct user_id) as users
@@ -5043,6 +5181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_frames": _q_sql_frames,
         "sql_range_frame": _q_sql_range_frame,
         "sql_tpch_q17": _q_sql_tpch_q17,
+        "sql_tpch_q3": _q_sql_tpch_q3,
+        "sql_tpch_q4": _q_sql_tpch_q4,
+        "sql_tpch_q5": _q_sql_tpch_q5,
+        "sql_tpch_q22": _q_sql_tpch_q22,
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
         "sql_tpch_q6": _q_sql_tpch_q6,
@@ -7530,6 +7672,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_frames": _SQL_FRAMES,
         "sql_range_frame": _SQL_RANGE_FRAME,
         "sql_tpch_q17": _SQL_TPCH_Q17,
+        "sql_tpch_q3": _SQL_TPCH_Q3,
+        "sql_tpch_q4": _SQL_TPCH_Q4,
+        "sql_tpch_q5": _SQL_TPCH_Q5,
+        "sql_tpch_q22": _SQL_TPCH_Q22,
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
         "sql_tpch_q6": _SQL_TPCH_Q6,

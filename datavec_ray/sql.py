@@ -1257,8 +1257,24 @@ def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
                             "correlated scalar subqueries cannot mix "
                             "with SELECT * (the decorrelation join "
                             "adds hidden columns)")
+                    src_sch = _static_schema(ds)
                     ds = JoinStep(agg_ds, okeys, jkeys, "LeftOuter") \
                         .apply_dataset(ds)
+                    if src_sch is not None:
+                        # left join appends the agg side's columns
+                        # (materialized → schema known); key columns
+                        # coalesce into the left keys
+                        agg_sch = agg_ds.schema(
+                            fetch_if_missing=False)
+                        agg_sch = getattr(agg_sch, "base_schema",
+                                          agg_sch)
+                        if isinstance(agg_sch, pa.Schema):
+                            ext = src_sch
+                            for f in agg_sch:
+                                if f.name not in ext.names \
+                                        and f.name not in jkeys:
+                                    ext = ext.append(f)
+                            ds = _keep_hint(ds, ext)
                     sides[sc[0]] = ("col", val_col)
                     rest.append(("bin", node[1], sides[0], sides[1]))
                     continue
@@ -1270,8 +1286,10 @@ def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
             continue
         outer_keys, inner_keys, inner_ds = plan
         outer_keys = [keymap.get(k, k) for k in outer_keys]
-        ds = SemiJoinStep(inner_ds, outer_keys, inner_keys,
-                          anti=neg).apply_dataset(ds)
+        ds = _keep_hint(
+            SemiJoinStep(inner_ds, outer_keys, inner_keys,
+                         anti=neg).apply_dataset(ds),
+            _static_schema(ds))
     # any correlated scalar subquery still buried deeper in the tree
     # (not one side of a top-level comparison) would reach the
     # uncorrelated binder and crash on an unknown column — refuse now
@@ -1404,6 +1422,25 @@ def _as_arrow(d):
     return d
 
 
+def _static_schema(ds):
+    """Best-effort Arrow schema WITHOUT executing the plan: a hint
+    attached by schema-preserving planner steps (filters, semi/anti
+    joins — Ray cannot infer a map_batches schema over a zero-row
+    input without executing), else Ray's no-execute metadata."""
+    h = getattr(ds, "_dv_schema_hint", None)
+    if h is not None:
+        return h
+    s = ds.schema(fetch_if_missing=False)
+    base = getattr(s, "base_schema", s)
+    return base if isinstance(base, pa.Schema) else None
+
+
+def _keep_hint(new_ds, src_schema):
+    if src_schema is not None:
+        new_ds._dv_schema_hint = src_schema
+    return new_ds
+
+
 def _resolve_table(spec, tables):
     kind, v = spec
     if kind == "sub":
@@ -1510,6 +1547,15 @@ def _exec(q: dict, tables: dict):
         return ds
 
     ds = _resolve_table(q["table"], tables)
+    if _static_schema(ds) is None:
+        # capture the FROM table's schema while it is still cheap to
+        # probe (metadata for parquet; a one-block identity probe for
+        # pandas/derived sources) — downstream filters/semi-joins can
+        # empty the plan, after which no schema is recoverable
+        s = ds.schema(fetch_if_missing=True)
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            _keep_hint(ds, base)
 
     from datavec_ray.join import JoinStep
     keymap: dict[str, str] = {}
@@ -1551,8 +1597,10 @@ def _exec(q: dict, tables: dict):
     if q["where"] is not None:
         if _has_aggref(q["where"]):
             raise SqlError("aggregates are not allowed in WHERE")
-        ds = ds.map_batches(_filter_fn(q["where"], "sql_where"),
-                            batch_format="pyarrow", zero_copy_batch=True)
+        ds = _keep_hint(
+            ds.map_batches(_filter_fn(q["where"], "sql_where"),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            _static_schema(ds))
 
     agg_items = [(e, a) for kind, e, a in q["items"] if kind == "agg"]
     aggexprs = [(e, a) for kind, e, a in q["items"] if kind == "aggexpr"]
@@ -1728,6 +1776,7 @@ def _cols_in(ast) -> set:
 def _grouped(ds, q, agg_items, aggexprs, plain):
     from datavec_ray.reduce import Reducer
     mode = q.get("group_mode", "plain")
+    keyed_out_sch = None
     # GROUP BY items may be full expressions (date_trunc('day', ts));
     # each non-column expr becomes a hidden computed key column, and
     # every matching subtree in select items / HAVING references it
@@ -1861,8 +1910,10 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
     # schema statically by running it over a typed empty table and hand
     # it to the Reducer as a hint (also validates columns at plan time)
     hint = None
-    in_sch = ds.schema(fetch_if_missing=True)
-    base_sch = getattr(in_sch, "base_schema", in_sch)
+    base_sch = _static_schema(ds)
+    if base_sch is None:
+        in_sch = ds.schema(fetch_if_missing=True)
+        base_sch = getattr(in_sch, "base_schema", in_sch)
     if isinstance(base_sch, pa.Schema):
         hint = prep(base_sch.empty_table()).schema
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
@@ -1909,6 +1960,14 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
                   .union(rd.from_arrow(sent))
                   .repartition(1)
                   .map_batches(_resolve, batch_format="pyarrow"))
+        elif hint is not None:
+            # KEYED grouped reduce over a zero-row input: remember the
+            # reduce output schema — the sentinel machinery at the end
+            # of this function restores the declared schema of an
+            # empty result (an empty groupby emits schema-less blocks
+            # and Ray never runs map UDFs over 0-row blocks)
+            from datavec_ray.schema import Schema as _DvSchema
+            keyed_out_sch = red.output_schema(_DvSchema(hint)).arrow()
     else:
         from itertools import combinations
 
@@ -1972,5 +2031,33 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
                 cols[alias] = v
         return pa.table(cols)
     final.__name__ = "sql_agg_final"
-    return ds.map_batches(final, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    ds = ds.map_batches(final, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    if keyed_out_sch is not None:
+        # restore the declared schema of an EMPTY keyed result: an
+        # empty groupby emits schema-less 0-row blocks, Ray never runs
+        # map UDFs over 0-row blocks (they pass through untyped), and
+        # a 0-row batch DIES between fused UDFs — so union one tagged
+        # sentinel row carrying the FINAL projected schema and drop it
+        # in the LAST operator (a last-op 0-row output block survives
+        # to the consumer; dataset_to_table prefers typed blocks)
+        import ray.data as rd
+        fin_sch = final(keyed_out_sch.empty_table()).schema
+        sent = pa.table(
+            {f.name: pa.nulls(1, f.type) for f in fin_sch}
+        ).append_column("__sent", pa.array([1], pa.int8()))
+
+        def _tag_fin(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__sent", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+        _tag_fin.__name__ = "sql_kagg_tag"
+
+        def _drop_fin(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["__sent"], 0)) \
+                .drop_columns(["__sent"])
+        _drop_fin.__name__ = "sql_kagg_drop"
+        ds = (ds.map_batches(_tag_fin, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .union(rd.from_arrow(sent))
+              .map_batches(_drop_fin, batch_format="pyarrow"))
+    return ds

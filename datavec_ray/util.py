@@ -28,7 +28,13 @@ def dataset_to_table(ds) -> pa.Table:
               for b in ray.get(list(refs))]
     tables = [t for t in blocks if t.num_rows > 0]
     if not tables:
-        return blocks[0] if blocks else pa.table({})
+        # an all-empty result may mix TYPED 0-row blocks (e.g. a
+        # sentinel-resolved aggregate) with schema-less ones (an empty
+        # groupby emits a 0-column block, and Ray skips map UDFs on
+        # 0-row blocks so they pass through untyped) — prefer a block
+        # that still knows its columns
+        return next((b for b in blocks if b.num_columns),
+                    blocks[0] if blocks else pa.table({}))
     return pa.concat_tables(tables, promote_options="permissive")
 
 

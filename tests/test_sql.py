@@ -359,6 +359,15 @@ BATTERY = [
     "select region, count(*) as n from sales where qty < "
     "(select max(target) as m from regions where rname = region) "
     "group by region",
+    # grouped aggregate over an EMPTY semi-join result: Ray cannot
+    # infer the schema of a zero-row plan, so the planner's static
+    # schema hint must carry through the decorrelation steps
+    "select region, count(*) as n from sales where exists "
+    "(select rname from regions where rname = region and "
+    "target > 99999) group by region",
+    "select note, count(*) as n, round(sum(price), 2) as s from sales "
+    "where not exists (select rname from regions where rname = note) "
+    "and qty > 10 group by note",
 ]
 
 
