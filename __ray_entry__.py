@@ -4786,6 +4786,77 @@ def _q_sql_tpch_q22(sf_dir: str):
     })
 
 
+_SQL_TPCH_Q10 = """with rev as (
+  select o_custkey,
+         sum(cast(round(l_extendedprice * 100, 0) as bigint)
+             * (100 - cast(round(l_discount * 100, 0) as bigint)))
+           as units
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  where l_returnflag = 'R'
+    and o_orderdate >= timestamp '1998-01-01'
+    and o_orderdate < timestamp '1998-04-01'
+  group by o_custkey)
+select c_custkey, c_name, c_acctbal, n_name,
+       round(units / 10000.0, 4) as revenue,
+       row_number() over (order by units desc, c_custkey) as rn
+from rev
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+qualify rn <= 20"""
+
+
+def _q_sql_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting) through the SQL frontend:
+    CTE combiner aggregate → two dimension joins → global-window
+    row_number + QUALIFY top-20, integer-exact revenue. Oracle = the
+    identical string in DuckDB (the hand-built tpch_q10 pipeline
+    remains as the operator-API counterpart)."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q10, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_returnflag"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]),
+        "customer": _read(sf_dir, "customer",
+                          ["c_custkey", "c_name", "c_acctbal",
+                           "c_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
+_SQL_TPCH_Q14 = """select round((100.0 * cast(sum(case
+                 when p_type = 'ECONOMY' then units else 0 end)
+                 as double)) / cast(sum(units) as double), 6)
+             as promo_share
+from (select l_partkey,
+             cast(round(l_extendedprice * 100, 0) as bigint)
+             * (100 - cast(round(l_discount * 100, 0) as bigint))
+               as units
+      from lineitem
+      where l_shipdate >= timestamp '1998-09-01'
+        and l_shipdate < timestamp '1998-10-01') li
+join part on l_partkey = p_partkey"""
+
+
+def _q_sql_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect) through the SQL frontend: derived
+    table with integer fixed-point units → broadcast join → a global
+    aggregate-expression ratio with a conditional CASE sum ('ECONOMY'
+    — the synthetic p_type has no 'PROMO', which would make the share
+    trivially zero). Oracle = the identical string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q14, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_type"]),
+    })
+
+
 _SQL_GROUPEXPR = """select date_trunc('day', ts) as d, count(*) as n,
                    min(value) as lo, max(value) as hi,
                    count(distinct user_id) as users
@@ -5185,6 +5256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_tpch_q4": _q_sql_tpch_q4,
         "sql_tpch_q5": _q_sql_tpch_q5,
         "sql_tpch_q22": _q_sql_tpch_q22,
+        "sql_tpch_q10": _q_sql_tpch_q10,
+        "sql_tpch_q14": _q_sql_tpch_q14,
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
         "sql_tpch_q6": _q_sql_tpch_q6,
@@ -7676,6 +7749,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q4": _SQL_TPCH_Q4,
         "sql_tpch_q5": _SQL_TPCH_Q5,
         "sql_tpch_q22": _SQL_TPCH_Q22,
+        "sql_tpch_q10": _SQL_TPCH_Q10,
+        "sql_tpch_q14": _SQL_TPCH_Q14,
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
         "sql_tpch_q6": _SQL_TPCH_Q6,

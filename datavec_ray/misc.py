@@ -526,6 +526,18 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                 if (len(m) != 4 or m[1] not in ops
                         or not isinstance(m[3], int) or m[3] < 0):
                     raise ValueError(f"bad sliding-window spec {m!r}")
+            elif m[0] == "wspan":
+                # ("wspan", op, src, lo_off|None, hi_off|None): general
+                # ROWS frame with FOLLOWING bounds (offsets relative to
+                # the row, negative = preceding; None = unbounded).
+                # Min/Max need a trailing frame (use wrows) — the
+                # prefix-sum trick has no order-statistic analogue.
+                if (len(m) != 5 or m[1] not in ("Sum", "Mean", "Count")
+                        or not all(x is None or isinstance(x, int)
+                                   for x in m[3:5])):
+                    raise ValueError(f"bad frame-span spec {m!r} "
+                                     "(FOLLOWING frames support "
+                                     "Sum/Mean/Count)")
             else:
                 raise ValueError(f"unknown window spec {m!r}")
         elif m not in _RANK_METHODS:
@@ -534,7 +546,7 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
     tiebreak = list(tiebreak) if tiebreak else []
     # wrange is deliberately absent: the RANGE-peers frame is
     # deterministic without a total order (peers share one value)
-    _needs_order = ("lag", "lead", "wrun", "wrows")
+    _needs_order = ("lag", "lead", "wrun", "wrows", "wspan")
     if any((isinstance(m, tuple) and m[0] in _needs_order)
            or m in ("row_number", "ntile")
            for m in specs.values()) and not tiebreak:
@@ -571,7 +583,8 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
 
         for col, m in specs.items():
             if isinstance(m, tuple) and m[0] in ("wtotal", "wrun",
-                                                 "wrange", "wrows"):
+                                                 "wrange", "wrows",
+                                                 "wspan"):
                 # windowed aggregate: per-segment reduceat (totals),
                 # segment-reset cumulative scan (running ROWS frame),
                 # peer-run propagation (RANGE frame), or bounded
@@ -640,13 +653,30 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                 else:
                     # running / sliding frames over segment-sorted rows
                     ccnt = np.cumsum(contrib)
-                    if kind == "wrows":
+                    ok_win = None
+                    if kind in ("wrows", "wspan"):
                         # bounded frame: prefix-sum difference between
-                        # the row and max(segment start, pos - k)
-                        lo = np.maximum(grp_start, pos - np.int64(kprec))
+                        # the clamped frame bounds
+                        grp_end = grp_start + grp_n - 1
+                        if kind == "wrows":
+                            lo = np.maximum(grp_start,
+                                            pos - np.int64(kprec))
+                            hi = pos
+                        else:
+                            lo_off, hi_off = m[3], m[4]
+                            lo = grp_start if lo_off is None else \
+                                np.maximum(grp_start,
+                                           pos + np.int64(lo_off))
+                            hi = grp_end if hi_off is None else \
+                                np.minimum(grp_end,
+                                           pos + np.int64(hi_off))
+                            ok_win = hi >= lo
+                            lo = np.minimum(lo, hi)  # safe indexing
                         base_c = np.where(lo > 0,
                                           ccnt[np.maximum(lo - 1, 0)], 0)
-                        rcnt = ccnt - base_c
+                        rcnt = ccnt[hi] - base_c
+                        if ok_win is not None:
+                            rcnt = np.where(ok_win, rcnt, 0)
                     else:
                         rcnt = ccnt - np.repeat(
                             ccnt[starts] - contrib[starts], sizes)
@@ -681,10 +711,12 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                     else:                  # Sum / Mean
                         c2 = np.where(valid, vals, 0)
                         cs = np.cumsum(c2)
-                        if kind == "wrows":
+                        if kind in ("wrows", "wspan"):
                             base_s = np.where(lo > 0,
                                               cs[np.maximum(lo - 1, 0)], 0)
-                            rs = cs - base_s
+                            rs = cs[hi] - base_s
+                            if ok_win is not None:
+                                rs = np.where(ok_win, rs, 0)
                         else:
                             rs = cs - np.repeat(cs[starts] - c2[starts],
                                                 sizes)

@@ -505,12 +505,15 @@ class _Parser:
                 for w in ws:
                     if self._name().lower() != w:
                         raise SqlError(
-                            "only ROWS [BETWEEN] UNBOUNDED|<k> PRECEDING "
-                            "[AND CURRENT ROW] and RANGE [BETWEEN] "
+                            "only ROWS frames over UNBOUNDED|<k> "
+                            "PRECEDING / CURRENT ROW / <k>|UNBOUNDED "
+                            "FOLLOWING bounds and RANGE [BETWEEN] "
                             "UNBOUNDED PRECEDING [AND CURRENT ROW] "
                             "frames are supported")
 
-            def _lower_bound():
+            def _bound(lower: bool):
+                """One frame bound → int offset relative to the row
+                (negative = preceding), or None for UNBOUNDED."""
                 k2, v2 = self.peek()
                 if k2 == "lit_num" and isinstance(v2, int):
                     if is_range:
@@ -520,16 +523,41 @@ class _Parser:
                     self.next()
                     if v2 < 0:
                         raise SqlError("frame offset must be >= 0")
-                    _words("preceding")
-                    return ("rows_kpc", v2)
-                _words("unbounded", "preceding")
-                return "range_upc" if is_range else "rows_upc"
+                    w = self._name().lower()
+                    if w == "preceding":
+                        return -v2
+                    if w == "following":
+                        return v2
+                    raise SqlError(f"expected PRECEDING/FOLLOWING, "
+                                   f"got {w!r}")
+                if k2 == "name" and v2.lower() == "current":
+                    self.next()
+                    _words("row")
+                    return 0
+                _words("unbounded", "preceding" if lower else "following")
+                return None
             if self.accept_kw("between"):
-                frame = _lower_bound()
+                lo = _bound(True)
                 self.expect_kw("and")
-                _words("current", "row")
+                hi = _bound(False)
             else:
-                frame = _lower_bound()
+                lo, hi = _bound(True), 0
+            if lo is not None and hi is not None and lo > hi:
+                raise SqlError(
+                    f"frame lower bound ({lo}) follows its upper "
+                    f"bound ({hi})")
+            if is_range:
+                if lo is not None or hi != 0:
+                    raise SqlError("only RANGE [BETWEEN] UNBOUNDED "
+                                   "PRECEDING [AND CURRENT ROW] is "
+                                   "supported")
+                frame = "range_upc"
+            elif lo is None and hi == 0:
+                frame = "rows_upc"
+            elif isinstance(lo, int) and lo <= 0 and hi == 0:
+                frame = ("rows_kpc", -lo)
+            else:
+                frame = ("rows_span", lo, hi)
         self._expect_paren(")")
         return part, order, frame
 
@@ -563,8 +591,15 @@ class _Parser:
             m = ("wrange", op, src)
         elif frame == "rows_upc":
             m = ("wrun", op, src)
-        else:                                   # ("rows_kpc", k)
+        elif frame[0] == "rows_kpc":
             m = ("wrows", op, src, frame[1])
+        else:                                   # ("rows_span", lo, hi)
+            if op in ("Min", "Max"):
+                raise SqlError(
+                    "MIN/MAX support only frames ending at CURRENT ROW "
+                    "(prefix sums have no order-statistic analogue for "
+                    "FOLLOWING bounds)")
+            m = ("wspan", op, src, frame[1], frame[2])
         alias = self._alias()
         if alias is None:
             raise SqlError("window select items need AS alias")
@@ -1685,7 +1720,7 @@ def _windowed(ds, q, wins):
     specs, buckets = {}, None
     for (m, b, _, _, shift), a in wins:
         if isinstance(m, tuple):    # (wtotal|wrun|wrange[|wrows], ...)
-            if m[0] in ("wrun", "wrows") and len(order) < 2:
+            if m[0] in ("wrun", "wrows", "wspan") and len(order) < 2:
                 raise SqlError("running/sliding ROWS frames need "
                                "tiebreak ORDER BY keys for a "
                                "deterministic frame")

@@ -187,6 +187,23 @@ BATTERY = [
     "select id, sum(price) over (order by id, price "
     "rows between 0 preceding and current row) as w_cur from sales "
     "limit 3000",
+    # FOLLOWING bounds: centered / leading / trailing-from-ahead spans
+    "select id, sum(qty) over (partition by note order by price, id "
+    "rows between 2 preceding and 2 following) as s_c, "
+    "avg(qty) over (partition by note order by price, id "
+    "rows between 2 preceding and 2 following) as v_c, "
+    "count(qty) over (partition by note order by price, id "
+    "rows between 2 preceding and 2 following) as n_c from sales",
+    "select id, sum(qty) over (partition by region order by id, price "
+    "rows between current row and 3 following) as s_f from sales "
+    "where region is not null",
+    "select id, sum(price) over (partition by note order by price, id "
+    "rows between current row and unbounded following) as s_uf "
+    "from sales",
+    "select id, sum(qty) over (partition by note order by price, id "
+    "rows between 1 following and 4 following) as s_ahead from sales",
+    "select id, count(*) over (partition by note order by price, id "
+    "rows between 5 preceding and 2 preceding) as n_back from sales",
     # INTERSECT / EXCEPT (DISTINCT set semantics)
     "select region from sales where qty > 30 intersect "
     "select rname as region from regions",
@@ -403,6 +420,15 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # negative frame offsets
     "select sum(qty) over (partition by note order by price, id "
     "rows between -1 preceding and current row) as s from sales",
+    # frame lower bound after its upper bound
+    "select sum(qty) over (partition by note order by price, id "
+    "rows between 2 following and 1 preceding) as s from sales",
+    # MIN/MAX with a FOLLOWING bound (no order-statistic prefix trick)
+    "select min(price) over (partition by note order by price, id "
+    "rows between 1 preceding and 1 following) as m from sales",
+    # RANGE with a FOLLOWING bound
+    "select sum(qty) over (partition by note order by price "
+    "range between current row and current row) as s from sales",
     # window fns in one SELECT with different OVER clauses
     "select rank() over (partition by note order by price) as a, "
     "rank() over (partition by region order by price) as b from sales",
