@@ -4857,6 +4857,28 @@ def _q_sql_tpch_q14(sf_dir: str):
     })
 
 
+_SQL_RECURSIVE = """with recursive r as (
+  select n_nationkey as k, cast(n_nationkey + 1 as bigint) as v
+  from nation
+  union all
+  select k, v * 2 as v from r where v * 2 < 1000)
+select k, v from r order by k asc, v asc"""
+
+
+def _q_sql_recursive(sf_dir: str):
+    """WITH RECURSIVE through the SQL frontend: bounded semi-naive
+    evaluation — anchor UNION ALL step, each iteration's delta
+    re-broadcast into the step plan until fixpoint (per-key geometric
+    chains here; cycle/row caps raise loudly; lake-scale closures
+    belong to ops.graph's pointer-doubling). Oracle = the identical
+    string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_RECURSIVE, {
+        "nation": _read(sf_dir, "nation", ["n_nationkey"]),
+    })
+
+
 _SQL_GROUPEXPR = """select date_trunc('day', ts) as d, count(*) as n,
                    min(value) as lo, max(value) as hi,
                    count(distinct user_id) as users
@@ -5258,6 +5280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_tpch_q22": _q_sql_tpch_q22,
         "sql_tpch_q10": _q_sql_tpch_q10,
         "sql_tpch_q14": _q_sql_tpch_q14,
+        "sql_recursive": _q_sql_recursive,
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
         "sql_tpch_q6": _q_sql_tpch_q6,
@@ -7751,6 +7774,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q22": _SQL_TPCH_Q22,
         "sql_tpch_q10": _SQL_TPCH_Q10,
         "sql_tpch_q14": _SQL_TPCH_Q14,
+        "sql_recursive": _SQL_RECURSIVE,
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
         "sql_tpch_q6": _SQL_TPCH_Q6,

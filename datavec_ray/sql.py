@@ -219,11 +219,12 @@ class _Parser:
     # -- statement ---------------------------------------------------------
     def parse(self) -> dict:
         ctes = []
+        recursive = False
         if self.accept_kw("with"):
             k, v = self.peek()
             if k == "name" and v.lower() == "recursive":
-                raise SqlError("recursive CTEs are not supported "
-                               "(see ops.graph for iterative closures)")
+                self.next()
+                recursive = True
             while True:
                 nm = self._name()
                 self.expect_kw("as")
@@ -235,6 +236,8 @@ class _Parser:
         q = self._query()
         if ctes:
             q["ctes"] = ctes
+            if recursive:
+                q["recursive"] = True
         if self.peek()[0] != "eof":
             raise SqlError(f"trailing input at {self.peek()!r}")
         return q
@@ -1548,16 +1551,145 @@ def _out_names(q: dict):
     return [a for _, _, a in q["items"]]
 
 
+def _refs_table(q: dict, nm: str) -> bool:
+    """Does a query node reference table ``nm`` anywhere in its
+    FROM/JOIN chain, derived tables, set-op branches, or WHERE
+    subqueries?"""
+    if "setop" in q:
+        return _refs_table(q["left"], nm) or _refs_table(q["right"], nm)
+    def spec_refs(spec):
+        k, v = spec
+        return (v == nm) if k == "name" else _refs_table(v, nm)
+    if spec_refs(q["table"]):
+        return True
+    if any(spec_refs(right) for right, _, _, _ in q["joins"]):
+        return True
+
+    def walk(ast):
+        if isinstance(ast, tuple):
+            if ast[0] in ("scalarsub", "existssub") \
+                    and _refs_table(ast[1], nm):
+                return True
+            if ast[0] == "insub" and _refs_table(ast[2], nm):
+                return True
+            return any(walk(x) for x in ast
+                       if isinstance(x, (tuple, list)))
+        if isinstance(ast, list):
+            return any(walk(x) for x in ast)
+        return False
+    return walk(q.get("where"))
+
+
+_RECURSIVE_MAX_ROWS = 2_000_000
+_RECURSIVE_MAX_ITERS = 200
+
+
+def _exec_recursive_cte(nm: str, body: dict, tables: dict):
+    """WITH RECURSIVE nm AS (<anchor> UNION [ALL] <step>): iterative
+    semi-naive evaluation — the step query runs against ONLY the
+    previous iteration's delta (standard linear recursion), each delta
+    materialized on the driver and re-broadcast into the step plan.
+
+    Scale contract: deltas + accumulated rows are driver-held and
+    capped (rows/iterations) — the SQL surface is the exact, bounded
+    counterpart; unbounded iterative closures at lake scale belong to
+    ``ops.graph`` (pointer-doubling tree_paths / connected
+    components), which shuffle instead of materializing."""
+    import ray.data as rd
+
+    from datavec_ray.util import dataset_to_table
+    distinct = body.get("setop") == "distinct"
+    anchor = body["left"]
+    step = body["right"]
+    if "setop" in anchor or "setop" in step:
+        raise SqlError(
+            "recursive CTEs support exactly one UNION [ALL] of an "
+            "anchor and one recursive term")
+    if _refs_table(anchor, nm):
+        raise SqlError("the recursive CTE anchor cannot reference "
+                       f"{nm!r} (only the term after UNION may)")
+    if not _refs_table(step, nm):
+        raise SqlError(f"the recursive term does not reference {nm!r} "
+                       "— drop RECURSIVE")
+    if body.get("order") or body.get("limit") is not None:
+        raise SqlError("ORDER BY/LIMIT inside a recursive CTE body "
+                       "are not supported (apply them outside)")
+    cur = dataset_to_table(_exec(anchor, tables))
+    seen: set = set()
+
+    def keys_of(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        return list(zip(*[c.to_pylist() for c in t.columns]))
+
+    def dedupe(t: pa.Table):
+        ks = keys_of(t)
+        keep = []
+        for i, k in enumerate(ks):
+            if k not in seen:
+                seen.add(k)
+                keep.append(i)
+        if len(keep) == t.num_rows:
+            return t
+        return t.take(pa.array(keep, pa.int64()))
+
+    if distinct:
+        cur = dedupe(cur)
+    acc = [cur]
+    total = cur.num_rows
+    iters = 0
+    while cur.num_rows:
+        iters += 1
+        if iters > _RECURSIVE_MAX_ITERS:
+            raise SqlError(
+                f"recursive CTE {nm!r} exceeded "
+                f"{_RECURSIVE_MAX_ITERS} iterations — likely a cycle "
+                "(use UNION for set semantics, or ops.graph for "
+                "unbounded closures)")
+        t2 = dict(tables)
+        t2[nm] = rd.from_arrow(cur)
+        delta = dataset_to_table(_exec(step, t2))
+        if delta.num_rows and delta.column_names != cur.column_names:
+            delta = delta.select(cur.column_names) \
+                if set(cur.column_names) <= set(delta.column_names) \
+                else delta
+        if distinct:
+            delta = dedupe(delta)
+        if delta.num_rows == 0:
+            break
+        total += delta.num_rows
+        if total > _RECURSIVE_MAX_ROWS:
+            raise SqlError(
+                f"recursive CTE {nm!r} exceeded {_RECURSIVE_MAX_ROWS} "
+                "accumulated rows — use ops.graph for lake-scale "
+                "closures")
+        acc.append(delta)
+        cur = delta
+    return rd.from_arrow(pa.concat_tables(
+        acc, promote_options="permissive"))
+
+
 def _exec(q: dict, tables: dict):
     if q.get("ctes"):
         # WITH name AS (...): each CTE plans into a Dataset visible to
         # later CTEs and the main query (a CTE referenced twice
         # re-executes its plan — Datasets are lazy; materialize
-        # upstream if that matters)
+        # upstream if that matters). Under WITH RECURSIVE, a CTE whose
+        # body is a two-branch UNION [ALL] with a self-referencing
+        # second branch runs the bounded iterative evaluator.
         tables = dict(tables)
         for nm, sub in q["ctes"]:
-            tables[nm] = _exec(sub, tables)
-        q = {k: v for k, v in q.items() if k != "ctes"}
+            if q.get("recursive") and "setop" in sub \
+                    and sub.get("setop") in ("all", "distinct") \
+                    and _refs_table(sub["right"], nm):
+                tables[nm] = _exec_recursive_cte(nm, sub, tables)
+            elif q.get("recursive") and _refs_table(sub, nm):
+                raise SqlError(
+                    f"recursive CTE {nm!r} must be <anchor> UNION "
+                    "[ALL] <recursive term>")
+            else:
+                tables[nm] = _exec(sub, tables)
+        q = {k: v for k, v in q.items() if k not in ("ctes", "recursive")}
     if "setop" in q:
         left = _exec(q["left"], tables)
         right = _exec(q["right"], tables)

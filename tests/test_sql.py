@@ -223,6 +223,17 @@ BATTERY = [
     "with u as (select note as k from sales where qty > 48 union all "
     "select region as k from sales where qty < 2) "
     "select k, count(*) as n from u where k is not null group by k",
+    # WITH RECURSIVE: bounded semi-naive evaluation (anchor UNION [ALL]
+    # step), deltas re-broadcast into the step plan per iteration
+    "with recursive r as (select min(qty) as q from sales union all "
+    "select q + 7 as q from r where q + 7 <= 40) "
+    "select q from r order by q asc",
+    "with recursive r as (select target as v from regions union "
+    "select cast(v / 2 as bigint) + 50 as v from r where v > 10) "
+    "select v from r order by v asc",
+    # RECURSIVE keyword with a plain (non-self-referencing) CTE
+    "with recursive t as (select qty from sales where qty > 45) "
+    "select qty, count(*) as n from t group by qty",
     # GROUP BY expressions (hidden computed key columns)
     "select date_trunc('day', ts) as d, count(*) as n, min(price) as lo "
     "from sales group by date_trunc('day', ts) "
@@ -465,8 +476,16 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # non-equality correlation
     "select id from sales where exists "
     "(select rname from regions where target > qty)",
-    # recursive CTEs
-    "with recursive t as (select 1 as x) select x from t",
+    # recursive CTE whose anchor references itself
+    "with recursive r as (select qty from r union all "
+    "select qty from sales) select qty from r",
+    # self-referencing CTE without the anchor UNION shape
+    "with recursive r as (select qty from sales "
+    "join r on qty = qty) select qty from r",
+    # ORDER BY inside a recursive CTE body
+    "with recursive r as (select min(qty) as q from sales union all "
+    "select q + 1 as q from r where q < 10 order by q) "
+    "select q from r",
     # INTERSECT/EXCEPT ALL (bag semantics not supported)
     "select id from sales intersect all select id from sales",
     # same-named correlation column: qualifiers are stripped, so this
@@ -574,3 +593,25 @@ def test_approx_count_distinct(tables):
     w = want.sort_values("region", na_position="last").reset_index(drop=True)
     for ad, d in zip(g["ad"], w["d"]):
         assert abs(ad - d) / max(d, 1) < 0.12, (ad, d)
+
+
+def test_recursive_cte_cycle_guard(tables, monkeypatch):
+    """A non-converging UNION ALL recursion hits the iteration cap with
+    a loud SqlError instead of spinning."""
+    import datavec_ray.sql as S
+    monkeypatch.setattr(S, "_RECURSIVE_MAX_ITERS", 3)
+    with pytest.raises(SqlError, match="iterations"):
+        dataset_to_table(sql(
+            "with recursive r as (select target as v from regions "
+            "union all select v as v from r where v > 0) "
+            "select v from r", tables))
+
+
+def test_recursive_cte_row_cap(tables, monkeypatch):
+    import datavec_ray.sql as S
+    monkeypatch.setattr(S, "_RECURSIVE_MAX_ROWS", 5)
+    with pytest.raises(SqlError, match="accumulated rows"):
+        dataset_to_table(sql(
+            "with recursive r as (select target as v from regions "
+            "union all select v + 1 as v from r where v < 1000) "
+            "select v from r", tables))
