@@ -89,8 +89,26 @@ def open_table_engines(base_dir: str, names, num_partitions: int = 8,
             for n in names}
 
 
-def _stage_name(txn_name: str) -> str:
-    return f"mtx_{txn_name}"
+def _next_stage_name(txn_name: str, engines: dict) -> str:
+    """Unique stage name per invocation: WAP's publish() treats an
+    existing manifest ``publish`` entry with the same stage name as a
+    crash-resume shortcut (cleanup + return the OLD entry), so reusing
+    a name across successful runs would silently discard the new
+    batch. Sequence on the number of prior publishes of this txn_name
+    across all table manifests."""
+    prefix = f"mtx_{txn_name}_"
+    seq = 0
+    for eng in engines.values():
+        eng.manifest.reload()
+        for e in eng.manifest.entries:
+            if e.get("type") == "publish" and \
+                    str(e.get("stage", "")).startswith(prefix):
+                try:
+                    seq = max(seq, 1 + int(
+                        str(e["stage"])[len(prefix):]))
+                except ValueError:
+                    seq = max(seq, 1)
+    return f"{prefix}{seq}"
 
 
 def recover_tables(base_dir: str, engines: dict) -> str:
@@ -102,7 +120,7 @@ def recover_tables(base_dir: str, engines: dict) -> str:
     from datavec_ray.cdc.wap import StagedCommit
     j = _read_journal(base_dir)
     if j is not None:
-        sname = _stage_name(j["txn"])
+        sname = j["stage"]
         for t in j["tables"]:
             if t not in engines:
                 raise ValueError(
@@ -157,7 +175,7 @@ def replay_tables(base_dir: str, tables: dict, *,
             for n, ds in tables.items()}
 
     # phase 1: prepare every table's staged replay (invisible)
-    sname = _stage_name(txn_name)
+    sname = _next_stage_name(txn_name, engines)
     stages, stats = {}, {}
     for n, ds in tables.items():
         st = StagedCommit(engines[n], sname)
@@ -165,7 +183,7 @@ def replay_tables(base_dir: str, tables: dict, *,
         stats[n] = st.replay(ds, checkpoint_name=f"{sname}-{n}")
 
     # the commit point: journal all prepared tables durably
-    _write_journal(base_dir, {"txn": txn_name,
+    _write_journal(base_dir, {"txn": txn_name, "stage": sname,
                               "tables": sorted(tables.keys())})
 
     # phase 2: publish every stage (each step crash-rerunnable; a

@@ -670,8 +670,16 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                             hi = grp_end if hi_off is None else \
                                 np.minimum(grp_end,
                                            pos + np.int64(hi_off))
-                            ok_win = hi >= lo
-                            lo = np.minimum(lo, hi)  # safe indexing
+                            # empty windows (an AND k PRECEDING upper
+                            # bound near the segment start, or a
+                            # FOLLOWING lower bound past the segment
+                            # end) are masked by ok_win; clamp BOTH
+                            # bounds into the segment so the prefix
+                            # gathers never index out of range (hi can
+                            # go negative, lo past the array end)
+                            ok_win = (hi >= lo) & (lo <= grp_end)
+                            lo = np.minimum(lo, grp_end)
+                            hi = np.clip(hi, lo, grp_end)
                         base_c = np.where(lo > 0,
                                           ccnt[np.maximum(lo - 1, 0)], 0)
                         rcnt = ccnt[hi] - base_c

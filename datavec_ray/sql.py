@@ -1222,10 +1222,17 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
     # the whole aggregate plan twice
     agg_ds = agg_ds.map_batches(rn, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
-    # outer keys aligned to the DEDUPED inner key order
+    # outer keys aligned to the DEDUPED inner key order; one inner
+    # column correlating to TWO different outer columns cannot be
+    # planned as a single-key join — refuse rather than silently
+    # dropping the second constraint
     k2outer = {}
     for ik, ok in zip(inner_keys, outer_keys):
-        k2outer.setdefault(ik, ok)
+        if k2outer.setdefault(ik, ok) != ok:
+            raise SqlError(
+                f"correlated scalar subquery equates inner column "
+                f"{ik!r} to multiple outer columns "
+                f"({k2outer[ik]!r} and {ok!r}) — not planned")
     return [k2outer[k] for k in keys], join_keys, val_col, agg_ds
 
 
@@ -1239,6 +1246,18 @@ def _scalarsub_nodes(ast):
     elif isinstance(ast, list):
         for x in ast:
             yield from _scalarsub_nodes(x)
+
+
+def _subquery_nodes(ast):
+    if isinstance(ast, tuple):
+        if ast[0] in ("scalarsub", "existssub", "insub"):
+            yield ast
+            return
+        for x in ast:
+            yield from _subquery_nodes(x)
+    elif isinstance(ast, list):
+        for x in ast:
+            yield from _subquery_nodes(x)
 
 
 def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
@@ -1614,6 +1633,11 @@ def _exec_recursive_cte(nm: str, body: dict, tables: dict):
     if body.get("order") or body.get("limit") is not None:
         raise SqlError("ORDER BY/LIMIT inside a recursive CTE body "
                        "are not supported (apply them outside)")
+    an, sn = _out_names(anchor), _out_names(step)
+    if an is not None and sn is not None and an != sn:
+        raise SqlError(
+            f"recursive CTE branches must declare the same columns "
+            f"({an} vs {sn})")
     cur = dataset_to_table(_exec(anchor, tables))
     seen: set = set()
 
@@ -1714,11 +1738,15 @@ def _exec(q: dict, tables: dict):
         return ds
 
     ds = _resolve_table(q["table"], tables)
-    if _static_schema(ds) is None:
+    if _static_schema(ds) is None and q["where"] is not None and any(
+            True for _ in _subquery_nodes(q["where"])):
         # capture the FROM table's schema while it is still cheap to
-        # probe (metadata for parquet; a one-block identity probe for
-        # pandas/derived sources) — downstream filters/semi-joins can
-        # empty the plan, after which no schema is recoverable
+        # probe — downstream semi/anti joins from decorrelated WHERE
+        # subqueries can EMPTY the plan, after which no schema is
+        # recoverable. Probed only when such subqueries exist: for a
+        # derived-table FROM (a CTE ending in a blocking aggregate)
+        # the probe would otherwise execute the whole upstream once
+        # just for the schema
         s = ds.schema(fetch_if_missing=True)
         base = getattr(s, "base_schema", s)
         if isinstance(base, pa.Schema):

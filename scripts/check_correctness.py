@@ -95,6 +95,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> dict:
                     # big SF — annotate, don't fail
                     d = np.abs(av - bv)
                     rel = d / np.maximum(np.abs(bv), 1.0)
+                    # NaN on one side only is a REAL mismatch (wrong
+                    # NULL), never ulp noise — force failure
+                    rel = np.where(pd.isna(av) != pd.isna(bv),
+                                   np.inf, rel)
                     if np.nanmax(rel) < 1e-9:
                         res.setdefault("float_ulp_cols", []).append(c)
                         continue

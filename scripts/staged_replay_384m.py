@@ -118,7 +118,8 @@ def main() -> None:
                              checkpoint_name=f"seg{i}")
         sec = time.time() - t0
         rows = sum(l["rows"] for l in lineage)
-        delta = sum(l.get("delta_rows") or l["rows"] for l in lineage)
+        delta = sum(l["delta_rows"] if l.get("delta_rows") is not None
+                    else l["rows"] for l in lineage)
         written = lake_bytes(lake) - before
         rec = {"segment": i, "events": args.events,
                "sec": round(sec, 2),

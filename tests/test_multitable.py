@@ -152,3 +152,42 @@ def test_gate_shared_across_tables(ray_session, txn_binlog, tmp_path):
     _assert_lake_equals(out["engines"]["B"], _expected(txn_binlog, 1))
     for eng in out["engines"].values():
         eng.shutdown()
+
+
+def test_sequential_batches_both_commit(ray_session, txn_binlog, tmp_path):
+    """Two successive replay_tables on the same base_dir must BOTH
+    land: the stage name is sequenced per invocation, so WAP's
+    crash-resume shortcut (publish entry with the same stage name)
+    never swallows a fresh batch."""
+    import pyarrow.compute as pc
+
+    from datavec_ray.cdc.binlog import split_segments
+    ray = ray_session
+    base = str(tmp_path / "mt_seq")
+    segs = list(split_segments(txn_binlog, 2))
+    engines = None
+    for seg in segs:
+        tabs = {"A": ray.data.from_arrow(_route(seg, 0)),
+                "B": ray.data.from_arrow(_route(seg, 1))}
+        out = replay_tables(base, tabs, txn_col="txn_id", op_col="op",
+                            commit_op="C", num_partitions=4,
+                            engines=engines)
+        engines = out["engines"]
+    # both batches' committed events are visible. Each call gates ITS
+    # OWN batch (a txn whose marker lands in a later batch stays out —
+    # carry pending events forward via txn_split for streaming use),
+    # so the oracle applies the gate per segment before the LWW
+    for side, name in ((0, "A"), (1, "B")):
+        kept = []
+        for seg in segs:
+            committed = set(seg.filter(pc.equal(seg["op"], "C"))
+                            ["txn_id"].to_pylist())
+            routed = _route(seg, side)
+            ev = routed.filter(pc.not_equal(routed["op"], "C"))
+            mask = pc.is_in(ev["txn_id"],
+                            value_set=pa.array(sorted(committed)))
+            kept.append(ev.filter(mask).drop_columns(["txn_id"]))
+        want = replay_oracle(pa.concat_tables(kept))
+        _assert_lake_equals(engines[name], want)
+    for eng in engines.values():
+        eng.shutdown()

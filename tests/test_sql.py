@@ -486,6 +486,13 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     "with recursive r as (select min(qty) as q from sales union all "
     "select q + 1 as q from r where q < 10 order by q) "
     "select q from r",
+    # recursive CTE branches with mismatched column names
+    "with recursive r as (select min(qty) as q from sales union all "
+    "select q + 1 as q2 from r where q < 10) select q from r",
+    # correlated scalar subquery equating one inner column to TWO
+    # outer columns (single-key decorrelation would drop a constraint)
+    "select id from sales where qty < (select max(target) as m "
+    "from regions where rname = region and rname = note)",
     # INTERSECT/EXCEPT ALL (bag semantics not supported)
     "select id from sales intersect all select id from sales",
     # same-named correlation column: qualifiers are stripped, so this
@@ -615,3 +622,28 @@ def test_recursive_cte_row_cap(tables, monkeypatch):
             "with recursive r as (select target as v from regions "
             "union all select v + 1 as v from r where v < 1000) "
             "select v from r", tables))
+
+
+def test_wspan_small_segment_bounds(ray_session):
+    """FOLLOWING/PRECEDING span bounds clamp inside tiny key segments
+    (unclamped prefix gathers would index out of range)."""
+    import ray.data as rd
+
+    from datavec_ray.misc import window_rank
+    t = pa.table({"k": ["a", "b", "b", "b"],
+                  "o": [1, 1, 2, 3],
+                  "i": [1, 2, 3, 4],
+                  "v": [10.0, 20.0, 30.0, 40.0]})
+    out = dataset_to_table(window_rank(
+        rd.from_arrow(t), ["k"], "o", tiebreak=["i"],
+        specs={"s_back": ("wspan", "Sum", "v", -5, -2),
+               "s_fwd": ("wspan", "Sum", "v", 1, 4),
+               "n_fwd": ("wspan", "Count", "v", 1, 4)})) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    # 5..2-preceding windows: empty (NULL) except b/o=3, whose offset
+    # -2 row (b/o=1, v=20) is in range
+    assert list(out.s_back.fillna(-1)) == [-1, -1, -1, 20.0]
+    # forward windows: within-segment rows ahead only
+    got = list(zip(out.k, out.o, out.s_fwd.fillna(-1), out.n_fwd))
+    assert got == [("a", 1, -1, 0), ("b", 1, 70.0, 2),
+                   ("b", 2, 40.0, 1), ("b", 3, -1, 0)]
