@@ -1754,6 +1754,11 @@ def _exec(q: dict, tables: dict):
 
     from datavec_ray.join import JoinStep
     keymap: dict[str, str] = {}
+    # track the running join-output schema statically: every JoinStep
+    # whose left schema must otherwise be PROBED executes the whole
+    # accumulated chain through a limit(1) at PLAN time — a join of J
+    # tables paid J-1 probe executions before this
+    cur_sch = _static_schema(ds)
     for right, lks, rks, how in q["joins"]:
         if how in ("RightOuter", "FullOuter"):
             # exact ANSI key semantics need BOTH key columns (left key
@@ -1765,15 +1770,27 @@ def _exec(q: dict, tables: dict):
                 step = JoinStep(_resolve_table(right, tables), lks, rks,
                                 how, strategy="bucket",
                                 keep_right_keys=True)
+                if cur_sch is not None:
+                    step._in_schema_hint = cur_sch
                 ds = step.apply_dataset(ds)
             except ValueError as e:
                 # apply_dataset raises the same schema-shape ValueError
                 # as the constructor when the left side's schema is not
                 # statically known — surface both as plan-time SqlError
                 raise SqlError(str(e)) from e
+            cur_sch = None          # keep-both-keys shape: fall back
             continue
-        ds = JoinStep(_resolve_table(right, tables),
-                      lks, rks, how).apply_dataset(ds)
+        step = JoinStep(_resolve_table(right, tables), lks, rks, how)
+        if cur_sch is not None:
+            step._in_schema_hint = cur_sch
+        ds = step.apply_dataset(ds)
+        if cur_sch is not None:
+            try:
+                from datavec_ray.schema import Schema as _DvSchema
+                cur_sch = step.output_schema(_DvSchema(cur_sch)).arrow()
+                _keep_hint(ds, cur_sch)
+            except Exception:       # noqa: BLE001 — best-effort hint
+                cur_sch = None
         for lk, rk in zip(lks, rks):
             if rk != lk:
                 # the executed join coalesces the right key into the
@@ -1837,8 +1854,16 @@ def _exec(q: dict, tables: dict):
                 cols.append(v)
             return pa.table(dict(zip(names, cols)))
         project.__name__ = "sql_project"
+        in_hint = _static_schema(ds)
         ds = ds.map_batches(project, batch_format="pyarrow",
                             zero_copy_batch=True)
+        if in_hint is not None:
+            try:
+                # projection over a typed empty table yields the output
+                # schema statically (scalars → nulls of their type)
+                _keep_hint(ds, project(in_hint.empty_table()).schema)
+            except Exception:       # noqa: BLE001 — best-effort hint
+                pass
 
     if q["distinct"]:
         from datavec_ray.ops.setops import distinct_rows
@@ -2255,4 +2280,7 @@ def _grouped(ds, q, agg_items, aggexprs, plain):
                              zero_copy_batch=True)
               .union(rd.from_arrow(sent))
               .map_batches(_drop_fin, batch_format="pyarrow"))
+        # the final projected schema is statically known — carry it so
+        # a derived-table FROM over this aggregate never needs a probe
+        _keep_hint(ds, fin_sch)
     return ds
