@@ -1681,6 +1681,9 @@ def _q_cdc_multitable(sf_dir: str):
         return f
 
     base = tempfile.mkdtemp(prefix="dv_multitable_")
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     out = CdcIngestEngine.replay_tables(
         base, {"A": binlog.map_batches(pick(0), batch_format="pyarrow"),
                "B": binlog.map_batches(pick(1), batch_format="pyarrow")},

@@ -163,9 +163,14 @@ def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
     summ = _summaries(mat, order_col, ts_col)
     seeds = _tiles(summ)
     if seeds is not None:
+        # max_restarts=0: the constructor args (seeds dict) land in the
+        # object store — an actor restart after that ref is lost would
+        # fail anyway (ray#53727); task-level retry resubmits cleanly
         return mat.map_batches(
-            _SeededPass(seeds, delay_ms, order_col, ts_col, out_wm, out_late),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            _SeededPass, fn_constructor_args=(
+                seeds, delay_ms, order_col, ts_col, out_wm, out_late),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            concurrency=(1, 8), max_restarts=0)
     # ---- general path: ONE range exchange on lsn, then per-range scans
     lo = int(pc.min(summ["min_lsn"]).as_py())
     hi = int(pc.max(summ["max_lsn"]).as_py())
@@ -188,8 +193,10 @@ def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
     if seeds2 is None:  # pragma: no cover - ranges tile by construction
         raise RuntimeError("range partitions overlap — unreachable")
     out = parts.map_batches(
-        _SeededPass(seeds2, delay_ms, order_col, ts_col, out_wm, out_late),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        _SeededPass, fn_constructor_args=(
+            seeds2, delay_ms, order_col, ts_col, out_wm, out_late),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        concurrency=(1, 8), max_restarts=0)
     return out.drop_columns(["__rpart"])
 
 

@@ -700,21 +700,43 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                         # SQL "min over preceding non-nulls" at null rows
                         import pandas as pd
                         seg_id = np.cumsum(new_grp) - 1
-                        fv = pd.Series(np.where(
-                            valid, vals.astype(np.float64), np.nan))
-                        gb = fv.groupby(seg_id)
-                        if kind == "wrows":
-                            r = gb.rolling(kprec + 1, min_periods=1) \
-                                .agg("min" if op2 == "Min" else "max") \
-                                .to_numpy()
-                        else:
-                            r = (gb.cummin() if op2 == "Min"
-                                 else gb.cummax()).groupby(seg_id) \
-                                .ffill().to_numpy()
-                        otype = pa.float64() if src_float else pa.int64()
                         mask0 = rcnt == 0
+                        big = (not src_float and valid.any()
+                               and np.abs(vals[valid]).max() >= 2 ** 53)
+                        if big and kind == "wrows":
+                            raise ValueError(
+                                f"rolling {op2} over int64 values with "
+                                "|v| >= 2^53 would lose precision in the "
+                                "float64 rolling kernel; cast the column "
+                                "to float explicitly to accept the loss")
+                        if big:
+                            # exact int64 path: a sentinel replaces
+                            # nulls (it never wins once any valid value
+                            # precedes; all-null prefixes are masked by
+                            # rcnt == 0 below)
+                            sent = (np.iinfo(np.int64).max if op2 == "Min"
+                                    else np.iinfo(np.int64).min)
+                            iv = pd.Series(np.where(valid, vals, sent)
+                                           .astype(np.int64))
+                            gbi = iv.groupby(seg_id)
+                            r = (gbi.cummin() if op2 == "Min"
+                                 else gbi.cummax()).to_numpy()
+                        else:
+                            fv = pd.Series(np.where(
+                                valid, vals.astype(np.float64), np.nan))
+                            gb = fv.groupby(seg_id)
+                            if kind == "wrows":
+                                r = gb.rolling(kprec + 1, min_periods=1) \
+                                    .agg("min" if op2 == "Min" else "max") \
+                                    .to_numpy()
+                            else:
+                                r = (gb.cummin() if op2 == "Min"
+                                     else gb.cummax()).groupby(seg_id) \
+                                    .ffill().to_numpy()
+                        otype = pa.float64() if src_float else pa.int64()
                         if otype == pa.int64():
-                            # exact for |v| < 2^53 (float64 mantissa)
+                            # exact for |v| < 2^53 (float64 mantissa);
+                            # larger magnitudes took the sentinel path
                             r = np.where(mask0, 0, r).astype(np.int64)
                     else:                  # Sum / Mean
                         c2 = np.where(valid, vals, 0)

@@ -1596,7 +1596,9 @@ def _refs_table(q: dict, nm: str) -> bool:
         if isinstance(ast, list):
             return any(walk(x) for x in ast)
         return False
-    return walk(q.get("where"))
+    return walk(q.get("where")) or walk(q.get("having")) \
+        or walk(q.get("qualify")) \
+        or any(walk(e) for _, e, _ in q.get("items", []))
 
 
 _RECURSIVE_MAX_ROWS = 2_000_000

@@ -125,7 +125,8 @@ def run_oracle_subprocess(sql: str, sf_dir: str, timeout: float):
     import multiprocessing as mp
     import tempfile
 
-    out_path = tempfile.mktemp(suffix=".parquet", prefix="oracle_")
+    fd, out_path = tempfile.mkstemp(suffix=".parquet", prefix="oracle_")
+    os.close(fd)  # DuckDB's COPY overwrites the placeholder in the child
 
     def child():
         code = 0
@@ -149,6 +150,8 @@ def run_oracle_subprocess(sql: str, sf_dir: str, timeout: float):
     if p.is_alive():
         p.terminate()
         p.join(5)
+        if os.path.exists(out_path):
+            os.remove(out_path)
         return None
     if p.exitcode != 0 or not os.path.exists(out_path):
         raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
@@ -229,6 +232,8 @@ def main():
         results.append(r)
         if r.get("values_match") and r.get("exact_match"):
             status = "OK"
+            if r.get("float_ulp_cols"):
+                status += f" (ulp-tol: {r['float_ulp_cols']})"
         elif r.get("values_match"):
             status = f"INEXACT {r.get('exact_bad_cols')}"
         else:
