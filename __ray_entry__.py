@@ -4959,6 +4959,257 @@ def _q_sql_tpch_q6(sf_dir: str):
     })
 
 
+_REV_UNITS = ("cast(round(l_extendedprice * 100, 0) as bigint) "
+              "* (100 - cast(round(l_discount * 100, 0) as bigint))")
+
+_SQL_TPCH_Q7 = f"""select supp_nation, cust_nation, l_year,
+       round(sum(volume) / 10000.0, 4) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         extract(year from l_shipdate) as l_year,
+         {_REV_UNITS} as volume
+  from supplier
+  join lineitem on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  where ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+      or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3'))
+    and l_shipdate between timestamp '1996-01-01'
+                       and timestamp '1999-12-31'
+) as shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation asc, cust_nation asc, l_year asc"""
+
+
+def _q_sql_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping) through the SQL frontend: a SELF-
+    JOINED dimension (nation n1 / n2 — the scope-resolution pass
+    physically renames n2's colliding columns and rewrites the
+    qualified references), EXTRACT(YEAR), an OR-of-ANDs cross-side
+    predicate, a derived table in FROM, and integer-exact revenue.
+    Oracle = the identical SQL string in DuckDB. (The synthetic
+    l_shipdate range replaces TPC-H's 1995–1996 window; nation
+    constants map to the synthetic domain.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q7, {
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"]),
+        "orders": _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
+_SQL_TPCH_Q8 = f"""select o_year,
+       round(sum(case when nation = 'NATION_3' then volume else 0 end)
+             * 1.0 / sum(volume), 6) as mkt_share
+from (
+  select extract(year from o_orderdate) as o_year,
+         {_REV_UNITS} as volume,
+         n2.n_name as nation
+  from part
+  join lineitem on p_partkey = l_partkey
+  join supplier on s_suppkey = l_suppkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation n1 on c_nationkey = n1.n_nationkey
+  join region on n1.n_regionkey = r_regionkey
+  join nation n2 on s_nationkey = n2.n_nationkey
+  where r_name = 'AMERICA'
+    and o_orderdate between timestamp '1996-01-01'
+                        and timestamp '1999-12-31'
+    and p_type = 'ECONOMY'
+) as all_nations
+group by o_year
+order by o_year asc"""
+
+
+def _q_sql_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share) through the SQL frontend: an
+    EIGHT-table join chain with nation joined twice (alias scoping +
+    physical rename), CASE inside SUM, and a ratio of two aggregates
+    over a derived table. Oracle = the identical SQL string in
+    DuckDB. ('ECONOMY' stands in for the p_type class; region/nation
+    constants map to the synthetic domain.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q8, {
+        "part": _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_orderkey",
+                           "l_extendedprice", "l_discount"]),
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]),
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "nation": _read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]),
+        "region": _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+    })
+
+
+_SQL_TPCH_Q12 = """select l_returnflag,
+  cast(sum(case when o_orderpriority = '1-URGENT'
+            or o_orderpriority = '2-HIGH'
+       then 1 else 0 end) as bigint) as high_line_count,
+  cast(sum(case when o_orderpriority <> '1-URGENT'
+            and o_orderpriority <> '2-HIGH'
+       then 1 else 0 end) as bigint) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_returnflag in ('A', 'N')
+  and l_quantity < 10
+  and l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+group by l_returnflag
+order by l_returnflag asc"""
+
+
+def _q_sql_tpch_q12(sf_dir: str):
+    """TPC-H Q12 (shipping modes / order priority) through the SQL
+    frontend: join + IN-list + two CASE-gated conditional SUMs riding
+    one combiner exchange. Oracle = the identical SQL string in
+    DuckDB. (The synthetic lineitem has no l_shipmode/commitdate —
+    l_returnflag and l_quantity stand in, shape preserved.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q12, {
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderpriority"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_returnflag", "l_quantity",
+                           "l_shipdate"]),
+    })
+
+
+_SQL_TPCH_Q13 = """select c_count, count(*) as custdist
+from (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer left outer join orders
+    on c_custkey = o_custkey and o_orderpriority <> '5-LOW'
+  group by c_custkey
+) as c_orders
+group by c_count
+order by custdist desc, c_count desc"""
+
+
+def _q_sql_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution) through the SQL
+    frontend: LEFT OUTER JOIN with a non-key residual ON conjunct
+    (pushed to the null-supplying side pre-join), COUNT(col) counting
+    matches only, and a second aggregation over the derived table.
+    Oracle = the identical SQL string in DuckDB. (o_orderpriority
+    stands in for TPC-H's o_comment NOT LIKE filter.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q13, {
+        "customer": _read(sf_dir, "customer", ["c_custkey"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_orderpriority"]),
+    })
+
+
+_SQL_TPCH_Q15 = f"""with revenue as (
+  select l_suppkey as supplier_no,
+         sum({_REV_UNITS}) as total_units
+  from lineitem
+  where l_shipdate >= timestamp '1997-01-01'
+    and l_shipdate < timestamp '1997-07-01'
+  group by l_suppkey)
+select s_suppkey, s_name,
+       round(total_units / 10000.0, 4) as total_revenue
+from supplier join revenue on s_suppkey = supplier_no
+where total_units = (select max(total_units) as m from revenue)
+order by s_suppkey asc"""
+
+
+def _q_sql_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier) through the SQL frontend: the revenue
+    VIEW as a CTE referenced twice (grouped combiner aggregate), an
+    uncorrelated scalar MAX subquery folded to a literal, and a join
+    back to supplier. Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q15, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_suppkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"]),
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    })
+
+
+_SQL_TPCH_Q19 = f"""select round(sum({_REV_UNITS}) / 10000.0, 4)
+  as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 5
+       and l_quantity >= 1 and l_quantity <= 11)
+   or (p_brand = 'Brand#23' and p_size between 1 and 10
+       and l_quantity >= 10 and l_quantity <= 20)
+   or (p_brand = 'Brand#3' and p_size between 1 and 15
+       and l_quantity >= 20 and l_quantity <= 30)"""
+
+
+def _q_sql_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue) through the SQL frontend: the
+    three OR'd AND-groups evaluate as one fused vectorized post-join
+    filter; the ON clause lists the RIGHT table's key first (schema-
+    aware key-side orientation). Oracle = the identical SQL string in
+    DuckDB. (p_size stands in for p_container; no l_shipmode in the
+    synthetic lineitem.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q19, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_quantity", "l_extendedprice",
+                           "l_discount"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    })
+
+
+_SQL_TPCH_Q21 = """select s_name, count(*) as numwait
+from supplier
+join lineitem l1 on s_suppkey = l1.l_suppkey
+join orders on o_orderkey = l1.l_orderkey
+join nation on s_nationkey = n_nationkey
+where o_orderstatus = 'F'
+  and l1.l_returnflag = 'R'
+  and exists (select * from lineitem l2
+              where l2.l_orderkey = l1.l_orderkey
+                and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (select * from lineitem l3
+                  where l3.l_orderkey = l1.l_orderkey
+                    and l3.l_suppkey <> l1.l_suppkey
+                    and l3.l_returnflag = 'R')
+  and n_name = 'NATION_3'
+group by s_name
+order by numwait desc, s_name asc
+limit 100"""
+
+
+def _q_sql_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting) through the SQL
+    frontend: qualified outer references (l1/l2/l3 aliases) resolve to
+    explicit outer-column markers, and BOTH the <>-correlated EXISTS
+    and NOT EXISTS decorrelate to a grouped MIN/MAX per orderkey
+    left-joined back — no per-row re-execution, no fan-out join.
+    Oracle = the identical SQL string in DuckDB. (l_returnflag = 'R'
+    stands in for l_receiptdate > l_commitdate.)"""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q21, {
+        "supplier": _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_suppkey", "l_returnflag"]),
+        "orders": _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -5287,6 +5538,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_groupexpr": _q_sql_groupexpr,
         "sql_tpch_q1": _q_sql_tpch_q1,
         "sql_tpch_q6": _q_sql_tpch_q6,
+        "sql_tpch_q7": _q_sql_tpch_q7,
+        "sql_tpch_q8": _q_sql_tpch_q8,
+        "sql_tpch_q12": _q_sql_tpch_q12,
+        "sql_tpch_q13": _q_sql_tpch_q13,
+        "sql_tpch_q15": _q_sql_tpch_q15,
+        "sql_tpch_q19": _q_sql_tpch_q19,
+        "sql_tpch_q21": _q_sql_tpch_q21,
     }
 
 
@@ -7781,6 +8039,13 @@ def oracle_sql() -> dict[str, str]:
         "sql_groupexpr": _SQL_GROUPEXPR,
         "sql_tpch_q1": _SQL_TPCH_Q1,
         "sql_tpch_q6": _SQL_TPCH_Q6,
+        "sql_tpch_q7": _SQL_TPCH_Q7,
+        "sql_tpch_q8": _SQL_TPCH_Q8,
+        "sql_tpch_q12": _SQL_TPCH_Q12,
+        "sql_tpch_q13": _SQL_TPCH_Q13,
+        "sql_tpch_q15": _SQL_TPCH_Q15,
+        "sql_tpch_q19": _SQL_TPCH_Q19,
+        "sql_tpch_q21": _SQL_TPCH_Q21,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

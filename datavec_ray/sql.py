@@ -172,6 +172,13 @@ _AGG_FUNCS = {"sum": "Sum", "min": "Min", "max": "Max", "avg": "Mean",
               "approx_count_distinct": "CountUnique"}
 
 
+# EXTRACT parts with identical semantics in DuckDB and pyarrow
+# (day_of_week disagrees on week start — deliberately excluded)
+_EXTRACT_PARTS = {"year": "year", "quarter": "quarter", "month": "month",
+                  "day": "day", "hour": "hour", "minute": "minute",
+                  "second": "second", "millisecond": "millisecond"}
+
+
 def _has_aggref(ast) -> bool:
     """True when an expression AST contains an aggregate call."""
     if isinstance(ast, tuple):
@@ -292,14 +299,26 @@ class _Parser:
         if self.accept_op("("):
             sub = self._query()
             self._expect_paren(")")
-            self.accept_kw("as")
-            if self.peek()[0] == "name":      # alias is cosmetic here
-                self.next()
-            return ("sub", sub)
+            alias = self._table_alias()
+            base = ("sub", sub)
+            return ("aliased", (base, alias)) if alias else base
         k, v = self.next()
         if k != "name":
             raise SqlError("expected table name or ( SELECT ... )")
-        return ("name", v)
+        alias = self._table_alias()
+        return ("aliased", (("name", v), alias)) if alias else ("name", v)
+
+    def _table_alias(self) -> Optional[str]:
+        """Optional ``[AS] alias`` after a FROM/JOIN table reference.
+        ``qualify`` is a pseudo-keyword name, never an alias."""
+        had_as = bool(self.accept_kw("as"))
+        k, v = self.peek()
+        if k == "name" and "." not in v and v.lower() != "qualify":
+            self.next()
+            return v
+        if had_as:
+            raise SqlError("expected alias after AS")
+        return None
 
     def _select(self) -> dict:
         self.expect_kw("select")
@@ -330,17 +349,9 @@ class _Parser:
                 break
             right = self._table_ref()
             self.expect_kw("on")
-            lks, rks = [], []
-            while True:
-                a = self._name()
-                if not self.accept_op("="):
-                    raise SqlError("JOIN ON supports equi-keys only")
-                b = self._name()
-                lks.append(a)
-                rks.append(b)
-                if not self.accept_kw("and"):
-                    break
-            joins.append((right, lks, rks, how))
+            # full ON expression; the planner splits it into equi-key
+            # pairs + residual conjuncts (schema-aware side resolution)
+            joins.append((right, self._expr(), how))
         where = self._expr() if self.accept_kw("where") else None
         group, group_mode = [], "plain"
         if self.accept_kw("group"):
@@ -403,7 +414,9 @@ class _Parser:
         k, v = self.next()
         if k != "name":
             raise SqlError(f"expected column name, got {v!r}")
-        return v.split(".")[-1]     # qualified names → plain column
+        return v                    # may be qualified (a.c) — the
+                                    # scope-resolution pass strips or
+                                    # rewrites it after parse
 
     def _select_item(self):
         if self.accept_op("*"):
@@ -435,7 +448,7 @@ class _Parser:
             return ("aggexpr", e, alias)
         if alias is None:
             if e[0] == "col":
-                alias = e[1]
+                alias = e[1].split(".")[-1]   # SELECT a.c outputs "c"
             else:
                 raise SqlError("computed select items need AS alias")
         return ("expr", e, alias)
@@ -715,7 +728,20 @@ class _Parser:
                 sub = self._query()
                 self._expect_paren(")")
                 return ("existssub", sub)
-            return ("col", v.split(".")[-1])
+            if v.lower() == "extract" and self.peek() == ("op", "("):
+                # EXTRACT(part FROM expr) — ANSI datetime field access
+                self.next()
+                pk, pv = self.next()   # part may tokenize as kw (year)
+                if pk not in ("name", "kw") \
+                        or str(pv).lower() not in _EXTRACT_PARTS:
+                    raise SqlError(
+                        f"EXTRACT supports {sorted(_EXTRACT_PARTS)}, "
+                        f"got {pv!r}")
+                self.expect_kw("from")
+                e = self._expr()
+                self._expect_paren(")")
+                return ("extract", pv.lower(), e)
+            return ("col", v)
         if k == "lit_num" or k == "lit_str":
             return ("lit", v)
         if k == "lit_ts":
@@ -826,6 +852,13 @@ def _eval(ast, t: pa.Table):
         if ast[1] not in t.column_names:
             raise SqlError(f"unknown column {ast[1]!r}")
         return t[ast[1]]
+    if kind == "ocol":
+        raise SqlError(
+            f"outer column reference {ast[1]!r} is only supported "
+            "inside decorrelatable subquery predicates")
+    if kind == "extract":
+        return pc.cast(getattr(pc, _EXTRACT_PARTS[ast[1]])(
+            _eval(ast[2], t)), pa.int64())
     if kind == "lit":
         return pa.scalar(ast[1])
     if kind == "bin":
@@ -1056,10 +1089,11 @@ def _plan_correlated(subq: dict, tables: dict, probe):
     if split is None:
         return None
     inner_ds, inner_cols, outer_keys, inner_keys, inner_preds, \
-        correlated = split
+        correlated, neq_pairs = split
     if not correlated:
         return None
-    if probe is None and any(k != "expr" for k, _, _ in subq["items"]):
+    if probe is None and any(k in ("agg", "aggexpr")
+                             for k, _, _ in subq["items"]):
         # EXISTS over a correlated AGGREGATE subquery: a global
         # aggregate yields one row even over zero matches, so EXISTS
         # is always TRUE in SQL — a semi join would silently drop rows
@@ -1067,6 +1101,22 @@ def _plan_correlated(subq: dict, tables: dict, probe):
             "correlated EXISTS over an aggregate subquery is always "
             "TRUE in SQL (a global aggregate returns one row even "
             "over zero matches) — drop the EXISTS or use IN")
+    if neq_pairs:
+        # EXISTS with an additional inner.c <> outer.c conjunct
+        # (TPC-H Q21): decorrelates to a grouped MIN/MAX per equality
+        # key — "another value exists in the group" ⇔ matched AND
+        # (min(c) <> outer.c OR max(c) <> outer.c)
+        if probe is not None:
+            raise SqlError("correlated IN with a <> conjunct is not "
+                           "planned — write EXISTS")
+        if len(neq_pairs) != 1:
+            raise SqlError("at most one inner.c <> outer.c conjunct "
+                           "per correlated EXISTS is planned")
+        if not inner_keys:
+            raise SqlError("a <>-correlated EXISTS needs at least one "
+                           "equality correlation conjunct to group by")
+        return ("neq", subq, outer_keys, inner_keys, inner_preds,
+                neq_pairs[0])
     if inner_preds:
         inner_ds = inner_ds.map_batches(
             _filter_fn(_re_and(inner_preds), "sql_corr_inner"),
@@ -1096,7 +1146,7 @@ def _plan_correlated(subq: dict, tables: dict, probe):
     # the join consumes only the key columns — prune the inner scan
     keep = list(dict.fromkeys(inner_keys))
     inner_ds = inner_ds.select_columns(keep)
-    return outer_keys, inner_keys, inner_ds
+    return ("semi", outer_keys, inner_keys, inner_ds)
 
 
 def _corr_conjunct_split(subq: dict, tables: dict):
@@ -1111,7 +1161,10 @@ def _corr_conjunct_split(subq: dict, tables: dict):
             or subq["limit"] is not None or subq["order"] \
             or subq.get("ctes"):
         return None
-    kind, tname = subq["table"]
+    spec = subq["table"]
+    if spec[0] == "aliased":          # single-table alias: cosmetic
+        spec = spec[1][0]
+    kind, tname = spec
     if kind != "name" or tname not in tables:
         return None
     inner_ds = tables[tname]
@@ -1120,38 +1173,77 @@ def _corr_conjunct_split(subq: dict, tables: dict):
     inner_cols = set(base.names if isinstance(base, pa.Schema)
                      else sch.names)
     conjs = _conjuncts(subq["where"]) if subq["where"] is not None else []
-    outer_keys, inner_keys, inner_preds = [], [], []
+    outer_keys, inner_keys, inner_preds, neq_pairs = [], [], [], []
     correlated = False
+
+    def has_ocol(ast):
+        if isinstance(ast, tuple):
+            if ast[0] == "ocol":
+                return True
+            return any(has_ocol(x) for x in ast
+                       if isinstance(x, (tuple, list)))
+        return isinstance(ast, list) and any(has_ocol(x) for x in ast)
+
     for c in conjs:
-        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+        # explicit (qualified) outer references resolve exactly
+        if isinstance(c, tuple) and c[0] == "bin" \
+                and c[1] in ("=", "<>"):
+            l, r = c[2], c[3]
+            pair = None
+            if l[0] == "col" and r[0] == "ocol":
+                pair = (l[1], r[1])
+            elif l[0] == "ocol" and r[0] == "col":
+                pair = (r[1], l[1])
+            if pair is not None:
+                if pair[0] not in inner_cols:
+                    raise SqlError(f"unknown inner column {pair[0]!r} "
+                                   "in correlated predicate")
+                correlated = True
+                if c[1] == "=":
+                    inner_keys.append(pair[0])
+                    outer_keys.append(pair[1])
+                else:
+                    neq_pairs.append(pair)
+                continue
+        if has_ocol(c):
+            raise SqlError(
+                "correlated subqueries support only =/<> conjuncts "
+                f"between one inner and one outer column, got: {c!r}")
+        if isinstance(c, tuple) and c[0] == "bin" \
+                and c[1] in ("=", "<>") \
                 and c[2][0] == "col" and c[3][0] == "col" \
                 and c[2][1] == c[3][1] and c[2][1] in inner_cols:
             raise SqlError(
-                f"ambiguous predicate {c[2][1]} = {c[2][1]} in a "
-                "subquery: this frontend strips qualifiers, so a "
-                "correlation on a same-named column cannot be told "
-                "from an inner tautology — rename one side's column")
+                f"ambiguous predicate {c[2][1]} {c[1]} {c[2][1]} in a "
+                "subquery: an unqualified correlation on a same-named "
+                "column cannot be told from an inner tautology — "
+                "qualify with table aliases (l2.x <> l1.x)")
         cols = _cols_in(c)
         if cols <= inner_cols:
             inner_preds.append(c)
             continue
         correlated = True
-        if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+        if isinstance(c, tuple) and c[0] == "bin" \
+                and c[1] in ("=", "<>") \
                 and c[2][0] == "col" and c[3][0] == "col":
             a, b = c[2][1], c[3][1]
+            pair = None
             if a in inner_cols and b not in inner_cols:
-                inner_keys.append(a)
-                outer_keys.append(b)
-                continue
-            if b in inner_cols and a not in inner_cols:
-                inner_keys.append(b)
-                outer_keys.append(a)
+                pair = (a, b)
+            elif b in inner_cols and a not in inner_cols:
+                pair = (b, a)
+            if pair is not None:
+                if c[1] == "=":
+                    inner_keys.append(pair[0])
+                    outer_keys.append(pair[1])
+                else:
+                    neq_pairs.append(pair)
                 continue
         raise SqlError(
-            "correlated subqueries support only equality conjuncts "
+            "correlated subqueries support only =/<> conjuncts "
             f"between one inner and one outer column, got: {c!r}")
     return inner_ds, inner_cols, outer_keys, inner_keys, inner_preds, \
-        correlated
+        correlated, neq_pairs
 
 
 def _agg_uses_count(item) -> bool:
@@ -1184,9 +1276,13 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
     split = _corr_conjunct_split(subq, tables)
     if split is None:
         return None
-    _, inner_cols, outer_keys, inner_keys, inner_preds, correlated = split
+    _, inner_cols, outer_keys, inner_keys, inner_preds, correlated, \
+        neq_pairs = split
     if not correlated:
         return None
+    if neq_pairs:
+        raise SqlError("correlated scalar subqueries support only "
+                       "equality correlation conjuncts (got <>)")
     items = subq["items"]
     if len(items) != 1 or items[0][0] not in ("agg", "aggexpr"):
         raise SqlError(
@@ -1234,6 +1330,93 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
                 f"{ik!r} to multiple outer columns "
                 f"({k2outer[ik]!r} and {ok!r}) — not planned")
     return [k2outer[k] for k in keys], join_keys, val_col, agg_ds
+
+
+def _apply_neq_exists(ds, plan, neg: bool, keymap: dict, idx: int,
+                      tables: dict):
+    """[NOT] EXISTS with an ``inner.c <> outer.c`` conjunct (TPC-H
+    Q21), decorrelated WITHOUT a fan-out join: group the inner side by
+    its equality-correlation keys computing ``min(c)`` / ``max(c)``
+    (one combiner exchange), left-join the tiny per-group row back to
+    the outer side, and filter —
+
+        EXISTS  ⇔ matched ∧ min ≢ NULL ∧ o ≢ NULL
+                          ∧ (min <> o ∨ max <> o)
+        ¬EXISTS ⇔ ¬matched ∨ min ≡ NULL ∨ o ≡ NULL
+                          ∨ (min = o ∧ max = o)
+
+    The min/max pair decides "another value exists in the group"
+    exactly: all-equal groups compare against the outer value, mixed
+    groups always pass; NULL inner values never satisfy ``c <> o``
+    (ANSI UNKNOWN), matching the min/max null-skip. Hidden columns
+    are dropped after the filter, so the outer schema is unchanged."""
+    from datavec_ray.join import JoinStep
+    _, subq, okeys, ikeys, ipreds, (nc, oc) = plan
+    okeys = [keymap.get(k, k) for k in okeys]
+    oc = keymap.get(oc, oc)
+    keys = list(dict.fromkeys(ikeys))
+    k2outer = {}
+    for ik, ok in zip(ikeys, okeys):
+        if k2outer.setdefault(ik, ok) != ok:
+            raise SqlError(
+                f"correlated EXISTS equates inner column {ik!r} to "
+                f"multiple outer columns ({k2outer[ik]!r} and {ok!r}) "
+                "— not planned")
+    mcol, mn, mx = (f"__nq{idx}_m", f"__nq{idx}_min", f"__nq{idx}_max")
+    sub2 = dict(subq)
+    sub2["where"] = _re_and(ipreds)
+    sub2["group"] = list(keys)
+    sub2["group_mode"] = "plain"
+    sub2["items"] = [("expr", ("col", k), k) for k in keys] + [
+        ("agg", ("Count", ("star",), False, None), mcol),
+        ("agg", ("Min", ("col", nc), False, None), mn),
+        ("agg", ("Max", ("col", nc), False, None), mx)]
+    sub2["order"], sub2["limit"] = [], None
+    sub2["having"] = sub2["qualify"] = None
+    sub2["distinct"] = False
+    agg_ds = _exec(sub2, tables)
+    jkeys = [f"__nqk{idx}_{j}" for j in range(len(keys))]
+
+    def rn(t: pa.Table, _k=tuple(keys), _jk=tuple(jkeys)) -> pa.Table:
+        return t.rename_columns(
+            [dict(zip(_k, _jk)).get(c, c) for c in t.column_names])
+    rn.__name__ = "sql_neq_exists_keys"
+    # one row per correlation-key group — small by construction; the
+    # join's broadcast-size probe would otherwise run the plan twice
+    agg_ds = agg_ds.map_batches(rn, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    src_sch = _static_schema(ds)
+    step = JoinStep(agg_ds, [k2outer[k] for k in keys], jkeys,
+                    "LeftOuter")
+    if src_sch is not None:
+        step._in_schema_hint = src_sch
+    ds = step.apply_dataset(ds)
+
+    def notnull(col):
+        return ("isnull", ("col", col), True)
+
+    def isnull(col):
+        return ("isnull", ("col", col), False)
+    if not neg:
+        cond = _re_and([
+            notnull(mcol), notnull(mn), notnull(oc),
+            ("or", ("bin", "<>", ("col", mn), ("col", oc)),
+                   ("bin", "<>", ("col", mx), ("col", oc)))])
+    else:
+        cond = ("or", ("or", isnull(mcol), isnull(mn)),
+                ("or", isnull(oc),
+                 ("and", ("bin", "=", ("col", mn), ("col", oc)),
+                         ("bin", "=", ("col", mx), ("col", oc)))))
+    hidden = [mcol, mn, mx]
+
+    def filt_drop(t: pa.Table, _c=cond, _h=tuple(hidden)) -> pa.Table:
+        mask = _eval(_c, t)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return t.filter(pc.fill_null(mask, False)).drop_columns(list(_h))
+    filt_drop.__name__ = "sql_neq_exists_filter"
+    return _keep_hint(ds.map_batches(filt_drop, batch_format="pyarrow",
+                                     zero_copy_batch=True), src_sch)
 
 
 def _scalarsub_nodes(ast):
@@ -1341,7 +1524,12 @@ def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
         if plan is None:
             rest.append(c)
             continue
-        outer_keys, inner_keys, inner_ds = plan
+        if plan[0] == "neq":
+            ds = _apply_neq_exists(ds, plan, neg, keymap, n_scalar,
+                                   tables)
+            n_scalar += 1
+            continue
+        _, outer_keys, inner_keys, inner_ds = plan
         outer_keys = [keymap.get(k, k) for k in outer_keys]
         ds = _keep_hint(
             SemiJoinStep(inner_ds, outer_keys, inner_keys,
@@ -1502,17 +1690,213 @@ def _resolve_table(spec, tables):
     kind, v = spec
     if kind == "sub":
         return _exec(v, tables)       # derived table: plan recursively
+    if kind == "aliased":             # unresolved alias: base table
+        return _resolve_table(v[0], tables)
+    if kind == "rename":              # self-join instance: physically
+        base, rn = v                  # rename colliding columns
+        ds = _resolve_table(base, tables)
+        sch = _static_schema(ds)
+
+        def rnf(t: pa.Table, _rn=rn) -> pa.Table:
+            return t.rename_columns([_rn.get(c, c)
+                                     for c in t.column_names])
+        rnf.__name__ = "sql_alias_rename"
+        out = ds.map_batches(rnf, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        if sch is not None:
+            out = _keep_hint(out, pa.schema(
+                [pa.field(rn.get(f.name, f.name), f.type) for f in sch]))
+        return out
     if v not in tables:
         raise SqlError(f"unknown table {v!r}")
     return tables[v]
 
 
+# ---------------------------------------------------------------------------
+# Scope resolution: table aliases, qualified column references, self-joins
+# ---------------------------------------------------------------------------
+#
+# Runs once on the parsed AST, before planning. Each SELECT scope maps
+# ``alias -> {column -> physical name}``; a later table instance whose
+# columns collide with an earlier one (a self-join: ``nation n1, nation
+# n2``) gets those columns physically renamed to ``alias.column`` via a
+# ("rename", (base_spec, {old: new})) table spec the planner applies to
+# the right side before joining. A qualified reference whose qualifier
+# lives in an ANCESTOR scope becomes an ("ocol", name) node — an
+# explicit outer-column marker the correlated-subquery planners
+# classify exactly (no more inner-tautology ambiguity for
+# ``l2.l_suppkey <> l1.l_suppkey``).
+
+
+def _resolve_scopes(q: dict, env: dict, outers: list) -> dict:
+    """Rewrite one query node (and its subqueries, recursively).
+    ``env``: table/CTE name -> known column list (or None).
+    ``outers``: enclosing SELECT scopes, outermost first."""
+    out = dict(q)
+    if q.get("ctes"):
+        env = dict(env)
+        ctes = []
+        for nm, sub in q["ctes"]:
+            if q.get("recursive"):
+                env[nm] = _out_names(sub)     # visible to its own body
+            rsub = _resolve_scopes(sub, env, [])
+            env[nm] = _out_names(rsub)
+            ctes.append((nm, rsub))
+        out["ctes"] = ctes
+    if "setop" in q:
+        out["left"] = _resolve_scopes(out["left"], env, outers)
+        out["right"] = _resolve_scopes(out["right"], env, outers)
+        return out
+
+    # ---- build this SELECT's scope ------------------------------------
+    def unpack(spec):
+        alias = None
+        if spec[0] == "aliased":
+            spec, alias = spec[1]
+        if spec[0] == "name":
+            return spec, (alias or spec[1]), env.get(spec[1])
+        rsub = _resolve_scopes(spec[1], env, [])   # derived: no LATERAL
+        return ("sub", rsub), alias, _out_names(rsub)
+
+    raw = [unpack(q["table"])] + [unpack(right)
+                                  for right, _, _ in q["joins"]]
+    taken: set = set()
+    scope: dict = {}
+    specs = []
+    for spec, alias, cols in raw:
+        phys, rn = {}, {}
+        if cols is None:
+            phys = None
+        else:
+            for c in cols:
+                if c in taken:
+                    if alias is None:
+                        raise SqlError(
+                            f"duplicate column {c!r} across FROM tables "
+                            "— alias the second instance to disambiguate")
+                    p = f"{alias}.{c}"
+                    rn[c] = p
+                else:
+                    p = c
+                    taken.add(c)
+                phys[c] = p
+        if rn:
+            spec = ("rename", (spec, rn))
+        specs.append(spec)
+        if alias is not None:
+            if alias in scope:
+                raise SqlError(f"duplicate table alias {alias!r}")
+            scope[alias] = phys
+    out["table"] = specs[0]
+
+    # ---- expression / name rewriting ----------------------------------
+    def res_qual(name: str, allow_outer: bool):
+        qual, c = name.split(".", 1)
+        if qual in scope:
+            phys = scope[qual]
+            if phys is None:
+                return ("col", c)
+            if c not in phys:
+                raise SqlError(f"column {c!r} not found in table "
+                               f"{qual!r}")
+            return ("col", phys[c])
+        for osc in reversed(outers):
+            if qual in osc:
+                if not allow_outer:
+                    raise SqlError(
+                        f"outer reference {name!r} is not allowed here")
+                ophys = osc[qual]
+                if ophys is None:
+                    return ("ocol", c)
+                if c not in ophys:
+                    raise SqlError(f"column {c!r} not found in outer "
+                                   f"table {qual!r}")
+                return ("ocol", ophys[c])
+        return ("col", c)             # unknown qualifier: legacy strip
+
+    def res_name(s: str) -> str:
+        if not isinstance(s, str) or "." not in s:
+            return s
+        node = res_qual(s, allow_outer=False)
+        return node[1]
+
+    def res(ast):
+        if not isinstance(ast, tuple):
+            return [res(x) for x in ast] if isinstance(ast, list) else ast
+        if ast[0] == "col" and isinstance(ast[1], str):
+            if "." in ast[1]:
+                return res_qual(ast[1], allow_outer=True)
+            return ast
+        if ast[0] == "scalarsub":
+            return ("scalarsub",
+                    _resolve_scopes(ast[1], env, outers + [scope]))
+        if ast[0] == "existssub":
+            return ("existssub",
+                    _resolve_scopes(ast[1], env, outers + [scope]))
+        if ast[0] == "insub":
+            return ("insub", res(ast[1]),
+                    _resolve_scopes(ast[2], env, outers + [scope]),
+                    ast[3])
+        return tuple(res(x) if isinstance(x, (tuple, list)) else x
+                     for x in ast)
+
+    out["joins"] = [(spec, res(onexpr), how) for spec, (_, onexpr, how)
+                    in zip(specs[1:], q["joins"])]
+    for key in ("where", "having", "qualify"):
+        if out.get(key) is not None:
+            out[key] = res(out[key])
+    out["group"] = [res_name(g) if isinstance(g, str) else res(g)
+                    for g in q["group"]]
+    out["order"] = [(res_name(c) if isinstance(c, str) else res(c), d)
+                    for c, d in q["order"]]
+    items = []
+    for kind, e, a in q["items"]:
+        if kind == "agg":
+            op, arg, distinct, filt = e
+            arg = arg if arg == ("star",) else res(arg)
+            filt = res(filt) if filt is not None else None
+            items.append((kind, (op, arg, distinct, filt), a))
+        elif kind in ("expr", "aggexpr"):
+            items.append((kind, res(e), a))
+        elif kind == "win":
+            method, buckets, part, order, shift = e
+            if shift is not None:
+                shift = (res_name(shift[0]), shift[1])
+            if isinstance(method, tuple) and method[2] != "*":
+                method = (method[0], method[1], res_name(method[2])) \
+                    + tuple(method[3:])
+            items.append((kind, (method, buckets,
+                                 [res_name(c) for c in part],
+                                 [(res_name(c), d) for c, d in order],
+                                 shift), a))
+        else:
+            items.append((kind, e, a))
+    out["items"] = items
+    return out
+
+
 def sql(query: str, tables: dict):
     """Compile + execute: returns a ``ray.data.Dataset``. ``tables``
-    maps FROM/JOIN names to Datasets (column names must be unique
-    across joined tables — this subset has no qualifier scoping)."""
+    maps FROM/JOIN names to Datasets. Qualified references and table
+    aliases (incl. self-joins) resolve through ``_resolve_scopes``;
+    unqualified column names must be unique across joined tables."""
     q = _Parser(query).parse()
     tables = {k: _as_arrow(v) for k, v in tables.items()}
+    env = {}
+    for k, v in tables.items():
+        try:
+            sch = _static_schema(v)
+            if sch is None:
+                # in-memory datasets (from_pandas) expose no plan-time
+                # schema; their blocks exist, so this probe is cheap —
+                # and alias/self-join resolution needs the column sets
+                s = v.schema(fetch_if_missing=True)
+                base = getattr(s, "base_schema", s)
+                sch = base if isinstance(base, pa.Schema) else None
+        except Exception:              # noqa: BLE001 — schema best-effort
+            sch = None
+        env[k] = list(sch.names) if sch is not None else None
+    q = _resolve_scopes(q, env, [])
     return _exec(q, tables)
 
 
@@ -1578,10 +1962,16 @@ def _refs_table(q: dict, nm: str) -> bool:
         return _refs_table(q["left"], nm) or _refs_table(q["right"], nm)
     def spec_refs(spec):
         k, v = spec
-        return (v == nm) if k == "name" else _refs_table(v, nm)
+        if k == "name":
+            return v == nm
+        if k == "aliased":
+            return spec_refs(v[0])
+        if k == "rename":
+            return spec_refs(v[0])
+        return _refs_table(v, nm)
     if spec_refs(q["table"]):
         return True
-    if any(spec_refs(right) for right, _, _, _ in q["joins"]):
+    if any(spec_refs(right) for right, _, _ in q["joins"]):
         return True
 
     def walk(ast):
@@ -1761,7 +2151,78 @@ def _exec(q: dict, tables: dict):
     # accumulated chain through a limit(1) at PLAN time — a join of J
     # tables paid J-1 probe executions before this
     cur_sch = _static_schema(ds)
-    for right, lks, rks, how in q["joins"]:
+    for right, onexpr, how in q["joins"]:
+        rds = _resolve_table(right, tables)
+        rsch = rsch_hint = _static_schema(rds)
+        if rsch is None:
+            spec2 = right[1][0] if right[0] == "rename" else right
+            if spec2[0] == "sub":      # derived: declared output names
+                names = _out_names(spec2[1])
+                if names is not None:
+                    rsch = pa.schema([pa.field(n, pa.null())
+                                      for n in names])
+            else:
+                try:                   # base table: cheap schema probe
+                    s = rds.schema(fetch_if_missing=True)
+                    base = getattr(s, "base_schema", s)
+                    rsch = base if isinstance(base, pa.Schema) else None
+                except Exception:      # noqa: BLE001 — best-effort
+                    rsch = None
+        lnames = set(cur_sch.names) if cur_sch is not None else None
+        rnames = set(rsch.names) if rsch is not None else None
+        lks, rks, resid = [], [], []
+        for c in _conjuncts(onexpr):
+            if isinstance(c, tuple) and c[0] == "bin" and c[1] == "=" \
+                    and c[2][0] == "col" and c[3][0] == "col":
+                a, b = c[2][1], c[3][1]
+                # orient each pair (left key, right key) by schema —
+                # TPC-H writes ON both ways round (p_partkey =
+                # l_partkey vs l_partkey = p_partkey)
+                if lnames is not None and rnames is not None:
+                    if a not in lnames and b in lnames and a in rnames:
+                        a, b = b, a
+                    elif a in lnames and b in lnames \
+                            and a in rnames and b not in rnames:
+                        a, b = b, a
+                elif lnames is not None:
+                    if a not in lnames and b in lnames:
+                        a, b = b, a
+                elif rnames is not None:
+                    if a in rnames and b not in rnames:
+                        a, b = b, a
+                lks.append(a)
+                rks.append(b)
+            else:
+                resid.append(c)
+        if not lks:
+            raise SqlError("JOIN ON needs at least one equality "
+                           "between a left and a right column")
+        resid_expr = _re_and(resid) if resid else None
+        if resid_expr is not None and how != "Inner":
+            # outer joins: a residual predicate is part of the MATCH
+            # condition — only safe to evaluate as a pre-join filter
+            # on the null-supplying side (its rows without a match
+            # survive as NULLs either way)
+            rcols = _cols_in(resid_expr)
+            if how == "LeftOuter" and rnames is not None \
+                    and rcols <= rnames:
+                rds = rds.map_batches(
+                    _filter_fn(resid_expr, "sql_on_resid"),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                rds = _keep_hint(rds, rsch_hint)
+                resid_expr = None
+            elif how == "RightOuter" and lnames is not None \
+                    and rcols <= lnames:
+                ds = _keep_hint(ds.map_batches(
+                    _filter_fn(resid_expr, "sql_on_resid"),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                    cur_sch)
+                resid_expr = None
+            else:
+                raise SqlError(
+                    "non-equality JOIN ON conjuncts are supported on "
+                    "INNER joins and on the null-supplying side of "
+                    "LEFT/RIGHT OUTER joins")
         if how in ("RightOuter", "FullOuter"):
             # exact ANSI key semantics need BOTH key columns (left key
             # NULL on right-only rows and vice versa) — the bucket
@@ -1769,7 +2230,7 @@ def _exec(q: dict, tables: dict):
             # bucket); the coalesced Dataset.join column would silently
             # lie for one side's key
             try:
-                step = JoinStep(_resolve_table(right, tables), lks, rks,
+                step = JoinStep(rds, lks, rks,
                                 how, strategy="bucket",
                                 keep_right_keys=True)
                 if cur_sch is not None:
@@ -1782,7 +2243,7 @@ def _exec(q: dict, tables: dict):
                 raise SqlError(str(e)) from e
             cur_sch = None          # keep-both-keys shape: fall back
             continue
-        step = JoinStep(_resolve_table(right, tables), lks, rks, how)
+        step = JoinStep(rds, lks, rks, how)
         if cur_sch is not None:
             step._in_schema_hint = cur_sch
         ds = step.apply_dataset(ds)
@@ -1803,6 +2264,11 @@ def _exec(q: dict, tables: dict):
                 # reference to it fails at eval with unknown column.)
                 if how == "Inner":
                     keymap[rk] = lk
+        if resid_expr is not None:     # Inner: residual ≡ post-filter
+            ds = _keep_hint(ds.map_batches(
+                _filter_fn(_rewrite_ast(resid_expr, keymap),
+                           "sql_on_filter"),
+                batch_format="pyarrow", zero_copy_batch=True), cur_sch)
     if keymap:
         q = _rewrite_cols(q, keymap)
     q, ds = _decorrelate_where(q, ds, tables, keymap)
