@@ -151,14 +151,39 @@ class _SeededPass:
 def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
                       order_col: str = "lsn", out_wm: str = "wm_ms",
                       out_late: str = "is_late",
-                      num_partitions: int = 32):
+                      num_partitions: int = 32,
+                      replan=None):
     """Append ``wm_ms`` (the event-time watermark in effect when each
     event arrived; -1 for the very first arrival) and ``is_late``
     (its own ts is below that watermark) to a binlog Dataset.
 
     Contiguous-block fast path: two metadata-only passes, zero
     shuffles. Overlapping-block fallback: one lsn-range exchange.
-    """
+
+    Both passes must see the SAME blocks; by default the input is
+    pinned once with ``materialize()`` (in-cluster, spills under
+    pressure). For a re-readable source (a parquet binlog/lake), pass
+    ``replan`` — a zero-arg callable returning a FRESH Dataset over
+    the same input — and neither pass pins anything: pass 1 streams
+    the re-planned input for summaries, pass 2 streams it again with
+    the seeds, trading one extra source read for zero object-store
+    residency. A Ray read plan over unchanged files reproduces its
+    block layout, so the tiles re-key exactly; if the layouts ever
+    diverge the seeded pass raises its loud mismatch error rather
+    than mis-seeding. Measured at GRAFT_EVENTS_MULT=8 (BASELINE.md):
+    the re-read path trades ~15% wall time for zero pinned bytes —
+    the right default only when the input is far larger than the
+    object store."""
+    if replan is not None:
+        summ = _summaries(replan(), order_col, ts_col)
+        seeds = _tiles(summ)
+        if seeds is not None:
+            return replan().map_batches(
+                _SeededPass, fn_constructor_args=(
+                    seeds, delay_ms, order_col, ts_col, out_wm, out_late),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True, concurrency=(1, 8), max_restarts=0)
+        ds = replan()                  # overlapping blocks: exchange
     mat = ds.materialize()
     summ = _summaries(mat, order_col, ts_col)
     seeds = _tiles(summ)

@@ -310,8 +310,11 @@ class JoinStep(WideStep):
             def __call__(self, batch: pa.Table) -> pa.Table:
                 return _join_local(batch, self.right, keys, right_keys, how)
 
+        # max_restarts=0: the constructor closure carries the broadcast
+        # right-side ObjectRef — a restart after that ref is lost would
+        # fail anyway (ray#53727); task-level retry resubmits cleanly
         return ds.map_batches(_BcastJoin, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              concurrency=(1, 8), max_restarts=0)
 
     def apply_local(self, table: pa.Table) -> pa.Table:
         right = self._suffixed_right(table.column_names)

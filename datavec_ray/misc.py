@@ -488,6 +488,28 @@ _RANK_METHODS = ("rank", "dense_rank", "row_number", "percent_rank",
                  "cume_dist", "ntile")
 
 
+def _range_minmax(arr: np.ndarray, lo: np.ndarray, hi: np.ndarray, f):
+    """Vectorized range min/max: a sparse table (doubling windows) over
+    ``arr``, queried at inclusive in-range bounds ``[lo, hi]`` with
+    ``lo <= hi``. Exact for any dtype ``f`` supports (incl. int64).
+    Memory is O(n · log(max window)) — bounded spans build only as
+    many levels as the widest frame needs."""
+    length = hi - lo + 1
+    # floor(log2(length)) without float-rounding hazards at powers of 2
+    kq = np.log2(length + 0.5).astype(np.int64)
+    st = [arr]
+    for j in range(1, int(kq.max()) + 1):
+        h = 1 << (j - 1)
+        prev = st[-1]
+        st.append(f(prev[:len(prev) - h], prev[h:]))
+    out = np.empty(len(lo), dtype=arr.dtype)
+    for j in np.unique(kq):
+        m = kq == j
+        w = 1 << int(j)
+        out[m] = f(st[int(j)][lo[m]], st[int(j)][hi[m] - w + 1])
+    return out
+
+
 def window_rank(ds, keys: Sequence[str], order_col: str,
                 rank_col: str = "rank", method: str = "rank",
                 descending: bool = False,
@@ -530,14 +552,12 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                 # ("wspan", op, src, lo_off|None, hi_off|None): general
                 # ROWS frame with FOLLOWING bounds (offsets relative to
                 # the row, negative = preceding; None = unbounded).
-                # Min/Max need a trailing frame (use wrows) — the
-                # prefix-sum trick has no order-statistic analogue.
-                if (len(m) != 5 or m[1] not in ("Sum", "Mean", "Count")
+                # Sum/Mean/Count run on prefix-sum differences; Min/Max
+                # on the exact sparse-table range kernel.
+                if (len(m) != 5 or m[1] not in ops
                         or not all(x is None or isinstance(x, int)
                                    for x in m[3:5])):
-                    raise ValueError(f"bad frame-span spec {m!r} "
-                                     "(FOLLOWING frames support "
-                                     "Sum/Mean/Count)")
+                    raise ValueError(f"bad frame-span spec {m!r}")
             else:
                 raise ValueError(f"unknown window spec {m!r}")
         elif m not in _RANK_METHODS:
@@ -703,13 +723,27 @@ def window_rank(ds, keys: Sequence[str], order_col: str,
                         mask0 = rcnt == 0
                         big = (not src_float and valid.any()
                                and np.abs(vals[valid]).max() >= 2 ** 53)
-                        if big and kind == "wrows":
-                            raise ValueError(
-                                f"rolling {op2} over int64 values with "
-                                "|v| >= 2^53 would lose precision in the "
-                                "float64 rolling kernel; cast the column "
-                                "to float explicitly to accept the loss")
-                        if big:
+                        if kind == "wspan" or (big and kind == "wrows"):
+                            # exact range-min/max: a vectorized sparse
+                            # table over the sentinel-filled values,
+                            # queried at the already-clamped global
+                            # [lo, hi] frame bounds — covers FOLLOWING
+                            # bounds (no prefix order-statistic exists)
+                            # and int64 magnitudes beyond 2^53 exactly;
+                            # empty windows are masked by rcnt == 0
+                            if src_float:
+                                sent = np.inf if op2 == "Min" else -np.inf
+                                arr = np.where(valid, vals, sent)
+                            else:
+                                info = np.iinfo(np.int64)
+                                sent = info.max if op2 == "Min" \
+                                    else info.min
+                                arr = np.where(valid, vals, sent) \
+                                    .astype(np.int64)
+                            r = _range_minmax(
+                                arr, lo, hi, np.minimum if op2 == "Min"
+                                else np.maximum)
+                        elif big:
                             # exact int64 path: a sentinel replaces
                             # nulls (it never wins once any valid value
                             # precedes; all-null prefixes are masked by

@@ -541,7 +541,7 @@ def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
     return ds.map_batches(
         _PQEncode, batch_format="pyarrow",
         fn_constructor_args=(ray.put(codebooks), vec_col, id_col, normalize),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
 
 
 class _PQScore:
@@ -592,7 +592,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     per_batch = codes_ds.map_batches(
         _PQScore, batch_format="pyarrow",
         fn_constructor_args=(ray.put(codebooks), ray.put(q), id_col, k),
-        concurrency=(1, 8))
+        concurrency=(1, 8), max_restarts=0)
     return per_batch.groupby("query_id").map_groups(_MergeTopK(k),
                                                     batch_format="pyarrow")
 

@@ -610,11 +610,8 @@ class _Parser:
         elif frame[0] == "rows_kpc":
             m = ("wrows", op, src, frame[1])
         else:                                   # ("rows_span", lo, hi)
-            if op in ("Min", "Max"):
-                raise SqlError(
-                    "MIN/MAX support only frames ending at CURRENT ROW "
-                    "(prefix sums have no order-statistic analogue for "
-                    "FOLLOWING bounds)")
+            # MIN/MAX over FOLLOWING bounds run on the exact sparse-
+            # table range kernel (misc._range_minmax)
             m = ("wspan", op, src, frame[1], frame[2])
         alias = self._alias()
         if alias is None:
@@ -1288,10 +1285,17 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
         raise SqlError(
             "correlated scalar subqueries must select exactly one "
             "aggregate (decorrelated to a grouped aggregate + join)")
-    if _agg_uses_count(items[0]):
+    zero_fill = False
+    if items[0][0] == "agg" and items[0][1][0] == "Count":
+        # a BARE correlated COUNT: over zero matches SQL says 0, the
+        # grouped decorrelation says no-row/NULL — reconcile by
+        # COALESCE(val, 0) at the comparison site
+        zero_fill = True
+    elif _agg_uses_count(items[0]):
         raise SqlError(
-            "correlated scalar COUNT subqueries are not decorrelated "
-            "(COUNT over zero matches is 0, not NULL — rewrite as an "
+            "correlated scalar subqueries computing an EXPRESSION "
+            "over COUNT are not decorrelated (the zero-match value "
+            "is the expression at COUNT=0, not NULL — rewrite as an "
             "explicit LEFT JOIN + COALESCE)")
     if not _cols_in(items[0][1]) <= inner_cols:
         raise SqlError("correlated scalar subqueries may aggregate "
@@ -1329,7 +1333,8 @@ def _plan_corr_scalar(subq: dict, tables: dict, idx: int):
                 f"correlated scalar subquery equates inner column "
                 f"{ik!r} to multiple outer columns "
                 f"({k2outer[ik]!r} and {ok!r}) — not planned")
-    return [k2outer[k] for k in keys], join_keys, val_col, agg_ds
+    return [k2outer[k] for k in keys], join_keys, val_col, agg_ds, \
+        zero_fill
 
 
 def _apply_neq_exists(ds, plan, neg: bool, keymap: dict, idx: int,
@@ -1489,7 +1494,7 @@ def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
             if len(sc) == 1:
                 sp = _plan_corr_scalar(sides[sc[0]][1], tables, n_scalar)
                 if sp is not None:
-                    okeys, jkeys, val_col, agg_ds = sp
+                    okeys, jkeys, val_col, agg_ds, zero_fill = sp
                     okeys = [keymap.get(k, k) for k in okeys]
                     n_scalar += 1
                     if any(kind == "star" for kind, _, _ in q["items"]):
@@ -1515,7 +1520,9 @@ def _decorrelate_where(q: dict, ds, tables: dict, keymap=None):
                                         and f.name not in jkeys:
                                     ext = ext.append(f)
                             ds = _keep_hint(ds, ext)
-                    sides[sc[0]] = ("col", val_col)
+                    sides[sc[0]] = ("func", "coalesce",
+                                    [("col", val_col), ("lit", 0)]) \
+                        if zero_fill else ("col", val_col)
                     rest.append(("bin", node[1], sides[0], sides[1]))
                     continue
             elif len(sc) == 2:

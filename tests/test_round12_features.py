@@ -122,12 +122,47 @@ SJ_STMTS = [
     "  select a.label as lbl, w as ww from edges join nodes a "
     "  on src = a.nid where a.score > 10) as d "
     "group by lbl order by lbl asc",
+    # correlated scalar COUNT: zero-match outer rows compare against
+    # 0 (grouped decorrelation + COALESCE), exactly as ANSI
+    "select nid from nodes where score > "
+    "(select count(*) as c from edges where src = nid) "
+    "order by nid asc",
 ]
 
 
 @pytest.mark.parametrize("stmt", SJ_STMTS)
 def test_sql_scope_features(sj_tables, sj_ddb, stmt):
     _cmp(stmt[:60], sql(stmt, sj_tables), sj_ddb.sql(stmt).df())
+
+
+def test_watermark_replan_matches_materialize(ray_session, tmp_path):
+    # the re-read watermark path (zero object-store pinning) must
+    # produce exactly the materialize-path result on a parquet source
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from datavec_ray.cdc.watermark import assign_watermarks
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pd.DataFrame({
+        "lsn": np.arange(n),
+        "ts": rng.integers(0, 10_000_000, n),
+        "v": rng.integers(0, 100, n),
+    })
+    path = str(tmp_path / "binlog.parquet")
+    pq.write_table(__import__("pyarrow").Table.from_pandas(t), path)
+
+    def replan():
+        return rd.read_parquet(path)
+
+    a = dataset_to_table(
+        assign_watermarks(rd.read_parquet(path), 1000)).to_pandas() \
+        .sort_values("lsn").reset_index(drop=True)
+    b = dataset_to_table(
+        assign_watermarks(rd.read_parquet(path), 1000, replan=replan)) \
+        .to_pandas().sort_values("lsn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert b["is_late"].any()          # non-trivial input
 
 
 def test_sql_scope_refusals(sj_tables):
@@ -186,10 +221,20 @@ def test_bigint_running_minmax_exact(ray_session, bigint_frame):
     assert got["hi"].iloc[3] == BIG + 9
 
 
-def test_bigint_rolling_minmax_raises(ray_session, bigint_frame):
+def test_bigint_rolling_minmax_exact(ray_session, bigint_frame):
+    # bounded ROWS frames route through the exact sparse-table range
+    # kernel when |v| >= 2^53 (the float64 rolling kernel would round)
     import ray.data as rd
     t = rd.from_pandas(bigint_frame).repartition(2)
     q = ("select id, min(v) over (order by id, v "
-         "rows between 2 preceding and current row) as m from t")
-    with pytest.raises(Exception, match="2\\^53"):
-        dataset_to_table(sql(q, {"t": t}))
+         "rows between 2 preceding and current row) as m, "
+         "max(v) over (order by id, v "
+         "rows between 1 preceding and 1 following) as x from t")
+    got = dataset_to_table(sql(q, {"t": t})).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", bigint_frame)
+    want = con.sql(q).df().sort_values("id").reset_index(drop=True)
+    for c in ("m", "x"):
+        assert got[c].astype("Int64").equals(want[c].astype("Int64")), \
+            (c, got[c].tolist(), want[c].tolist())

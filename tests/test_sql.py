@@ -204,6 +204,16 @@ BATTERY = [
     "rows between 1 following and 4 following) as s_ahead from sales",
     "select id, count(*) over (partition by note order by price, id "
     "rows between 5 preceding and 2 preceding) as n_back from sales",
+    # MIN/MAX over FOLLOWING bounds (exact sparse-table range kernel)
+    "select id, min(price) over (partition by note order by price, id "
+    "rows between 1 preceding and 1 following) as m_c, "
+    "max(qty) over (partition by note order by price, id "
+    "rows between 2 preceding and 3 following) as x_c from sales",
+    "select id, min(qty) over (partition by region order by id, price "
+    "rows between 1 following and 4 following) as m_ahead, "
+    "max(price) over (partition by region order by id, price "
+    "rows between current row and unbounded following) as x_uf "
+    "from sales where region is not null",
     # INTERSECT / EXCEPT (DISTINCT set semantics)
     "select region from sales where qty > 30 intersect "
     "select rname as region from regions",
@@ -434,9 +444,6 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # frame lower bound after its upper bound
     "select sum(qty) over (partition by note order by price, id "
     "rows between 2 following and 1 preceding) as s from sales",
-    # MIN/MAX with a FOLLOWING bound (no order-statistic prefix trick)
-    "select min(price) over (partition by note order by price, id "
-    "rows between 1 preceding and 1 following) as m from sales",
     # RANGE with a FOLLOWING bound
     "select sum(qty) over (partition by note order by price "
     "range between current row and current row) as s from sales",
@@ -512,9 +519,10 @@ def test_battery_matches_duckdb(tables, ddb, stmt):
     # expression can return >1 row per outer row — not planned)
     "select id from sales where qty > "
     "(select target as t from regions where rname = region)",
-    # correlated scalar COUNT (0 over zero matches, not NULL)
+    # correlated scalar EXPRESSION over COUNT (the zero-match value
+    # is the expression at COUNT=0; only bare COUNT zero-fills)
     "select id from sales where qty > "
-    "(select count(*) as c from regions where rname = region)",
+    "(select count(*) + 1 as c from regions where rname = region)",
     # correlated scalar subquery buried inside arithmetic (only a
     # direct comparison side decorrelates)
     "select id from sales where qty + "
