@@ -170,10 +170,11 @@ def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
     residency. A Ray read plan over unchanged files reproduces its
     block layout, so the tiles re-key exactly; if the layouts ever
     diverge the seeded pass raises its loud mismatch error rather
-    than mis-seeding. Measured at GRAFT_EVENTS_MULT=8 (BASELINE.md):
-    the re-read path trades ~15% wall time for zero pinned bytes —
-    the right default only when the input is far larger than the
-    object store."""
+    than mis-seeding. Measured at GRAFT_EVENTS_MULT=8, 96M events,
+    32 CPUs (WATERMARK_REPLAN.json): materialize 7.72 s vs replan
+    8.50 s — the re-read path trades ~10% wall time for zero pinned
+    bytes, the right default only when the input is far larger than
+    the object store."""
     if replan is not None:
         summ = _summaries(replan(), order_col, ts_col)
         seeds = _tiles(summ)
