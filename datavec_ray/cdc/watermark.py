@@ -126,26 +126,28 @@ def _tiles(summ: pa.Table) -> Optional[dict]:
             for a, b, n, s in zip(lo, hi, rows, seeds)}
 
 
-class _SeededPass:
-    """Second-pass callable: re-key each batch to its pass-1 summary."""
+def _seeded_pass_fn(seeds: dict, delay_ms: int, order_col: str,
+                    ts_col: str, out_wm: str, out_late: str):
+    """Second-pass map fn: re-key each batch to its pass-1 summary.
 
-    def __init__(self, seeds: dict, delay_ms: int, order_col: str,
-                 ts_col: str, out_wm: str, out_late: str):
-        self.seeds, self.delay_ms = seeds, delay_ms
-        self.order_col, self.ts_col = order_col, ts_col
-        self.out_wm, self.out_late = out_wm, out_late
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lsn = batch[self.order_col]
+    A plain TASK-based closure on purpose: the seeds dict rides each
+    task submission (it is O(blocks), tiny), so there is no actor pool
+    to spin up for a sub-second stage and no ray#53727 restart hazard
+    — an actor's constructor args in the object store can be lost,
+    a task closure cannot."""
+    def _seeded(batch: pa.Table) -> pa.Table:
+        lsn = batch[order_col]
         key = (pc.min(lsn).as_py(), pc.max(lsn).as_py(), batch.num_rows)
-        seed = self.seeds.get(key)
+        seed = seeds.get(key)
         if seed is None:
             raise RuntimeError(
                 f"watermark pass-2 batch {key} does not match any pass-1 "
                 "block — the plan re-batched between passes; materialize "
                 "the input or use the range-shuffle path")
-        return _seeded_scan(batch, seed, self.delay_ms, self.order_col,
-                            self.ts_col, self.out_wm, self.out_late)
+        return _seeded_scan(batch, seed, delay_ms, order_col,
+                            ts_col, out_wm, out_late)
+    _seeded.__name__ = "watermark_seeded_pass"
+    return _seeded
 
 
 def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
@@ -180,23 +182,19 @@ def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
         seeds = _tiles(summ)
         if seeds is not None:
             return replan().map_batches(
-                _SeededPass, fn_constructor_args=(
-                    seeds, delay_ms, order_col, ts_col, out_wm, out_late),
+                _seeded_pass_fn(seeds, delay_ms, order_col, ts_col,
+                                out_wm, out_late),
                 batch_format="pyarrow", batch_size=None,
-                zero_copy_batch=True, concurrency=(1, 8), max_restarts=0)
+                zero_copy_batch=True)
         ds = replan()                  # overlapping blocks: exchange
     mat = ds.materialize()
     summ = _summaries(mat, order_col, ts_col)
     seeds = _tiles(summ)
     if seeds is not None:
-        # max_restarts=0: the constructor args (seeds dict) land in the
-        # object store — an actor restart after that ref is lost would
-        # fail anyway (ray#53727); task-level retry resubmits cleanly
         return mat.map_batches(
-            _SeededPass, fn_constructor_args=(
-                seeds, delay_ms, order_col, ts_col, out_wm, out_late),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-            concurrency=(1, 8), max_restarts=0)
+            _seeded_pass_fn(seeds, delay_ms, order_col, ts_col,
+                            out_wm, out_late),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     # ---- general path: ONE range exchange on lsn, then per-range scans
     lo = int(pc.min(summ["min_lsn"]).as_py())
     hi = int(pc.max(summ["max_lsn"]).as_py())
@@ -219,10 +217,9 @@ def assign_watermarks(ds, delay_ms: int, ts_col: str = "ts",
     if seeds2 is None:  # pragma: no cover - ranges tile by construction
         raise RuntimeError("range partitions overlap — unreachable")
     out = parts.map_batches(
-        _SeededPass, fn_constructor_args=(
-            seeds2, delay_ms, order_col, ts_col, out_wm, out_late),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        concurrency=(1, 8), max_restarts=0)
+        _seeded_pass_fn(seeds2, delay_ms, order_col, ts_col,
+                        out_wm, out_late),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return out.drop_columns(["__rpart"])
 
 
