@@ -5210,6 +5210,38 @@ def _q_sql_tpch_q21(sf_dir: str):
     })
 
 
+_SQL_TPCH_Q18 = """select c_name, c_custkey, o_orderkey, o_orderdate,
+       o_totalprice, cast(sum(l_quantity) as bigint) as sum_qty
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (select l_orderkey from lineitem
+                     group by l_orderkey having sum(l_quantity) > 150)
+group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+order by o_totalprice desc, o_orderkey asc
+limit 100"""
+
+
+def _q_sql_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers) through the SQL frontend: an
+    uncorrelated IN over a grouped+HAVING subquery binds to a
+    broadcast value set (combiner aggregate -> ray.put semi-join),
+    then a three-table join and a five-key grouped SUM with top-100.
+    Oracle = the identical SQL string in DuckDB (threshold 150 suits
+    the synthetic quantity distribution; with the 17 frontend queries
+    this closes every TPC-H query expressible without partsupp)."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q18, {
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "orders": _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"]),
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_quantity"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -5545,6 +5577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_tpch_q15": _q_sql_tpch_q15,
         "sql_tpch_q19": _q_sql_tpch_q19,
         "sql_tpch_q21": _q_sql_tpch_q21,
+        "sql_tpch_q18": _q_sql_tpch_q18,
     }
 
 
@@ -8046,6 +8079,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q15": _SQL_TPCH_Q15,
         "sql_tpch_q19": _SQL_TPCH_Q19,
         "sql_tpch_q21": _SQL_TPCH_Q21,
+        "sql_tpch_q18": _SQL_TPCH_Q18,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty
