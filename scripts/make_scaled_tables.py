@@ -54,6 +54,17 @@ def shifted_copies(t: pa.Table, strides: dict) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def rekey_names(t: pa.Table, key: str, col: str, prefix: str) -> pa.Table:
+    """Regenerate a key-derived name column ('Customer#%09d') from the
+    SHIFTED key — replicating names verbatim would multiply every
+    fuzzy-duplicate group by K^2 (a pathological density no real 10x
+    corpus has; the sf0.1 names are exactly this function of the key)."""
+    names = pc.binary_join_element_wise(
+        prefix, pc.utf8_lpad(pc.cast(t[key], pa.string()), 9, "0"), "")
+    return t.set_column(t.schema.get_field_index(col),
+                        pa.field(col, pa.string()), names)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(20260820)
@@ -69,10 +80,14 @@ def main():
     out = {
         "region": rd["region"],
         "nation": rd["nation"],
-        "customer": shifted_copies(rd["customer"],
-                                   {"c_custkey": stride["customer"]}),
-        "supplier": shifted_copies(rd["supplier"],
-                                   {"s_suppkey": stride["supplier"]}),
+        "customer": rekey_names(
+            shifted_copies(rd["customer"],
+                           {"c_custkey": stride["customer"]}),
+            "c_custkey", "c_name", "Customer#"),
+        "supplier": rekey_names(
+            shifted_copies(rd["supplier"],
+                           {"s_suppkey": stride["supplier"]}),
+            "s_suppkey", "s_name", "Supplier#"),
         "part": shifted_copies(rd["part"], {"p_partkey": stride["part"]}),
         "orders": shifted_copies(rd["orders"],
                                  {"o_orderkey": stride["orders"],
