@@ -1819,7 +1819,8 @@ def _resolve_scopes(q: dict, env: dict, outers: list) -> dict:
                     raise SqlError(f"column {c!r} not found in outer "
                                    f"table {qual!r}")
                 return ("ocol", ophys[c])
-        return ("col", c)             # unknown qualifier: legacy strip
+        # unknown qualifier: legacy strip to the LAST path component
+        return ("col", name.split(".")[-1])
 
     def res_name(s: str) -> str:
         if not isinstance(s, str) or "." not in s:
