@@ -143,8 +143,10 @@ def assign_components(ds, labels: pa.Table, id_col: str,
             comp = pc.coalesce(pc.take(self.comps, idx), ids)
             return batch.append_column(pa.field(comp_col, pa.int64()), comp)
 
+    # max_restarts=0: the constructor closure reads a ray.put ref —
+    # a restart after the ref is lost would fail anyway (ray#53727)
     return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=(1, 8), max_restarts=0)
 
 
 def dedup_by_components(ds, edges, id_col: str, src: str = "id_a",

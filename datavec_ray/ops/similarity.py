@@ -411,8 +411,10 @@ def kmeans_assign(ds, cents: np.ndarray, vec_col: str = "embedding"):
             return batch.append_column(pa.field("cluster", pa.int64()),
                                        pa.array(a.astype(np.int64)))
 
+    # max_restarts=0: the constructor closure reads a ray.put ref —
+    # a restart after the ref is lost would fail anyway (ray#53727)
     return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=(1, 8), max_restarts=0)
 
 
 def semantic_dedup_pairs(ds, vec_col: str = "embedding",
