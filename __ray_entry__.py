@@ -5242,6 +5242,192 @@ def _q_sql_tpch_q18(sf_dir: str):
     })
 
 
+# the synthetic schema ships no partsupp table; the five remaining
+# TPC-H queries derive one DETERMINISTICALLY from lineitem as a CTE —
+# the IDENTICAL string runs in DuckDB, so the oracle contract holds
+_PS_CTE = """partsupp as (
+  select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+         count(*) as ps_availqty,
+         round(min(l_extendedprice) / 10.0, 2) as ps_supplycost
+  from lineitem
+  group by l_partkey, l_suppkey)"""
+
+_SQL_TPCH_Q2 = f"""with {_PS_CTE},
+ps_eur as (
+  select ps_partkey, ps_supplycost, s_suppkey, s_name, s_acctbal, n_name
+  from partsupp
+  join supplier on ps_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  where r_name = 'EUROPE')
+select s_acctbal, s_name, n_name, p_partkey, p_brand
+from part
+join ps_eur on p_partkey = ps_partkey
+where p_size = 15
+  and ps_supplycost = (select min(ps_supplycost) as m from ps_eur
+                       where ps_partkey = p_partkey)
+order by s_acctbal desc, n_name asc, s_name asc, p_partkey asc
+limit 100"""
+
+
+def _q_sql_tpch_q2(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier) through the SQL frontend: the
+    region-filtered part-supplier relation as a CTE referenced twice,
+    with the correlated MIN scalar subquery decorrelated to a grouped
+    aggregate left-joined back (Q17 machinery). Oracle = the identical
+    SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q2, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        "supplier": _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_acctbal",
+                           "s_nationkey"]),
+        "nation": _read(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]),
+        "region": _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    })
+
+
+_SQL_TPCH_Q9 = f"""with {_PS_CTE}
+select nation, o_year, round(sum(amount) / 10000.0, 4) as sum_profit
+from (
+  select n_name as nation, extract(year from o_orderdate) as o_year,
+         cast(round(l_extendedprice * 100, 0) as bigint)
+           * (100 - cast(round(l_discount * 100, 0) as bigint))
+           - cast(round(ps_supplycost * 100, 0) as bigint)
+             * cast(l_quantity as bigint) * 100 as amount
+  from lineitem
+  join part on p_partkey = l_partkey
+  join supplier on s_suppkey = l_suppkey
+  join partsupp on ps_suppkey = l_suppkey and ps_partkey = l_partkey
+  join orders on o_orderkey = l_orderkey
+  join nation on s_nationkey = n_nationkey
+  where p_name like '%ring%'
+) as profit
+group by nation, o_year
+order by nation asc, o_year desc"""
+
+
+def _q_sql_tpch_q9(sf_dir: str):
+    """TPC-H Q9 (product-type profit) through the SQL frontend: a
+    six-way join incl. the two-key partsupp join (ON keys listed
+    right-column-first — schema orientation), LIKE filter,
+    EXTRACT(YEAR), integer-exact profit arithmetic over a derived
+    table. Oracle = the identical SQL string in DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q9, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_orderkey",
+                           "l_extendedprice", "l_discount", "l_quantity"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "orders": _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
+_SQL_TPCH_Q11 = f"""with {_PS_CTE},
+natps as (
+  select ps_partkey, ps_supplycost, ps_availqty
+  from partsupp join supplier on ps_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  where n_name = 'NATION_3')
+select ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) as value
+from natps
+group by ps_partkey
+having sum(ps_supplycost * ps_availqty) > (
+  select sum(ps_supplycost * ps_availqty) * 0.001 as thr from natps)
+order by value desc, ps_partkey asc"""
+
+
+def _q_sql_tpch_q11(sf_dir: str):
+    """TPC-H Q11 (important stock) through the SQL frontend: the
+    nation-filtered stock CTE referenced twice; HAVING compares a
+    grouped aggregate against an UNCORRELATED scalar subquery folded
+    to a literal at bind time. Oracle = the identical SQL string in
+    DuckDB."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q11, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    })
+
+
+_SQL_TPCH_Q16 = f"""with {_PS_CTE}
+select p_brand, p_type, p_size,
+       count(distinct ps_suppkey) as supplier_cnt
+from partsupp
+join part on p_partkey = ps_partkey
+where p_brand <> 'Brand#1'
+  and p_type not like 'MEDIUM%'
+  and p_size in (1, 5, 9, 14, 20, 26, 33, 41)
+  and ps_suppkey not in (select s_suppkey from supplier
+                         where s_acctbal < 700)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand asc, p_type asc, p_size asc"""
+
+
+def _q_sql_tpch_q16(sf_dir: str):
+    """TPC-H Q16 (supplier relationship) through the SQL frontend:
+    NOT LIKE + IN-list filters, uncorrelated NOT IN broadcast
+    anti-set, and exact COUNT(DISTINCT) per group. Oracle = the
+    identical SQL string in DuckDB (s_acctbal < 700 stands in for the
+    comment-pattern exclusion)."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q16, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        "part": _read(sf_dir, "part",
+                      ["p_partkey", "p_brand", "p_type", "p_size"]),
+        "supplier": _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]),
+    })
+
+
+_SQL_TPCH_Q20 = f"""with {_PS_CTE}
+select s_name, s_acctbal
+from supplier
+join nation on s_nationkey = n_nationkey
+where n_name = 'NATION_3'
+  and s_suppkey in (
+    select ps_suppkey from partsupp
+    where ps_partkey in (select p_partkey from part
+                         where p_name like 'hot%')
+      and ps_availqty * 13 > (select 0.5 * sum(l_quantity) as thr
+                         from lineitem
+                         where l_partkey = ps_partkey
+                           and l_suppkey = ps_suppkey))
+order by s_name asc"""
+
+
+def _q_sql_tpch_q20(sf_dir: str):
+    """TPC-H Q20 (potential part promotion) through the SQL frontend:
+    THREE nested subquery levels — an uncorrelated IN whose body holds
+    another uncorrelated IN (LIKE-filtered parts) plus a TWO-KEY
+    correlated scalar SUM decorrelated to a grouped aggregate join.
+    Oracle = the identical SQL string in DuckDB (the *13 factor keeps
+    the derived ps_availqty comparable to half the line quantity)."""
+    from datavec_ray.sql import sql
+
+    return sql(_SQL_TPCH_Q20, {
+        "lineitem": _read(sf_dir, "lineitem",
+                          ["l_partkey", "l_suppkey", "l_quantity",
+                           "l_extendedprice"]),
+        "supplier": _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_acctbal",
+                           "s_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        "part": _read(sf_dir, "part", ["p_partkey", "p_name"]),
+    })
+
+
 _SQL_FILTER = """select l_returnflag, count(*) as n,
                    count(*) filter (where l_quantity > 25) as heavy,
                    min(l_extendedprice) filter (where l_discount = 0)
@@ -5578,6 +5764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_tpch_q19": _q_sql_tpch_q19,
         "sql_tpch_q21": _q_sql_tpch_q21,
         "sql_tpch_q18": _q_sql_tpch_q18,
+        "sql_tpch_q2": _q_sql_tpch_q2,
+        "sql_tpch_q9": _q_sql_tpch_q9,
+        "sql_tpch_q11": _q_sql_tpch_q11,
+        "sql_tpch_q16": _q_sql_tpch_q16,
+        "sql_tpch_q20": _q_sql_tpch_q20,
     }
 
 
@@ -8080,6 +8271,11 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q19": _SQL_TPCH_Q19,
         "sql_tpch_q21": _SQL_TPCH_Q21,
         "sql_tpch_q18": _SQL_TPCH_Q18,
+        "sql_tpch_q2": _SQL_TPCH_Q2,
+        "sql_tpch_q9": _SQL_TPCH_Q9,
+        "sql_tpch_q11": _SQL_TPCH_Q11,
+        "sql_tpch_q16": _SQL_TPCH_Q16,
+        "sql_tpch_q20": _SQL_TPCH_Q20,
         "tpch_q18": """
             select c_name, o_custkey, o_orderkey, o_orderdate,
                    o_totalprice, sum_qty

@@ -1962,6 +1962,56 @@ def _out_names(q: dict):
     return [a for _, _, a in q["items"]]
 
 
+def _ref_count(q: dict, nm: str) -> int:
+    """How many times a query node references table ``nm`` — FROM/JOIN
+    chain, derived tables, set-op branches, and subqueries in any
+    expression position. Drives the materialize-once decision for
+    multi-referenced CTEs."""
+    if "setop" in q:
+        return _ref_count(q["left"], nm) + _ref_count(q["right"], nm)
+
+    def spec_n(spec):
+        k, v = spec
+        if k == "name":
+            return int(v == nm)
+        if k in ("aliased", "rename"):
+            return spec_n(v[0])
+        return _ref_count(v, nm)
+
+    n = spec_n(q["table"])
+    for right, onexpr, _ in q["joins"]:
+        n += spec_n(right)
+
+    def walk(ast):
+        c = 0
+        if isinstance(ast, tuple):
+            if ast[0] in ("scalarsub", "existssub"):
+                return _ref_count(ast[1], nm)
+            if ast[0] == "insub":
+                return walk(ast[1]) + _ref_count(ast[2], nm)
+            for x in ast:
+                if isinstance(x, (tuple, list)):
+                    c += walk(x)
+        elif isinstance(ast, list):
+            for x in ast:
+                c += walk(x)
+        return c
+
+    for key in ("where", "having", "qualify"):
+        if q.get(key) is not None:
+            n += walk(q[key])
+    for kind, e, _ in q.get("items", []):
+        if kind in ("expr", "aggexpr"):
+            n += walk(e)
+        elif kind == "agg" and isinstance(e, tuple):
+            _, arg, _, filt = e
+            if arg != ("star",):
+                n += walk(arg)
+            if filt is not None:
+                n += walk(filt)
+    return n
+
+
 def _refs_table(q: dict, nm: str) -> bool:
     """Does a query node reference table ``nm`` anywhere in its
     FROM/JOIN chain, derived tables, set-op branches, or WHERE
@@ -2096,13 +2146,19 @@ def _exec_recursive_cte(nm: str, body: dict, tables: dict):
 def _exec(q: dict, tables: dict):
     if q.get("ctes"):
         # WITH name AS (...): each CTE plans into a Dataset visible to
-        # later CTEs and the main query (a CTE referenced twice
-        # re-executes its plan — Datasets are lazy; materialize
-        # upstream if that matters). Under WITH RECURSIVE, a CTE whose
-        # body is a two-branch UNION [ALL] with a self-referencing
-        # second branch runs the bounded iterative evaluator.
+        # later CTEs and the main query. A CTE referenced MORE THAN
+        # ONCE (later CTEs + anywhere in the body, incl. subqueries —
+        # TPC-H Q2/Q11/Q15 reference theirs twice) is materialized
+        # once in the object store instead of re-executing its whole
+        # plan per reference; single-use CTEs stay lazy. Under WITH
+        # RECURSIVE, a CTE whose body is a two-branch UNION [ALL] with
+        # a self-referencing second branch runs the bounded iterative
+        # evaluator.
         tables = dict(tables)
-        for nm, sub in q["ctes"]:
+        ctes = q["ctes"]
+        body = {k: v for k, v in q.items()
+                if k not in ("ctes", "recursive")}
+        for i, (nm, sub) in enumerate(ctes):
             if q.get("recursive") and "setop" in sub \
                     and sub.get("setop") in ("all", "distinct") \
                     and _refs_table(sub["right"], nm):
@@ -2112,8 +2168,13 @@ def _exec(q: dict, tables: dict):
                     f"recursive CTE {nm!r} must be <anchor> UNION "
                     "[ALL] <recursive term>")
             else:
-                tables[nm] = _exec(sub, tables)
-        q = {k: v for k, v in q.items() if k not in ("ctes", "recursive")}
+                cds = _exec(sub, tables)
+                uses = _ref_count(body, nm) + sum(
+                    _ref_count(s, nm) for _, s in ctes[i + 1:])
+                if uses > 1:
+                    cds = cds.materialize()
+                tables[nm] = cds
+        q = body
     if "setop" in q:
         left = _exec(q["left"], tables)
         right = _exec(q["right"], tables)
