@@ -5340,7 +5340,8 @@ select ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) as value
 from natps
 group by ps_partkey
 having sum(ps_supplycost * ps_availqty) > (
-  select sum(ps_supplycost * ps_availqty) * 0.001 as thr from natps)
+  select sum(ps_supplycost * ps_availqty) * 1.5
+         / count(distinct ps_partkey) as thr from natps)
 order by value desc, ps_partkey asc"""
 
 
