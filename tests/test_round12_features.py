@@ -165,6 +165,22 @@ def test_watermark_replan_matches_materialize(ray_session, tmp_path):
     assert b["is_late"].any()          # non-trivial input
 
 
+SJ_OUTER_STMTS = [
+    # LEFT OUTER self-join: renamed non-key right columns NULL-extend
+    "select a.nid, b.label as blabel, b.score as bscore from nodes a "
+    "left outer join nodes b on a.score = b.nid order by a.nid asc",
+    # FULL OUTER self-join through the bucket co-partition join
+    "select a.nid as left_id, b.nid as right_id from nodes a "
+    "full outer join nodes b on a.score = b.nid "
+    "order by left_id asc, right_id asc",
+]
+
+
+@pytest.mark.parametrize("stmt", SJ_OUTER_STMTS)
+def test_sql_outer_self_joins(sj_tables, sj_ddb, stmt):
+    _cmp(stmt[:60], sql(stmt, sj_tables), sj_ddb.sql(stmt).df())
+
+
 def test_sql_scope_refusals(sj_tables):
     # unqualified same-name <> correlation is ambiguous — must refuse
     with pytest.raises(SqlError, match="ambiguous"):
